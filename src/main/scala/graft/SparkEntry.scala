@@ -1,13 +1,79 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Denormalize, Upsert}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is an operator from SURVEY.md §2 (reference
+  * parity) or a beyond-reference training-data-pipeline operator; each has
+  * a DuckDB oracle in `oracleSql` unless the operator is not
+  * SQL-expressible (then the driver records a rows-only check).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    queries("q01_denorm_inner")(spark, "/root/testdata/sf0.001")
+
+  // ---- reference-parity: FK denormalization (SURVEY.md §2 O8-O13) ----
+  // orders (fact, FK o_custkey) ⋈ customer (dimension, PK c_custkey)
+  // stands in for comments ⋈ stories (FIXTURES.md §B).
+
+  private def denorm(s: SparkSession, dir: String) =
+    Denormalize.builder(
+        Tables.load(s, dir, "orders"),
+        Tables.load(s, dir, "customer"), rightKey = "c_custkey")
+      .joinOn(df => df("o_custkey"))
+
+  private val denormCols =
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, " +
+    "o_orderpriority, c_name, c_nationkey, c_acctbal, c_mktsegment"
+
+  private def denormOracle(joinSql: String): String =
+    s"SELECT $denormCols FROM orders ${joinSql} customer ON o_custkey = c_custkey"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_denorm_inner" -> ((s, dir) => denorm(s, dir).inner),
+    "q02_denorm_left" -> ((s, dir) => denorm(s, dir).leftOuter),
+    "q03_denorm_right" -> ((s, dir) => denorm(s, dir).rightOuter),
+    "q04_denorm_full" -> ((s, dir) => denorm(s, dir).fullOuter),
+
+    // O8 upsert: latest event per user (compacted-topic semantics)
+    "q05_upsert_latest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Upsert.latestPerKey(ev, Seq(col("user_id")), Seq(col("ts_ns"), col("event_id")))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+    }),
+
+    // full reference pipeline in batch: upsert both sides then FK-join
+    "q06_denorm_upsert" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val latest = Upsert.latestPerKey(ev, Seq(col("user_id")), Seq(col("ts_ns"), col("event_id")))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      Denormalize.builder(latest, Tables.load(s, dir, "customer"), rightKey = "c_custkey")
+        .joinOn(df => df("user_id"))
+        .inner
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_denorm_inner" -> denormOracle("JOIN"),
+    "q02_denorm_left" -> denormOracle("LEFT JOIN"),
+    "q03_denorm_right" -> denormOracle("RIGHT JOIN"),
+    "q04_denorm_full" -> denormOracle("FULL OUTER JOIN"),
+    "q05_upsert_latest" ->
+      """SELECT user_id, event_id, event_type, value, epoch_us(ts)::BIGINT AS ts_us
+         FROM events QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""",
+    "q06_denorm_upsert" ->
+      """WITH latest AS (
+           SELECT user_id, event_id, event_type, value FROM events
+           QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+         SELECT user_id, event_id, event_type, value, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM latest JOIN customer ON user_id = c_custkey""",
+  )
 }
