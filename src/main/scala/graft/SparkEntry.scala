@@ -57,6 +57,26 @@ object SparkEntry {
         .joinOn(df => df("user_id"))
         .inner
     }),
+
+    // O5/O6/O18 fidelity: the reference's composite-key index stream —
+    // [size][blake2b(fk)][blake2b(pk)|zeros] keys, Kafka murmur2
+    // partition routing by FK digest only, so both sides of one FK
+    // co-locate (JoinKeyPartitioner.java:20-22). No DuckDB oracle
+    // (BLAKE2b is not SQL-expressible there) → rows-only check; the
+    // per-byte layout is covered by JoinKeySpec/Murmur2Spec.
+    "q07_joinkey_index" -> ((s, dir) => {
+      import graft.functions._
+      val lefts = Tables.load(s, dir, "orders").select(
+        join_key(col("o_custkey"), col("o_orderkey")).as("jk"),
+        col("o_custkey").cast("string").as("fk"))
+      val rights = Tables.load(s, dir, "customer").select(
+        join_key_right(col("c_custkey")).as("jk"),
+        col("c_custkey").cast("string").as("fk"))
+      lefts.unionAll(rights)
+        .select(hex(col("jk")).as("key_hex"),
+          join_key_is_right(col("jk")).as("is_right"),
+          kafka_partition(join_key_prefix(col("jk")), 32).as("partition"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

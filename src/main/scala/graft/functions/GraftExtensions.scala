@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Registers graft's native expressions with the session
+  * (`SparkSession.builder.withExtensions(new GraftExtensions)`), making
+  * them available both to the Column helpers in [[graft.functions]] (via
+  * `call_function`) and to plain SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_blake2b"),
+      new ExpressionInfo(classOf[Blake2bDigest].getName, "graft_blake2b"),
+      (exprs: Seq[Expression]) => Blake2bDigest(exprs.head,
+        if (exprs.size > 1) intArg(exprs(1), "digest size") else 8)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kafka_partition"),
+      new ExpressionInfo(classOf[KafkaPartition].getName, "graft_kafka_partition"),
+      (exprs: Seq[Expression]) => KafkaPartition(exprs.head, intArg(exprs(1), "numPartitions"))))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+
+/** Column-level API for graft's native expressions, mirroring
+  * `org.apache.spark.sql.functions`. The expressions resolve through the
+  * session FunctionRegistry, so the session must be built with
+  * [[GraftExtensions]] — [[Sessions.builder]] does this.
+  */
+package object functions {
+
+  private def toBytes(c: Column): Column =
+    when(c.isNull, lit(null).cast(BinaryType)).otherwise(c.cast("string").cast(BinaryType))
+
+  /** BLAKE2b digest (`size` bytes, default 8 as in the reference demo,
+    * `HackerNewsPipeline.java:42`) of any column (serialized as its
+    * string form for non-binary inputs, matching the reference's
+    * serde-then-hash order, `Blake2BJoinKeySchema.java:38-50`).
+    */
+  def blake2b(c: Column, size: Int = 8): Column =
+    call_function("graft_blake2b", toBytes(c), lit(size))
+
+  /** Kafka-default-partitioner partition id of a key column. */
+  def kafka_partition(c: Column, numPartitions: Int): Column =
+    call_function("graft_kafka_partition", toBytes(c), lit(numPartitions))
+
+  /** Composite join key `[size:1][blake2b(fk):size][blake2b(pk):size]`
+    * (left records) — layout from `schema/JoinKey.java:29-43`.
+    */
+  def join_key(fk: Column, pk: Column, size: Int = 8): Column =
+    concat(lit(Array(size.toByte)), blake2b(fk, size), blake2b(pk, size))
+
+  /** FK-only join key with zeroed left half (right records,
+    * `JoinKey.java:55`, `Blake2BJoinKeySchema.java:32-37`).
+    */
+  def join_key_right(fk: Column, size: Int = 8): Column =
+    concat(lit(Array(size.toByte)), blake2b(fk, size), lit(new Array[Byte](size)))
+
+  /** FK prefix of a composite key — what the reference prefix-scans on a
+    * right-side arrival (`JoinKey.java:94-99`).
+    */
+  def join_key_prefix(key: Column, size: Int = 8): Column =
+    substring(key, 1, 1 + size)
+
+  /** True when the key's left half is all zeros (a right-side record,
+    * `JoinKey.java:84-92`).
+    */
+  def join_key_is_right(key: Column, size: Int = 8): Column =
+    substring(key, 2 + size, size) === lit(new Array[Byte](size))
+}

@@ -1,0 +1,97 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Blake2bSpec extends SparkSpec {
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  test("RFC 7693 appendix A vector: blake2b-512(\"abc\")") {
+    assert(hex(Blake2b.digest("abc".getBytes("UTF-8"), 64)) ==
+      "ba80a53f981c4d0d6a2797b69f12f6e94c212f14685ac4b74b12bb6fdbffa2d1" +
+      "7d87c5392aab792dc252d5de4533cc9518d38aa8dbf1925ab92386edd4009923")
+  }
+
+  test("blake2b-512 of empty input (known public vector)") {
+    assert(hex(Blake2b.digest(Array.emptyByteArray, 64)) ==
+      "786a02f742015903c6c6fd852552d272912f4740e15847618a86e217f71f5419" +
+      "d25e1031afee585313896444934eb04b903a685b1448b755d56f701afe9be2ce")
+  }
+
+  test("multi-block input (>128 bytes) and truncated sizes") {
+    val big = Array.fill[Byte](1000)(7)
+    assert(Blake2b.digest(big, 64).length == 64)
+    assert(Blake2b.digest(big, 8).length == 8)
+    // truncated output is a DIFFERENT hash (digest length is a param),
+    // not a prefix of the 64-byte digest
+    assert(hex(Blake2b.digest(big, 8)) != hex(Blake2b.digest(big, 64)).take(16))
+    // exactly one block and one-byte-over boundaries
+    assert(Blake2b.digest(Array.fill[Byte](128)(1), 8).length == 8)
+    assert(Blake2b.digest(Array.fill[Byte](129)(1), 8).length == 8)
+  }
+
+  test("expression is usable from Column API and SQL") {
+    import spark.implicits._
+    val df = Seq("32545513", "32546427").toDF("id")
+    val viaCol = df.select(blake2b($"id", 8).as("d")).as[Array[Byte]].collect()
+    assert(viaCol.forall(_.length == 8))
+    assert(!viaCol(0).sameElements(viaCol(1)))
+    df.createOrReplaceTempView("ids")
+    val viaSql = spark.sql("SELECT graft_blake2b(CAST(id AS BINARY), 8) FROM ids")
+      .as[Array[Byte]].collect()
+    assert(viaSql.map(_.toSeq).toSet == viaCol.map(_.toSeq).toSet)
+    assert(viaCol(0).sameElements(Blake2b.digest("32545513".getBytes, 8)))
+  }
+}
+
+class JoinKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("join_key layout: [size][fk digest][pk digest]; right key zero-padded") {
+    val df = Seq(("c1", "s1")).toDF("pk", "fk")
+    val Array(leftKey) = df.select(join_key($"fk", $"pk", 8)).as[Array[Byte]].collect()
+    val Array(rightKey) = df.select(join_key_right($"fk", 8)).as[Array[Byte]].collect()
+    assert(leftKey.length == 17 && rightKey.length == 17)
+    assert(leftKey(0) == 8.toByte && rightKey(0) == 8.toByte)
+    // both sides share the FK prefix (the property the reference's
+    // prefix-scan relies on, JoinKey.java:94-99)
+    assert(leftKey.slice(0, 9).sameElements(rightKey.slice(0, 9)))
+    assert(rightKey.slice(9, 17).forall(_ == 0))
+    assert(!leftKey.slice(9, 17).forall(_ == 0))
+  }
+
+  test("join_key_prefix and join_key_is_right") {
+    val df = Seq(("c1", "s1")).toDF("pk", "fk")
+    val out = df.select(
+      join_key_prefix(join_key($"fk", $"pk", 8), 8).as("lp"),
+      join_key_prefix(join_key_right($"fk", 8), 8).as("rp"),
+      join_key_is_right(join_key($"fk", $"pk", 8), 8).as("lisr"),
+      join_key_is_right(join_key_right($"fk", 8), 8).as("risr"))
+      .as[(Array[Byte], Array[Byte], Boolean, Boolean)].collect().head
+    assert(out._1.sameElements(out._2))
+    assert(!out._3 && out._4)
+  }
+}
+
+class Murmur2Spec extends SparkSpec {
+
+  test("murmur2 matches Kafka's published values") {
+    // test vectors from Apache Kafka's public Utils.murmur2 test suite
+    assert(Murmur2.hash("21".getBytes) == -973932308)
+    assert(Murmur2.hash("foobar".getBytes) == -790332482)
+    assert(Murmur2.hash("a-little-bit-long-string".getBytes) == -985981536)
+    assert(Murmur2.hash("a-little-bit-longer-string".getBytes) == -1486304829)
+    assert(Murmur2.hash("lkjh234lh9fiuh90y23oiuhsafujhadof229phr9h19h89h8".getBytes) == -58897971)
+    assert(Murmur2.hash(Array[Byte]('a', 'b', 'c')) == 479470107)
+  }
+
+  test("partition is non-negative and stable") {
+    import spark.implicits._
+    val parts = Seq("k1", "k2", "k3").toDF("k")
+      .select(kafka_partition($"k", 4)).as[Int].collect()
+    assert(parts.forall(p => p >= 0 && p < 4))
+    assert(parts.sameElements(parts)) // deterministic across evals
+    assert(Murmur2.partition("21".getBytes, 4) == (-973932308 & 0x7fffffff) % 4)
+  }
+}
