@@ -77,6 +77,35 @@ object SparkEntry {
           join_key_is_right(col("jk")).as("is_right"),
           kafka_partition(join_key_prefix(col("jk")), 32).as("partition"))
     }),
+
+    // O1-O16 end-to-end: the STREAMING stateful FK join (flatMapGroups-
+    // WithState upsert+re-emit core) run over events⋈customer via
+    // MemoryStream + memory sink, checked against the plain batch-join
+    // oracle — proving the continuously-updating join converges to the
+    // relational answer. Rights feed in batch 1, lefts in batch 2
+    // (per-record arrival order within a group is by seq).
+    "q08_stream_denorm" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming._
+      implicit val sqlCtx = s.sqlContext
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val cust = Tables.load(s, dir, "customer")
+      val idx = StreamDenormalize.indexStream(
+        ev, col("event_id"), col("user_id"), col("event_id") + lit(1000000000L),
+        cust, col("c_custkey"), col("c_custkey")).collect()
+      val (rights, lefts) = idx.partition(!_.isLeft)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[IndexRecord]
+      val name = "q08_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = StreamDenormalize.joined(input.toDS(), "inner")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        input.addData(rights); q.processAllAvailable()
+        input.addData(lefts); q.processAllAvailable()
+      } finally q.stop()
+      StreamDenormalize.parsed(s.table(name).as[JoinedRecord], ev.schema, cust.schema)
+        .select(col("left.*"), col("right.*"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -95,5 +124,9 @@ object SparkEntry {
            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
          SELECT user_id, event_id, event_type, value, c_name, c_nationkey, c_acctbal, c_mktsegment
          FROM latest JOIN customer ON user_id = c_custkey""",
+    "q08_stream_denorm" ->
+      """SELECT event_id, user_id, event_type, value,
+                c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM events JOIN customer ON user_id = c_custkey""",
   )
 }

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** Kafka topology wiring — the Spark analog of the reference's topic
+  * plumbing (SURVEY.md §2 O1/O2/O7/O16/O17):
+  *
+  *  - source topics consumed with key/value serdes
+  *    (`dsl/StreamDenormalize.java:44,58`) → `readStream.format("kafka")`
+  *    plus `from_json` on the value bytes
+  *  - joined output produced with string key + JSON value
+  *    (`HackerNewsPipeline.java:54`) → `to_json(struct(...))` +
+  *    `writeStream.format("kafka")`
+  *
+  * The shaping transforms (`decode`/`encode`) are pure DataFrame ops and
+  * unit-tested; the `format("kafka")` endpoints need the
+  * spark-sql-kafka connector on the cluster classpath (not present in
+  * this container — no broker to test against either).
+  */
+object KafkaWiring {
+
+  /** Parse a Kafka-shaped record stream: binary `key`/`value` columns →
+    * string key + typed struct fields (O17 `JsonSerde`, schema-on-read:
+    * unknown fields ignored, missing fields null — `from_json` semantics
+    * match the reference's Jackson config, `dto/Comment.java:5-6`).
+    */
+  def decode(kafkaRecords: DataFrame, schema: StructType): DataFrame =
+    kafkaRecords.select(
+      col("key").cast("string").as("record_key"),
+      from_json(col("value").cast("string"), schema).as("v"),
+      col("offset").as("seq"))
+      .select(col("record_key"), col("seq"), col("v.*"))
+
+  /** Shape a DataFrame for a Kafka sink: `keyExpr` → binary key,
+    * remaining columns JSON-encoded as the value (O16).
+    */
+  def encode(df: DataFrame, keyExpr: Column, valueCols: Seq[Column]): DataFrame =
+    df.select(
+      keyExpr.cast("string").cast("binary").as("key"),
+      to_json(struct(valueCols: _*)).cast("binary").as("value"))
+
+  /** Subscribe to a topic (O1/O2). Requires spark-sql-kafka connector. */
+  def readTopic(spark: SparkSession, bootstrap: String, topic: String,
+      startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+
+  /** Produce to a topic (O7/O16). Requires spark-sql-kafka connector.
+    * The checkpoint plays the compacted-changelog role (SURVEY.md §4).
+    */
+  def writeTopic(df: DataFrame, bootstrap: String, topic: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** Full reference topology (`HackerNewsPipeline.java:33-55`): two
+    * source topics → stateful FK denormalization → output topic. Returns
+    * the writer; caller `.start()`s it.
+    */
+  def denormalizeTopology(
+      spark: SparkSession, bootstrap: String,
+      leftTopic: String, rightTopic: String, outTopic: String,
+      leftSchema: StructType, rightSchema: StructType,
+      leftKey: Column, leftFk: Column, rightKey: Column,
+      joinType: String, checkpoint: String): DataStreamWriter[Row] = {
+    val left = decode(readTopic(spark, bootstrap, leftTopic), leftSchema)
+    val right = decode(readTopic(spark, bootstrap, rightTopic), rightSchema)
+    val index = StreamDenormalize.indexStream(
+      left, leftKey, leftFk, col("seq"), right, rightKey, col("seq"))
+    val joined = StreamDenormalize.parsed(
+      StreamDenormalize.joined(index, joinType), leftSchema, rightSchema)
+    writeTopic(
+      encode(joined, col("out_key"), Seq(col("left"), col("right"))),
+      bootstrap, outTopic, checkpoint)
+  }
+}

@@ -1,0 +1,151 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** One record of the internal index stream — the Spark analog of the
+  * reference's compacted index topic (`dsl/StreamDenormalize.java:44-60`):
+  * both sides re-keyed by FK and funneled into one keyed stream. `isLeft`
+  * plays the role of the zeroed-left-digest marker (`JoinKey.java:55`);
+  * `seq` is the arrival order (Kafka offset parity — the reference relies
+  * on per-partition offset order, `JoinTransformer.java:138`).
+  */
+case class IndexRecord(fk: String, isLeft: Boolean, key: String, value: String, seq: Long)
+
+/** One emitted join result. `left`/`right` are JSON payloads (null for
+  * the missing side of outer emissions, `JoinTransformer.java:159-166,192-196`);
+  * `seq` is the arrival that triggered the emission, so latest-per-key
+  * post-processing can recover the final state.
+  */
+case class JoinedRecord(outKey: String, left: String, right: String, seq: Long)
+
+/** Per-FK join state: the latest right value plus the latest value of
+  * every left sharing the FK — exactly what the reference's compacted
+  * store holds under one FK-digest prefix (point-get for the right,
+  * prefix-scan for the lefts, `JoinKey.java:84-99`).
+  */
+case class DenormState(
+    rightValue: Option[String],
+    lefts: Map[String, String])
+
+/** Continuously-updating FK denormalization over Structured Streaming —
+  * the reference's stateful transformer (`transform/JoinTransformer.java`)
+  * re-expressed as `flatMapGroupsWithState`.
+  *
+  * Semantics reproduced:
+  *  - upsert (latest value per key) on both sides — O8
+  *  - left arrival: point lookup of the right, emit joined pair (or
+  *    left+null under left/full outer) — O9 (`JoinTransformer.java:141-166`)
+  *  - right arrival: re-emit EVERY stored left with the new right value
+  *    (or null+right under right/full outer when no lefts) — O10
+  *    (`JoinTransformer.java:167-198`)
+  *  - per-batch dedup: at most one emission per complete join key within
+  *    one micro-batch — O14 (`JoinTransformer.java:210-222`; the
+  *    reference scopes this by stream-time, Spark's natural analog is
+  *    the micro-batch)
+  *
+  * Scale notes: state is hash-partitioned by FK across executors
+  * (Spark's streaming state partitioning — the same data placement the
+  * reference builds manually with its FK-only partitioner). Hot FKs
+  * fan out O(lefts) emissions per right update, identical to the
+  * reference's prefix scan. State is unbounded by design parity (the
+  * reference TODOs archival too, `HackerNewsPipeline.java:35-36`); for
+  * production use pair with a TTL'd state store (RocksDB provider).
+  */
+object StreamDenormalize {
+
+  /** Join-type flags, `JoinTransformer.java:72-130`. */
+  private def flags(joinType: String): (Boolean, Boolean) = joinType match {
+    case "inner" => (false, false)
+    case "left_outer" => (true, false)
+    case "right_outer" => (false, true)
+    case "full_outer" => (true, true)
+    case other => throw new IllegalArgumentException(
+      s"joinType must be inner|left_outer|right_outer|full_outer, got $other")
+  }
+
+  /** Build the index stream from two (streaming) DataFrames: re-key both
+    * sides by FK and union — O3/O4/O7. `leftFk` is the joinOn extraction
+    * (`LeftKeyMapper.java:19-22`); the right's FK is its own key
+    * (`RightKeyMapper.java:16-18`).
+    */
+  def indexStream(
+      left: DataFrame, leftKey: Column, leftFk: Column, leftSeq: Column,
+      right: DataFrame, rightKey: Column, rightSeq: Column): Dataset[IndexRecord] = {
+    import left.sparkSession.implicits._
+    val l = left.select(
+      leftFk.cast("string").as("fk"), lit(true).as("isLeft"),
+      leftKey.cast("string").as("key"),
+      to_json(struct(left.columns.map(col): _*)).as("value"),
+      leftSeq.cast("long").as("seq"))
+    val r = right.select(
+      rightKey.cast("string").as("fk"), lit(false).as("isLeft"),
+      rightKey.cast("string").as("key"),
+      to_json(struct(right.columns.map(col): _*)).as("value"),
+      rightSeq.cast("long").as("seq"))
+    l.unionAll(r).as[IndexRecord]
+  }
+
+  /** The stateful join itself. Works on any Dataset[IndexRecord] —
+    * streaming (micro-batch state) or batch (single invocation per FK).
+    */
+  def joined(index: Dataset[IndexRecord], joinType: String): Dataset[JoinedRecord] = {
+    val (emitLeftNull, emitRightNull) = flags(joinType)
+    import index.sparkSession.implicits._
+    index
+      .groupByKey(_.fk)
+      .flatMapGroupsWithState[DenormState, JoinedRecord](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fk: String, records: Iterator[IndexRecord], state: GroupState[DenormState]) =>
+          var st = state.getOption.getOrElse(DenormState(None, Map.empty))
+          val out = Seq.newBuilder[JoinedRecord]
+          // O14 per-batch dedup: complete join key = (fk, leftKey);
+          // right-only emissions use the zeroed marker, as in
+          // JoinKey.java:55
+          val emittedInBatch = scala.collection.mutable.HashSet.empty[String]
+          // offset-order processing parity (JoinTransformer.java:138)
+          for (rec <- records.toSeq.sortBy(_.seq)) {
+            if (rec.isLeft) {
+              st = st.copy(lefts = st.lefts + (rec.key -> rec.value))
+              if (emittedInBatch.add(rec.key)) {
+                st.rightValue match {
+                  case Some(rv) => out += JoinedRecord(rec.key, rec.value, rv, rec.seq)
+                  case None if emitLeftNull =>
+                    out += JoinedRecord(rec.key, rec.value, null, rec.seq)
+                  case None => // inner/right_outer: drop (JoinTransformer.java:163-165)
+                }
+              }
+            } else {
+              st = st.copy(rightValue = Some(rec.value))
+              if (st.lefts.nonEmpty) {
+                // prefix-scan fan-out (JoinTransformer.java:168-186)
+                for ((lk, lv) <- st.lefts.toSeq.sortBy(_._1)) {
+                  if (emittedInBatch.add(lk))
+                    out += JoinedRecord(lk, lv, rec.value, rec.seq)
+                }
+              } else if (emitRightNull) {
+                // no lefts: right-outer emission — NOT subject to the
+                // in-batch dedup in the reference (JoinTransformer.java:192-196
+                // has no ensureJoinUniqueInBatch call)
+                out += JoinedRecord(null, null, rec.value, rec.seq)
+              }
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Parse the JSON payloads back to typed columns and apply the output
+    * key mapping (O12/O13): result columns `out_key`, `left`, `right`.
+    */
+  def parsed(joinedDs: Dataset[JoinedRecord], leftSchema: StructType,
+      rightSchema: StructType): DataFrame =
+    joinedDs.select(
+      col("outKey").as("out_key"),
+      from_json(col("left"), leftSchema).as("left"),
+      from_json(col("right"), rightSchema).as("right"),
+      col("seq"))
+}

@@ -1,0 +1,150 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming-semantics test vectors from FIXTURES.md — the upsert +
+  * re-emit behaviors that plain SQL joins can't capture.
+  */
+class StreamDenormalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var tableId = 0
+
+  /** Feed batches of index records through the stateful join; each
+    * element of `batches` becomes one micro-batch. Returns all emissions
+    * in order.
+    */
+  private def run(joinType: String)(batches: Seq[IndexRecord]*): Seq[JoinedRecord] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IndexRecord]
+    tableId += 1
+    val name = s"sd_out_$tableId"
+    val q = StreamDenormalize.joined(input.toDS(), joinType)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(name).as[JoinedRecord].collect().sortBy(_.seq).toSeq
+  }
+
+  private def L(fk: String, key: String, v: String, seq: Long) =
+    IndexRecord(fk, isLeft = true, key, v, seq)
+  private def R(fk: String, v: String, seq: Long) =
+    IndexRecord(fk, isLeft = false, fk, v, seq)
+
+  test("scenario 1: left then right (separate batches) → right arrival re-emits") {
+    val out = run("inner")(Seq(L("s1", "c1", "c1v1", 1)), Seq(R("s1", "s1v1", 2)))
+    assert(out == Seq(JoinedRecord("c1", "c1v1", "s1v1", 2)))
+  }
+
+  test("scenario 2: right then left → left arrival point-lookup emits immediately") {
+    val out = run("inner")(Seq(R("s1", "s1v1", 1)), Seq(L("s1", "c1", "c1v1", 2)))
+    assert(out == Seq(JoinedRecord("c1", "c1v1", "s1v1", 2)))
+  }
+
+  test("scenario 3: right update re-emits ALL stored lefts with new right body") {
+    val out = run("inner")(
+      Seq(R("s1", "s1v1", 1)),
+      Seq(L("s1", "c1", "c1v1", 2), L("s1", "c2", "c2v1", 3)),
+      Seq(R("s1", "s1v2", 4)))
+    assert(out.take(2).toSet == Set(
+      JoinedRecord("c1", "c1v1", "s1v1", 2), JoinedRecord("c2", "c2v1", "s1v1", 3)))
+    assert(out.drop(2).toSet == Set(
+      JoinedRecord("c1", "c1v1", "s1v2", 4), JoinedRecord("c2", "c2v1", "s1v2", 4)))
+  }
+
+  test("scenario 4: left update re-emits with stored right; latest left wins") {
+    val out = run("inner")(
+      Seq(R("s1", "s1v1", 1), L("s1", "c1", "c1v1", 2)),
+      Seq(L("s1", "c1", "c1v2", 3)))
+    assert(out == Seq(
+      JoinedRecord("c1", "c1v1", "s1v1", 2),
+      JoinedRecord("c1", "c1v2", "s1v1", 3)))
+  }
+
+  test("scenario 5: duplicate left in same batch → one emission (O14)") {
+    val out = run("inner")(
+      Seq(R("s1", "s1v1", 1)),
+      Seq(L("s1", "c1", "c1v1", 2), L("s1", "c1", "c1v2", 3)))
+    // first version emits, second suppressed by in-batch dedup — but
+    // state keeps the latest value, as the compacted store would
+    assert(out == Seq(JoinedRecord("c1", "c1v1", "s1v1", 2)))
+    // …and the next right update reveals the stored latest left
+    val out2 = run("inner")(
+      Seq(R("s1", "s1v1", 1)),
+      Seq(L("s1", "c1", "c1v1", 2), L("s1", "c1", "c1v2", 3)),
+      Seq(R("s1", "s1v2", 4)))
+    assert(out2.last == JoinedRecord("c1", "c1v2", "s1v2", 4))
+  }
+
+  test("reference parity quirk: left-miss marks the batch key, blocking same-batch right re-emit") {
+    // JoinTransformer.java:142 runs ensureJoinUniqueInBatch BEFORE the
+    // lookup, so a left that misses still claims its key for the batch;
+    // a right arriving later in the SAME batch skips it (:178)
+    val out = run("inner")(Seq(L("s1", "c1", "c1v1", 1), R("s1", "s1v1", 2)))
+    assert(out.isEmpty)
+    // the join surfaces on the next right update (new batch)
+    val out2 = run("inner")(
+      Seq(L("s1", "c1", "c1v1", 1), R("s1", "s1v1", 2)), Seq(R("s1", "s1v2", 3)))
+    assert(out2 == Seq(JoinedRecord("c1", "c1v1", "s1v2", 3)))
+  }
+
+  test("scenario 6: unmatched sides under the four join variants (O11)") {
+    val batches = Seq(Seq(L("s1", "c1", "c1v1", 1)), Seq(R("s2", "s2v1", 2)))
+    assert(run("inner")(batches: _*).isEmpty)
+    assert(run("left_outer")(batches: _*) == Seq(JoinedRecord("c1", "c1v1", null, 1)))
+    assert(run("right_outer")(batches: _*) == Seq(JoinedRecord(null, null, "s2v1", 2)))
+    assert(run("full_outer")(batches: _*).toSet == Set(
+      JoinedRecord("c1", "c1v1", null, 1), JoinedRecord(null, null, "s2v1", 2)))
+  }
+
+  test("invalid join type is rejected") {
+    intercept[IllegalArgumentException] {
+      StreamDenormalize.joined(spark.emptyDataset[IndexRecord], "cross")
+    }
+  }
+
+  test("reference parity: re-keyed left leaves a ghost under the old FK (composite store key)") {
+    // the reference's store key is [fk-digest][left-digest]; re-keying a
+    // left to a new FK writes a NEW composite key and never tombstones
+    // the old one (StreamDenormalize.java:43-53 — selectKey only), so a
+    // right update under the old FK still re-emits the stale pair
+    val out = run("inner")(
+      Seq(L("f1", "a", "a-at-f1", 1)),
+      Seq(L("f2", "a", "a-at-f2", 2)),
+      Seq(R("f1", "r1", 3)),
+      Seq(R("f2", "r2", 4)))
+    assert(out == Seq(
+      JoinedRecord("a", "a-at-f1", "r1", 3),
+      JoinedRecord("a", "a-at-f2", "r2", 4)))
+  }
+
+  test("property: final emitted state equals batch join of latest-per-key snapshots") {
+    // random update sequence, one op per micro-batch (stream-time
+    // advances per record in the reference); invariant from SURVEY.md §5.
+    // Left keys are scoped per FK: the store key is the composite
+    // (fk, leftKey), so an unscoped key would alias across FKs (see the
+    // ghost-entry test above).
+    val rnd = new scala.util.Random(42)
+    val fks = Seq("f1", "f2", "f3")
+    val letters = Seq("a", "b", "c", "d")
+    val ops = (1 to 40).map { seq =>
+      val fk = fks(rnd.nextInt(3))
+      if (rnd.nextBoolean())
+        L(fk, s"$fk-${letters(rnd.nextInt(4))}", s"lv$seq", seq.toLong)
+      else R(fk, s"rv$seq", seq.toLong)
+    }
+    val emissions = run("inner")(ops.map(Seq(_)): _*)
+    val finalPerLeft = emissions.filter(_.outKey != null)
+      .groupBy(_.outKey).map { case (k, es) => k -> es.maxBy(_.seq) }
+    // expected: plain-Scala join of latest-per-key snapshots
+    val latestLeft = ops.filter(_.isLeft).groupBy(_.key).map { case (k, os) => k -> os.maxBy(_.seq) }
+    val latestRight = ops.filterNot(_.isLeft).groupBy(_.fk).map { case (k, os) => k -> os.maxBy(_.seq) }
+    val expected = latestLeft.collect {
+      case (k, l) if latestRight.contains(l.fk) => k -> ((l.value, latestRight(l.fk).value))
+    }
+    assert(finalPerLeft.keySet == expected.keySet)
+    for ((k, e) <- finalPerLeft)
+      assert((e.left, e.right) == expected(k), s"key $k")
+  }
+}
