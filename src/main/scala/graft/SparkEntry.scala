@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Denormalize, Upsert}
+import graft.operators.{Analytics, Denormalize, Upsert}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -106,6 +106,24 @@ object SparkEntry {
       StreamDenormalize.parsed(s.table(name).as[JoinedRecord], ev.schema, cust.schema)
         .select(col("left.*"), col("right.*"))
     }),
+
+    // ---- beyond-reference analytics (SURVEY.md §7.7) ----
+    "q09_agg_pricing" -> ((s, dir) => Analytics.aggPricing(s, dir)),
+    "q10_topk_orders" -> ((s, dir) => Analytics.topOrders(s, dir)),
+    "q11_window_running" -> ((s, dir) => Analytics.customerRunningSpend(s, dir)),
+    "q12_revenue_by_nation" -> ((s, dir) => Analytics.revenueByNation(s, dir)),
+    "q13_filter_pushdown" -> ((s, dir) => Analytics.purchaseEvents(s, dir)),
+    "q14_hourly_events" -> ((s, dir) => Analytics.hourlyEventStats(s, dir)),
+
+    // O21 ingestion dedup on the real stream table: first event per
+    // (user, type) in arrival order
+    "q15_dedup_firstseen" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Upsert.firstSeen(ev, Seq(col("user_id"), col("event_type")),
+          Seq(col("ts_ns"), col("event_id")))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -128,5 +146,42 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value,
                 c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
          FROM events JOIN customer ON user_id = c_custkey""",
+    "q09_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+                sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_price,
+                sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS sum_disc_price,
+                count(*) AS n,
+                sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(*) AS avg_qty
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q10_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q11_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+                row_number() OVER w AS order_seq,
+                sum(o_totalprice::DECIMAL(18,2)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE AS running_spend
+         FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""",
+    "q12_revenue_by_nation" ->
+      """SELECT n_name,
+                sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue,
+                count(DISTINCT o_orderkey) AS n_orders
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "q13_filter_pushdown" ->
+      """SELECT event_id, user_id, value, epoch_us(ts)::BIGINT AS ts_us
+         FROM events WHERE event_type = 'purchase' AND value > 100.0""",
+    "q14_hourly_events" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+                count(*) AS n, sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q15_dedup_firstseen" ->
+      """SELECT user_id, event_type, event_id, value, epoch_us(ts)::BIGINT AS ts_us
+         FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) = 1""",
   )
 }

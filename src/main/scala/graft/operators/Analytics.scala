@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Beyond-reference relational analytics over the star schema — the
+  * operator classes the reference deliberately lacks (SURVEY.md §2
+  * "deliberately absent": aggregation, sort/limit, window functions,
+  * filters, multiway joins), expressed Catalyst-first so pushdown,
+  * partial aggregation and broadcast selection all apply.
+  *
+  * Money arithmetic is cast to DECIMAL(18,2) before aggregation on both
+  * the Spark and DuckDB sides: decimal sums are exact and
+  * order-independent, so a 32-way parallel partial aggregate
+  * hash-matches a single-threaded oracle — double sums would differ in
+  * the low bits at every scale factor.
+  */
+object Analytics {
+
+  private val money = "decimal(18,2)"
+
+  /** Pricing summary (hash aggregate with map-side partial combine; one
+    * shuffle on the two low-cardinality group keys).
+    */
+  def aggPricing(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(money)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(money)).cast("double").as("sum_price"),
+        sum((col("l_extendedprice").cast(money) * (lit(1).cast(money) - col("l_discount").cast(money)))).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("n"))
+      .withColumn("avg_qty", col("sum_qty") / col("n"))
+
+  /** Top-k: global sort + limit (Spark plans TakeOrderedAndProject — no
+    * full sort at scale, a per-partition top-k then a driver merge).
+    */
+  def topOrders(s: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Tables.load(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(k)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+
+  /** Window functions: per-customer order sequence + running spend. */
+  def customerRunningSpend(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.load(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        row_number().over(w).as("order_seq"),
+        sum(col("o_totalprice").cast(money))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_spend"))
+  }
+
+  /** Multiway star join: revenue by nation. Dimension chain
+    * (region→nation→customer) broadcasts; only the fact tables shuffle.
+    */
+  def revenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+    val n = Tables.load(s, dir, "nation")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(col("l_extendedprice").cast(money) * (lit(1).cast(money) - col("l_discount").cast(money))).cast("double").as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+  }
+
+  /** Selective filter + projection — Catalyst pushes both into the
+    * parquet scan (PushedFilters + 4-column ReadSchema).
+    */
+  def purchaseEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase" && col("value") > 100.0)
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+
+  /** Hourly tumbling-window aggregate over the event stream (batch
+    * analog of a watermarked windowed agg; string-formatted hour for
+    * oracle-stable comparison).
+    */
+  def hourlyEventStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(money)).cast("double").as("sum_value"))
+}
