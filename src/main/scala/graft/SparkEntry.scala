@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Denormalize, Upsert}
+import graft.operators.{Analytics, Dedup, Denormalize, TextAnalysis, Upsert}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -124,6 +124,19 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"), col("event_id"),
           col("value"), unix_micros(col("ts")).as("ts_us"))
     }),
+
+    // ---- text analysis for training-data pipelines ----
+    "q16_text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(s, dir)),
+    "q17_text_quality" -> ((s, dir) => TextAnalysis.qualityScores(s, dir)),
+    "q18_text_langid" -> ((s, dir) => TextAnalysis.languageId(s, dir)),
+    "q19_text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
+
+    // ---- deduplication family ----
+    "q20_dedup_exact" -> ((s, dir) => Dedup.exactCanonical(s, dir)),
+    "q21_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashNearDuplicates(s, dir)),
+    "q22_dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
+    "q23_dedup_ngram_exact" -> ((s, dir) => Dedup.exactNearDuplicates(s, dir)),
+    "q24_dedup_minhash_sigs" -> ((s, dir) => Dedup.minhashSignatures(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -183,5 +196,14 @@ object SparkEntry {
       """SELECT user_id, event_type, event_id, value, epoch_us(ts)::BIGINT AS ts_us
          FROM events
          QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) = 1""",
+    "q16_text_tokens" -> TextAnalysis.tokenCountsSql,
+    "q17_text_quality" -> TextAnalysis.qualityScoresSql,
+    "q18_text_langid" -> TextAnalysis.languageIdSql,
+    "q19_text_fingerprint" -> TextAnalysis.fingerprintsSql,
+    "q20_dedup_exact" -> Dedup.exactCanonicalSql,
+    "q21_dedup_minhash_lsh" -> Dedup.nearDuplicatesSql(),
+    "q22_dedup_simhash" -> Dedup.simhashSql,
+    "q23_dedup_ngram_exact" -> Dedup.nearDuplicatesSql(),
+    "q24_dedup_minhash_sigs" -> Dedup.minhashSignaturesSql,
   )
 }

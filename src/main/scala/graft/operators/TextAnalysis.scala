@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for training-data pipelines over the
+  * `documents` table: token counting (whitespace + BPE-ish regex),
+  * quality scoring, n-gram-heuristic language ID, and document
+  * fingerprinting. All are pure `functions._` column expressions — no
+  * UDFs — so they stay inside whole-stage codegen and scale linearly
+  * with no shuffle (per-row ops; the only shuffle anywhere here is a
+  * final aggregate if the caller adds one).
+  *
+  * The word lists and formulas are shared constants used to generate
+  * BOTH the Spark plan and the DuckDB oracle SQL, keeping the two in
+  * lockstep by construction.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language
+    * heuristic. Order matters for the deterministic tie-break (first
+    * wins).
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "auf"))
+
+  /** BPE-ish token pattern: letter runs, digit runs, single other
+    * non-space chars (portable between Java and RE2-style engines).
+    */
+  val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  private def tokens(c: Column): Column = split(lower(c), " ")
+
+  private def stopHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Token/char counts: whitespace tokens + regex (BPE-ish) tokens. */
+  def tokenCounts(df: DataFrame, text: Column): DataFrame =
+    df.select(
+      col("doc_id"),
+      size(tokens(text)).as("n_tokens"),
+      size(regexp_extract_all(lower(text), lit(bpePattern), lit(0))).as("n_tokens_bpe"),
+      length(text).as("n_chars_txt"))
+
+  /** Quality scoring: stopword ratio, mean token length, punctuation
+    * density, and a blended [0,1] quality score.
+    */
+  def qualityScores(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val stop = stopHits(toks, langStopwords.flatMap(_._2)).cast("double")
+    val punct = size(regexp_extract_all(text, lit("[^a-z0-9 ]"), lit(0))).cast("double")
+    val meanLen = (length(text).cast("double") - (n - lit(1.0))) / n
+    df.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      // raw doubles, not round()ed: the two engines' round() disagree on
+      // exact half-boundaries, while the unrounded values are bit-identical
+      // (same IEEE ops in the same order on integer-derived inputs)
+      (stop / n).as("stopword_ratio"),
+      meanLen.as("mean_token_len"),
+      (punct / greatest(length(text).cast("double"), lit(1.0))).as("punct_density"),
+      (least(lit(1.0), n / lit(64.0)) * lit(0.5) +
+          least(lit(1.0), stop / n * lit(5.0)) * lit(0.3) +
+          least(lit(1.0), meanLen / lit(8.0)) * lit(0.2)).as("quality"))
+  }
+
+  /** Stopword-heuristic language ID with deterministic tie-break (list
+    * order), 'und' when nothing matches.
+    */
+  def languageId(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val Seq(en, es, de) = langStopwords.map { case (_, words) => stopHits(toks, words) }
+    val best =
+      when(en > 0 && en >= es && en >= de, lit("en"))
+        .when(es > 0 && es > en && es >= de, lit("es"))
+        .when(de > 0 && de > en && de > es, lit("de"))
+        .otherwise(lit("und"))
+    df.select(col("doc_id"), col("lang").as("declared_lang"), best.as("detected_lang"))
+  }
+
+  /** OpenRefine-style fingerprint: md5 of the sorted distinct token
+    * set — identical for any token permutation/duplication of the same
+    * content, the standard key for fuzzy-dup clustering.
+    */
+  def fingerprints(df: DataFrame, text: Column): DataFrame =
+    df.select(
+      col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(tokens(text))))).as("fingerprint"),
+      md5(lower(text)).as("exact_hash"))
+
+  // ---- oracle SQL generators (same constants) ----
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def sqlStopHits(words: Seq[String]): String =
+    s"len(list_filter(string_split(lower(text), ' '), t -> list_contains(${sqlList(words)}, t)))"
+
+  val tokenCountsSql: String =
+    s"""SELECT doc_id,
+          len(string_split(lower(text), ' ')) AS n_tokens,
+          len(regexp_extract_all(lower(text), '$bpePattern')) AS n_tokens_bpe,
+          length(text) AS n_chars_txt
+        FROM documents"""
+
+  val qualityScoresSql: String = {
+    val n = "len(string_split(lower(text), ' '))::DOUBLE"
+    val stop = sqlStopHits(langStopwords.flatMap(_._2))
+    val punct = s"len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE"
+    val meanLen = s"(length(text)::DOUBLE - ($n - 1.0)) / $n"
+    s"""SELECT doc_id,
+          len(string_split(lower(text), ' ')) AS n_tokens,
+          $stop / $n AS stopword_ratio,
+          $meanLen AS mean_token_len,
+          $punct / greatest(length(text)::DOUBLE, 1.0) AS punct_density,
+          least(1.0, $n / 64.0) * 0.5
+              + least(1.0, $stop / $n * 5.0) * 0.3
+              + least(1.0, $meanLen / 8.0) * 0.2 AS quality
+        FROM documents"""
+  }
+
+  val languageIdSql: String = {
+    val hits = langStopwords.map { case (lang, words) => lang -> sqlStopHits(words) }
+    val Seq(en, es, de) = hits.map(_._2)
+    s"""SELECT doc_id, lang AS declared_lang,
+          CASE WHEN $en > 0 AND $en >= $es AND $en >= $de THEN 'en'
+               WHEN $es > 0 AND $es > $en AND $es >= $de THEN 'es'
+               WHEN $de > 0 AND $de > $en AND $de > $es THEN 'de'
+               ELSE 'und' END AS detected_lang
+        FROM documents"""
+  }
+
+  val fingerprintsSql: String =
+    """SELECT doc_id,
+          md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint,
+          md5(lower(text)) AS exact_hash
+       FROM documents"""
+
+  // convenience loaders
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    tokenCounts(Tables.load(s, dir, "documents"), col("text"))
+  def qualityScores(s: SparkSession, dir: String): DataFrame =
+    qualityScores(Tables.load(s, dir, "documents"), col("text"))
+  def languageId(s: SparkSession, dir: String): DataFrame =
+    languageId(Tables.load(s, dir, "documents"), col("text"))
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    fingerprints(Tables.load(s, dir, "documents"), col("text"))
+}
