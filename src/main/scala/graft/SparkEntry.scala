@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Dedup, Denormalize, TextAnalysis, Upsert}
+import graft.operators.{Analytics, Dedup, Denormalize, Multimodal, Similarity, TextAnalysis, Upsert}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -137,6 +137,15 @@ object SparkEntry {
     "q22_dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "q23_dedup_ngram_exact" -> ((s, dir) => Dedup.exactNearDuplicates(s, dir)),
     "q24_dedup_minhash_sigs" -> ((s, dir) => Dedup.minhashSignatures(s, dir)),
+
+    // ---- similarity search over embeddings ----
+    "q25_ann_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
+    "q26_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    "q27_embed_neardup" -> ((s, dir) => Similarity.embeddingNearDup(s, dir)),
+
+    // ---- multimodal columns (binary payload + typed metadata; decode
+    // kernels are stubs, plumbing is real — see Multimodal scaladoc) ----
+    "q28_multimodal_meta" -> ((s, dir) => Multimodal.metaDigest(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -205,5 +214,9 @@ object SparkEntry {
     "q22_dedup_simhash" -> Dedup.simhashSql,
     "q23_dedup_ngram_exact" -> Dedup.nearDuplicatesSql(),
     "q24_dedup_minhash_sigs" -> Dedup.minhashSignaturesSql,
+    "q25_ann_bruteforce" -> Similarity.bruteForceTopKSql(),
+    "q26_ann_ivf" -> Similarity.ivfTopKSql(),
+    "q27_embed_neardup" -> Similarity.embeddingNearDupSql(),
+    "q28_multimodal_meta" -> Multimodal.metaDigestSql,
   )
 }

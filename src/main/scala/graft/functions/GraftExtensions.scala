@@ -26,5 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_kafka_partition"),
       new ExpressionInfo(classOf[KafkaPartition].getName, "graft_kafka_partition"),
       (exprs: Seq[Expression]) => KafkaPartition(exprs.head, intArg(exprs(1), "numPartitions"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
   }
 }

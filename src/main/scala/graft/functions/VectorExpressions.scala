@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Cosine similarity between two `array<double>` columns as a native
+  * Catalyst expression with full codegen: one fused loop computing dot
+  * product and both norms — no intermediate arrays, no boxing, no
+  * higher-order-function interpretation overhead. This is the hot-path
+  * primitive for the similarity-search and embedding-dedup operators;
+  * at 100 TB it runs inside whole-stage codegen next to the scan.
+  *
+  * Accumulation is strictly sequential (index 0..n-1) and the final
+  * value is `dot / sqrt(na) / sqrt(nb)` — the same IEEE operation order
+  * as the generated DuckDB oracle SQL, so results compare bit-exactly.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / math.sqrt(na) / math.sqrt(nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xi = $a.getDouble($i);
+          double $yi = $b.getDouble($i);
+          $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+        }
+        ${ev.value} = $dot / java.lang.Math.sqrt($na) / java.lang.Math.sqrt($nb);
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}

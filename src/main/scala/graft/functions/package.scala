@@ -26,6 +26,13 @@ package object functions {
   def kafka_partition(c: Column, numPartitions: Int): Column =
     call_function("graft_kafka_partition", toBytes(c), lit(numPartitions))
 
+  /** Codegen'd cosine similarity of two vector columns (cast to
+    * `array<double>` so arithmetic is double end-to-end).
+    */
+  def cosine_sim(a: Column, b: Column): Column =
+    call_function("graft_cosine_sim",
+      a.cast("array<double>"), b.cast("array<double>"))
+
   /** Composite join key `[size:1][blake2b(fk):size][blake2b(pk):size]`
     * (left records) — layout from `schema/JoinKey.java:29-43`.
     */

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata structs, plus partition-wise
+  * decode / feature-extract / resize / frame-sample operators.
+  *
+  * The DECODE KERNELS ARE STUBS — this container has no image/audio
+  * codecs, so `decodeFeatures` computes a deterministic fake feature
+  * vector from the raw bytes (clearly marked below). Everything around
+  * them is real and tested: the schema, the typed Dataset plumbing, the
+  * mapPartitions batch shape (decode libraries amortize per-partition
+  * init, exactly like a Pandas-UDF batch), and the size-aware
+  * repartitioning that keeps a 100 TB blob scan balanced when payload
+  * sizes are skewed.
+  */
+object Multimodal {
+
+  case class Blob(doc_id: Long, payload: Array[Byte], width: Int, height: Int, format: String)
+  case class Features(doc_id: Long, n_bytes: Int, features: Array[Double])
+  case class Frame(doc_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /** Stand-in media table: documents' text bytes as the payload, with
+    * deterministic metadata (what an ingest job would carry alongside
+    * real media).
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (col("n_chars") % 1024 + 1).cast("int").as("width"),
+      (col("n_chars") % 768 + 1).cast("int").as("height"),
+      lit("raw").as("format"))
+
+  /** Partition-wise feature extraction over blobs. Real decode would
+    * initialize a codec once per partition (the expensive part) and
+    * stream records through it; the per-record kernel here is a STUB:
+    * deterministic byte statistics standing in for a real embedding.
+    */
+  def decodeFeatures(blobs: Dataset[Blob]): Dataset[Features] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      // per-partition init would go here (codec / model load)
+      it.map { b =>
+        // STUB decode kernel: byte-level stats as an 8-dim "feature"
+        val bytes = b.payload
+        val n = bytes.length
+        val feats = new Array[Double](8)
+        var i = 0
+        while (i < n) {
+          feats(i % 8) += (bytes(i) & 0xff) / 255.0
+          i += 1
+        }
+        Features(b.doc_id, n, feats.map(_ / math.max(n / 8, 1)))
+      }
+    }
+  }
+
+  /** "Resize": deterministic byte subsampling standing in for a pixel
+    * resample — keeps every `factor`-th byte. The Spark shape (typed
+    * map, schema preserved) is the real thing.
+    */
+  def resize(blobs: Dataset[Blob], factor: Int): Dataset[Blob] = {
+    import blobs.sparkSession.implicits._
+    blobs.map { b =>
+      val out = b.payload.indices.collect { case i if i % factor == 0 => b.payload(i) }
+      b.copy(payload = out.toArray,
+        width = math.max(b.width / factor, 1), height = math.max(b.height / factor, 1))
+    }
+  }
+
+  /** "Frame sampling": split a payload into fixed-size windows (1→N
+    * rows, the video-frame extraction shape).
+    */
+  def sampleFrames(blobs: Dataset[Blob], frameBytes: Int, everyNth: Int): Dataset[Frame] = {
+    import blobs.sparkSession.implicits._
+    blobs.flatMap { b =>
+      b.payload.grouped(frameBytes).zipWithIndex
+        .collect { case (chunk, i) if i % everyNth == 0 => Frame(b.doc_id, i, chunk) }
+    }
+  }
+
+  /** Size-aware repartitioning: blob tables are size-skewed (a few huge
+    * videos among millions of thumbnails); range-partition by payload
+    * size so each task gets a comparable byte budget rather than a
+    * comparable row count.
+    */
+  def balanceBySize(df: DataFrame, partitions: Int): DataFrame =
+    df.repartitionByRange(partitions, octet_length(col("payload")), col("doc_id"))
+
+  /** Oracle-checkable metadata/digest query over the media table. */
+  def metaDigest(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir).select(
+      col("doc_id"),
+      octet_length(col("payload")).as("n_bytes"),
+      sha2(col("payload"), 256).as("sha256"),
+      col("width"), col("height"), col("format"))
+
+  val metaDigestSql: String =
+    """SELECT doc_id,
+          octet_length(encode(text)) AS n_bytes,
+          sha256(text) AS sha256,
+          (n_chars % 1024 + 1)::INT AS width,
+          (n_chars % 768 + 1)::INT AS height,
+          'raw' AS format
+       FROM documents"""
+}

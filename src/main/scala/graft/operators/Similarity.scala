@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.cosine_sim
+
+/** Approximate-nearest-neighbor search and embedding near-dup detection
+  * over the `embeddings` table (`vec_id`, `embedding: array<float>`,
+  * `label`).
+  *
+  * Two paths, as a real pipeline would ship:
+  *  - brute force: query-set × corpus broadcast join, codegen'd cosine,
+  *    per-query top-k. Exact; cost O(|Q|·N) — the baseline and the
+  *    correct choice when |Q| is small.
+  *  - IVF (inverted-file): corpus is bucketed by nearest centroid once
+  *    (one pass), queries probe only the `nprobe` nearest buckets —
+  *    the O(N/C·nprobe) scale path. Centroids here are a deterministic
+  *    sample (lowest vec_ids) so the operator and its oracle agree
+  *    without a training step.
+  *
+  * All cosine arithmetic is double, sequential, `dot/sqrt/sqrt` order —
+  * bit-identical between the Catalyst expression and the generated
+  * DuckDB oracle, so even ranks compare exactly.
+  */
+object Similarity {
+
+  val defaultK = 5
+  val queryMod = 100 // vec_id % queryMod == 0 defines the query set
+  val numCentroids = 16
+  val nprobe = 4
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Exact top-k neighbors for the deterministic query subset. */
+  def bruteForceTopK(s: SparkSession, dir: String, k: Int = defaultK): DataFrame = {
+    val corpus = emb(s, dir)
+    val queries = corpus.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine_sim(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  def bruteForceTopKSql(k: Int = defaultK): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $queryMod = 0),
+        scored AS (
+          SELECT query_id, e.vec_id AS neighbor_id, $cosSql AS cos
+          FROM e, q WHERE e.vec_id <> q.query_id)
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank,
+               cos
+        FROM scored
+        QUALIFY rank <= $k"""
+
+  /** IVF-bucketed ANN: assign every vector to its nearest centroid
+    * (centroids = the `numCentroids` lowest vec_ids — a deterministic
+    * stand-in for k-means), then each query searches only the `nprobe`
+    * closest buckets. One corpus pass for assignment, candidate set
+    * ~ N·nprobe/C per query.
+    */
+  def ivfTopK(s: SparkSession, dir: String, k: Int = defaultK): DataFrame = {
+    val corpus = emb(s, dir)
+    val cents = corpus.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    // nearest-centroid assignment for every corpus vector
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
+    val assigned = corpus.join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        cosine_sim(col("v"), col("cv")).as("ccos"))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("bucket"))
+    // queries probe their nprobe nearest centroids
+    val queries = corpus.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qcos").desc, col("cent_id").asc)
+    val probes = queries.join(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cent_id"),
+        cosine_sim(col("qv"), col("cv")).as("qcos"))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cent_id").as("bucket"))
+    // search only probed buckets
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probes), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine_sim(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  def ivfTopKSql(k: Int = defaultK): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $numCentroids),
+        assigned AS (
+          SELECT vec_id, v, cent_id AS bucket FROM (
+            SELECT e.vec_id, e.v, c.cent_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosSqlOn("e.v", "c.cv")} DESC, c.cent_id ASC) AS crank
+            FROM e, c) WHERE crank = 1),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $queryMod = 0),
+        probes AS (
+          SELECT query_id, qv, cent_id AS bucket FROM (
+            SELECT q.query_id, q.qv, c.cent_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY ${cosSqlOn("q.qv", "c.cv")} DESC, c.cent_id ASC) AS prank
+            FROM q, c) WHERE prank <= $nprobe),
+        scored AS (
+          SELECT query_id, a.vec_id AS neighbor_id, ${cosSqlOn("p.qv", "a.v")} AS cos
+          FROM assigned a JOIN probes p USING (bucket)
+          WHERE a.vec_id <> p.query_id)
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank,
+               cos
+        FROM scored
+        QUALIFY rank <= $k"""
+
+  /** Embedding-cosine near-duplicate pairs (threshold on exact cosine).
+    * Brute-force all-pairs here (N² but embarrassingly parallel and
+    * fully codegen'd); at 100 TB swap the candidate generator for
+    * random-hyperplane LSH bucketing, keeping this verification step.
+    */
+  def embeddingNearDup(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val a = emb(s, dir).select(col("vec_id").as("a_id"), col("v").as("va"))
+    val b = emb(s, dir).select(col("vec_id").as("b_id"), col("v").as("vb"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cosine_sim(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  def embeddingNearDupSql(threshold: Double = 0.5): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosSqlOn("a.v", "b.v")} AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE ${cosSqlOn("a.v", "b.v")} >= $threshold"""
+
+  /** Explicit-order cosine in DuckDB SQL: sequential dot and norms,
+    * then dot/sqrt/sqrt — mirrors [[graft.functions.CosineSimilarity]].
+    */
+  private def cosSqlOn(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))
+        / sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i])))
+        / sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]))))"""
+
+  private def cosSql: String = cosSqlOn("q.qv", "e.v")
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import graft.functions.cosine_sim
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("cosine_sim matches plain-Scala computation") {
+    val rows = Seq(
+      (Array(1.0, 0.0, 2.0), Array(2.0, 1.0, 0.0)),
+      (Array(0.5, -0.5, 0.25), Array(-1.0, 2.0, 4.0))
+    ).toDF("a", "b")
+    val got = rows.select(cosine_sim($"a", $"b")).as[Double].collect()
+    def ref(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum) / math.sqrt(b.map(x => x * x).sum)
+    }
+    assert(got(0) == ref(Array(1.0, 0.0, 2.0), Array(2.0, 1.0, 0.0)))
+    assert(math.abs(got(1) - ref(Array(0.5, -0.5, 0.25), Array(-1.0, 2.0, 4.0))) < 1e-15)
+  }
+
+  test("IVF top-k has high recall vs brute force on real embeddings") {
+    val bf = Similarity.bruteForceTopK(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    // nprobe=4 of 16 buckets on near-random vectors: recall is modest by
+    // construction; assert it beats the random-candidate floor (~25%)
+    assert(recall >= 0.3, s"recall $recall")
+    // every IVF result must still be a true (computed, not fabricated) pair
+    assert(ivf.forall { case (q, n) => q % Similarity.queryMod == 0 && q != n })
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  private def blobs = Multimodal.mediaTable(spark, dir).as[Multimodal.Blob]
+
+  test("decodeFeatures: deterministic 8-dim features, byte counts correct") {
+    val f = Multimodal.decodeFeatures(blobs).collect()
+    assert(f.length == 500)
+    assert(f.forall(_.features.length == 8))
+    val byId = f.map(x => x.doc_id -> x).toMap
+    val texts = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(f.forall(x => x.n_bytes == texts(x.doc_id).getBytes("UTF-8").length))
+    // determinism across runs
+    val f2 = Multimodal.decodeFeatures(blobs).collect().map(x => x.doc_id -> x).toMap
+    assert(f.forall(x => f2(x.doc_id).features.sameElements(x.features)))
+    assert(byId.values.map(_.features.sum).toSet.size > 1) // not degenerate
+  }
+
+  test("resize subsamples payload and scales dimensions") {
+    val r = Multimodal.resize(blobs, 4).collect()
+    val orig = blobs.collect().map(b => b.doc_id -> b).toMap
+    assert(r.forall(b => b.payload.length == (orig(b.doc_id).payload.length + 3) / 4))
+    assert(r.forall(b => b.width == math.max(orig(b.doc_id).width / 4, 1)))
+  }
+
+  test("sampleFrames: 1→N windows with stride") {
+    val frames = Multimodal.sampleFrames(blobs, frameBytes = 64, everyNth = 2).collect()
+    val one = frames.filter(_.doc_id == 0L).sortBy(_.frame_idx)
+    val n0 = blobs.filter($"doc_id" === 0L).collect().head.payload.length
+    val totalFrames = (n0 + 63) / 64
+    assert(one.map(_.frame_idx).toSeq == (0 until totalFrames by 2).toSeq)
+    assert(one.forall(f => f.payload.length == 64 || f.frame_idx == totalFrames - 1))
+  }
+
+  test("balanceBySize range-partitions by payload size") {
+    val df = Multimodal.balanceBySize(Multimodal.mediaTable(spark, dir), 4)
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 500)
+  }
+}
