@@ -27,6 +27,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KafkaPartition].getName, "graft_kafka_partition"),
       (exprs: Seq[Expression]) => KafkaPartition(exprs.head, intArg(exprs(1), "numPartitions"))))
     ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+      (exprs: Seq[Expression]) => Shingles(exprs.head,
+        if (exprs.size > 1) intArg(exprs(1), "shingle size") else 3)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5_long"),
+      new ExpressionInfo(classOf[Md5Long].getName, "graft_md5_long"),
+      (exprs: Seq[Expression]) => Md5Long(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))

@@ -47,6 +47,80 @@ case class KafkaPartition(child: Expression, numPartitions: Int)
   override def prettyName: String = "kafka_partition"
 }
 
+/** First 60 bits of md5 as a non-negative long — the fused form of
+  * `conv(substring(md5(x),1,15),16,10)`, the portable base hash used by
+  * the MinHash/SimHash operators (DuckDB oracle side:
+  * `('0x' || substring(md5(x),1,15))::BIGINT`). A native expression
+  * because the hex-string round-trip (`md5` → hex → `conv`) dominated
+  * the dedup profile; this computes the digest once and assembles the
+  * long directly from the bytes.
+  */
+case class Md5Long(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(input: Any): Any =
+    Md5Long.hash(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Long.hash($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5Long =
+    copy(child = newChild)
+  override def prettyName: String = "md5_long"
+}
+
+object Md5Long {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  /** Value of the first 15 hex chars of md5(data): 7 full bytes plus the
+    * high nibble of byte 7.
+    */
+  def hash(data: Array[Byte]): Long = {
+    val d = md.get()
+    d.reset()
+    val h = d.digest(data)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    (v << 4) | ((h(7) >> 4) & 0xfL)
+  }
+}
+
+/** Distinct k-word shingles of a token array, preserving first-seen
+  * order of the underlying sliding window then de-duplicated — the
+  * native form of
+  * `array_distinct(transform(sequence(1, n-k+1), i -> concat_ws(' ', slice(toks, i, k))))`,
+  * which runs as interpreted higher-order functions and dominated the
+  * dedup profile. Returns an empty array for docs shorter than k
+  * tokens. Output equals the HOF form element-for-element (verified by
+  * the unchanged DuckDB oracles).
+  */
+case class Shingles(child: Expression, k: Int)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k >= 1)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String](n)
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    var i = 0
+    while (i <= n - k) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+  override def prettyName: String = "shingles"
+}
+
 /** MurmurHash2 (public algorithm by Austin Appleby), 32-bit, with the
   * seed Kafka's default partitioner uses, so partition routing matches a
   * Kafka Streams deployment byte-for-byte.

@@ -26,6 +26,18 @@ package object functions {
   def kafka_partition(c: Column, numPartitions: Int): Column =
     call_function("graft_kafka_partition", toBytes(c), lit(numPartitions))
 
+  /** Distinct k-word shingles of a token-array column (native, fast
+    * equivalent of the transform/slice/concat_ws HOF chain).
+    */
+  def shingles(toks: Column, k: Int = 3): Column =
+    call_function("graft_shingles", toks, lit(k))
+
+  /** First 60 bits of md5 as a long — fused, codegen'd equivalent of
+    * `conv(substring(md5(c),1,15),16,10)`.
+    */
+  def md5_long(c: Column): Column =
+    call_function("graft_md5_long", toBytes(c))
+
   /** Codegen'd cosine similarity of two vector columns (cast to
     * `array<double>` so arithmetic is double end-to-end).
     */
