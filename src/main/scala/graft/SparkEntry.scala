@@ -145,6 +145,35 @@ object SparkEntry {
     // ---- multimodal columns (binary payload + typed metadata; decode
     // kernels are stubs, plumbing is real — see Multimodal scaladoc) ----
     "q28_multimodal_meta" -> ((s, dir) => Multimodal.metaDigest(s, dir)),
+
+    // ---- more relational surface: sessions + grouping sets ----
+    "q29_sessionize" -> ((s, dir) => Analytics.sessionize(s, dir)),
+    "q30_rollup" -> ((s, dir) => Analytics.orderRollup(s, dir)),
+
+    // streaming event-time windows with watermark, run as a real
+    // StreamingQuery: all events in batch 1, a far-future sentinel in
+    // batch 2 pushes the watermark past every real window so append
+    // mode finalizes them; the sentinel's own window never closes, so
+    // the emitted rows equal the batch hourly aggregate (the oracle).
+    "q31_stream_windowed" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = Tables.events(s, dir)
+        .select(col("ts"), col("event_type"), col("value"))
+        .as[(java.sql.Timestamp, String, Double)].collect()
+      val maxTs = ev.map(_._1.getTime).max
+      val sentinel = (new java.sql.Timestamp(maxTs + 3 * 3600 * 1000L), "__sentinel", 0.0)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String, Double)]
+      val name = "q31_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamAggregates.windowedEventStats(
+          input.toDS().toDF("ts", "event_type", "value"))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        input.addData(ev.toSeq); q.processAllAvailable()
+        input.addData(sentinel); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -217,5 +246,11 @@ object SparkEntry {
     "q26_ann_ivf" -> Similarity.ivfTopKSql(),
     "q27_embed_neardup" -> Similarity.embeddingNearDupSql(),
     "q28_multimodal_meta" -> Multimodal.metaDigestSql,
+    "q29_sessionize" -> Analytics.sessionizeSql(),
+    "q30_rollup" -> Analytics.orderRollupSql,
+    "q31_stream_windowed" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+                count(*) AS n, sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+         FROM events GROUP BY 1, 2""",
   )
 }

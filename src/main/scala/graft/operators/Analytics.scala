@@ -82,6 +82,64 @@ object Analytics {
       .select(col("event_id"), col("user_id"), col("value"),
         unix_micros(col("ts")).as("ts_us"))
 
+  /** Sessionization: split each user's event stream into sessions at
+    * inactivity gaps > `gapMinutes`, then aggregate per session. The
+    * classic lag → gap-flag → cumulative-sum pattern: two window passes
+    * over one shuffle on user_id, then the session aggregate reuses the
+    * same partitioning (no extra shuffle).
+    */
+  def sessionize(s: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(money)).cast("double").as("sum_value"))
+  }
+
+  def sessionizeSql(gapMinutes: Int = 30): String = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    s"""WITH e AS (
+          SELECT user_id, event_id, value, epoch_us(ts)::BIGINT AS ts_us FROM events),
+        flagged AS (
+          SELECT *,
+            CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > $gapUs THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+        sessions AS (
+          SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM flagged)
+        SELECT user_id, session_idx::BIGINT AS session_idx,
+               min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+               count(*) AS n_events,
+               sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+        FROM sessions GROUP BY user_id, session_idx"""
+  }
+
+  /** Rollup (hierarchical grouping sets) over order status/priority —
+    * subtotal rows carry NULL group keys, matching SQL ROLLUP.
+    */
+  def orderRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(money)).cast("double").as("total"))
+
+  val orderRollupSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total
+       FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
+
   /** Hourly tumbling-window aggregate over the event stream (batch
     * analog of a watermarked windowed agg; string-formatted hour for
     * oracle-stable comparison).

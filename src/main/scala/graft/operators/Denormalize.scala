@@ -44,7 +44,8 @@ final case class Denormalize(
     rightVersionOrder: Option[Seq[Column]] = None,
     joiner: Option[(DataFrame, DataFrame) => Seq[Column]] = None,
     keyMapper: Option[(Column, Column) => Column] = None,
-    broadcastRight: Boolean = true) {
+    broadcastRight: Boolean = true,
+    saltBuckets: Int = 0) {
 
   def joinOn(f: DataFrame => Column): Denormalize = {
     require(joinOnKeys.isEmpty, "joinOn XOR joinOnKeys (reference rule, StreamDenormalize.java:37-38)")
@@ -60,6 +61,16 @@ final case class Denormalize(
   def withJoiner(f: (DataFrame, DataFrame) => Seq[Column]): Denormalize = copy(joiner = Some(f))
   def withKeyMapper(f: (Column, Column) => Column): Denormalize = copy(keyMapper = Some(f))
   def withBroadcastRight(b: Boolean): Denormalize = copy(broadcastRight = b)
+
+  /** Salt the join for hot-FK skew: lefts get a deterministic salt from
+    * their row, the right side is replicated `n` times (salt 0..n-1),
+    * and the join key becomes (fk, salt) — one hot FK fans across `n`
+    * reducers instead of one straggler. Inner/left-outer only (replicated
+    * unmatched rights would duplicate under right/full outer). Prefer
+    * AQE's skew-join splitting where available; salting is the static
+    * fallback for engines/plans AQE can't rewrite.
+    */
+  def withSkewSalting(n: Int): Denormalize = copy(saltBuckets = n)
 
   private def fkOf(df: DataFrame): Column = (joinOnValue, joinOnKeys) match {
     case (Some(f), None) => f(df)
@@ -81,13 +92,29 @@ final case class Denormalize(
   def join(joinType: String): DataFrame = {
     val l0 = snapshot(left, leftKey, leftVersionOrder)
     val r0 = snapshot(right, Some(rightKey), rightVersionOrder)
-    val l = l0.withColumn("__fk", fkOf(l0))
-    val r1 = r0.withColumnRenamed(rightKey, "__rk")
+    val salted = saltBuckets > 1
+    require(!salted || joinType == "inner" || joinType == "left_outer",
+      "skew salting supports inner/left_outer only")
+    val l = {
+      val base = l0.withColumn("__fk", fkOf(l0))
+      if (salted) base.withColumn("__salt",
+        pmod(xxhash64(l0.columns.map(col): _*), lit(saltBuckets)).cast("int"))
+      else base
+    }
+    val r1 = {
+      val base = r0.withColumnRenamed(rightKey, "__rk")
+      if (salted) base.withColumn("__salt",
+        explode(sequence(lit(0), lit(saltBuckets - 1))))
+      else base
+    }
     // broadcasting the build (right) side is unsupported for right/full
     // outer joins — Spark would warn and fall back; don't hint there
     val canBroadcast = joinType == "inner" || joinType.startsWith("left")
     val r = if (broadcastRight && canBroadcast) broadcast(r1) else r1
-    val joined = l.join(r, l("__fk") === r("__rk"), joinType)
+    val cond =
+      if (salted) l("__fk") === r("__rk") && l("__salt") === r("__salt")
+      else l("__fk") === r("__rk")
+    val joined = l.join(r, cond, joinType)
     // default joiner: all left columns then all right columns (reference
     // default output is the nested pair; flat here so the DuckDB oracle
     // can express it — nested variant via withJoiner)

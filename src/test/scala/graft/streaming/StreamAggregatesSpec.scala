@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+class StreamAggregatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("append-mode windows emit once when the watermark passes, late data dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamAggregates.windowedEventStats(input.toDS().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("sa_out").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "a", 1.0),
+        (ts("2024-01-01 10:20:00"), "a", 2.0),
+        (ts("2024-01-01 11:10:00"), "b", 3.0))
+      q.processAllAvailable()
+      // nothing emitted yet: watermark (11:10 - 1h) hasn't passed any window end
+      assert(spark.table("sa_out").count() == 0)
+      // sentinel advances the watermark past both real windows
+      input.addData((ts("2024-01-01 14:00:00"), "c", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sa_out").as[(String, String, Long, Double)].collect().toSet
+      assert(out == Set(
+        ("2024-01-01 10", "a", 2L, 3.0),
+        ("2024-01-01 11", "b", 1L, 3.0)))
+      // a late event behind the watermark is dropped, not re-emitted
+      input.addData((ts("2024-01-01 10:30:00"), "a", 99.0))
+      q.processAllAvailable()
+      assert(spark.table("sa_out").count() == 2)
+    } finally q.stop()
+  }
+}
+
+class SkewSaltingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals unsalted join (inner and left_outer)") {
+    import org.apache.spark.sql.functions.col
+    // skewed: 90 of 100 lefts share one FK
+    val left = ((1 to 90).map(i => (i.toLong, 1L, s"l$i")) ++
+      (91 to 100).map(i => (i.toLong, (i % 5 + 2).toLong, s"l$i")))
+      .toDF("id", "fk", "payload")
+    val right = (1 to 4).map(i => (i.toLong, s"r$i")).toDF("rid", "rv")
+    def build = graft.operators.Denormalize.builder(left, right, "rid")
+      .joinOn(_("fk"))
+    for (jt <- Seq("inner", "left_outer")) {
+      val plain = build.join(jt).orderBy(col("id")).collect().toSeq
+      val salted = build.withSkewSalting(8).join(jt).orderBy(col("id")).collect().toSeq
+      assert(salted == plain, s"joinType=$jt")
+    }
+  }
+
+  test("salting rejects right/full outer") {
+    val df = Seq((1L, 1L)).toDF("id", "fk")
+    val r = Seq((1L, "x")).toDF("rid", "rv")
+    intercept[IllegalArgumentException] {
+      graft.operators.Denormalize.builder(df, r, "rid")
+        .joinOn(_("fk")).withSkewSalting(4).rightOuter
+    }
+  }
+}
