@@ -174,6 +174,9 @@ object SparkEntry {
       } finally q.stop()
       s.table(name)
     }),
+
+    "q32_semi_anti" -> ((s, dir) => Analytics.customerOrderExistence(s, dir)),
+    "q33_percentiles" -> ((s, dir) => Analytics.valuePercentiles(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -252,5 +255,7 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
                 count(*) AS n, sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
          FROM events GROUP BY 1, 2""",
+    "q32_semi_anti" -> Analytics.customerOrderExistenceSql,
+    "q33_percentiles" -> Analytics.valuePercentilesSql,
   )
 }

@@ -140,6 +140,46 @@ object Analytics {
               sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total
        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
 
+  /** Semi/anti joins: customers WITH orders vs customers WITHOUT, one
+    * result with a marker column (left_semi/left_anti plan as existence
+    * joins — no fact-side data movement beyond the key).
+    */
+  def customerOrderExistence(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders").select(col("o_custkey"))
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), lit(1).as("has_orders"))
+    val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), lit(0).as("has_orders"))
+    withOrders.unionAll(withoutOrders)
+  }
+
+  val customerOrderExistenceSql: String =
+    """SELECT c_custkey, c_name, 1 AS has_orders FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       UNION ALL
+       SELECT c_custkey, c_name, 0 AS has_orders FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡
+    * DuckDB `quantile_cont`).
+    */
+  def valuePercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"))
+
+  val valuePercentilesSql: String =
+    """SELECT event_type,
+              quantile_cont(value, 0.5) AS p50,
+              quantile_cont(value, 0.9) AS p90,
+              min(value) AS vmin, max(value) AS vmax
+       FROM events GROUP BY event_type"""
+
   /** Hourly tumbling-window aggregate over the event stream (batch
     * analog of a watermarked windowed agg; string-formatted hour for
     * oracle-stable comparison).

@@ -143,6 +143,51 @@ object Similarity {
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE ${cosSqlOn("a.v", "b.v")} >= $threshold"""
 
+  /** Random-hyperplane LSH near-dup: the 100 TB candidate generator.
+    * Each vector gets a `bits`-bit signature (sign of dot product with
+    * `bits` fixed pseudo-random hyperplanes, built deterministically
+    * from a seeded PRNG), replicated across `tables` independent
+    * signature tables; candidates = pairs sharing any table's full
+    * signature, verified by exact cosine. Collision probability for a
+    * pair at angle θ is (1-θ/π)^bits per table — near-dups (small θ)
+    * collide with high probability, random pairs almost never, so the
+    * join is O(n·tables) instead of O(n²).
+    *
+    * Tune `bits` to the threshold: the defaults (12 bits × 6 tables)
+    * give ~87% recall at cos >= 0.9 and are near-blind below cos ≈ 0.7 —
+    * for looser thresholds use shorter signatures and more tables
+    * (e.g. 4 bits × 8 tables for cos >= 0.35, ~70% recall), trading a
+    * larger candidate set for coverage.
+    */
+  def embeddingNearDupLsh(s: SparkSession, dir: String, threshold: Double = 0.9,
+      bits: Int = 12, tables: Int = 6, dim: Int = 64): DataFrame = {
+    val rnd = new scala.util.Random(20260812L)
+    val planes = Array.fill(tables, bits, dim)(rnd.nextGaussian())
+    val e = emb(s, dir)
+    // signature per table: pack sign bits into a long via one expression
+    val sigCols = (0 until tables).map { t =>
+      val bitExprs = (0 until bits).map { j =>
+        val dot = (0 until dim).map(d => col("v").getItem(d) * lit(planes(t)(j)(d)))
+          .reduce(_ + _)
+        when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      bitExprs.reduce(_ + _).as(s"sig$t")
+    }
+    val signed = e.select(col("vec_id") +: col("v") +: sigCols: _*)
+    val banded = signed.select(col("vec_id"), col("v"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), col(s"sig$t").as("sig"))): _*)).as("b"))
+      .select(col("vec_id"), col("v"), col("b.t"), col("b.sig"))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+        col("x.v").as("va"), col("y.v").as("vb"))
+      .dropDuplicates("a_id", "b_id")
+    cands.select(col("a_id"), col("b_id"), cosine_sim(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Explicit-order cosine in DuckDB SQL: sequential dot and norms,
     * then dot/sqrt/sqrt — mirrors [[graft.functions.CosineSimilarity]].
     */

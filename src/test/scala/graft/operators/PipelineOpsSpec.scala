@@ -22,6 +22,24 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(1) - ref(Array(0.5, -0.5, 0.25), Array(-1.0, 2.0, 4.0))) < 1e-15)
   }
 
+  test("hyperplane-LSH near-dup finds the same pairs as brute force at the threshold") {
+    // threshold 0.35 so the tiny sf0.001 corpus yields a nonempty answer
+    val bf = Similarity.embeddingNearDup(spark, dir, threshold = 0.35)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // defaults (12 bits) target true near-dups (cos>=0.9); at this loose
+    // threshold use short signatures + more tables so collision
+    // probability stays useful: (1-θ/π)^4 ≈ 0.14/table at θ=69°,
+    // 8 tables → ~70% expected recall
+    val lsh = Similarity.embeddingNearDupLsh(spark, dir, threshold = 0.35,
+        bits = 4, tables = 8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(bf.nonEmpty)
+    // precision is exact by construction (candidates verified by cosine)
+    assert(lsh.subsetOf(bf))
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
   test("IVF top-k has high recall vs brute force on real embeddings") {
     val bf = Similarity.bruteForceTopK(spark, dir)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
