@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Dedup, Denormalize, Multimodal, Similarity, TextAnalysis, Upsert}
+import graft.operators.{Analytics, AsOfJoin, Dedup, Denormalize, Multimodal, Similarity, TextAnalysis, Upsert}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -177,6 +177,8 @@ object SparkEntry {
 
     "q32_semi_anti" -> ((s, dir) => Analytics.customerOrderExistence(s, dir)),
     "q33_percentiles" -> ((s, dir) => Analytics.valuePercentiles(s, dir)),
+    "q34_asof_join" -> ((s, dir) => AsOfJoin.eventsAsOfOrders(s, dir)),
+    "q35_pivot" -> ((s, dir) => Analytics.eventTypePivot(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -257,5 +259,7 @@ object SparkEntry {
          FROM events GROUP BY 1, 2""",
     "q32_semi_anti" -> Analytics.customerOrderExistenceSql,
     "q33_percentiles" -> Analytics.valuePercentilesSql,
+    "q34_asof_join" -> AsOfJoin.eventsAsOfOrdersSql,
+    "q35_pivot" -> Analytics.eventTypePivotSql,
   )
 }

@@ -180,6 +180,25 @@ object Analytics {
               min(value) AS vmin, max(value) AS vmax
        FROM events GROUP BY event_type"""
 
+  /** Pivot: one row per user, event-type counts as columns (explicit
+    * value list — required anyway for a deterministic schema at scale;
+    * an inferred pivot would scan twice).
+    */
+  val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def eventTypePivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, eventTypes)
+
+  val eventTypePivotSql: String = {
+    val cases = eventTypes.map(t =>
+      s"count(CASE WHEN event_type = '$t' THEN 1 END) AS \"$t\"").mkString(", ")
+    s"SELECT user_id, $cases FROM events GROUP BY user_id"
+  }
+
   /** Hourly tumbling-window aggregate over the event stream (batch
     * analog of a watermarked windowed agg; string-formatted hour for
     * oracle-stable comparison).
