@@ -179,6 +179,9 @@ object SparkEntry {
     "q33_percentiles" -> ((s, dir) => Analytics.valuePercentiles(s, dir)),
     "q34_asof_join" -> ((s, dir) => AsOfJoin.eventsAsOfOrders(s, dir)),
     "q35_pivot" -> ((s, dir) => Analytics.eventTypePivot(s, dir)),
+    "q36_json_extract" -> ((s, dir) => Analytics.eventProps(s, dir)),
+    "q37_window_funcs" -> ((s, dir) => Analytics.eventWindowFuncs(s, dir)),
+    "q38_cube" -> ((s, dir) => Analytics.orderCube(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -261,5 +264,8 @@ object SparkEntry {
     "q33_percentiles" -> Analytics.valuePercentilesSql,
     "q34_asof_join" -> AsOfJoin.eventsAsOfOrdersSql,
     "q35_pivot" -> Analytics.eventTypePivotSql,
+    "q36_json_extract" -> Analytics.eventPropsSql,
+    "q37_window_funcs" -> Analytics.eventWindowFuncsSql,
+    "q38_cube" -> Analytics.orderCubeSql,
   )
 }

@@ -199,6 +199,55 @@ object Analytics {
     s"SELECT user_id, $cases FROM events GROUP BY user_id"
   }
 
+  /** JSON field extraction from the events `props` column (schema-on-
+    * read over embedded JSON — the batch face of the reference's
+    * JsonSerde, O17).
+    */
+  def eventProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("event_type"))
+      .filter(col("k") >= 50)
+
+  val eventPropsSql: String =
+    """SELECT event_id, (props->>'$.k')::BIGINT AS k, event_type
+       FROM events WHERE (props->>'$.k')::BIGINT >= 50"""
+
+  /** Window-function battery: lag/lead/first_value/ntile over each
+    * user's event timeline (one shuffle+sort, all functions share the
+    * frame).
+    */
+  def eventWindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns").asc, col("event_id").asc)
+    Tables.events(s, dir).select(
+      col("user_id"), col("event_id"), col("value"),
+      lag(col("value"), 1).over(w).as("prev_value"),
+      lead(col("value"), 1).over(w).as("next_value"),
+      first_value(col("event_type")).over(w).as("first_type"),
+      ntile(4).over(w).as("quartile"))
+  }
+
+  val eventWindowFuncsSql: String =
+    """SELECT user_id, event_id, value,
+              lag(value, 1) OVER w AS prev_value,
+              lead(value, 1) OVER w AS next_value,
+              first_value(event_type) OVER w AS first_type,
+              ntile(4) OVER w AS quartile
+       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"""
+
+  /** Full cube over order status × priority. */
+  def orderCube(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(money)).cast("double").as("total"))
+
+  val orderCubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+
   /** Hourly tumbling-window aggregate over the event stream (batch
     * analog of a watermarked windowed agg; string-formatted hour for
     * oracle-stable comparison).
