@@ -75,7 +75,9 @@ object SparkEntry {
       lefts.unionAll(rights)
         .select(hex(col("jk")).as("key_hex"),
           join_key_is_right(col("jk")).as("is_right"),
-          kafka_partition(join_key_prefix(col("jk")), 32).as("partition"))
+          // partition on the raw FK digest (no length byte), exactly as
+          // the reference partitioner does (JoinKeyPartitioner.java:21)
+          kafka_partition(join_key_fk_digest(col("jk")), 32).as("partition"))
     }),
 
     // O1-O16 end-to-end: the STREAMING stateful FK join (flatMapGroups-

@@ -68,4 +68,11 @@ package object functions {
     */
   def join_key_is_right(key: Column, size: Int = 8): Column =
     substring(key, 2 + size, size) === lit(new Array[Byte](size))
+
+  /** The raw FK digest bytes (no length prefix) — what the reference's
+    * partitioner hashes (`JoinKeyPartitioner.java:21` uses
+    * `key.rightKeyDigest()`, not `getPrefix()`).
+    */
+  def join_key_fk_digest(key: Column, size: Int = 8): Column =
+    substring(key, 2, size)
 }

@@ -61,6 +61,17 @@ class JoinKeySpec extends SparkSpec {
     assert(!leftKey.slice(9, 17).forall(_ == 0))
   }
 
+  test("partition routing hashes the raw FK digest, matching the reference partitioner") {
+    val df = Seq(("c1", "s1")).toDF("pk", "fk")
+    val (part, digest) = df.select(
+        kafka_partition(join_key_fk_digest(join_key($"fk", $"pk", 8), 8), 4),
+        join_key_fk_digest(join_key($"fk", $"pk", 8), 8))
+      .as[(Int, Array[Byte])].collect().head
+    // reference: Utils.toPositive(Utils.murmur2(rightKeyDigest)) % n
+    assert(part == (Murmur2.hash(digest) & 0x7fffffff) % 4)
+    assert(digest.sameElements(Blake2b.digest("s1".getBytes, 8)))
+  }
+
   test("join_key_prefix and join_key_is_right") {
     val df = Seq(("c1", "s1")).toDF("pk", "fk")
     val out = df.select(
