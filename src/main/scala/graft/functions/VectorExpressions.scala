@@ -15,15 +15,32 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Accumulation is strictly sequential (index 0..n-1) and the final
   * value is `dot / sqrt(na) / sqrt(nb)` — the same IEEE operation order
   * as the generated DuckDB oracle SQL, so results compare bit-exactly.
+  *
+  * Mismatched vector lengths throw (silent truncation would mask bad
+  * ingest rows AND diverge from the oracle, which normalizes each side
+  * over its own full length). A zero vector yields NaN (0/0), which
+  * threshold filters drop — callers wanting explicit null handling
+  * should pre-filter zero norms.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType => DT}
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DT, _), ArrayType(DT, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<double> inputs, got $l and $r")
+    }
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = CosineSimilarity.checkedLength(x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -44,7 +61,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $n = graft.functions.CosineSimilarity.checkedLength($a.numElements(), $b.numElements());
         double $dot = 0.0, $na = 0.0, $nb = 0.0;
         for (int $i = 0; $i < $n; $i++) {
           double $xi = $a.getDouble($i);
@@ -58,4 +75,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
     copy(left = l, right = r)
   override def prettyName: String = "cosine_sim"
+}
+
+object CosineSimilarity {
+  /** Fails loudly on mismatched vector lengths (bad ingest rows). */
+  def checkedLength(a: Int, b: Int): Int = {
+    if (a != b) throw new IllegalArgumentException(
+      s"cosine_sim: vector lengths differ ($a vs $b)")
+    a
+  }
 }

@@ -1,8 +1,22 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, StringType}
+
+/** Analysis-time input check shared by graft's unary expressions: SQL
+  * callers bypass the typed Column helpers, so without this a wrong
+  * argument type would surface as a mid-job ClassCastException (or,
+  * worse, silently wrong bytes) instead of an AnalysisException.
+  */
+private[functions] trait RequiresInputType { self: UnaryExpression =>
+  def requiredType: DataType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == requiredType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires $requiredType input, got ${child.dataType}")
+}
 
 /** Native Catalyst expressions for the JoinKey fidelity layer (SURVEY.md
   * §2 O5/O6/O18). These stay inside whole-stage codegen: `doGenCode`
@@ -16,8 +30,9 @@ import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType}
   * `HackerNewsPipeline.java:42`).
   */
 case class Blake2bDigest(child: Expression, size: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with RequiresInputType {
   require(size >= 1 && size <= 64, s"blake2b digest size must be 1..64, got $size")
+  override def requiredType: DataType = BinaryType
   override def dataType: DataType = BinaryType
   override def nullSafeEval(input: Any): Any =
     Blake2b.digest(input.asInstanceOf[Array[Byte]], size)
@@ -35,8 +50,9 @@ case class Blake2bDigest(child: Expression, size: Int)
   * MurmurHash2 algorithm with Kafka's seed (0x9747b28c).
   */
 case class KafkaPartition(child: Expression, numPartitions: Int)
-    extends UnaryExpression {
-  require(numPartitions > 0)
+    extends UnaryExpression with RequiresInputType {
+  require(numPartitions > 0, "numPartitions must be positive")
+  override def requiredType: DataType = BinaryType
   override def dataType: DataType = IntegerType
   override def nullSafeEval(input: Any): Any =
     Murmur2.partition(input.asInstanceOf[Array[Byte]], numPartitions)
@@ -55,7 +71,8 @@ case class KafkaPartition(child: Expression, numPartitions: Int)
   * the dedup profile; this computes the digest once and assembles the
   * long directly from the bytes.
   */
-case class Md5Long(child: Expression) extends UnaryExpression {
+case class Md5Long(child: Expression) extends UnaryExpression with RequiresInputType {
+  override def requiredType: DataType = BinaryType
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullSafeEval(input: Any): Any =
     Md5Long.hash(input.asInstanceOf[Array[Byte]])
@@ -95,8 +112,15 @@ object Md5Long {
   * the unchanged DuckDB oracles).
   */
 case class Shingles(child: Expression, k: Int)
-    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression with RequiresInputType
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   require(k >= 1)
+  override def requiredType: DataType = ArrayType(StringType)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got $other")
+  }
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any = {

@@ -47,10 +47,19 @@ object AsOfJoin {
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val swept = rightPayload.foldLeft(unioned)((df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    // sweep ONE struct of all payload columns, not each independently:
+    // a right row with a genuinely-NULL payload field must carry that
+    // null forward as a unit — per-column ignoreNulls sweeps would mix
+    // fields from different right rows into one that never existed
+    val payloadStruct = struct(rightPayload.map(col): _*)
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
+    val swept = unioned
+      .withColumn("__p",
+        when(col("__side") === 0, payloadStruct).otherwise(lit(null).cast(payloadType)))
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
     swept.filter(col("__side") === 1)
-      .select(left.columns.map(col) ++ rightPayload.map(col): _*)
+      .select(left.columns.map(col) ++ rightPayload.map(c => col(s"__p.$c").as(c)): _*)
   }
 
   /** events as-of-joined to the customer's latest preceding order. */

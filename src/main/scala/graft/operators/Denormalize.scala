@@ -44,7 +44,7 @@ final case class Denormalize(
     rightVersionOrder: Option[Seq[Column]] = None,
     joiner: Option[(DataFrame, DataFrame) => Seq[Column]] = None,
     keyMapper: Option[(Column, Column) => Column] = None,
-    broadcastRight: Boolean = true,
+    broadcastRight: Boolean = false,
     saltBuckets: Int = 0) {
 
   def joinOn(f: DataFrame => Column): Denormalize = {
@@ -60,6 +60,12 @@ final case class Denormalize(
   def withRightVersionOrder(cols: Column*): Denormalize = copy(rightVersionOrder = Some(cols))
   def withJoiner(f: (DataFrame, DataFrame) => Seq[Column]): Denormalize = copy(joiner = Some(f))
   def withKeyMapper(f: (Column, Column) => Column): Denormalize = copy(keyMapper = Some(f))
+  /** Force-broadcast the dimension side. OFF by default: an
+    * unconditional hint overrides autoBroadcastJoinThreshold and AQE,
+    * and a dimension bigger than executor memory would OOM instead of
+    * falling back to a shuffle join — let the planner decide unless the
+    * caller KNOWS the side is small.
+    */
   def withBroadcastRight(b: Boolean): Denormalize = copy(broadcastRight = b)
 
   /** Salt the join for hot-FK skew: lefts get a deterministic salt from

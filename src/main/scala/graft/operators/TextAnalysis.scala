@@ -32,7 +32,11 @@ object TextAnalysis {
     */
   val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
-  private def tokens(c: Column): Column = split(lower(c), " ")
+  /** THE tokenizer — shared with [[Dedup]] so shingles, simhash, and all
+    * text metrics (plus their generated oracle SQL,
+    * `string_split(lower(text), ' ')`) agree by construction.
+    */
+  private[operators] def tokens(c: Column): Column = split(lower(c), " ")
 
   private def stopHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))

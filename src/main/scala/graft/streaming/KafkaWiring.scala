@@ -27,12 +27,22 @@ object KafkaWiring {
     * string key + typed struct fields (O17 `JsonSerde`, schema-on-read:
     * unknown fields ignored, missing fields null — `from_json` semantics
     * match the reference's Jackson config, `dto/Comment.java:5-6`).
+    *
+    * `seq` orders records across BOTH source topics: record timestamp
+    * (ms) as the major key, offset folded in as a deterministic
+    * tiebreak. Raw offsets alone would be incomparable between topics
+    * and partitions. This approximates arrival order; the reference
+    * gets a true per-FK total order only because both sides funnel
+    * through ONE FK-partitioned index topic — deployments needing that
+    * exact guarantee should materialize the index topic
+    * (`writeTopic` + re-read) rather than union two sources.
     */
   def decode(kafkaRecords: DataFrame, schema: StructType): DataFrame =
     kafkaRecords.select(
       col("key").cast("string").as("record_key"),
       from_json(col("value").cast("string"), schema).as("v"),
-      col("offset").as("seq"))
+      (unix_millis(col("timestamp")) * lit(1048576L) +
+        pmod(col("offset"), lit(1048576L))).as("seq"))
       .select(col("record_key"), col("seq"), col("v.*"))
 
   /** Shape a DataFrame for a Kafka sink: `keyExpr` → binary key,

@@ -90,8 +90,18 @@ object StreamDenormalize {
 
   /** The stateful join itself. Works on any Dataset[IndexRecord] —
     * streaming (micro-batch state) or batch (single invocation per FK).
+    *
+    * `strictBatchDedup = true` reproduces the reference exactly: a left
+    * arrival claims its batch-dedup key BEFORE the lookup
+    * (`JoinTransformer.java:142`), so a left that misses blocks a
+    * same-batch right from re-emitting it. That window is one
+    * stream-time millisecond in the reference but a whole micro-batch
+    * here — set `strictBatchDedup = false` to claim keys only on actual
+    * emission, eliminating the drop window while still suppressing
+    * duplicate emissions.
     */
-  def joined(index: Dataset[IndexRecord], joinType: String): Dataset[JoinedRecord] = {
+  def joined(index: Dataset[IndexRecord], joinType: String,
+      strictBatchDedup: Boolean = true): Dataset[JoinedRecord] = {
     val (emitLeftNull, emitRightNull) = flags(joinType)
     import index.sparkSession.implicits._
     index
@@ -109,28 +119,37 @@ object StreamDenormalize {
           for (rec <- records.toSeq.sortBy(_.seq)) {
             if (rec.isLeft) {
               st = st.copy(lefts = st.lefts + (rec.key -> rec.value))
-              if (emittedInBatch.add(rec.key)) {
+              val claimed =
+                if (strictBatchDedup) emittedInBatch.add(rec.key) // marks even on miss
+                else !emittedInBatch.contains(rec.key)
+              if (claimed) {
                 st.rightValue match {
-                  case Some(rv) => out += JoinedRecord(rec.key, rec.value, rv, rec.seq)
+                  case Some(rv) =>
+                    if (!strictBatchDedup) emittedInBatch.add(rec.key)
+                    out += JoinedRecord(rec.key, rec.value, rv, rec.seq)
                   case None if emitLeftNull =>
+                    if (!strictBatchDedup) emittedInBatch.add(rec.key)
                     out += JoinedRecord(rec.key, rec.value, null, rec.seq)
                   case None => // inner/right_outer: drop (JoinTransformer.java:163-165)
                 }
               }
             } else {
               st = st.copy(rightValue = Some(rec.value))
-              if (st.lefts.nonEmpty) {
-                // prefix-scan fan-out (JoinTransformer.java:168-186)
-                for ((lk, lv) <- st.lefts.toSeq.sortBy(_._1)) {
-                  if (emittedInBatch.add(lk))
-                    out += JoinedRecord(lk, lv, rec.value, rec.seq)
+              // prefix-scan fan-out (JoinTransformer.java:168-186)
+              var matched = 0
+              for ((lk, lv) <- st.lefts.toSeq.sortBy(_._1)) {
+                if (emittedInBatch.add(lk)) {
+                  out += JoinedRecord(lk, lv, rec.value, rec.seq)
+                  matched += 1
                 }
-              } else if (emitRightNull) {
-                // no lefts: right-outer emission — NOT subject to the
-                // in-batch dedup in the reference (JoinTransformer.java:192-196
-                // has no ensureJoinUniqueInBatch call)
-                out += JoinedRecord(null, null, rec.value, rec.seq)
               }
+              // right-outer emission keys off what this call actually
+              // EMITTED (reference: matched.isEmpty, JoinTransformer.java:192),
+              // not off stored state — lefts may exist yet all be
+              // suppressed by the in-batch dedup. Not itself deduped
+              // (:192-196 has no ensureJoinUniqueInBatch call).
+              if (matched == 0 && emitRightNull)
+                out += JoinedRecord(null, null, rec.value, rec.seq)
             }
           }
           state.update(st)

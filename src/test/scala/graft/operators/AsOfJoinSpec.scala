@@ -31,6 +31,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(5L) == ((None, None)))
   }
 
+  test("a right row with a NULL payload field carries the null as a unit (no torn rows)") {
+    val left = Seq((1L, 100L, 30L)).toDF("event_id", "k", "t")
+    val right = Seq(
+      (100L, 10L, 1L, Some("r1")),
+      (100L, 20L, 2L, None: Option[String]) // newer right with NULL rv
+    ).toDF("rk", "rt", "rid", "rv")
+    val out = AsOfJoin.asOf(left, right, leftKey = "k", rightKey = "rk",
+        leftTime = col("t"), rightTime = col("rt"),
+        rightPayload = Seq("rid", "rv"), rightTiebreak = col("rid"))
+      .select("rid", "rv").as[(Option[Long], Option[String])].collect().head
+    // must be (2, null) from the newest right — not (2, "r1") mixing rows
+    assert(out == ((Some(2L), None)))
+  }
+
   private implicit class TupleOps(rows: Array[(Long, Option[Long], Option[String])]) {
     def toMap2: Map[Long, (Option[Long], Option[String])] =
       rows.map(r => r._1 -> ((r._2, r._3))).toMap

@@ -15,12 +15,13 @@ class StreamDenormalizeSpec extends SparkSpec {
     * element of `batches` becomes one micro-batch. Returns all emissions
     * in order.
     */
-  private def run(joinType: String)(batches: Seq[IndexRecord]*): Seq[JoinedRecord] = {
+  private def run(joinType: String, strict: Boolean = true)(
+      batches: Seq[IndexRecord]*): Seq[JoinedRecord] = {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[IndexRecord]
     tableId += 1
     val name = s"sd_out_$tableId"
-    val q = StreamDenormalize.joined(input.toDS(), joinType)
+    val q = StreamDenormalize.joined(input.toDS(), joinType, strictBatchDedup = strict)
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     try batches.foreach { b => input.addData(b); q.processAllAvailable() }
     finally q.stop()
@@ -87,6 +88,23 @@ class StreamDenormalizeSpec extends SparkSpec {
     val out2 = run("inner")(
       Seq(L("s1", "c1", "c1v1", 1), R("s1", "s1v1", 2)), Seq(R("s1", "s1v2", 3)))
     assert(out2 == Seq(JoinedRecord("c1", "c1v1", "s1v2", 3)))
+  }
+
+  test("relaxed dedup: same-batch left-then-right emits (no mark-on-miss drop window)") {
+    val out = run("inner", strict = false)(Seq(L("s1", "c1", "c1v1", 1), R("s1", "s1v1", 2)))
+    assert(out == Seq(JoinedRecord("c1", "c1v1", "s1v1", 2)))
+    // duplicate suppression still holds for actual emissions
+    val out2 = run("inner", strict = false)(
+      Seq(R("s1", "s1v1", 1), L("s1", "c1", "c1v1", 2), L("s1", "c1", "c1v2", 3)))
+    assert(out2 == Seq(JoinedRecord("c1", "c1v1", "s1v1", 2)))
+  }
+
+  test("right-outer emits null+right when lefts exist but were all batch-suppressed (matched.isEmpty parity)") {
+    // left(c1) misses (no right, right_outer doesn't emit left+null) but
+    // claims its key; the same-batch right scan matches nothing →
+    // reference emits the null+right row (JoinTransformer.java:192-196)
+    val out = run("right_outer")(Seq(L("s1", "c1", "c1v1", 1), R("s1", "s1v1", 2)))
+    assert(out == Seq(JoinedRecord(null, null, "s1v1", 2)))
   }
 
   test("scenario 6: unmatched sides under the four join variants (O11)") {
