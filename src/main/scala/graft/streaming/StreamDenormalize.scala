@@ -50,7 +50,10 @@ case class DenormState(
   * (Spark's streaming state partitioning — the same data placement the
   * reference builds manually with its FK-only partitioner). Hot FKs
   * fan out O(lefts) emissions per right update, identical to the
-  * reference's prefix scan. State is unbounded by design parity (the
+  * reference's prefix scan; the per-group batch is sorted in memory and
+  * the fan-out list built eagerly, so an extreme hot-FK micro-batch is
+  * bounded by executor memory — cap micro-batch size (maxOffsetsPerTrigger)
+  * on skewed topics. State is unbounded by design parity (the
   * reference TODOs archival too, `HackerNewsPipeline.java:35-36`); for
   * production use pair with a TTL'd state store (RocksDB provider).
   */
