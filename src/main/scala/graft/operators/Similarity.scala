@@ -70,6 +70,24 @@ object Similarity {
     val corpus = emb(s, dir)
     val cents = corpus.filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    ivfSearch(corpus, cents, k)
+  }
+
+  /** IVF with k-means-trained centroids ([[kmeansCentroids]]) instead of
+    * the deterministic sample — better-balanced buckets, higher recall
+    * per probe. No SQL oracle (the training iterations aren't
+    * SQL-expressible); recall vs brute force is unit-tested.
+    */
+  def ivfTopKTrained(s: SparkSession, dir: String, k: Int = defaultK): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, dir)
+    val cents = s.createDataset(kmeansCentroids(s, dir).map { case (i, v) => (i, v.toSeq) })
+      .toDF("cent_id", "cv")
+      .select(col("cent_id").cast("long").as("cent_id"), col("cv").as("cv"))
+    ivfSearch(corpus, cents, k)
+  }
+
+  private def ivfSearch(corpus: DataFrame, cents: DataFrame, k: Int): DataFrame = {
     // nearest-centroid assignment for every corpus vector
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
     val assigned = corpus.join(broadcast(cents))
@@ -142,6 +160,51 @@ object Similarity {
         SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosSqlOn("a.v", "b.v")} AS cos
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE ${cosSqlOn("a.v", "b.v")} >= $threshold"""
+
+  /** Lloyd's k-means over the embedding corpus: distributed
+    * assign/average iterations with broadcast centroids — the real
+    * "training step" for IVF bucketing (the deterministic lowest-ids
+    * seeding keeps it reproducible). Each iteration is one broadcast
+    * join + one groupBy average; centroids come back to the driver
+    * (C × dim doubles — tiny) between iterations.
+    */
+  def kmeansCentroids(s: SparkSession, dir: String, k: Int = numCentroids,
+      iterations: Int = 5): Array[(Int, Array[Double])] = {
+    import s.implicits._
+    val corpus = emb(s, dir).select(col("vec_id"), col("v")).as[(Long, Seq[Double])].cache()
+    var cents: Array[(Int, Array[Double])] = corpus.filter(_._1 < k).collect()
+      .sortBy(_._1).zipWithIndex.map { case ((_, v), i) => (i, v.toArray) }
+    for (_ <- 1 to iterations) {
+      val bc = s.sparkContext.broadcast(cents)
+      val assigned = corpus.map { case (_, v) =>
+        val arr = v.toArray
+        var best = 0; var bestD = Double.MaxValue
+        for ((ci, cv) <- bc.value) {
+          var d = 0.0; var i = 0
+          while (i < arr.length) { val t = arr(i) - cv(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = ci }
+        }
+        (best, arr)
+      }
+      val updated = assigned.groupByKey(_._1)
+        .mapGroups { (ci, rows) =>
+          var n = 0L
+          var sum: Array[Double] = null
+          rows.foreach { case (_, v) =>
+            if (sum == null) sum = new Array[Double](v.length)
+            var i = 0; while (i < v.length) { sum(i) += v(i); i += 1 }
+            n += 1
+          }
+          var i = 0; while (i < sum.length) { sum(i) /= n; i += 1 }
+          (ci, sum)
+        }.collect()
+      // empty clusters keep their previous centroid
+      val byId = updated.map(c => c._1 -> c._2).toMap
+      cents = cents.map { case (ci, old) => (ci, byId.getOrElse(ci, old)) }
+    }
+    corpus.unpersist()
+    cents
+  }
 
   /** Random-hyperplane LSH near-dup: the 100 TB candidate generator.
     * Each vector gets a `bits`-bit signature (sign of dot product with

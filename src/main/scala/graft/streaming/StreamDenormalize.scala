@@ -112,6 +112,14 @@ object StreamDenormalize {
       .flatMapGroupsWithState[DenormState, JoinedRecord](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (fk: String, records: Iterator[IndexRecord], state: GroupState[DenormState]) =>
+          processGroup(fk, records, state, emitLeftNull, emitRightNull, strictBatchDedup)
+      }
+  }
+
+  private def processGroup(
+      fk: String, records: Iterator[IndexRecord], state: GroupState[DenormState],
+      emitLeftNull: Boolean, emitRightNull: Boolean,
+      strictBatchDedup: Boolean): Iterator[JoinedRecord] = {
           var st = state.getOption.getOrElse(DenormState(None, Map.empty))
           val out = Seq.newBuilder[JoinedRecord]
           // O14 per-batch dedup: complete join key = (fk, leftKey);
@@ -157,7 +165,6 @@ object StreamDenormalize {
           }
           state.update(st)
           out.result().iterator
-      }
   }
 
   /** Parse the JSON payloads back to typed columns and apply the output

@@ -53,6 +53,21 @@ class SimilaritySpec extends SparkSpec {
     // every IVF result must still be a true (computed, not fabricated) pair
     assert(ivf.forall { case (q, n) => q % Similarity.queryMod == 0 && q != n })
   }
+
+  test("k-means-trained IVF is valid and at least as good as random-candidate floor") {
+    val bf = Similarity.bruteForceTopK(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val trained = Similarity.ivfTopKTrained(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(trained.nonEmpty)
+    val recall = (bf intersect trained).size.toDouble / bf.size
+    assert(recall >= 0.3, s"trained recall $recall")
+    // training converges deterministically (fixed seed ids + Lloyd's)
+    val cents1 = Similarity.kmeansCentroids(spark, dir, iterations = 2)
+    val cents2 = Similarity.kmeansCentroids(spark, dir, iterations = 2)
+    assert(cents1.zip(cents2).forall { case ((i1, v1), (i2, v2)) =>
+      i1 == i2 && v1.sameElements(v2) })
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
