@@ -13,6 +13,24 @@ import graft.operators.{Analytics, AsOfJoin, Dedup, Denormalize, Multimodal, Sim
   */
 object SparkEntry {
 
+  /** Fresh staging directory for the streaming queries' file sources
+    * (the local stand-in for a Kafka topic: written distributed, read
+    * back by a file streaming source — no data ever rides in a task
+    * closure).
+    */
+  private def stageDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+
+  private def rmTree(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(path)
+    if (Files.exists(root)) {
+      val all = Files.walk(root).iterator().asScala.toSeq
+      all.sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_denorm_inner")(spark, "/root/testdata/sf0.001")
@@ -81,29 +99,32 @@ object SparkEntry {
     }),
 
     // O1-O16 end-to-end: the STREAMING stateful FK join (flatMapGroups-
-    // WithState upsert+re-emit core) run over events⋈customer via
-    // MemoryStream + memory sink, checked against the plain batch-join
-    // oracle — proving the continuously-updating join converges to the
-    // relational answer. Rights feed in batch 1, lefts in batch 2
-    // (per-record arrival order within a group is by seq).
+    // WithState upsert+re-emit core) run over events⋈customer as a real
+    // StreamingQuery, checked against the plain batch-join oracle —
+    // proving the continuously-updating join converges to the relational
+    // answer. The index stream is staged to parquet and read back with a
+    // FILE streaming source: the whole feed path is distributed (no
+    // driver-side collect, no dataset-sized task closures — the exact
+    // shape a Kafka source has on a cluster). One micro-batch: rights
+    // sort before lefts within each FK group (rights seq = c_custkey <
+    // 1e9 <= left seqs), so every left takes the point-lookup path
+    // against already-stored state.
     "q08_stream_denorm" -> ((s, dir) => {
       import s.implicits._
       import graft.streaming._
-      implicit val sqlCtx = s.sqlContext
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       val cust = Tables.load(s, dir, "customer")
       val idx = StreamDenormalize.indexStream(
         ev, col("event_id"), col("user_id"), col("event_id") + lit(1000000000L),
-        cust, col("c_custkey"), col("c_custkey")).collect()
-      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[IndexRecord]
+        cust, col("c_custkey"), col("c_custkey"))
+      val tmp = stageDir("q08_idx")
+      idx.write.mode("overwrite").parquet(tmp)
+      val input = s.readStream.schema(idx.schema).parquet(tmp).as[IndexRecord]
       val name = "q08_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = StreamDenormalize.joined(input.toDS(), "inner")
+      val q = StreamDenormalize.joined(input, "inner")
         .writeStream.format("memory").queryName(name).outputMode("append").start()
-      // one micro-batch: rights sort before lefts within each FK group
-      // (rights seq = c_custkey < 1e9 <= left seqs), so every left takes
-      // the point-lookup path against already-stored state
-      try { input.addData(idx); q.processAllAvailable() } finally q.stop()
+      try q.processAllAvailable() finally { q.stop(); rmTree(tmp) }
       StreamDenormalize.parsed(s.table(name).as[JoinedRecord], ev.schema, cust.schema)
         .select(col("left.*"), col("right.*"))
     }),
@@ -153,27 +174,30 @@ object SparkEntry {
     "q30_rollup" -> ((s, dir) => Analytics.orderRollup(s, dir)),
 
     // streaming event-time windows with watermark, run as a real
-    // StreamingQuery: all events in batch 1, a far-future sentinel in
-    // batch 2 pushes the watermark past every real window so append
-    // mode finalizes them; the sentinel's own window never closes, so
-    // the emitted rows equal the batch hourly aggregate (the oracle).
+    // StreamingQuery over a FILE streaming source (distributed feed, no
+    // driver-side collect): all events in batch 1, then a far-future
+    // sentinel file lands in the source directory as batch 2 and pushes
+    // the watermark past every real window so append mode finalizes
+    // them; the sentinel's own window never closes, so the emitted rows
+    // equal the batch hourly aggregate (the oracle).
     "q31_stream_windowed" -> ((s, dir) => {
       import s.implicits._
-      implicit val sqlCtx = s.sqlContext
       val ev = Tables.events(s, dir)
         .select(col("ts"), col("event_type"), col("value"))
-        .as[(java.sql.Timestamp, String, Double)].collect()
-      val maxTs = ev.map(_._1.getTime).max
-      val sentinel = (new java.sql.Timestamp(maxTs + 3 * 3600 * 1000L), "__sentinel", 0.0)
-      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String, Double)]
+      val tmp = stageDir("q31_events")
+      ev.write.mode("overwrite").parquet(tmp)
+      val input = s.readStream.schema(ev.schema).parquet(tmp)
       val name = "q31_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = graft.streaming.StreamAggregates.windowedEventStats(
-          input.toDS().toDF("ts", "event_type", "value"))
+      val q = graft.streaming.StreamAggregates.windowedEventStats(input)
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       try {
-        input.addData(ev.toSeq); q.processAllAvailable()
-        input.addData(sentinel); q.processAllAvailable()
-      } finally q.stop()
+        q.processAllAvailable()
+        val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+        val sentinel = new java.sql.Timestamp(maxTs.getTime + 3 * 3600 * 1000L)
+        Seq((sentinel, "__sentinel", 0.0)).toDF("ts", "event_type", "value")
+          .coalesce(1).write.mode("append").parquet(tmp)
+        q.processAllAvailable()
+      } finally { q.stop(); rmTree(tmp) }
       s.table(name)
     }),
 

@@ -39,5 +39,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash16"),
+      (exprs: Seq[Expression]) => SimHash16(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs.head)))
   }
 }

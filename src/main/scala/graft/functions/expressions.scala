@@ -145,6 +145,115 @@ case class Shingles(child: Expression, k: Int)
   override def prettyName: String = "shingles"
 }
 
+/** 16-bit SimHash of a token array, tf-weighted — the fused, map-side
+  * form of the explode → tf-groupBy → 16-bit-sum aggregation: since each
+  * occurrence of a token contributes its own ±1 to every bit-sum,
+  * summing ±1 per ELEMENT equals summing tf·(±1) per DISTINCT token, so
+  * no tf map (and no shuffle) is needed at all. Per-token base hash is
+  * [[Md5Long]] mod 2^31-1, identical to the DuckDB oracle's
+  * `('0x'||substring(md5(tok),1,15))::BIGINT % p`. Turns SimHash into a
+  * pure per-row map — the shape that scales: zero shuffles, and the
+  * integer bit-sums are order-independent by construction.
+  */
+case class SimHash16(child: Expression)
+    extends UnaryExpression with RequiresInputType
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def requiredType: DataType = ArrayType(StringType)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got $other")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val sums = new Array[Long](16)
+    var i = 0
+    while (i < n) {
+      val h = Md5Long.hash(arr.getUTF8String(i).getBytes) % MinHashSig.prime
+      var j = 0
+      while (j < 16) {
+        if (((h >> j) & 1L) == 1L) sums(j) += 1L else sums(j) -= 1L
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 16) { if (sums(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash16"
+}
+
+/** Full MinHash signature of a shingle array in one pass — the map-side
+  * form of explode → groupBy(doc) → 16 min() columns. For each shingle,
+  * h = [[Md5Long]] mod p, slot i takes min((h·aᵢ + bᵢ) mod p); the perm
+  * constants live in [[MinHashSig.perms]] and are shared with the
+  * generated DuckDB oracle. NULL for an empty array (a doc with no
+  * shingles has no signature — same as the groupBy form, where it has no
+  * row). Eliminates the signature shuffle entirely: at 100 TB the only
+  * shuffle left in MinHash-LSH dedup is the banding join itself.
+  */
+case class MinHashSig(child: Expression)
+    extends UnaryExpression with RequiresInputType
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def requiredType: DataType = ArrayType(StringType)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got $other")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val p = MinHashSig.prime
+    val as = MinHashSig.permA
+    val bs = MinHashSig.permB
+    val mins = Array.fill(as.length)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = Md5Long.hash(arr.getUTF8String(i).getBytes) % p
+      var j = 0
+      while (j < as.length) {
+        val v = (h * as(j) + bs(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSig {
+  /** MinHash field prime 2^31-1 and the 16 fixed (a,b) permutation
+    * constants (arbitrary-but-fixed, coprime with p) — the single source
+    * of truth shared by the Spark plans AND the generated oracle SQL
+    * (see `graft.operators.Dedup`).
+    */
+  val prime = 2147483647L
+  val perms: Seq[(Long, Long)] = Seq(
+    (1103515245L % prime, 12345L), (214013L, 2531011L), (69069L, 362437L),
+    (1664525L, 1013904223L), (22695477L, 1L), (134775813L, 1L),
+    (1103515425L % prime, 336577L), (747796405L, 907633385L),
+    (40692L, 3345L), (40014L, 12211L), (48271L, 557L), (16807L, 78125L),
+    (65539L, 1234567L), (69621L, 233L), (630360016L, 998244353L),
+    (397204094L, 1000000007L))
+  private[functions] val permA: Array[Long] = perms.map(_._1).toArray
+  private[functions] val permB: Array[Long] = perms.map(_._2).toArray
+}
+
 /** MurmurHash2 (public algorithm by Austin Appleby), 32-bit, with the
   * seed Kafka's default partitioner uses, so partition routing matches a
   * Kafka Streams deployment byte-for-byte.

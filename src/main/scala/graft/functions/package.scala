@@ -38,6 +38,18 @@ package object functions {
   def md5_long(c: Column): Column =
     call_function("graft_md5_long", toBytes(c))
 
+  /** 16-bit tf-weighted SimHash of a token-array column — map-side, no
+    * shuffle (fused equivalent of explode → tf groupBy → 16 bit-sums).
+    */
+  def simhash16(toks: Column): Column =
+    call_function("graft_simhash16", toks)
+
+  /** 16-slot MinHash signature (array<long>) of a shingle-array column —
+    * map-side, no shuffle; NULL for empty arrays.
+    */
+  def minhash_sig(shingles: Column): Column =
+    call_function("graft_minhash_sig", shingles)
+
   /** Codegen'd cosine similarity of two vector columns (cast to
     * `array<double>` so arithmetic is double end-to-end).
     */
