@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, AsOfJoin, Dedup, Denormalize, Multimodal, Similarity, TextAnalysis, Upsert}
+import graft.operators.{Analytics, AsOfJoin, Dedup, Denormalize, Multimodal, PipelineOps, Similarity, TextAnalysis, Upsert}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -58,10 +58,14 @@ object SparkEntry {
     "q03_denorm_right" -> ((s, dir) => denorm(s, dir).rightOuter),
     "q04_denorm_full" -> ((s, dir) => denorm(s, dir).fullOuter),
 
-    // O8 upsert: latest event per user (compacted-topic semantics)
+    // O8 upsert: latest event per user (compacted-topic semantics).
+    // max_by-struct aggregation, not a row_number window: partial
+    // aggregation collapses versions map-side, so the shuffle carries
+    // one row per (partition, key) instead of every version — the
+    // difference that matters when a 100 TB log has deep key histories.
     "q05_upsert_latest" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      Upsert.latestPerKey(ev, Seq(col("user_id")), Seq(col("ts_ns"), col("event_id")))
+      Upsert.latestPerKeyAgg(ev, Seq("user_id"), struct(col("ts_ns"), col("event_id")))
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), unix_micros(col("ts")).as("ts_us"))
     }),
@@ -69,7 +73,7 @@ object SparkEntry {
     // full reference pipeline in batch: upsert both sides then FK-join
     "q06_denorm_upsert" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val latest = Upsert.latestPerKey(ev, Seq(col("user_id")), Seq(col("ts_ns"), col("event_id")))
+      val latest = Upsert.latestPerKeyAgg(ev, Seq("user_id"), struct(col("ts_ns"), col("event_id")))
         .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
       Denormalize.builder(latest, Tables.load(s, dir, "customer"), rightKey = "c_custkey")
         .joinOn(df => df("user_id"))
@@ -141,8 +145,8 @@ object SparkEntry {
     // (user, type) in arrival order
     "q15_dedup_firstseen" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      Upsert.firstSeen(ev, Seq(col("user_id"), col("event_type")),
-          Seq(col("ts_ns"), col("event_id")))
+      Upsert.firstSeenAgg(ev, Seq("user_id", "event_type"),
+          struct(col("ts_ns"), col("event_id")))
         .select(col("user_id"), col("event_type"), col("event_id"),
           col("value"), unix_micros(col("ts")).as("ts_us"))
     }),
@@ -208,6 +212,20 @@ object SparkEntry {
     "q36_json_extract" -> ((s, dir) => Analytics.eventProps(s, dir)),
     "q37_window_funcs" -> ((s, dir) => Analytics.eventWindowFuncs(s, dir)),
     "q38_cube" -> ((s, dir) => Analytics.orderCube(s, dir)),
+
+    // ---- round 2: more training-data-pipeline surface ----
+    // deterministic train/val/test split (pure map, zero shuffles)
+    "q39_hash_split" -> ((s, dir) => PipelineOps.hashSplit(s, dir)),
+    // range join via hour-binning (range predicate → equi-join)
+    "q40_incident_range_join" -> ((s, dir) => PipelineOps.incidentEvents(s, dir)),
+    // TF-IDF keyword extraction (top-3 terms per doc)
+    "q41_tfidf_topterms" -> ((s, dir) => PipelineOps.tfidfTopTerms(s, dir)),
+    // near-dup clusters: connected components over the PPJoin pairs
+    "q42_dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
+    // the skew-salted denormalization (same answer as q01 by design:
+    // salting must never change join semantics, only data placement)
+    "q43_denorm_salted" -> ((s, dir) =>
+      denorm(s, dir).withSkewSalting(8).inner),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -293,5 +311,10 @@ object SparkEntry {
     "q36_json_extract" -> Analytics.eventPropsSql,
     "q37_window_funcs" -> Analytics.eventWindowFuncsSql,
     "q38_cube" -> Analytics.orderCubeSql,
+    "q39_hash_split" -> PipelineOps.hashSplitSql(),
+    "q40_incident_range_join" -> PipelineOps.incidentEventsSql(),
+    "q41_tfidf_topterms" -> PipelineOps.tfidfTopTermsSql(),
+    "q42_dedup_clusters" -> Dedup.dedupClustersSql(),
+    "q43_denorm_salted" -> denormOracle("JOIN"),
   )
 }

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data-pipeline operators beyond the dedup/similarity/text
+  * families: deterministic dataset splitting, range-join tagging, and
+  * TF-IDF keyword extraction. Like every graft operator, each has a
+  * cell-exact DuckDB oracle built from the same constants.
+  */
+object PipelineOps {
+
+  // ---- deterministic hash split (train/val/test) ----
+
+  /** Assign every document to train/val/test by a hash of its id —
+    * the standard way to make a split that is (a) stable under
+    * re-runs and data re-ordering, (b) consistent across every stage
+    * of a pipeline without coordination, and (c) leak-free as new data
+    * arrives (a doc's split never changes). Pure per-row map: zero
+    * shuffles at any scale. Buckets use [[graft.functions.md5_long]]
+    * mod 100 (md5 is the portable hash — identical in DuckDB).
+    */
+  def hashSplit(s: SparkSession, dir: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        (graft.functions.md5_long(col("doc_id")) % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+
+  def hashSplitSql(trainPct: Int = 80, valPct: Int = 10): String =
+    s"""SELECT doc_id,
+          ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket,
+          CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < $trainPct THEN 'train'
+               WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < ${trainPct + valPct} THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents"""
+
+  // ---- range join via binning ----
+
+  /** Tag every event that falls inside an "incident window" (an hour
+    * with >= `minErrors` error events) — the bad-crawl-window filter of
+    * a real ingest pipeline, and a RANGE JOIN (`e.ts ∈ [start, end)`)
+    * by nature. Implemented with the binning trick that makes range
+    * joins scale: because windows are hour-aligned, mapping each event
+    * to its hour bin turns the range predicate into an EQUI-join, so
+    * the plan is a broadcast hash join instead of the O(|E|·|W|)
+    * nested-loop a naive range condition forces. (For windows of
+    * arbitrary length, the same trick bins at the window-length
+    * granularity and replicates each window to the bins it overlaps.)
+    * The oracle states the range-join semantics directly.
+    */
+  def incidentEvents(s: SparkSession, dir: String, minErrors: Int = 5): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val windows = ev.filter(col("event_type") === "error")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_errors"))
+      .filter(col("n_errors") >= minErrors)
+    ev.join(broadcast(windows), date_trunc("hour", col("ts")) === col("h"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("h"), "yyyy-MM-dd HH").as("hour"), col("n_errors"))
+  }
+
+  def incidentEventsSql(minErrors: Int = 5): String =
+    s"""WITH w AS (
+          SELECT date_trunc('hour', ts) AS h, count(*) AS n_errors
+          FROM events WHERE event_type = 'error'
+          GROUP BY 1 HAVING count(*) >= $minErrors)
+        SELECT e.event_id, e.user_id, strftime(w.h, '%Y-%m-%d %H') AS hour, w.n_errors
+        FROM events e JOIN w ON e.ts >= w.h AND e.ts < w.h + INTERVAL 1 HOUR"""
+
+  // ---- TF-IDF keyword extraction ----
+
+  /** Top-k terms per document by TF-IDF (idf as the raw N/df ratio —
+    * log-free so the score is bit-identical across engines; the
+    * ranking is the same monotone order either way). Shuffles: one on
+    * (doc, term) for tf, one on term for df, one on doc for the top-k
+    * window — each on the natural key, all partial-aggregated
+    * map-side. At 100 TB the df table is vocabulary-sized (millions of
+    * rows, not billions) so the tf⋈df join broadcasts.
+    */
+  def tfidfTopTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("rank"), col("tfidf"))
+  }
+
+  def tfidfTopTermsSql(k: Int = 3): String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, term, tf::DOUBLE * (n_docs::DOUBLE / df::DOUBLE) AS tfidf
+          FROM tf JOIN df USING (term) CROSS JOIN n)
+        SELECT doc_id, term,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank,
+               tfidf
+        FROM scored
+        QUALIFY rank <= $k"""
+}

@@ -52,4 +52,14 @@ object Upsert {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Aggregation-based first-seen (min_by): map-side partial combine —
+    * the mirror of [[latestPerKeyAgg]] for the seen-set semantics.
+    */
+  def firstSeenAgg(df: DataFrame, keys: Seq[String], arrival: Column): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(payload, arrival).as("__row"))
+      .select(df.columns.map(c => col(s"__row.$c")): _*)
+  }
 }

@@ -112,3 +112,57 @@ class MultimodalSpec extends SparkSpec {
     assert(df.count() == 500)
   }
 }
+
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("hashSplit is a stable total assignment with sane proportions") {
+    val a = PipelineOps.hashSplit(spark, dir).collect()
+    val b = PipelineOps.hashSplit(spark, dir).collect()
+    assert(a.map(r => (r.getLong(0), r.getString(2))).toMap ==
+      b.map(r => (r.getLong(0), r.getString(2))).toMap) // deterministic
+    assert(a.forall(r => { val bk = r.getLong(1); bk >= 0 && bk < 100 }))
+    val bySplit = a.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+  }
+
+  test("incidentEvents binned equi-join equals the naive range join") {
+    val binned = PipelineOps.incidentEvents(spark, dir, minErrors = 2)
+      .select("event_id").as[Long].collect().toSet
+    // naive formulation with an explicit range predicate
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, dir)
+    val w = ev.filter(col("event_type") === "error")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+    val naive = ev.join(w,
+        col("ts") >= col("h") && col("ts") < col("h") + expr("INTERVAL 1 HOUR"))
+      .select("event_id").as[Long].collect().toSet
+    assert(binned == naive)
+    assert(binned.nonEmpty)
+  }
+
+  test("tfidf emits ranked top-k terms per document") {
+    val real = PipelineOps.tfidfTopTerms(spark, dir, k = 3).collect()
+    assert(real.nonEmpty)
+    val byDoc = real.groupBy(_.getLong(0))
+    assert(byDoc.values.forall(_.length <= 3))
+    assert(byDoc.values.forall(rs => rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length)))
+    // scores within a doc are non-increasing with rank
+    assert(byDoc.values.forall { rs =>
+      val sorted = rs.sortBy(_.getInt(2)).map(_.getDouble(3))
+      sorted.zip(sorted.tail).forall { case (x, y) => x >= y }
+    })
+  }
+
+  test("connectedComponents labels chains and separates components") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert((1L to 6L).forall(got(_) == 1L)) // 6-chain converges to min label
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(got.size == 8)
+  }
+}
