@@ -31,6 +31,21 @@ object SparkEntry {
     }
   }
 
+  /** Run `body` with a temporarily lowered shuffle-partition count.
+    * Streaming state is partitioned by the shuffle-partition conf
+    * captured when the query starts, and every micro-batch commits one
+    * state file per partition — so state partitions should track the
+    * KEY CARDINALITY and state size, not the batch CPU width. On a
+    * real cluster this is sized once per topology (the reference's
+    * 4-partition index topic is the same decision); here the local
+    * harness uses 8.
+    */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_denorm_inner")(spark, "/root/testdata/sf0.001")
@@ -126,9 +141,11 @@ object SparkEntry {
       idx.write.mode("overwrite").parquet(tmp)
       val input = s.readStream.schema(idx.schema).parquet(tmp).as[IndexRecord]
       val name = "q08_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = StreamDenormalize.joined(input, "inner")
-        .writeStream.format("memory").queryName(name).outputMode("append").start()
-      try q.processAllAvailable() finally { q.stop(); rmTree(tmp) }
+      withStatePartitions(s, 8) {
+        val q = StreamDenormalize.joined(input, "inner")
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try q.processAllAvailable() finally { q.stop(); rmTree(tmp) }
+      }
       StreamDenormalize.parsed(s.table(name).as[JoinedRecord], ev.schema, cust.schema)
         .select(col("left.*"), col("right.*"))
     }),
@@ -192,16 +209,18 @@ object SparkEntry {
       ev.write.mode("overwrite").parquet(tmp)
       val input = s.readStream.schema(ev.schema).parquet(tmp)
       val name = "q31_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = graft.streaming.StreamAggregates.windowedEventStats(input)
-        .writeStream.format("memory").queryName(name).outputMode("append").start()
-      try {
-        q.processAllAvailable()
-        val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
-        val sentinel = new java.sql.Timestamp(maxTs.getTime + 3 * 3600 * 1000L)
-        Seq((sentinel, "__sentinel", 0.0)).toDF("ts", "event_type", "value")
-          .coalesce(1).write.mode("append").parquet(tmp)
-        q.processAllAvailable()
-      } finally { q.stop(); rmTree(tmp) }
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.StreamAggregates.windowedEventStats(input)
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+          val sentinel = new java.sql.Timestamp(maxTs.getTime + 3 * 3600 * 1000L)
+          Seq((sentinel, "__sentinel", 0.0)).toDF("ts", "event_type", "value")
+            .coalesce(1).write.mode("append").parquet(tmp)
+          q.processAllAvailable()
+        } finally { q.stop(); rmTree(tmp) }
+      }
       s.table(name)
     }),
 

@@ -1,0 +1,50 @@
+package graft
+
+/** Pins the physical-plan properties the scale design depends on: these
+  * assert the plan SHAPE (shuffle count, broadcast choice, pushdown,
+  * top-k operator), so a regression that silently de-optimizes a query
+  * fails a test even though results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("map-only operators have zero shuffles (hash split, simhash, minhash sigs)") {
+    for (q <- Seq("q39_hash_split", "q22_dedup_simhash", "q24_dedup_minhash_sigs")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q should be shuffle-free:\n$p")
+    }
+  }
+
+  test("binned range join plans as a broadcast hash join, not a nested loop") {
+    val p = plan("q40_incident_range_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("star join broadcasts the dimension chain") {
+    val p = plan("q12_revenue_by_nation")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q10_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("\nSort"), p)
+  }
+
+  test("filter and projection reach the parquet scan") {
+    val p = plan("q13_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(event_type)") || p.contains("EqualTo(event_type"), p)
+  }
+
+  test("aggregations partial-aggregate before the exchange") {
+    val p = plan("q09_agg_pricing")
+    val aggBeforeExchange = p.indexOf("HashAggregate") < p.indexOf("Exchange") ||
+      p.contains("partial_sum")
+    assert(aggBeforeExchange, p)
+  }
+}
