@@ -245,6 +245,8 @@ object SparkEntry {
     // salting must never change join semantics, only data placement)
     "q43_denorm_salted" -> ((s, dir) =>
       denorm(s, dir).withSkewSalting(8).inner),
+    // multimodal frame sampling: 1→N generator over payload windows
+    "q44_frame_sample" -> ((s, dir) => Multimodal.frameSample(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -335,5 +337,6 @@ object SparkEntry {
     "q41_tfidf_topterms" -> PipelineOps.tfidfTopTermsSql(),
     "q42_dedup_clusters" -> Dedup.dedupClustersSql(),
     "q43_denorm_salted" -> denormOracle("JOIN"),
+    "q44_frame_sample" -> Multimodal.frameSampleSql(),
   )
 }

@@ -248,6 +248,19 @@ object Analytics {
               sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total
        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
 
+  /** HyperLogLog++ approximate distinct counts — the sketch family for
+    * counts over data too large to exact-count (hash-based, mergeable,
+    * fixed memory per group). No DuckDB oracle (sketch estimates are
+    * implementation-defined); the accuracy contract (relative error vs
+    * exact, set by `rsd`) is pinned by a unit test instead.
+    */
+  def approxDistinctUsers(s: SparkSession, dir: String, rsd: Double = 0.02): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        count(lit(1)).as("n_events"))
+
   /** Hourly tumbling-window aggregate over the event stream (batch
     * analog of a watermarked windowed agg; string-formatted hour for
     * oracle-stable comparison).

@@ -91,6 +91,34 @@ object Multimodal {
   def balanceBySize(df: DataFrame, partitions: Int): DataFrame =
     df.repartitionByRange(partitions, octet_length(col("payload")), col("doc_id"))
 
+  /** Oracle-checkable frame sampling: every `stride`-th fixed-size
+    * window of each document's payload, with a digest per frame — the
+    * video-frame-extraction shape (1→N generator) as a relational
+    * query. Frames are cut on the character dimension so both engines
+    * window identically; the binary-payload face of the same op is
+    * [[sampleFrames]].
+    */
+  def frameSample(s: SparkSession, dir: String,
+      frameChars: Int = 128, stride: Int = 2): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          expr(s"greatest((length(text) + ${frameChars - 1}) div $frameChars, 1)").cast("int") - 1,
+          lit(stride))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(expr(s"substring(text, frame_idx * $frameChars + 1, $frameChars)")).as("frame_md5"),
+        length(expr(s"substring(text, frame_idx * $frameChars + 1, $frameChars)")).as("frame_chars"))
+
+  def frameSampleSql(frameChars: Int = 128, stride: Int = 2): String =
+    s"""WITH f AS (
+          SELECT doc_id, text,
+                 unnest(range(0, greatest((length(text) + ${frameChars - 1}) // $frameChars, 1), $stride)) AS frame_idx
+          FROM documents)
+        SELECT doc_id, frame_idx,
+               md5(substring(text, (frame_idx * $frameChars + 1)::INT, $frameChars)) AS frame_md5,
+               length(substring(text, (frame_idx * $frameChars + 1)::INT, $frameChars)) AS frame_chars
+        FROM f"""
+
   /** Oracle-checkable metadata/digest query over the media table. */
   def metaDigest(s: SparkSession, dir: String): DataFrame =
     mediaTable(s, dir).select(
