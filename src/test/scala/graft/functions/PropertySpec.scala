@@ -45,3 +45,75 @@ object HashProperties extends Properties("graft.hashes") {
       v >= 0 && v == java.lang.Long.parseLong(hex, 16)
     }
 }
+
+/** Property tests for the map-side signature expressions: each is
+  * checked against an independent plain-Scala reference implementation
+  * of the documented semantics (tf-weighted SimHash; per-permutation
+  * MinHash minima).
+  */
+object SignatureProperties extends Properties("graft.signatures") {
+
+  private val tokGen: Gen[String] = Gen.oneOf(
+    Gen.alphaLowerStr.map(_.take(8)), Gen.numStr.map(_.take(4)), Gen.const(""))
+  private val toksGen: Gen[List[String]] = Gen.listOf(tokGen)
+
+  private def md5Mod(s: String): Long =
+    Md5Long.hash(s.getBytes("UTF-8")) % MinHashSig.prime
+
+  private def refSimhash(toks: List[String]): Long = {
+    // reference form: tf per DISTINCT token, tf*(±1) per bit
+    val tf = toks.groupBy(identity).view.mapValues(_.size.toLong)
+    val sums = new Array[Long](16)
+    for ((tok, n) <- tf; h = md5Mod(tok); j <- 0 until 16)
+      sums(j) += (if (((h >> j) & 1L) == 1L) n else -n)
+    (0 until 16).map(j => if (sums(j) > 0) 1L << j else 0L).sum
+  }
+
+  private def refMinhash(shingles: List[String]): Option[Seq[Long]] =
+    if (shingles.isEmpty) None
+    else Some(MinHashSig.perms.map { case (a, b) =>
+      shingles.map(s => (md5Mod(s) * a + b) % MinHashSig.prime).min
+    })
+
+  private def evalExpr(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      toks: List[String]): Any = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+    e.eval(org.apache.spark.sql.catalyst.InternalRow(arr))
+  }
+
+  private val child = org.apache.spark.sql.catalyst.expressions.BoundReference(
+    0, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType),
+    nullable = false)
+
+  property("SimHash16 expression == reference tf-weighted formulation") =
+    forAll(toksGen) { toks =>
+      evalExpr(SimHash16(child), toks) == refSimhash(toks)
+    }
+
+  property("MinHashSig expression == per-permutation minima (null on empty)") =
+    forAll(toksGen) { toks =>
+      val got = evalExpr(MinHashSig(child), toks)
+      refMinhash(toks) match {
+        case None => got == null
+        case Some(ref) =>
+          got.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toLongArray.toSeq == ref
+      }
+    }
+
+  property("SimHash16 is permutation-invariant") =
+    forAll(toksGen) { toks =>
+      evalExpr(SimHash16(child), toks) == evalExpr(SimHash16(child), toks.reverse)
+    }
+
+  property("MinHashSig is duplication- and order-invariant (set semantics)") =
+    forAll(toksGen.suchThat(_.nonEmpty)) { toks =>
+      val a = evalExpr(MinHashSig(child), toks)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+      val b = evalExpr(MinHashSig(child), toks.reverse ++ toks)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+      a == b
+    }
+}

@@ -166,3 +166,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.size == 8)
   }
 }
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    for ((a, b) <- edges) { adj(a) += b; adj(b) += a }
+    val label = scala.collection.mutable.Map.empty[Long, Long]
+    for (start <- adj.keys.toSeq.sorted if !label.contains(start)) {
+      // BFS the whole component, label with its min id
+      var frontier = Set(start); var seen = Set(start)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(adj).diff(seen)
+        seen ++= frontier
+      }
+      val m = seen.min
+      seen.foreach(label(_) = m)
+    }
+    label.toMap
+  }
+
+  test("connectedComponents matches brute-force closure on random graphs") {
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 5) {
+      val n = 5 + rnd.nextInt(30)
+      val edges = Seq.fill(n) {
+        val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val got = Dedup.connectedComponents(edges.toDF("a_id", "b_id"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == bruteComponents(edges), s"trial $trial edges=$edges")
+    }
+  }
+}

@@ -166,3 +166,40 @@ class StreamDenormalizeSpec extends SparkSpec {
       assert((e.left, e.right) == expected(k), s"key $k")
   }
 }
+
+/** The q08 harness shape at test scale: a FILE streaming source feeding
+  * the stateful join across many micro-batches — state carry-over,
+  * cross-batch re-emit, and convergence to the relational answer under
+  * an arbitrary file-to-batch partitioning of the input.
+  */
+class FileSourceStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("multi-batch file-source feed converges to the batch inner join") {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val cust = graft.Tables.load(spark, dir, "customer")
+    val idx = StreamDenormalize.indexStream(
+      ev, col("event_id"), col("user_id"), col("event_id") + lit(1000000000L),
+      cust, col("c_custkey"), col("c_custkey"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fss").toString
+    idx.repartition(6).write.mode("overwrite").parquet(tmp)
+    val input = spark.readStream.schema(idx.schema)
+      .option("maxFilesPerTrigger", "1") // force ≥6 micro-batches
+      .parquet(tmp).as[IndexRecord]
+    val q = StreamDenormalize.joined(input, "inner")
+      .writeStream.format("memory").queryName("fss_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("fss_out").as[JoinedRecord].collect()
+      .map(r => r.outKey).toSet
+    val batch = ev.join(cust, ev("user_id") === cust("c_custkey"))
+      .select(col("event_id").cast("string")).as[String].collect().toSet
+    // every joined left is emitted exactly once across batches: uniques
+    // can't double-emit (in-batch dedup within, single right per FK across)
+    assert(streamed == batch)
+    val emissions = spark.table("fss_out").as[JoinedRecord].collect().map(_.outKey)
+    assert(emissions.length == emissions.distinct.length, "duplicate emissions")
+  }
+}
