@@ -247,6 +247,10 @@ object SparkEntry {
       denorm(s, dir).withSkewSalting(8).inner),
     // multimodal frame sampling: 1→N generator over payload windows
     "q44_frame_sample" -> ((s, dir) => Multimodal.frameSample(s, dir)),
+    // set operations: INTERSECT/EXCEPT cohort algebra
+    "q45_set_ops" -> ((s, dir) => Analytics.purchaserCohorts(s, dir)),
+    // sliding event-time windows (2h window, 1h slide)
+    "q46_sliding_windows" -> ((s, dir) => Analytics.slidingEventStats(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -338,5 +342,7 @@ object SparkEntry {
     "q42_dedup_clusters" -> Dedup.dedupClustersSql(),
     "q43_denorm_salted" -> denormOracle("JOIN"),
     "q44_frame_sample" -> Multimodal.frameSampleSql(),
+    "q45_set_ops" -> Analytics.purchaserCohortsSql,
+    "q46_sliding_windows" -> Analytics.slidingEventStatsSql,
   )
 }

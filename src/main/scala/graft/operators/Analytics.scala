@@ -248,6 +248,52 @@ object Analytics {
               sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total
        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
 
+  /** Set operations (INTERSECT / EXCEPT): cohort algebra over user
+    * sets — both plan as existence joins (semi/anti under the hood)
+    * after hash-partitioning on the full row, so they scale like any
+    * keyed shuffle.
+    */
+  def purchaserCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def usersOf(t: String) =
+      ev.filter(col("event_type") === t).select(col("user_id")).distinct()
+    val purchasers = usersOf("purchase")
+    val viewers = usersOf("view")
+    purchasers.intersect(viewers).withColumn("cohort", lit("purchase_and_view"))
+      .unionAll(purchasers.except(viewers).withColumn("cohort", lit("purchase_no_view")))
+  }
+
+  val purchaserCohortsSql: String =
+    """WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+       SELECT user_id, 'purchase_and_view' AS cohort FROM (SELECT * FROM p INTERSECT SELECT * FROM v)
+       UNION ALL
+       SELECT user_id, 'purchase_no_view' AS cohort FROM (SELECT * FROM p EXCEPT SELECT * FROM v)"""
+
+  /** Sliding event-time windows (2 h length, 1 h slide) — each event
+    * contributes to length/slide windows; Spark's native `window()`
+    * generator handles the fan-out. The oracle replicates each event to
+    * its two covering windows explicitly.
+    */
+  def slidingEventStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(money)).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  val slidingEventStatsSql: String =
+    """WITH w AS (
+         SELECT event_type, value,
+                unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR, date_trunc('hour', ts)]) AS ws
+         FROM events)
+       SELECT strftime(ws, '%Y-%m-%d %H') AS win_start, event_type,
+              count(*) AS n, sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+       FROM w GROUP BY 1, 2"""
+
   /** HyperLogLog++ approximate distinct counts — the sketch family for
     * counts over data too large to exact-count (hash-based, mergeable,
     * fixed memory per group). No DuckDB oracle (sketch estimates are
