@@ -26,7 +26,8 @@ object SparkEntry {
     import scala.jdk.CollectionConverters._
     val root = Paths.get(path)
     if (Files.exists(root)) {
-      val all = Files.walk(root).iterator().asScala.toSeq
+      val stream = Files.walk(root)
+      val all = try stream.iterator().asScala.toSeq finally stream.close()
       all.sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
     }
   }

@@ -86,7 +86,7 @@ object PipelineOps {
   def tfidfTopTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     val tf = docs
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))

@@ -34,7 +34,7 @@ class PlanSpec extends SparkSpec {
   test("top-k plans as TakeOrderedAndProject (no global sort)") {
     val p = plan("q10_topk_orders")
     assert(p.contains("TakeOrderedAndProject"), p)
-    assert(!p.contains("\nSort"), p)
+    assert(!p.contains("Sort ["), p) // a Sort node would print as "Sort [ordering...]"
   }
 
   test("filter and projection reach the parquet scan") {
@@ -45,8 +45,8 @@ class PlanSpec extends SparkSpec {
 
   test("aggregations partial-aggregate before the exchange") {
     val p = plan("q09_agg_pricing")
-    val aggBeforeExchange = p.indexOf("HashAggregate") < p.indexOf("Exchange") ||
-      p.contains("partial_sum")
-    assert(aggBeforeExchange, p)
+    // the map-side combine prints its functions as partial_*; a plan
+    // that shuffles full rows to a single final aggregate has none
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
   }
 }

@@ -201,3 +201,13 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 }
+
+class ConnectedComponentsEmptySpec extends graft.SparkSpec {
+  import spark.implicits._
+  test("connectedComponents on an empty pair set returns an empty frame") {
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(empty)
+    assert(got.columns.toSeq == Seq("doc_id", "cluster_id"))
+    assert(got.count() == 0)
+  }
+}
