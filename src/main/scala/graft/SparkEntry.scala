@@ -16,10 +16,18 @@ object SparkEntry {
   /** Fresh staging directory for the streaming queries' file sources
     * (the local stand-in for a Kafka topic: written distributed, read
     * back by a file streaming source — no data ever rides in a task
-    * closure).
+    * closure). Prefers tmpfs (/dev/shm) when available: staging and
+    * checkpoint traffic is fsync-bound on a disk-backed /tmp, and a
+    * Kafka/cloud deployment would equally not pay local-disk fsyncs on
+    * the driver for it.
     */
-  private def stageDir(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+  private def stageDir(tag: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, s"graft_$tag").toString
+  }
 
   private def rmTree(path: String): Unit = {
     import java.nio.file.{Files, Paths}
@@ -142,10 +150,13 @@ object SparkEntry {
       idx.write.mode("overwrite").parquet(tmp)
       val input = s.readStream.schema(idx.schema).parquet(tmp).as[IndexRecord]
       val name = "q08_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = stageDir("q08_ckpt")
       withStatePartitions(s, 8) {
         val q = StreamDenormalize.joined(input, "inner")
-          .writeStream.format("memory").queryName(name).outputMode("append").start()
-        try q.processAllAvailable() finally { q.stop(); rmTree(tmp) }
+          .writeStream.format("memory").queryName(name).outputMode("append")
+          .option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable()
+        finally { q.stop(); rmTree(tmp); rmTree(ckpt) }
       }
       StreamDenormalize.parsed(s.table(name).as[JoinedRecord], ev.schema, cust.schema)
         .select(col("left.*"), col("right.*"))
@@ -210,9 +221,11 @@ object SparkEntry {
       ev.write.mode("overwrite").parquet(tmp)
       val input = s.readStream.schema(ev.schema).parquet(tmp)
       val name = "q31_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = stageDir("q31_ckpt")
       withStatePartitions(s, 8) {
         val q = graft.streaming.StreamAggregates.windowedEventStats(input)
-          .writeStream.format("memory").queryName(name).outputMode("append").start()
+          .writeStream.format("memory").queryName(name).outputMode("append")
+          .option("checkpointLocation", ckpt).start()
         try {
           q.processAllAvailable()
           val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
@@ -220,7 +233,7 @@ object SparkEntry {
           Seq((sentinel, "__sentinel", 0.0)).toDF("ts", "event_type", "value")
             .coalesce(1).write.mode("append").parquet(tmp)
           q.processAllAvailable()
-        } finally { q.stop(); rmTree(tmp) }
+        } finally { q.stop(); rmTree(tmp); rmTree(ckpt) }
       }
       s.table(name)
     }),
@@ -252,6 +265,8 @@ object SparkEntry {
     "q45_set_ops" -> ((s, dir) => Analytics.purchaserCohorts(s, dir)),
     // sliding event-time windows (2h window, 1h slide)
     "q46_sliding_windows" -> ((s, dir) => Analytics.slidingEventStats(s, dir)),
+    // explicit grouping sets (the general form rollup/cube specialize)
+    "q47_grouping_sets" -> ((s, dir) => Analytics.orderGroupingSets(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -345,5 +360,6 @@ object SparkEntry {
     "q44_frame_sample" -> Multimodal.frameSampleSql(),
     "q45_set_ops" -> Analytics.purchaserCohortsSql,
     "q46_sliding_windows" -> Analytics.slidingEventStatsSql,
+    "q47_grouping_sets" -> Analytics.orderGroupingSetsSql,
   )
 }

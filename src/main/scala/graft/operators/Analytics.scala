@@ -236,6 +236,23 @@ object Analytics {
               ntile(4) OVER w AS quartile
        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"""
 
+  /** Explicit grouping sets (the general form rollup/cube specialize):
+    * per-status totals, per-priority totals, and the grand total in one
+    * pass — Spark expands to a union-free Expand node, one shuffle.
+    */
+  def orderGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(money)).cast("double").as("total"))
+
+  val orderGroupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total
+       FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+
   /** Full cube over order status × priority. */
   def orderCube(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "orders")
