@@ -83,13 +83,17 @@ object Multimodal {
     }
   }
 
-  /** Size-aware repartitioning: blob tables are size-skewed (a few huge
-    * videos among millions of thumbnails); range-partition by payload
-    * size so each task gets a comparable byte budget rather than a
-    * comparable row count.
+  /** Spread a size-skewed blob table evenly across tasks. Range
+    * partitioning BY size is the wrong tool here (it equalizes row
+    * counts and concentrates all the large blobs into the top range —
+    * maximal byte skew); a uniform hash of the id balances bytes in
+    * expectation whenever each task holds many blobs, with residual
+    * skew bounded by the single largest blob (which no row-level
+    * partitioning can subdivide — oversized media needs chunking at
+    * ingest, cf. [[sampleFrames]]).
     */
   def balanceBySize(df: DataFrame, partitions: Int): DataFrame =
-    df.repartitionByRange(partitions, octet_length(col("payload")), col("doc_id"))
+    df.repartition(partitions, col("doc_id"))
 
   /** Oracle-checkable frame sampling: every `stride`-th fixed-size
     * window of each document's payload, with a digest per frame — the

@@ -176,7 +176,7 @@ object Similarity {
       .sortBy(_._1).zipWithIndex.map { case ((_, v), i) => (i, v.toArray) }
     for (_ <- 1 to iterations) {
       val bc = s.sparkContext.broadcast(cents)
-      val assigned = corpus.map { case (_, v) =>
+      val assigned = corpus.map { case (id, v) =>
         val arr = v.toArray
         var best = 0; var bestD = Double.MaxValue
         for ((ci, cv) <- bc.value) {
@@ -184,18 +184,19 @@ object Similarity {
           while (i < arr.length) { val t = arr(i) - cv(i); d += t * t; i += 1 }
           if (d < bestD) { bestD = d; best = ci }
         }
-        (best, arr)
+        (best, id, arr)
       }
       val updated = assigned.groupByKey(_._1)
         .mapGroups { (ci, rows) =>
-          var n = 0L
-          var sum: Array[Double] = null
-          rows.foreach { case (_, v) =>
-            if (sum == null) sum = new Array[Double](v.length)
+          // accumulate in vec_id order: shuffle fetch order is
+          // nondeterministic and double addition isn't associative, so
+          // an unordered sum would make centroids differ run to run
+          val sorted = rows.toArray.sortBy(_._2)
+          val sum = new Array[Double](sorted.head._3.length)
+          for ((_, _, v) <- sorted) {
             var i = 0; while (i < v.length) { sum(i) += v(i); i += 1 }
-            n += 1
           }
-          var i = 0; while (i < sum.length) { sum(i) /= n; i += 1 }
+          var i = 0; while (i < sum.length) { sum(i) /= sorted.length; i += 1 }
           (ci, sum)
         }.collect()
       // empty clusters keep their previous centroid

@@ -28,22 +28,27 @@ object KafkaWiring {
     * unknown fields ignored, missing fields null — `from_json` semantics
     * match the reference's Jackson config, `dto/Comment.java:5-6`).
     *
-    * `seq` orders records across BOTH source topics: record timestamp
-    * (ms) as the major key, offset folded in as a deterministic
-    * tiebreak. Raw offsets alone would be incomparable between topics
-    * and partitions. This approximates arrival order; the reference
-    * gets a true per-FK total order only because both sides funnel
-    * through ONE FK-partitioned index topic — deployments needing that
-    * exact guarantee should materialize the index topic
+    * Ordering: `seq` (record timestamp, ms) is the cross-topic major
+    * order — raw offsets alone would be incomparable between topics and
+    * partitions — and `tie` (the raw offset) breaks ties EXACTLY in
+    * per-partition offset order, which is what per-key state
+    * correctness requires (one key lives in one topic-partition, so two
+    * updates of the same key always compare by offset when timestamps
+    * collide). Use LogAppendTime on the source topics if producer
+    * clocks can't be trusted for the major order. The cross-topic
+    * interleaving remains an approximation of arrival order; the
+    * reference gets a true per-FK total order only because both sides
+    * funnel through ONE FK-partitioned index topic — deployments
+    * needing that exact guarantee should materialize the index topic
     * (`writeTopic` + re-read) rather than union two sources.
     */
   def decode(kafkaRecords: DataFrame, schema: StructType): DataFrame =
     kafkaRecords.select(
       col("key").cast("string").as("record_key"),
       from_json(col("value").cast("string"), schema).as("v"),
-      (unix_millis(col("timestamp")) * lit(1048576L) +
-        pmod(col("offset"), lit(1048576L))).as("seq"))
-      .select(col("record_key"), col("seq"), col("v.*"))
+      unix_millis(col("timestamp")).as("seq"),
+      col("offset").as("tie"))
+      .select(col("record_key"), col("seq"), col("tie"), col("v.*"))
 
   /** Shape a DataFrame for a Kafka sink: `keyExpr` → binary key,
     * remaining columns JSON-encoded as the value (O16).
@@ -85,7 +90,8 @@ object KafkaWiring {
     val left = decode(readTopic(spark, bootstrap, leftTopic), leftSchema)
     val right = decode(readTopic(spark, bootstrap, rightTopic), rightSchema)
     val index = StreamDenormalize.indexStream(
-      left, leftKey, leftFk, col("seq"), right, rightKey, col("seq"))
+      left, leftKey, leftFk, col("seq"), right, rightKey, col("seq"),
+      leftTie = col("tie"), rightTie = col("tie"))
     val joined = StreamDenormalize.parsed(
       StreamDenormalize.joined(index, joinType), leftSchema, rightSchema)
     writeTopic(

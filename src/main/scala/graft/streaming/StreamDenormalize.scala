@@ -12,7 +12,8 @@ import org.apache.spark.sql.types.StructType
   * `seq` is the arrival order (Kafka offset parity — the reference relies
   * on per-partition offset order, `JoinTransformer.java:138`).
   */
-case class IndexRecord(fk: String, isLeft: Boolean, key: String, value: String, seq: Long)
+case class IndexRecord(fk: String, isLeft: Boolean, key: String, value: String,
+    seq: Long, tie: Long = 0L)
 
 /** One emitted join result. `left`/`right` are JSON payloads (null for
   * the missing side of outer emissions, `JoinTransformer.java:159-166,192-196`);
@@ -76,18 +77,19 @@ object StreamDenormalize {
     */
   def indexStream(
       left: DataFrame, leftKey: Column, leftFk: Column, leftSeq: Column,
-      right: DataFrame, rightKey: Column, rightSeq: Column): Dataset[IndexRecord] = {
+      right: DataFrame, rightKey: Column, rightSeq: Column,
+      leftTie: Column = lit(0L), rightTie: Column = lit(0L)): Dataset[IndexRecord] = {
     import left.sparkSession.implicits._
     val l = left.select(
       leftFk.cast("string").as("fk"), lit(true).as("isLeft"),
       leftKey.cast("string").as("key"),
       to_json(struct(left.columns.map(col): _*)).as("value"),
-      leftSeq.cast("long").as("seq"))
+      leftSeq.cast("long").as("seq"), leftTie.cast("long").as("tie"))
     val r = right.select(
       rightKey.cast("string").as("fk"), lit(false).as("isLeft"),
       rightKey.cast("string").as("key"),
       to_json(struct(right.columns.map(col): _*)).as("value"),
-      rightSeq.cast("long").as("seq"))
+      rightSeq.cast("long").as("seq"), rightTie.cast("long").as("tie"))
     l.unionAll(r).as[IndexRecord]
   }
 
@@ -126,8 +128,12 @@ object StreamDenormalize {
           // right-only emissions use the zeroed marker, as in
           // JoinKey.java:55
           val emittedInBatch = scala.collection.mutable.HashSet.empty[String]
-          // offset-order processing parity (JoinTransformer.java:138)
-          for (rec <- records.toSeq.sortBy(_.seq)) {
+          // offset-order processing parity (JoinTransformer.java:138):
+          // seq is the cross-source major order (e.g. record timestamp),
+          // tie the exact per-partition order (e.g. Kafka offset) — the
+          // pair is monotone in offset within a partition, which is what
+          // per-key state correctness requires
+          for (rec <- records.toSeq.sortBy(r => (r.seq, r.tie))) {
             if (rec.isLeft) {
               st = st.copy(lefts = st.lefts + (rec.key -> rec.value))
               val claimed =

@@ -106,7 +106,7 @@ class MultimodalSpec extends SparkSpec {
     assert(one.forall(f => f.payload.length == 64 || f.frame_idx == totalFrames - 1))
   }
 
-  test("balanceBySize range-partitions by payload size") {
+  test("balanceBySize repartitions to the requested width") {
     val df = Multimodal.balanceBySize(Multimodal.mediaTable(spark, dir), 4)
     assert(df.rdd.getNumPartitions == 4)
     assert(df.count() == 500)

@@ -40,6 +40,14 @@ class ScaleOpsSpec extends SparkSpec {
     assert(frames.keys.forall(_._2 % 2 == 0))
   }
 
+  test("balanceBySize spreads blobs across the requested partitions") {
+    val df = Multimodal.balanceBySize(Multimodal.mediaTable(spark, dir), 4)
+    assert(df.rdd.getNumPartitions == 4)
+    // hash spread: no partition holds more than half the corpus
+    val sizes = df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(sizes.forall(_ < 1000), sizes.mkString(","))
+  }
+
   test("bucketed tables co-locate the join: no shuffle in the plan") {
     val wh = java.nio.file.Files.createTempDirectory("graft_buckets").toString
     val o = Tables.load(spark, dir, "orders")
