@@ -267,6 +267,9 @@ object SparkEntry {
     "q46_sliding_windows" -> ((s, dir) => Analytics.slidingEventStats(s, dir)),
     // explicit grouping sets (the general form rollup/cube specialize)
     "q47_grouping_sets" -> ((s, dir) => Analytics.orderGroupingSets(s, dir)),
+    // capstone: the composed curation decision (quality + language +
+    // exact-dup + near-dup clusters → keep/drop with reasons)
+    "q48_curation" -> ((s, dir) => PipelineOps.curation(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -361,5 +364,6 @@ object SparkEntry {
     "q45_set_ops" -> Analytics.purchaserCohortsSql,
     "q46_sliding_windows" -> Analytics.slidingEventStatsSql,
     "q47_grouping_sets" -> Analytics.orderGroupingSetsSql,
+    "q48_curation" -> PipelineOps.curationSql(),
   )
 }

@@ -73,6 +73,55 @@ object PipelineOps {
         SELECT e.event_id, e.user_id, strftime(w.h, '%Y-%m-%d %H') AS hour, w.n_errors
         FROM events e JOIN w ON e.ts >= w.h AND e.ts < w.h + INTERVAL 1 HOUR"""
 
+  // ---- end-to-end curation (the capstone composition) ----
+
+  /** The full training-data curation decision, composed from the
+    * operator families: quality scoring + language ID + exact-dup
+    * canonicalization + near-dup clustering, joined per document into a
+    * single keep/drop verdict with reasons. This is the query a real
+    * pipeline runs nightly; everything upstream is itself
+    * oracle-checked, and the composition reuses those exact operators
+    * (one scan each, broadcast of the tiny cluster table).
+    */
+  def curation(s: SparkSession, dir: String,
+      minQuality: Double = 0.5): DataFrame = {
+    val quality = TextAnalysis.qualityScores(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val lang = TextAnalysis.languageId(s, dir)
+      .select(col("doc_id"), col("detected_lang"))
+    val exact = Dedup.exactCanonical(s, dir)
+      .select(col("doc_id"), col("is_dup"))
+    val clusters = Dedup.dedupClusters(s, dir)
+    quality
+      .join(lang, "doc_id")
+      .join(exact, "doc_id")
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .withColumn("near_dup_cluster", coalesce(col("cluster_id"), lit(-1L)))
+      .withColumn("keep",
+        (col("quality") >= minQuality &&
+          col("detected_lang") =!= "und" &&
+          col("is_dup") === 0 &&
+          (col("cluster_id").isNull || col("cluster_id") === col("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("n_tokens"), col("quality"),
+        col("detected_lang"), col("is_dup"), col("near_dup_cluster"), col("keep"))
+  }
+
+  def curationSql(minQuality: Double = 0.5): String =
+    s"""WITH RECURSIVE ${Dedup.dedupClustersCtes()},
+        clusters AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+        q AS (${TextAnalysis.qualityScoresSql}),
+        l AS (${TextAnalysis.languageIdSql}),
+        e AS (${Dedup.exactCanonicalSql})
+        SELECT q.doc_id, q.n_tokens, q.quality, l.detected_lang, e.is_dup,
+               coalesce(c.cluster_id, -1) AS near_dup_cluster,
+               (q.quality >= $minQuality AND l.detected_lang <> 'und'
+                 AND e.is_dup = 0
+                 AND (c.cluster_id IS NULL OR c.cluster_id = q.doc_id))::INT AS keep
+        FROM q
+        JOIN l ON q.doc_id = l.doc_id
+        JOIN e ON q.doc_id = e.doc_id
+        LEFT JOIN clusters c ON q.doc_id = c.doc_id"""
+
   // ---- TF-IDF keyword extraction ----
 
   /** Top-k terms per document by TF-IDF (idf as the raw N/df ratio —
