@@ -224,7 +224,7 @@ object SparkEntry {
       // starts; maxFilesPerTrigger = (#event files) puts it alone in
       // micro-batch 2 (file sources process in modification order), so
       // one processAllAvailable drives both batches
-      val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
       val sentinel = new java.sql.Timestamp(maxTs.getTime + 3 * 3600 * 1000L)
       val nEventFiles = new java.io.File(tmp).listFiles()
         .count(_.getName.endsWith(".parquet"))

@@ -81,7 +81,7 @@ object Similarity {
   def ivfTopKTrained(s: SparkSession, dir: String, k: Int = defaultK): DataFrame = {
     import s.implicits._
     val corpus = emb(s, dir)
-    val cents = s.createDataset(kmeansCentroids(s, dir).map { case (i, v) => (i, v.toSeq) })
+    val cents = s.createDataset(kmeansCentroids(s, dir).toSeq.map { case (i, v) => (i, v.toSeq) })
       .toDF("cent_id", "cv")
       .select(col("cent_id").cast("long").as("cent_id"), col("cv").as("cv"))
     ivfSearch(corpus, cents, k)
