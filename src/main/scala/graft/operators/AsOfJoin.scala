@@ -37,10 +37,10 @@ object AsOfJoin {
     val rAligned = left.columns.foldLeft(r)((df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
     val unioned = lAligned.select(
-      (left.columns.map(col) ++ rightPayload.map(col) ++
+      (left.columns.map(col).toSeq ++ rightPayload.map(col) ++
         Seq(col(leftKey).as("__k"), col("__t"), col("__side"), col("__tb"))): _*)
       .unionByName(rAligned.select(
-        (left.columns.map(col) ++ rightPayload.map(col) ++
+        (left.columns.map(col).toSeq ++ rightPayload.map(col) ++
           Seq(col(rightKey).as("__k"), col("__t"), col("__side"), col("__tb"))): _*))
     // rights sort before lefts at equal time (__side 0 < 1), and later
     // tiebreak wins among equal right times
@@ -59,7 +59,7 @@ object AsOfJoin {
         when(col("__side") === 0, payloadStruct).otherwise(lit(null).cast(payloadType)))
       .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
     swept.filter(col("__side") === 1)
-      .select(left.columns.map(col) ++ rightPayload.map(c => col(s"__p.$c").as(c)): _*)
+      .select(left.columns.map(col).toSeq ++ rightPayload.map(c => col(s"__p.$c").as(c)): _*)
   }
 
   /** events as-of-joined to the customer's latest preceding order. */

@@ -104,7 +104,7 @@ final case class Denormalize(
     val l = {
       val base = l0.withColumn("__fk", fkOf(l0))
       if (salted) base.withColumn("__salt",
-        pmod(xxhash64(l0.columns.map(col): _*), lit(saltBuckets)).cast("int"))
+        pmod(xxhash64(l0.columns.map(col).toSeq: _*), lit(saltBuckets)).cast("int"))
       else base
     }
     val r1 = {

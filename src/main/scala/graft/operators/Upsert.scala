@@ -36,10 +36,10 @@ object Upsert {
     * (compose a struct for multi-column versions).
     */
   def latestPerKeyAgg(df: DataFrame, keys: Seq[String], version: Column): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.map(col).toSeq: _*)
     df.groupBy(keys.map(col): _*)
       .agg(max_by(payload, version).as("__row"))
-      .select(df.columns.map(c => col(s"__row.$c")): _*)
+      .select(df.columns.map(c => col(s"__row.$c")).toSeq: _*)
   }
 
   /** Ingestion-style seen-set dedup (SURVEY.md §2 O21,
@@ -57,9 +57,9 @@ object Upsert {
     * the mirror of [[latestPerKeyAgg]] for the seen-set semantics.
     */
   def firstSeenAgg(df: DataFrame, keys: Seq[String], arrival: Column): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.map(col).toSeq: _*)
     df.groupBy(keys.map(col): _*)
       .agg(min_by(payload, arrival).as("__row"))
-      .select(df.columns.map(c => col(s"__row.$c")): _*)
+      .select(df.columns.map(c => col(s"__row.$c")).toSeq: _*)
   }
 }

@@ -83,12 +83,12 @@ object StreamDenormalize {
     val l = left.select(
       leftFk.cast("string").as("fk"), lit(true).as("isLeft"),
       leftKey.cast("string").as("key"),
-      to_json(struct(left.columns.map(col): _*)).as("value"),
+      to_json(struct(left.columns.map(col).toSeq: _*)).as("value"),
       leftSeq.cast("long").as("seq"), leftTie.cast("long").as("tie"))
     val r = right.select(
       rightKey.cast("string").as("fk"), lit(false).as("isLeft"),
       rightKey.cast("string").as("key"),
-      to_json(struct(right.columns.map(col): _*)).as("value"),
+      to_json(struct(right.columns.map(col).toSeq: _*)).as("value"),
       rightSeq.cast("long").as("seq"), rightTie.cast("long").as("tie"))
     l.unionAll(r).as[IndexRecord]
   }
