@@ -281,6 +281,39 @@ object SparkEntry {
     // oracle — Lloyd's iterations aren't SQL-expressible — so this is
     // a rows-only check like q07; recall vs brute force is unit-tested.
     "q49_ann_ivf_trained" -> ((s, dir) => Similarity.ivfTopKTrained(s, dir)),
+    // q08's stateful FK join on the transformWithState core (Spark 4's
+    // modern stateful API: ValueState point-get + MapState prefix-scan,
+    // RocksDB state store) — same oracle, different state backend.
+    "q50_stream_denorm_tws" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming._
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val cust = Tables.load(s, dir, "customer")
+      val idx = StreamDenormalize.indexStream(
+        ev, col("event_id"), col("user_id"), col("event_id") + lit(1000000000L),
+        cust, col("c_custkey"), col("c_custkey"))
+      val tmp = stageDir("q50_idx")
+      idx.write.mode("overwrite").parquet(tmp)
+      val input = s.readStream.schema(idx.schema).parquet(tmp).as[IndexRecord]
+      val name = "q50_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = stageDir("q50_ckpt")
+      val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try withStatePartitions(s, 8) {
+        val q = TwsDenormalize.joined(input, "inner")
+          .writeStream.format("memory").queryName(name).outputMode("append")
+          .option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable()
+        finally { q.stop(); rmTree(tmp); rmTree(ckpt) }
+      } finally prevProvider match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      StreamDenormalize.parsed(s.table(name).as[JoinedRecord], ev.schema, cust.schema)
+        .select(col("left.*"), col("right.*"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -376,5 +409,9 @@ object SparkEntry {
     "q46_sliding_windows" -> Analytics.slidingEventStatsSql,
     "q47_grouping_sets" -> Analytics.orderGroupingSetsSql,
     "q48_curation" -> PipelineOps.curationSql(),
+    "q50_stream_denorm_tws" ->
+      """SELECT event_id, user_id, event_type, value,
+                c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM events JOIN customer ON user_id = c_custkey""",
   )
 }

@@ -118,59 +118,88 @@ object StreamDenormalize {
       }
   }
 
+  /** Abstract view of one FK group's state, so the SAME join algorithm
+    * drives both cores: the flatMapGroupsWithState path (immutable
+    * snapshot in [[DenormState]]) and the transformWithState path
+    * (RocksDB-backed ValueState/MapState, [[TwsDenormalize]]).
+    */
+  private[streaming] trait DenormStateAccess {
+    def rightValue: Option[String]
+    def setRight(v: String): Unit
+    def putLeft(k: String, v: String): Unit
+    def leftsSorted: Seq[(String, String)]
+  }
+
+  /** The join algorithm itself (shared by both state backends).
+    *
+    * O14 per-batch dedup: complete join key = (fk, leftKey); right-only
+    * emissions use the zeroed marker, as in JoinKey.java:55.
+    * Offset-order processing parity (JoinTransformer.java:138): seq is
+    * the cross-source major order (e.g. record timestamp), tie the
+    * exact per-partition order (e.g. Kafka offset) — the pair is
+    * monotone in offset within a partition, which is what per-key state
+    * correctness requires.
+    */
+  private[streaming] def processRecords(
+      records: Seq[IndexRecord], st: DenormStateAccess,
+      emitLeftNull: Boolean, emitRightNull: Boolean,
+      strictBatchDedup: Boolean): Iterator[JoinedRecord] = {
+    val out = Seq.newBuilder[JoinedRecord]
+    val emittedInBatch = scala.collection.mutable.HashSet.empty[String]
+    for (rec <- records.sortBy(r => (r.seq, r.tie))) {
+      if (rec.isLeft) {
+        st.putLeft(rec.key, rec.value)
+        val claimed =
+          if (strictBatchDedup) emittedInBatch.add(rec.key) // marks even on miss
+          else !emittedInBatch.contains(rec.key)
+        if (claimed) {
+          st.rightValue match {
+            case Some(rv) =>
+              if (!strictBatchDedup) emittedInBatch.add(rec.key)
+              out += JoinedRecord(rec.key, rec.value, rv, rec.seq)
+            case None if emitLeftNull =>
+              if (!strictBatchDedup) emittedInBatch.add(rec.key)
+              out += JoinedRecord(rec.key, rec.value, null, rec.seq)
+            case None => // inner/right_outer: drop (JoinTransformer.java:163-165)
+          }
+        }
+      } else {
+        st.setRight(rec.value)
+        // prefix-scan fan-out (JoinTransformer.java:168-186)
+        var matched = 0
+        for ((lk, lv) <- st.leftsSorted) {
+          if (emittedInBatch.add(lk)) {
+            out += JoinedRecord(lk, lv, rec.value, rec.seq)
+            matched += 1
+          }
+        }
+        // right-outer emission keys off what this call actually
+        // EMITTED (reference: matched.isEmpty, JoinTransformer.java:192),
+        // not off stored state — lefts may exist yet all be
+        // suppressed by the in-batch dedup. Not itself deduped
+        // (:192-196 has no ensureJoinUniqueInBatch call).
+        if (matched == 0 && emitRightNull)
+          out += JoinedRecord(null, null, rec.value, rec.seq)
+      }
+    }
+    out.result().iterator
+  }
+
   private def processGroup(
       fk: String, records: Iterator[IndexRecord], state: GroupState[DenormState],
       emitLeftNull: Boolean, emitRightNull: Boolean,
       strictBatchDedup: Boolean): Iterator[JoinedRecord] = {
-          var st = state.getOption.getOrElse(DenormState(None, Map.empty))
-          val out = Seq.newBuilder[JoinedRecord]
-          // O14 per-batch dedup: complete join key = (fk, leftKey);
-          // right-only emissions use the zeroed marker, as in
-          // JoinKey.java:55
-          val emittedInBatch = scala.collection.mutable.HashSet.empty[String]
-          // offset-order processing parity (JoinTransformer.java:138):
-          // seq is the cross-source major order (e.g. record timestamp),
-          // tie the exact per-partition order (e.g. Kafka offset) — the
-          // pair is monotone in offset within a partition, which is what
-          // per-key state correctness requires
-          for (rec <- records.toSeq.sortBy(r => (r.seq, r.tie))) {
-            if (rec.isLeft) {
-              st = st.copy(lefts = st.lefts + (rec.key -> rec.value))
-              val claimed =
-                if (strictBatchDedup) emittedInBatch.add(rec.key) // marks even on miss
-                else !emittedInBatch.contains(rec.key)
-              if (claimed) {
-                st.rightValue match {
-                  case Some(rv) =>
-                    if (!strictBatchDedup) emittedInBatch.add(rec.key)
-                    out += JoinedRecord(rec.key, rec.value, rv, rec.seq)
-                  case None if emitLeftNull =>
-                    if (!strictBatchDedup) emittedInBatch.add(rec.key)
-                    out += JoinedRecord(rec.key, rec.value, null, rec.seq)
-                  case None => // inner/right_outer: drop (JoinTransformer.java:163-165)
-                }
-              }
-            } else {
-              st = st.copy(rightValue = Some(rec.value))
-              // prefix-scan fan-out (JoinTransformer.java:168-186)
-              var matched = 0
-              for ((lk, lv) <- st.lefts.toSeq.sortBy(_._1)) {
-                if (emittedInBatch.add(lk)) {
-                  out += JoinedRecord(lk, lv, rec.value, rec.seq)
-                  matched += 1
-                }
-              }
-              // right-outer emission keys off what this call actually
-              // EMITTED (reference: matched.isEmpty, JoinTransformer.java:192),
-              // not off stored state — lefts may exist yet all be
-              // suppressed by the in-batch dedup. Not itself deduped
-              // (:192-196 has no ensureJoinUniqueInBatch call).
-              if (matched == 0 && emitRightNull)
-                out += JoinedRecord(null, null, rec.value, rec.seq)
-            }
-          }
-          state.update(st)
-          out.result().iterator
+    var st = state.getOption.getOrElse(DenormState(None, Map.empty))
+    val access = new DenormStateAccess {
+      def rightValue: Option[String] = st.rightValue
+      def setRight(v: String): Unit = st = st.copy(rightValue = Some(v))
+      def putLeft(k: String, v: String): Unit = st = st.copy(lefts = st.lefts + (k -> v))
+      def leftsSorted: Seq[(String, String)] = st.lefts.toSeq.sortBy(_._1)
+    }
+    val out = processRecords(records.toSeq, access,
+      emitLeftNull, emitRightNull, strictBatchDedup)
+    state.update(st)
+    out
   }
 
   /** Parse the JSON payloads back to typed columns and apply the output

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** The continuously-updating FK join on Spark 4's `transformWithState`
+  * API — the modern stateful-processing core, and the 1:1 mapping of the
+  * reference's store layout (SURVEY.md §2 O8-O10): a `ValueState` holds
+  * the latest right value (the point-get, `JoinTransformer.java:147-158`)
+  * and a `MapState` holds the lefts sharing the FK (the prefix scan,
+  * `:168-186`) — where the flatMapGroupsWithState core must serialize
+  * the whole per-FK `DenormState` on every update, this one reads and
+  * writes individual state entries, so a hot FK with a million lefts
+  * updates one map entry instead of rewriting the group blob.
+  *
+  * Requires the RocksDB state store provider
+  * (`spark.sql.streaming.stateStore.providerClass =
+  * ...state.RocksDBStateStoreProvider`) — transformWithState's multiple
+  * column families are not supported by the default HDFS-backed store.
+  * The join algorithm itself is [[StreamDenormalize.processRecords]],
+  * shared verbatim with the flatMapGroupsWithState core, so the two
+  * backends cannot drift semantically.
+  */
+class DenormProcessor(joinType: String, strictBatchDedup: Boolean = true)
+    extends StatefulProcessor[String, IndexRecord, JoinedRecord] {
+
+  private val (emitLeftNull, emitRightNull) = joinType match {
+    case "inner" => (false, false)
+    case "left_outer" => (true, false)
+    case "right_outer" => (false, true)
+    case "full_outer" => (true, true)
+    case other => throw new IllegalArgumentException(
+      s"joinType must be inner|left_outer|right_outer|full_outer, got $other")
+  }
+
+  @transient private var rightValue: ValueState[String] = _
+  @transient private var lefts: MapState[String, String] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    rightValue = getHandle.getValueState[String](
+      "rightValue", Encoders.STRING, TTLConfig.NONE)
+    lefts = getHandle.getMapState[String, String](
+      "lefts", Encoders.STRING, Encoders.STRING, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[IndexRecord],
+      timerValues: TimerValues): Iterator[JoinedRecord] = {
+    val access = new StreamDenormalize.DenormStateAccess {
+      def rightValue: Option[String] =
+        if (DenormProcessor.this.rightValue.exists()) Some(DenormProcessor.this.rightValue.get())
+        else None
+      def setRight(v: String): Unit = DenormProcessor.this.rightValue.update(v)
+      def putLeft(k: String, v: String): Unit = lefts.updateValue(k, v)
+      def leftsSorted: Seq[(String, String)] = lefts.iterator().toSeq.sortBy(_._1)
+    }
+    StreamDenormalize.processRecords(rows.toSeq, access,
+      emitLeftNull, emitRightNull, strictBatchDedup)
+  }
+}
+
+object TwsDenormalize {
+
+  /** The stateful join over a keyed [[IndexRecord]] stream — same
+    * surface as [[StreamDenormalize.joined]], different state backend.
+    */
+  def joined(index: Dataset[IndexRecord], joinType: String,
+      strictBatchDedup: Boolean = true): Dataset[JoinedRecord] = {
+    import index.sparkSession.implicits._
+    index
+      .groupByKey(_.fk)
+      .transformWithState(new DenormProcessor(joinType, strictBatchDedup),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

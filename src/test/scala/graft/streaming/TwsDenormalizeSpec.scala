@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** The transformWithState core must reproduce the flatMapGroupsWithState
+  * core's semantics exactly (the algorithm is shared; these tests pin
+  * that the RocksDB-backed state wiring around it behaves identically).
+  */
+class TwsDenormalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var tableId = 0
+  private val rocksdb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Feed batches through the transformWithState join on RocksDB. */
+  private def run(joinType: String)(batches: Seq[IndexRecord]*): Seq[JoinedRecord] = {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", rocksdb)
+    try {
+      val input = MemoryStream[IndexRecord]
+      tableId += 1
+      val name = s"tws_out_$tableId"
+      val q = TwsDenormalize.joined(input.toDS(), joinType)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).as[JoinedRecord].collect().sortBy(_.seq).toSeq
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  private def L(fk: String, key: String, v: String, seq: Long) =
+    IndexRecord(fk, isLeft = true, key, v, seq)
+  private def R(fk: String, v: String, seq: Long) =
+    IndexRecord(fk, isLeft = false, fk, v, seq)
+
+  test("left then right (separate batches) → right arrival re-emits") {
+    val out = run("inner")(Seq(L("s1", "c1", "c1v1", 1)), Seq(R("s1", "s1v1", 2)))
+    assert(out == Seq(JoinedRecord("c1", "c1v1", "s1v1", 2)))
+  }
+
+  test("upsert: latest right wins, fan-out re-emits all lefts") {
+    val out = run("inner")(
+      Seq(R("s1", "s1v1", 1), L("s1", "c1", "c1v1", 2), L("s1", "c2", "c2v1", 3)),
+      Seq(R("s1", "s1v2", 4)))
+    // batch 1: both lefts join v1; batch 2: right update re-emits both with v2
+    assert(out.count(_.right == "s1v1") == 2)
+    assert(out.count(_.right == "s1v2") == 2)
+    assert(out.filter(_.right == "s1v2").map(_.outKey).sorted == Seq("c1", "c2"))
+  }
+
+  test("right-outer emits null-left only when nothing matched") {
+    val out = run("right_outer")(Seq(R("s1", "s1v1", 1)))
+    assert(out == Seq(JoinedRecord(null, null, "s1v1", 1)))
+  }
+
+  test("tws and fmgws cores agree on a mixed multi-batch sequence") {
+    val batches = Seq(
+      Seq(L("a", "l1", "v1", 1), R("b", "bv1", 2)),
+      Seq(R("a", "av1", 3), L("b", "l2", "v2", 4)),
+      Seq(L("a", "l3", "v3", 5), R("a", "av2", 6), L("b", "l2", "v2b", 7)))
+    val tws = run("full_outer")(batches: _*)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IndexRecord]
+    val q = StreamDenormalize.joined(input.toDS(), "full_outer")
+      .writeStream.format("memory").queryName("tws_cmp").outputMode("append").start()
+    try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    val fmgws = spark.table("tws_cmp").as[JoinedRecord].collect().sortBy(_.seq).toSeq
+    assert(tws == fmgws)
+  }
+}
