@@ -40,6 +40,44 @@ object SparkEntry {
     }
   }
 
+  /** Shared harness for the streaming FK-join queries (q08/q50): stage
+    * the index stream to parquet, run `core` over a file streaming
+    * source into a memory sink, parse back to typed columns. The two
+    * queries differ only in the stateful core (and q50's state-store
+    * provider), so they verify against the SAME oracle contract.
+    */
+  private def streamDenormQuery(s: SparkSession, dir: String, tag: String)(
+      core: org.apache.spark.sql.Dataset[graft.streaming.IndexRecord] =>
+        org.apache.spark.sql.Dataset[graft.streaming.JoinedRecord]): DataFrame = {
+    import s.implicits._
+    import graft.streaming._
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val cust = Tables.load(s, dir, "customer")
+    val idx = StreamDenormalize.indexStream(
+      ev, col("event_id"), col("user_id"), col("event_id") + lit(1000000000L),
+      cust, col("c_custkey"), col("c_custkey"))
+    val tmp = stageDir(s"${tag}_idx")
+    idx.write.mode("overwrite").parquet(tmp)
+    val input = s.readStream.schema(idx.schema).parquet(tmp).as[IndexRecord]
+    val name = s"${tag}_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = stageDir(s"${tag}_ckpt")
+    withStatePartitions(s, 8) {
+      val q = core(input)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable()
+      finally { q.stop(); rmTree(tmp); rmTree(ckpt) }
+    }
+    StreamDenormalize.parsed(s.table(name).as[JoinedRecord], ev.schema, cust.schema)
+      .select(col("left.*"), col("right.*"))
+  }
+
+  private val streamDenormOracle =
+    """SELECT event_id, user_id, event_type, value,
+              c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+       FROM events JOIN customer ON user_id = c_custkey"""
+
   /** Run `body` with a temporarily lowered shuffle-partition count.
     * Streaming state is partitioned by the shuffle-partition conf
     * captured when the query starts, and every micro-batch commits one
@@ -137,30 +175,9 @@ object SparkEntry {
     // sort before lefts within each FK group (rights seq = c_custkey <
     // 1e9 <= left seqs), so every left takes the point-lookup path
     // against already-stored state.
-    "q08_stream_denorm" -> ((s, dir) => {
-      import s.implicits._
-      import graft.streaming._
-      val ev = Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      val cust = Tables.load(s, dir, "customer")
-      val idx = StreamDenormalize.indexStream(
-        ev, col("event_id"), col("user_id"), col("event_id") + lit(1000000000L),
-        cust, col("c_custkey"), col("c_custkey"))
-      val tmp = stageDir("q08_idx")
-      idx.write.mode("overwrite").parquet(tmp)
-      val input = s.readStream.schema(idx.schema).parquet(tmp).as[IndexRecord]
-      val name = "q08_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val ckpt = stageDir("q08_ckpt")
-      withStatePartitions(s, 8) {
-        val q = StreamDenormalize.joined(input, "inner")
-          .writeStream.format("memory").queryName(name).outputMode("append")
-          .option("checkpointLocation", ckpt).start()
-        try q.processAllAvailable()
-        finally { q.stop(); rmTree(tmp); rmTree(ckpt) }
-      }
-      StreamDenormalize.parsed(s.table(name).as[JoinedRecord], ev.schema, cust.schema)
-        .select(col("left.*"), col("right.*"))
-    }),
+    "q08_stream_denorm" -> ((s, dir) =>
+      streamDenormQuery(s, dir, "q08")(
+        graft.streaming.StreamDenormalize.joined(_, "inner"))),
 
     // ---- beyond-reference analytics (SURVEY.md §7.7) ----
     "q09_agg_pricing" -> ((s, dir) => Analytics.aggPricing(s, dir)),
@@ -226,11 +243,20 @@ object SparkEntry {
       // one processAllAvailable drives both batches
       val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
       val sentinel = new java.sql.Timestamp(maxTs.getTime + 3 * 3600 * 1000L)
-      val nEventFiles = new java.io.File(tmp).listFiles()
-        .count(_.getName.endsWith(".parquet"))
-      Thread.sleep(5) // strictly later mtime for the sentinel file
+      val eventFiles = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      val nEventFiles = eventFiles.length
       Seq((sentinel, "__sentinel", 0.0)).toDF("ts", "event_type", "value")
         .coalesce(1).write.mode("append").parquet(tmp)
+      // batch separation must not depend on filesystem clock granularity:
+      // stamp the sentinel's mtime explicitly past every event file so the
+      // file source's modification-order sort puts it alone in batch 2
+      // (a tie would let it ride with batch 1 and drop late event rows
+      // below its watermark)
+      val maxEventMtime = eventFiles.map(_.lastModified()).max
+      new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !eventFiles.contains(f))
+        .foreach(_.setLastModified(maxEventMtime + 60000L))
       val input2 = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", nEventFiles.toString).parquet(tmp)
       val ckpt = stageDir("q31_ckpt")
@@ -285,34 +311,15 @@ object SparkEntry {
     // modern stateful API: ValueState point-get + MapState prefix-scan,
     // RocksDB state store) — same oracle, different state backend.
     "q50_stream_denorm_tws" -> ((s, dir) => {
-      import s.implicits._
-      import graft.streaming._
-      val ev = Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      val cust = Tables.load(s, dir, "customer")
-      val idx = StreamDenormalize.indexStream(
-        ev, col("event_id"), col("user_id"), col("event_id") + lit(1000000000L),
-        cust, col("c_custkey"), col("c_custkey"))
-      val tmp = stageDir("q50_idx")
-      idx.write.mode("overwrite").parquet(tmp)
-      val input = s.readStream.schema(idx.schema).parquet(tmp).as[IndexRecord]
-      val name = "q50_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val ckpt = stageDir("q50_ckpt")
       val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try withStatePartitions(s, 8) {
-        val q = TwsDenormalize.joined(input, "inner")
-          .writeStream.format("memory").queryName(name).outputMode("append")
-          .option("checkpointLocation", ckpt).start()
-        try q.processAllAvailable()
-        finally { q.stop(); rmTree(tmp); rmTree(ckpt) }
-      } finally prevProvider match {
+      try streamDenormQuery(s, dir, "q50")(
+        graft.streaming.TwsDenormalize.joined(_, "inner"))
+      finally prevProvider match {
         case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
         case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
-      StreamDenormalize.parsed(s.table(name).as[JoinedRecord], ev.schema, cust.schema)
-        .select(col("left.*"), col("right.*"))
     }),
   )
 
@@ -332,10 +339,7 @@ object SparkEntry {
            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
          SELECT user_id, event_id, event_type, value, c_name, c_nationkey, c_acctbal, c_mktsegment
          FROM latest JOIN customer ON user_id = c_custkey""",
-    "q08_stream_denorm" ->
-      """SELECT event_id, user_id, event_type, value,
-                c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-         FROM events JOIN customer ON user_id = c_custkey""",
+    "q08_stream_denorm" -> streamDenormOracle,
     "q09_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
                 sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
@@ -409,9 +413,6 @@ object SparkEntry {
     "q46_sliding_windows" -> Analytics.slidingEventStatsSql,
     "q47_grouping_sets" -> Analytics.orderGroupingSetsSql,
     "q48_curation" -> PipelineOps.curationSql(),
-    "q50_stream_denorm_tws" ->
-      """SELECT event_id, user_id, event_type, value,
-                c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-         FROM events JOIN customer ON user_id = c_custkey""",
+    "q50_stream_denorm_tws" -> streamDenormOracle,
   )
 }

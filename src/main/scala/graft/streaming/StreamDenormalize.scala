@@ -60,8 +60,10 @@ case class DenormState(
   */
 object StreamDenormalize {
 
-  /** Join-type flags, `JoinTransformer.java:72-130`. */
-  private def flags(joinType: String): (Boolean, Boolean) = joinType match {
+  /** Join-type flags, `JoinTransformer.java:72-130` (shared with the
+    * transformWithState core so the two backends use one mapping).
+    */
+  private[streaming] def flags(joinType: String): (Boolean, Boolean) = joinType match {
     case "inner" => (false, false)
     case "left_outer" => (true, false)
     case "right_outer" => (false, true)

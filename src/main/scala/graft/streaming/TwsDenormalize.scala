@@ -24,14 +24,7 @@ import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, 
 class DenormProcessor(joinType: String, strictBatchDedup: Boolean = true)
     extends StatefulProcessor[String, IndexRecord, JoinedRecord] {
 
-  private val (emitLeftNull, emitRightNull) = joinType match {
-    case "inner" => (false, false)
-    case "left_outer" => (true, false)
-    case "right_outer" => (false, true)
-    case "full_outer" => (true, true)
-    case other => throw new IllegalArgumentException(
-      s"joinType must be inner|left_outer|right_outer|full_outer, got $other")
-  }
+  private val (emitLeftNull, emitRightNull) = StreamDenormalize.flags(joinType)
 
   @transient private var rightValue: ValueState[String] = _
   @transient private var lefts: MapState[String, String] = _
@@ -46,9 +39,9 @@ class DenormProcessor(joinType: String, strictBatchDedup: Boolean = true)
   override def handleInputRows(key: String, rows: Iterator[IndexRecord],
       timerValues: TimerValues): Iterator[JoinedRecord] = {
     val access = new StreamDenormalize.DenormStateAccess {
-      def rightValue: Option[String] =
-        if (DenormProcessor.this.rightValue.exists()) Some(DenormProcessor.this.rightValue.get())
-        else None
+      // ValueState.get() returns null when absent — one store read per
+      // lookup, not an exists()+get() pair on the hot left-arrival path
+      def rightValue: Option[String] = Option(DenormProcessor.this.rightValue.get())
       def setRight(v: String): Unit = DenormProcessor.this.rightValue.update(v)
       def putLeft(k: String, v: String): Unit = lefts.updateValue(k, v)
       def leftsSorted: Seq[(String, String)] = lefts.iterator().toSeq.sortBy(_._1)
