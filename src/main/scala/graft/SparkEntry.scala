@@ -202,6 +202,10 @@ object SparkEntry {
     "q17_text_quality" -> ((s, dir) => TextAnalysis.qualityScores(s, dir)),
     "q18_text_langid" -> ((s, dir) => TextAnalysis.languageId(s, dir)),
     "q19_text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
+    "q51_text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionScores(Tables.load(s, dir, "documents"), col("text"))),
+    "q52_pii_scan" -> ((s, dir) =>
+      TextAnalysis.piiScan(Tables.load(s, dir, "documents"), col("text"))),
 
     // ---- deduplication family ----
     "q20_dedup_exact" -> ((s, dir) => Dedup.exactCanonical(s, dir)),
@@ -414,5 +418,7 @@ object SparkEntry {
     "q47_grouping_sets" -> Analytics.orderGroupingSetsSql,
     "q48_curation" -> PipelineOps.curationSql(),
     "q50_stream_denorm_tws" -> streamDenormOracle,
+    "q51_text_repetition" -> TextAnalysis.repetitionScoresSql,
+    "q52_pii_scan" -> TextAnalysis.piiScanSql,
   )
 }

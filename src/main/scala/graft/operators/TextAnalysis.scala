@@ -96,6 +96,57 @@ object TextAnalysis {
       md5(concat_ws(" ", array_sort(array_distinct(tokens(text))))).as("fingerprint"),
       md5(lower(text)).as("exact_hash"))
 
+  /** Gopher-style repetition metric: the fraction of a document's
+    * 3-gram occurrences that are duplicates (1 − distinct/total) — the
+    * classic boilerplate/repetition filter rule. Distinct 3-grams come
+    * from the native [[graft.functions.Shingles]] expression, so this is
+    * a pure per-row map like the other text metrics. NULL for docs
+    * under 3 tokens (no 3-grams to judge).
+    */
+  def repetitionScores(df: DataFrame, text: Column): DataFrame = {
+    val toksCol = tokens(text)
+    val total = greatest(size(toksCol) - lit(2), lit(0)).cast("double")
+    val distinctSh = size(graft.functions.shingles(toksCol, 3)).cast("double")
+    df.select(
+      col("doc_id"),
+      (size(toksCol) - 2).cast("int").as("n_3grams"),
+      when(total > 0, lit(1.0) - distinctSh / total).as("dup_3gram_frac"))
+  }
+
+  val repetitionScoresSql: String =
+    """SELECT doc_id,
+          (len(string_split(lower(text), ' ')) - 2)::INT AS n_3grams,
+          CASE WHEN len(string_split(lower(text), ' ')) - 2 > 0 THEN
+            1.0 - len(list_distinct(list_transform(
+                    range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1)),
+                    i -> array_to_string((string_split(lower(text), ' '))[i:i+2], ' '))))::DOUBLE
+                / (len(string_split(lower(text), ' ')) - 2)::DOUBLE
+          END AS dup_3gram_frac
+       FROM documents"""
+
+  /** PII-pattern scan: counts of email-, URL-, and long-digit-shaped
+    * substrings per document (the redaction pre-pass of a curation
+    * pipeline; patterns kept to the regex subset Java and RE2 agree
+    * on). Pure per-row map.
+    */
+  val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val urlPattern = "https?://[^ ]+"
+  val longDigitPattern = "[0-9]{6,}"
+
+  def piiScan(df: DataFrame, text: Column): DataFrame =
+    df.select(
+      col("doc_id"),
+      size(regexp_extract_all(lower(text), lit(emailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(lower(text), lit(urlPattern), lit(0))).as("n_urls"),
+      size(regexp_extract_all(lower(text), lit(longDigitPattern), lit(0))).as("n_long_digits"))
+
+  val piiScanSql: String =
+    s"""SELECT doc_id,
+          len(regexp_extract_all(lower(text), '$emailPattern')) AS n_emails,
+          len(regexp_extract_all(lower(text), '$urlPattern')) AS n_urls,
+          len(regexp_extract_all(lower(text), '$longDigitPattern')) AS n_long_digits
+        FROM documents"""
+
   // ---- oracle SQL generators (same constants) ----
 
   private def sqlList(words: Seq[String]): String =
