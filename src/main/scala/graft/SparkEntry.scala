@@ -206,6 +206,8 @@ object SparkEntry {
       TextAnalysis.repetitionScores(Tables.load(s, dir, "documents"), col("text"))),
     "q52_pii_scan" -> ((s, dir) =>
       TextAnalysis.piiScan(Tables.load(s, dir, "documents"), col("text"))),
+    // pretraining batch assembly: bucket-sharded greedy sequence packing
+    "q53_sequence_packing" -> ((s, dir) => PipelineOps.sequencePacking(s, dir)),
 
     // ---- deduplication family ----
     "q20_dedup_exact" -> ((s, dir) => Dedup.exactCanonical(s, dir)),
@@ -420,5 +422,6 @@ object SparkEntry {
     "q50_stream_denorm_tws" -> streamDenormOracle,
     "q51_text_repetition" -> TextAnalysis.repetitionScoresSql,
     "q52_pii_scan" -> TextAnalysis.piiScanSql,
+    "q53_sequence_packing" -> PipelineOps.sequencePackingSql(),
   )
 }

@@ -73,6 +73,47 @@ object PipelineOps {
         SELECT e.event_id, e.user_id, strftime(w.h, '%Y-%m-%d %H') AS hour, w.n_errors
         FROM events e JOIN w ON e.ts >= w.h AND e.ts < w.h + INTERVAL 1 HOUR"""
 
+  // ---- sequence packing (pretraining batch assembly) ----
+
+  /** Greedy concat-and-chunk sequence packing: documents are
+    * concatenated in a deterministic order and cut into fixed
+    * `seqLen`-token training sequences; each document learns which
+    * sequence it starts in and at what token offset. Packing is
+    * inherently sequential, so the scale form shards first — a hash
+    * bucket per shard, cumulative token counts within each bucket (one
+    * shuffle, parallel across buckets) — exactly how a 100 TB corpus is
+    * packed in practice (global packing would serialize the world for
+    * zero training benefit).
+    */
+  def sequencePacking(s: SparkSession, dir: String,
+      seqLen: Int = 2048, buckets: Int = 32): DataFrame = {
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        (graft.functions.md5_long(col("doc_id")) % buckets).as("bucket"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $seqLen").as("seq_idx"),
+        ((col("cum") - col("n_tokens")) % seqLen).as("seq_offset"))
+  }
+
+  def sequencePackingSql(seqLen: Int = 2048, buckets: Int = 32): String =
+    s"""WITH d AS (
+          SELECT doc_id,
+                 len(string_split(lower(text), ' '))::BIGINT AS n_tokens,
+                 ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT % $buckets AS bucket
+          FROM documents),
+        c AS (
+          SELECT *, sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+          FROM d)
+        SELECT doc_id, bucket, n_tokens,
+               ((cum - n_tokens) // $seqLen)::BIGINT AS seq_idx,
+               ((cum - n_tokens) % $seqLen)::BIGINT AS seq_offset
+        FROM c"""
+
   // ---- end-to-end curation (the capstone composition) ----
 
   /** The full training-data curation decision, composed from the
