@@ -202,10 +202,8 @@ object SparkEntry {
     "q17_text_quality" -> ((s, dir) => TextAnalysis.qualityScores(s, dir)),
     "q18_text_langid" -> ((s, dir) => TextAnalysis.languageId(s, dir)),
     "q19_text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
-    "q51_text_repetition" -> ((s, dir) =>
-      TextAnalysis.repetitionScores(Tables.load(s, dir, "documents"), col("text"))),
-    "q52_pii_scan" -> ((s, dir) =>
-      TextAnalysis.piiScan(Tables.load(s, dir, "documents"), col("text"))),
+    "q51_text_repetition" -> ((s, dir) => TextAnalysis.repetitionScores(s, dir)),
+    "q52_pii_scan" -> ((s, dir) => TextAnalysis.piiScan(s, dir)),
     // pretraining batch assembly: bucket-sharded greedy sequence packing
     "q53_sequence_packing" -> ((s, dir) => PipelineOps.sequencePacking(s, dir)),
 

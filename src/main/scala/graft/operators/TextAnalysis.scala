@@ -109,13 +109,13 @@ object TextAnalysis {
     val distinctSh = size(graft.functions.shingles(toksCol, 3)).cast("double")
     df.select(
       col("doc_id"),
-      (size(toksCol) - 2).cast("int").as("n_3grams"),
+      total.cast("int").as("n_3grams"),
       when(total > 0, lit(1.0) - distinctSh / total).as("dup_3gram_frac"))
   }
 
   val repetitionScoresSql: String =
     """SELECT doc_id,
-          (len(string_split(lower(text), ' ')) - 2)::INT AS n_3grams,
+          greatest(len(string_split(lower(text), ' ')) - 2, 0)::INT AS n_3grams,
           CASE WHEN len(string_split(lower(text), ' ')) - 2 > 0 THEN
             1.0 - len(list_distinct(list_transform(
                     range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1)),
@@ -204,4 +204,8 @@ object TextAnalysis {
     languageId(Tables.load(s, dir, "documents"), col("text"))
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     fingerprints(Tables.load(s, dir, "documents"), col("text"))
+  def repetitionScores(s: SparkSession, dir: String): DataFrame =
+    repetitionScores(Tables.load(s, dir, "documents"), col("text"))
+  def piiScan(s: SparkSession, dir: String): DataFrame =
+    piiScan(Tables.load(s, dir, "documents"), col("text"))
 }
