@@ -15,16 +15,21 @@ object Bench {
       // a failed query records -1 (visible in the JSON), never a
       // plausible-looking duration
       val secs =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
+        try {
+          // noop write, NOT count(): under count() the optimizer prunes
+          // every computed column, so a map-only query would be timed as
+          // a bare row-count scan instead of its actual work
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
         }
       name -> secs
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => Json.quote(k) + ":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.quote(sfDir)}}""")
     spark.stop()
   }
 }

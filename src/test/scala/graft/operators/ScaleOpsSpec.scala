@@ -44,8 +44,9 @@ class ScaleOpsSpec extends SparkSpec {
     val df = Multimodal.balanceBySize(Multimodal.mediaTable(spark, dir), 4)
     assert(df.rdd.getNumPartitions == 4)
     // hash spread: no partition holds more than half the corpus
+    val n = df.count()
     val sizes = df.rdd.mapPartitions(it => Iterator(it.size)).collect()
-    assert(sizes.forall(_ < 1000), sizes.mkString(","))
+    assert(sizes.forall(_ <= n / 2), sizes.mkString(","))
   }
 
   test("bucketed tables co-locate the join: no shuffle in the plan") {

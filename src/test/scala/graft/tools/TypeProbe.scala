@@ -5,7 +5,7 @@ object TypeProbe {
     spark.sparkContext.setLogLevel("ERROR")
     def p(tag: String)(f: => Unit): Unit =
       try { f; println(s"$tag -> NO ERROR (bad)") }
-      catch { case e: Throwable => println(s"$tag -> ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.next().take(110)}") }
+      catch { case e: Throwable => println(s"$tag -> ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.nextOption().getOrElse("").take(110)}") }
     p("P1 blake2b on string") { spark.sql("SELECT graft_blake2b('abc')").collect() }
     p("P2 cosine on float arrays") { spark.sql("SELECT graft_cosine_sim(array(1.0F), array(2.0F))").collect() }
     p("P3 cosine length mismatch") {
