@@ -76,3 +76,50 @@ class TwsDenormalizeSpec extends SparkSpec {
     assert(tws == fmgws)
   }
 }
+
+class TwsOuterJoinSpec extends graft.SparkSpec {
+  import spark.implicits._
+  private val rocksdb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private var tableId = 100
+
+  private def run(joinType: String)(batches: Seq[IndexRecord]*): Seq[JoinedRecord] = {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", rocksdb)
+    try {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[IndexRecord]
+      tableId += 1
+      val name = s"twso_out_$tableId"
+      val q = TwsDenormalize.joined(input.toDS(), joinType)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).as[JoinedRecord].collect().sortBy(_.seq).toSeq
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  private def L(fk: String, key: String, v: String, seq: Long) =
+    IndexRecord(fk, isLeft = true, key, v, seq)
+  private def R(fk: String, v: String, seq: Long) =
+    IndexRecord(fk, isLeft = false, fk, v, seq)
+
+  test("left-outer: missing right emits left+null, later right re-emits joined") {
+    val out = run("left_outer")(Seq(L("s1", "c1", "v1", 1)), Seq(R("s1", "rv", 2)))
+    assert(out == Seq(
+      JoinedRecord("c1", "v1", null, 1),
+      JoinedRecord("c1", "v1", "rv", 2)))
+  }
+
+  test("full-outer: both null-side emission paths work across batches") {
+    val out = run("full_outer")(
+      Seq(R("a", "av", 1)),        // no lefts yet → null-left emission
+      Seq(L("b", "l1", "bv", 2)))  // no right for b → left-null emission
+    assert(out == Seq(
+      JoinedRecord(null, null, "av", 1),
+      JoinedRecord("l1", "bv", null, 2)))
+  }
+}
