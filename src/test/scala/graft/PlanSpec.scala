@@ -44,6 +44,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("IsNotNull(event_type)") || p.contains("EqualTo(event_type"), p)
   }
 
+  test("sequence packing shuffles exactly once (the bucket shard)") {
+    val p = plan("q53_sequence_packing")
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
   test("aggregations partial-aggregate before the exchange") {
     val p = plan("q09_agg_pricing")
     // the map-side combine prints its functions as partial_*; a plan
