@@ -29,7 +29,7 @@ object SparkEntry {
     java.nio.file.Files.createTempDirectory(base, s"graft_$tag").toString
   }
 
-  private def rmTree(path: String): Unit = {
+  private[graft] def rmTree(path: String): Unit = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val root = Paths.get(path)
@@ -58,17 +58,20 @@ object SparkEntry {
       ev, col("event_id"), col("user_id"), col("event_id") + lit(1000000000L),
       cust, col("c_custkey"), col("c_custkey"))
     val tmp = stageDir(s"${tag}_idx")
-    idx.write.mode("overwrite").parquet(tmp)
-    val input = s.readStream.schema(idx.schema).parquet(tmp).as[IndexRecord]
-    val name = s"${tag}_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = stageDir(s"${tag}_ckpt")
-    withStatePartitions(s, 8) {
-      val q = core(input)
-        .writeStream.format("memory").queryName(name).outputMode("append")
-        .option("checkpointLocation", ckpt).start()
-      try q.processAllAvailable()
-      finally { q.stop(); rmTree(tmp); rmTree(ckpt) }
-    }
+    val name = s"${tag}_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // staging/checkpoint dirs are tmpfs-backed — clean them on EVERY
+    // exit path (a query that fails at start() must not leak RAM)
+    try {
+      idx.write.mode("overwrite").parquet(tmp)
+      val input = s.readStream.schema(idx.schema).parquet(tmp).as[IndexRecord]
+      withStatePartitions(s, 8) {
+        val q = core(input)
+          .writeStream.format("memory").queryName(name).outputMode("append")
+          .option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    } finally { rmTree(tmp); rmTree(ckpt) }
     StreamDenormalize.parsed(s.table(name).as[JoinedRecord], ev.schema, cust.schema)
       .select(col("left.*"), col("right.*"))
   }
@@ -127,7 +130,11 @@ object SparkEntry {
     // difference that matters when a 100 TB log has deep key histories.
     "q05_upsert_latest" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      Upsert.latestPerKeyAgg(ev, Seq("user_id"), struct(col("ts_ns"), col("event_id")))
+      // version-order on µs (+ event_id), not raw ns: the oracle can only
+      // see µs-truncated timestamps, so a ns-ordered argmax would pick a
+      // different row whenever two events of one user share a microsecond
+      Upsert.latestPerKeyAgg(ev, Seq("user_id"),
+        struct(unix_micros(col("ts")), col("event_id")))
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), unix_micros(col("ts")).as("ts_us"))
     }),
@@ -135,7 +142,8 @@ object SparkEntry {
     // full reference pipeline in batch: upsert both sides then FK-join
     "q06_denorm_upsert" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val latest = Upsert.latestPerKeyAgg(ev, Seq("user_id"), struct(col("ts_ns"), col("event_id")))
+      val latest = Upsert.latestPerKeyAgg(ev, Seq("user_id"),
+          struct(unix_micros(col("ts")), col("event_id")))
         .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
       Denormalize.builder(latest, Tables.load(s, dir, "customer"), rightKey = "c_custkey")
         .joinOn(df => df("user_id"))
@@ -192,7 +200,7 @@ object SparkEntry {
     "q15_dedup_firstseen" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       Upsert.firstSeenAgg(ev, Seq("user_id", "event_type"),
-          struct(col("ts_ns"), col("event_id")))
+          struct(unix_micros(col("ts")), col("event_id")))
         .select(col("user_id"), col("event_type"), col("event_id"),
           col("value"), unix_micros(col("ts")).as("ts_us"))
     }),
@@ -238,40 +246,51 @@ object SparkEntry {
       import s.implicits._
       val ev = Tables.events(s, dir)
         .select(col("ts"), col("event_type"), col("value"))
+      val maxTsRow = ev.agg(max(col("ts"))).head()
+      if (maxTsRow.isNullAt(0)) {
+        // empty input: no windows can ever close — the streaming result
+        // is the empty set, same as the oracle's empty aggregate
+        ev.groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), lit(0.0).as("sum_value"))
+      } else {
       val tmp = stageDir("q31_events")
-      ev.write.mode("overwrite").parquet(tmp)
-      val name = "q31_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      // the sentinel is staged as one extra file BEFORE the stream
-      // starts; maxFilesPerTrigger = (#event files) puts it alone in
-      // micro-batch 2 (file sources process in modification order), so
-      // one processAllAvailable drives both batches
-      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-      val sentinel = new java.sql.Timestamp(maxTs.getTime + 3 * 3600 * 1000L)
-      val eventFiles = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet"))
-      val nEventFiles = eventFiles.length
-      Seq((sentinel, "__sentinel", 0.0)).toDF("ts", "event_type", "value")
-        .coalesce(1).write.mode("append").parquet(tmp)
-      // batch separation must not depend on filesystem clock granularity:
-      // stamp the sentinel's mtime explicitly past every event file so the
-      // file source's modification-order sort puts it alone in batch 2
-      // (a tie would let it ride with batch 1 and drop late event rows
-      // below its watermark)
-      val maxEventMtime = eventFiles.map(_.lastModified()).max
-      new java.io.File(tmp).listFiles()
-        .filter(f => f.getName.endsWith(".parquet") && !eventFiles.contains(f))
-        .foreach(_.setLastModified(maxEventMtime + 60000L))
-      val input2 = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", nEventFiles.toString).parquet(tmp)
       val ckpt = stageDir("q31_ckpt")
-      withStatePartitions(s, 8) {
-        val q = graft.streaming.StreamAggregates.windowedEventStats(input2)
-          .writeStream.format("memory").queryName(name).outputMode("append")
-          .option("checkpointLocation", ckpt).start()
-        try q.processAllAvailable()
-        finally { q.stop(); rmTree(tmp); rmTree(ckpt) }
-      }
+      val name = "q31_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // tmpfs-backed staging/checkpoint dirs are cleaned on every exit
+      // path, including a failed stream start
+      try {
+        ev.write.mode("overwrite").parquet(tmp)
+        // the sentinel is staged as one extra file BEFORE the stream
+        // starts; maxFilesPerTrigger = (#event files) puts it alone in
+        // micro-batch 2 (file sources process in modification order), so
+        // one processAllAvailable drives both batches
+        val maxTs = maxTsRow.getTimestamp(0)
+        val sentinel = new java.sql.Timestamp(maxTs.getTime + 3 * 3600 * 1000L)
+        val eventFiles = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+        val nEventFiles = eventFiles.length
+        Seq((sentinel, "__sentinel", 0.0)).toDF("ts", "event_type", "value")
+          .coalesce(1).write.mode("append").parquet(tmp)
+        // batch separation must not depend on filesystem clock granularity:
+        // stamp the sentinel's mtime explicitly past every event file so the
+        // file source's modification-order sort puts it alone in batch 2
+        // (a tie would let it ride with batch 1 and drop late event rows
+        // below its watermark)
+        val maxEventMtime = eventFiles.map(_.lastModified()).max
+        new java.io.File(tmp).listFiles()
+          .filter(f => f.getName.endsWith(".parquet") && !eventFiles.contains(f))
+          .foreach(_.setLastModified(maxEventMtime + 60000L))
+        val input2 = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", nEventFiles.toString).parquet(tmp)
+        withStatePartitions(s, 8) {
+          val q = graft.streaming.StreamAggregates.windowedEventStats(input2)
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", ckpt).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      } finally { rmTree(tmp); rmTree(ckpt) }
       s.table(name)
+      }
     }),
 
     "q32_semi_anti" -> ((s, dir) => Analytics.customerOrderExistence(s, dir)),

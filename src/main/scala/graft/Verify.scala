@@ -13,13 +13,7 @@ object Verify {
     SparkEntry.queries.foreach { case (name, fn) =>
       // pre-delete the target so a query that now fails can never be
       // silently "verified" against a stale dump from a previous run
-      val target = new java.io.File(s"$outDir/$name")
-      if (target.exists()) {
-        val stream = Files.walk(target.toPath)
-        try stream.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-        finally stream.close()
-      }
+      SparkEntry.rmTree(s"$outDir/$name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

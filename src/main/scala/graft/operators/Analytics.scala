@@ -64,8 +64,11 @@ object Analytics {
     val o = Tables.load(s, dir, "orders")
     val c = Tables.load(s, dir, "customer")
     val n = Tables.load(s, dir, "nation")
+    // broadcast only the bounded dimension (nation: 25 rows at every SF);
+    // customer grows with SF, so the planner/AQE decides for it — an
+    // unconditional hint would OOM instead of degrading to a shuffle join
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
@@ -219,7 +222,11 @@ object Analytics {
     * frame).
     */
   def eventWindowFuncs(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns").asc, col("event_id").asc)
+    // order on µs (+ event_id), matching the oracle's visible precision —
+    // a ns-ordered frame would swap lag/lead neighbors whenever one user
+    // has two events inside the same microsecond
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")).asc, col("event_id").asc)
     Tables.events(s, dir).select(
       col("user_id"), col("event_id"), col("value"),
       lag(col("value"), 1).over(w).as("prev_value"),
