@@ -214,6 +214,9 @@ object SparkEntry {
     "q52_pii_scan" -> ((s, dir) => TextAnalysis.piiScan(s, dir)),
     // pretraining batch assembly: bucket-sharded greedy sequence packing
     "q53_sequence_packing" -> ((s, dir) => PipelineOps.sequencePacking(s, dir)),
+    // native session_window operator (streaming-capable sessionization),
+    // cross-validating the hand-rolled lag/cumsum q29 formulation
+    "q54_session_window" -> ((s, dir) => Analytics.sessionWindows(s, dir)),
 
     // ---- deduplication family ----
     "q20_dedup_exact" -> ((s, dir) => Dedup.exactCanonical(s, dir)),
@@ -440,5 +443,6 @@ object SparkEntry {
     "q51_text_repetition" -> TextAnalysis.repetitionScoresSql,
     "q52_pii_scan" -> TextAnalysis.piiScanSql,
     "q53_sequence_packing" -> PipelineOps.sequencePackingSql(),
+    "q54_session_window" -> Analytics.sessionWindowsSql(),
   )
 }

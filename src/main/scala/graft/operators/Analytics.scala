@@ -129,6 +129,45 @@ object Analytics {
         FROM sessions GROUP BY user_id, session_idx"""
   }
 
+  /** Sessionization via Spark's NATIVE session_window operator (the
+    * same operator drives streaming sessionization with watermarks) —
+    * the built-in counterpart of the hand-rolled lag/cumsum
+    * [[sessionize]]. Boundary semantics differ at exactly-gap spacing:
+    * session_window's extent is [start, last+gap) with an exclusive
+    * end, so a gap of exactly `gapMinutes` SPLITS here (the lag
+    * formulation's `> gap` rule merges it); the oracle encodes the
+    * `>=` rule to match.
+    */
+  def sessionWindows(s: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(money)).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
+
+  def sessionWindowsSql(gapMinutes: Int = 30): String = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    s"""WITH e AS (
+          SELECT user_id, value, epoch_us(ts)::BIGINT AS ts_us FROM events),
+        flagged AS (
+          SELECT *,
+            CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w >= $gapUs THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC)),
+        sessions AS (
+          SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM flagged)
+        SELECT user_id, min(ts_us) AS session_start_us,
+               count(*) AS n_events,
+               sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+        FROM sessions GROUP BY user_id, session_idx"""
+  }
+
   /** Rollup (hierarchical grouping sets) over order status/priority —
     * subtotal rows carry NULL group keys, matching SQL ROLLUP.
     */
