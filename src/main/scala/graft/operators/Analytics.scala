@@ -93,7 +93,11 @@ object Analytics {
     */
   def sessionize(s: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
     val gapUs = gapMinutes * 60L * 1000000L
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns").asc, col("event_id").asc)
+    // µs order (+ event_id) like every event query: session membership is
+    // provably insensitive to within-µs order, but the uniform convention
+    // keeps every frame aligned with what the oracle can observe
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")).asc, col("event_id").asc)
     Tables.events(s, dir)
       .withColumn("ts_us", unix_micros(col("ts")))
       .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))

@@ -117,3 +117,41 @@ object SignatureProperties extends Properties("graft.signatures") {
       a == b
     }
 }
+
+/** Property tests for the Shingles expression against an independent
+  * plain-Scala reference (sliding windows, space-joined, first-seen
+  * distinct).
+  */
+object ShingleProperties extends Properties("graft.shingles") {
+
+  private val tokGen: Gen[String] =
+    Gen.oneOf(Gen.alphaLowerStr.map(_.take(5)), Gen.const(""), Gen.const("a"))
+  private val toksGen: Gen[List[String]] = Gen.listOf(tokGen)
+
+  private def refShingles(toks: List[String], k: Int): Seq[String] =
+    if (toks.length < k) Seq.empty
+    else toks.sliding(k).map(_.mkString(" ")).toSeq.distinct
+
+  private def evalShingles(toks: List[String], k: Int): Seq[String] = {
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.unsafe.types.UTF8String
+    val child = org.apache.spark.sql.catalyst.expressions.BoundReference(
+      0, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType),
+      nullable = false)
+    val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+    Shingles(child, k).eval(org.apache.spark.sql.catalyst.InternalRow(arr))
+      .asInstanceOf[ArrayData].toArray[UTF8String](org.apache.spark.sql.types.StringType)
+      .map(_.toString).toSeq
+  }
+
+  property("Shingles == sliding-window reference for k in 1..4") =
+    forAll(toksGen, Gen.choose(1, 4)) { (toks, k) =>
+      evalShingles(toks, k) == refShingles(toks, k)
+    }
+
+  property("Shingles output is duplicate-free and order-stable") =
+    forAll(toksGen) { toks =>
+      val out = evalShingles(toks ++ toks, 3)
+      out == out.distinct
+    }
+}
