@@ -171,11 +171,15 @@ case class SimHash16(child: Expression)
     val sums = new Array[Long](16)
     var i = 0
     while (i < n) {
-      val h = Md5Long.hash(arr.getUTF8String(i).getBytes) % MinHashSig.prime
-      var j = 0
-      while (j < 16) {
-        if (((h >> j) & 1L) == 1L) sums(j) += 1L else sums(j) -= 1L
-        j += 1
+      val u = arr.getUTF8String(i)
+      if (u != null) { // null tokens contribute nothing (split() never
+        // yields them, but arbitrary user arrays may)
+        val h = Md5Long.hash(u.getBytes) % MinHashSig.prime
+        var j = 0
+        while (j < 16) {
+          if (((h >> j) & 1L) == 1L) sums(j) += 1L else sums(j) -= 1L
+          j += 1
+        }
       }
       i += 1
     }
@@ -218,17 +222,23 @@ case class MinHashSig(child: Expression)
     val as = MinHashSig.permA
     val bs = MinHashSig.permB
     val mins = Array.fill(as.length)(Long.MaxValue)
+    var any = false
     var i = 0
     while (i < n) {
-      val h = Md5Long.hash(arr.getUTF8String(i).getBytes) % p
-      var j = 0
-      while (j < as.length) {
-        val v = (h * as(j) + bs(j)) % p
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      val u = arr.getUTF8String(i)
+      if (u != null) { // skip null shingles (see SimHash16)
+        any = true
+        val h = Md5Long.hash(u.getBytes) % p
+        var j = 0
+        while (j < as.length) {
+          val v = (h * as(j) + bs(j)) % p
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
       }
       i += 1
     }
+    if (!any) return null // all-null array ≡ empty: no signature
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =

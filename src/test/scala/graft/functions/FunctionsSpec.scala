@@ -106,3 +106,26 @@ class Murmur2Spec extends SparkSpec {
     assert(Murmur2.partition("21".getBytes, 4) == (-973932308 & 0x7fffffff) % 4)
   }
 }
+
+class NullElementSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("signature expressions tolerate null array elements") {
+    val df = Seq(1).toDF("x").select(
+      graft.functions.simhash16(
+        array(lit("a"), lit(null).cast("string"), lit("b"))).as("sh"),
+      graft.functions.minhash_sig(
+        array(lit(null).cast("string"))).as("mh_allnull"),
+      graft.functions.minhash_sig(
+        array(lit("a"), lit(null).cast("string"))).as("mh_mixed"))
+    val row = df.head()
+    // null tokens contribute nothing: same as the null-free arrays
+    val clean = Seq(1).toDF("x").select(
+      graft.functions.simhash16(array(lit("a"), lit("b"))).as("sh"),
+      graft.functions.minhash_sig(array(lit("a"))).as("mh")).head()
+    assert(row.getLong(0) == clean.getLong(0))
+    assert(row.isNullAt(1)) // all-null ≡ empty → no signature
+    assert(row.getSeq[Long](2) == clean.getSeq[Long](1))
+  }
+}
