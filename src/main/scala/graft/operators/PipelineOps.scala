@@ -125,42 +125,60 @@ object PipelineOps {
     * (one scan each, broadcast of the tiny cluster table).
     */
   def curation(s: SparkSession, dir: String,
-      minQuality: Double = 0.5): DataFrame = {
+      minQuality: Double = 0.5, maxRepetition: Double = 0.3,
+      maxLongDigits: Int = 5): DataFrame = {
     val quality = TextAnalysis.qualityScores(s, dir)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
     val lang = TextAnalysis.languageId(s, dir)
       .select(col("doc_id"), col("detected_lang"))
     val exact = Dedup.exactCanonical(s, dir)
       .select(col("doc_id"), col("is_dup"))
+    val repetition = TextAnalysis.repetitionScores(s, dir)
+      .select(col("doc_id"), col("dup_3gram_frac"))
+    val pii = TextAnalysis.piiScan(s, dir)
+      .select(col("doc_id"), col("n_long_digits"))
     val clusters = Dedup.dedupClusters(s, dir)
     quality
       .join(lang, "doc_id")
       .join(exact, "doc_id")
+      .join(repetition, "doc_id")
+      .join(pii, "doc_id")
       .join(broadcast(clusters), Seq("doc_id"), "left")
       .withColumn("near_dup_cluster", coalesce(col("cluster_id"), lit(-1L)))
       .withColumn("keep",
         (col("quality") >= minQuality &&
           col("detected_lang") =!= "und" &&
           col("is_dup") === 0 &&
+          coalesce(col("dup_3gram_frac"), lit(0.0)) <= maxRepetition &&
+          col("n_long_digits") < maxLongDigits &&
           (col("cluster_id").isNull || col("cluster_id") === col("doc_id"))).cast("int"))
       .select(col("doc_id"), col("n_tokens"), col("quality"),
-        col("detected_lang"), col("is_dup"), col("near_dup_cluster"), col("keep"))
+        col("detected_lang"), col("is_dup"), col("dup_3gram_frac"),
+        col("n_long_digits"), col("near_dup_cluster"), col("keep"))
   }
 
-  def curationSql(minQuality: Double = 0.5): String =
+  def curationSql(minQuality: Double = 0.5, maxRepetition: Double = 0.3,
+      maxLongDigits: Int = 5): String =
     s"""WITH RECURSIVE ${Dedup.dedupClustersCtes()},
         clusters AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
         q AS (${TextAnalysis.qualityScoresSql}),
         l AS (${TextAnalysis.languageIdSql}),
-        e AS (${Dedup.exactCanonicalSql})
+        e AS (${Dedup.exactCanonicalSql}),
+        r AS (${TextAnalysis.repetitionScoresSql}),
+        pii AS (${TextAnalysis.piiScanSql})
         SELECT q.doc_id, q.n_tokens, q.quality, l.detected_lang, e.is_dup,
+               r.dup_3gram_frac, pii.n_long_digits,
                coalesce(c.cluster_id, -1) AS near_dup_cluster,
                (q.quality >= $minQuality AND l.detected_lang <> 'und'
                  AND e.is_dup = 0
+                 AND coalesce(r.dup_3gram_frac, 0.0) <= $maxRepetition
+                 AND pii.n_long_digits < $maxLongDigits
                  AND (c.cluster_id IS NULL OR c.cluster_id = q.doc_id))::INT AS keep
         FROM q
         JOIN l ON q.doc_id = l.doc_id
         JOIN e ON q.doc_id = e.doc_id
+        JOIN r ON q.doc_id = r.doc_id
+        JOIN pii ON q.doc_id = pii.doc_id
         LEFT JOIN clusters c ON q.doc_id = c.doc_id"""
 
   // ---- TF-IDF keyword extraction ----
