@@ -136,11 +136,11 @@ object Analytics {
   /** Sessionization via Spark's NATIVE session_window operator (the
     * same operator drives streaming sessionization with watermarks) —
     * the built-in counterpart of the hand-rolled lag/cumsum
-    * [[sessionize]]. Boundary semantics differ at exactly-gap spacing:
-    * session_window's extent is [start, last+gap) with an exclusive
-    * end, so a gap of exactly `gapMinutes` SPLITS here (the lag
-    * formulation's `> gap` rule merges it); the oracle encodes the
-    * `>=` rule to match.
+    * [[sessionize]]. Boundary semantics verified on this Spark version:
+    * an event exactly `gapMinutes` after the previous one MERGES into
+    * the session (the window extent is closed at last+gap), identical
+    * to the lag formulation's `> gap` split rule — so the oracle uses
+    * the same `>` rule as q29's.
     */
   def sessionWindows(s: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
     Tables.events(s, dir)
@@ -160,7 +160,7 @@ object Analytics {
         flagged AS (
           SELECT *,
             CASE WHEN lag(ts_us) OVER w IS NULL
-                   OR ts_us - lag(ts_us) OVER w >= $gapUs THEN 1 ELSE 0 END AS new_sess
+                   OR ts_us - lag(ts_us) OVER w > $gapUs THEN 1 ELSE 0 END AS new_sess
           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC)),
         sessions AS (
           SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC

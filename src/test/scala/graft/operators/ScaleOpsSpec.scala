@@ -73,3 +73,20 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 }
+
+class SessionWindowBoundarySpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("session_window MERGES events exactly one gap apart (pins the oracle's > rule)") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t30 = java.sql.Timestamp.valueOf("2026-01-01 00:30:00") // exactly the gap
+    val t61 = java.sql.Timestamp.valueOf("2026-01-01 01:00:01") // just past it
+    val df = Seq((1L, t0), (1L, t30), (1L, t61)).toDF("user_id", "ts")
+    val sessions = df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n")).collect()
+    // t0+t30 merge (closed extent at last+gap); t61 is 30:01 after t30 → new session
+    assert(sessions.length == 2, sessions.mkString(","))
+    assert(sessions.map(_.getAs[Long]("n")).sorted.toSeq == Seq(1L, 2L))
+  }
+}
