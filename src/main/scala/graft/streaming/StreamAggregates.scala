@@ -29,4 +29,21 @@ object StreamAggregates {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming SESSION windows: gap-merged per-user sessions finalized
+    * by the watermark — the stateful-merge variant (session extents
+    * grow and merge as events arrive, unlike fixed tumbling frames).
+    * Input columns `ts: timestamp`, `user_id: long`, `value: double`.
+    */
+  def sessionizedEventStats(events: DataFrame, gap: String = "30 minutes",
+      delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
 }
