@@ -66,40 +66,38 @@ class SkewSaltingSpec extends SparkSpec {
   }
 }
 
-class StreamSessionWindowSpec extends graft.SparkSpec {
-  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+class StreamSessionWindowSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
   import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
 
   test("streaming session windows finalize on watermark and equal the batch answer") {
     implicit val sqlCtx = spark.sqlContext
-    def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val events = Seq(
       (1L, ts("2026-01-01 00:00:00"), 1.0),
       (1L, ts("2026-01-01 00:10:00"), 2.0), // same session (10 min gap)
       (1L, ts("2026-01-01 02:00:00"), 3.0), // new session
       (2L, ts("2026-01-01 00:05:00"), 4.0))
-    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val input = MemoryStream[(Long, Timestamp, Double)]
     val q = StreamAggregates.sessionizedEventStats(
         input.toDS().toDF("user_id", "ts", "value"))
       .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
     try {
       input.addData(events)
       q.processAllAvailable()
-      // sentinel far past every session + delay → watermark closes them all
+      // sentinel far past every session + delay -> watermark closes them all
       input.addData(Seq((99L, ts("2026-01-02 12:00:00"), 0.0)))
       q.processAllAvailable()
     } finally q.stop()
     val got = spark.table("sess_out")
-      .select("user_id", "session_start_us", "n_events", "sum_value")
       .as[(Long, Long, Long, Double)].collect().toSet
-    val batch = events.toDF("user_id", "ts", "value")
-      .groupBy($"user_id", org.apache.spark.sql.functions.session_window($"ts", "30 minutes"))
-      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_events"),
-        org.apache.spark.sql.functions.sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
-      .select($"user_id", org.apache.spark.sql.functions.unix_micros($"session_window.start"),
-        $"n_events", $"sum_value")
+    // true stream-vs-batch parity: the SAME function on the batch frame
+    // (withWatermark is a no-op in batch mode)
+    val batch = StreamAggregates.sessionizedEventStats(
+        events.toDF("user_id", "ts", "value"))
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(got == batch)
-    assert(got.size == 3) // u1 × 2 sessions + u2 × 1 (sentinel's never closes)
+    assert(got.size == 3) // u1 x 2 sessions + u2 x 1 (sentinel's never closes)
   }
 }
