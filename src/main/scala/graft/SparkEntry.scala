@@ -282,7 +282,16 @@ object SparkEntry {
         val maxEventMtime = eventFiles.map(_.lastModified()).max
         new java.io.File(tmp).listFiles()
           .filter(f => f.getName.endsWith(".parquet") && !eventFiles.contains(f))
-          .foreach(_.setLastModified(maxEventMtime + 60000L))
+          .foreach { f =>
+            // setLastModified may silently fail (returns false) on some
+            // filesystems; verify the stamp actually advanced past every
+            // event file — a tie would let the sentinel ride in batch 1
+            // and drop late event rows below its watermark
+            f.setLastModified(maxEventMtime + 60000L)
+            if (f.lastModified() <= maxEventMtime) throw new IllegalStateException(
+              s"could not advance sentinel mtime past event files: ${f.getPath} " +
+                s"(${f.lastModified()} <= $maxEventMtime)")
+          }
         val input2 = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", nEventFiles.toString).parquet(tmp)
         withStatePartitions(s, 8) {

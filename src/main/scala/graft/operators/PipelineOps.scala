@@ -122,7 +122,10 @@ object PipelineOps {
     * single keep/drop verdict with reasons. This is the query a real
     * pipeline runs nightly; everything upstream is itself
     * oracle-checked, and the composition reuses those exact operators
-    * (one scan each, broadcast of the tiny cluster table).
+    * (one scan each). The cluster table gets no broadcast hint: its
+    * size scales with the corpus duplicate count, not a fixed bound,
+    * so a forced broadcast would OOM on a heavily-duplicated corpus —
+    * AQE decides at runtime from the actual size.
     */
   def curation(s: SparkSession, dir: String,
       minQuality: Double = 0.5, maxRepetition: Double = 0.3,
@@ -143,7 +146,7 @@ object PipelineOps {
       .join(exact, "doc_id")
       .join(repetition, "doc_id")
       .join(pii, "doc_id")
-      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
       .withColumn("near_dup_cluster", coalesce(col("cluster_id"), lit(-1L)))
       .withColumn("keep",
         (col("quality") >= minQuality &&
