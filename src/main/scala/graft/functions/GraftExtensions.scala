@@ -47,5 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
       (exprs: Seq[Expression]) => MinHashSig(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_intersect_size"),
+      new ExpressionInfo(classOf[IntersectSize].getName, "graft_intersect_size"),
+      (exprs: Seq[Expression]) => IntersectSize(exprs(0), exprs(1))))
   }
 }

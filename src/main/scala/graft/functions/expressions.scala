@@ -264,6 +264,55 @@ object MinHashSig {
   private[functions] val permB: Array[Long] = perms.map(_._2).toArray
 }
 
+/** Number of common elements of two string arrays (set semantics on the
+  * left: duplicates in `left` count once; graft's shingle arrays are
+  * already distinct). The fused form of
+  * `size(array_intersect(a, b))`, which allocates the intersection
+  * array only to measure it — this builds one hash set from the
+  * smaller side and counts hits in a single pass, the hot inner loop
+  * of candidate-pair verification in the similarity joins.
+  */
+case class IntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<string> inputs, got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    var x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (y.numElements() < x.numElements()) { val t = x; x = y; y = t }
+    val nx = x.numElements()
+    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](nx * 2)
+    var i = 0
+    while (i < nx) {
+      val u = x.getUTF8String(i)
+      if (u != null) set.add(u)
+      i += 1
+    }
+    var count = 0
+    val ny = y.numElements()
+    i = 0
+    while (i < ny) {
+      val u = y.getUTF8String(i)
+      // remove-on-hit: each distinct common element counts exactly once
+      // even if the larger side holds duplicates
+      if (u != null && set.remove(u)) count += 1
+      i += 1
+    }
+    count
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): IntersectSize =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "intersect_size"
+}
+
 /** MurmurHash2 (public algorithm by Austin Appleby), 32-bit, with the
   * seed Kafka's default partitioner uses, so partition routing matches a
   * Kafka Streams deployment byte-for-byte.

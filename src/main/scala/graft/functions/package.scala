@@ -50,6 +50,13 @@ package object functions {
   def minhash_sig(shingles: Column): Column =
     call_function("graft_minhash_sig", shingles)
 
+  /** Count of common elements of two array<string> columns — the fused
+    * form of `size(array_intersect(a, b))` (no intersection array is
+    * materialized).
+    */
+  def intersect_size(a: Column, b: Column): Column =
+    call_function("graft_intersect_size", a, b)
+
   /** Codegen'd cosine similarity of two vector columns (cast to
     * `array<double>` so arithmetic is double end-to-end).
     */

@@ -118,6 +118,38 @@ object SignatureProperties extends Properties("graft.signatures") {
     }
 }
 
+/** Property tests for the fused intersection-count expression against
+  * plain Scala set semantics.
+  */
+object IntersectProperties extends Properties("graft.intersect") {
+
+  private val tokGen: Gen[String] = Gen.oneOf(
+    Gen.alphaLowerStr.map(_.take(4)), Gen.const(""), Gen.const("x"))
+  private val toksGen: Gen[List[String]] = Gen.listOf(tokGen)
+
+  private def evalIntersect(a: List[String], b: List[String]): Int = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val at = org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)
+    def ref(i: Int) = org.apache.spark.sql.catalyst.expressions.BoundReference(i, at, nullable = false)
+    def arr(xs: List[String]) = new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+    IntersectSize(ref(0), ref(1))
+      .eval(org.apache.spark.sql.catalyst.InternalRow(arr(a), arr(b)))
+      .asInstanceOf[Int]
+  }
+
+  property("IntersectSize == set-intersection cardinality") =
+    forAll(toksGen, toksGen) { (a, b) =>
+      evalIntersect(a, b) == a.toSet.intersect(b.toSet).size
+    }
+
+  property("IntersectSize is symmetric and bounded by min distinct size") =
+    forAll(toksGen, toksGen) { (a, b) =>
+      val ab = evalIntersect(a, b)
+      ab == evalIntersect(b, a) && ab <= math.min(a.toSet.size, b.toSet.size)
+    }
+}
+
 /** Property tests for the Shingles expression against an independent
   * plain-Scala reference (sliding windows, space-joined, first-seen
   * distinct).

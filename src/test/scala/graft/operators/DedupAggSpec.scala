@@ -16,6 +16,28 @@ class DedupAggSpec extends SparkSpec {
   }
 }
 
+class PrefixFilterSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  private val dir = "/root/testdata/sf0.01"
+
+  test("PPJoin prefix+size+positional filters are lossless vs brute force") {
+    // brute force: every pair sharing ANY shingle, exact Jaccard filter
+    val sh = Dedup.docShingles(graft.Tables.load(spark, dir, "documents"), col("text"))
+    val inv = sh.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("s"))
+    val brute = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filtered = Dedup.exactNearDuplicates(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(filtered == brute)
+    assert(brute.nonEmpty) // sanity: the corpus has planted near-dups
+  }
+}
+
 class StreamingDedupSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
