@@ -356,6 +356,41 @@ object SparkEntry {
         case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }),
+
+    // ---- round 3: sketches, sampling, stream-stream join ----
+    // portable HyperLogLog: integer register math from the md5 base
+    // hash, so the DuckDB oracle reproduces the sketch (and estimate)
+    // cell-exactly — unlike approx_count_distinct, whose register
+    // layout is engine-internal
+    "q55_hll_distinct" -> ((s, dir) => operators.Sketches.hllDistinct(s, dir)),
+    // reproducible k-per-stratum sampling (hash = the random draw);
+    // literal rank bound → WindowGroupLimit partial top-k at scale
+    "q56_stratified_sample" -> ((s, dir) => PipelineOps.stratifiedSample(s, dir)),
+    // Bloom-filter semi-join prefilter with ground-truth verdicts
+    "q57_bloom_prune" -> ((s, dir) => operators.Sketches.bloomPrune(s, dir)),
+    // stream-stream interval join (purchases ⋈ errors of the same user
+    // within the preceding hour), run as a real StreamingQuery over two
+    // file-source streams on one staged event log; inner interval joins
+    // emit complete results once both sides are processed, so the batch
+    // range-join oracle is the exact contract
+    "q58_stream_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val tmp = stageDir("q58_events")
+      val ckpt = stageDir("q58_ckpt")
+      val name = "q58_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      try {
+        ev.write.mode("overwrite").parquet(tmp)
+        def src = s.readStream.schema(ev.schema).parquet(tmp)
+        withStatePartitions(s, 8) {
+          val q = graft.streaming.StreamAggregates.purchaseErrorJoin(src, src)
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", ckpt).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      } finally { rmTree(tmp); rmTree(ckpt) }
+      s.table(name)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -453,5 +488,16 @@ object SparkEntry {
     "q52_pii_scan" -> TextAnalysis.piiScanSql,
     "q53_sequence_packing" -> PipelineOps.sequencePackingSql(),
     "q54_session_window" -> Analytics.sessionWindowsSql(),
+    "q55_hll_distinct" -> operators.Sketches.hllDistinctSql(),
+    "q56_stratified_sample" -> PipelineOps.stratifiedSampleSql(),
+    "q57_bloom_prune" -> operators.Sketches.bloomPruneSql(),
+    "q58_stream_interval_join" ->
+      """SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id,
+                epoch_us(p.ts)::BIGINT AS purchase_us,
+                epoch_us(e.ts)::BIGINT AS error_us
+         FROM events p
+         JOIN events e ON p.user_id = e.user_id
+           AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts <= p.ts
+         WHERE p.event_type = 'purchase' AND e.event_type = 'error'""",
   )
 }

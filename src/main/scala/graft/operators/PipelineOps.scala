@@ -40,6 +40,36 @@ object PipelineOps {
                ELSE 'test' END AS split
         FROM documents"""
 
+  // ---- deterministic stratified sampling ----
+
+  /** Exact-size stratified sample: the `k` events of each event_type
+    * with the smallest id-hash — the reproducible form of "random k per
+    * stratum" (stable under re-runs, re-ordering, and partitioning,
+    * like [[hashSplit]]; the hash IS the random draw). The LITERAL
+    * rank bound matters at scale: `row_number() <= k` with a constant
+    * k is rewritten by Spark into a WindowGroupLimit — each input
+    * partition keeps only its top-k per stratum BEFORE the shuffle, so
+    * the exchange carries O(partitions·strata·k) rows, not the corpus.
+    */
+  def stratifiedSample(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("draw").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("user_id"),
+        graft.functions.md5_long(col("event_id")).as("draw"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
+  def stratifiedSampleSql(k: Int = 64): String =
+    s"""SELECT event_type, event_id, user_id,
+          ('0x' || substring(md5(event_id::VARCHAR), 1, 15))::BIGINT AS draw,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY ('0x' || substring(md5(event_id::VARCHAR), 1, 15))::BIGINT ASC,
+                     event_id ASC) AS sample_rank
+        FROM events
+        QUALIFY sample_rank <= $k"""
+
   // ---- range join via binning ----
 
   /** Tag every event that falls inside an "incident window" (an hour

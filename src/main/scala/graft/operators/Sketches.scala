@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Sketch operators with deterministic cross-engine parity: unlike
+  * `approx_count_distinct` (whose HLL++ register layout is a Spark
+  * implementation detail), these build the sketches from the portable
+  * md5 base hash with pure-integer register math, so the DuckDB oracle
+  * reproduces the sketch BIT-FOR-BIT — the estimate itself is
+  * cell-exact checkable, not just "within rsd".
+  *
+  * Scale design (100 TB):
+  *  - HLL: register maxima are computed by an ordinary two-level
+  *    groupBy — partial max per (group, register) map-side, so the
+  *    shuffle carries at most |groups|·m rows regardless of input
+  *    size; the register table is mergeable across any partitioning
+  *    (the defining sketch property).
+  *  - Bloom: the bit-position table is bounded by m (filter bits),
+  *    broadcast to the probe side; the probe is a per-row map + one
+  *    broadcast join — the distributed form of semi-join pushdown
+  *    (Spark's own runtime bloom pushdown does the same with an
+  *    opaque filter; this one is portable and oracle-checkable).
+  */
+object Sketches {
+
+  /** HyperLogLog distinct-user estimate per event_type, alongside the
+    * exact count. Registers: bucket = low `p` bits of the 60-bit md5
+    * hash; rho = 1-based position of the first set bit in the
+    * remaining `60-p` bits (counting from the MSB), `60-p+1` for an
+    * all-zero remainder. The register sum is carried as the INTEGER
+    * `S = Σ_j 2^(wbits+1-M_j)` (empty registers contribute 2^(wbits+1)),
+    * so every intermediate is exact 64-bit math on both engines; the
+    * single float op is the final `alpha·m²·2^wbits / S` division,
+    * which both engines evaluate identically in IEEE order. Raw HLL
+    * estimator only (no small/large-range correction branches — those
+    * need `ln`, whose cross-engine bit-identity is not guaranteed);
+    * the exact count sits beside it, and the rsd contract of the
+    * estimator is unit-tested.
+    */
+  def hllDistinct(s: SparkSession, dir: String, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"register precision must be 4..16, got $p")
+    val m = 1 << p
+    val wbits = 60 - p // md5_long yields 60 bits
+    val ev = Tables.events(s, dir)
+    val rho = ev
+      .select(col("event_type"), graft.functions.md5_long(col("user_id")).as("h"))
+      .withColumn("bucket", col("h") % m)
+      .withColumn("w", expr(s"h div $m"))
+      // minimal-binary-string length == index of highest set bit: the
+      // portable (and exactly integer) form of floor(log2)+1
+      .withColumn("rho",
+        when(col("w") === 0, lit(wbits + 1))
+          .otherwise(lit(wbits + 1) - length(bin(col("w")))))
+    val regs = rho.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("mj"))
+    val sums = regs.groupBy(col("event_type"))
+      .agg(
+        sum(expr(s"shiftleft(cast(1 as bigint), cast(${wbits + 1} - mj as int))")).as("s_occ"),
+        count(lit(1)).as("nb"))
+      .withColumn("hll_s",
+        col("s_occ") + (lit(m.toLong) - col("nb")) * lit(1L << (wbits + 1)))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    sums.join(exact, "event_type")
+      // numerator folded to ONE double in Scala and inlined as a
+      // literal on both sides: SQL decimal-point literals parse as
+      // DECIMAL (with engine-specific arithmetic) in Spark AND DuckDB,
+      // but a shortest-round-trip double literal parses to the same
+      // IEEE value everywhere, leaving a single identical division
+      .withColumn("hll_est",
+        lit(Sketches.hllNumerator(p)) / col("hll_s").cast("double"))
+      .select(col("event_type"), col("n_exact"), col("hll_s"), col("hll_est"))
+  }
+
+  /** `alpha_m · m² · 2^wbits` as one double (see [[hllDistinct]]). */
+  def hllNumerator(p: Int): Double = {
+    val m = 1 << p
+    val wbits = 60 - p
+    ((0.7213 / (1.0 + 1.079 / m.toDouble)) * (m.toDouble * m.toDouble)) * (1L << wbits).toDouble
+  }
+
+  def hllDistinctSql(p: Int = 8): String = {
+    val m = 1 << p
+    val wbits = 60 - p
+    s"""WITH h AS (
+          SELECT event_type,
+                 ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+          FROM events),
+        b AS (SELECT event_type, h % $m AS bucket, h // $m AS w FROM h),
+        r AS (SELECT event_type, bucket,
+                     CASE WHEN w = 0 THEN ${wbits + 1}
+                          ELSE ${wbits + 1} - length(bin(w)) END AS rho
+              FROM b),
+        regs AS (SELECT event_type, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+        sums AS (
+          SELECT event_type,
+                 (sum((1::BIGINT << (${wbits + 1} - mj)))::BIGINT
+                   + ($m - count(*)) * (1::BIGINT << ${wbits + 1}))::BIGINT AS hll_s
+          FROM regs GROUP BY 1),
+        ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+        SELECT s.event_type, ex.n_exact, s.hll_s,
+               ${hllNumerator(p)} / s.hll_s::DOUBLE AS hll_est
+        FROM sums s JOIN ex ON s.event_type = ex.event_type"""
+  }
+
+  /** Bloom-filter semi-join prefilter: build a k-hash Bloom filter over
+    * the "interesting" dimension keys (customers with acctbal above a
+    * threshold), probe every order's FK against it, and report the
+    * candidate verdict next to ground truth. No false negatives by
+    * construction (every true match passes); false positives are the
+    * filter's documented trade-off, visible here as
+    * `bloom_pass=1, true_match=0` rows. Bit positions are
+    * `md5(key || ':' || i) % m` for i < k — portable, so the oracle
+    * rebuilds the identical filter. The bit table is bounded by m and
+    * broadcast; at scale this is the shape of semi-join pushdown where
+    * shipping the exact key set would be too large.
+    */
+  def bloomPrune(s: SparkSession, dir: String,
+      minBal: Double = 5000.0, m: Int = 1 << 16, k: Int = 4): DataFrame = {
+    val idx = (0 until k).map(i =>
+      graft.functions.md5_long(concat(col("key").cast("string"), lit(":" + i))) % m)
+    val bits = Tables.load(s, dir, "customer")
+      .filter(col("c_acctbal") > minBal)
+      .select(col("c_custkey").as("key"))
+      .select(explode(array(idx: _*)).as("pos"))
+      .distinct()
+    val probes = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("key"))
+      .select(col("o_orderkey"), col("key"), explode(array(idx: _*)).as("pos"))
+    val verdict = probes.join(broadcast(bits), Seq("pos"), "left_semi")
+      .groupBy(col("o_orderkey"), col("key"))
+      .agg(count(lit(1)).as("hits"))
+      // an order passes iff ALL k positions are set; orders with zero
+      // set positions drop out of the semi-join entirely, so rebuild
+      // them from the full order list with a left join
+      .withColumn("bloom_pass", (col("hits") === k).cast("int"))
+    val truth = Tables.load(s, dir, "customer")
+      .filter(col("c_acctbal") > minBal).select(col("c_custkey"))
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(verdict.select(col("o_orderkey"), col("bloom_pass")), Seq("o_orderkey"), "left")
+      .join(truth, col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"), col("o_custkey"),
+        coalesce(col("bloom_pass"), lit(0)).as("bloom_pass"),
+        col("c_custkey").isNotNull.cast("int").as("true_match"))
+  }
+
+  def bloomPruneSql(minBal: Double = 5000.0, m: Int = 1 << 16, k: Int = 4): String = {
+    val is = (0 until k).map(_.toString).mkString(", ")
+    s"""WITH ks AS (SELECT unnest([$is]) AS i),
+        bits AS (
+          SELECT DISTINCT
+            ('0x' || substring(md5(c_custkey::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % $m AS pos
+          FROM customer, ks WHERE c_acctbal > $minBal),
+        probes AS (
+          SELECT o_orderkey, o_custkey,
+            ('0x' || substring(md5(o_custkey::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % $m AS pos
+          FROM orders, ks),
+        verdict AS (
+          SELECT o_orderkey, count(*) AS hits
+          FROM probes WHERE pos IN (SELECT pos FROM bits)
+          GROUP BY 1),
+        truth AS (SELECT c_custkey FROM customer WHERE c_acctbal > $minBal)
+        SELECT o.o_orderkey, o.o_custkey,
+               coalesce((v.hits = $k)::INT, 0) AS bloom_pass,
+               (t.c_custkey IS NOT NULL)::INT AS true_match
+        FROM orders o
+        LEFT JOIN verdict v ON o.o_orderkey = v.o_orderkey
+        LEFT JOIN truth t ON o.o_custkey = t.c_custkey"""
+  }
+}

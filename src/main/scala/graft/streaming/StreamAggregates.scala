@@ -30,6 +30,34 @@ object StreamAggregates {
         date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-stream INTERVAL join: purchases matched to error events of
+    * the same user within the preceding `window` — the two-sided
+    * stateful join the reference cannot express (its store holds one
+    * table side; here BOTH sides buffer in watermarked state). Inner
+    * joins emit on match arrival regardless of watermark; the
+    * watermark + time-range condition exist to BOUND the state — each
+    * side retains only rows within the interval of the other's
+    * watermark, which is what makes an unbounded two-stream join
+    * runnable at all. Inputs are two streaming frames with
+    * `event_id, user_id, ts, event_type` columns.
+    */
+  def purchaseErrorJoin(purchases: DataFrame, errors: DataFrame,
+      window: String = "1 hour", delay: String = "1 hour"): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .withWatermark("ts", delay)
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val e = errors.filter(col("event_type") === "error")
+      .withWatermark("ts", delay)
+      .select(col("event_id").as("error_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+    p.join(e,
+        col("user_id") === col("e_user") &&
+          col("e_ts") >= col("p_ts") - expr(s"INTERVAL $window") &&
+          col("e_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("error_id"), col("user_id"),
+        unix_micros(col("p_ts")).as("purchase_us"),
+        unix_micros(col("e_ts")).as("error_us"))
+  }
+
   /** Streaming SESSION windows: gap-merged per-user sessions finalized
     * by the watermark — the stateful-merge variant (session extents
     * grow and merge as events arrive, unlike fixed tumbling frames).

@@ -55,4 +55,16 @@ class PlanSpec extends SparkSpec {
     // that shuffles full rows to a single final aggregate has none
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
   }
+
+  test("stratified sample's literal rank bound plans as a WindowGroupLimit") {
+    // the pre-shuffle partial top-k is what keeps the exchange at
+    // O(partitions·strata·k) rows instead of the whole corpus
+    val p = plan("q56_stratified_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("bloom probe joins the bounded bit table by broadcast") {
+    val p = plan("q57_bloom_prune")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -74,6 +74,102 @@ class ScaleOpsSpec extends SparkSpec {
   }
 }
 
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.01"
+
+  test("portable HLL estimate stays within the m=256 error contract") {
+    // standard error for m=256 is 1.04/sqrt(256) = 6.5%; allow 3×
+    val rows = Sketches.hllDistinct(spark, dir)
+      .select("event_type", "n_exact", "hll_est")
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((t, exact, est) <- rows) {
+      val rel = math.abs(est - exact) / exact
+      assert(rel <= 0.20, s"$t: est $est vs exact $exact (rel err $rel)")
+    }
+  }
+
+  test("portable HLL registers merge: union of halves == whole") {
+    // the defining sketch property, and what makes the two-level
+    // groupBy shape correct under ANY partitioning: max() per register
+    // commutes with the split. Recompute registers per half in Spark
+    // and fold by hand.
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), (graft.functions.md5_long(col("user_id")) % 256).as("bucket"),
+        expr("graft_md5_long(cast(cast(user_id as string) as binary)) div 256").as("w"))
+      .withColumn("rho", when(col("w") === 0, lit(53))
+        .otherwise(lit(53) - length(bin(col("w")))))
+    def regs(half: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      half.groupBy("bucket").agg(max("rho").as("mj"))
+        .as[(Long, Int)].collect().toMap
+    val all = regs(ev)
+    val a = regs(ev.filter(col("user_id") % 2 === 0))
+    val b = regs(ev.filter(col("user_id") % 2 =!= 0))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> math.max(a.getOrElse(k, 0), b.getOrElse(k, 0))).toMap
+    assert(merged == all)
+  }
+
+  test("bloom prefilter has zero false negatives and sane selectivity") {
+    val v = Sketches.bloomPrune(spark, dir)
+      .select("bloom_pass", "true_match").as[(Int, Int)].collect()
+    assert(v.nonEmpty)
+    // no false negatives: every true match passes the filter
+    assert(v.forall { case (pass, truth) => truth == 0 || pass == 1 })
+    // the filter actually rejects something (it's not all-pass)
+    assert(v.exists(_._1 == 0))
+    // false-positive rate among true non-matches stays modest for
+    // m=65536, k=4 at this key count (theoretical ~<1%; allow 5%)
+    val nonMatches = v.count(_._2 == 0)
+    val falsePos = v.count { case (pass, truth) => pass == 1 && truth == 0 }
+    assert(falsePos.toDouble / nonMatches <= 0.05,
+      s"$falsePos false positives over $nonMatches non-matches")
+  }
+}
+
+class StreamIntervalJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import java.sql.Timestamp
+
+  test("stream-stream interval join matches across micro-batches (both arrival orders)") {
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[(Long, Long, Timestamp, String)]
+    val right = MemoryStream[(Long, Long, Timestamp, String)]
+    def df(m: MemoryStream[(Long, Long, Timestamp, String)]) =
+      m.toDS().toDF("event_id", "user_id", "ts", "event_type")
+    val q = graft.streaming.StreamAggregates.purchaseErrorJoin(df(left), df(right))
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append").start()
+    try {
+      val t = (min: Int) => Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+      // batch 1: a purchase with no error yet — no output
+      left.addData((1L, 7L, t(30), "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("ssj_out").count() == 0)
+      // batch 2: an error 10 min EARLIER arrives late → joins the
+      // buffered purchase (purchase-first arrival)
+      right.addData((2L, 7L, t(20), "error"))
+      q.processAllAvailable()
+      assert(spark.table("ssj_out").as[(Long, Long, Long, Long, Long)].collect()
+        .toSet == Set((1L, 2L, 7L, tUs(t(30)), tUs(t(20)))))
+      // batch 3: error-first arrival — a later purchase joins it; an
+      // error AFTER the purchase (outside [p_ts-1h, p_ts]) does not
+      right.addData((3L, 7L, t(40), "error"))
+      q.processAllAvailable()
+      left.addData((4L, 7L, t(45), "purchase"))
+      q.processAllAvailable()
+      val out = spark.table("ssj_out").as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(out == Set(
+        (1L, 2L, 7L, tUs(t(30)), tUs(t(20))),
+        (4L, 2L, 7L, tUs(t(45)), tUs(t(20))),
+        (4L, 3L, 7L, tUs(t(45)), tUs(t(40)))))
+    } finally q.stop()
+  }
+
+  private def tUs(t: Timestamp): Long = t.getTime * 1000L
+}
+
 class SessionWindowBoundarySpec extends graft.SparkSpec {
   import org.apache.spark.sql.functions._
   import spark.implicits._
