@@ -374,7 +374,11 @@ object SparkEntry {
     // emit complete results once both sides are processed, so the batch
     // range-join oracle is the exact contract
     "q58_stream_interval_join" -> ((s, dir) => {
+      // stage only the two event classes the join reads: the filter
+      // belongs BEFORE the stream boundary (in Kafka terms: subscribe to
+      // the purchase/error topics, don't ship the whole firehose)
       val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "error"))
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
       val tmp = stageDir("q58_events")
       val ckpt = stageDir("q58_ckpt")

@@ -264,13 +264,17 @@ object MinHashSig {
   private[functions] val permB: Array[Long] = perms.map(_._2).toArray
 }
 
-/** Number of common elements of two string arrays (set semantics on the
-  * left: duplicates in `left` count once; graft's shingle arrays are
-  * already distinct). The fused form of
-  * `size(array_intersect(a, b))`, which allocates the intersection
-  * array only to measure it — this builds one hash set from the
-  * smaller side and counts hits in a single pass, the hot inner loop
-  * of candidate-pair verification in the similarity joins.
+/** Number of common NON-NULL elements of two string arrays (set
+  * semantics: duplicates count once). The fused form of
+  * `size(array_intersect(a, b))` for null-free arrays — it allocates
+  * no intersection array, building one hash set from the smaller side
+  * and counting hits in a single pass (the hot inner loop of
+  * candidate-pair verification in the similarity joins). Deliberate
+  * divergence from `array_intersect` on null ELEMENTS: SQL
+  * `array_intersect` treats null as equal to null (one shared null
+  * counts), this expression ignores null elements entirely — a null
+  * shingle is a non-value, not a joinable token (same rule as
+  * [[MinHashSig]]/[[SimHash16]]).
   */
 case class IntersectSize(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression

@@ -30,20 +30,28 @@ object Sketches {
     * hash; rho = 1-based position of the first set bit in the
     * remaining `60-p` bits (counting from the MSB), `60-p+1` for an
     * all-zero remainder. The register sum is carried as the INTEGER
-    * `S = Σ_j 2^(wbits+1-M_j)` (empty registers contribute 2^(wbits+1)),
-    * so every intermediate is exact 64-bit math on both engines; the
-    * single float op is the final `alpha·m²·2^wbits / S` division,
-    * which both engines evaluate identically in IEEE order. Raw HLL
-    * estimator only (no small/large-range correction branches — those
-    * need `ln`, whose cross-engine bit-identity is not guaranteed);
-    * the exact count sits beside it, and the rsd contract of the
-    * estimator is unit-tested.
+    * `S = Σ_j 2^(wbits+1-M_j)` (empty registers contribute 2^(wbits+1)
+    * for M_j = 0), so every intermediate is exact 64-bit math on both
+    * engines; since `S = 2^(wbits+1)·Σ 2^(-M_j)`, the raw estimator
+    * `alpha·m²/Σ2^(-M_j)` becomes the single float op
+    * `alpha·m²·2^(wbits+1) / S`, which both engines evaluate
+    * identically in IEEE order. Raw estimator only — the small-range
+    * LinearCounting branch needs `ln`, whose cross-engine bit-identity
+    * is not guaranteed; instead `hll_zeros` (the empty-register count
+    * LC feeds on) is reported so a consumer can apply it. Pick `p` for
+    * the corpus: the raw estimator is accurate for n ≳ 2.5·m (the
+    * default p=5 suits the demo corpus's 10²-10³ distinct users per
+    * group; a 100 TB corpus uses p=12-14 for 1-2% error), and the
+    * accuracy contract is unit-tested in both regimes.
     */
-  def hllDistinct(s: SparkSession, dir: String, p: Int = 8): DataFrame = {
+  def hllDistinct(s: SparkSession, dir: String, p: Int = 5): DataFrame =
+    hllFromEvents(Tables.events(s, dir), p)
+
+  /** [[hllDistinct]] core over any frame with `event_type`, `user_id`. */
+  def hllFromEvents(ev: DataFrame, p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"register precision must be 4..16, got $p")
     val m = 1 << p
     val wbits = 60 - p // md5_long yields 60 bits
-    val ev = Tables.events(s, dir)
     val rho = ev
       .select(col("event_type"), graft.functions.md5_long(col("user_id")).as("h"))
       .withColumn("bucket", col("h") % m)
@@ -71,17 +79,22 @@ object Sketches {
       // IEEE value everywhere, leaving a single identical division
       .withColumn("hll_est",
         lit(Sketches.hllNumerator(p)) / col("hll_s").cast("double"))
-      .select(col("event_type"), col("n_exact"), col("hll_s"), col("hll_est"))
+      .withColumn("hll_zeros", lit(m.toLong) - col("nb"))
+      .select(col("event_type"), col("n_exact"), col("hll_s"),
+        col("hll_est"), col("hll_zeros"))
   }
 
-  /** `alpha_m · m² · 2^wbits` as one double (see [[hllDistinct]]). */
+  /** `alpha_m · m² · 2^(wbits+1)` as one double — the raw-HLL estimator
+    * numerator over the integer register sum S (see [[hllDistinct]]:
+    * S carries a 2^(wbits+1) scale factor).
+    */
   def hllNumerator(p: Int): Double = {
     val m = 1 << p
     val wbits = 60 - p
-    ((0.7213 / (1.0 + 1.079 / m.toDouble)) * (m.toDouble * m.toDouble)) * (1L << wbits).toDouble
+    ((0.7213 / (1.0 + 1.079 / m.toDouble)) * (m.toDouble * m.toDouble)) * (1L << (wbits + 1)).toDouble
   }
 
-  def hllDistinctSql(p: Int = 8): String = {
+  def hllDistinctSql(p: Int = 5): String = {
     val m = 1 << p
     val wbits = 60 - p
     s"""WITH h AS (
@@ -97,11 +110,13 @@ object Sketches {
         sums AS (
           SELECT event_type,
                  (sum((1::BIGINT << (${wbits + 1} - mj)))::BIGINT
-                   + ($m - count(*)) * (1::BIGINT << ${wbits + 1}))::BIGINT AS hll_s
+                   + ($m - count(*)) * (1::BIGINT << ${wbits + 1}))::BIGINT AS hll_s,
+                 ($m - count(*))::BIGINT AS hll_zeros
           FROM regs GROUP BY 1),
         ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
         SELECT s.event_type, ex.n_exact, s.hll_s,
-               ${hllNumerator(p)} / s.hll_s::DOUBLE AS hll_est
+               ${hllNumerator(p)} / s.hll_s::DOUBLE AS hll_est,
+               s.hll_zeros
         FROM sums s JOIN ex ON s.event_type = ex.event_type"""
   }
 
@@ -121,29 +136,29 @@ object Sketches {
       minBal: Double = 5000.0, m: Int = 1 << 16, k: Int = 4): DataFrame = {
     val idx = (0 until k).map(i =>
       graft.functions.md5_long(concat(col("key").cast("string"), lit(":" + i))) % m)
-    val bits = Tables.load(s, dir, "customer")
+    val hot = Tables.load(s, dir, "customer")
       .filter(col("c_acctbal") > minBal)
-      .select(col("c_custkey").as("key"))
+      .select(col("c_custkey"))
+    val bits = hot.select(col("c_custkey").as("key"))
       .select(explode(array(idx: _*)).as("pos"))
       .distinct()
+    // ONE probe pass over the fact table: every order emits exactly k
+    // position rows, so the group-back recovers every order (no second
+    // orders scan to restore the zero-hit ones); a LEFT join against
+    // the bit table marks hits, count(hit) counts the non-nulls
     val probes = Tables.load(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey").as("key"))
       .select(col("o_orderkey"), col("key"), explode(array(idx: _*)).as("pos"))
-    val verdict = probes.join(broadcast(bits), Seq("pos"), "left_semi")
+    val verdict = probes
+      .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
       .groupBy(col("o_orderkey"), col("key"))
-      .agg(count(lit(1)).as("hits"))
-      // an order passes iff ALL k positions are set; orders with zero
-      // set positions drop out of the semi-join entirely, so rebuild
-      // them from the full order list with a left join
+      .agg(count(col("hit")).as("hits"))
       .withColumn("bloom_pass", (col("hits") === k).cast("int"))
-    val truth = Tables.load(s, dir, "customer")
-      .filter(col("c_acctbal") > minBal).select(col("c_custkey"))
-    Tables.load(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(verdict.select(col("o_orderkey"), col("bloom_pass")), Seq("o_orderkey"), "left")
-      .join(truth, col("o_custkey") === col("c_custkey"), "left")
-      .select(col("o_orderkey"), col("o_custkey"),
-        coalesce(col("bloom_pass"), lit(0)).as("bloom_pass"),
+    // ground truth: no broadcast hint — the hot-key set scales with the
+    // dimension table, so AQE decides from the runtime size
+    verdict.join(hot, col("key") === col("c_custkey"), "left")
+      .select(col("o_orderkey"), col("key").as("o_custkey"),
+        col("bloom_pass"),
         col("c_custkey").isNotNull.cast("int").as("true_match"))
   }
 

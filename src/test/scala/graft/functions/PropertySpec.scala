@@ -148,6 +148,27 @@ object IntersectProperties extends Properties("graft.intersect") {
       val ab = evalIntersect(a, b)
       ab == evalIntersect(b, a) && ab <= math.min(a.toSet.size, b.toSet.size)
     }
+
+  property("IntersectSize ignores null elements (documented divergence from array_intersect)") =
+    forAll(toksGen, toksGen) { (a, b) =>
+      // null ⊎ a vs null ⊎ b: the shared nulls never count
+      evalIntersectRaw(null :: a.map(x => x: Any), null :: b.map(x => x: Any)) ==
+        a.toSet.intersect(b.toSet).size
+    }
+
+  private def evalIntersectRaw(a: List[Any], b: List[Any]): Int = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val at = org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)
+    def ref(i: Int) = org.apache.spark.sql.catalyst.expressions.BoundReference(i, at, nullable = false)
+    def arr(xs: List[Any]) = new GenericArrayData(xs.map {
+      case null => null
+      case s: String => UTF8String.fromString(s)
+    }.toArray[Any])
+    IntersectSize(ref(0), ref(1))
+      .eval(org.apache.spark.sql.catalyst.InternalRow(arr(a), arr(b)))
+      .asInstanceOf[Int]
+  }
 }
 
 /** Property tests for the Shingles expression against an independent
