@@ -368,6 +368,10 @@ object SparkEntry {
     "q56_stratified_sample" -> ((s, dir) => PipelineOps.stratifiedSample(s, dir)),
     // Bloom-filter semi-join prefilter with ground-truth verdicts
     "q57_bloom_prune" -> ((s, dir) => operators.Sketches.bloomPrune(s, dir)),
+    // CDC-style snapshot diff: added/removed/changed classification via
+    // one full-outer join on the key (the first step of every
+    // incremental pipeline)
+    "q59_snapshot_diff" -> ((s, dir) => PipelineOps.snapshotDiff(s, dir)),
     // stream-stream interval join (purchases ⋈ errors of the same user
     // within the preceding hour), run as a real StreamingQuery over two
     // file-source streams on one staged event log; inner interval joins
@@ -495,6 +499,7 @@ object SparkEntry {
     "q55_hll_distinct" -> operators.Sketches.hllDistinctSql(),
     "q56_stratified_sample" -> PipelineOps.stratifiedSampleSql(),
     "q57_bloom_prune" -> operators.Sketches.bloomPruneSql(),
+    "q59_snapshot_diff" -> PipelineOps.snapshotDiffSql,
     "q58_stream_interval_join" ->
       """SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id,
                 epoch_us(p.ts)::BIGINT AS purchase_us,

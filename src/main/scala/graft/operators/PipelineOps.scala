@@ -144,6 +144,59 @@ object PipelineOps {
                ((cum - n_tokens) % $seqLen)::BIGINT AS seq_offset
         FROM c"""
 
+  // ---- incremental snapshot diff (CDC derivation) ----
+
+  /** Classify changes between two snapshots of a keyed table — the
+    * batch form of change-data-capture, and the first step of every
+    * incremental pipeline (ship only `added`/`removed`/`changed` rows
+    * downstream instead of recomputing the world). One full-outer join
+    * on the key; both sides shuffle-partition on it, nothing else
+    * moves. The two "snapshots" here are derived deterministically
+    * from the orders table by id-hash bucket (b=0 of 20 exists only in
+    * the new snapshot, b=1 only in the old, b=2 has its price doubled —
+    * doubling is exact in IEEE, so the changed-value comparison is
+    * portable), which makes the diff fully oracle-checkable.
+    */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (graft.functions.md5_long(col("o_orderkey")) % 20).as("b"))
+    val old = o.filter(col("b") =!= 0)
+      .select(col("o_orderkey").as("k_old"), col("o_totalprice").as("old_price"))
+    val neu = o.filter(col("b") =!= 1)
+      .select(col("o_orderkey").as("k_new"),
+        when(col("b") === 2, col("o_totalprice") * 2).otherwise(col("o_totalprice"))
+          .as("new_price"))
+    old.join(neu, col("k_old") === col("k_new"), "full_outer")
+      .withColumn("change_type",
+        when(col("k_old").isNull, "added")
+          .when(col("k_new").isNull, "removed")
+          .when(col("old_price") =!= col("new_price"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("change_type") =!= "unchanged")
+      .select(coalesce(col("k_old"), col("k_new")).as("o_orderkey"),
+        col("change_type"), col("old_price"), col("new_price"))
+  }
+
+  def snapshotDiffSql: String =
+    """WITH b AS (
+         SELECT o_orderkey, o_totalprice,
+                ('0x' || substring(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT % 20 AS b
+         FROM orders),
+       old AS (SELECT o_orderkey AS k_old, o_totalprice AS old_price FROM b WHERE b <> 0),
+       neu AS (SELECT o_orderkey AS k_new,
+                      CASE WHEN b = 2 THEN o_totalprice * 2 ELSE o_totalprice END AS new_price
+               FROM b WHERE b <> 1),
+       d AS (
+         SELECT coalesce(k_old, k_new) AS o_orderkey,
+                CASE WHEN k_old IS NULL THEN 'added'
+                     WHEN k_new IS NULL THEN 'removed'
+                     WHEN old_price <> new_price THEN 'changed'
+                     ELSE 'unchanged' END AS change_type,
+                old_price, new_price
+         FROM old FULL OUTER JOIN neu ON k_old = k_new)
+       SELECT * FROM d WHERE change_type <> 'unchanged'"""
+
   // ---- end-to-end curation (the capstone composition) ----
 
   /** The full training-data curation decision, composed from the

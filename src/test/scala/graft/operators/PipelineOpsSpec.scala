@@ -157,6 +157,20 @@ class PipelineOpsSpec extends SparkSpec {
     })
   }
 
+  test("snapshotDiff classifies hash buckets correctly and keys are unique") {
+    val sfDir = "/root/testdata/sf0.01" // 1500 keys: bucket proportions are tight
+    val d = PipelineOps.snapshotDiff(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(d.map(_._1).distinct.size == d.size) // one verdict per key
+    val byType = d.groupBy(_._2).view.mapValues(_.size).toMap
+    // every class occurs, and the three classes partition ~5% each of
+    // the key space (hash buckets 0, 1, 2 of 20)
+    assert(Set("added", "removed", "changed").subsetOf(byType.keySet))
+    val n = graft.Tables.load(spark, sfDir, "orders").count().toDouble
+    for ((t, c) <- byType)
+      assert(math.abs(c / n - 0.05) < 0.02, s"$t: $c of $n")
+  }
+
   test("connectedComponents labels chains and separates components") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (10L, 11L))
       .toDF("a_id", "b_id")
