@@ -399,6 +399,38 @@ object SparkEntry {
       } finally { rmTree(tmp); rmTree(ckpt) }
       s.table(name)
     }),
+
+    // the reference's ingestion seen-set (O21, services/comments.py:18)
+    // as a real STREAMING query: cross-micro-batch keyed dedup over the
+    // file-source event stream (maxFilesPerTrigger splits the staged
+    // log into multiple batches, so the dedup state genuinely carries
+    // across triggers). Emits the KEY SET (first-arrival payloads vary
+    // with partition processing order, the set of keys does not), so
+    // the oracle is SELECT DISTINCT. Unbounded keyed state — exactly
+    // the reference's in-memory set; production bounds it with
+    // dropDuplicatesWithinWatermark (semantics pinned in
+    // StreamingDedupSpec).
+    "q60_stream_dedup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"))
+      val tmp = stageDir("q60_events")
+      val ckpt = stageDir("q60_ckpt")
+      val name = "q60_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      try {
+        ev.write.mode("overwrite").parquet(tmp)
+        val nFiles = new java.io.File(tmp).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        val input = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", math.max(1, nFiles / 2).toString)
+          .parquet(tmp)
+        withStatePartitions(s, 8) {
+          val q = input.dropDuplicates("user_id", "event_type")
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", ckpt).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      } finally { rmTree(tmp); rmTree(ckpt) }
+      s.table(name)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -500,6 +532,7 @@ object SparkEntry {
     "q56_stratified_sample" -> PipelineOps.stratifiedSampleSql(),
     "q57_bloom_prune" -> operators.Sketches.bloomPruneSql(),
     "q59_snapshot_diff" -> PipelineOps.snapshotDiffSql,
+    "q60_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
     "q58_stream_interval_join" ->
       """SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id,
                 epoch_us(p.ts)::BIGINT AS purchase_us,

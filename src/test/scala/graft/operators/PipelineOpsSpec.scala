@@ -214,6 +214,33 @@ class ConnectedComponentsSpec extends SparkSpec {
       assert(got == bruteComponents(edges), s"trial $trial edges=$edges")
     }
   }
+
+  test("large-star/small-star variant matches brute force and min-propagation") {
+    val rnd = new scala.util.Random(31337L)
+    for (trial <- 1 to 5) {
+      val n = 5 + rnd.nextInt(30)
+      val edges = Seq.fill(n) {
+        val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+        (a, b) // unordered + possible self-loops: the operator canonicalizes
+      }.distinct
+      val clean = edges.filter(e => e._1 != e._2)
+      if (clean.nonEmpty) {
+        val star = Dedup.connectedComponentsStar(edges.toDF("a_id", "b_id"))
+          .as[(Long, Long)].collect().toMap
+        assert(star == bruteComponents(clean), s"trial $trial edges=$edges")
+      }
+    }
+  }
+
+  test("star contraction handles a deep chain in few rounds") {
+    // a 200-node chain: min-propagation needs ~200 rounds (and would
+    // trip its iteration cap); star contraction is logarithmic
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponentsStar(chain, maxIters = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 200)
+    assert(got.values.forall(_ == 1L))
+  }
 }
 
 class ConnectedComponentsEmptySpec extends graft.SparkSpec {
