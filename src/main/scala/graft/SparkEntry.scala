@@ -368,6 +368,10 @@ object SparkEntry {
     "q56_stratified_sample" -> ((s, dir) => PipelineOps.stratifiedSample(s, dir)),
     // Bloom-filter semi-join prefilter with ground-truth verdicts
     "q57_bloom_prune" -> ((s, dir) => operators.Sketches.bloomPrune(s, dir)),
+    // k-minimum-values distinct sketch: order-statistics counterpart to
+    // q55's HLL (integer order statistics → cell-exact oracle; literal
+    // rank bound → WindowGroupLimit)
+    "q61_kmv_distinct" -> ((s, dir) => operators.Sketches.kmvDistinct(s, dir)),
     // CDC-style snapshot diff: added/removed/changed classification via
     // one full-outer join on the key (the first step of every
     // incremental pipeline)
@@ -533,6 +537,7 @@ object SparkEntry {
     "q57_bloom_prune" -> operators.Sketches.bloomPruneSql(),
     "q59_snapshot_diff" -> PipelineOps.snapshotDiffSql,
     "q60_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
+    "q61_kmv_distinct" -> operators.Sketches.kmvDistinctSql(),
     "q58_stream_interval_join" ->
       """SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id,
                 epoch_us(p.ts)::BIGINT AS purchase_us,

@@ -120,6 +120,56 @@ object Sketches {
         FROM sums s JOIN ex ON s.event_type = ex.event_type"""
   }
 
+  /** K-minimum-values distinct sketch per event_type — the
+    * order-statistics counterpart to [[hllDistinct]] (register maxima
+    * there, hash minima here; both mergeable, this one also supports
+    * set-operation estimates by sketch intersection). With hashes
+    * uniform on [0, 2^60), the k-th smallest distinct hash estimates
+    * density: `est = (k-1) · 2^60 / h_(k)`. Everything up to the final
+    * division is exact integer order statistics, so the DuckDB oracle
+    * reproduces the sketch bit-for-bit; groups with fewer than k
+    * distinct hashes report their exact count (the sketch IS the set
+    * there). The literal rank bound plans as a WindowGroupLimit —
+    * partial top-k per partition before the shuffle, the same
+    * scale shape as [[PipelineOps.stratifiedSample]].
+    */
+  def kmvDistinct(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashes = Tables.events(s, dir)
+      .select(col("event_type"), graft.functions.md5_long(col("user_id")).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h").asc)
+    val kth = hashes.withColumn("r", row_number().over(w))
+      .filter(col("r") <= k)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_min"), max(col("h")).as("kth_min"))
+    val exact = Tables.events(s, dir).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    kth.join(exact, "event_type")
+      .withColumn("kmv_est",
+        when(col("n_min") < k, col("n_min").cast("double"))
+          .otherwise(lit(((k - 1).toDouble) * (1L << 60).toDouble) / col("kth_min").cast("double")))
+      .select(col("event_type"), col("n_exact"), col("kth_min"), col("kmv_est"))
+  }
+
+  def kmvDistinctSql(k: Int = 64): String =
+    s"""WITH h AS (
+          SELECT DISTINCT event_type,
+                 ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+          FROM events),
+        kth AS (
+          SELECT event_type, count(*) AS n_min, max(h) AS kth_min
+          FROM (SELECT event_type, h,
+                       row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS r
+                FROM h)
+          WHERE r <= $k GROUP BY 1),
+        ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+        SELECT kth.event_type, ex.n_exact, kth.kth_min,
+               CASE WHEN kth.n_min < $k THEN kth.n_min::DOUBLE
+                    ELSE ${((k - 1).toDouble) * (1L << 60).toDouble} / kth.kth_min::DOUBLE
+               END AS kmv_est
+        FROM kth JOIN ex ON kth.event_type = ex.event_type"""
+
   /** Bloom-filter semi-join prefilter: build a k-hash Bloom filter over
     * the "interesting" dimension keys (customers with acctbal above a
     * threshold), probe every order's FK against it, and report the

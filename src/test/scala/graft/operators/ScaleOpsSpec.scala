@@ -129,6 +129,30 @@ class SketchesSpec extends SparkSpec {
     assert(merged == all)
   }
 
+  test("KMV estimate within contract; sketches merge by k-smallest-of-union") {
+    // rel std err ~ 1/sqrt(k-2) = 12.7% for k=64; allow 3 sigma
+    val rows = Sketches.kmvDistinct(spark, dir)
+      .select("event_type", "n_exact", "kmv_est")
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((t, exact, est) <- rows) {
+      val rel = math.abs(est - exact) / exact
+      assert(rel <= 0.38, s"$t: est $est vs exact $exact (rel err $rel)")
+    }
+    // mergeability: the k smallest hashes of a union == k smallest of
+    // the concatenated per-half sketches (what makes KMV distributable)
+    val h = Tables.events(spark, dir)
+      .select(graft.functions.md5_long(col("user_id")).as("h"),
+        (col("user_id") % 2).as("half"))
+      .distinct()
+    def sketch(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("h").as[Long].collect().sorted.take(64).toSeq
+    val whole = sketch(h)
+    val merged = (sketch(h.filter(col("half") === 0)) ++ sketch(h.filter(col("half") === 1)))
+      .sorted.take(64)
+    assert(whole == merged)
+  }
+
   test("bloom prefilter has zero false negatives and sane selectivity") {
     val v = Sketches.bloomPrune(spark, dir)
       .select("bloom_pass", "true_match").as[(Int, Int)].collect()
