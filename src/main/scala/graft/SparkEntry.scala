@@ -368,6 +368,9 @@ object SparkEntry {
     "q56_stratified_sample" -> ((s, dir) => PipelineOps.stratifiedSample(s, dir)),
     // Bloom-filter semi-join prefilter with ground-truth verdicts
     "q57_bloom_prune" -> ((s, dir) => operators.Sketches.bloomPrune(s, dir)),
+    // Z-order (Morton) layout key: bit-interleaved (user, hour) — the
+    // multi-dimensional clustering key a 100 TB layout rewrite sorts by
+    "q62_zorder_key" -> ((s, dir) => PipelineOps.zOrderKey(s, dir)),
     // k-minimum-values distinct sketch: order-statistics counterpart to
     // q55's HLL (integer order statistics → cell-exact oracle; literal
     // rank bound → WindowGroupLimit)
@@ -538,6 +541,7 @@ object SparkEntry {
     "q59_snapshot_diff" -> PipelineOps.snapshotDiffSql,
     "q60_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
     "q61_kmv_distinct" -> operators.Sketches.kmvDistinctSql(),
+    "q62_zorder_key" -> PipelineOps.zOrderKeySql(),
     "q58_stream_interval_join" ->
       """SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id,
                 epoch_us(p.ts)::BIGINT AS purchase_us,

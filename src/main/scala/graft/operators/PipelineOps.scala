@@ -144,6 +144,55 @@ object PipelineOps {
                ((cum - n_tokens) % $seqLen)::BIGINT AS seq_offset
         FROM c"""
 
+  // ---- Z-order layout key (multi-dimensional clustering) ----
+
+  /** The bit-interleave expression `z(a, b)` shared by the Spark plan
+    * and the oracle: bit j of `a` lands at position 2j, bit j of `b`
+    * at 2j+1. Plain shifts/masks so both engines compute it
+    * identically on BIGINTs.
+    */
+  private def zExprSql(a: String, b: String, bits: Int): String =
+    (0 until bits).map(j =>
+      s"((($a >> $j) & 1) << ${2 * j}) + ((($b >> $j) & 1) << ${2 * j + 1})")
+      .mkString(" + ")
+
+  /** Z-order (Morton) layout key over (user_id, event-hour): sorting or
+    * range-partitioning a table by this key clusters BOTH dimensions at
+    * once, so parquet min/max row-group stats prune selective filters
+    * on EITHER column — the data-layout move (Delta/Iceberg OPTIMIZE
+    * ZORDER) that single-column sort order cannot give you at 100 TB.
+    * The key itself is a pure per-row map (zero shuffles); the layout
+    * rewrite that uses it is `repartitionByRange(zval) + sortWithin
+    * Partitions` at write time. The clustering effect (per-chunk range
+    * width collapses in both dimensions simultaneously) is pinned by a
+    * unit test; this query emits the key itself, cell-exact against
+    * the oracle's identical bit arithmetic.
+    */
+  def zOrderKey(s: SparkSession, dir: String, bits: Int = 16): DataFrame = {
+    val mask = (1L << bits) - 1
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        (col("user_id") % (mask + 1)).as("a"),
+        // hour index folded to `bits` bits: locality preserved within
+        // a 2^bits-hour horizon (~7.5 years at 16 bits). Integer `div`,
+        // not `/`: the DataFrame `/` is double division
+        expr(s"(unix_micros(ts) div 3600000000) % ${mask + 1}").as("b"))
+      .withColumn("zval", expr(zExprSql("a", "b", bits)))
+      .select(col("event_id"), col("a").as("user_fold"),
+        col("b").as("hour_fold"), col("zval"))
+  }
+
+  def zOrderKeySql(bits: Int = 16): String = {
+    val m = 1L << bits
+    s"""WITH f AS (
+          SELECT event_id, user_id % $m AS a,
+                 (epoch_us(ts)::BIGINT // 3600000000) % $m AS b
+          FROM events)
+        SELECT event_id, a AS user_fold, b AS hour_fold,
+               ${zExprSql("a", "b", bits)} AS zval
+        FROM f"""
+  }
+
   // ---- incremental snapshot diff (CDC derivation) ----
 
   /** Classify changes between two snapshots of a keyed table — the

@@ -171,6 +171,29 @@ class PipelineOpsSpec extends SparkSpec {
       assert(math.abs(c / n - 0.05) < 0.02, s"$t: $c of $n")
   }
 
+  test("z-order clusters both dimensions at once; single-column sort does not") {
+    val sfDir = "/root/testdata/sf0.01"
+    val keyed = PipelineOps.zOrderKey(spark, sfDir)
+      .select("user_fold", "hour_fold", "zval")
+      .as[(Long, Long, Long)].collect()
+    // split the corpus into 32 equal chunks under each ordering and
+    // measure the mean per-chunk value range of each dimension
+    def meanRanges(rows: Seq[(Long, Long)], chunks: Int = 32): (Double, Double) = {
+      val grouped = rows.grouped(math.max(1, rows.size / chunks)).toSeq
+      def r(f: ((Long, Long)) => Long) =
+        grouped.map(g => (g.map(f).max - g.map(f).min).toDouble).sum / grouped.size
+      (r(_._1), r(_._2))
+    }
+    val byZ = meanRanges(keyed.sortBy(_._3).map(t => (t._1, t._2)).toSeq)
+    val byUser = meanRanges(keyed.sortBy(_._1).map(t => (t._1, t._2)).toSeq)
+    val globalHour = keyed.map(_._2).max - keyed.map(_._2).min
+    // user-sorted chunks are tight on user but span ~the whole hour range
+    assert(byUser._2 > globalHour * 0.8, s"byUser=$byUser global=$globalHour")
+    // z-sorted chunks are substantially tighter than global on BOTH axes
+    assert(byZ._1 < 65536 * 0.5 && byZ._2 < globalHour * 0.5,
+      s"byZ=$byZ globalHour=$globalHour")
+  }
+
   test("connectedComponents labels chains and separates components") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (10L, 11L))
       .toDF("a_id", "b_id")
