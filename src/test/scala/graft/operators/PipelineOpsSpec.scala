@@ -246,13 +246,30 @@ class ConnectedComponentsSpec extends SparkSpec {
         val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
         (a, b) // unordered + possible self-loops: the operator canonicalizes
       }.distinct
-      val clean = edges.filter(e => e._1 != e._2)
-      if (clean.nonEmpty) {
-        val star = Dedup.connectedComponentsStar(edges.toDF("a_id", "b_id"))
-          .as[(Long, Long)].collect().toMap
-        assert(star == bruteComponents(clean), s"trial $trial edges=$edges")
-      }
+      val star = Dedup.connectedComponentsStar(edges.toDF("a_id", "b_id"))
+        .as[(Long, Long)].collect().toMap
+      // brute force keeps self-loop-only nodes as singletons, as must the operator
+      assert(star == bruteComponents(edges), s"trial $trial edges=$edges")
     }
+  }
+
+  test("star variant: empty and self-loop-only inputs") {
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.connectedComponentsStar(empty).count() == 0)
+    val selfOnly = Seq((5L, 5L), (9L, 9L)).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponentsStar(selfOnly).as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 5L, 9L -> 9L))
+  }
+
+  test("star variant survives 60-bit hash ids (no witness overflow)") {
+    val base = 1L << 59
+    val pairs = Seq((base + 3, base + 1), (base + 1, base + 2), (base + 7, base + 8))
+      .toDF("a_id", "b_id")
+    val got = Dedup.connectedComponentsStar(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(base + 1 -> (base + 1), base + 2 -> (base + 1),
+      base + 3 -> (base + 1), base + 7 -> (base + 7), base + 8 -> (base + 7)))
+    val minProp = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(minProp == got)
   }
 
   test("star contraction handles a deep chain in few rounds") {
