@@ -63,7 +63,11 @@ object SparkEntry {
     // staging/checkpoint dirs are tmpfs-backed — clean them on EVERY
     // exit path (a query that fails at start() must not leak RAM)
     try {
-      idx.write.mode("overwrite").parquet(tmp)
+      // repartition = write parallelism for the staging step only (the
+      // single-file input otherwise writes on one task); record order
+      // within a micro-batch is immaterial — the join core sorts each
+      // FK group by (seq, tie)
+      idx.repartition(16).write.mode("overwrite").parquet(tmp)
       val input = s.readStream.schema(idx.schema).parquet(tmp).as[IndexRecord]
       withStatePartitions(s, 8) {
         val q = core(input)
@@ -249,7 +253,11 @@ object SparkEntry {
       import s.implicits._
       val ev = Tables.events(s, dir)
         .select(col("ts"), col("event_type"), col("value"))
-      val maxTsRow = ev.agg(max(col("ts"))).head()
+      // max event time read from the RAW parquet column (one skinny
+      // column scan; for the nanos-long layout no timestamp conversion
+      // runs per row) — only the sentinel placement needs it
+      val rawTs = Tables.load(s, dir, "events").select(col("ts"))
+      val maxTsRow = rawTs.agg(max(col("ts"))).head()
       if (maxTsRow.isNullAt(0)) {
         // empty input: no windows can ever close — the streaming result
         // is the empty set, same as the oracle's empty aggregate
@@ -262,13 +270,20 @@ object SparkEntry {
       // tmpfs-backed staging/checkpoint dirs are cleaned on every exit
       // path, including a failed stream start
       try {
-        ev.write.mode("overwrite").parquet(tmp)
+        // repartition = parallel staging write (single-file input would
+        // otherwise write on one task); within-batch row order is
+        // immaterial to a windowed aggregate
+        ev.repartition(16).write.mode("overwrite").parquet(tmp)
         // the sentinel is staged as one extra file BEFORE the stream
         // starts; maxFilesPerTrigger = (#event files) puts it alone in
         // micro-batch 2 (file sources process in modification order), so
         // one processAllAvailable drives both batches
-        val maxTs = maxTsRow.getTimestamp(0)
-        val sentinel = new java.sql.Timestamp(maxTs.getTime + 3 * 3600 * 1000L)
+        val maxMs = maxTsRow.get(0) match {
+          case ns: Long => ns / 1000000L // nanos-long layout
+          case ts: java.sql.Timestamp => ts.getTime
+          case other => throw new IllegalStateException(s"unexpected ts type: $other")
+        }
+        val sentinel = new java.sql.Timestamp(maxMs + 3 * 3600 * 1000L)
         val eventFiles = new java.io.File(tmp).listFiles()
           .filter(_.getName.endsWith(".parquet"))
         val nEventFiles = eventFiles.length
@@ -395,7 +410,7 @@ object SparkEntry {
       val ckpt = stageDir("q58_ckpt")
       val name = "q58_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
       try {
-        ev.write.mode("overwrite").parquet(tmp)
+        ev.repartition(8).write.mode("overwrite").parquet(tmp) // parallel staging write
         def src = s.readStream.schema(ev.schema).parquet(tmp)
         withStatePartitions(s, 8) {
           val q = graft.streaming.StreamAggregates.purchaseErrorJoin(src, src)
@@ -423,7 +438,7 @@ object SparkEntry {
       val ckpt = stageDir("q60_ckpt")
       val name = "q60_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
       try {
-        ev.write.mode("overwrite").parquet(tmp)
+        ev.repartition(8).write.mode("overwrite").parquet(tmp) // parallel staging write
         val nFiles = new java.io.File(tmp).listFiles()
           .count(_.getName.endsWith(".parquet"))
         val input = s.readStream.schema(ev.schema)
