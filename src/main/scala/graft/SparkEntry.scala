@@ -383,6 +383,11 @@ object SparkEntry {
     "q56_stratified_sample" -> ((s, dir) => PipelineOps.stratifiedSample(s, dir)),
     // Bloom-filter semi-join prefilter with ground-truth verdicts
     "q57_bloom_prune" -> ((s, dir) => operators.Sketches.bloomPrune(s, dir)),
+    // winnowing (MOSS) document fingerprints: rolling positional k-gram
+    // hashes, min-per-window with a rightmost tie rule encoded as one
+    // integer window min
+    "q63_winnowing" -> ((s, dir) =>
+      TextAnalysis.winnowingFingerprints(Tables.load(s, dir, "documents"), col("text"))),
     // Z-order (Morton) layout key: bit-interleaved (user, hour) — the
     // multi-dimensional clustering key a 100 TB layout rewrite sorts by
     "q62_zorder_key" -> ((s, dir) => PipelineOps.zOrderKey(s, dir)),
@@ -557,6 +562,7 @@ object SparkEntry {
     "q60_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
     "q61_kmv_distinct" -> operators.Sketches.kmvDistinctSql(),
     "q62_zorder_key" -> PipelineOps.zOrderKeySql(),
+    "q63_winnowing" -> TextAnalysis.winnowingFingerprintsSql(),
     "q58_stream_interval_join" ->
       """SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id,
                 epoch_us(p.ts)::BIGINT AS purchase_us,

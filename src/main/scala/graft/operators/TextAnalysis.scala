@@ -96,6 +96,73 @@ object TextAnalysis {
       md5(concat_ws(" ", array_sort(array_distinct(tokens(text))))).as("fingerprint"),
       md5(lower(text)).as("exact_hash"))
 
+  /** Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    * algorithm): hash every POSITIONAL k-gram (duplicates kept — unlike
+    * the near-dup shingle sets) and, in every sliding window of `w`
+    * consecutive gram hashes, select the minimum, rightmost on ties;
+    * the distinct selected (position, hash) pairs are the document's
+    * fingerprint set. Guarantee: any shared token run of length
+    * >= w+k-1 between two documents produces a shared fingerprint
+    * hash, while only ~2/(w+1) of grams are kept — the sub-linear
+    * robust fingerprint a plagiarism/overlap scanner stores.
+    *
+    * Portability trick: "minimum hash, rightmost position on ties" is
+    * ONE integer `min()` over `h·2^20 + (2^20-1-pos)` (40-bit gram
+    * hash, 20-bit position), so both engines express the tie rule with
+    * a plain window min — no argmin/struct-ordering construct needed.
+    * Documents shorter than w+k-1 tokens have no full window and emit
+    * no fingerprints (the algorithm's documented domain).
+    */
+  def winnowingFingerprints(df: DataFrame, text: Column,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    val hBits = 40
+    val posBits = 20
+    val toks = tokens(text)
+    val grams = transform(sequence(lit(0), size(toks) - k),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))
+    val keyed = df
+      .filter(size(toks) >= k + w - 1) // at least one full window
+      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        ((graft.functions.md5_long(col("gram")) % (1L << hBits)) * (1L << posBits)
+          + (lit((1L << posBits) - 1) - col("pos"))).as("key"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos").asc)
+      .rowsBetween(-(w - 1), org.apache.spark.sql.expressions.Window.currentRow)
+    keyed
+      .withColumn("sel", min(col("key")).over(win))
+      .filter(col("pos") >= w - 1) // full windows only
+      .select(col("doc_id"), col("sel")).distinct()
+      .select(col("doc_id"),
+        (lit((1L << posBits) - 1) - col("sel") % (1L << posBits)).as("fp_pos"),
+        expr(s"sel div ${1L << posBits}").as("fp_hash"))
+  }
+
+  def winnowingFingerprintsSql(k: Int = 3, w: Int = 4): String = {
+    val hMod = 1L << 40
+    val posMod = 1L << 20
+    s"""WITH t AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+          WHERE len(string_split(lower(text), ' ')) >= ${k + w - 1}),
+        p AS (
+          SELECT doc_id, toks,
+                 unnest(range(0, greatest(len(toks) - ${k - 1}, 0))) AS pos
+          FROM t),
+        keyed AS (
+          SELECT doc_id, pos,
+                 (('0x' || substring(md5(array_to_string(toks[pos+1:pos+$k], ' ')), 1, 15))::BIGINT
+                    % $hMod) * $posMod + (${posMod - 1} - pos) AS key
+          FROM p),
+        sel0 AS (
+          SELECT doc_id, pos,
+                 min(key) OVER (PARTITION BY doc_id ORDER BY pos ASC
+                                ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS sel
+          FROM keyed),
+        sel AS (SELECT DISTINCT doc_id, sel FROM sel0 WHERE pos >= ${w - 1})
+        SELECT doc_id, ${posMod - 1} - (sel % $posMod) AS fp_pos, sel // $posMod AS fp_hash
+        FROM sel"""
+  }
+
   /** Gopher-style repetition metric: the fraction of a document's
     * 3-gram occurrences that are duplicates (1 − distinct/total) — the
     * classic boilerplate/repetition filter rule. Distinct 3-grams come

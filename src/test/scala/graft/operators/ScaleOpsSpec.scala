@@ -212,6 +212,42 @@ class StreamIntervalJoinSpec extends SparkSpec {
   private def tUs(t: Timestamp): Long = t.getTime * 1000L
 }
 
+class WinnowingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fps(docs: Seq[(Long, String)]): Map[Long, Set[(Long, Long)]] =
+    TextAnalysis.winnowingFingerprints(docs.toDF("doc_id", "text"), col("text"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+
+  test("winnowing guarantee: shared runs >= w+k-1 tokens share a fingerprint hash") {
+    // two docs share a 10-token run embedded in different contexts;
+    // with k=3, w=4 any shared run of >= 6 tokens must collide
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d1 = s"one two three $shared four five"
+    val d2 = s"xx yy $shared zz"
+    val m = fps(Seq((1L, d1), (2L, d2)))
+    val h1 = m(1L).map(_._2)
+    val h2 = m(2L).map(_._2)
+    assert((h1 & h2).nonEmpty, s"h1=$h1 h2=$h2")
+  }
+
+  test("winnowing density and domain") {
+    // ~2/(w+1) of grams selected on random-ish text; short docs emit none
+    val text = (1 to 200).map(i => s"tok${i * 37 % 91}").mkString(" ")
+    val m = fps(Seq((1L, text), (2L, "too short doc")))
+    val n = m(1L).size.toDouble
+    val grams = 200 - 2
+    assert(n / grams > 0.2 && n / grams < 0.6, s"density ${n / grams}")
+    assert(!m.contains(2L))
+    // rightmost-tie rule: all-equal tokens → every full window selects
+    // its rightmost gram, so every position from w-1 on is a fingerprint
+    val equalToks = Seq((3L, Seq.fill(10)("same").mkString(" ")))
+    val m3 = fps(equalToks)(3L)
+    assert(m3.map(_._1) == (3L to 7L).toSet, m3.toString) // 8 grams, pos 3..7
+  }
+}
+
 class SessionWindowBoundarySpec extends graft.SparkSpec {
   import org.apache.spark.sql.functions._
   import spark.implicits._
