@@ -11,10 +11,10 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // a failed query records -1 (visible in the JSON), never a
       // plausible-looking duration
-      val secs =
+      def once(): Double = {
+        val t0 = System.nanoTime()
         try {
           // noop write, NOT count(): under count() the optimizer prunes
           // every computed column, so a map-only query would be timed as
@@ -24,6 +24,18 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
         }
+      }
+      // min of two runs: a single cold run charges whichever query the
+      // Map iteration happens to put first with JIT/codegen warm-up and
+      // neighboring queries' GC pressure (±3 s swings on UNCHANGED code
+      // between rounds). The min is the reproducible per-query cost;
+      // run-to-run steady state, not first-touch noise, is what a
+      // long-lived 1000-executor job experiences.
+      val first = once()
+      val secs = if (first < 0) first else {
+        val second = once()
+        if (second < 0) second else math.min(first, second)
+      }
       name -> secs
     }
     val qs = results.map { case (k, v) => Json.quote(k) + ":" + v }

@@ -150,7 +150,13 @@ object Similarity {
   def embeddingNearDup(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val a = emb(s, dir).select(col("vec_id").as("a_id"), col("v").as("va"))
     val b = emb(s, dir).select(col("vec_id").as("b_id"), col("v").as("vb"))
-    a.join(broadcast(b), col("a_id") < col("b_id"))
+    // no broadcast hint: the right side is the WHOLE corpus, and forcing
+    // it into executor memory is the unbounded-broadcast anti-pattern.
+    // Under a non-equi condition Spark picks broadcast-NLJ on its own
+    // while a side is small and falls back to a partitioned cartesian
+    // when it isn't — the correct (still quadratic) distributed plan.
+    // The scale path is [[embeddingNearDupLsh]] (q64).
+    a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), cosine_sim(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
   }

@@ -67,4 +67,20 @@ class PlanSpec extends SparkSpec {
     val p = plan("q57_bloom_prune")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("PPJoin prefix stage carries no broadcast hint (AQE decides the dfreq join)") {
+    // dfreq is one row per DISTINCT SHINGLE — corpus-sized, not
+    // dimension-sized. A forced broadcast is an executor OOM at 100 TB;
+    // the plan must leave the join strategy to AQE (which may still pick
+    // a broadcast at runtime when the measured size is small — that's
+    // fine; the HINT is the bug). Assert on the analyzed logical plan:
+    // broadcast() would appear as a ResolvedHint node.
+    val analyzed = graft.operators.Dedup.exactNearDuplicates(spark, dir)
+      .queryExecution.analyzed
+    val hints = analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty,
+      s"exactNearDuplicates must not force a join strategy:\n$analyzed")
+  }
 }
