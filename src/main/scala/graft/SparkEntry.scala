@@ -262,6 +262,14 @@ object SparkEntry {
     "q25_ann_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "q26_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "q27_embed_neardup" -> ((s, dir) => Similarity.embeddingNearDup(s, dir)),
+    // the 100 TB embedding-dedup path: random-hyperplane LSH candidate
+    // generation (O(n·tables), no all-pairs join) + exact-cosine verify.
+    // Short signatures (4 bits × 8 tables) because the corpus' closest
+    // pairs sit near cos ≈ 0.5-0.6; the oracle replays the whole
+    // algorithm (planes inlined as literals), so correctness is checked
+    // cell-exact independent of recall (contract-tested separately).
+    "q64_embed_neardup_lsh" -> ((s, dir) =>
+      Similarity.embeddingNearDupLsh(s, dir, threshold = 0.5, bits = 4, tables = 8)),
 
     // ---- multimodal columns (binary payload + typed metadata; decode
     // kernels are stubs, plumbing is real — see Multimodal scaladoc) ----
@@ -557,6 +565,7 @@ object SparkEntry {
     "q25_ann_bruteforce" -> Similarity.bruteForceTopKSql(),
     "q26_ann_ivf" -> Similarity.ivfTopKSql(),
     "q27_embed_neardup" -> Similarity.embeddingNearDupSql(),
+    "q64_embed_neardup_lsh" -> Similarity.embeddingNearDupLshSql(threshold = 0.5, bits = 4, tables = 8),
     "q28_multimodal_meta" -> Multimodal.metaDigestSql,
     "q29_sessionize" -> Analytics.sessionizeSql(),
     "q30_rollup" -> Analytics.orderRollupSql,
@@ -602,5 +611,9 @@ object SparkEntry {
          JOIN events e ON p.user_id = e.user_id
            AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts <= p.ts
          WHERE p.event_type = 'purchase' AND e.event_type = 'error'""",
-  )
+  ) ++
+    // q49's oracle exists only after its query ran in this JVM (Verify's
+    // evaluation order): the trained centroids are then known and get
+    // inlined as literals — the training loop isn't SQL, its result is
+    Similarity.ivfTopKTrainedSql().map("q49_ann_ivf_trained" -> _)
 }

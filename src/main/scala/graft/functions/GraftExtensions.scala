@@ -16,40 +16,78 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
+  /** A SQL call with the wrong arity must be a proper analysis error
+    * (the standard WRONG_NUM_ARGS class), not an
+    * IndexOutOfBoundsException out of the builder's exprs(i).
+    */
+  private def checkArity(name: String, exprs: Seq[Expression], valid: Seq[Int]): Unit =
+    if (!valid.contains(exprs.size))
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> valid.mkString(" or "),
+          "actualNum" -> exprs.size.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_blake2b"),
       new ExpressionInfo(classOf[Blake2bDigest].getName, "graft_blake2b"),
-      (exprs: Seq[Expression]) => Blake2bDigest(exprs.head,
-        if (exprs.size > 1) intArg(exprs(1), "digest size") else 8)))
+      (exprs: Seq[Expression]) => {
+        checkArity("graft_blake2b", exprs, Seq(1, 2))
+        Blake2bDigest(exprs.head,
+          if (exprs.size > 1) intArg(exprs(1), "digest size") else 8)
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_kafka_partition"),
       new ExpressionInfo(classOf[KafkaPartition].getName, "graft_kafka_partition"),
-      (exprs: Seq[Expression]) => KafkaPartition(exprs.head, intArg(exprs(1), "numPartitions"))))
+      (exprs: Seq[Expression]) => {
+        checkArity("graft_kafka_partition", exprs, Seq(2))
+        KafkaPartition(exprs.head, intArg(exprs(1), "numPartitions"))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
-      (exprs: Seq[Expression]) => Shingles(exprs.head,
-        if (exprs.size > 1) intArg(exprs(1), "shingle size") else 3)))
+      (exprs: Seq[Expression]) => {
+        checkArity("graft_shingles", exprs, Seq(1, 2))
+        Shingles(exprs.head,
+          if (exprs.size > 1) intArg(exprs(1), "shingle size") else 3)
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_md5_long"),
       new ExpressionInfo(classOf[Md5Long].getName, "graft_md5_long"),
-      (exprs: Seq[Expression]) => Md5Long(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        checkArity("graft_md5_long", exprs, Seq(1))
+        Md5Long(exprs.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        checkArity("graft_cosine_sim", exprs, Seq(2))
+        CosineSimilarity(exprs(0), exprs(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash16"),
-      (exprs: Seq[Expression]) => SimHash16(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        checkArity("graft_simhash16", exprs, Seq(1))
+        SimHash16(exprs.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
-      (exprs: Seq[Expression]) => MinHashSig(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        checkArity("graft_minhash_sig", exprs, Seq(1))
+        MinHashSig(exprs.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_intersect_size"),
       new ExpressionInfo(classOf[IntersectSize].getName, "graft_intersect_size"),
-      (exprs: Seq[Expression]) => IntersectSize(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        checkArity("graft_intersect_size", exprs, Seq(2))
+        IntersectSize(exprs(0), exprs(1))
+      }))
   }
 }

@@ -8,14 +8,17 @@ import graft.Tables
   * `binary` columns with typed metadata structs, plus partition-wise
   * decode / feature-extract / resize / frame-sample operators.
   *
-  * The DECODE KERNELS ARE STUBS — this container has no image/audio
-  * codecs, so `decodeFeatures` computes a deterministic fake feature
-  * vector from the raw bytes (clearly marked below). Everything around
-  * them is real and tested: the schema, the typed Dataset plumbing, the
-  * mapPartitions batch shape (decode libraries amortize per-partition
-  * init, exactly like a Pandas-UDF batch), and the size-aware
-  * repartitioning that keeps a 100 TB blob scan balanced when payload
-  * sizes are skewed.
+  * Decode kernels: the two codec-free formats are REAL — binary PPM
+  * images and PCM WAV audio are parsed byte-by-byte
+  * ([[MediaCodecs]]) and their features computed from actual
+  * pixels/samples. Compressed formats (JPEG/MP3/H.264) would need
+  * codec libraries this container doesn't have, so they fall back to
+  * a deterministic byte-stat stub (clearly marked below). Everything
+  * around the kernels is real and tested: the schema, the typed
+  * Dataset plumbing, the mapPartitions batch shape (decode libraries
+  * amortize per-partition init, exactly like a Pandas-UDF batch), and
+  * the size-aware repartitioning that keeps a 100 TB blob scan
+  * balanced when payload sizes are skewed.
   */
 object Multimodal {
 
@@ -35,28 +38,48 @@ object Multimodal {
       (col("n_chars") % 768 + 1).cast("int").as("height"),
       lit("raw").as("format"))
 
-  /** Partition-wise feature extraction over blobs. Real decode would
-    * initialize a codec once per partition (the expensive part) and
-    * stream records through it; the per-record kernel here is a STUB:
-    * deterministic byte statistics standing in for a real embedding.
+  /** Partition-wise feature extraction over blobs. Dispatches on the
+    * blob's declared format:
+    *  - `ppm` → REAL binary-PPM decode ([[MediaCodecs.decodePpm]]):
+    *    header parse + per-channel pixel statistics over actual RGB;
+    *  - `wav` → REAL PCM-WAV decode ([[MediaCodecs.decodeWavPcm16]]):
+    *    RIFF chunk walk + amplitude/zero-crossing stats over samples;
+    *  - anything else, or a payload that fails its format's parse →
+    *    the byte-stat STUB (compressed codecs don't exist in this
+    *    container) — corrupt blobs degrade to byte features instead of
+    *    killing the scan.
+    * Codec-requiring formats would initialize their library once per
+    * partition here (the mapPartitions shape exists for that).
     */
   def decodeFeatures(blobs: Dataset[Blob]): Dataset[Features] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
       // per-partition init would go here (codec / model load)
       it.map { b =>
-        // STUB decode kernel: byte-level stats as an 8-dim "feature"
-        val bytes = b.payload
-        val n = bytes.length
-        val feats = new Array[Double](8)
-        var i = 0
-        while (i < n) {
-          feats(i % 8) += (bytes(i) & 0xff) / 255.0
-          i += 1
+        val decoded: Option[Array[Double]] = b.format match {
+          case "ppm" => MediaCodecs.decodePpm(b.payload).map(MediaCodecs.ppmFeatures)
+          case "wav" => MediaCodecs.decodeWavPcm16(b.payload).map(MediaCodecs.wavFeatures)
+          case _ => None
         }
-        Features(b.doc_id, n, feats.map(_ / math.max(n / 8, 1)))
+        val feats = decoded.getOrElse(byteStatFeatures(b.payload))
+        Features(b.doc_id, b.payload.length, feats)
       }
     }
+  }
+
+  /** Fallback kernel: deterministic byte statistics as an 8-dim
+    * "feature" — the stand-in for formats whose decoder needs a codec
+    * library, and the degraded path for corrupt payloads.
+    */
+  private def byteStatFeatures(bytes: Array[Byte]): Array[Double] = {
+    val n = bytes.length
+    val feats = new Array[Double](8)
+    var i = 0
+    while (i < n) {
+      feats(i % 8) += (bytes(i) & 0xff) / 255.0
+      i += 1
+    }
+    feats.map(_ / math.max(n / 8, 1))
   }
 
   /** "Resize": deterministic byte subsampling standing in for a pixel

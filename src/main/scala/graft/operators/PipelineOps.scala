@@ -170,13 +170,18 @@ object PipelineOps {
     */
   def zOrderKey(s: SparkSession, dir: String, bits: Int = 16): DataFrame = {
     val mask = (1L << bits) - 1
+    // folds use pmod, not %: Spark's % preserves sign, and a negative
+    // fold's bit-interleave is meaningless garbage. The hour index is a
+    // FLOOR division (x - pmod(x, h)) div h — Spark's `div` truncates
+    // toward zero, which would disagree with both the oracle's `//`
+    // (floor) and hour-bucket semantics for pre-1970 timestamps.
+    // Locality horizon: 2^bits hours (~7.5 years at 16 bits).
+    val us = "unix_micros(ts)"
+    val hourUs = 3600000000L
     Tables.events(s, dir)
       .select(col("event_id"),
-        (col("user_id") % (mask + 1)).as("a"),
-        // hour index folded to `bits` bits: locality preserved within
-        // a 2^bits-hour horizon (~7.5 years at 16 bits). Integer `div`,
-        // not `/`: the DataFrame `/` is double division
-        expr(s"(unix_micros(ts) div 3600000000) % ${mask + 1}").as("b"))
+        pmod(col("user_id"), lit(mask + 1)).as("a"),
+        expr(s"pmod(($us - pmod($us, $hourUs)) div $hourUs, ${mask + 1})").as("b"))
       .withColumn("zval", expr(zExprSql("a", "b", bits)))
       .select(col("event_id"), col("a").as("user_fold"),
         col("b").as("hour_fold"), col("zval"))
@@ -184,9 +189,10 @@ object PipelineOps {
 
   def zOrderKeySql(bits: Int = 16): String = {
     val m = 1L << bits
+    // ((x % m) + m) % m = pmod; DuckDB's // is already floor division
     s"""WITH f AS (
-          SELECT event_id, user_id % $m AS a,
-                 (epoch_us(ts)::BIGINT // 3600000000) % $m AS b
+          SELECT event_id, ((user_id % $m) + $m) % $m AS a,
+                 (((epoch_us(ts)::BIGINT // 3600000000) % $m) + $m) % $m AS b
           FROM events)
         SELECT event_id, a AS user_fold, b AS hour_fold,
                ${zExprSql("a", "b", bits)} AS zval

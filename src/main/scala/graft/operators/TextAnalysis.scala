@@ -110,8 +110,13 @@ object TextAnalysis {
     * ONE integer `min()` over `h·2^20 + (2^20-1-pos)` (40-bit gram
     * hash, 20-bit position), so both engines express the tie rule with
     * a plain window min — no argmin/struct-ordering construct needed.
-    * Documents shorter than w+k-1 tokens have no full window and emit
-    * no fingerprints (the algorithm's documented domain).
+    * Domain bounds (both enforced by the same filter in the operator
+    * and its oracle): documents shorter than w+k-1 tokens have no full
+    * window and emit no fingerprints, and documents with more than 2^20
+    * k-grams are excluded — a position past the 20-bit field would make
+    * (2^20-1-pos) negative and silently corrupt both the tie ordering
+    * and the recovered fp_pos, so over-long documents are rejected
+    * rather than fingerprinted wrongly (chunk them upstream).
     */
   def winnowingFingerprints(df: DataFrame, text: Column,
       k: Int = 3, w: Int = 4): DataFrame = {
@@ -121,7 +126,8 @@ object TextAnalysis {
     val grams = transform(sequence(lit(0), size(toks) - k),
       i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))
     val keyed = df
-      .filter(size(toks) >= k + w - 1) // at least one full window
+      .filter(size(toks) >= k + w - 1 && // at least one full window
+        size(toks) <= (1L << posBits) + k - 1) // every pos fits the 20-bit field
       .select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos"),
         ((graft.functions.md5_long(col("gram")) % (1L << hBits)) * (1L << posBits)
@@ -143,7 +149,8 @@ object TextAnalysis {
     val posMod = 1L << 20
     s"""WITH t AS (
           SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
-          WHERE len(string_split(lower(text), ' ')) >= ${k + w - 1}),
+          WHERE len(string_split(lower(text), ' ')) >= ${k + w - 1}
+            AND len(string_split(lower(text), ' ')) <= ${posMod + k - 1}),
         p AS (
           SELECT doc_id, toks,
                  unnest(range(0, greatest(len(toks) - ${k - 1}, 0))) AS pos

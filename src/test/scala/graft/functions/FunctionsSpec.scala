@@ -129,3 +129,18 @@ class NullElementSpec extends graft.SparkSpec {
     assert(row.getSeq[Long](2) == clean.getSeq[Long](1))
   }
 }
+
+class ArityCheckSpec extends graft.SparkSpec {
+  test("wrong SQL arity is an AnalysisException, not an index error") {
+    for (bad <- Seq(
+        "SELECT graft_intersect_size(array('a'))",
+        "SELECT graft_cosine_sim(array(1.0d))",
+        "SELECT graft_md5_long()",
+        "SELECT graft_kafka_partition(cast('x' as binary))")) {
+      val e = intercept[Exception](spark.sql(bad).collect())
+      assert(e.isInstanceOf[org.apache.spark.sql.AnalysisException],
+        s"$bad threw ${e.getClass}: ${e.getMessage}")
+      assert(e.getMessage.contains("parameters"), e.getMessage)
+    }
+  }
+}

@@ -111,6 +111,65 @@ class MultimodalSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 4)
     assert(df.count() == 500)
   }
+
+  // handcrafted 2×2 P6: header with a comment, pixels R,G,B,white
+  private def ppmBytes: Array[Byte] =
+    ("P6\n# handcrafted\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array[Int](255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte))
+
+  // handcrafted PCM WAV: mono 8000 Hz, 4 samples [0, 16384, -16384, 0]
+  private def wavBytes: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(52).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(44).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(8)
+      .putShort(0).putShort(16384).putShort(-16384).putShort(0)
+    bb.array()
+  }
+
+  test("PPM decode: real header parse + pixel statistics") {
+    val img = MediaCodecs.decodePpm(ppmBytes).get
+    assert(img.width == 2 && img.height == 2 && img.rgb.length == 12)
+    val f = MediaCodecs.ppmFeatures(img)
+    // channel means: each channel is 255 in exactly 2 of 4 pixels
+    assert(f.take(3).forall(v => math.abs(v - 0.5) < 1e-12))
+    assert(f(5) == 1.0) // aspect 2:2
+    // malformed inputs reject, never throw
+    assert(MediaCodecs.decodePpm("P3\n2 2\n255\n".getBytes).isEmpty) // ASCII PPM
+    assert(MediaCodecs.decodePpm(ppmBytes.dropRight(1)).isEmpty) // truncated raster
+    assert(MediaCodecs.decodePpm(Array[Byte]()).isEmpty)
+  }
+
+  test("WAV decode: RIFF chunk walk + sample statistics") {
+    val a = MediaCodecs.decodeWavPcm16(wavBytes).get
+    assert(a.sampleRate == 8000 && a.channels == 1)
+    assert(a.samples.toSeq == Seq[Short](0, 16384, -16384, 0))
+    val f = MediaCodecs.wavFeatures(a)
+    assert(math.abs(f(2) - 0.5) < 1e-12) // peak = 16384/32768
+    assert(math.abs(f(4) - 4.0 / 8000) < 1e-15) // duration
+    // malformed inputs reject, never throw
+    assert(MediaCodecs.decodeWavPcm16(wavBytes.take(20)).isEmpty)
+    assert(MediaCodecs.decodeWavPcm16("RIFFxxxxAIFF".getBytes).isEmpty)
+  }
+
+  test("decodeFeatures dispatches on format and falls back on corrupt payloads") {
+    val ds = Seq(
+      Multimodal.Blob(1L, ppmBytes, 2, 2, "ppm"),
+      Multimodal.Blob(2L, wavBytes, 0, 0, "wav"),
+      Multimodal.Blob(3L, Array[Byte](1, 2, 3), 0, 0, "raw"),
+      Multimodal.Blob(4L, Array[Byte](1, 2, 3), 0, 0, "ppm") // corrupt "ppm"
+    ).toDS()
+    val f = Multimodal.decodeFeatures(ds).collect().map(x => x.doc_id -> x).toMap
+    // real decodes match the kernel outputs exactly
+    assert(f(1L).features.sameElements(
+      MediaCodecs.ppmFeatures(MediaCodecs.decodePpm(ppmBytes).get)))
+    assert(f(2L).features.sameElements(
+      MediaCodecs.wavFeatures(MediaCodecs.decodeWavPcm16(wavBytes).get)))
+    // corrupt ppm degrades to the same byte-stat features as raw
+    assert(f(4L).features.sameElements(f(3L).features))
+    assert(f.values.forall(_.features.length == 8))
+  }
 }
 
 class PipelineOpsSpec extends SparkSpec {
