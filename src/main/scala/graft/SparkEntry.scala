@@ -253,6 +253,9 @@ object SparkEntry {
 
     // ---- deduplication family ----
     "q20_dedup_exact" -> ((s, dir) => Dedup.exactCanonical(s, dir)),
+    // substring-level exact dedup (Lee et al. ExactSubstr family):
+    // corpus-duplicated L-token spans + interval-sweep token coverage
+    "q65_substring_dedup" -> ((s, dir) => Dedup.substringDedup(s, dir)),
     "q21_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashNearDuplicates(s, dir)),
     "q22_dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "q23_dedup_ngram_exact" -> ((s, dir) => Dedup.exactNearDuplicates(s, dir)),
@@ -558,6 +561,7 @@ object SparkEntry {
     "q18_text_langid" -> TextAnalysis.languageIdSql,
     "q19_text_fingerprint" -> TextAnalysis.fingerprintsSql,
     "q20_dedup_exact" -> Dedup.exactCanonicalSql,
+    "q65_substring_dedup" -> Dedup.substringDedupSql(),
     "q21_dedup_minhash_lsh" -> Dedup.nearDuplicatesSql(),
     "q22_dedup_simhash" -> Dedup.simhashSql,
     "q23_dedup_ngram_exact" -> Dedup.nearDuplicatesSql(),

@@ -287,17 +287,24 @@ object Similarity {
       bitExprs.reduce(_ + _).as(s"sig$t")
     }
     val signed = e.select(col("vec_id") +: col("v") +: sigCols: _*)
-    val banded = signed.select(col("vec_id"), col("v"),
+    // the banded rows and the self-join are SKINNY — (vec_id, t, sig)
+    // only. Dragging the dim-wide vector through the explode and both
+    // join sides multiplies the shuffle by ~2·dim; instead candidates
+    // dedup as bare id pairs and the corpus joins back once per side
+    // for the verify (no broadcast hint — corpus-sized, AQE decides).
+    val banded = signed.select(col("vec_id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), col(s"sig$t").as("sig"))): _*)).as("b"))
-      .select(col("vec_id"), col("v"), col("b.t"), col("b.sig"))
+      .select(col("vec_id"), col("b.t"), col("b.sig"))
     val cands = banded.as("x").join(banded.as("y"),
         col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
-        col("x.v").as("va"), col("y.v").as("vb"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    cands.select(col("a_id"), col("b_id"), cosine_sim(col("va"), col("vb")).as("cos"))
+    cands
+      .join(e.select(col("vec_id").as("a_id"), col("v").as("va")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("v").as("vb")), "b_id")
+      .select(col("a_id"), col("b_id"), cosine_sim(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
