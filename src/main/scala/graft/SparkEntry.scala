@@ -256,6 +256,8 @@ object SparkEntry {
     // substring-level exact dedup (Lee et al. ExactSubstr family):
     // corpus-duplicated L-token spans + interval-sweep token coverage
     "q65_substring_dedup" -> ((s, dir) => Dedup.substringDedup(s, dir)),
+    // benchmark decontamination: 13-gram overlap vs a held-out set
+    "q66_decontaminate" -> ((s, dir) => Dedup.decontaminate(s, dir)),
     "q21_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashNearDuplicates(s, dir)),
     "q22_dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "q23_dedup_ngram_exact" -> ((s, dir) => Dedup.exactNearDuplicates(s, dir)),
@@ -562,6 +564,7 @@ object SparkEntry {
     "q19_text_fingerprint" -> TextAnalysis.fingerprintsSql,
     "q20_dedup_exact" -> Dedup.exactCanonicalSql,
     "q65_substring_dedup" -> Dedup.substringDedupSql(),
+    "q66_decontaminate" -> Dedup.decontaminateSql(),
     "q21_dedup_minhash_lsh" -> Dedup.nearDuplicatesSql(),
     "q22_dedup_simhash" -> Dedup.simhashSql,
     "q23_dedup_ngram_exact" -> Dedup.nearDuplicatesSql(),

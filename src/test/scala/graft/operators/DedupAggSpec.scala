@@ -101,3 +101,32 @@ class SubstringDedupSpec extends SparkSpec {
     assert(got.values.exists { case (n, dup) => dup > 0 && dup < n })
   }
 }
+
+class DecontaminateSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("13-gram contamination flags match a brute-force string check") {
+    val got = Dedup.decontaminate(spark, dir)
+      .select("doc_id", "n_overlap", "is_contaminated")
+      .as[(Long, Long, Int)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // reference docs are excluded from the output
+    assert(got.keySet.forall(_ % 10 != 0))
+    // brute force on the driver: the set of reference 13-gram strings
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def grams(t: String): Seq[String] = {
+      val toks = t.toLowerCase.split(" ", -1).toSeq
+      if (toks.size < 13) Seq.empty else toks.sliding(13).map(_.mkString(" ")).toSeq
+    }
+    val refGrams = docs.filter(_._1 % 10 == 0).flatMap(d => grams(d._2)).toSet
+    for ((id, text) <- docs if id % 10 != 0) {
+      val expect = grams(text).count(refGrams.contains)
+      assert(got(id)._1 == expect, s"doc $id got ${got(id)._1} expect $expect")
+      assert(got(id)._2 == (if (expect > 0) 1 else 0))
+    }
+    // fixture has planted cross-set overlaps — the operator has signal
+    assert(got.values.count(_._2 == 1) > 0)
+  }
+}
