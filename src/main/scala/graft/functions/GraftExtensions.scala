@@ -83,6 +83,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSig(exprs.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_hyperplane_sigs"),
+      new ExpressionInfo(classOf[HyperplaneSigs].getName, "graft_hyperplane_sigs"),
+      (exprs: Seq[Expression]) => {
+        checkArity("graft_hyperplane_sigs", exprs, Seq(4))
+        HyperplaneSigs(exprs.head, intArg(exprs(1), "bits"),
+          intArg(exprs(2), "tables"), intArg(exprs(3), "dim"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_intersect_size"),
       new ExpressionInfo(classOf[IntersectSize].getName, "graft_intersect_size"),
       (exprs: Seq[Expression]) => {

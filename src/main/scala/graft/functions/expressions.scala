@@ -354,3 +354,99 @@ object Murmur2 {
   def partition(key: Array[Byte], numPartitions: Int): Int =
     (hash(key) & 0x7fffffff) % numPartitions
 }
+
+/** All `tables` random-hyperplane LSH signatures of one embedding in a
+  * single pass: signature t packs `bits` sign bits, bit j = sign of the
+  * sequential dot product of the vector with hyperplane (t, j). The
+  * seeded Gaussian planes live in [[HyperplaneSigs.planes]] — the single
+  * source of truth shared with the generated oracle SQL
+  * (`graft.operators.Similarity.embeddingNearDupLshSql` inlines the same
+  * constants as literals), exactly the MinHashSig arrangement.
+  *
+  * Why native: the equivalent Column formulation is tables×bits×dim
+  * (thousands) of expression nodes — past whole-stage codegen's method
+  * budget it degrades to interpreted eval with per-node boxing (~2 s per
+  * pass over a 2k-row fixture, recomputed on every plan that references
+  * the signatures). One flat-array loop is microseconds. The dot runs in
+  * ascending dimension order — the same IEEE sequence as the Column
+  * reduce and the oracle's list_sum.
+  *
+  * Null contract: a null/short vector or a null element yields a null
+  * signature array (the row drops out of banding — candidate generation
+  * over garbage is meaningless); vectors longer than `dim` use their
+  * first `dim` components, matching the Column form's getItem(0..dim-1).
+  */
+case class HyperplaneSigs(child: Expression, bits: Int, tables: Int, dim: Int)
+    extends UnaryExpression with RequiresInputType
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(bits >= 1 && bits <= 63, s"bits must be 1..63, got $bits")
+  require(tables >= 1 && dim >= 1, s"tables/dim must be positive, got $tables/$dim")
+  override def requiredType: DataType =
+    ArrayType(org.apache.spark.sql.types.DoubleType)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> input, got $other")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  // flat [(t*bits + j)*dim + d] layout of the shared plane constants
+  @transient private lazy val flat: Array[Double] = {
+    val p = HyperplaneSigs.planes(bits, tables, dim)
+    val out = new Array[Double](tables * bits * dim)
+    var t = 0
+    while (t < tables) {
+      var j = 0
+      while (j < bits) {
+        System.arraycopy(p(t)(j), 0, out, (t * bits + j) * dim, dim)
+        j += 1
+      }
+      t += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (arr.numElements() < dim) return null
+    val v = new Array[Double](dim)
+    var d = 0
+    while (d < dim) {
+      if (arr.isNullAt(d)) return null
+      v(d) = arr.getDouble(d)
+      d += 1
+    }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var j = 0
+      while (j < bits) {
+        val base = (t * bits + j) * dim
+        var dot = 0.0
+        var k = 0
+        while (k < dim) { dot += v(k) * flat(base + k); k += 1 }
+        if (dot >= 0) sig |= 1L << j
+        j += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigs =
+    copy(child = newChild)
+  override def prettyName: String = "hyperplane_sigs"
+}
+
+object HyperplaneSigs {
+  /** Deterministic Gaussian hyperplanes: seeded PRNG → identical
+    * constants in the expression and in the generated oracle SQL.
+    */
+  def planes(bits: Int, tables: Int, dim: Int): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(20260812L)
+    Array.fill(tables, bits, dim)(rnd.nextGaussian())
+  }
+}

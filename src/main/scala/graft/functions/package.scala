@@ -57,6 +57,13 @@ package object functions {
   def intersect_size(a: Column, b: Column): Column =
     call_function("graft_intersect_size", a, b)
 
+  /** All `tables` random-hyperplane LSH signatures (array<long>) of an
+    * array<double> embedding column in one native pass — map-side, no
+    * shuffle; NULL for short/null-element vectors.
+    */
+  def hyperplane_sigs(v: Column, bits: Int, tables: Int, dim: Int): Column =
+    call_function("graft_hyperplane_sigs", v, lit(bits), lit(tables), lit(dim))
+
   /** Codegen'd cosine similarity of two vector columns (cast to
     * `array<double>` so arithmetic is double end-to-end).
     */

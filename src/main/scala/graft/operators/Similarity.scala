@@ -264,38 +264,29 @@ object Similarity {
     * larger candidate set for coverage.
     */
   /** Deterministic Gaussian hyperplanes — the SINGLE source of truth
-    * shared by the Spark operator and the generated oracle SQL (the
-    * seeded PRNG makes the constants reproducible, so the oracle can
-    * inline them as literals, exactly like the MinHash permutations).
+    * ([[graft.functions.HyperplaneSigs.planes]]) shared by the native
+    * signature expression and the generated oracle SQL (the seeded PRNG
+    * makes the constants reproducible, so the oracle can inline them as
+    * literals, exactly like the MinHash permutations).
     */
-  private[graft] def lshPlanes(bits: Int, tables: Int, dim: Int): Array[Array[Array[Double]]] = {
-    val rnd = new scala.util.Random(20260812L)
-    Array.fill(tables, bits, dim)(rnd.nextGaussian())
-  }
+  private[graft] def lshPlanes(bits: Int, tables: Int, dim: Int): Array[Array[Array[Double]]] =
+    graft.functions.HyperplaneSigs.planes(bits, tables, dim)
 
   def embeddingNearDupLsh(s: SparkSession, dir: String, threshold: Double = 0.9,
       bits: Int = 12, tables: Int = 6, dim: Int = 64): DataFrame = {
-    val planes = lshPlanes(bits, tables, dim)
     val e = emb(s, dir)
-    // signature per table: pack sign bits into a long via one expression
-    val sigCols = (0 until tables).map { t =>
-      val bitExprs = (0 until bits).map { j =>
-        val dot = (0 until dim).map(d => col("v").getItem(d) * lit(planes(t)(j)(d)))
-          .reduce(_ + _)
-        when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
-      }
-      bitExprs.reduce(_ + _).as(s"sig$t")
-    }
-    val signed = e.select(col("vec_id") +: col("v") +: sigCols: _*)
+    // all signatures in ONE native pass (map-side, no shuffle): the
+    // equivalent tables×bits×dim Column tree blows the codegen method
+    // budget and interprets at ~1000× the cost (see HyperplaneSigs)
+    val signed = e.select(col("vec_id"),
+      graft.functions.hyperplane_sigs(col("v"), bits, tables, dim).as("sigs"))
     // the banded rows and the self-join are SKINNY — (vec_id, t, sig)
     // only. Dragging the dim-wide vector through the explode and both
     // join sides multiplies the shuffle by ~2·dim; instead candidates
     // dedup as bare id pairs and the corpus joins back once per side
     // for the verify (no broadcast hint — corpus-sized, AQE decides).
     val banded = signed.select(col("vec_id"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), col(s"sig$t").as("sig"))): _*)).as("b"))
-      .select(col("vec_id"), col("b.t"), col("b.sig"))
+      posexplode(col("sigs")).as(Seq("t", "sig")))
     val cands = banded.as("x").join(banded.as("y"),
         col("x.t") === col("y.t") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") < col("y.vec_id"))

@@ -144,3 +144,40 @@ class ArityCheckSpec extends graft.SparkSpec {
     }
   }
 }
+
+class HyperplaneSigsSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("native signatures equal the Column-arithmetic formulation") {
+    val (bits, tables, dim) = (4, 3, 64)
+    val planes = HyperplaneSigs.planes(bits, tables, dim)
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val sigCols = (0 until tables).map { t =>
+      (0 until bits).map { j =>
+        val dot = (0 until dim).map(d => col("v").getItem(d) * lit(planes(t)(j)(d)))
+          .reduce(_ + _)
+        when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"sig$t")
+    }
+    val viaCols = e.select(col("vec_id") +: sigCols: _*).collect()
+      .map(r => r.getLong(0) -> (1 to tables).map(r.getLong).toSeq).toMap
+    val viaNative = e.select(col("vec_id"),
+        graft.functions.hyperplane_sigs(col("v"), bits, tables, dim).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaNative.keySet == viaCols.keySet)
+    assert(viaNative.forall { case (k, v) => viaCols(k) == v })
+  }
+
+  test("short and null-element vectors yield null signatures") {
+    import spark.implicits._
+    val df = Seq(1).toDF("x").select(
+      graft.functions.hyperplane_sigs(
+        array(lit(1.0), lit(2.0)), 4, 2, 64).as("short"),
+      graft.functions.hyperplane_sigs(
+        array((0 until 64).map(_ => lit(null).cast("double")): _*), 4, 2, 64).as("nulls"))
+    val row = df.head()
+    assert(row.isNullAt(0))
+    assert(row.isNullAt(1))
+  }
+}
