@@ -34,7 +34,9 @@ object Bench {
       val first = once()
       val secs = if (first < 0) first else {
         val second = once()
-        if (second < 0) second else math.min(first, second)
+        // a transiently failing SECOND run must not erase the real
+        // first measurement — only never-succeeded queries record -1
+        if (second < 0) first else math.min(first, second)
       }
       name -> secs
     }

@@ -51,14 +51,21 @@ object MediaCodecs {
     val w = readInt(); if (!skipWs()) return None
     val h = readInt(); if (!skipWs()) return None
     val maxval = readInt()
+    // dimension bounds BEFORE any product: readInt stops accumulating
+    // just past Int.MaxValue, so unbounded w/h could make w*h (and
+    // w*h*3) overflow Long and sneak a garbage `need` past the length
+    // check — a corrupt 30-byte header must yield None, never a throw
+    // or a giant allocation
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue ||
+      maxval <= 0 || maxval > 255) return None
     // exactly ONE whitespace byte separates maxval from the raster
-    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
     if (i >= bytes.length || !(bytes(i) == ' ' || bytes(i) == '\t' ||
         bytes(i) == '\n' || bytes(i) == '\r')) return None
     i += 1
-    val need = w * h * 3
-    if (w * h > Int.MaxValue / 3 || bytes.length - i < need) return None
-    val rgb = java.util.Arrays.copyOfRange(bytes, i, i + need.toInt)
+    if (w * h > Int.MaxValue / 3) return None // w,h <= 2^31 → no Long overflow
+    val need = (w * h * 3).toInt
+    if (bytes.length - i < need) return None
+    val rgb = java.util.Arrays.copyOfRange(bytes, i, i + need)
     Some(PpmImage(w.toInt, h.toInt, rgb))
   }
 

@@ -172,9 +172,11 @@ object PipelineOps {
     val mask = (1L << bits) - 1
     // folds use pmod, not %: Spark's % preserves sign, and a negative
     // fold's bit-interleave is meaningless garbage. The hour index is a
-    // FLOOR division (x - pmod(x, h)) div h — Spark's `div` truncates
-    // toward zero, which would disagree with both the oracle's `//`
-    // (floor) and hour-bucket semantics for pre-1970 timestamps.
+    // FLOOR division built as (x - pmod(x, h)) div h: the numerator is
+    // an exact multiple of h, where truncating and flooring division
+    // coincide — so Spark's `div` (truncates) and DuckDB's `//` (also
+    // truncates on integers — verified, NOT floor) agree for pre-1970
+    // timestamps too, and the bucket is the true calendar hour.
     // Locality horizon: 2^bits hours (~7.5 years at 16 bits).
     val us = "unix_micros(ts)"
     val hourUs = 3600000000L
@@ -189,10 +191,17 @@ object PipelineOps {
 
   def zOrderKeySql(bits: Int = 16): String = {
     val m = 1L << bits
-    // ((x % m) + m) % m = pmod; DuckDB's // is already floor division
+    // ((x % m) + m) % m = pmod; DuckDB's integer // TRUNCATES toward
+    // zero (like Spark's div), so the floor-hour is built the same way
+    // as the Spark side: subtract the pmod remainder first — the
+    // numerator becomes an exact multiple of h, where truncation and
+    // floor coincide
+    val h = 3600000000L
+    val usF = "epoch_us(ts)::BIGINT"
+    val hourFloor = s"(($usF - ((($usF % $h) + $h) % $h)) // $h)"
     s"""WITH f AS (
           SELECT event_id, ((user_id % $m) + $m) % $m AS a,
-                 (((epoch_us(ts)::BIGINT // 3600000000) % $m) + $m) % $m AS b
+                 (($hourFloor % $m) + $m) % $m AS b
           FROM events)
         SELECT event_id, a AS user_fold, b AS hour_fold,
                ${zExprSql("a", "b", bits)} AS zval

@@ -68,6 +68,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q64 LSH: native one-pass signatures; no forced join strategy") {
+    val df = SparkEntry.queries("q64_embed_neardup_lsh")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // signatures come from the single native expression (the Column
+    // formulation would blow the codegen budget and interpret)
+    assert(p.contains("hyperplane_sigs"), p)
+    // candidate rows are skinny: no embedding array rides the band join
+    // (the vector column reappears only in the verify joins' scans)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, "q64 must not force a join strategy")
+  }
+
+  test("q65/q66 window-hash aggregates partial-aggregate before their exchanges") {
+    for (q <- Seq("q65_substring_dedup", "q66_decontaminate")) {
+      val p = plan(q)
+      assert(p.contains("partial_count"), s"$q dup/ref hash count must map-side combine:\n$p")
+    }
+    // the coverage sweep is a window over ONE hashpartition(doc_id)
+    // exchange — no L-fold position explode anywhere
+    val p65 = plan("q65_substring_dedup")
+    assert(p65.contains("partial_sum"), p65)
+  }
+
   test("PPJoin prefix stage carries no broadcast hint (AQE decides the dfreq join)") {
     // dfreq is one row per DISTINCT SHINGLE — corpus-sized, not
     // dimension-sized. A forced broadcast is an executor OOM at 100 TB;

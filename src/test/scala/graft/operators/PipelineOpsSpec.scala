@@ -139,6 +139,11 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodecs.decodePpm("P3\n2 2\n255\n".getBytes).isEmpty) // ASCII PPM
     assert(MediaCodecs.decodePpm(ppmBytes.dropRight(1)).isEmpty) // truncated raster
     assert(MediaCodecs.decodePpm(Array[Byte]()).isEmpty)
+    // dimension bombs: products that overflow Int/Long must yield None,
+    // not a throw or a giant allocation
+    assert(MediaCodecs.decodePpm("P6\n4000000000 4000000000\n255\nxxx".getBytes).isEmpty)
+    assert(MediaCodecs.decodePpm("P6\n2147483647 2147483647\n255\nxxx".getBytes).isEmpty)
+    assert(MediaCodecs.decodePpm("P6\n50000 50000\n255\nxxx".getBytes).isEmpty)
   }
 
   test("WAV decode: RIFF chunk walk + sample statistics") {
