@@ -91,6 +91,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intArg(exprs(2), "tables"), intArg(exprs(3), "dim"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_winnow_keys"),
+      new ExpressionInfo(classOf[WinnowKeys].getName, "graft_winnow_keys"),
+      (exprs: Seq[Expression]) => {
+        checkArity("graft_winnow_keys", exprs, Seq(3))
+        WinnowKeys(exprs.head, intArg(exprs(1), "k"), intArg(exprs(2), "w"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_intersect_size"),
       new ExpressionInfo(classOf[IntersectSize].getName, "graft_intersect_size"),
       (exprs: Seq[Expression]) => {

@@ -450,3 +450,87 @@ object HyperplaneSigs {
     Array.fill(tables, bits, dim)(rnd.nextGaussian())
   }
 }
+
+/** Winnowing (MOSS) fingerprint selection over a token array in one
+  * native pass: hash every positional k-gram (concat_ws(" ") parity,
+  * 40-bit md5-based hash), pack `h·2^20 + (2^20-1-pos)` (the integer
+  * encoding of "min hash, rightmost position on ties"), take the min of
+  * every sliding window of `w` keys with a monotonic deque (O(grams)),
+  * and return the DISTINCT selected keys. Replaces the
+  * posexplode → global window sort → distinct formulation — a 100 TB
+  * fingerprint pass becomes a pure map with zero shuffles, the same
+  * plan-shape upgrade as SimHash16/MinHashSig. Constants (40-bit hash,
+  * 20-bit position field) are shared with the generated oracle SQL via
+  * [[WinnowKeys.hBits]]/[[WinnowKeys.posBits]].
+  *
+  * Returns null when the array has no full window (fewer than k+w-1
+  * tokens); the position-field domain bound (> 2^20 grams) stays in the
+  * operator, next to its documented rejection semantics.
+  */
+case class WinnowKeys(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with RequiresInputType
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k >= 1 && w >= 1, s"k/w must be positive, got $k/$w")
+  override def requiredType: DataType = ArrayType(StringType)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got $other")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val nGrams = n - k + 1
+    if (nGrams < w) return null // no full window
+    val hMod = 1L << WinnowKeys.hBits
+    val posMod = 1L << WinnowKeys.posBits
+    val sep = UTF8String.fromString(" ")
+    val keys = new Array[Long](nGrams)
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i < nGrams) {
+      var j = 0
+      while (j < k) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      // concatWs skips null inputs — identical to the concat_ws column
+      val g = UTF8String.concatWs(sep, parts: _*)
+      val h = Md5Long.hash(g.getBytes) % hMod
+      keys(i) = h * posMod + (posMod - 1 - i)
+      i += 1
+    }
+    // monotonic-deque sliding min: each index enters/leaves once
+    val sel = new java.util.LinkedHashSet[java.lang.Long]()
+    val dq = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0
+    i = 0
+    while (i < nGrams) {
+      while (tail > head && keys(dq(tail - 1)) >= keys(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) sel.add(keys(dq(head)))
+      i += 1
+    }
+    val out = new Array[Long](sel.size())
+    val it = sel.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): WinnowKeys =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_keys"
+}
+
+object WinnowKeys {
+  /** Shared packing constants: 40-bit gram hash, 20-bit position field
+    * — single source of truth for the expression, the operator's
+    * decode, and the generated oracle SQL.
+    */
+  val hBits = 40
+  val posBits = 20
+}

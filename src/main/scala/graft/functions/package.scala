@@ -64,6 +64,13 @@ package object functions {
   def hyperplane_sigs(v: Column, bits: Int, tables: Int, dim: Int): Column =
     call_function("graft_hyperplane_sigs", v, lit(bits), lit(tables), lit(dim))
 
+  /** Distinct winnowing-selected fingerprint keys (array<long>, packed
+    * `hash·2^20 + (2^20-1-pos)`) of a token-array column in one native
+    * pass — map-side, no shuffle; NULL when no full window exists.
+    */
+  def winnow_keys(toks: Column, k: Int, w: Int): Column =
+    call_function("graft_winnow_keys", toks, lit(k), lit(w))
+
   /** Codegen'd cosine similarity of two vector columns (cast to
     * `array<double>` so arithmetic is double end-to-end).
     */

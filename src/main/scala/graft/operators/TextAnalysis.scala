@@ -120,33 +120,26 @@ object TextAnalysis {
     */
   def winnowingFingerprints(df: DataFrame, text: Column,
       k: Int = 3, w: Int = 4): DataFrame = {
-    val hBits = 40
-    val posBits = 20
+    val posBits = graft.functions.WinnowKeys.posBits
     val toks = tokens(text)
-    val grams = transform(sequence(lit(0), size(toks) - k),
-      i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))
-    val keyed = df
-      .filter(size(toks) >= k + w - 1 && // at least one full window
+    // the selection runs inside the native WinnowKeys expression
+    // (per-doc monotonic-deque sliding min, distinct keys) — the whole
+    // fingerprint pass is a map + generate with ZERO shuffles, where
+    // the posexplode → window-sort → distinct formulation it replaces
+    // shuffled every gram twice (plan parity pinned by unit test,
+    // shuffle-freedom by PlanSpec)
+    df.filter(size(toks) >= k + w - 1 && // at least one full window
         size(toks) <= (1L << posBits) + k - 1) // every pos fits the 20-bit field
-      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos"),
-        ((graft.functions.md5_long(col("gram")) % (1L << hBits)) * (1L << posBits)
-          + (lit((1L << posBits) - 1) - col("pos"))).as("key"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos").asc)
-      .rowsBetween(-(w - 1), org.apache.spark.sql.expressions.Window.currentRow)
-    keyed
-      .withColumn("sel", min(col("key")).over(win))
-      .filter(col("pos") >= w - 1) // full windows only
-      .select(col("doc_id"), col("sel")).distinct()
+      .select(col("doc_id"),
+        explode(graft.functions.winnow_keys(toks, k, w)).as("sel"))
       .select(col("doc_id"),
         (lit((1L << posBits) - 1) - col("sel") % (1L << posBits)).as("fp_pos"),
         expr(s"sel div ${1L << posBits}").as("fp_hash"))
   }
 
   def winnowingFingerprintsSql(k: Int = 3, w: Int = 4): String = {
-    val hMod = 1L << 40
-    val posMod = 1L << 20
+    val hMod = 1L << graft.functions.WinnowKeys.hBits
+    val posMod = 1L << graft.functions.WinnowKeys.posBits
     s"""WITH t AS (
           SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
           WHERE len(string_split(lower(text), ' ')) >= ${k + w - 1}

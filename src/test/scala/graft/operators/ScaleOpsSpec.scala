@@ -246,6 +246,38 @@ class WinnowingSpec extends SparkSpec {
     val m3 = fps(equalToks)(3L)
     assert(m3.map(_._1) == (3L to 7L).toSet, m3.toString) // 8 grams, pos 3..7
   }
+
+  test("native winnow_keys equals the posexplode+window formulation on real docs") {
+    val (k, w) = (3, 4)
+    val hBits = graft.functions.WinnowKeys.hBits
+    val posBits = graft.functions.WinnowKeys.posBits
+    val df = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val got = TextAnalysis.winnowingFingerprints(df, col("text"), k, w)
+      .as[(Long, Long, Long)].collect().toSet
+    // the pre-round-4 formulation, verbatim
+    val toks = TextAnalysis.tokens(col("text"))
+    val grams = transform(sequence(lit(0), size(toks) - k),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))
+    val keyed = df
+      .filter(size(toks) >= k + w - 1 && size(toks) <= (1L << posBits) + k - 1)
+      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        ((graft.functions.md5_long(col("gram")) % (1L << hBits)) * (1L << posBits)
+          + (lit((1L << posBits) - 1) - col("pos"))).as("key"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos").asc)
+      .rowsBetween(-(w - 1), org.apache.spark.sql.expressions.Window.currentRow)
+    val old = keyed
+      .withColumn("sel", min(col("key")).over(win))
+      .filter(col("pos") >= w - 1)
+      .select(col("doc_id"), col("sel")).distinct()
+      .select(col("doc_id"),
+        (lit((1L << posBits) - 1) - col("sel") % (1L << posBits)).as("fp_pos"),
+        expr(s"sel div ${1L << posBits}").as("fp_hash"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == old)
+    assert(got.nonEmpty)
+  }
 }
 
 class SessionWindowBoundarySpec extends graft.SparkSpec {
