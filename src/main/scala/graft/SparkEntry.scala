@@ -373,6 +373,9 @@ object SparkEntry {
     // ---- round 2: more training-data-pipeline surface ----
     // deterministic train/val/test split (pure map, zero shuffles)
     "q39_hash_split" -> ((s, dir) => PipelineOps.hashSplit(s, dir)),
+    // dedup-aware split: near-dup clusters assigned to splits as units,
+    // so no held-out doc has a 0.8-Jaccard twin in training
+    "q67_leakage_safe_split" -> ((s, dir) => PipelineOps.leakageSafeSplit(s, dir)),
     // range join via hour-binning (range predicate → equi-join)
     "q40_incident_range_join" -> ((s, dir) => PipelineOps.incidentEvents(s, dir)),
     // TF-IDF keyword extraction (top-3 terms per doc)
@@ -588,6 +591,7 @@ object SparkEntry {
     "q37_window_funcs" -> Analytics.eventWindowFuncsSql,
     "q38_cube" -> Analytics.orderCubeSql,
     "q39_hash_split" -> PipelineOps.hashSplitSql(),
+    "q67_leakage_safe_split" -> PipelineOps.leakageSafeSplitSql(),
     "q40_incident_range_join" -> PipelineOps.incidentEventsSql(),
     "q41_tfidf_topterms" -> PipelineOps.tfidfTopTermsSql(),
     "q42_dedup_clusters" -> Dedup.dedupClustersSql(),

@@ -40,6 +40,46 @@ object PipelineOps {
                ELSE 'test' END AS split
         FROM documents"""
 
+  /** Leakage-safe train/val/test split: a per-DOCUMENT hash split
+    * ([[hashSplit]]) puts near-duplicate documents on both sides of the
+    * eval boundary — the classic contamination bug where "held-out"
+    * examples have a 0.9-Jaccard twin in training. The fix is to assign
+    * splits to near-dup CLUSTERS: group key = the document's cluster
+    * label ([[Dedup.dedupClusters]]; its own id when unclustered), and
+    * the split hash is taken over the GROUP key, so an entire cluster
+    * lands in one split by construction. Same deterministic md5 draw
+    * and 80/10/10 thresholds as q39; the all-in-one-split invariant is
+    * pinned by test.
+    */
+  def leakageSafeSplit(s: SparkSession, dir: String, trainPct: Int = 80,
+      valPct: Int = 10, threshold: Double = 0.8): DataFrame = {
+    val clusters = Dedup.dedupClusters(s, dir, threshold)
+      .select(col("doc_id"), col("cluster_id"))
+    Tables.load(s, dir, "documents").select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("group_key"))
+      .withColumn("bucket", graft.functions.md5_long(col("group_key")) % 100)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  def leakageSafeSplitSql(trainPct: Int = 80, valPct: Int = 10,
+      threshold: Double = 0.8): String = {
+    val b = "('0x' || substring(md5(group_key::VARCHAR), 1, 15))::BIGINT % 100"
+    s"""WITH RECURSIVE ${Dedup.dedupClustersCtes(threshold)},
+        cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+        g AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS group_key
+              FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+        SELECT doc_id, group_key, $b AS bucket,
+               CASE WHEN $b < $trainPct THEN 'train'
+                    WHEN $b < ${trainPct + valPct} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM g"""
+  }
+
   // ---- deterministic stratified sampling ----
 
   /** Exact-size stratified sample: the `k` events of each event_type

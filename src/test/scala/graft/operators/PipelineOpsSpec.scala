@@ -356,3 +356,34 @@ class ConnectedComponentsEmptySpec extends graft.SparkSpec {
     assert(got.count() == 0)
   }
 }
+
+class LeakageSafeSplitSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every near-dup cluster lands in exactly one split; unclustered docs match q39") {
+    val split = PipelineOps.leakageSafeSplit(spark, dir)
+      .select("doc_id", "group_key", "split")
+      .as[(Long, Long, String)].collect()
+    assert(split.length == 500) // one row per document
+    // cluster integrity: all docs sharing a group_key share a split
+    val byGroup = split.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byGroup.values.forall(_.size == 1))
+    // clustered docs exist and at least one cluster has >1 member
+    assert(byGroup.values.exists(_ => true) && split.groupBy(_._2).exists(_._2.length > 1))
+    // unclustered docs (group_key == own id) get exactly the q39 split
+    val plain = PipelineOps.hashSplit(spark, dir)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    for ((id, g, s) <- split if g == id)
+      assert(s == plain(id), s"doc $id: $s vs ${plain(id)}")
+    // and a doc whose group differs from its id may change split — the
+    // whole point; verify the mechanism drew from the group key
+    val moved = split.filter { case (id, g, s) => g != id && s != plain(id) }
+    val grouped = split.filter { case (id, g, _) => g != id }
+    assert(grouped.nonEmpty)
+    // moved may be empty by chance at tiny scale; mechanism check:
+    // group members' split equals the MIN member's q39 split
+    for ((id, g, s) <- grouped) assert(s == plain(g), s"doc $id group $g: $s vs ${plain(g)}")
+  }
+}
