@@ -30,14 +30,11 @@ object Bench {
       // neighboring queries' GC pressure (±3 s swings on UNCHANGED code
       // between rounds). The min is the reproducible per-query cost;
       // run-to-run steady state, not first-touch noise, is what a
-      // long-lived 1000-executor job experiences.
-      val first = once()
-      val secs = if (first < 0) first else {
-        val second = once()
-        // a transiently failing SECOND run must not erase the real
-        // first measurement — only never-succeeded queries record -1
-        if (second < 0) first else math.min(first, second)
-      }
+      // long-lived 1000-executor job experiences. Both attempts always
+      // run, so a transient failure on EITHER side never erases a real
+      // measurement — only a query that succeeded zero times records -1.
+      val runs = Seq(once(), once()).filter(_ >= 0)
+      val secs = if (runs.isEmpty) -1.0 else runs.min
       name -> secs
     }
     val qs = results.map { case (k, v) => Json.quote(k) + ":" + v }

@@ -489,6 +489,10 @@ case class WinnowKeys(child: Expression, k: Int, w: Int)
     if (nGrams < w) return null // no full window
     val hMod = 1L << WinnowKeys.hBits
     val posMod = 1L << WinnowKeys.posBits
+    // past the position field the packed keys would collide across
+    // positions and silently mis-order the tie rule — null, not
+    // garbage, for SQL callers who bypass the operator's domain filter
+    if (nGrams > posMod) return null
     val sep = UTF8String.fromString(" ")
     val keys = new Array[Long](nGrams)
     val parts = new Array[UTF8String](k)

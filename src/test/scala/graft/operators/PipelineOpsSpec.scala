@@ -370,20 +370,17 @@ class LeakageSafeSplitSpec extends SparkSpec {
     // cluster integrity: all docs sharing a group_key share a split
     val byGroup = split.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
     assert(byGroup.values.forall(_.size == 1))
-    // clustered docs exist and at least one cluster has >1 member
-    assert(byGroup.values.exists(_ => true) && split.groupBy(_._2).exists(_._2.length > 1))
+    // at least one real multi-member cluster exists (planted near-dups)
+    assert(split.groupBy(_._2).exists(_._2.length > 1))
     // unclustered docs (group_key == own id) get exactly the q39 split
     val plain = PipelineOps.hashSplit(spark, dir)
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     for ((id, g, s) <- split if g == id)
       assert(s == plain(id), s"doc $id: $s vs ${plain(id)}")
-    // and a doc whose group differs from its id may change split — the
-    // whole point; verify the mechanism drew from the group key
-    val moved = split.filter { case (id, g, s) => g != id && s != plain(id) }
+    // mechanism check: clustered docs draw from the GROUP key — every
+    // member's split equals the q39 split of its cluster's min member
     val grouped = split.filter { case (id, g, _) => g != id }
     assert(grouped.nonEmpty)
-    // moved may be empty by chance at tiny scale; mechanism check:
-    // group members' split equals the MIN member's q39 split
     for ((id, g, s) <- grouped) assert(s == plain(g), s"doc $id group $g: $s vs ${plain(g)}")
   }
 }

@@ -247,6 +247,19 @@ class WinnowingSpec extends SparkSpec {
     assert(m3.map(_._1) == (3L to 7L).toSet, m3.toString) // 8 grams, pos 3..7
   }
 
+  test("winnow_keys nulls out past the position-field capacity instead of corrupting") {
+    // > 2^20 grams: packed (2^20-1-pos) would go negative and collide
+    // across positions — the expression must return null, not garbage,
+    // even for SQL callers who bypass the operator's domain filter
+    val big = ("x " * ((1 << 20) + 5)).trim
+    val row = spark.range(1).select(
+      graft.functions.winnow_keys(split(lit(big), " "), 3, 4).as("sel"),
+      graft.functions.winnow_keys(split(lit("a b c d e f"), " "), 3, 4).as("ok"))
+      .head()
+    assert(row.isNullAt(0))
+    assert(!row.isNullAt(1))
+  }
+
   test("native winnow_keys equals the posexplode+window formulation on real docs") {
     val (k, w) = (3, 4)
     val hBits = graft.functions.WinnowKeys.hBits
