@@ -376,6 +376,8 @@ object SparkEntry {
     // dedup-aware split: near-dup clusters assigned to splits as units,
     // so no held-out doc has a 0.8-Jaccard twin in training
     "q67_leakage_safe_split" -> ((s, dir) => PipelineOps.leakageSafeSplit(s, dir)),
+    // quality-weighted deterministic sampling (data mixing)
+    "q68_importance_sample" -> ((s, dir) => PipelineOps.importanceSample(s, dir)),
     // range join via hour-binning (range predicate → equi-join)
     "q40_incident_range_join" -> ((s, dir) => PipelineOps.incidentEvents(s, dir)),
     // TF-IDF keyword extraction (top-3 terms per doc)
@@ -592,6 +594,7 @@ object SparkEntry {
     "q38_cube" -> Analytics.orderCubeSql,
     "q39_hash_split" -> PipelineOps.hashSplitSql(),
     "q67_leakage_safe_split" -> PipelineOps.leakageSafeSplitSql(),
+    "q68_importance_sample" -> PipelineOps.importanceSampleSql(),
     "q40_incident_range_join" -> PipelineOps.incidentEventsSql(),
     "q41_tfidf_topterms" -> PipelineOps.tfidfTopTermsSql(),
     "q42_dedup_clusters" -> Dedup.dedupClustersSql(),

@@ -80,6 +80,35 @@ object PipelineOps {
         FROM g"""
   }
 
+  /** Quality-weighted (importance) sampling — the "data mixing" move of
+    * a training pipeline: keep each document with probability
+    * proportional to its quality score (clamped to a floor so no
+    * stratum vanishes entirely), but make the draw DETERMINISTIC: the
+    * md5 id-hash mapped to [0,1) is the uniform variate, so the same
+    * document gets the same verdict across runs, engines, and
+    * partitionings (the q39/q56 reproducibility discipline applied to
+    * weighted sampling). Pure per-row map — zero shuffles at any scale.
+    * Portability: quality is the q17 expression (proven cell-exact in
+    * DuckDB); the draw divides the 60-bit hash by 2^60 (exact power of
+    * two), so both engines compare identical doubles.
+    */
+  def importanceSample(s: SparkSession, dir: String, floorP: Double = 0.1): DataFrame =
+    TextAnalysis.qualityScores(Tables.load(s, dir, "documents"), col("text"))
+      .select(col("doc_id"), col("quality"),
+        (graft.functions.md5_long(col("doc_id")).cast("double")
+          / lit(math.pow(2, 60))).as("draw"))
+      .withColumn("keep_p", greatest(col("quality"), lit(floorP)))
+      .withColumn("kept", (col("draw") < col("keep_p")).cast("int"))
+
+  def importanceSampleSql(floorP: Double = 0.1): String = {
+    val draw = "('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE / (1152921504606846976)::DOUBLE"
+    s"""WITH q AS (${TextAnalysis.qualityScoresSql})
+        SELECT doc_id, quality, $draw AS draw,
+               greatest(quality, $floorP) AS keep_p,
+               ($draw < greatest(quality, $floorP))::INT AS kept
+        FROM q"""
+  }
+
   // ---- deterministic stratified sampling ----
 
   /** Exact-size stratified sample: the `k` events of each event_type

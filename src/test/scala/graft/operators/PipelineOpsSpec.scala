@@ -384,3 +384,33 @@ class LeakageSafeSplitSpec extends SparkSpec {
     for ((id, g, s) <- grouped) assert(s == plain(g), s"doc $id group $g: $s vs ${plain(g)}")
   }
 }
+
+class ImportanceSampleSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("deterministic quality-weighted sampling: verdicts recompute exactly") {
+    val got = PipelineOps.importanceSample(spark, dir)
+      .select("doc_id", "quality", "draw", "keep_p", "kept")
+      .as[(Long, Double, Double, Double, Int)].collect()
+    assert(got.length == 500)
+    for ((id, q, draw, keepP, kept) <- got) {
+      assert(draw >= 0.0 && draw < 1.0)
+      assert(keepP == math.max(q, 0.1), s"doc $id")
+      assert(kept == (if (draw < keepP) 1 else 0), s"doc $id")
+    }
+    // both verdicts occur (the fixture has a quality spread), and
+    // high-quality docs are kept more often than low-quality ones
+    assert(got.exists(_._5 == 1) && got.exists(_._5 == 0))
+    val (hi, lo) = got.partition(_._2 >= 0.8)
+    assert(hi.nonEmpty && lo.nonEmpty)
+    val hiRate = hi.count(_._5 == 1).toDouble / hi.length
+    val loRate = lo.count(_._5 == 1).toDouble / lo.length
+    assert(hiRate > loRate, s"hi $hiRate lo $loRate")
+    // determinism across runs
+    val again = PipelineOps.importanceSample(spark, dir)
+      .select("doc_id", "kept").as[(Long, Int)].collect().toMap
+    assert(got.forall(t => again(t._1) == t._5))
+  }
+}
