@@ -158,6 +158,21 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodecs.decodeWavPcm16("RIFFxxxxAIFF".getBytes).isEmpty)
   }
 
+  test("decoders never throw on arbitrary bytes (fuzz, fixed seed)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 300) {
+      val n = rnd.nextInt(200)
+      val bytes = Array.fill(n)(rnd.nextInt(256).toByte)
+      MediaCodecs.decodePpm(bytes)
+      MediaCodecs.decodeWavPcm16(bytes)
+      // adversarial prefixes: valid magic + garbage body
+      MediaCodecs.decodePpm("P6".getBytes ++ bytes)
+      MediaCodecs.decodeWavPcm16("RIFF".getBytes ++ bytes)
+      MediaCodecs.decodeWavPcm16(
+        ("RIFF" + new String(bytes.take(4).map(b => (b & 0x7f).toChar)) + "WAVE").getBytes ++ bytes)
+    }
+  }
+
   test("decodeFeatures dispatches on format and falls back on corrupt payloads") {
     val ds = Seq(
       Multimodal.Blob(1L, ppmBytes, 2, 2, "ppm"),
