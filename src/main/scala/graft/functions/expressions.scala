@@ -277,8 +277,7 @@ object MinHashSig {
   * [[MinHashSig]]/[[SimHash16]]).
   */
 case class IntersectSize(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   private def ok(t: DataType): Boolean = t match {
     case ArrayType(StringType, _) => true
     case _ => false
@@ -288,9 +287,30 @@ case class IntersectSize(left: Expression, right: Expression)
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires two array<string> inputs, got (${left.dataType}, ${right.dataType})")
   override def dataType: DataType = IntegerType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    var x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    var y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IntersectSize.compute(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  // codegen emits a static call: this expression lives inside the
+  // PPJoin verify JOIN CONDITION (evaluated once per candidate pair —
+  // the hot path at scale), and a CodegenFallback here would knock the
+  // whole join stage out of whole-stage codegen
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.IntersectSize.compute($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): IntersectSize =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "intersect_size"
+}
+
+object IntersectSize {
+  /** Distinct-intersection count of two string arrays (remove-on-hit:
+    * each distinct common element counts exactly once even if the
+    * larger side holds duplicates). Hashes the SMALLER side.
+    */
+  def compute(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    var x = a
+    var y = b
     if (y.numElements() < x.numElements()) { val t = x; x = y; y = t }
     val nx = x.numElements()
     val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](nx * 2)
@@ -305,16 +325,11 @@ case class IntersectSize(left: Expression, right: Expression)
     i = 0
     while (i < ny) {
       val u = y.getUTF8String(i)
-      // remove-on-hit: each distinct common element counts exactly once
-      // even if the larger side holds duplicates
       if (u != null && set.remove(u)) count += 1
       i += 1
     }
     count
   }
-  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): IntersectSize =
-    copy(left = newLeft, right = newRight)
-  override def prettyName: String = "intersect_size"
 }
 
 /** MurmurHash2 (public algorithm by Austin Appleby), 32-bit, with the
