@@ -102,6 +102,46 @@ object Md5Long {
   }
 }
 
+/** Codegen bridge for the eval-heavy unary array expressions: emit one
+  * call back into the eval kernel through an embedded reference, so the
+  * enclosing Project/Generate/Join stage STAYS inside whole-stage
+  * codegen instead of degrading the whole stage to interpreted row
+  * processing (what a CodegenFallback mixin does). The per-row work of
+  * these kernels (hashing every token, sliding windows, plane dots)
+  * dwarfs the single virtual call. Public on purpose: janino-generated
+  * code must be able to call [[evalKernel]] through the interface.
+  */
+trait RefCodegen { self: UnaryExpression =>
+  /** Public face of the protected nullSafeEval for generated code. */
+  def evalKernel(input: Any): Any = nullSafeEval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this, classOf[RefCodegen].getName)
+    defineNullSafe(ctx, ev, ref)
+  }
+  private def defineNullSafe(ctx: CodegenContext, ev: ExprCode, ref: String): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      val r = ctx.freshName("graftR")
+      val assign = dataType match {
+        // janino has no auto-unboxing on assignment — unbox explicitly
+        case org.apache.spark.sql.types.LongType =>
+          s"${ev.value} = ((java.lang.Long) $r).longValue();"
+        case org.apache.spark.sql.types.IntegerType =>
+          s"${ev.value} = ((java.lang.Integer) $r).intValue();"
+        case _ =>
+          s"${ev.value} = (${CodeGenerator.javaType(dataType)}) $r;"
+      }
+      if (nullable)
+        s"""
+          Object $r = $ref.evalKernel($c);
+          if ($r == null) { ${ev.isNull} = true; } else { $assign }"""
+      else
+        s"""
+          Object $r = $ref.evalKernel($c);
+          $assign"""
+    })
+}
+
 /** Distinct k-word shingles of a token array, preserving first-seen
   * order of the underlying sliding window then de-duplicated — the
   * native form of
@@ -112,8 +152,7 @@ object Md5Long {
   * the unchanged DuckDB oracles).
   */
 case class Shingles(child: Expression, k: Int)
-    extends UnaryExpression with RequiresInputType
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression with RequiresInputType with RefCodegen {
   require(k >= 1)
   override def requiredType: DataType = ArrayType(StringType)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -156,8 +195,7 @@ case class Shingles(child: Expression, k: Int)
   * integer bit-sums are order-independent by construction.
   */
 case class SimHash16(child: Expression)
-    extends UnaryExpression with RequiresInputType
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression with RequiresInputType with RefCodegen {
   override def requiredType: DataType = ArrayType(StringType)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -203,8 +241,7 @@ case class SimHash16(child: Expression)
   * shuffle left in MinHash-LSH dedup is the banding join itself.
   */
 case class MinHashSig(child: Expression)
-    extends UnaryExpression with RequiresInputType
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression with RequiresInputType with RefCodegen {
   override def requiredType: DataType = ArrayType(StringType)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -392,8 +429,7 @@ object Murmur2 {
   * first `dim` components, matching the Column form's getItem(0..dim-1).
   */
 case class HyperplaneSigs(child: Expression, bits: Int, tables: Int, dim: Int)
-    extends UnaryExpression with RequiresInputType
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression with RequiresInputType with RefCodegen {
   require(bits >= 1 && bits <= 63, s"bits must be 1..63, got $bits")
   require(tables >= 1 && dim >= 1, s"tables/dim must be positive, got $tables/$dim")
   override def requiredType: DataType =
@@ -483,8 +519,7 @@ object HyperplaneSigs {
   * operator, next to its documented rejection semantics.
   */
 case class WinnowKeys(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with RequiresInputType
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression with RequiresInputType with RefCodegen {
   require(k >= 1 && w >= 1, s"k/w must be positive, got $k/$w")
   override def requiredType: DataType = ArrayType(StringType)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

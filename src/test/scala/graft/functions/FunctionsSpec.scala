@@ -181,3 +181,38 @@ class HyperplaneSigsSpec extends graft.SparkSpec {
     assert(row.isNullAt(1))
   }
 }
+
+class RefCodegenSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("native expressions compile under codegen (no silent fallback) and match eval") {
+    // fallback=false turns janino/codegen template errors into thrown
+    // exceptions instead of a silent interpreted fallback — without it a
+    // broken doGenCode would pass every correctness test at 1/3 speed
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .limit(50)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .select(col("doc_id"),
+          graft.functions.shingles(col("toks"), 3).as("sh"),
+          graft.functions.simhash16(col("toks")).as("sim"),
+          graft.functions.minhash_sig(col("toks")).as("mh"),
+          graft.functions.winnow_keys(col("toks"), 3, 4).as("wk"))
+      val rows = df.collect()
+      assert(rows.length == 50)
+      // and the embedding-side expressions
+      val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings").limit(20)
+        .select(graft.functions.hyperplane_sigs(
+          col("embedding").cast("array<double>"), 4, 2, 64).as("hs"))
+      assert(e.collect().length == 20)
+      val is = spark.sql(
+        "SELECT graft_intersect_size(array('a','b','c'), array('b','c','d')) AS n")
+      assert(is.head().getInt(0) == 2)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+}
