@@ -460,6 +460,16 @@ object SparkEntry {
     // q55's HLL (integer order statistics → cell-exact oracle; literal
     // rank bound → WindowGroupLimit)
     "q61_kmv_distinct" -> ((s, dir) => operators.Sketches.kmvDistinct(s, dir)),
+    // count-min sketch heavy hitters: the frequency-estimation sketch
+    // (HLL/KMV count distincts, Bloom tests membership, CMS estimates
+    // counts) — d×w integer counter grid, one-sided error, cell-exact
+    // oracle; grid bounded by d·w regardless of input size
+    "q69_cms_heavy_hitters" -> ((s, dir) => operators.Sketches.cmsHeavyHitters(s, dir)),
+    // RAG/embedding-prep chunking: overlapping token windows with
+    // deterministic (doc_id, chunk_idx) ids and md5 chunk hashes —
+    // pure map + generate, zero shuffles
+    "q70_doc_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(Tables.load(s, dir, "documents"), col("text"))),
     // CDC-style snapshot diff: added/removed/changed classification via
     // one full-outer join on the key (the first step of every
     // incremental pipeline)
@@ -633,6 +643,8 @@ object SparkEntry {
     "q59_snapshot_diff" -> PipelineOps.snapshotDiffSql,
     "q60_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
     "q61_kmv_distinct" -> operators.Sketches.kmvDistinctSql(),
+    "q69_cms_heavy_hitters" -> operators.Sketches.cmsHeavyHittersSql(),
+    "q70_doc_chunks" -> TextAnalysis.chunkDocumentsSql(),
     "q62_zorder_key" -> PipelineOps.zOrderKeySql(),
     "q63_winnowing" -> TextAnalysis.winnowingFingerprintsSql(),
     "q58_stream_interval_join" ->

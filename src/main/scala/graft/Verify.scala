@@ -5,12 +5,18 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    // optional extra args: run only these queries (local iteration aid;
+    // the driver always calls with exactly (sfDir, outDir))
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .foreach { case (name, fn) =>
       // pre-delete the target so a query that now fails can never be
       // silently "verified" against a stale dump from a previous run
       SparkEntry.rmTree(s"$outDir/$name")

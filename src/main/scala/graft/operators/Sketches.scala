@@ -212,6 +212,78 @@ object Sketches {
         col("c_custkey").isNotNull.cast("int").as("true_match"))
   }
 
+  /** Count-min sketch heavy hitters: estimate each user's event count
+    * from a d×w counter grid and report the estimate next to ground
+    * truth for the top `topN` users by exact count. Counter update is
+    * `grid[i][md5(user || ':' || i) % w] += 1` for every event and
+    * every row i < d; the point estimate is the MIN over the d rows —
+    * one-sided by construction (collisions only ADD), so
+    * `cms_est >= n_exact` always (unit-tested, as is counter-wise
+    * mergeability — the property that lets per-partition sketches
+    * combine into the global one). Pure integer math on the portable
+    * md5 hash → the grid and the estimates are cell-exact in DuckDB.
+    *
+    * Scale (100 TB): the grid is bounded by d·w cells regardless of
+    * input size, and it is built by an ordinary two-phase groupBy —
+    * map-side partial counts mean the shuffle carries at most d·w rows
+    * per map partition, NOT d× the event count. The probe joins the
+    * candidate×d rows against the broadcast grid. d·w here is sized
+    * for the demo corpus; a production stream uses w = ceil(e/eps)
+    * for an eps·N error bound — still executor-memory-trivial.
+    */
+  def cmsHeavyHitters(s: SparkSession, dir: String,
+      d: Int = 4, w: Int = 512, topN: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (0 until d).map(lit(_))
+    val ev = Tables.events(s, dir)
+    // build: one explode to d rows per event, then a bounded groupBy
+    val grid = ev.select(col("user_id"), explode(array(rows: _*)).as("i"))
+      .select(col("i"),
+        (graft.functions.md5_long(concat(col("user_id").cast("string"),
+          lit(":"), col("i").cast("string"))) % w).as("pos"))
+      .groupBy(col("i"), col("pos")).agg(count(lit(1)).as("c"))
+    // candidates: top-N by exact count (deterministic tiebreak on id);
+    // the literal rank bound plans as WindowGroupLimit pre-shuffle
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+    val cand = exact.withColumn("r", row_number().over(
+        Window.orderBy(col("n_exact").desc, col("user_id").asc)))
+      .filter(col("r") <= topN).drop("r")
+    // probe: d lookups per candidate, min across the rows
+    val probes = cand.select(col("user_id"), col("n_exact"),
+        explode(array(rows: _*)).as("i"))
+      .withColumn("pos",
+        graft.functions.md5_long(concat(col("user_id").cast("string"),
+          lit(":"), col("i").cast("string"))) % w)
+    probes.join(broadcast(grid), Seq("i", "pos"))
+      .groupBy(col("user_id"), col("n_exact"))
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("user_id"), col("n_exact"), col("cms_est"))
+  }
+
+  def cmsHeavyHittersSql(d: Int = 4, w: Int = 512, topN: Int = 25): String = {
+    val is = (0 until d).map(_.toString).mkString(", ")
+    s"""WITH ks AS (SELECT unnest([$is]) AS i),
+        grid AS (
+          SELECT i,
+                 ('0x' || substring(md5(user_id::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % $w AS pos,
+                 count(*) AS c
+          FROM events, ks GROUP BY 1, 2),
+        ex AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1),
+        cand AS (
+          SELECT user_id, n_exact FROM (
+            SELECT user_id, n_exact,
+                   row_number() OVER (ORDER BY n_exact DESC, user_id ASC) AS r
+            FROM ex)
+          WHERE r <= $topN),
+        probes AS (
+          SELECT c.user_id, c.n_exact, k.i,
+                 ('0x' || substring(md5(c.user_id::VARCHAR || ':' || k.i::VARCHAR), 1, 15))::BIGINT % $w AS pos
+          FROM cand c, ks k)
+        SELECT p.user_id, p.n_exact, min(g.c) AS cms_est
+        FROM probes p JOIN grid g ON p.i = g.i AND p.pos = g.pos
+        GROUP BY 1, 2"""
+  }
+
   def bloomPruneSql(minBal: Double = 5000.0, m: Int = 1 << 16, k: Int = 4): String = {
     val is = (0 until k).map(_.toString).mkString(", ")
     s"""WITH ks AS (SELECT unnest([$is]) AS i),

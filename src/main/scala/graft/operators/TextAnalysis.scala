@@ -214,6 +214,61 @@ object TextAnalysis {
           len(regexp_extract_all(lower(text), '$longDigitPattern')) AS n_long_digits
         FROM documents"""
 
+  /** RAG/embedding-prep chunking: split each document into overlapping
+    * token-window chunks — window `cw` tokens, stride `st` (overlap
+    * `cw-st`). Chunk count is `1 + ceil((n-cw)/st)` so the final chunk
+    * always reaches the last token (it may be shorter than `cw` but
+    * never starts past `n`, since `st <= cw`); every token is covered
+    * by at least one chunk. Emits a deterministic chunk id
+    * (`doc_id`, `chunk_idx`), the 1-based token start, the chunk text,
+    * and an md5 chunk hash — the unit an embedding index or a
+    * dedup-at-chunk-granularity pass consumes.
+    *
+    * Scale: per-row generate (one explode, output ~n/st rows per doc),
+    * no shuffle — chunking 100 TB is a single map pass whose output
+    * feeds the embedding/ANN stages keyed by `chunk_hash`.
+    */
+  def chunkDocuments(df: DataFrame, text: Column,
+      cw: Int = 64, st: Int = 48): DataFrame = {
+    require(st >= 1 && st <= cw, s"stride must be in 1..$cw, got $st")
+    val base = df
+      .select(col("doc_id"), tokens(text).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+      .filter(col("n_toks") >= 1)
+      .withColumn("n_chunks",
+        when(col("n_toks") <= cw, lit(1))
+          .otherwise(expr(s"(n_toks - $cw + $st - 1) div $st") + lit(1)))
+    val chunk = slice(col("toks"), col("chunk_idx") * st + 1, lit(cw))
+    base
+      .select(col("doc_id"),
+        col("toks"),
+        explode(sequence(lit(0), col("n_chunks").cast("int") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * st + 1).as("chunk_start"),
+        size(chunk).as("chunk_tokens"),
+        array_join(chunk, " ").as("chunk_text"),
+        md5(array_join(chunk, " ")).as("chunk_hash"))
+  }
+
+  def chunkDocumentsSql(cw: Int = 64, st: Int = 48): String =
+    s"""WITH t AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS toks,
+                 len(string_split(lower(text), ' ')) AS n_toks
+          FROM documents
+          WHERE len(string_split(lower(text), ' ')) >= 1),
+        c AS (
+          SELECT doc_id, toks,
+                 CASE WHEN n_toks <= $cw THEN 1
+                      ELSE (n_toks - $cw + $st - 1) // $st + 1 END AS n_chunks
+          FROM t),
+        e AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx FROM c)
+        SELECT doc_id, chunk_idx,
+               chunk_idx * $st + 1 AS chunk_start,
+               len(toks[chunk_idx * $st + 1 : chunk_idx * $st + $cw]) AS chunk_tokens,
+               array_to_string(toks[chunk_idx * $st + 1 : chunk_idx * $st + $cw], ' ') AS chunk_text,
+               md5(array_to_string(toks[chunk_idx * $st + 1 : chunk_idx * $st + $cw], ' ')) AS chunk_hash
+        FROM e"""
+
   // ---- oracle SQL generators (same constants) ----
 
   private def sqlList(words: Seq[String]): String =

@@ -153,6 +153,39 @@ class SketchesSpec extends SparkSpec {
     assert(whole == merged)
   }
 
+  test("CMS estimates are one-sided (est >= exact) and exact for isolated keys") {
+    // collisions only ADD to counters, so the min-over-rows estimate can
+    // never undercount — the defining CMS guarantee, checked for EVERY
+    // user in the fixture (topN large enough to keep them all)
+    val rows = Sketches.cmsHeavyHitters(spark, dir, topN = 1000000)
+      .select("user_id", "n_exact", "cms_est").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    for ((u, exact, est) <- rows)
+      assert(est >= exact, s"user $u: cms_est $est < n_exact $exact")
+    // default topN returns exactly 25 rows
+    assert(Sketches.cmsHeavyHitters(spark, dir).count() == 25)
+  }
+
+  test("CMS grids merge counter-wise: grid(A) + grid(B) == grid(A union B)") {
+    // what lets per-partition sketches combine into the global one
+    val d = 4; val w = 512
+    val is = (0 until d).map(lit(_))
+    def grid(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
+      df.select(col("user_id"), explode(array(is: _*)).as("i"))
+        .select(col("i"),
+          (graft.functions.md5_long(concat(col("user_id").cast("string"),
+            lit(":"), col("i").cast("string"))) % w).as("pos"))
+        .groupBy("i", "pos").agg(count(lit(1)).as("c"))
+        .as[(Int, Long, Long)].collect().map { case (i, p, c) => (i, p) -> c }.toMap
+    val ev = Tables.events(spark, dir)
+    val all = grid(ev)
+    val a = grid(ev.filter(col("event_id") % 2 === 0))
+    val b = grid(ev.filter(col("event_id") % 2 =!= 0))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == all)
+  }
+
   test("bloom prefilter has zero false negatives and sane selectivity") {
     val v = Sketches.bloomPrune(spark, dir)
       .select("bloom_pass", "true_match").as[(Int, Int)].collect()
@@ -210,6 +243,49 @@ class StreamIntervalJoinSpec extends SparkSpec {
   }
 
   private def tUs(t: Timestamp): Long = t.getTime * 1000L
+}
+
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunks cover every token with the declared window/stride geometry") {
+    val (cw, st) = (64, 48)
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val nToks = docs.select(col("doc_id"),
+        size(split(lower(col("text")), " ")).as("n")).as[(Long, Int)].collect().toMap
+    val chunks = TextAnalysis.chunkDocuments(docs, col("text"), cw, st)
+      .select("doc_id", "chunk_idx", "chunk_start", "chunk_tokens")
+      .as[(Long, Int, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(chunks.nonEmpty)
+    for ((doc, cs) <- chunks) {
+      val n = nToks(doc)
+      // contiguous chunk_idx from 0, starts at the stride grid
+      assert(cs.map(_._2).toSeq == cs.indices.toSeq)
+      for ((_, idx, start, len) <- cs) {
+        assert(start == idx * st + 1)
+        assert(len >= 1 && len <= cw)
+        assert(start + len - 1 <= n)
+      }
+      // all but the last chunk are full windows; the last reaches token n
+      for ((_, _, _, len) <- cs.init) assert(len == cw)
+      val (_, _, lastStart, lastLen) = cs.last
+      assert(lastStart + lastLen - 1 == n, s"doc $doc: last chunk misses tail")
+      // no token gap: stride <= window means consecutive chunks overlap
+      assert(cs.length == (if (n <= cw) 1 else (n - cw + st - 1) / st + 1))
+    }
+  }
+
+  test("chunk text round-trips: stitching chunks at stride offsets rebuilds the doc") {
+    val text = (1 to 150).map(i => s"w$i").mkString(" ")
+    val rows = TextAnalysis.chunkDocuments(
+        Seq((1L, text)).toDF("doc_id", "text"), col("text"), cw = 64, st = 48)
+      .select("chunk_idx", "chunk_text").as[(Int, String)].collect().sortBy(_._1)
+    assert(rows.length == 3) // 1 + ceil((150-64)/48) = 3
+    val stitched = rows.map(_._2.split(" ")).zipWithIndex
+      .flatMap { case (toks, i) => if (i == 0) toks else toks.drop(64 - 48) }
+    assert(stitched.mkString(" ") == text)
+  }
 }
 
 class WinnowingSpec extends SparkSpec {
