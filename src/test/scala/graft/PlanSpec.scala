@@ -16,7 +16,7 @@ class PlanSpec extends SparkSpec {
         "q16_text_tokens", "q17_text_quality", "q18_text_langid",
         "q19_text_fingerprint", "q28_multimodal_meta", "q44_frame_sample",
         "q51_text_repetition", "q52_pii_scan", "q62_zorder_key",
-        "q63_winnowing")) {
+        "q63_winnowing", "q70_doc_chunks")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q should be shuffle-free:\n$p")
     }
@@ -66,6 +66,16 @@ class PlanSpec extends SparkSpec {
 
   test("bloom probe joins the bounded bit table by broadcast") {
     val p = plan("q57_bloom_prune")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("CMS grid partial-aggregates map-side and is probed by broadcast") {
+    // the counter grid is bounded by d*w cells (not corpus-sized), so
+    // broadcasting it is justified — the same contract as the bloom bit
+    // table; the build side must map-side combine so the shuffle carries
+    // at most d*w rows per map partition
+    val p = plan("q69_cms_heavy_hitters")
+    assert(p.contains("partial_count"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
