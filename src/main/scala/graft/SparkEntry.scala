@@ -220,6 +220,36 @@ object SparkEntry {
       streamDenormQuery(s, dir, "q08")(
         graft.streaming.StreamDenormalize.joined(_, "inner"))),
 
+    // Stream-STATIC denormalization: when the right side is a bounded,
+    // compacted dimension (customer), the continuously-updating FK join
+    // collapses to a per-micro-batch broadcast hash join with NO
+    // streaming state at all — the production shortcut q08's general
+    // stateful core doesn't need but a 100 TB deployment reaches for
+    // whenever the dim fits executor memory (state size: zero; updates
+    // to the dim require the general core or a batch-refresh restart).
+    // Same oracle as q08: the stream converges to the relational join.
+    "q72_stream_static_denorm" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val tmp = stagedOnce(dir, "q72_events") { p =>
+        ev.repartition(16).write.mode("overwrite").parquet(p)
+      }
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+      val name = "q72_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = stageDir("q72_ckpt")
+      try {
+        val input = s.readStream.schema(ev.schema).parquet(tmp)
+        val joined = input.join(broadcast(cust),
+          input("user_id") === cust("c_custkey"), "inner")
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode("append").option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally rmTree(ckpt)
+      s.table(name)
+    }),
+
     // ---- beyond-reference analytics (SURVEY.md §7.7) ----
     "q09_agg_pricing" -> ((s, dir) => Analytics.aggPricing(s, dir)),
     "q10_topk_orders" -> ((s, dir) => Analytics.topOrders(s, dir)),
@@ -396,6 +426,9 @@ object SparkEntry {
     "q67_leakage_safe_split" -> ((s, dir) => PipelineOps.leakageSafeSplit(s, dir)),
     // quality-weighted deterministic sampling (data mixing)
     "q68_importance_sample" -> ((s, dir) => PipelineOps.importanceSample(s, dir)),
+    // per-source token-budget mixture sampling (the other data-mixing
+    // axis: hit a target source mixture without a serial budget scan)
+    "q71_mixture_sample" -> ((s, dir) => PipelineOps.mixtureSample(s, dir)),
     // range join via hour-binning (range predicate → equi-join)
     "q40_incident_range_join" -> ((s, dir) => PipelineOps.incidentEvents(s, dir)),
     // TF-IDF keyword extraction (top-3 terms per doc)
@@ -554,6 +587,7 @@ object SparkEntry {
          SELECT user_id, event_id, event_type, value, c_name, c_nationkey, c_acctbal, c_mktsegment
          FROM latest JOIN customer ON user_id = c_custkey""",
     "q08_stream_denorm" -> streamDenormOracle,
+    "q72_stream_static_denorm" -> streamDenormOracle,
     "q09_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
                 sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
@@ -623,6 +657,7 @@ object SparkEntry {
     "q39_hash_split" -> PipelineOps.hashSplitSql(),
     "q67_leakage_safe_split" -> PipelineOps.leakageSafeSplitSql(),
     "q68_importance_sample" -> PipelineOps.importanceSampleSql(),
+    "q71_mixture_sample" -> PipelineOps.mixtureSampleSql(),
     "q40_incident_range_join" -> PipelineOps.incidentEventsSql(),
     "q41_tfidf_topterms" -> PipelineOps.tfidfTopTermsSql(),
     "q42_dedup_clusters" -> Dedup.dedupClustersSql(),

@@ -109,6 +109,79 @@ object PipelineOps {
         FROM q"""
   }
 
+  /** Token-budget mixture sampling — the other half of data mixing:
+    * [[importanceSample]] weights per-DOCUMENT quality; this one hits
+    * per-SOURCE token budgets. Given a target mixture (weight per
+    * source) and a global token budget (a fraction of the corpus), each
+    * source gets `alloc = budget · w/Σw` tokens and keeps documents at
+    * rate `min(1, alloc/source_tokens)` — the standard two-phase rate
+    * sampler (totals pass, then a per-row deterministic draw), which is
+    * how production mixers hit a budget WITHOUT a per-source sequential
+    * scan: a global "take documents until the budget fills" is a
+    * running sum over one ordered stream per source (serial at 100 TB),
+    * while the rate form needs only per-source totals (a bounded
+    * aggregate) and an embarrassingly-parallel per-row comparison.
+    * Expected tokens per source = alloc (exact only in expectation —
+    * the documented trade).
+    *
+    * The demo mixture upweights even-numbered sources 2:1 (an explicit
+    * stand-in for real mixture configs like {web:5, books:3, code:2});
+    * the draw is the md5 id-hash on [0,1), as in every sampler here.
+    * Scale: one bounded groupBy (map-side partial sums), the rate
+    * table (one row per source) broadcasts, and the verdict is a map.
+    */
+  def mixtureSample(s: SparkSession, dir: String,
+      budgetFrac: Double = 0.6): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(lower(col("text")), " ")).as("n_tokens"))
+    // source weight: srcN with even N → 2, odd → 1 (the mixture config)
+    val weighted = docs.withColumn("w",
+      when(regexp_extract(col("source"), "([0-9]+)$", 1).cast("bigint") % 2 === 0,
+        lit(2.0)).otherwise(lit(1.0)))
+    val totals = weighted.groupBy(col("source"), col("w"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    // grand totals ride a length-#sources window (no second scan)
+    val all = Window.partitionBy()
+    val rates = totals
+      .withColumn("grand_tokens", sum(col("src_tokens")).over(all))
+      .withColumn("sum_w", sum(col("w")).over(all))
+      // one explicit IEEE order, identical in the oracle: (((f*g)*w)/sw)/st
+      .withColumn("keep_rate",
+        least(lit(1.0),
+          lit(budgetFrac) * col("grand_tokens").cast("double") * col("w")
+            / col("sum_w") / col("src_tokens").cast("double")))
+      .select(col("source"), col("keep_rate"))
+    weighted
+      .join(broadcast(rates), "source")
+      .withColumn("draw",
+        graft.functions.md5_long(col("doc_id")).cast("double") / lit(math.pow(2, 60)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("keep_rate"), (col("draw") < col("keep_rate")).cast("int").as("kept"))
+  }
+
+  def mixtureSampleSql(budgetFrac: Double = 0.6): String = {
+    val draw = "('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE / (1152921504606846976)::DOUBLE"
+    s"""WITH docs AS (
+          SELECT doc_id, source,
+                 len(string_split(lower(text), ' ')) AS n_tokens,
+                 CASE WHEN regexp_extract(source, '([0-9]+)$$', 1)::BIGINT % 2 = 0
+                      THEN 2.0 ELSE 1.0 END AS w
+          FROM documents),
+        totals AS (
+          SELECT source, w, sum(n_tokens) AS src_tokens
+          FROM docs GROUP BY 1, 2),
+        rates AS (
+          SELECT source,
+                 least(1.0,
+                   $budgetFrac * (sum(src_tokens) OVER ())::DOUBLE * w
+                     / (sum(w) OVER ()) / src_tokens::DOUBLE) AS keep_rate
+          FROM totals)
+        SELECT d.doc_id, d.source, d.n_tokens, r.keep_rate,
+               ($draw < r.keep_rate)::INT AS kept
+        FROM docs d JOIN rates r ON d.source = r.source"""
+  }
+
   // ---- deterministic stratified sampling ----
 
   /** Exact-size stratified sample: the `k` events of each event_type

@@ -69,6 +69,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("mixture sampler: bounded rate table broadcasts; totals partial-aggregate") {
+    // the only corpus-sized work is the map-side totals aggregation and
+    // the final per-row verdict; the rate table (one row per source)
+    // must come back as a broadcast, never a shuffle of the corpus
+    val p = plan("q71_mixture_sample")
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("CMS grid partial-aggregates map-side and is probed by broadcast") {
     // the counter grid is bounded by d*w cells (not corpus-sized), so
     // broadcasting it is justified — the same contract as the bloom bit

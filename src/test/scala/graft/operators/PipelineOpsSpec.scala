@@ -429,3 +429,44 @@ class ImportanceSampleSpec extends SparkSpec {
     assert(got.forall(t => again(t._1) == t._5))
   }
 }
+
+class MixtureSampleSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("mixture rates follow the two-phase budget formula; verdicts deterministic") {
+    val rows = PipelineOps.mixtureSample(spark, dir)
+      .select("doc_id", "source", "n_tokens", "keep_rate", "kept")
+      .as[(Long, String, Int, Double, Int)].collect()
+    assert(rows.length == 500)
+    // recompute the rate table from scratch in plain Scala
+    val bySrc = rows.groupBy(_._2).view.mapValues(_.map(_._3.toLong).sum).toMap
+    val grand = bySrc.values.sum.toDouble
+    def w(src: String) = if (src.replaceAll("[^0-9]", "").toLong % 2 == 0) 2.0 else 1.0
+    // keys is a Set — map through the weight first would dedupe {2.0,1.0};
+    // go through a Seq so every source contributes its weight
+    val sumW = bySrc.keys.toSeq.map(w).sum
+    for ((id, src, _, rate, kept) <- rows) {
+      val expect = math.min(1.0, 0.6 * grand * w(src) / sumW / bySrc(src).toDouble)
+      assert(rate == expect, s"doc $id source $src: rate $rate vs $expect")
+      assert(kept == 0 || kept == 1)
+    }
+    // even-indexed sources (weight 2) keep at a strictly higher rate than
+    // odd ones on this near-uniform corpus, and no rate leaves (0,1]
+    val rates = rows.map(r => r._2 -> r._4).toMap
+    assert(rates.values.forall(r => r > 0.0 && r <= 1.0))
+    val evenMin = rates.collect { case (s, r) if w(s) == 2.0 => r }.min
+    val oddMax = rates.collect { case (s, r) if w(s) == 1.0 => r }.max
+    assert(evenMin > oddMax, s"even min $evenMin vs odd max $oddMax")
+    // realized kept-token mass lands near the 60% budget (law of large
+    // numbers; generous 3-sigma-ish band for a 500-doc fixture)
+    val keptTokens = rows.filter(_._5 == 1).map(_._3.toLong).sum.toDouble
+    assert(keptTokens / grand > 0.45 && keptTokens / grand < 0.75,
+      s"kept fraction ${keptTokens / grand}")
+    // determinism across runs
+    val again = PipelineOps.mixtureSample(spark, dir)
+      .select("doc_id", "kept").as[(Long, Int)].collect().toMap
+    assert(rows.forall(t => again(t._1) == t._5))
+  }
+}
