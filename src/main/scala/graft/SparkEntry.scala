@@ -493,6 +493,10 @@ object SparkEntry {
     // q55's HLL (integer order statistics → cell-exact oracle; literal
     // rank bound → WindowGroupLimit)
     "q61_kmv_distinct" -> ((s, dir) => operators.Sketches.kmvDistinct(s, dir)),
+    // incremental materialized-aggregate maintenance: base + delta
+    // partial states (count/sum/min/max/HLL registers) MERGED, checked
+    // cell-exact against the scratch-path oracle over the whole log
+    "q73_incremental_agg" -> ((s, dir) => operators.Sketches.incrementalAgg(s, dir)),
     // count-min sketch heavy hitters: the frequency-estimation sketch
     // (HLL/KMV count distincts, Bloom tests membership, CMS estimates
     // counts) — d×w integer counter grid, one-sided error, cell-exact
@@ -679,6 +683,7 @@ object SparkEntry {
     "q60_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
     "q61_kmv_distinct" -> operators.Sketches.kmvDistinctSql(),
     "q69_cms_heavy_hitters" -> operators.Sketches.cmsHeavyHittersSql(),
+    "q73_incremental_agg" -> operators.Sketches.incrementalAggSql(),
     "q70_doc_chunks" -> TextAnalysis.chunkDocumentsSql(),
     "q62_zorder_key" -> PipelineOps.zOrderKeySql(),
     "q63_winnowing" -> TextAnalysis.winnowingFingerprintsSql(),

@@ -170,6 +170,115 @@ object Sketches {
                END AS kmv_est
         FROM kth JOIN ex ON kth.event_type = ex.event_type"""
 
+  /** Incremental materialized-aggregate maintenance (IVM): the nightly
+    * 100 TB move is "merge today's DELTA into yesterday's aggregate",
+    * never "recompute from scratch" — possible exactly when every
+    * maintained statistic is a mergeable partial state. Here the event
+    * log splits into base (event_id % 10 != 9) and delta (= 9), each
+    * side aggregates independently per event_type (count, DECIMAL sum,
+    * min, max, and the q55 HLL registers for distinct users), and the
+    * states MERGE: counts/sums add, min/max fold, registers take the
+    * per-bucket max. The oracle recomputes the same statistics from
+    * scratch over the whole log — so the merge path is held cell-exact
+    * to the scratch path, the defining IVM correctness property
+    * (including the sketch: register max-merge == rebuilt registers).
+    *
+    * Scale: both sides are ordinary two-phase groupBys (map-side
+    * partial states), the merge joins group-cardinality tables, and
+    * only the delta is rescanned on a refresh — the point of the op.
+    * avg/stddev merge the same way (sum+count, sum+sum²); a
+    * non-mergeable statistic (exact median) must be re-derived and is
+    * deliberately absent.
+    */
+  def incrementalAgg(s: SparkSession, dir: String, p: Int = 5): DataFrame =
+    incrementalAggFromEvents(Tables.events(s, dir), p)
+
+  /** [[incrementalAgg]] core over any frame with `event_id`,
+    * `event_type`, `user_id`, `value`.
+    */
+  def incrementalAggFromEvents(ev: DataFrame, p: Int = 5): DataFrame = {
+    val m = 1 << p
+    val wbits = 60 - p
+    def side(delta: Boolean): (DataFrame, DataFrame) = {
+      val part = ev.filter(if (delta) col("event_id") % 10 === 9
+        else col("event_id") % 10 =!= 9)
+      val scalars = part.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_v"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      val regs = part
+        .select(col("event_type"), graft.functions.md5_long(col("user_id")).as("h"))
+        .withColumn("bucket", col("h") % m)
+        .withColumn("w", expr(s"h div $m"))
+        .withColumn("rho", when(col("w") === 0, lit(wbits + 1))
+          .otherwise(lit(wbits + 1) - length(bin(col("w")))))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("rho")).as("mj"))
+      (scalars, regs)
+    }
+    val (baseS, baseR) = side(delta = false)
+    val (deltaS, deltaR) = side(delta = true)
+    // scalar-state merge: add counts/sums, fold min/max (least/greatest
+    // skip NULLs in both engines, so a group present on one side only
+    // inherits that side's extremum)
+    val mergedS = baseS.as("b")
+      .join(deltaS.as("d"), Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
+        (coalesce(col("b.sum_v"), lit(0).cast("decimal(18,2)"))
+          + coalesce(col("d.sum_v"), lit(0).cast("decimal(18,2)")))
+          .cast("double").as("sum_value"),
+        least(col("b.min_v"), col("d.min_v")).as("min_value"),
+        greatest(col("b.max_v"), col("d.max_v")).as("max_value"))
+    // register merge: per-bucket max across sides, then the q55 estimator
+    val mergedR = baseR.unionAll(deltaR)
+      .groupBy(col("event_type"), col("bucket")).agg(max(col("mj")).as("mj"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(expr(s"shiftleft(cast(1 as bigint), cast(${wbits + 1} - mj as int))")).as("s_occ"),
+        count(lit(1)).as("nb"))
+      .withColumn("hll_s",
+        col("s_occ") + (lit(m.toLong) - col("nb")) * lit(1L << (wbits + 1)))
+      .withColumn("hll_users",
+        lit(hllNumerator(p)) / col("hll_s").cast("double"))
+      .select(col("event_type"), col("hll_s"), col("hll_users"))
+    mergedS.join(mergedR, "event_type")
+      .select(col("event_type"), col("n"), col("sum_value"),
+        col("min_value"), col("max_value"), col("hll_s"), col("hll_users"))
+  }
+
+  /** The scratch-path oracle: identical statistics computed over the
+    * WHOLE log in one pass — what [[incrementalAgg]]'s merge must equal.
+    */
+  def incrementalAggSql(p: Int = 5): String = {
+    val m = 1 << p
+    val wbits = 60 - p
+    s"""WITH h AS (
+          SELECT event_type,
+                 ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+          FROM events),
+        r AS (
+          SELECT event_type, h % $m AS bucket,
+                 CASE WHEN h // $m = 0 THEN ${wbits + 1}
+                      ELSE ${wbits + 1} - length(bin(h // $m)) END AS rho
+          FROM h),
+        regs AS (SELECT event_type, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+        sums AS (
+          SELECT event_type,
+                 (sum((1::BIGINT << (${wbits + 1} - mj)))::BIGINT
+                   + ($m - count(*)) * (1::BIGINT << ${wbits + 1}))::BIGINT AS hll_s
+          FROM regs GROUP BY 1),
+        scalars AS (
+          SELECT event_type, count(*) AS n,
+                 sum(value::DECIMAL(18,2))::DOUBLE AS sum_value,
+                 min(value) AS min_value, max(value) AS max_value
+          FROM events GROUP BY 1)
+        SELECT sc.event_type, sc.n, sc.sum_value, sc.min_value, sc.max_value,
+               su.hll_s, ${hllNumerator(p)} / su.hll_s::DOUBLE AS hll_users
+        FROM scalars sc JOIN sums su ON sc.event_type = su.event_type"""
+  }
+
   /** Bloom-filter semi-join prefilter: build a k-hash Bloom filter over
     * the "interesting" dimension keys (customers with acctbal above a
     * threshold), probe every order's FK against it, and report the

@@ -78,6 +78,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("incremental agg builds each side's state with map-side partial aggregation") {
+    // both the scalar states and the HLL registers must partial-agg
+    // before their exchanges — the property that makes the states cheap
+    // to build AND mergeable under any partitioning
+    val p = plan("q73_incremental_agg")
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("partial_min") || p.contains("partial_max"), p)
+  }
+
   test("CMS grid partial-aggregates map-side and is probed by broadcast") {
     // the counter grid is bounded by d*w cells (not corpus-sized), so
     // broadcasting it is justified — the same contract as the bloom bit

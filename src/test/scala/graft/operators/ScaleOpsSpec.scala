@@ -186,6 +186,42 @@ class SketchesSpec extends SparkSpec {
     assert(merged == all)
   }
 
+  test("incremental agg: merged base+delta states equal the scratch path") {
+    // the IVM contract, checked in-engine (the DuckDB oracle re-checks
+    // it cross-engine): merging per-side partial states must reproduce
+    // the one-pass aggregate bit-for-bit
+    val got = Sketches.incrementalAgg(spark, dir)
+      .select("event_type", "n", "sum_value", "min_value", "max_value", "hll_s")
+      .as[(String, Long, Double, Double, Double, Long)].collect().toSet
+    val ev = Tables.events(spark, dir)
+    val scratchScalars = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+    val scratch = Sketches.hllFromEvents(ev, p = 5)
+      .select(col("event_type"), col("hll_s"))
+      .join(scratchScalars, "event_type")
+      .select("event_type", "n", "sum_value", "min_value", "max_value", "hll_s")
+      .as[(String, Long, Double, Double, Double, Long)].collect().toSet
+    assert(got == scratch)
+    assert(got.nonEmpty)
+  }
+
+  test("incremental agg: a group present on only one side still merges") {
+    // event_ids = 9 mod 10 land in the delta; type 'only_delta' has no
+    // base rows at all — the full-outer merge must carry it through
+    val ev = Seq(
+      (9L, "only_delta", 5L, 2.5), (19L, "only_delta", 6L, 1.5),
+      (1L, "both", 7L, 3.0), (29L, "both", 8L, 4.0))
+      .toDF("event_id", "event_type", "user_id", "value")
+    val got = Sketches.incrementalAggFromEvents(ev)
+      .select("event_type", "n", "sum_value", "min_value", "max_value")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("only_delta") == (("only_delta", 2L, 4.0, 1.5, 2.5)))
+    assert(got("both") == (("both", 2L, 7.0, 3.0, 4.0)))
+  }
+
   test("bloom prefilter has zero false negatives and sane selectivity") {
     val v = Sketches.bloomPrune(spark, dir)
       .select("bloom_pass", "true_match").as[(Int, Int)].collect()
