@@ -8,8 +8,14 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     // optional extra args: run only these queries (local iteration aid;
-    // the driver always calls with exactly (sfDir, outDir))
+    // the driver always calls with exactly (sfDir, outDir)). A name that
+    // matches nothing is an ERROR, not a silent no-op run; oracle_sql.json
+    // stays complete so incremental dumps into one dir remain comparable.
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — " +
+        s"valid names: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -135,7 +135,10 @@ object PipelineOps {
     val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         size(split(lower(col("text")), " ")).as("n_tokens"))
-    // source weight: srcN with even N → 2, odd → 1 (the mixture config)
+    // source weight: srcN with even N → 2, odd → 1 (the mixture config);
+    // a digitless source casts to NULL, NULL % 2 is NULL, and the
+    // otherwise-branch assigns weight 1 — the oracle's try_cast mirrors
+    // this exactly (a plain ::BIGINT would crash DuckDB on '')
     val weighted = docs.withColumn("w",
       when(regexp_extract(col("source"), "([0-9]+)$", 1).cast("bigint") % 2 === 0,
         lit(2.0)).otherwise(lit(1.0)))
@@ -165,7 +168,7 @@ object PipelineOps {
     s"""WITH docs AS (
           SELECT doc_id, source,
                  len(string_split(lower(text), ' ')) AS n_tokens,
-                 CASE WHEN regexp_extract(source, '([0-9]+)$$', 1)::BIGINT % 2 = 0
+                 CASE WHEN try_cast(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) % 2 = 0
                       THEN 2.0 ELSE 1.0 END AS w
           FROM documents),
         totals AS (

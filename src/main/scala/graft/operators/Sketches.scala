@@ -47,13 +47,17 @@ object Sketches {
   def hllDistinct(s: SparkSession, dir: String, p: Int = 5): DataFrame =
     hllFromEvents(Tables.events(s, dir), p)
 
-  /** [[hllDistinct]] core over any frame with `event_type`, `user_id`. */
-  def hllFromEvents(ev: DataFrame, p: Int): DataFrame = {
+  /** Per-(`groupCol`, bucket) HLL register maxima over `keyCol` md5
+    * hashes — THE register math, shared by [[hllFromEvents]] (q55) and
+    * [[incrementalAggFromEvents]] (q73) so the two sketches cannot
+    * drift. A two-phase groupBy: partial max per register map-side.
+    */
+  private[operators] def hllRegisters(df: DataFrame, groupCol: String,
+      keyCol: org.apache.spark.sql.Column, p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"register precision must be 4..16, got $p")
     val m = 1 << p
     val wbits = 60 - p // md5_long yields 60 bits
-    val rho = ev
-      .select(col("event_type"), graft.functions.md5_long(col("user_id")).as("h"))
+    df.select(col(groupCol), graft.functions.md5_long(keyCol).as("h"))
       .withColumn("bucket", col("h") % m)
       .withColumn("w", expr(s"h div $m"))
       // minimal-binary-string length == index of highest set bit: the
@@ -61,25 +65,43 @@ object Sketches {
       .withColumn("rho",
         when(col("w") === 0, lit(wbits + 1))
           .otherwise(lit(wbits + 1) - length(bin(col("w")))))
-    val regs = rho.groupBy(col("event_type"), col("bucket"))
+      .groupBy(col(groupCol), col("bucket"))
       .agg(max(col("rho")).as("mj"))
-    val sums = regs.groupBy(col("event_type"))
+  }
+
+  /** Fold register maxima (`groupCol`, bucket, mj) into the exact
+    * integer S carry (`hll_s`), the raw estimate (`estName`), and the
+    * empty-register count (`hll_zeros`). Shared with [[hllRegisters]]'s
+    * callers for the same no-drift reason.
+    */
+  private[operators] def hllSums(regs: DataFrame, groupCol: String,
+      p: Int, estName: String): DataFrame = {
+    val m = 1 << p
+    val wbits = 60 - p
+    regs.groupBy(col(groupCol))
       .agg(
         sum(expr(s"shiftleft(cast(1 as bigint), cast(${wbits + 1} - mj as int))")).as("s_occ"),
         count(lit(1)).as("nb"))
       .withColumn("hll_s",
         col("s_occ") + (lit(m.toLong) - col("nb")) * lit(1L << (wbits + 1)))
-    val exact = ev.groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("n_exact"))
-    sums.join(exact, "event_type")
       // numerator folded to ONE double in Scala and inlined as a
       // literal on both sides: SQL decimal-point literals parse as
       // DECIMAL (with engine-specific arithmetic) in Spark AND DuckDB,
       // but a shortest-round-trip double literal parses to the same
       // IEEE value everywhere, leaving a single identical division
-      .withColumn("hll_est",
-        lit(Sketches.hllNumerator(p)) / col("hll_s").cast("double"))
+      .withColumn(estName,
+        lit(hllNumerator(p)) / col("hll_s").cast("double"))
       .withColumn("hll_zeros", lit(m.toLong) - col("nb"))
+  }
+
+  /** [[hllDistinct]] core over any frame with `event_type`, `user_id`. */
+  def hllFromEvents(ev: DataFrame, p: Int): DataFrame = {
+    val sums = hllSums(
+      hllRegisters(ev, "event_type", col("user_id"), p),
+      "event_type", p, "hll_est")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    sums.join(exact, "event_type")
       .select(col("event_type"), col("n_exact"), col("hll_s"),
         col("hll_est"), col("hll_zeros"))
   }
@@ -94,10 +116,15 @@ object Sketches {
     ((0.7213 / (1.0 + 1.079 / m.toDouble)) * (m.toDouble * m.toDouble)) * (1L << (wbits + 1)).toDouble
   }
 
-  def hllDistinctSql(p: Int = 5): String = {
+  /** The shared h→buckets→rho→regs→sums CTE chain over `events` —
+    * ONE canonical SQL form of the register math, included by both
+    * [[hllDistinctSql]] and [[incrementalAggSql]] (the no-drift rule,
+    * SQL side).
+    */
+  private def hllCtes(p: Int): String = {
     val m = 1 << p
     val wbits = 60 - p
-    s"""WITH h AS (
+    s"""h AS (
           SELECT event_type,
                  ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
           FROM events),
@@ -112,13 +139,16 @@ object Sketches {
                  (sum((1::BIGINT << (${wbits + 1} - mj)))::BIGINT
                    + ($m - count(*)) * (1::BIGINT << ${wbits + 1}))::BIGINT AS hll_s,
                  ($m - count(*))::BIGINT AS hll_zeros
-          FROM regs GROUP BY 1),
+          FROM regs GROUP BY 1)"""
+  }
+
+  def hllDistinctSql(p: Int = 5): String =
+    s"""WITH ${hllCtes(p)},
         ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
         SELECT s.event_type, ex.n_exact, s.hll_s,
                ${hllNumerator(p)} / s.hll_s::DOUBLE AS hll_est,
                s.hll_zeros
         FROM sums s JOIN ex ON s.event_type = ex.event_type"""
-  }
 
   /** K-minimum-values distinct sketch per event_type — the
     * order-statistics counterpart to [[hllDistinct]] (register maxima
@@ -197,8 +227,6 @@ object Sketches {
     * `event_type`, `user_id`, `value`.
     */
   def incrementalAggFromEvents(ev: DataFrame, p: Int = 5): DataFrame = {
-    val m = 1 << p
-    val wbits = 60 - p
     def side(delta: Boolean): (DataFrame, DataFrame) = {
       val part = ev.filter(if (delta) col("event_id") % 10 === 9
         else col("event_id") % 10 =!= 9)
@@ -207,15 +235,7 @@ object Sketches {
         sum(col("value").cast("decimal(18,2)")).as("sum_v"),
         min(col("value")).as("min_v"),
         max(col("value")).as("max_v"))
-      val regs = part
-        .select(col("event_type"), graft.functions.md5_long(col("user_id")).as("h"))
-        .withColumn("bucket", col("h") % m)
-        .withColumn("w", expr(s"h div $m"))
-        .withColumn("rho", when(col("w") === 0, lit(wbits + 1))
-          .otherwise(lit(wbits + 1) - length(bin(col("w")))))
-        .groupBy(col("event_type"), col("bucket"))
-        .agg(max(col("rho")).as("mj"))
-      (scalars, regs)
+      (scalars, hllRegisters(part, "event_type", col("user_id"), p))
     }
     val (baseS, baseR) = side(delta = false)
     val (deltaS, deltaR) = side(delta = true)
@@ -231,17 +251,12 @@ object Sketches {
           .cast("double").as("sum_value"),
         least(col("b.min_v"), col("d.min_v")).as("min_value"),
         greatest(col("b.max_v"), col("d.max_v")).as("max_value"))
-    // register merge: per-bucket max across sides, then the q55 estimator
-    val mergedR = baseR.unionAll(deltaR)
-      .groupBy(col("event_type"), col("bucket")).agg(max(col("mj")).as("mj"))
-      .groupBy(col("event_type"))
-      .agg(
-        sum(expr(s"shiftleft(cast(1 as bigint), cast(${wbits + 1} - mj as int))")).as("s_occ"),
-        count(lit(1)).as("nb"))
-      .withColumn("hll_s",
-        col("s_occ") + (lit(m.toLong) - col("nb")) * lit(1L << (wbits + 1)))
-      .withColumn("hll_users",
-        lit(hllNumerator(p)) / col("hll_s").cast("double"))
+    // register merge: per-bucket max across sides, then the q55 fold —
+    // both via the shared helpers, so q55 and q73 share one register math
+    val mergedR = hllSums(
+      baseR.unionAll(deltaR)
+        .groupBy(col("event_type"), col("bucket")).agg(max(col("mj")).as("mj")),
+      "event_type", p, "hll_users")
       .select(col("event_type"), col("hll_s"), col("hll_users"))
     mergedS.join(mergedR, "event_type")
       .select(col("event_type"), col("n"), col("sum_value"),
@@ -251,24 +266,8 @@ object Sketches {
   /** The scratch-path oracle: identical statistics computed over the
     * WHOLE log in one pass — what [[incrementalAgg]]'s merge must equal.
     */
-  def incrementalAggSql(p: Int = 5): String = {
-    val m = 1 << p
-    val wbits = 60 - p
-    s"""WITH h AS (
-          SELECT event_type,
-                 ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
-          FROM events),
-        r AS (
-          SELECT event_type, h % $m AS bucket,
-                 CASE WHEN h // $m = 0 THEN ${wbits + 1}
-                      ELSE ${wbits + 1} - length(bin(h // $m)) END AS rho
-          FROM h),
-        regs AS (SELECT event_type, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
-        sums AS (
-          SELECT event_type,
-                 (sum((1::BIGINT << (${wbits + 1} - mj)))::BIGINT
-                   + ($m - count(*)) * (1::BIGINT << ${wbits + 1}))::BIGINT AS hll_s
-          FROM regs GROUP BY 1),
+  def incrementalAggSql(p: Int = 5): String =
+    s"""WITH ${hllCtes(p)},
         scalars AS (
           SELECT event_type, count(*) AS n,
                  sum(value::DECIMAL(18,2))::DOUBLE AS sum_value,
@@ -277,7 +276,6 @@ object Sketches {
         SELECT sc.event_type, sc.n, sc.sum_value, sc.min_value, sc.max_value,
                su.hll_s, ${hllNumerator(p)} / su.hll_s::DOUBLE AS hll_users
         FROM scalars sc JOIN sums su ON sc.event_type = su.event_type"""
-  }
 
   /** Bloom-filter semi-join prefilter: build a k-hash Bloom filter over
     * the "interesting" dimension keys (customers with acctbal above a
