@@ -429,6 +429,9 @@ object SparkEntry {
     // per-source token-budget mixture sampling (the other data-mixing
     // axis: hit a target source mixture without a serial budget scan)
     "q71_mixture_sample" -> ((s, dir) => PipelineOps.mixtureSample(s, dir)),
+    // deterministic global shuffle: distributed total-order rank
+    // (range-partitioned sort + zipWithIndex), not a 1-partition window
+    "q74_global_shuffle" -> ((s, dir) => PipelineOps.globalShuffle(s, dir)),
     // range join via hour-binning (range predicate → equi-join)
     "q40_incident_range_join" -> ((s, dir) => PipelineOps.incidentEvents(s, dir)),
     // TF-IDF keyword extraction (top-3 terms per doc)
@@ -662,6 +665,7 @@ object SparkEntry {
     "q67_leakage_safe_split" -> PipelineOps.leakageSafeSplitSql(),
     "q68_importance_sample" -> PipelineOps.importanceSampleSql(),
     "q71_mixture_sample" -> PipelineOps.mixtureSampleSql(),
+    "q74_global_shuffle" -> PipelineOps.globalShuffleSql,
     "q40_incident_range_join" -> PipelineOps.incidentEventsSql(),
     "q41_tfidf_topterms" -> PipelineOps.tfidfTopTermsSql(),
     "q42_dedup_clusters" -> Dedup.dedupClustersSql(),

@@ -185,6 +185,45 @@ object PipelineOps {
         FROM docs d JOIN rates r ON d.source = r.source"""
   }
 
+  /** Deterministic global shuffle — the epoch-ordering move of a
+    * training pipeline: a reproducible total order (the md5 id-hash is
+    * the shuffle key, id the tiebreak) with an explicit global rank.
+    * The scale-correct formulation matters here: `row_number()` over an
+    * un-partitioned window is a SINGLE-partition sort (the driver-sized
+    * bottleneck); instead the frame is range-partitioned and sorted on
+    * the draw — Spark's distributed total-order exchange — and ranks
+    * come from `zipWithIndex` (per-partition counts + prefix offsets,
+    * O(partitions) driver traffic). Ranks are independent of the
+    * sampled range boundaries: the total order is unique (draw, id),
+    * so any boundary placement yields the same global ranking.
+    */
+  def globalShuffle(s: SparkSession, dir: String, partitions: Int = 32): DataFrame = {
+    import s.implicits._
+    val sorted = globalShuffleSorted(s, dir, partitions)
+    val ranked = sorted.as[(Long, Long)].rdd.zipWithIndex()
+      .map { case ((id, draw), idx) => (id, draw, idx + 1) }
+    ranked.toDF("doc_id", "draw", "shuffle_rank")
+  }
+
+  /** The distributed-sort stage of [[globalShuffle]], exposed so the
+    * plan shape (range partitioning, NOT a single-partition window) is
+    * test-pinnable.
+    */
+  private[operators] def globalShuffleSorted(s: SparkSession, dir: String,
+      partitions: Int): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.md5_long(col("doc_id")).as("draw"))
+      .repartitionByRange(partitions, col("draw"), col("doc_id"))
+      .sortWithinPartitions(col("draw"), col("doc_id"))
+
+  def globalShuffleSql: String = {
+    val draw = "('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT"
+    s"""SELECT doc_id, $draw AS draw,
+               row_number() OVER (ORDER BY $draw, doc_id) AS shuffle_rank
+        FROM documents"""
+  }
+
   // ---- deterministic stratified sampling ----
 
   /** Exact-size stratified sample: the `k` events of each event_type

@@ -78,6 +78,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("global shuffle sorts via range partitioning, not a single-partition window") {
+    // the distributed total-order exchange; a row_number() window over
+    // the whole frame would show Exchange SinglePartition + Window
+    val sorted = graft.operators.PipelineOps
+      .globalShuffleSorted(spark, dir, partitions = 8)
+      .queryExecution.executedPlan.toString
+    assert(sorted.contains("rangepartitioning"), sorted)
+    assert(!sorted.contains("SinglePartition"), sorted)
+    val full = plan("q74_global_shuffle")
+    assert(!full.contains("Window"), full)
+  }
+
   test("incremental agg builds each side's state with map-side partial aggregation") {
     // both the scalar states and the HLL registers must partial-agg
     // before their exchanges — the property that makes the states cheap

@@ -470,3 +470,25 @@ class MixtureSampleSpec extends SparkSpec {
     assert(rows.forall(t => again(t._1) == t._5))
   }
 }
+
+class GlobalShuffleSpec extends SparkSpec {
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("global shuffle ranks are the exact total order by (draw, doc_id)") {
+    val got = PipelineOps.globalShuffle(spark, dir)
+      .select("doc_id", "draw", "shuffle_rank")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 500)
+    // ranks are a permutation of 1..n
+    assert(got.map(_._3).sorted.toSeq == (1L to got.length).toSeq)
+    // and agree with the order computed independently
+    val expected = got.map(r => (r._2, r._1)).sorted.zipWithIndex
+      .map { case ((draw, id), i) => id -> (i + 1L) }.toMap
+    assert(got.forall(r => expected(r._1) == r._3))
+    // deterministic across runs (boundary sampling must not leak in)
+    val again = PipelineOps.globalShuffle(spark, dir)
+      .select("doc_id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    assert(got.forall(r => again(r._1) == r._3))
+  }
+}
