@@ -209,7 +209,7 @@ object PipelineOps {
     * plan shape (range partitioning, NOT a single-partition window) is
     * test-pinnable.
     */
-  private[operators] def globalShuffleSorted(s: SparkSession, dir: String,
+  private[graft] def globalShuffleSorted(s: SparkSession, dir: String,
       partitions: Int): DataFrame =
     Tables.load(s, dir, "documents")
       .select(col("doc_id"),
@@ -448,35 +448,40 @@ object PipelineOps {
   // ---- end-to-end curation (the capstone composition) ----
 
   /** The full training-data curation decision, composed from the
-    * operator families: quality scoring + language ID + exact-dup
-    * canonicalization + near-dup clustering, joined per document into a
+    * operator families: quality scoring + language ID + repetition +
+    * PII + exact-dup canonicalization + near-dup clustering, into a
     * single keep/drop verdict with reasons. This is the query a real
-    * pipeline runs nightly; everything upstream is itself
-    * oracle-checked, and the composition reuses those exact operators
-    * (one scan each). The cluster table gets no broadcast hint: its
-    * size scales with the corpus duplicate count, not a fixed bound,
-    * so a forced broadcast would OOM on a heavily-duplicated corpus —
-    * AQE decides at runtime from the actual size.
+    * pipeline runs nightly; every metric is itself oracle-checked.
+    *
+    * Composition shape (the 100 TB point): the four MAP-SIDE metric
+    * families (quality, language, repetition, long-digit count) are
+    * column expressions evaluated in ONE projection over ONE documents
+    * scan — zero joins, zero shuffles for them. Only the two inputs
+    * that inherently shuffle join in: the exact-dup verdict (one
+    * content-hash groupBy) and the near-dup cluster labels. The
+    * per-metric-frame formulation this replaces joined five
+    * corpus-sized tables on doc_id — four shuffles of pure map output.
+    * The cluster table gets no broadcast hint: its size scales with
+    * the corpus duplicate count, not a fixed bound, so a forced
+    * broadcast would OOM on a heavily-duplicated corpus — AQE decides
+    * at runtime from the actual size.
     */
   def curation(s: SparkSession, dir: String,
       minQuality: Double = 0.5, maxRepetition: Double = 0.3,
       maxLongDigits: Int = 5): DataFrame = {
-    val quality = TextAnalysis.qualityScores(s, dir)
-      .select(col("doc_id"), col("n_tokens"), col("quality"))
-    val lang = TextAnalysis.languageId(s, dir)
-      .select(col("doc_id"), col("detected_lang"))
+    val text = col("text")
+    val mapMetrics = Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      size(split(lower(text), " ")).as("n_tokens"),
+      TextAnalysis.qualityCol(text).as("quality"),
+      TextAnalysis.detectedLangCol(text).as("detected_lang"),
+      TextAnalysis.dupTrigramFracCol(text).as("dup_3gram_frac"),
+      TextAnalysis.longDigitsCol(text).as("n_long_digits"))
     val exact = Dedup.exactCanonical(s, dir)
       .select(col("doc_id"), col("is_dup"))
-    val repetition = TextAnalysis.repetitionScores(s, dir)
-      .select(col("doc_id"), col("dup_3gram_frac"))
-    val pii = TextAnalysis.piiScan(s, dir)
-      .select(col("doc_id"), col("n_long_digits"))
     val clusters = Dedup.dedupClusters(s, dir)
-    quality
-      .join(lang, "doc_id")
+    mapMetrics
       .join(exact, "doc_id")
-      .join(repetition, "doc_id")
-      .join(pii, "doc_id")
       .join(clusters, Seq("doc_id"), "left")
       .withColumn("near_dup_cluster", coalesce(col("cluster_id"), lit(-1L)))
       .withColumn("keep",

@@ -49,6 +49,33 @@ object TextAnalysis {
       size(regexp_extract_all(lower(text), lit(bpePattern), lit(0))).as("n_tokens_bpe"),
       length(text).as("n_chars_txt"))
 
+  /** The blended [0,1] quality expression — exposed at COLUMN level so
+    * composite pipelines ([[PipelineOps.curation]]) can evaluate every
+    * map-side metric in ONE projection over one scan instead of
+    * joining per-metric frames.
+    */
+  private[operators] def qualityCol(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val stop = stopHits(toks, langStopwords.flatMap(_._2)).cast("double")
+    val meanLen = (length(text).cast("double") - (n - lit(1.0))) / n
+    least(lit(1.0), n / lit(64.0)) * lit(0.5) +
+      least(lit(1.0), stop / n * lit(5.0)) * lit(0.3) +
+      least(lit(1.0), meanLen / lit(8.0)) * lit(0.2)
+  }
+
+  /** Stopword-heuristic language verdict (column form; see
+    * [[languageId]]).
+    */
+  private[operators] def detectedLangCol(text: Column): Column = {
+    val toks = tokens(text)
+    val Seq(en, es, de) = langStopwords.map { case (_, words) => stopHits(toks, words) }
+    when(en > 0 && en >= es && en >= de, lit("en"))
+      .when(es > 0 && es > en && es >= de, lit("es"))
+      .when(de > 0 && de > en && de > es, lit("de"))
+      .otherwise(lit("und"))
+  }
+
   /** Quality scoring: stopword ratio, mean token length, punctuation
     * density, and a blended [0,1] quality score.
     */
@@ -67,24 +94,15 @@ object TextAnalysis {
       (stop / n).as("stopword_ratio"),
       meanLen.as("mean_token_len"),
       (punct / greatest(length(text).cast("double"), lit(1.0))).as("punct_density"),
-      (least(lit(1.0), n / lit(64.0)) * lit(0.5) +
-          least(lit(1.0), stop / n * lit(5.0)) * lit(0.3) +
-          least(lit(1.0), meanLen / lit(8.0)) * lit(0.2)).as("quality"))
+      qualityCol(text).as("quality"))
   }
 
   /** Stopword-heuristic language ID with deterministic tie-break (list
     * order), 'und' when nothing matches.
     */
-  def languageId(df: DataFrame, text: Column): DataFrame = {
-    val toks = tokens(text)
-    val Seq(en, es, de) = langStopwords.map { case (_, words) => stopHits(toks, words) }
-    val best =
-      when(en > 0 && en >= es && en >= de, lit("en"))
-        .when(es > 0 && es > en && es >= de, lit("es"))
-        .when(de > 0 && de > en && de > es, lit("de"))
-        .otherwise(lit("und"))
-    df.select(col("doc_id"), col("lang").as("declared_lang"), best.as("detected_lang"))
-  }
+  def languageId(df: DataFrame, text: Column): DataFrame =
+    df.select(col("doc_id"), col("lang").as("declared_lang"),
+      detectedLangCol(text).as("detected_lang"))
 
   /** OpenRefine-style fingerprint: md5 of the sorted distinct token
     * set — identical for any token permutation/duplication of the same
@@ -170,14 +188,22 @@ object TextAnalysis {
     * a pure per-row map like the other text metrics. NULL for docs
     * under 3 tokens (no 3-grams to judge).
     */
-  def repetitionScores(df: DataFrame, text: Column): DataFrame = {
+  /** The duplicate-3-gram fraction (column form; see
+    * [[repetitionScores]]).
+    */
+  private[operators] def dupTrigramFracCol(text: Column): Column = {
     val toksCol = tokens(text)
     val total = greatest(size(toksCol) - lit(2), lit(0)).cast("double")
     val distinctSh = size(graft.functions.shingles(toksCol, 3)).cast("double")
+    when(total > 0, lit(1.0) - distinctSh / total)
+  }
+
+  def repetitionScores(df: DataFrame, text: Column): DataFrame = {
+    val total = greatest(size(tokens(text)) - lit(2), lit(0)).cast("double")
     df.select(
       col("doc_id"),
       total.cast("int").as("n_3grams"),
-      when(total > 0, lit(1.0) - distinctSh / total).as("dup_3gram_frac"))
+      dupTrigramFracCol(text).as("dup_3gram_frac"))
   }
 
   val repetitionScoresSql: String =
@@ -200,12 +226,16 @@ object TextAnalysis {
   val urlPattern = "https?://[^ ]+"
   val longDigitPattern = "[0-9]{6,}"
 
+  /** Long-digit-run count (column form; see [[piiScan]]). */
+  private[operators] def longDigitsCol(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(longDigitPattern), lit(0)))
+
   def piiScan(df: DataFrame, text: Column): DataFrame =
     df.select(
       col("doc_id"),
       size(regexp_extract_all(lower(text), lit(emailPattern), lit(0))).as("n_emails"),
       size(regexp_extract_all(lower(text), lit(urlPattern), lit(0))).as("n_urls"),
-      size(regexp_extract_all(lower(text), lit(longDigitPattern), lit(0))).as("n_long_digits"))
+      longDigitsCol(text).as("n_long_digits"))
 
   val piiScanSql: String =
     s"""SELECT doc_id,
