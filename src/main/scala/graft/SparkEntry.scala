@@ -496,6 +496,9 @@ object SparkEntry {
     // q55's HLL (integer order statistics → cell-exact oracle; literal
     // rank bound → WindowGroupLimit)
     "q61_kmv_distinct" -> ((s, dir) => operators.Sketches.kmvDistinct(s, dir)),
+    // mergeable quantile histogram: the quantile member of the portable
+    // sketch family (bounded bucket counts add under any split)
+    "q75_quantile_histogram" -> ((s, dir) => operators.Sketches.quantileHistogram(s, dir)),
     // incremental materialized-aggregate maintenance: base + delta
     // partial states (count/sum/min/max/HLL registers) MERGED, checked
     // cell-exact against the scratch-path oracle over the whole log
@@ -688,6 +691,7 @@ object SparkEntry {
     "q61_kmv_distinct" -> operators.Sketches.kmvDistinctSql(),
     "q69_cms_heavy_hitters" -> operators.Sketches.cmsHeavyHittersSql(),
     "q73_incremental_agg" -> operators.Sketches.incrementalAggSql(),
+    "q75_quantile_histogram" -> operators.Sketches.quantileHistogramSql(),
     "q70_doc_chunks" -> TextAnalysis.chunkDocumentsSql(),
     "q62_zorder_key" -> PipelineOps.zOrderKeySql(),
     "q63_winnowing" -> TextAnalysis.winnowingFingerprintsSql(),

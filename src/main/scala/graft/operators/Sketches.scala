@@ -200,6 +200,76 @@ object Sketches {
                END AS kmv_est
         FROM kth JOIN ex ON kth.event_type = ex.event_type"""
 
+  /** Mergeable quantile histogram — the quantile member of the portable
+    * sketch family (HLL/KMV: distincts, Bloom: membership, CMS:
+    * frequencies). Values bin into fixed equi-width buckets
+    * (`width`-wide, clamped to `buckets`), per-group bucket counts are
+    * the sketch state (bounded by |groups|·buckets, counts ADD under
+    * any split — the merge property, unit-tested), and quantiles read
+    * off the cumulative histogram with within-bucket linear
+    * interpolation (error ≤ width by construction). This is the
+    * fixed-bin form production systems use when the value domain is
+    * known; rank-adaptive sketches (GK/KLL) handle unknown domains but
+    * have engine-specific internals — this one is bit-reproducible in
+    * DuckDB, estimates included.
+    *
+    * Portability: binning is `floor(value / width)` (one IEEE divide),
+    * ranks are `ceil(p·n)` on identical doubles, and the interpolation
+    * `bucket·w + (rank − cum_below)/cnt · w` is integer-derived with
+    * one explicit operation order. The first qualifying bucket is
+    * selected by `row_number() = 1` over the ≤`buckets`-row cumulative
+    * table — bounded work after the single two-phase count.
+    */
+  def quantileHistogram(s: SparkSession, dir: String, width: Double = 8.0,
+      buckets: Int = 64, ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val hist = ev
+      .select(col("event_type"),
+        least(floor(col("value") / width), lit(buckets - 1L)).as("bucket"))
+      .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("event_type"))
+        .orderBy(col("bucket").asc)))
+    val n = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val ranks = n.select(col("event_type"), col("n"),
+        explode(array(ps.map(lit(_)): _*)).as("p"))
+      .withColumn("rank", ceil(col("p") * col("n"))) // ceil → LONG in Spark
+    val cand = ranks.join(cum, Seq("event_type"))
+      .filter(col("cum") >= col("rank"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"), col("p")).orderBy(col("bucket").asc)))
+      .filter(col("rn") === 1)
+    cand.select(col("event_type"), col("p"), col("n"), col("rank"), col("bucket"),
+      // ONE explicit order, mirrored in the oracle:
+      // bucket·w + ((rank − cum_below) / cnt) · w
+      (col("bucket") * lit(width) +
+        (col("rank") - (col("cum") - col("cnt"))).cast("double")
+          / col("cnt").cast("double") * lit(width)).as("q_est"))
+  }
+
+  def quantileHistogramSql(width: Double = 8.0, buckets: Int = 64,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): String =
+    s"""WITH hist AS (
+          SELECT event_type, least(floor(value / $width)::BIGINT, ${buckets - 1}) AS bucket,
+                 count(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        cum AS (
+          SELECT event_type, bucket, cnt,
+                 sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+          FROM hist),
+        nn AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        ranks AS (
+          SELECT nn.event_type, nn.n, t.p, ceil(t.p * nn.n)::BIGINT AS rank
+          FROM nn, (SELECT unnest([${ps.mkString(", ")}]::DOUBLE[]) AS p) t),
+        cand AS (
+          SELECT r.event_type, r.p, r.n, r.rank, c.bucket, c.cnt, c.cum,
+                 row_number() OVER (PARTITION BY r.event_type, r.p ORDER BY c.bucket) AS rn
+          FROM ranks r JOIN cum c ON r.event_type = c.event_type AND c.cum >= r.rank)
+        SELECT event_type, p, n, rank, bucket,
+               bucket * $width + (rank - (cum - cnt))::DOUBLE / cnt::DOUBLE * $width AS q_est
+        FROM cand WHERE rn = 1"""
+
   /** Incremental materialized-aggregate maintenance (IVM): the nightly
     * 100 TB move is "merge today's DELTA into yesterday's aggregate",
     * never "recompute from scratch" — possible exactly when every

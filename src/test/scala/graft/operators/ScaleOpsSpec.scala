@@ -186,6 +186,37 @@ class SketchesSpec extends SparkSpec {
     assert(merged == all)
   }
 
+  test("quantile histogram: estimates within one bucket width of the exact quantile") {
+    val width = 8.0
+    val got = Sketches.quantileHistogram(spark, dir)
+      .select("event_type", "p", "q_est").as[(String, Double, Double)].collect()
+    assert(got.length == 15) // 5 types x 3 quantiles
+    val byType = Tables.events(spark, dir)
+      .select("event_type", "value").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((t, p, est) <- got) {
+      val vals = byType(t)
+      val exact = vals(math.min(math.ceil(p * vals.length).toInt - 1, vals.length - 1))
+      assert(math.abs(est - exact) <= width,
+        s"$t p=$p: est $est vs exact $exact (width $width)")
+    }
+  }
+
+  test("quantile histogram state merges: per-bucket counts add across halves") {
+    def hist(df: org.apache.spark.sql.DataFrame): Map[(String, Long), Long] =
+      df.select(col("event_type"),
+          least(floor(col("value") / 8.0), lit(63L)).as("bucket"))
+        .groupBy("event_type", "bucket").agg(count(lit(1)).as("cnt"))
+        .as[(String, Long, Long)].collect().map { case (t, b, c) => (t, b) -> c }.toMap
+    val ev = Tables.events(spark, dir)
+    val whole = hist(ev)
+    val a = hist(ev.filter(col("event_id") % 2 === 0))
+    val b = hist(ev.filter(col("event_id") % 2 =!= 0))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == whole)
+  }
+
   test("incremental agg: merged base+delta states equal the scratch path") {
     // the IVM contract, checked in-engine (the DuckDB oracle re-checks
     // it cross-engine): merging per-side partial states must reproduce
