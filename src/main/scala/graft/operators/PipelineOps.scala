@@ -136,11 +136,13 @@ object PipelineOps {
       .select(col("doc_id"), col("source"),
         size(split(lower(col("text")), " ")).as("n_tokens"))
     // source weight: srcN with even N → 2, odd → 1 (the mixture config);
-    // a digitless source casts to NULL, NULL % 2 is NULL, and the
-    // otherwise-branch assigns weight 1 — the oracle's try_cast mirrors
-    // this exactly (a plain ::BIGINT would crash DuckDB on '')
+    // try_cast on BOTH engines: a digitless source extracts '' which
+    // try_casts to NULL, NULL % 2 is NULL, and the otherwise-branch
+    // assigns weight 1. A plain cast would THROW under Spark 4's
+    // default ANSI mode (and crash DuckDB on ''), so try_cast is the
+    // one form with identical fallback semantics in both engines.
     val weighted = docs.withColumn("w",
-      when(regexp_extract(col("source"), "([0-9]+)$", 1).cast("bigint") % 2 === 0,
+      when(expr("try_cast(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT)") % 2 === 0,
         lit(2.0)).otherwise(lit(1.0)))
     val totals = weighted.groupBy(col("source"), col("w"))
       .agg(sum(col("n_tokens")).as("src_tokens"))

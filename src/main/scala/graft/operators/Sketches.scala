@@ -220,18 +220,29 @@ object Sketches {
     * selected by `row_number() = 1` over the ≤`buckets`-row cumulative
     * table — bounded work after the single two-phase count.
     */
+  /** The q75 binning expression — shared with the merge-property test
+    * so the test always exercises the SHIPPED bucket definition.
+    */
+  private[operators] def histBucket(value: org.apache.spark.sql.Column,
+      width: Double, buckets: Int): org.apache.spark.sql.Column =
+    least(floor(value / width), lit(buckets - 1L))
+
   def quantileHistogram(s: SparkSession, dir: String, width: Double = 8.0,
       buckets: Int = 64, ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(s, dir)
+    // NULL values are excluded from the sketch on both engines (a NULL
+    // bucket would also sort NULLS FIRST in Spark vs NULLS LAST in
+    // DuckDB, silently shifting every cumulative count)
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
     val hist = ev
-      .select(col("event_type"),
-        least(floor(col("value") / width), lit(buckets - 1L)).as("bucket"))
+      .select(col("event_type"), histBucket(col("value"), width, buckets).as("bucket"))
       .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("cnt"))
     val cum = hist.withColumn("cum",
       sum(col("cnt")).over(Window.partitionBy(col("event_type"))
         .orderBy(col("bucket").asc)))
-    val n = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    // n per group = the last bucket's cumulative count: the sketch state
+    // already answers it — no second scan of the input
+    val n = cum.groupBy(col("event_type")).agg(max(col("cum")).as("n"))
     val ranks = n.select(col("event_type"), col("n"),
         explode(array(ps.map(lit(_)): _*)).as("p"))
       .withColumn("rank", ceil(col("p") * col("n"))) // ceil → LONG in Spark
@@ -253,12 +264,12 @@ object Sketches {
     s"""WITH hist AS (
           SELECT event_type, least(floor(value / $width)::BIGINT, ${buckets - 1}) AS bucket,
                  count(*) AS cnt
-          FROM events GROUP BY 1, 2),
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
         cum AS (
           SELECT event_type, bucket, cnt,
                  sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
           FROM hist),
-        nn AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        nn AS (SELECT event_type, max(cum)::BIGINT AS n FROM cum GROUP BY 1),
         ranks AS (
           SELECT nn.event_type, nn.n, t.p, ceil(t.p * nn.n)::BIGINT AS rank
           FROM nn, (SELECT unnest([${ps.mkString(", ")}]::DOUBLE[]) AS p) t),

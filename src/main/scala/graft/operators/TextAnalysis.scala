@@ -181,13 +181,6 @@ object TextAnalysis {
         FROM sel"""
   }
 
-  /** Gopher-style repetition metric: the fraction of a document's
-    * 3-gram occurrences that are duplicates (1 − distinct/total) — the
-    * classic boilerplate/repetition filter rule. Distinct 3-grams come
-    * from the native [[graft.functions.Shingles]] expression, so this is
-    * a pure per-row map like the other text metrics. NULL for docs
-    * under 3 tokens (no 3-grams to judge).
-    */
   /** The duplicate-3-gram fraction (column form; see
     * [[repetitionScores]]).
     */
@@ -198,6 +191,13 @@ object TextAnalysis {
     when(total > 0, lit(1.0) - distinctSh / total)
   }
 
+  /** Gopher-style repetition metric: the fraction of a document's
+    * 3-gram occurrences that are duplicates (1 − distinct/total) — the
+    * classic boilerplate/repetition filter rule. Distinct 3-grams come
+    * from the native [[graft.functions.Shingles]] expression, so this is
+    * a pure per-row map like the other text metrics. NULL for docs
+    * under 3 tokens (no 3-grams to judge).
+    */
   def repetitionScores(df: DataFrame, text: Column): DataFrame = {
     val total = greatest(size(tokens(text)) - lit(2), lit(0)).cast("double")
     df.select(

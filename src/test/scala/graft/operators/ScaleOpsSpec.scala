@@ -203,9 +203,11 @@ class SketchesSpec extends SparkSpec {
   }
 
   test("quantile histogram state merges: per-bucket counts add across halves") {
+    // bins via the SHIPPED Sketches.histBucket with the op's defaults,
+    // so a width/bucket-count change cannot silently detach this test
     def hist(df: org.apache.spark.sql.DataFrame): Map[(String, Long), Long] =
       df.select(col("event_type"),
-          least(floor(col("value") / 8.0), lit(63L)).as("bucket"))
+          Sketches.histBucket(col("value"), width = 8.0, buckets = 64).as("bucket"))
         .groupBy("event_type", "bucket").agg(count(lit(1)).as("cnt"))
         .as[(String, Long, Long)].collect().map { case (t, b, c) => (t, b) -> c }.toMap
     val ev = Tables.events(spark, dir)
