@@ -305,6 +305,9 @@ object SparkEntry {
     // cell-exact independent of recall (contract-tested separately).
     "q64_embed_neardup_lsh" -> ((s, dir) =>
       Similarity.embeddingNearDupLsh(s, dir, threshold = 0.5, bits = 4, tables = 8)),
+    // contrastive-pair mining: hardest positive (same label, lowest
+    // cos) + hardest negative (different label, highest cos) per query
+    "q76_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(s, dir)),
 
     // ---- multimodal columns (binary payload + typed metadata; decode
     // kernels are stubs, plumbing is real — see Multimodal scaladoc) ----
@@ -647,6 +650,7 @@ object SparkEntry {
     "q23_dedup_ngram_exact" -> Dedup.nearDuplicatesSql(),
     "q24_dedup_minhash_sigs" -> Dedup.minhashSignaturesSql,
     "q25_ann_bruteforce" -> Similarity.bruteForceTopKSql(),
+    "q76_hard_negatives" -> Similarity.hardNegativesSql,
     "q26_ann_ivf" -> Similarity.ivfTopKSql(),
     "q27_embed_neardup" -> Similarity.embeddingNearDupSql(),
     "q64_embed_neardup_lsh" -> Similarity.embeddingNearDupLshSql(threshold = 0.5, bits = 4, tables = 8),

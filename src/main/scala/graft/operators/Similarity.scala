@@ -337,6 +337,70 @@ object Similarity {
         WHERE ${cosSqlOn("a.v", "b.v")} >= $threshold"""
   }
 
+  /** Contrastive-pair (hard-example) mining — the step that turns an
+    * embedding corpus into training pairs for a retriever/reranker:
+    * for each query vector, the HARDEST POSITIVE (same label, lowest
+    * cosine — the most dissimilar example the model must still pull
+    * close) and the HARDEST NEGATIVE (different label, highest cosine
+    * — the most confusable example it must push away). Deterministic
+    * tiebreak on (cos, vec_id); a query whose label has no other
+    * member reports NULL positives (left joins).
+    *
+    * Scale: same shape as [[bruteForceTopK]] — the QUERY BATCH is the
+    * broadcast side (in serving/mining, the batch is the bounded
+    * input; the corpus streams map-side past it), and the literal
+    * rank-1 windows plan as WindowGroupLimit (per-partition top-1
+    * before the shuffle). At 100 TB the all-pairs scoring swaps for
+    * the IVF/LSH candidate generators (q26/q64) unchanged downstream.
+    */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    val queries = e.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("label").as("qlabel"))
+    val scored = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlabel"), col("vec_id"), col("label"),
+        cosine_sim(col("qv"), col("v")).as("cos"))
+    def top1(df: DataFrame, asc: Boolean, idName: String, cosName: String): DataFrame = {
+      val ord = if (asc) Seq(col("cos").asc, col("vec_id").asc)
+        else Seq(col("cos").desc, col("vec_id").asc)
+      df.withColumn("r", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(ord: _*)))
+        .filter(col("r") === 1)
+        .select(col("query_id"), col("vec_id").as(idName), col("cos").as(cosName))
+    }
+    val pos = top1(scored.filter(col("label") === col("qlabel")),
+      asc = true, "hard_pos_id", "hard_pos_cos")
+    val neg = top1(scored.filter(col("label") =!= col("qlabel")),
+      asc = false, "hard_neg_id", "hard_neg_cos")
+    queries.select(col("query_id"), col("qlabel").as("label"))
+      .join(pos, Seq("query_id"), "left")
+      .join(neg, Seq("query_id"), "left")
+  }
+
+  def hardNegativesSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel
+              FROM e WHERE vec_id % $queryMod = 0),
+        scored AS (
+          SELECT q.query_id, q.qlabel, e.vec_id, e.label, $cosSql AS cos
+          FROM e, q WHERE e.vec_id <> q.query_id),
+        pos AS (
+          SELECT query_id, vec_id AS hard_pos_id, cos AS hard_pos_cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos ASC, vec_id ASC) AS r
+          FROM scored WHERE label = qlabel QUALIFY r = 1),
+        neg AS (
+          SELECT query_id, vec_id AS hard_neg_id, cos AS hard_neg_cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS r
+          FROM scored WHERE label <> qlabel QUALIFY r = 1)
+        SELECT q.query_id, q.qlabel AS label,
+               p.hard_pos_id, p.hard_pos_cos, n.hard_neg_id, n.hard_neg_cos
+        FROM q
+        LEFT JOIN pos p ON q.query_id = p.query_id
+        LEFT JOIN neg n ON q.query_id = n.query_id"""
+
   /** Explicit-order cosine in DuckDB SQL: sequential dot and norms,
     * then dot/sqrt/sqrt — mirrors [[graft.functions.CosineSimilarity]].
     */

@@ -78,6 +78,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("hard-negative mining: literal rank-1 windows plan as WindowGroupLimit") {
+    // per-partition top-1 before the shuffle — the corpus never rides
+    // the exchange; only each partition's best candidate per query does
+    val p = plan("q76_hard_negatives")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("global shuffle sorts via range partitioning, not a single-partition window") {
     // the distributed total-order exchange; a row_number() window over
     // the whole frame would show Exchange SinglePartition + Window

@@ -492,3 +492,33 @@ class GlobalShuffleSpec extends SparkSpec {
     assert(got.forall(r => again(r._1) == r._3))
   }
 }
+
+class HardNegativesSpec extends SparkSpec {
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("hard positives/negatives match plain-Scala brute force") {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v", "label")
+      .as[(Long, Array[Double], Int)].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na) / math.sqrt(nb)
+    }
+    val got = Similarity.hardNegatives(spark, dir)
+      .select("query_id", "hard_pos_id", "hard_neg_id")
+      .as[(Long, Option[Long], Option[Long])].collect()
+    assert(got.nonEmpty)
+    for ((qid, posId, negId) <- got) {
+      val (_, qv, ql) = emb.find(_._1 == qid).get
+      val others = emb.filter(_._1 != qid)
+      val pos = others.filter(_._3 == ql)
+        .map(o => (cos(qv, o._2), o._1)).sorted.headOption.map(_._2)
+      val neg = others.filter(_._3 != ql)
+        .map(o => (-cos(qv, o._2), o._1)).sorted.headOption.map(_._2)
+      assert(posId == pos, s"query $qid hard positive")
+      assert(negId == neg, s"query $qid hard negative")
+    }
+  }
+}
