@@ -10,7 +10,19 @@ object Bench {
     // so the first timed query isn't charged session startup
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // fixed name order: the Map's hash order shuffles between rounds,
+    // silently reassigning which query absorbs residual first-touch
+    // cost — sorted order makes cross-round per-query comparison stable
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // the synthetic warm-ups above don't cover the join/window/exchange
+    // codegen paths, so whichever query ran first still paid ~1 s of
+    // compiler warm-up even under min-of-2 (q01 swung 0.3↔1.5 s on
+    // unchanged code). One untimed run of the first query eats that.
+    ordered.headOption.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    val results = ordered.map { case (name, fn) =>
       // a failed query records -1 (visible in the JSON), never a
       // plausible-looking duration
       def once(): Double = {
@@ -39,8 +51,13 @@ object Bench {
     }
     val qs = results.map { case (k, v) => Json.quote(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.quote(sfDir)}}""")
+    // the per-query line above is one giant JSON object and the last
+    // lines of output are what survives tail capture — repeat the
+    // headline as its own compact line LAST so a clipped tail still
+    // parses the total
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_run":${results.count(_._2 >= 0)},"sf":${Json.quote(sfDir)}}""")
     spark.stop()
   }
 }

@@ -121,8 +121,19 @@ object PipelineOps {
     * running sum over one ordered stream per source (serial at 100 TB),
     * while the rate form needs only per-source totals (a bounded
     * aggregate) and an embarrassingly-parallel per-row comparison.
-    * Expected tokens per source = alloc (exact only in expectation —
-    * the documented trade).
+    * Expected tokens per source = alloc, with TWO documented
+    * inexactness sources: (1) the per-row draw hits the rate only in
+    * expectation; (2) a SATURATED source (alloc > src_tokens, rate
+    * clamped to 1.0) contributes src_tokens < alloc and the surplus is
+    * NOT redistributed to the unsaturated sources, so the realized
+    * kept-token mass systematically undershoots budgetFrac whenever any
+    * clamp fires. Production mixers that must hit the budget exactly
+    * iterate the water-filling allocation (re-split the surplus over
+    * unsaturated sources until no clamp fires — a loop over the
+    * SOURCE-cardinality rate table, driver-cheap at any corpus size);
+    * the single-pass form is kept here because its rate table is the
+    * direct reading of the mixture config, matching how published
+    * mixtures (e.g. Pile/ROOTS-style weights) are specified.
     *
     * The demo mixture upweights even-numbered sources 2:1 (an explicit
     * stand-in for real mixture configs like {web:5, books:3, code:2});

@@ -28,6 +28,21 @@ object Similarity {
 
   val defaultK = 5
   val queryMod = 100 // vec_id % queryMod == 0 defines the query set
+
+  /** Hard cap on the query batch every forced `broadcast()` in this
+    * family carries. The `% queryMod` demo predicate alone selects a
+    * FRACTION of the corpus — a broadcast that grows 100× with a 100×
+    * corpus and OOMs the executors. The explicit `ORDER BY vec_id
+    * LIMIT maxQueryBatch` (mirrored in every oracle) makes the batch
+    * bounded BY CONSTRUCTION at any scale, which is the actual serving
+    * contract: a mining/serving batch is a fixed-size work unit, never
+    * "some percentage of 100 TB". At the test SFs far fewer vectors
+    * qualify than the cap, so the bound is an identity there; the
+    * bounded-broadcast plan shape is pinned by PlanSpec (every
+    * BroadcastExchange subtree in this family contains an explicit
+    * limit or a literal relation).
+    */
+  val maxQueryBatch = 1024
   val numCentroids = 16
   val nprobe = 4
 
@@ -35,10 +50,22 @@ object Similarity {
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
+  /** The deterministic, EXPLICITLY BOUNDED query batch (see
+    * [[maxQueryBatch]]): lowest-id members of the `% queryMod` subset.
+    * Plans as TakeOrderedAndProject — distributed top-N, no full sort.
+    */
+  private def queryBatch(corpus: DataFrame): DataFrame =
+    corpus.filter(col("vec_id") % queryMod === 0)
+      .orderBy(col("vec_id").asc).limit(maxQueryBatch)
+
+  /** The `q` CTE body every oracle shares — same bound, same order. */
+  private def querySql: String =
+    s"SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $queryMod = 0 ORDER BY vec_id LIMIT $maxQueryBatch"
+
   /** Exact top-k neighbors for the deterministic query subset. */
   def bruteForceTopK(s: SparkSession, dir: String, k: Int = defaultK): DataFrame = {
     val corpus = emb(s, dir)
-    val queries = corpus.filter(col("vec_id") % queryMod === 0)
+    val queries = queryBatch(corpus)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -50,7 +77,7 @@ object Similarity {
 
   def bruteForceTopKSql(k: Int = defaultK): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $queryMod = 0),
+        q AS ($querySql),
         scored AS (
           SELECT query_id, e.vec_id AS neighbor_id, $cosSql AS cos
           FROM e, q WHERE e.vec_id <> q.query_id)
@@ -68,7 +95,10 @@ object Similarity {
     */
   def ivfTopK(s: SparkSession, dir: String, k: Int = defaultK): DataFrame = {
     val corpus = emb(s, dir)
-    val cents = corpus.filter(col("vec_id") < numCentroids)
+    // the filter already caps this at numCentroids rows; the explicit
+    // limit makes the bound structural (visible to PlanSpec's
+    // every-broadcast-carries-a-limit assertion), not just semantic
+    val cents = corpus.filter(col("vec_id") < numCentroids).limit(numCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     ivfSearch(corpus, cents, k)
   }
@@ -124,8 +154,10 @@ object Similarity {
       .withColumn("crank", row_number().over(wAssign))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("v"), col("cent_id").as("bucket"))
-    // queries probe their nprobe nearest centroids
-    val queries = corpus.filter(col("vec_id") % queryMod === 0)
+    // queries probe their nprobe nearest centroids; the batch is the
+    // bounded [[queryBatch]], so `probes` below is ≤ batch·nprobe rows
+    // — a broadcast bounded by construction, not by data luck
+    val queries = queryBatch(corpus)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qcos").desc, col("cent_id").asc)
     val probes = queries.join(broadcast(cents))
@@ -159,7 +191,7 @@ object Similarity {
                    row_number() OVER (PARTITION BY e.vec_id
                      ORDER BY ${cosSqlOn("e.v", "c.cv")} DESC, c.cent_id ASC) AS crank
             FROM e, c) WHERE crank = 1),
-        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $queryMod = 0),
+        q AS ($querySql),
         probes AS (
           SELECT query_id, qv, cent_id AS bucket FROM (
             SELECT q.query_id, q.qv, c.cent_id,
@@ -357,7 +389,7 @@ object Similarity {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
         col("label"))
-    val queries = e.filter(col("vec_id") % queryMod === 0)
+    val queries = queryBatch(e)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("label").as("qlabel"))
     val scored = e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
@@ -383,7 +415,7 @@ object Similarity {
   def hardNegativesSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
         q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel
-              FROM e WHERE vec_id % $queryMod = 0),
+              FROM e WHERE vec_id % $queryMod = 0 ORDER BY vec_id LIMIT $maxQueryBatch),
         scored AS (
           SELECT q.query_id, q.qlabel, e.vec_id, e.label, $cosSql AS cos
           FROM e, q WHERE e.vec_id <> q.query_id),

@@ -207,7 +207,10 @@ object Sketches {
     * the sketch state (bounded by |groups|·buckets, counts ADD under
     * any split — the merge property, unit-tested), and quantiles read
     * off the cumulative histogram with within-bucket linear
-    * interpolation (error ≤ width by construction). This is the
+    * interpolation — error ≤ width for values inside [0, buckets·width);
+    * values outside clamp (both ends) into the edge buckets, where the
+    * interpolation error is unbounded, the inherent fixed-bin trade.
+    * This is the
     * fixed-bin form production systems use when the value domain is
     * known; rank-adaptive sketches (GK/KLL) handle unknown domains but
     * have engine-specific internals — this one is bit-reproducible in
@@ -225,7 +228,13 @@ object Sketches {
     */
   private[operators] def histBucket(value: org.apache.spark.sql.Column,
       width: Double, buckets: Int): org.apache.spark.sql.Column =
-    least(floor(value / width), lit(buckets - 1L))
+    // clamp BOTH ends: values ≥ buckets·width land in the top bucket
+    // and values < 0 in bucket 0 (without the lower clamp, negatives
+    // would bin into unclamped negative buckets — asymmetric with the
+    // top). Inside [0, buckets·width) the interpolation error is ≤
+    // width by construction; clamped tail values carry unbounded
+    // interpolation error, which is the documented fixed-bin trade.
+    greatest(lit(0L), least(floor(value / width), lit(buckets - 1L)))
 
   def quantileHistogram(s: SparkSession, dir: String, width: Double = 8.0,
       buckets: Int = 64, ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
@@ -262,7 +271,7 @@ object Sketches {
   def quantileHistogramSql(width: Double = 8.0, buckets: Int = 64,
       ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): String =
     s"""WITH hist AS (
-          SELECT event_type, least(floor(value / $width)::BIGINT, ${buckets - 1}) AS bucket,
+          SELECT event_type, greatest(0, least(floor(value / $width)::BIGINT, ${buckets - 1})) AS bucket,
                  count(*) AS cnt
           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
         cum AS (

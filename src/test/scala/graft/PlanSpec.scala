@@ -156,4 +156,33 @@ class PlanSpec extends SparkSpec {
     assert(hints.isEmpty,
       s"exactNearDuplicates must not force a join strategy:\n$analyzed")
   }
+
+  test("ANN/mining family: every forced broadcast side is bounded by construction") {
+    // the round-4 scale finding: broadcast(queries) where the demo batch
+    // was a FRACTION of the corpus (vec_id % 100) — bounded at sf0.1,
+    // 100×-growing at 100× data. The contract now: any side that carries
+    // a broadcast hint must be structurally bounded — an explicit
+    // GlobalLimit (the maxQueryBatch cap / the centroid cap) or a
+    // literal LocalRelation (trained centroids) somewhere below it,
+    // never a bare corpus-derived filter.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    for (q <- Seq("q25_ann_bruteforce", "q26_ann_ivf", "q49_ann_ivf_trained",
+        "q76_hard_negatives")) {
+      val lp = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
+      def bounded(p: LogicalPlan): Boolean = p.collectFirst {
+        case _: GlobalLimit => ()
+        case _: LocalRelation => ()
+      }.isDefined
+      val hinted = lp.collect { case j: Join
+        if j.hint.leftHint.exists(_.strategy.isDefined) ||
+          j.hint.rightHint.exists(_.strategy.isDefined) => j }
+      assert(hinted.nonEmpty, s"$q: expected at least one hinted join")
+      for (j <- hinted) {
+        if (j.hint.leftHint.exists(_.strategy.isDefined))
+          assert(bounded(j.left), s"$q: unbounded broadcast LEFT side:\n${j.left}")
+        if (j.hint.rightHint.exists(_.strategy.isDefined))
+          assert(bounded(j.right), s"$q: unbounded broadcast RIGHT side:\n${j.right}")
+      }
+    }
+  }
 }

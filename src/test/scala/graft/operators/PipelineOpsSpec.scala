@@ -443,7 +443,13 @@ class MixtureSampleSpec extends SparkSpec {
     // recompute the rate table from scratch in plain Scala
     val bySrc = rows.groupBy(_._2).view.mapValues(_.map(_._3.toLong).sum).toMap
     val grand = bySrc.values.sum.toDouble
-    def w(src: String) = if (src.replaceAll("[^0-9]", "").toLong % 2 == 0) 2.0 else 1.0
+    // mirror the SHIPPED extraction exactly: trailing digit run only,
+    // weight 1 when absent (an all-digits regex would diverge on
+    // sources with interior digits, or throw on digitless ones)
+    def w(src: String) = "([0-9]+)$".r.findFirstIn(src) match {
+      case Some(d) if d.toLong % 2 == 0 => 2.0
+      case _ => 1.0
+    }
     // keys is a Set — map through the weight first would dedupe {2.0,1.0};
     // go through a Seq so every source contributes its weight
     val sumW = bySrc.keys.toSeq.map(w).sum
