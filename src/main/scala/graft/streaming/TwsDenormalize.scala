@@ -21,7 +21,8 @@ import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, 
   * shared verbatim with the flatMapGroupsWithState core, so the two
   * backends cannot drift semantically.
   */
-class DenormProcessor(joinType: String, strictBatchDedup: Boolean = true)
+class DenormProcessor(joinType: String, strictBatchDedup: Boolean = true,
+    ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[String, IndexRecord, JoinedRecord] {
 
   private val (emitLeftNull, emitRightNull) = StreamDenormalize.flags(joinType)
@@ -30,10 +31,16 @@ class DenormProcessor(joinType: String, strictBatchDedup: Boolean = true)
   @transient private var lefts: MapState[String, String] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    // the TTL applies to BOTH families: an expired right stops new lefts
+    // from joining it (they emit the outer null-side instead), and
+    // expired lefts stop re-emitting on right updates. This is the
+    // state bounding the reference leaves as an open TODO
+    // (HackerNewsPipeline.java:35-36 "compacted topics grow forever");
+    // on a compacted-topic-sized dimension keep TTLConfig.NONE.
     rightValue = getHandle.getValueState[String](
-      "rightValue", Encoders.STRING, TTLConfig.NONE)
+      "rightValue", Encoders.STRING, ttl)
     lefts = getHandle.getMapState[String, String](
-      "lefts", Encoders.STRING, Encoders.STRING, TTLConfig.NONE)
+      "lefts", Encoders.STRING, Encoders.STRING, ttl)
   }
 
   override def handleInputRows(key: String, rows: Iterator[IndexRecord],
@@ -55,13 +62,26 @@ object TwsDenormalize {
 
   /** The stateful join over a keyed [[IndexRecord]] stream — same
     * surface as [[StreamDenormalize.joined]], different state backend.
+    *
+    * `ttl`, when set, bounds BOTH state families by processing-time age
+    * (entries older than the duration stop participating and are
+    * reclaimed by the store) — the knob a production deployment sets to
+    * its join-window SLA so per-FK state can't grow forever. TTL
+    * requires processing-time semantics, so the time mode switches with
+    * the knob; `None` keeps the exact reference semantics (state lives
+    * forever, like the compacted topic it mirrors).
     */
   def joined(index: Dataset[IndexRecord], joinType: String,
-      strictBatchDedup: Boolean = true): Dataset[JoinedRecord] = {
+      strictBatchDedup: Boolean = true,
+      ttl: Option[java.time.Duration] = None): Dataset[JoinedRecord] = {
     import index.sparkSession.implicits._
+    val (cfg, timeMode) = ttl match {
+      case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
+      case None => (TTLConfig.NONE, TimeMode.None())
+    }
     index
       .groupByKey(_.fk)
-      .transformWithState(new DenormProcessor(joinType, strictBatchDedup),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new DenormProcessor(joinType, strictBatchDedup, cfg),
+        timeMode, OutputMode.Append())
   }
 }

@@ -59,6 +59,65 @@ class TwsDenormalizeSpec extends SparkSpec {
     assert(out == Seq(JoinedRecord(null, null, "s1v1", 1)))
   }
 
+  test("state TTL evicts stale lefts: expired state stops re-emitting") {
+    // TTL'd run: a left arrives, then after the TTL has elapsed the
+    // right arrives IN THE SAME BATCH as a fresh left. The expired left
+    // must NOT re-emit on the right's arrival (it would without TTL —
+    // pinned by the "left then right" test above), while the fresh left
+    // joins normally (same-batch, so its state cannot have aged).
+    //
+    // Harness note: in processing-time mode transformWithState requests
+    // another batch UNCONDITIONALLY (so wall-clock TTL/timer sweeps keep
+    // firing) — the query never quiesces, which hangs both
+    // processAllAvailable and Trigger.AvailableNow. The harness instead
+    // POLLS: consumption is observed via progress numInputRows, the
+    // verdict via the output buffer, and the query is stopped
+    // explicitly. Once the fresh left's emission has appeared, the
+    // absence of the stale left's is final — both would come from the
+    // same input batch.
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", rocksdb)
+    try {
+      val input = MemoryStream[IndexRecord]
+      val out = scala.collection.mutable.ArrayBuffer.empty[JoinedRecord]
+      def poll(what: String)(done: => Boolean): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (!done) {
+          assert(System.nanoTime() < deadline, s"timed out waiting for $what")
+          Thread.sleep(100)
+        }
+      }
+      // left_outer so phase 1 is positively observable: the lone left
+      // emits (left, null) immediately, confirming its state write
+      // happened BEFORE the TTL sleep (no progress-polling races)
+      val q = TwsDenormalize.joined(input.toDS(), "left_outer",
+          ttl = Some(java.time.Duration.ofSeconds(2)))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[JoinedRecord], _: Long) =>
+          val rows = df.collect()
+          out.synchronized { out ++= rows }; ()
+        }
+        .outputMode("append")
+        .start()
+      try {
+        input.addData(Seq(L("s1", "c1", "c1v1", 1)))
+        poll("left+null emitted")(out.synchronized(out.exists(_.outKey == "c1")))
+        Thread.sleep(4000) // > TTL; the only timing the test depends on
+        input.addData(Seq(R("s1", "s1v1", 2), L("s1", "c2", "c2v1", 3)))
+        poll("fresh join emitted")(out.synchronized(out.exists(_.outKey == "c2")))
+      } finally q.stop()
+      // the stale c1 must NOT re-emit with the right (it would without
+      // TTL — pinned by TwsOuterJoinSpec); the fresh c2 joins normally
+      assert(out.synchronized(out.sortBy(_.seq).toSeq) == Seq(
+        JoinedRecord("c1", "c1v1", null, 1),
+        JoinedRecord("c2", "c2v1", "s1v1", 3)), out.toString)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("tws and fmgws cores agree on a mixed multi-batch sequence") {
     val batches = Seq(
       Seq(L("a", "l1", "v1", 1), R("b", "bv1", 2)),
