@@ -308,6 +308,11 @@ object SparkEntry {
     // contrastive-pair mining: hardest positive (same label, lowest
     // cos) + hardest negative (different label, highest cos) per query
     "q76_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(s, dir)),
+    // product quantization: vectors → pqM codebook codes (16× smaller),
+    // search scores against the codes via per-query lookup tables (ADC)
+    // — the embedding STORAGE move; codebooks train like q49's
+    // centroids and inline into the oracle the same way
+    "q77_pq_adc" -> ((s, dir) => Similarity.pqTopK(s, dir)),
 
     // ---- multimodal columns (binary payload + typed metadata; decode
     // kernels are stubs, plumbing is real — see Multimodal scaladoc) ----
@@ -457,9 +462,10 @@ object SparkEntry {
     // exact-dup + near-dup clusters → keep/drop with reasons)
     "q48_curation" -> ((s, dir) => PipelineOps.curation(s, dir)),
     // k-means-trained IVF (the quality path: recall 0.68 vs 0.48 for
-    // the sampled-centroid variant at equal probe budget). No DuckDB
-    // oracle — Lloyd's iterations aren't SQL-expressible — so this is
-    // a rows-only check like q07; recall vs brute force is unit-tested.
+    // the sampled-centroid variant at equal probe budget). The Lloyd's
+    // LOOP isn't SQL, but its result is — the trained centroids inline
+    // into the oracle as literals once the query has run (see
+    // ivfTopKTrainedSql); recall vs brute force is unit-tested.
     "q49_ann_ivf_trained" -> ((s, dir) => Similarity.ivfTopKTrained(s, dir)),
     // q08's stateful FK join on the transformWithState core (Spark 4's
     // modern stateful API: ValueState point-get + MapState prefix-scan,
@@ -711,5 +717,7 @@ object SparkEntry {
     // q49's oracle exists only after its query ran in this JVM (Verify's
     // evaluation order): the trained centroids are then known and get
     // inlined as literals — the training loop isn't SQL, its result is
-    Similarity.ivfTopKTrainedSql().map("q49_ann_ivf_trained" -> _)
+    Similarity.ivfTopKTrainedSql().map("q49_ann_ivf_trained" -> _) ++
+    // same gating for q77: the PQ codebooks inline once trained
+    Similarity.pqTopKSql().map("q77_pq_adc" -> _)
 }

@@ -433,6 +433,210 @@ object Similarity {
         LEFT JOIN pos p ON q.query_id = p.query_id
         LEFT JOIN neg n ON q.query_id = n.query_id"""
 
+  // ---- product quantization (PQ): the 100 TB embedding STORAGE move ----
+
+  /** PQ geometry: `pqDim`-dim embeddings split into `pqM` subspaces of
+    * `pqSubDim` dims, each with a `pqKs`-codeword codebook — a vector
+    * compresses to pqM small integers (8×4 bits = 4 bytes vs 256 bytes
+    * of float32: 64× smaller), and search scores AGAINST THE CODES
+    * without ever touching the original vectors (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011). This is
+    * the member of the similarity family the others don't cover:
+    * q25/q26/q49/q64 accelerate the SEARCH; PQ shrinks the CORPUS —
+    * at 100 TB of embeddings the codes table is ~1.5 TB and fits where
+    * the vectors never will.
+    */
+  val pqM = 8
+  val pqKs = 16
+  val pqDim = 64
+  val pqSubDim: Int = pqDim / pqM
+
+  /** Per-subspace codebooks by distributed Lloyd's k-means — all
+    * subspaces train in ONE pass per iteration (flatMap emits each
+    * vector's pqM subvectors keyed by (subspace, nearest codeword);
+    * one groupByKey per iteration re-averages every codebook). Same
+    * determinism discipline as [[kmeansCentroids]]: lowest-vec_id
+    * seeding, vec_id-ordered accumulation (shuffle fetch order is
+    * nondeterministic and double addition isn't associative), empty
+    * clusters keep their previous codeword. Driver traffic is
+    * pqM·pqKs·pqSubDim doubles per iteration — O(1) in the corpus.
+    */
+  def pqCodebooks(s: SparkSession, dir: String, mSub: Int = pqM,
+      ks: Int = pqKs, iterations: Int = 5): Array[Array[Array[Double]]] = {
+    import s.implicits._
+    val sd = pqDim / mSub
+    val corpus = emb(s, dir).select(col("vec_id"), col("v")).as[(Long, Seq[Double])].cache()
+    val init = corpus.filter(_._1 < ks).collect().sortBy(_._1)
+    var cbs: Array[Array[Array[Double]]] =
+      Array.tabulate(mSub)(mi => init.map(_._2.toArray.slice(mi * sd, (mi + 1) * sd)))
+    for (_ <- 1 to iterations) {
+      val bc = s.sparkContext.broadcast(cbs)
+      val assigned = corpus.flatMap { case (id, v) =>
+        val arr = v.toArray
+        (0 until mSub).map { mi =>
+          val sub = arr.slice(mi * sd, (mi + 1) * sd)
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ks) {
+            val cw = bc.value(mi)(c)
+            var d = 0.0; var i = 0
+            while (i < sd) { val t = sub(i) - cw(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          (mi, best, id, sub)
+        }
+      }
+      val updated = assigned.groupByKey(r => (r._1, r._2))
+        .mapGroups { (key, rows) =>
+          val sorted = rows.toArray.sortBy(_._3)
+          val sum = new Array[Double](sorted.head._4.length)
+          for ((_, _, _, v) <- sorted) {
+            var i = 0; while (i < v.length) { sum(i) += v(i); i += 1 }
+          }
+          var i = 0; while (i < sum.length) { sum(i) /= sorted.length; i += 1 }
+          (key._1, key._2, sum)
+        }.collect()
+      val byId = updated.map(u => (u._1, u._2) -> u._3).toMap
+      cbs = Array.tabulate(mSub)(mi =>
+        Array.tabulate(ks)(c => byId.getOrElse((mi, c), cbs(mi)(c))))
+    }
+    corpus.unpersist()
+    cbs
+  }
+
+  /** Same cache-for-oracle pattern as [[ivfTopKTrained]]'s
+    * `trainedCache`: the training loop is not SQL, its RESULT is
+    * pqM·pqKs·pqSubDim doubles that inline as literals.
+    */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  /** Squared codeword norms, derived from the codebook once in Scala
+    * and embedded as the SAME literals in both engines — no cross-engine
+    * arithmetic to diverge.
+    */
+  private def pqNorms(cbs: Array[Array[Array[Double]]]): Array[Array[Double]] =
+    cbs.map(_.map { cw =>
+      var t = 0.0; var i = 0
+      while (i < cw.length) { t += cw(i) * cw(i); i += 1 }
+      t
+    })
+
+  /** PQ encode + asymmetric-distance (ADC) top-k, cosine flavor:
+    * every corpus vector reduces to pqM codes (argmin squared L2 per
+    * subspace — a pure map over the literal codebook, zero shuffles);
+    * each query precomputes its pqM×pqKs dot-product table ONCE; a
+    * candidate's approximate cosine is then four table lookups
+    *   adc = (Σ_m pd_m[code_m]) / ‖q‖ / √(Σ_m ns_m[code_m])
+    * — no per-pair O(dim) arithmetic, and only the 16×-compressed
+    * codes ride the (bounded-batch-broadcast) join. Exact per-pair
+    * IEEE order is mirrored in the generated oracle, so the check is
+    * cell-exact; ranking QUALITY vs exact cosine is the separate
+    * recall contract test.
+    */
+  def pqTopK(s: SparkSession, dir: String, k: Int = defaultK): DataFrame = {
+    val sd = pqSubDim
+    val cbs = pqCache.computeIfAbsent(dir, _ => pqCodebooks(s, dir))
+    val ns = pqNorms(cbs)
+    val corpus = emb(s, dir)
+    def subv(v: org.apache.spark.sql.Column, mi: Int) = slice(v, mi * sd + 1, sd)
+    def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    def dotp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val codeCols = (0 until pqM).map { mi =>
+      val cbLit = typedLit(cbs(mi).map(_.toSeq).toSeq)
+      // argmin as array_min over (distance, code) structs: struct order
+      // is lexicographic, so ties break toward the smaller code —
+      // mirroring the oracle's ORDER BY d ASC, c ASC
+      array_min(transform(sequence(lit(0), lit(pqKs - 1)), c =>
+        struct(sqDist(subv(col("v"), mi), element_at(cbLit, c + 1)).as("d"),
+          c.as("c")))).getField("c").as(s"code$mi")
+    }
+    val codes = corpus.select(col("vec_id") +: codeCols: _*)
+    val pdCols = (0 until pqM).map { mi =>
+      val cbLit = typedLit(cbs(mi).map(_.toSeq).toSeq)
+      transform(sequence(lit(0), lit(pqKs - 1)),
+        c => dotp(subv(col("qv"), mi), element_at(cbLit, c + 1))).as(s"pd$mi")
+    }
+    val qn = sqrt((0 until pqM)
+      .map(mi => dotp(subv(col("qv"), mi), subv(col("qv"), mi))).reduceLeft(_ + _))
+    val queries = queryBatch(corpus)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("query_id") +: pdCols :+ qn.as("qn"): _*)
+    val adcDot = (0 until pqM)
+      .map(mi => element_at(col(s"pd$mi"), col(s"code$mi") + 1)).reduceLeft(_ + _)
+    val rn = sqrt((0 until pqM)
+      .map(mi => element_at(typedLit(ns(mi).toSeq), col(s"code$mi") + 1)).reduceLeft(_ + _))
+    val scored = codes.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (adcDot / col("qn") / rn).as("adc"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc"))
+  }
+
+  /** Full-algorithm PQ oracle (codebooks inlined as literals, same
+    * gating as [[ivfTopKTrainedSql]]): DuckDB re-derives the codes, the
+    * per-query dot tables, and the ADC scores cell-exactly. Every sum
+    * is written in the operator's own IEEE order: 16-element sequential
+    * sums inside a subspace (the proven list_sum ↔ aggregate pairing),
+    * explicit left-assoc parens across the four subspaces.
+    */
+  def pqTopKSql(k: Int = defaultK): Option[String] =
+    if (pqCache.size != 1) None
+    else {
+      val cbs = pqCache.values.iterator.next()
+      val ns = pqNorms(cbs)
+      val sd = pqSubDim
+      val cbRows = (for (mi <- 0 until pqM; c <- 0 until pqKs) yield
+        s"($mi, $c, [${cbs(mi)(c).mkString(", ")}]::DOUBLE[], (${ns(mi)(c)})::DOUBLE)")
+        .mkString(",\n               ")
+      def codeCol(mi: Int) = s"max(CASE WHEN m = $mi THEN code END) AS code$mi"
+      def nsCol(mi: Int) = s"max(CASE WHEN m = $mi THEN ns END) AS ns$mi"
+      def qdot(mi: Int) =
+        s"list_sum(list_transform(range(1, ${sd + 1}), i -> q.qv[$mi * $sd + i] * cb$mi.cv[i]))"
+      def qnq(mi: Int) =
+        s"list_sum(list_transform(range(1, ${sd + 1}), i -> q.qv[$mi * $sd + i] * q.qv[$mi * $sd + i]))"
+      // left-assoc parenthesization — the exact order of Spark's
+      // reduceLeft(_ + _) over the pqM subspace terms
+      def sumL(terms: Seq[String]): String = terms.reduceLeft((a, b) => s"($a + $b)")
+      val cbJoins = (0 until pqM)
+        .map(mi => s"JOIN cb cb$mi ON cb$mi.m = $mi AND cb$mi.c = cw.code$mi")
+        .mkString("\n          ")
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS ($querySql),
+        cb AS (SELECT * FROM (VALUES $cbRows) AS t(m, c, cv, ns)),
+        dists AS (
+          SELECT e.vec_id, cb.m, cb.c, cb.ns,
+                 list_sum(list_transform(range(1, ${sd + 1}),
+                   i -> (v[cb.m * $sd + i] - cv[i]) * (v[cb.m * $sd + i] - cv[i]))) AS d
+          FROM e, cb),
+        codes AS (
+          SELECT vec_id, m, c AS code, ns FROM (
+            SELECT vec_id, m, c, ns,
+                   row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, c ASC) AS rn
+            FROM dists) WHERE rn = 1),
+        cw AS (
+          SELECT vec_id, ${(0 until pqM).map(codeCol).mkString(", ")},
+                 ${(0 until pqM).map(nsCol).mkString(", ")}
+          FROM codes GROUP BY vec_id),
+        scored AS (
+          SELECT q.query_id, cw.vec_id AS neighbor_id,
+                 ${sumL((0 until pqM).map(qdot))}
+                   / sqrt(${sumL((0 until pqM).map(qnq))})
+                   / sqrt(${sumL((0 until pqM).map(mi => s"cw.ns$mi"))}) AS adc
+          FROM cw
+          JOIN q ON cw.vec_id <> q.query_id
+          $cbJoins)
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC) AS rank,
+               adc
+        FROM scored
+        QUALIFY rank <= $k""")
+    }
+
   /** Explicit-order cosine in DuckDB SQL: sequential dot and norms,
     * then dot/sqrt/sqrt — mirrors [[graft.functions.CosineSimilarity]].
     */

@@ -167,7 +167,7 @@ class PlanSpec extends SparkSpec {
     // never a bare corpus-derived filter.
     import org.apache.spark.sql.catalyst.plans.logical._
     for (q <- Seq("q25_ann_bruteforce", "q26_ann_ivf", "q49_ann_ivf_trained",
-        "q76_hard_negatives")) {
+        "q76_hard_negatives", "q77_pq_adc")) {
       val lp = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
       def bounded(p: LogicalPlan): Boolean = p.collectFirst {
         case _: GlobalLimit => ()

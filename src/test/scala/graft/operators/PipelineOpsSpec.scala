@@ -54,6 +54,43 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.forall { case (q, n) => q % Similarity.queryMod == 0 && q != n })
   }
 
+  test("PQ codes: ADC tracks exact cosine; picks beat the random floor") {
+    val pq = Similarity.pqTopK(spark, dir)
+      .select("query_id", "neighbor_id", "rank", "adc")
+      .as[(Long, Long, Int, Double)].collect()
+    assert(pq.length == 5 * Similarity.defaultK)
+    assert(pq.forall { case (q, n, _, _) => q % Similarity.queryMod == 0 && q != n })
+    // fidelity contract: the asymmetric-distance score approximates the
+    // TRUE cosine of each picked pair (32-bit codes measure ~0.03-0.11
+    // mean error on the fixtures; a broken codebook or a shifted
+    // lookup lands ~0.3+, so 0.15 separates cleanly)
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val exact = pq.toSeq.toDF("query_id", "neighbor_id", "rank", "adc")
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("nv")), "neighbor_id")
+      .select(col("adc"), cosine_sim(col("qv"), col("nv")).as("cos"))
+      .as[(Double, Double)].collect()
+    val meanErr = exact.map { case (adc, cos) => math.abs(adc - cos) }.sum / exact.length
+    assert(meanErr <= 0.15, s"mean |adc - cos| $meanErr")
+    // ranking contract: recall@5 vs exact search must beat the random
+    // floor (5/499 ≈ 1%) by an order of magnitude — coarse 32-bit codes
+    // on near-random vectors are NOT a high-recall search structure
+    // (that's q25/q26/q64); they are a storage format whose scores must
+    // still point at the right corpus region
+    val bf = Similarity.bruteForceTopK(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pqPairs = pq.map { case (q, n, _, _) => (q, n) }.toSet
+    val recall = (bf intersect pqPairs).size.toDouble / bf.size
+    assert(recall >= 0.1, s"recall $recall")
+    // training is deterministic: re-derived codebooks are bit-identical
+    val cb1 = Similarity.pqCodebooks(spark, dir, iterations = 2)
+    val cb2 = Similarity.pqCodebooks(spark, dir, iterations = 2)
+    assert(cb1.length == Similarity.pqM && cb1(0).length == Similarity.pqKs)
+    assert(cb1.zip(cb2).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+  }
+
   test("k-means-trained IVF is valid and at least as good as random-candidate floor") {
     val bf = Similarity.bruteForceTopK(spark, dir)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
