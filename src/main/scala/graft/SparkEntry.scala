@@ -562,9 +562,8 @@ object SparkEntry {
     // across triggers). Emits the KEY SET (first-arrival payloads vary
     // with partition processing order, the set of keys does not), so
     // the oracle is SELECT DISTINCT. Unbounded keyed state — exactly
-    // the reference's in-memory set; production bounds it with
-    // dropDuplicatesWithinWatermark (semantics pinned in
-    // StreamingDedupSpec).
+    // the reference's in-memory set; q78 is the bounded-state
+    // production form.
     "q60_stream_dedup" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"))
       val tmp = stagedOnce(dir, "q60_events") { p =>
@@ -580,6 +579,41 @@ object SparkEntry {
           .parquet(tmp)
         withStatePartitions(s, 8) {
           val q = input.dropDuplicates("user_id", "event_type")
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", ckpt).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      } finally rmTree(ckpt)
+      s.table(name)
+    }),
+
+    // q60's seen-set with BOUNDED state: dropDuplicatesWithinWatermark
+    // evicts a key's state once the watermark passes its event time +
+    // delay, so state holds a sliding window of keys instead of the
+    // full history — the production answer to "the seen-set grows
+    // forever" (the same SLA knob as the TWS join's state TTL). The
+    // delay here (90 days) deliberately covers the whole fixture log,
+    // making the output EXACTLY the distinct key set (same oracle as
+    // q60) while the plan is the bounded-state one; with a shorter
+    // delay, duplicates farther apart than the delay may re-emit — that
+    // eviction behavior is pinned in StreamingDedupSpec.
+    "q78_stream_dedup_watermark" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      val tmp = stagedOnce(dir, "q78_events") { p =>
+        ev.repartition(8).write.mode("overwrite").parquet(p) // parallel staging write
+      }
+      val ckpt = stageDir("q78_ckpt")
+      val name = "q78_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      try {
+        val nFiles = new java.io.File(tmp).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        val input = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", math.max(1, nFiles / 2).toString)
+          .parquet(tmp)
+        withStatePartitions(s, 8) {
+          val q = input.withWatermark("ts", "90 days")
+            .dropDuplicatesWithinWatermark("user_id", "event_type")
+            .select(col("user_id"), col("event_type"))
             .writeStream.format("memory").queryName(name).outputMode("append")
             .option("checkpointLocation", ckpt).start()
           try q.processAllAvailable() finally q.stop()
@@ -698,6 +732,9 @@ object SparkEntry {
     "q57_bloom_prune" -> operators.Sketches.bloomPruneSql(),
     "q59_snapshot_diff" -> PipelineOps.snapshotDiffSql,
     "q60_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
+    // same contract as q60: the 90-day delay covers the fixture log, so
+    // the bounded-state form emits exactly the distinct key set
+    "q78_stream_dedup_watermark" -> "SELECT DISTINCT user_id, event_type FROM events",
     "q61_kmv_distinct" -> operators.Sketches.kmvDistinctSql(),
     "q69_cms_heavy_hitters" -> operators.Sketches.cmsHeavyHittersSql(),
     "q73_incremental_agg" -> operators.Sketches.incrementalAggSql(),

@@ -63,6 +63,39 @@ class StreamingDedupSpec extends SparkSpec {
       assert(spark.table("dd_out").count() == 3) // new id passes
     } finally q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark: dedups within the delay, evicts beyond it") {
+    // the q78 bounded-state contract, both directions: a duplicate
+    // INSIDE the delay is suppressed; after the watermark passes a
+    // key's expiry the state is evicted and the key re-emits — the
+    // honest trade a sliding seen-set makes vs q60's unbounded one
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = input.toDS().toDF("ts", "id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.format("memory").queryName("ddw_out").outputMode("append").start()
+    try {
+      input.addData((Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 2L))
+      q.processAllAvailable()
+      assert(spark.table("ddw_out").count() == 2)
+      // within the delay: suppressed
+      input.addData((Timestamp.valueOf("2024-01-01 10:05:00"), 1L))
+      q.processAllAvailable()
+      assert(spark.table("ddw_out").count() == 2)
+      // advance the watermark past id=1's expiry (10:00 + 10 min):
+      // 10:30 - 10 min = 10:20 > 10:10 → state evicted
+      input.addData((Timestamp.valueOf("2024-01-01 10:30:00"), 9L))
+      q.processAllAvailable()
+      // beyond the delay: the SAME id emits again from empty state
+      input.addData((Timestamp.valueOf("2024-01-01 10:31:00"), 1L))
+      q.processAllAvailable()
+      val ids = spark.table("ddw_out").select("id").as[Long].collect().toSeq
+      assert(ids.count(_ == 1L) == 2, ids.toString)
+      assert(spark.table("ddw_out").count() == 4)
+    } finally q.stop()
+  }
 }
 
 class SubstringDedupSpec extends SparkSpec {
