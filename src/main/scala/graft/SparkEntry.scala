@@ -313,6 +313,11 @@ object SparkEntry {
     // — the embedding STORAGE move; codebooks train like q49's
     // centroids and inline into the oracle the same way
     "q77_pq_adc" -> ((s, dir) => Similarity.pqTopK(s, dir)),
+    // IVF-PQ: coarse centroid pruning (q49's trained centroids) + ADC
+    // scoring over PQ codes (q77's codebooks) — the standard 100 TB
+    // vector-index serving shape; corpus assignment is a shuffle-free
+    // map over centroid literals, probes stay behind the bounded batch
+    "q79_ann_ivfpq" -> ((s, dir) => Similarity.ivfPqTopK(s, dir)),
 
     // ---- multimodal columns (binary payload + typed metadata; decode
     // kernels are stubs, plumbing is real — see Multimodal scaladoc) ----
@@ -756,5 +761,7 @@ object SparkEntry {
     // inlined as literals — the training loop isn't SQL, its result is
     Similarity.ivfTopKTrainedSql().map("q49_ann_ivf_trained" -> _) ++
     // same gating for q77: the PQ codebooks inline once trained
-    Similarity.pqTopKSql().map("q77_pq_adc" -> _)
+    Similarity.pqTopKSql().map("q77_pq_adc" -> _) ++
+    // q79 needs BOTH trained artifacts (centroids + codebooks) inlined
+    Similarity.ivfPqTopKSql().map("q79_ann_ivfpq" -> _)
 }

@@ -637,6 +637,184 @@ object Similarity {
         QUALIFY rank <= $k""")
     }
 
+  // ---- IVF-PQ: the standard 100 TB ANN serving structure ----
+
+  /** IVF coarse pruning + PQ/ADC scoring combined — what a production
+    * vector index actually deploys at 100 TB (FAISS's IVFPQ family):
+    * the corpus is bucketed once by nearest trained coarse centroid
+    * ([[kmeansCentroids]], shared with q49) and stored ONLY as 4-byte
+    * PQ codes ([[pqCodebooks]], shared with q77); a query probes its
+    * `nprobe` closest buckets and ADC-scores just those candidates via
+    * its lookup tables. Work per query: O(C) centroid scan + O(N·nprobe
+    * /C) table lookups; storage: codes + bucket id. (Classic IVFPQ
+    * encodes the RESIDUAL v − centroid; this variant encodes v
+    * directly so the codes are shared verbatim with q77 — the
+    * structural plan is identical, the residual refinement is a
+    * documented quality upgrade.)
+    *
+    * Scale notes: the corpus-side bucket assignment is a shuffle-free
+    * map (argmin over the centroid literals as a higher-order
+    * expression — no join, no window exchange, unlike q26's windowed
+    * formulation which exists to mirror its oracle's shape); the
+    * query-side probe table is (bounded batch)×nprobe rows behind the
+    * same structural limit as the rest of the family.
+    */
+  /** The stored 100 TB artifact: every vector reduced to a coarse
+    * bucket id + pqM codebook codes — one shuffle-free map over the
+    * corpus (argmin over centroid/codebook LITERALS as higher-order
+    * expressions; no join, no window exchange). Pinned Exchange-free by
+    * PlanSpec. This table (≈5 bytes payload/vector) is what the search
+    * side of [[ivfPqTopK]] scans instead of the float vectors.
+    */
+  def pqEncode(s: SparkSession, dir: String): DataFrame = {
+    val sd = pqSubDim
+    val cbs = pqCache.computeIfAbsent(dir, _ => pqCodebooks(s, dir))
+    val cents = trainedCache.computeIfAbsent(dir, _ => kmeansCentroids(s, dir))
+    val corpus = emb(s, dir)
+    def subv(v: org.apache.spark.sql.Column, mi: Int) = slice(v, mi * sd + 1, sd)
+    def dotp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    // cosine vs each coarse centroid, as a map-side expression over the
+    // literal centroid table; argmin of (-cos, cent_id) = the oracle's
+    // ORDER BY ccos DESC, cent_id ASC
+    val centLit = typedLit(cents.map(_._2.toSeq).toSeq)
+    def centCos(v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) = {
+      val cv = element_at(centLit, c + 1)
+      dotp(v, cv) / sqrt(dotp(v, v)) / sqrt(dotp(cv, cv))
+    }
+    val bucketCol = array_min(transform(sequence(lit(0), lit(cents.length - 1)),
+      c => struct((centCos(col("v"), c) * lit(-1.0)).as("d"), c.as("c"))))
+      .getField("c")
+    val codeCols = (0 until pqM).map { mi =>
+      val cbLit = typedLit(cbs(mi).map(_.toSeq).toSeq)
+      array_min(transform(sequence(lit(0), lit(pqKs - 1)), c =>
+        struct(sqDist(subv(col("v"), mi), element_at(cbLit, c + 1)).as("d"),
+          c.as("c")))).getField("c").as(s"code$mi")
+    }
+    corpus.select(col("vec_id") +: bucketCol.as("bucket") +: codeCols: _*)
+  }
+
+  def ivfPqTopK(s: SparkSession, dir: String, k: Int = defaultK): DataFrame = {
+    val sd = pqSubDim
+    val cbs = pqCache.computeIfAbsent(dir, _ => pqCodebooks(s, dir))
+    val cents = trainedCache.computeIfAbsent(dir, _ => kmeansCentroids(s, dir))
+    val ns = pqNorms(cbs)
+    val corpus = emb(s, dir)
+    def subv(v: org.apache.spark.sql.Column, mi: Int) = slice(v, mi * sd + 1, sd)
+    def dotp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val centLit = typedLit(cents.map(_._2.toSeq).toSeq)
+    def centCos(v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) = {
+      val cv = element_at(centLit, c + 1)
+      dotp(v, cv) / sqrt(dotp(v, v)) / sqrt(dotp(cv, cv))
+    }
+    val coded = pqEncode(s, dir)
+    // queries: probe the nprobe nearest centroids, carry the pd tables
+    val pdCols = (0 until pqM).map { mi =>
+      val cbLit = typedLit(cbs(mi).map(_.toSeq).toSeq)
+      transform(sequence(lit(0), lit(pqKs - 1)),
+        c => dotp(subv(col("qv"), mi), element_at(cbLit, c + 1))).as(s"pd$mi")
+    }
+    val qn = sqrt((0 until pqM)
+      .map(mi => dotp(subv(col("qv"), mi), subv(col("qv"), mi))).reduceLeft(_ + _))
+    val probeBuckets = transform(
+      slice(array_sort(transform(sequence(lit(0), lit(cents.length - 1)),
+        c => struct((centCos(col("qv"), c) * lit(-1.0)).as("d"), c.as("c")))), 1, nprobe),
+      e => e.getField("c"))
+    val queries = queryBatch(corpus)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("query_id") +: pdCols :+ qn.as("qn") :+ probeBuckets.as("buckets"): _*)
+      .select(Seq(col("query_id"), explode(col("buckets")).as("bucket"), col("qn")) ++
+        (0 until pqM).map(mi => col(s"pd$mi")): _*)
+    val adcDot = (0 until pqM)
+      .map(mi => element_at(col(s"pd$mi"), col(s"code$mi") + 1)).reduceLeft(_ + _)
+    val rn = sqrt((0 until pqM)
+      .map(mi => element_at(typedLit(ns(mi).toSeq), col(s"code$mi") + 1)).reduceLeft(_ + _))
+    val scored = coded.join(broadcast(queries), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (adcDot / col("qn") / rn).as("adc"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc"))
+  }
+
+  /** Full-algorithm IVF-PQ oracle: BOTH trained artifacts (coarse
+    * centroids + PQ codebooks) inline as literals; gated on both caches
+    * holding exactly one dir, like [[ivfTopKTrainedSql]]/[[pqTopKSql]].
+    */
+  def ivfPqTopKSql(k: Int = defaultK): Option[String] =
+    if (trainedCache.size != 1 || pqCache.size != 1) None
+    else {
+      val cents = trainedCache.values.iterator.next()
+      val cbs = pqCache.values.iterator.next()
+      val ns = pqNorms(cbs)
+      val sd = pqSubDim
+      val centRows = cents.map { case (ci, v) =>
+        s"($ci, [${v.mkString(", ")}]::DOUBLE[])"
+      }.mkString(",\n               ")
+      val cbRows = (for (mi <- 0 until pqM; c <- 0 until pqKs) yield
+        s"($mi, $c, [${cbs(mi)(c).mkString(", ")}]::DOUBLE[], (${ns(mi)(c)})::DOUBLE)")
+        .mkString(",\n               ")
+      def codeCol(mi: Int) = s"max(CASE WHEN m = $mi THEN code END) AS code$mi"
+      def nsCol(mi: Int) = s"max(CASE WHEN m = $mi THEN ns END) AS ns$mi"
+      def qdot(mi: Int) =
+        s"list_sum(list_transform(range(1, ${sd + 1}), i -> q.qv[$mi * $sd + i] * cb$mi.cv[i]))"
+      def qnq(mi: Int) =
+        s"list_sum(list_transform(range(1, ${sd + 1}), i -> q.qv[$mi * $sd + i] * q.qv[$mi * $sd + i]))"
+      def sumL(terms: Seq[String]): String = terms.reduceLeft((a, b) => s"($a + $b)")
+      val cbJoins = (0 until pqM)
+        .map(mi => s"JOIN cb cb$mi ON cb$mi.m = $mi AND cb$mi.c = cw.code$mi")
+        .mkString("\n          ")
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS ($querySql),
+        c AS (SELECT * FROM (VALUES $centRows) AS ct(cent_id, cv)),
+        cb AS (SELECT * FROM (VALUES $cbRows) AS t(m, c, cv, ns)),
+        assigned AS (
+          SELECT vec_id, bucket FROM (
+            SELECT e.vec_id, c.cent_id AS bucket,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosSqlOn("e.v", "c.cv")} DESC, c.cent_id ASC) AS crank
+            FROM e, c) WHERE crank = 1),
+        dists AS (
+          SELECT e.vec_id, cb.m, cb.c, cb.ns,
+                 list_sum(list_transform(range(1, ${sd + 1}),
+                   i -> (v[cb.m * $sd + i] - cv[i]) * (v[cb.m * $sd + i] - cv[i]))) AS d
+          FROM e, cb),
+        codes AS (
+          SELECT vec_id, m, c AS code, ns FROM (
+            SELECT vec_id, m, c, ns,
+                   row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, c ASC) AS rn
+            FROM dists) WHERE rn = 1),
+        cw AS (
+          SELECT codes.vec_id, a.bucket,
+                 ${(0 until pqM).map(codeCol).mkString(", ")},
+                 ${(0 until pqM).map(nsCol).mkString(", ")}
+          FROM codes JOIN assigned a ON codes.vec_id = a.vec_id
+          GROUP BY codes.vec_id, a.bucket),
+        probes AS (
+          SELECT query_id, qv, cent_id AS bucket FROM (
+            SELECT q.query_id, q.qv, c.cent_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY ${cosSqlOn("q.qv", "c.cv")} DESC, c.cent_id ASC) AS prank
+            FROM q, c) WHERE prank <= $nprobe),
+        scored AS (
+          SELECT q.query_id, cw.vec_id AS neighbor_id,
+                 ${sumL((0 until pqM).map(qdot))}
+                   / sqrt(${sumL((0 until pqM).map(qnq))})
+                   / sqrt(${sumL((0 until pqM).map(mi => s"cw.ns$mi"))}) AS adc
+          FROM cw
+          JOIN probes q ON cw.bucket = q.bucket AND cw.vec_id <> q.query_id
+          $cbJoins)
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC) AS rank,
+               adc
+        FROM scored
+        QUALIFY rank <= $k""")
+    }
+
   /** Explicit-order cosine in DuckDB SQL: sequential dot and norms,
     * then dot/sqrt/sqrt — mirrors [[graft.functions.CosineSimilarity]].
     */

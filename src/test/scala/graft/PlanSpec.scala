@@ -116,6 +116,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("PQ encode (the stored codes table) is a shuffle-free map over the corpus") {
+    // the 100 TB contract for q77/q79's storage side: bucket assignment
+    // and all pqM code argmins happen in ONE projection over the scan —
+    // literal codebooks, no join, no window exchange
+    val p = graft.operators.Similarity.pqEncode(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"pqEncode must be map-only:\n$p")
+  }
+
   test("q64 LSH: native one-pass signatures; no forced join strategy") {
     val df = SparkEntry.queries("q64_embed_neardup_lsh")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
@@ -167,7 +176,7 @@ class PlanSpec extends SparkSpec {
     // never a bare corpus-derived filter.
     import org.apache.spark.sql.catalyst.plans.logical._
     for (q <- Seq("q25_ann_bruteforce", "q26_ann_ivf", "q49_ann_ivf_trained",
-        "q76_hard_negatives", "q77_pq_adc")) {
+        "q76_hard_negatives", "q77_pq_adc", "q79_ann_ivfpq")) {
       val lp = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
       def bounded(p: LogicalPlan): Boolean = p.collectFirst {
         case _: GlobalLimit => ()

@@ -91,6 +91,31 @@ class SimilaritySpec extends SparkSpec {
       a.zip(b).forall { case (x, y) => x.sameElements(y) } })
   }
 
+  test("IVF-PQ prunes to probed buckets yet still beats the random floor; ADC agrees with q77") {
+    val full = Similarity.pqTopK(spark, dir)
+      .select("query_id", "neighbor_id", "adc").as[(Long, Long, Double)].collect()
+      .map { case (q, n, a) => (q, n) -> a }.toMap
+    val ivfpq = Similarity.ivfPqTopK(spark, dir)
+      .select("query_id", "neighbor_id", "rank", "adc")
+      .as[(Long, Long, Int, Double)].collect()
+    assert(ivfpq.length == 5 * Similarity.defaultK)
+    assert(ivfpq.forall { case (q, n, _, _) => q % Similarity.queryMod == 0 && q != n })
+    // consistency: wherever IVF-PQ and the full PQ scan pick the same
+    // pair, the ADC score is the SAME number — pruning must change the
+    // candidate set, never the scoring arithmetic
+    val common = ivfpq.flatMap { case (q, n, _, a) => full.get((q, n)).map(a -> _) }
+    assert(common.nonEmpty)
+    assert(common.forall { case (a, b) => a == b },
+      common.filter { case (a, b) => a != b }.take(3).mkString(", "))
+    // pruned recall: nprobe/C = 1/4 of the corpus scanned; still ≥ 5×
+    // the ~1% random floor on the fixture
+    val bf = Similarity.bruteForceTopK(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pairs = ivfpq.map { case (q, n, _, _) => (q, n) }.toSet
+    val recall = (bf intersect pairs).size.toDouble / bf.size
+    assert(recall >= 0.05, s"recall $recall")
+  }
+
   test("k-means-trained IVF is valid and at least as good as random-candidate floor") {
     val bf = Similarity.bruteForceTopK(spark, dir)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
