@@ -16,6 +16,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
+  /** Evaluate a foldable array<array<double>> argument (a trained
+    * constant table, e.g. PQ centroids) down to Scala Seqs.
+    */
+  private def doubles2(e: Expression, what: String): Seq[Seq[Double]] = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$what must be a foldable array literal, got $e")
+    val arr = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until arr.numElements()).map { i =>
+      val inner = arr.getArray(i)
+      (0 until inner.numElements()).map(inner.getDouble)
+    }
+  }
+
+  private def doubles3(e: Expression, what: String): Seq[Seq[Seq[Double]]] = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$what must be a foldable array literal, got $e")
+    val arr = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until arr.numElements()).map { i =>
+      val mid = arr.getArray(i)
+      (0 until mid.numElements()).map { j =>
+        val inner = mid.getArray(j)
+        (0 until inner.numElements()).map(inner.getDouble)
+      }
+    }
+  }
+
   /** A SQL call with the wrong arity must be a proper analysis error
     * (the standard WRONG_NUM_ARGS class), not an
     * IndexOutOfBoundsException out of the builder's exprs(i).
@@ -96,6 +122,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         checkArity("graft_winnow_keys", exprs, Seq(3))
         WinnowKeys(exprs.head, intArg(exprs(1), "k"), intArg(exprs(2), "w"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (exprs: Seq[Expression]) => {
+        checkArity("graft_pq_encode", exprs, Seq(3))
+        PqEncode(exprs.head, doubles2(exprs(1), "centroids"),
+          doubles3(exprs(2), "codebooks"))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_intersect_size"),

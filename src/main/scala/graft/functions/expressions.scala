@@ -502,6 +502,115 @@ object HyperplaneSigs {
   }
 }
 
+/** Product-quantization encode of one embedding in a single native
+  * pass: an optional coarse IVF bucket (argmax cosine against `cents`,
+  * ties → lower centroid id) followed by one code per subspace (argmin
+  * squared L2 against that subspace's codebook, ties → lower code).
+  * Output `[bucket?, code0, …, code{M-1}]` as ints (`bucket` present
+  * iff `cents` is non-empty). Unlike the seed-derived hyperplanes, the
+  * constants here are TRAINED per corpus, so they arrive as foldable
+  * array literals through the registry and live in the case class as
+  * immutable Seqs (structural equality keeps plan canonicalization
+  * honest).
+  *
+  * Why native: the higher-order-function formulation interprets
+  * M·Ks·subDim lambda evals per row with boxing — per-corpus-row cost
+  * on exactly the side that scales to 100 TB. This flat-array loop is
+  * the same plan shape (pure map, zero shuffles, pinned by PlanSpec)
+  * at a fraction of the constant, and every fold runs in ascending
+  * dimension order — the same IEEE sequence as the HOF chain it
+  * replaces and as the generated oracle's list_sum.
+  *
+  * Null contract: null/short vector or null element → null (mirrors
+  * [[HyperplaneSigs]]).
+  */
+case class PqEncode(child: Expression, cents: Seq[Seq[Double]],
+    cbs: Seq[Seq[Seq[Double]]]) extends UnaryExpression with RefCodegen {
+  require(cbs.nonEmpty && cbs.forall(_.nonEmpty), "codebooks must be non-empty")
+  private val mSub = cbs.length
+  private val sd = cbs.head.head.length
+  private val dim = mSub * sd
+  require(cbs.forall(_.forall(_.length == sd)), "ragged codebook subvectors")
+  require(cents.forall(_.length == dim), "centroid/codebook dim mismatch")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> input, got $other")
+  }
+  override def nullable: Boolean = true
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  @transient private lazy val centArr: Array[Array[Double]] = cents.map(_.toArray).toArray
+  // sqrt of the sequential self-dot, precomputed once: bit-identical to
+  // recomputing it per row from the same constants
+  @transient private lazy val centNorm: Array[Double] = centArr.map { cv =>
+    var t = 0.0; var k = 0
+    while (k < cv.length) { t += cv(k) * cv(k); k += 1 }
+    math.sqrt(t)
+  }
+  @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+    cbs.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (arr.numElements() < dim) return null
+    val v = new Array[Double](dim)
+    var d = 0
+    while (d < dim) {
+      if (arr.isNullAt(d)) return null
+      v(d) = arr.getDouble(d)
+      d += 1
+    }
+    val hasBucket = centArr.length > 0
+    val out = new Array[Int]((if (hasBucket) 1 else 0) + mSub)
+    if (hasBucket) {
+      var nv = 0.0
+      var k = 0
+      while (k < dim) { nv += v(k) * v(k); k += 1 }
+      val sv = math.sqrt(nv)
+      var best = 0
+      var bestKey = Double.PositiveInfinity
+      var c = 0
+      while (c < centArr.length) {
+        val cv = centArr(c)
+        var dot = 0.0
+        k = 0
+        while (k < dim) { dot += v(k) * cv(k); k += 1 }
+        // -(dot/‖v‖/‖c‖): the HOF form's (cos * -1.0); strict < keeps
+        // the first (lowest-id) centroid on exact ties
+        val key = dot / sv / centNorm(c) * -1.0
+        if (key < bestKey) { bestKey = key; best = c }
+        c += 1
+      }
+      out(0) = best
+    }
+    var mi = 0
+    while (mi < mSub) {
+      val off = mi * sd
+      val book = cbArr(mi)
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val cw = book(c)
+        var dist = 0.0
+        var k = 0
+        while (k < sd) { val t = v(off + k) - cw(k); dist += t * t; k += 1 }
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      out((if (hasBucket) 1 else 0) + mi) = best
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+  override def prettyName: String = "pq_encode"
+}
+
 /** Winnowing (MOSS) fingerprint selection over a token array in one
   * native pass: hash every positional k-gram (concat_ws(" ") parity,
   * 40-bit md5-based hash), pack `h·2^20 + (2^20-1-pos)` (the integer

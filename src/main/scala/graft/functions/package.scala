@@ -71,6 +71,16 @@ package object functions {
   def winnow_keys(toks: Column, k: Int, w: Int): Column =
     call_function("graft_winnow_keys", toks, lit(k), lit(w))
 
+  /** PQ encode (array<int> `[bucket?, code0, …]`) of an array<double>
+    * embedding column in one native pass: optional coarse IVF bucket
+    * (when `cents` is non-empty) + one codebook code per subspace —
+    * map-side, no shuffle; NULL for short/null-element vectors. The
+    * trained constants travel as foldable array literals.
+    */
+  def pq_encode(v: Column, cents: Seq[Seq[Double]],
+      cbs: Seq[Seq[Seq[Double]]]): Column =
+    call_function("graft_pq_encode", v, typedLit(cents), typedLit(cbs))
+
   /** Codegen'd cosine similarity of two vector columns (cast to
     * `array<double>` so arithmetic is double end-to-end).
     */

@@ -541,20 +541,16 @@ object Similarity {
     val ns = pqNorms(cbs)
     val corpus = emb(s, dir)
     def subv(v: org.apache.spark.sql.Column, mi: Int) = slice(v, mi * sd + 1, sd)
-    def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
     def dotp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val codeCols = (0 until pqM).map { mi =>
-      val cbLit = typedLit(cbs(mi).map(_.toSeq).toSeq)
-      // argmin as array_min over (distance, code) structs: struct order
-      // is lexicographic, so ties break toward the smaller code —
-      // mirroring the oracle's ORDER BY d ASC, c ASC
-      array_min(transform(sequence(lit(0), lit(pqKs - 1)), c =>
-        struct(sqDist(subv(col("v"), mi), element_at(cbLit, c + 1)).as("d"),
-          c.as("c")))).getField("c").as(s"code$mi")
-    }
-    val codes = corpus.select(col("vec_id") +: codeCols: _*)
+    // codes via the native single-pass encoder (argmin per subspace,
+    // ties → lower code — the oracle's ORDER BY d ASC, c ASC); empty
+    // centroid table = no coarse bucket, codes only
+    val enc = graft.functions.pq_encode(col("v"),
+      Seq.empty, cbs.map(_.map(_.toSeq).toSeq).toSeq)
+    val codes = corpus.select(col("vec_id"), enc.as("enc"))
+      .select(col("vec_id") +:
+        (0 until pqM).map(mi => col("enc").getItem(mi).as(s"code$mi")): _*)
     val pdCols = (0 until pqM).map { mi =>
       val cbLit = typedLit(cbs(mi).map(_.toSeq).toSeq)
       transform(sequence(lit(0), lit(pqKs - 1)),
@@ -660,40 +656,25 @@ object Similarity {
     * same structural limit as the rest of the family.
     */
   /** The stored 100 TB artifact: every vector reduced to a coarse
-    * bucket id + pqM codebook codes — one shuffle-free map over the
-    * corpus (argmin over centroid/codebook LITERALS as higher-order
-    * expressions; no join, no window exchange). Pinned Exchange-free by
+    * bucket id + pqM codebook codes — ONE native expression pass over
+    * the corpus ([[graft.functions.PqEncode]]: no join, no window
+    * exchange, no per-element lambda interpretation; the trained
+    * constants ride along as literals). Pinned Exchange-free by
     * PlanSpec. This table (≈5 bytes payload/vector) is what the search
     * side of [[ivfPqTopK]] scans instead of the float vectors.
     */
   def pqEncode(s: SparkSession, dir: String): DataFrame = {
-    val sd = pqSubDim
     val cbs = pqCache.computeIfAbsent(dir, _ => pqCodebooks(s, dir))
     val cents = trainedCache.computeIfAbsent(dir, _ => kmeansCentroids(s, dir))
-    val corpus = emb(s, dir)
-    def subv(v: org.apache.spark.sql.Column, mi: Int) = slice(v, mi * sd + 1, sd)
-    def dotp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
-    // cosine vs each coarse centroid, as a map-side expression over the
-    // literal centroid table; argmin of (-cos, cent_id) = the oracle's
-    // ORDER BY ccos DESC, cent_id ASC
-    val centLit = typedLit(cents.map(_._2.toSeq).toSeq)
-    def centCos(v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) = {
-      val cv = element_at(centLit, c + 1)
-      dotp(v, cv) / sqrt(dotp(v, v)) / sqrt(dotp(cv, cv))
-    }
-    val bucketCol = array_min(transform(sequence(lit(0), lit(cents.length - 1)),
-      c => struct((centCos(col("v"), c) * lit(-1.0)).as("d"), c.as("c"))))
-      .getField("c")
-    val codeCols = (0 until pqM).map { mi =>
-      val cbLit = typedLit(cbs(mi).map(_.toSeq).toSeq)
-      array_min(transform(sequence(lit(0), lit(pqKs - 1)), c =>
-        struct(sqDist(subv(col("v"), mi), element_at(cbLit, c + 1)).as("d"),
-          c.as("c")))).getField("c").as(s"code$mi")
-    }
-    corpus.select(col("vec_id") +: bucketCol.as("bucket") +: codeCols: _*)
+    val enc = graft.functions.pq_encode(col("v"),
+      cents.map(_._2.toSeq).toSeq, cbs.map(_.map(_.toSeq).toSeq).toSeq)
+    // two-stage projection on purpose: `enc` is materialized once per
+    // row, then the cheap getItem picks split it into columns
+    // (CollapseProject leaves non-cheap aliases referenced many times
+    // in place, so the optimizer cannot duplicate the encode work)
+    emb(s, dir).select(col("vec_id"), enc.as("enc"))
+      .select(col("vec_id") +: col("enc").getItem(0).as("bucket") +:
+        (0 until pqM).map(mi => col("enc").getItem(mi + 1).as(s"code$mi")): _*)
   }
 
   def ivfPqTopK(s: SparkSession, dir: String, k: Int = defaultK): DataFrame = {
