@@ -32,9 +32,19 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${Json.quote(k)}: ${Json.quote(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Write the oracle map only on FULL runs (or when absent): the
+    // trained-artifact oracles (q49/q77/q79) exist only after their
+    // queries ran in this JVM, so a filtered run would silently REWRITE
+    // the file without them, downgrading still-valid dumps from a prior
+    // full run to rows-only checks. A filtered run is a local iteration
+    // aid; its oracle file is the last full run's (delete it or run
+    // full Verify after changing an oracle).
+    val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
+    if (only.isEmpty || !Files.exists(oraclePath)) {
+      val json = SparkEntry.oracleSql
+        .map { case (k, v) => s"${Json.quote(k)}: ${Json.quote(v)}" }.mkString("{", ",", "}")
+      Files.writeString(oraclePath, json)
+    }
     spark.stop()
   }
 }

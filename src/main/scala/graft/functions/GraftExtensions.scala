@@ -16,29 +16,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
-  /** Evaluate a foldable array<array<double>> argument (a trained
-    * constant table, e.g. PQ centroids) down to Scala Seqs.
+  /** Evaluate a foldable array argument (a trained constant table,
+    * e.g. PQ centroids/codebooks) down to Scala Seqs, with proper
+    * argument errors: a NULL literal, a non-array, or non-double leaf
+    * elements must fail with a descriptive message at resolution, not a
+    * raw NPE/ClassCastException at runtime (the same principle as
+    * checkArity above).
     */
-  private def doubles2(e: Expression, what: String): Seq[Seq[Double]] = {
+  private def foldedArray(e: Expression, what: String): org.apache.spark.sql.catalyst.util.ArrayData = {
     if (!e.foldable)
       throw new IllegalArgumentException(s"$what must be a foldable array literal, got $e")
-    val arr = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    (0 until arr.numElements()).map { i =>
-      val inner = arr.getArray(i)
-      (0 until inner.numElements()).map(inner.getDouble)
+    e.eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a
+      case other => throw new IllegalArgumentException(
+        s"$what must be a non-null array literal, got ${if (other == null) "NULL" else other}")
+    }
+  }
+
+  private def leafDoubles(a: org.apache.spark.sql.catalyst.util.ArrayData, what: String): Seq[Double] =
+    try (0 until a.numElements()).map(a.getDouble)
+    catch { case _: ClassCastException =>
+      throw new IllegalArgumentException(s"$what elements must be DOUBLE")
+    }
+
+  private def doubles2(e: Expression, what: String): Seq[Seq[Double]] = {
+    val arr = foldedArray(e, what)
+    try (0 until arr.numElements()).map(i => leafDoubles(arr.getArray(i), what))
+    catch { case _: ClassCastException =>
+      throw new IllegalArgumentException(s"$what must be array<array<double>>")
     }
   }
 
   private def doubles3(e: Expression, what: String): Seq[Seq[Seq[Double]]] = {
-    if (!e.foldable)
-      throw new IllegalArgumentException(s"$what must be a foldable array literal, got $e")
-    val arr = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    (0 until arr.numElements()).map { i =>
+    val arr = foldedArray(e, what)
+    try (0 until arr.numElements()).map { i =>
       val mid = arr.getArray(i)
-      (0 until mid.numElements()).map { j =>
-        val inner = mid.getArray(j)
-        (0 until inner.numElements()).map(inner.getDouble)
-      }
+      (0 until mid.numElements()).map(j => leafDoubles(mid.getArray(j), what))
+    } catch { case _: ClassCastException =>
+      throw new IllegalArgumentException(s"$what must be array<array<array<double>>>")
     }
   }
 

@@ -105,8 +105,9 @@ object Similarity {
 
   /** IVF with k-means-trained centroids ([[kmeansCentroids]]) instead of
     * the deterministic sample — better-balanced buckets, higher recall
-    * per probe. No SQL oracle (the training iterations aren't
-    * SQL-expressible); recall vs brute force is unit-tested.
+    * per probe. The training LOOP isn't SQL-expressible, but its result
+    * is: [[ivfTopKTrainedSql]] inlines the trained centroids as
+    * literals once this has run; recall vs brute force is unit-tested.
     */
   /** Per-(sf dir) cache of the trained centroids: bench repetitions
     * skip retraining, and — the point — [[ivfTopKTrainedSql]] can read
@@ -466,7 +467,14 @@ object Similarity {
     import s.implicits._
     val sd = pqDim / mSub
     val corpus = emb(s, dir).select(col("vec_id"), col("v")).as[(Long, Seq[Double])].cache()
-    val init = corpus.filter(_._1 < ks).collect().sortBy(_._1)
+    // seed from the ks LOWEST vec_ids present — not `vec_id < ks`, which
+    // assumes ids densely cover [0, ks) and would leave a short codebook
+    // (and index crashes below) on corpora whose ids start elsewhere.
+    // On fewer than ks vectors the codebook shrinks to the corpus size
+    // (every vector its own codeword) — still valid, still deterministic.
+    val init = corpus.orderBy(col("vec_id").asc).limit(ks).collect().sortBy(_._1)
+    require(init.nonEmpty, s"pqCodebooks: no vectors in $dir")
+    val ksEff = init.length
     var cbs: Array[Array[Array[Double]]] =
       Array.tabulate(mSub)(mi => init.map(_._2.toArray.slice(mi * sd, (mi + 1) * sd)))
     for (_ <- 1 to iterations) {
@@ -477,7 +485,7 @@ object Similarity {
           val sub = arr.slice(mi * sd, (mi + 1) * sd)
           var best = 0; var bestD = Double.MaxValue
           var c = 0
-          while (c < ks) {
+          while (c < bc.value(mi).length) {
             val cw = bc.value(mi)(c)
             var d = 0.0; var i = 0
             while (i < sd) { val t = sub(i) - cw(i); d += t * t; i += 1 }
@@ -499,7 +507,7 @@ object Similarity {
         }.collect()
       val byId = updated.map(u => (u._1, u._2) -> u._3).toMap
       cbs = Array.tabulate(mSub)(mi =>
-        Array.tabulate(ks)(c => byId.getOrElse((mi, c), cbs(mi)(c))))
+        Array.tabulate(ksEff)(c => byId.getOrElse((mi, c), cbs(mi)(c))))
     }
     corpus.unpersist()
     cbs
@@ -523,114 +531,148 @@ object Similarity {
       t
     })
 
-  /** PQ encode + asymmetric-distance (ADC) top-k, cosine flavor:
-    * every corpus vector reduces to pqM codes (argmin squared L2 per
-    * subspace — a pure map over the literal codebook, zero shuffles);
-    * each query precomputes its pqM×pqKs dot-product table ONCE; a
-    * candidate's approximate cosine is then four table lookups
-    *   adc = (Σ_m pd_m[code_m]) / ‖q‖ / √(Σ_m ns_m[code_m])
-    * — no per-pair O(dim) arithmetic, and only the 16×-compressed
-    * codes ride the (bounded-batch-broadcast) join. Exact per-pair
-    * IEEE order is mirrored in the generated oracle, so the check is
-    * cell-exact; ranking QUALITY vs exact cosine is the separate
-    * recall contract test.
+  // ---- shared q77/q79 ADC machinery ----
+  // The cell-exact contract depends on q77 (full PQ scan) and q79
+  // (IVF-pruned) encoding the IDENTICAL IEEE order on both engines, so
+  // every piece of that order — subvector slicing, sequential dots,
+  // left-assoc subspace sums, the adc division chain — is written
+  // exactly ONCE here, for the Column side and for the SQL side.
+
+  private def pqSubv(v: org.apache.spark.sql.Column, mi: Int) =
+    slice(v, mi * pqSubDim + 1, pqSubDim)
+  private def pqDotp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Query-side columns: the per-subspace dot tables pd0..pd{M-1}
+    * (computed ONCE per query against the codebook literals) and ‖q‖.
     */
-  def pqTopK(s: SparkSession, dir: String, k: Int = defaultK): DataFrame = {
-    val sd = pqSubDim
-    val cbs = pqCache.computeIfAbsent(dir, _ => pqCodebooks(s, dir))
-    val ns = pqNorms(cbs)
-    val corpus = emb(s, dir)
-    def subv(v: org.apache.spark.sql.Column, mi: Int) = slice(v, mi * sd + 1, sd)
-    def dotp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    // codes via the native single-pass encoder (argmin per subspace,
-    // ties → lower code — the oracle's ORDER BY d ASC, c ASC); empty
-    // centroid table = no coarse bucket, codes only
-    val enc = graft.functions.pq_encode(col("v"),
-      Seq.empty, cbs.map(_.map(_.toSeq).toSeq).toSeq)
-    val codes = corpus.select(col("vec_id"), enc.as("enc"))
-      .select(col("vec_id") +:
-        (0 until pqM).map(mi => col("enc").getItem(mi).as(s"code$mi")): _*)
-    val pdCols = (0 until pqM).map { mi =>
+  private def pqQueryCols(
+      cbs: Array[Array[Array[Double]]]): (Seq[org.apache.spark.sql.Column], org.apache.spark.sql.Column) = {
+    val pd = cbs.indices.map { mi =>
       val cbLit = typedLit(cbs(mi).map(_.toSeq).toSeq)
-      transform(sequence(lit(0), lit(pqKs - 1)),
-        c => dotp(subv(col("qv"), mi), element_at(cbLit, c + 1))).as(s"pd$mi")
+      transform(sequence(lit(0), lit(cbs(mi).length - 1)),
+        c => pqDotp(pqSubv(col("qv"), mi), element_at(cbLit, c + 1))).as(s"pd$mi")
     }
-    val qn = sqrt((0 until pqM)
-      .map(mi => dotp(subv(col("qv"), mi), subv(col("qv"), mi))).reduceLeft(_ + _))
-    val queries = queryBatch(corpus)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      .select(col("query_id") +: pdCols :+ qn.as("qn"): _*)
-    val adcDot = (0 until pqM)
+    val qn = sqrt(cbs.indices
+      .map(mi => pqDotp(pqSubv(col("qv"), mi), pqSubv(col("qv"), mi))).reduceLeft(_ + _))
+    (pd, qn)
+  }
+
+  /** adc = (Σ_m pd_m[code_m]) / ‖q‖ / √(Σ_m ns_m[code_m]) — pure code
+    * lookups, no per-pair O(dim) arithmetic.
+    */
+  private def pqAdcCol(cbs: Array[Array[Array[Double]]]): org.apache.spark.sql.Column = {
+    val ns = pqNorms(cbs)
+    val adcDot = cbs.indices
       .map(mi => element_at(col(s"pd$mi"), col(s"code$mi") + 1)).reduceLeft(_ + _)
-    val rn = sqrt((0 until pqM)
+    val rn = sqrt(cbs.indices
       .map(mi => element_at(typedLit(ns(mi).toSeq), col(s"code$mi") + 1)).reduceLeft(_ + _))
-    val scored = codes.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (adcDot / col("qn") / rn).as("adc"))
+    adcDot / col("qn") / rn
+  }
+
+  private def pqRanked(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc"))
   }
 
-  /** Full-algorithm PQ oracle (codebooks inlined as literals, same
-    * gating as [[ivfTopKTrainedSql]]): DuckDB re-derives the codes, the
-    * per-query dot tables, and the ADC scores cell-exactly. Every sum
-    * is written in the operator's own IEEE order: 16-element sequential
-    * sums inside a subspace (the proven list_sum ↔ aggregate pairing),
-    * explicit left-assoc parens across the four subspaces.
-    */
-  def pqTopKSql(k: Int = defaultK): Option[String] =
-    if (pqCache.size != 1) None
-    else {
-      val cbs = pqCache.values.iterator.next()
-      val ns = pqNorms(cbs)
-      val sd = pqSubDim
-      val cbRows = (for (mi <- 0 until pqM; c <- 0 until pqKs) yield
-        s"($mi, $c, [${cbs(mi)(c).mkString(", ")}]::DOUBLE[], (${ns(mi)(c)})::DOUBLE)")
-        .mkString(",\n               ")
-      def codeCol(mi: Int) = s"max(CASE WHEN m = $mi THEN code END) AS code$mi"
-      def nsCol(mi: Int) = s"max(CASE WHEN m = $mi THEN ns END) AS ns$mi"
-      def qdot(mi: Int) =
-        s"list_sum(list_transform(range(1, ${sd + 1}), i -> q.qv[$mi * $sd + i] * cb$mi.cv[i]))"
-      def qnq(mi: Int) =
-        s"list_sum(list_transform(range(1, ${sd + 1}), i -> q.qv[$mi * $sd + i] * q.qv[$mi * $sd + i]))"
-      // left-assoc parenthesization — the exact order of Spark's
-      // reduceLeft(_ + _) over the pqM subspace terms
-      def sumL(terms: Seq[String]): String = terms.reduceLeft((a, b) => s"($a + $b)")
-      val cbJoins = (0 until pqM)
-        .map(mi => s"JOIN cb cb$mi ON cb$mi.m = $mi AND cb$mi.c = cw.code$mi")
-        .mkString("\n          ")
-      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        q AS ($querySql),
-        cb AS (SELECT * FROM (VALUES $cbRows) AS t(m, c, cv, ns)),
-        dists AS (
+  // the matching SQL fragments (left-assoc parens = reduceLeft order)
+  private def pqSumL(terms: Seq[String]): String =
+    terms.reduceLeft((a, b) => s"($a + $b)")
+  private def pqCbRowsSql(cbs: Array[Array[Array[Double]]]): String = {
+    val ns = pqNorms(cbs)
+    (for (mi <- cbs.indices; c <- cbs(mi).indices) yield
+      s"($mi, $c, [${cbs(mi)(c).mkString(", ")}]::DOUBLE[], (${ns(mi)(c)})::DOUBLE)")
+      .mkString(",\n               ")
+  }
+  /** The dists → codes CTE pair re-deriving every vector's codes. */
+  private def pqCodesCtesSql: String =
+    s"""dists AS (
           SELECT e.vec_id, cb.m, cb.c, cb.ns,
-                 list_sum(list_transform(range(1, ${sd + 1}),
-                   i -> (v[cb.m * $sd + i] - cv[i]) * (v[cb.m * $sd + i] - cv[i]))) AS d
+                 list_sum(list_transform(range(1, ${pqSubDim + 1}),
+                   i -> (v[cb.m * $pqSubDim + i] - cv[i]) * (v[cb.m * $pqSubDim + i] - cv[i]))) AS d
           FROM e, cb),
         codes AS (
           SELECT vec_id, m, c AS code, ns FROM (
             SELECT vec_id, m, c, ns,
                    row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, c ASC) AS rn
-            FROM dists) WHERE rn = 1),
-        cw AS (
-          SELECT vec_id, ${(0 until pqM).map(codeCol).mkString(", ")},
-                 ${(0 until pqM).map(nsCol).mkString(", ")}
-          FROM codes GROUP BY vec_id),
-        scored AS (
-          SELECT q.query_id, cw.vec_id AS neighbor_id,
-                 ${sumL((0 until pqM).map(qdot))}
-                   / sqrt(${sumL((0 until pqM).map(qnq))})
-                   / sqrt(${sumL((0 until pqM).map(mi => s"cw.ns$mi"))}) AS adc
-          FROM cw
-          JOIN q ON cw.vec_id <> q.query_id
-          $cbJoins)
-        SELECT query_id, neighbor_id,
+            FROM dists) WHERE rn = 1)"""
+  private def pqCwColsSql: String =
+    (0 until pqM).map(mi => s"max(CASE WHEN m = $mi THEN code END) AS code$mi").mkString(", ") +
+      ",\n                 " +
+      (0 until pqM).map(mi => s"max(CASE WHEN m = $mi THEN ns END) AS ns$mi").mkString(", ")
+  private def pqAdcScoreSql: String = {
+    def qdot(mi: Int) =
+      s"list_sum(list_transform(range(1, ${pqSubDim + 1}), i -> q.qv[$mi * $pqSubDim + i] * cb$mi.cv[i]))"
+    def qnq(mi: Int) =
+      s"list_sum(list_transform(range(1, ${pqSubDim + 1}), i -> q.qv[$mi * $pqSubDim + i] * q.qv[$mi * $pqSubDim + i]))"
+    s"""${pqSumL((0 until pqM).map(qdot))}
+                   / sqrt(${pqSumL((0 until pqM).map(qnq))})
+                   / sqrt(${pqSumL((0 until pqM).map(mi => s"cw.ns$mi"))})"""
+  }
+  private def pqCbJoinsSql: String = (0 until pqM)
+    .map(mi => s"JOIN cb cb$mi ON cb$mi.m = $mi AND cb$mi.c = cw.code$mi")
+    .mkString("\n          ")
+  private def pqRankSql(k: Int): String =
+    s"""SELECT query_id, neighbor_id,
                row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC) AS rank,
                adc
         FROM scored
-        QUALIFY rank <= $k""")
+        QUALIFY rank <= $k"""
+
+  /** PQ encode + asymmetric-distance (ADC) top-k, cosine flavor:
+    * every corpus vector reduces to pqM codes (the native [[graft
+    * .functions.PqEncode]] pass — argmin squared L2 per subspace, ties
+    * → lower code, zero shuffles); each query precomputes its dot
+    * tables ONCE; a candidate's approximate cosine is then pqM table
+    * lookups ([[pqAdcCol]]). Only the 64×-compressed codes ride the
+    * (bounded-batch-broadcast) join. Exact per-pair IEEE order is
+    * mirrored in the generated oracle, so the check is cell-exact;
+    * ranking QUALITY vs exact cosine is the separate recall contract
+    * test.
+    */
+  def pqTopK(s: SparkSession, dir: String, k: Int = defaultK): DataFrame = {
+    val cbs = pqCache.computeIfAbsent(dir, _ => pqCodebooks(s, dir))
+    val corpus = emb(s, dir)
+    // empty centroid table = no coarse bucket, codes only
+    val enc = graft.functions.pq_encode(col("v"),
+      Seq.empty, cbs.map(_.map(_.toSeq).toSeq).toSeq)
+    val codes = corpus.select(col("vec_id"), enc.as("enc"))
+      .select(col("vec_id") +:
+        cbs.indices.map(mi => col("enc").getItem(mi).as(s"code$mi")): _*)
+    val (pd, qn) = pqQueryCols(cbs)
+    val queries = queryBatch(corpus)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("query_id") +: pd :+ qn.as("qn"): _*)
+    val scored = codes.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), pqAdcCol(cbs).as("adc"))
+    pqRanked(scored, k)
+  }
+
+  /** Full-algorithm PQ oracle (codebooks inlined as literals, same
+    * gating as [[ivfTopKTrainedSql]]): DuckDB re-derives the codes, the
+    * per-query dot tables, and the ADC scores cell-exactly from the
+    * SHARED fragments ([[pqCodesCtesSql]]/[[pqAdcScoreSql]]), so q77
+    * and q79 cannot drift apart in arithmetic.
+    */
+  def pqTopKSql(k: Int = defaultK): Option[String] =
+    if (pqCache.size != 1) None
+    else {
+      val cbs = pqCache.values.iterator.next()
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS ($querySql),
+        cb AS (SELECT * FROM (VALUES ${pqCbRowsSql(cbs)}) AS t(m, c, cv, ns)),
+        $pqCodesCtesSql,
+        cw AS (
+          SELECT vec_id, $pqCwColsSql
+          FROM codes GROUP BY vec_id),
+        scored AS (
+          SELECT q.query_id, cw.vec_id AS neighbor_id,
+                 $pqAdcScoreSql AS adc
+          FROM cw
+          JOIN q ON cw.vec_id <> q.query_id
+          $pqCbJoinsSql)
+        ${pqRankSql(k)}""")
     }
 
   // ---- IVF-PQ: the standard 100 TB ANN serving structure ----
@@ -647,13 +689,6 @@ object Similarity {
     * directly so the codes are shared verbatim with q77 — the
     * structural plan is identical, the residual refinement is a
     * documented quality upgrade.)
-    *
-    * Scale notes: the corpus-side bucket assignment is a shuffle-free
-    * map (argmin over the centroid literals as a higher-order
-    * expression — no join, no window exchange, unlike q26's windowed
-    * formulation which exists to mirror its oracle's shape); the
-    * query-side probe table is (bounded batch)×nprobe rows behind the
-    * same structural limit as the rest of the family.
     */
   /** The stored 100 TB artifact: every vector reduced to a coarse
     * bucket id + pqM codebook codes — ONE native expression pass over
@@ -674,105 +709,64 @@ object Similarity {
     // in place, so the optimizer cannot duplicate the encode work)
     emb(s, dir).select(col("vec_id"), enc.as("enc"))
       .select(col("vec_id") +: col("enc").getItem(0).as("bucket") +:
-        (0 until pqM).map(mi => col("enc").getItem(mi + 1).as(s"code$mi")): _*)
+        cbs.indices.map(mi => col("enc").getItem(mi + 1).as(s"code$mi")): _*)
   }
 
   def ivfPqTopK(s: SparkSession, dir: String, k: Int = defaultK): DataFrame = {
-    val sd = pqSubDim
     val cbs = pqCache.computeIfAbsent(dir, _ => pqCodebooks(s, dir))
     val cents = trainedCache.computeIfAbsent(dir, _ => kmeansCentroids(s, dir))
-    val ns = pqNorms(cbs)
     val corpus = emb(s, dir)
-    def subv(v: org.apache.spark.sql.Column, mi: Int) = slice(v, mi * sd + 1, sd)
-    def dotp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val centLit = typedLit(cents.map(_._2.toSeq).toSeq)
     def centCos(v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) = {
       val cv = element_at(centLit, c + 1)
-      dotp(v, cv) / sqrt(dotp(v, v)) / sqrt(dotp(cv, cv))
+      pqDotp(v, cv) / sqrt(pqDotp(v, v)) / sqrt(pqDotp(cv, cv))
     }
     val coded = pqEncode(s, dir)
     // queries: probe the nprobe nearest centroids, carry the pd tables
-    val pdCols = (0 until pqM).map { mi =>
-      val cbLit = typedLit(cbs(mi).map(_.toSeq).toSeq)
-      transform(sequence(lit(0), lit(pqKs - 1)),
-        c => dotp(subv(col("qv"), mi), element_at(cbLit, c + 1))).as(s"pd$mi")
-    }
-    val qn = sqrt((0 until pqM)
-      .map(mi => dotp(subv(col("qv"), mi), subv(col("qv"), mi))).reduceLeft(_ + _))
+    val (pd, qn) = pqQueryCols(cbs)
     val probeBuckets = transform(
       slice(array_sort(transform(sequence(lit(0), lit(cents.length - 1)),
         c => struct((centCos(col("qv"), c) * lit(-1.0)).as("d"), c.as("c")))), 1, nprobe),
       e => e.getField("c"))
     val queries = queryBatch(corpus)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      .select(col("query_id") +: pdCols :+ qn.as("qn") :+ probeBuckets.as("buckets"): _*)
+      .select(col("query_id") +: pd :+ qn.as("qn") :+ probeBuckets.as("buckets"): _*)
       .select(Seq(col("query_id"), explode(col("buckets")).as("bucket"), col("qn")) ++
-        (0 until pqM).map(mi => col(s"pd$mi")): _*)
-    val adcDot = (0 until pqM)
-      .map(mi => element_at(col(s"pd$mi"), col(s"code$mi") + 1)).reduceLeft(_ + _)
-    val rn = sqrt((0 until pqM)
-      .map(mi => element_at(typedLit(ns(mi).toSeq), col(s"code$mi") + 1)).reduceLeft(_ + _))
+        cbs.indices.map(mi => col(s"pd$mi")): _*)
     val scored = coded.join(broadcast(queries), "bucket")
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (adcDot / col("qn") / rn).as("adc"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), pqAdcCol(cbs).as("adc"))
+    pqRanked(scored, k)
   }
 
   /** Full-algorithm IVF-PQ oracle: BOTH trained artifacts (coarse
     * centroids + PQ codebooks) inline as literals; gated on both caches
     * holding exactly one dir, like [[ivfTopKTrainedSql]]/[[pqTopKSql]].
+    * Codes and ADC arithmetic come from the SAME fragments as q77's
+    * oracle; only the assignment/probe CTEs are specific to pruning.
     */
   def ivfPqTopKSql(k: Int = defaultK): Option[String] =
     if (trainedCache.size != 1 || pqCache.size != 1) None
     else {
       val cents = trainedCache.values.iterator.next()
       val cbs = pqCache.values.iterator.next()
-      val ns = pqNorms(cbs)
-      val sd = pqSubDim
       val centRows = cents.map { case (ci, v) =>
         s"($ci, [${v.mkString(", ")}]::DOUBLE[])"
       }.mkString(",\n               ")
-      val cbRows = (for (mi <- 0 until pqM; c <- 0 until pqKs) yield
-        s"($mi, $c, [${cbs(mi)(c).mkString(", ")}]::DOUBLE[], (${ns(mi)(c)})::DOUBLE)")
-        .mkString(",\n               ")
-      def codeCol(mi: Int) = s"max(CASE WHEN m = $mi THEN code END) AS code$mi"
-      def nsCol(mi: Int) = s"max(CASE WHEN m = $mi THEN ns END) AS ns$mi"
-      def qdot(mi: Int) =
-        s"list_sum(list_transform(range(1, ${sd + 1}), i -> q.qv[$mi * $sd + i] * cb$mi.cv[i]))"
-      def qnq(mi: Int) =
-        s"list_sum(list_transform(range(1, ${sd + 1}), i -> q.qv[$mi * $sd + i] * q.qv[$mi * $sd + i]))"
-      def sumL(terms: Seq[String]): String = terms.reduceLeft((a, b) => s"($a + $b)")
-      val cbJoins = (0 until pqM)
-        .map(mi => s"JOIN cb cb$mi ON cb$mi.m = $mi AND cb$mi.c = cw.code$mi")
-        .mkString("\n          ")
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         q AS ($querySql),
         c AS (SELECT * FROM (VALUES $centRows) AS ct(cent_id, cv)),
-        cb AS (SELECT * FROM (VALUES $cbRows) AS t(m, c, cv, ns)),
+        cb AS (SELECT * FROM (VALUES ${pqCbRowsSql(cbs)}) AS t(m, c, cv, ns)),
         assigned AS (
           SELECT vec_id, bucket FROM (
             SELECT e.vec_id, c.cent_id AS bucket,
                    row_number() OVER (PARTITION BY e.vec_id
                      ORDER BY ${cosSqlOn("e.v", "c.cv")} DESC, c.cent_id ASC) AS crank
             FROM e, c) WHERE crank = 1),
-        dists AS (
-          SELECT e.vec_id, cb.m, cb.c, cb.ns,
-                 list_sum(list_transform(range(1, ${sd + 1}),
-                   i -> (v[cb.m * $sd + i] - cv[i]) * (v[cb.m * $sd + i] - cv[i]))) AS d
-          FROM e, cb),
-        codes AS (
-          SELECT vec_id, m, c AS code, ns FROM (
-            SELECT vec_id, m, c, ns,
-                   row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, c ASC) AS rn
-            FROM dists) WHERE rn = 1),
+        $pqCodesCtesSql,
         cw AS (
           SELECT codes.vec_id, a.bucket,
-                 ${(0 until pqM).map(codeCol).mkString(", ")},
-                 ${(0 until pqM).map(nsCol).mkString(", ")}
+                 $pqCwColsSql
           FROM codes JOIN assigned a ON codes.vec_id = a.vec_id
           GROUP BY codes.vec_id, a.bucket),
         probes AS (
@@ -783,17 +777,11 @@ object Similarity {
             FROM q, c) WHERE prank <= $nprobe),
         scored AS (
           SELECT q.query_id, cw.vec_id AS neighbor_id,
-                 ${sumL((0 until pqM).map(qdot))}
-                   / sqrt(${sumL((0 until pqM).map(qnq))})
-                   / sqrt(${sumL((0 until pqM).map(mi => s"cw.ns$mi"))}) AS adc
+                 $pqAdcScoreSql AS adc
           FROM cw
           JOIN probes q ON cw.bucket = q.bucket AND cw.vec_id <> q.query_id
-          $cbJoins)
-        SELECT query_id, neighbor_id,
-               row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC) AS rank,
-               adc
-        FROM scored
-        QUALIFY rank <= $k""")
+          $pqCbJoinsSql)
+        ${pqRankSql(k)}""")
     }
 
   /** Explicit-order cosine in DuckDB SQL: sequential dot and norms,

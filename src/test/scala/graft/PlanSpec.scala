@@ -175,13 +175,22 @@ class PlanSpec extends SparkSpec {
     // literal LocalRelation (trained centroids) somewhere below it,
     // never a bare corpus-derived filter.
     import org.apache.spark.sql.catalyst.plans.logical._
+    // RECURSIVE boundedness, not "a limit exists somewhere below": a
+    // GlobalLimit/LocalRelation bounds its subtree; row-preserving (or
+    // row-reducing/bounded-fan-out) operators pass the property up;
+    // a JOIN is bounded only if EVERY child is; a bare relation leaf is
+    // unbounded. This rejects e.g. broadcast(corpus.join(boundedQ)) —
+    // which contains a GlobalLimit yet scales with the corpus.
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit | _: LocalRelation => true
+      case j: Join => bounded(j.left) && bounded(j.right)
+      case u: Union => u.children.forall(bounded)
+      case other if other.children.size == 1 => bounded(other.children.head)
+      case _ => false // relation leaves and unknown multi-child shapes
+    }
     for (q <- Seq("q25_ann_bruteforce", "q26_ann_ivf", "q49_ann_ivf_trained",
         "q76_hard_negatives", "q77_pq_adc", "q79_ann_ivfpq")) {
       val lp = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
-      def bounded(p: LogicalPlan): Boolean = p.collectFirst {
-        case _: GlobalLimit => ()
-        case _: LocalRelation => ()
-      }.isDefined
       val hinted = lp.collect { case j: Join
         if j.hint.leftHint.exists(_.strategy.isDefined) ||
           j.hint.rightHint.exists(_.strategy.isDefined) => j }
