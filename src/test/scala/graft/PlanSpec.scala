@@ -85,6 +85,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("PQ/IVF-PQ top-k plans as WindowGroupLimit (partial top-k before the exchange)") {
+    for (q <- Seq("q77_pq_adc", "q79_ann_ivfpq")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), s"$q:\n$p")
+    }
+  }
+
   test("global shuffle sorts via range partitioning, not a single-partition window") {
     // the distributed total-order exchange; a row_number() window over
     // the whole frame would show Exchange SinglePartition + Window
