@@ -142,9 +142,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
       (exprs: Seq[Expression]) => {
-        checkArity("graft_pq_encode", exprs, Seq(3))
+        checkArity("graft_pq_encode", exprs, Seq(3, 4))
         PqEncode(exprs.head, doubles2(exprs(1), "centroids"),
-          doubles3(exprs(2), "codebooks"))
+          doubles3(exprs(2), "codebooks"),
+          residual = exprs.size > 3 && (exprs(3) match {
+            case Literal(b: Boolean, _) => b
+            case other => throw new IllegalArgumentException(
+              s"residual flag must be a boolean literal, got $other")
+          }))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_intersect_size"),

@@ -525,8 +525,10 @@ object HyperplaneSigs {
   * [[HyperplaneSigs]]).
   */
 case class PqEncode(child: Expression, cents: Seq[Seq[Double]],
-    cbs: Seq[Seq[Seq[Double]]]) extends UnaryExpression with RefCodegen {
+    cbs: Seq[Seq[Seq[Double]]], residual: Boolean = false)
+    extends UnaryExpression with RefCodegen {
   require(cbs.nonEmpty && cbs.forall(_.nonEmpty), "codebooks must be non-empty")
+  require(!residual || cents.nonEmpty, "residual encoding requires centroids")
   private val mSub = cbs.length
   private val sd = cbs.head.head.length
   private val dim = mSub * sd
@@ -585,6 +587,16 @@ case class PqEncode(child: Expression, cents: Seq[Seq[Double]],
         c += 1
       }
       out(0) = best
+      if (residual) {
+        // true IVFPQ (Jégou et al. §III): quantize the RESIDUAL
+        // v − centroid[bucket] — the codebooks were trained on
+        // residuals, which concentrate near the origin and quantize
+        // far finer than raw vectors at the same code budget.
+        // Elementwise subtraction, then the same argmin below.
+        val cv = centArr(best)
+        var k = 0
+        while (k < dim) { v(k) = v(k) - cv(k); k += 1 }
+      }
     }
     var mi = 0
     while (mi < mSub) {

@@ -78,8 +78,8 @@ package object functions {
     * trained constants travel as foldable array literals.
     */
   def pq_encode(v: Column, cents: Seq[Seq[Double]],
-      cbs: Seq[Seq[Seq[Double]]]): Column =
-    call_function("graft_pq_encode", v, typedLit(cents), typedLit(cbs))
+      cbs: Seq[Seq[Seq[Double]]], residual: Boolean = false): Column =
+    call_function("graft_pq_encode", v, typedLit(cents), typedLit(cbs), lit(residual))
 
   /** Codegen'd cosine similarity of two vector columns (cast to
     * `array<double>` so arithmetic is double end-to-end).

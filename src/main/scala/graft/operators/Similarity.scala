@@ -465,15 +465,68 @@ object Similarity {
   def pqCodebooks(s: SparkSession, dir: String, mSub: Int = pqM,
       ks: Int = pqKs, iterations: Int = 5): Array[Array[Array[Double]]] = {
     import s.implicits._
+    pqCodebooksOn(
+      emb(s, dir).select(col("vec_id"), col("v")).as[(Long, Seq[Double])],
+      mSub, ks, iterations)
+  }
+
+  /** Residual codebooks — true IVFPQ training: quantize
+    * `v − centroid[bucket(v)]` instead of v. Residuals concentrate near
+    * the origin, so the same code budget quantizes far finer (the whole
+    * point of coarse-then-fine). Bucket assignment uses the SAME rule
+    * as [[graft.functions.PqEncode]] (argmax cosine, ties → lower id)
+    * so training and encoding see the same partition of the corpus.
+    */
+  def pqResidualCodebooks(s: SparkSession, dir: String, mSub: Int = pqM,
+      ks: Int = pqKs, iterations: Int = 5): Array[Array[Array[Double]]] = {
+    import s.implicits._
+    val cents = trainedCache.computeIfAbsent(dir, _ => kmeansCentroids(s, dir))
+    val centVs = cents.map(_._2)
+    val centNorm = centVs.map { cv =>
+      var t = 0.0; var k = 0
+      while (k < cv.length) { t += cv(k) * cv(k); k += 1 }
+      math.sqrt(t)
+    }
+    val bc = s.sparkContext.broadcast((centVs, centNorm))
+    val residuals = emb(s, dir).select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .map { case (id, v) =>
+        val arr = v.toArray
+        val (cvs, norms) = bc.value
+        var nv = 0.0; var k = 0
+        while (k < arr.length) { nv += arr(k) * arr(k); k += 1 }
+        val sv = math.sqrt(nv)
+        var best = 0; var bestKey = Double.PositiveInfinity
+        var c = 0
+        while (c < cvs.length) {
+          val cv = cvs(c)
+          var dot = 0.0; k = 0
+          while (k < arr.length) { dot += arr(k) * cv(k); k += 1 }
+          val key = dot / sv / norms(c) * -1.0
+          if (key < bestKey) { bestKey = key; best = c }
+          c += 1
+        }
+        val cv = cvs(best)
+        val r = new Array[Double](arr.length)
+        k = 0
+        while (k < arr.length) { r(k) = arr(k) - cv(k); k += 1 }
+        (id, r.toSeq)
+      }
+    pqCodebooksOn(residuals, mSub, ks, iterations)
+  }
+
+  private def pqCodebooksOn(input: org.apache.spark.sql.Dataset[(Long, Seq[Double])],
+      mSub: Int, ks: Int, iterations: Int): Array[Array[Array[Double]]] = {
+    val s = input.sparkSession
+    import s.implicits._
     val sd = pqDim / mSub
-    val corpus = emb(s, dir).select(col("vec_id"), col("v")).as[(Long, Seq[Double])].cache()
+    val corpus = input.toDF("vec_id", "v").as[(Long, Seq[Double])].cache()
     // seed from the ks LOWEST vec_ids present — not `vec_id < ks`, which
     // assumes ids densely cover [0, ks) and would leave a short codebook
     // (and index crashes below) on corpora whose ids start elsewhere.
     // On fewer than ks vectors the codebook shrinks to the corpus size
     // (every vector its own codeword) — still valid, still deterministic.
     val init = corpus.orderBy(col("vec_id").asc).limit(ks).collect().sortBy(_._1)
-    require(init.nonEmpty, s"pqCodebooks: no vectors in $dir")
+    require(init.nonEmpty, "pqCodebooks: empty training input")
     val ksEff = init.length
     var cbs: Array[Array[Array[Double]]] =
       Array.tabulate(mSub)(mi => init.map(_._2.toArray.slice(mi * sd, (mi + 1) * sd)))
@@ -519,6 +572,42 @@ object Similarity {
     */
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  /** q79's residual codebooks, cached like [[pqCache]]. */
+  private val pqResidualCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  /** The IVFPQ cross terms, derived once in Scala and embedded as the
+    * SAME literals in both engines:
+    * `nsb(b)  = ‖cent_b‖²` and
+    * `rns(m)(b)(c) = 2·⟨cent_b[sub m], rcw_{m,c}⟩ + ‖rcw_{m,c}‖²`,
+    * so that `‖x̂‖² = nsb(bucket) + Σ_m rns(m)(bucket)(code_m)` for the
+    * reconstruction `x̂ = cent_bucket + concat_m rcw_{m,code_m}` — the
+    * norm of a residual-coded vector is pure table lookups, like the
+    * dot products.
+    */
+  private def pqResidualCross(cents: Array[(Int, Array[Double])],
+      rcbs: Array[Array[Array[Double]]]): (Array[Double], Array[Array[Array[Double]]]) = {
+    val sorted = cents.sortBy(_._1).map(_._2)
+    val nsb = sorted.map { cv =>
+      var t = 0.0; var k = 0
+      while (k < cv.length) { t += cv(k) * cv(k); k += 1 }
+      t
+    }
+    val rns = Array.tabulate(rcbs.length) { mi =>
+      Array.tabulate(sorted.length) { b =>
+        Array.tabulate(rcbs(mi).length) { c =>
+          val cv = sorted(b); val cw = rcbs(mi)(c)
+          var dot = 0.0; var nn = 0.0; var k = 0
+          while (k < cw.length) {
+            dot += cv(mi * pqSubDim + k) * cw(k); nn += cw(k) * cw(k); k += 1
+          }
+          2.0 * dot + nn
+        }
+      }
+    }
+    (nsb, rns)
+  }
 
   /** Squared codeword norms, derived from the codebook once in Scala
     * and embedded as the SAME literals in both engines — no cross-engine
@@ -597,19 +686,22 @@ object Similarity {
             SELECT vec_id, m, c, ns,
                    row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, c ASC) AS rn
             FROM dists) WHERE rn = 1)"""
+  private def pqCwCodeColsSql: String =
+    (0 until pqM).map(mi => s"max(CASE WHEN m = $mi THEN code END) AS code$mi").mkString(", ")
   private def pqCwColsSql: String =
-    (0 until pqM).map(mi => s"max(CASE WHEN m = $mi THEN code END) AS code$mi").mkString(", ") +
+    pqCwCodeColsSql +
       ",\n                 " +
       (0 until pqM).map(mi => s"max(CASE WHEN m = $mi THEN ns END) AS ns$mi").mkString(", ")
-  private def pqAdcScoreSql: String = {
-    def qdot(mi: Int) =
-      s"list_sum(list_transform(range(1, ${pqSubDim + 1}), i -> q.qv[$mi * $pqSubDim + i] * cb$mi.cv[i]))"
-    def qnq(mi: Int) =
-      s"list_sum(list_transform(range(1, ${pqSubDim + 1}), i -> q.qv[$mi * $pqSubDim + i] * q.qv[$mi * $pqSubDim + i]))"
-    s"""${pqSumL((0 until pqM).map(qdot))}
-                   / sqrt(${pqSumL((0 until pqM).map(qnq))})
+  /** ⟨q subspace mi, codebook row cb$mi⟩ — the pd-table lookup's SQL twin. */
+  private def pqQdotSql(mi: Int): String =
+    s"list_sum(list_transform(range(1, ${pqSubDim + 1}), i -> q.qv[$mi * $pqSubDim + i] * cb$mi.cv[i]))"
+  /** ⟨q subspace mi, q subspace mi⟩ — the ‖q‖² building block. */
+  private def pqQnqSql(mi: Int): String =
+    s"list_sum(list_transform(range(1, ${pqSubDim + 1}), i -> q.qv[$mi * $pqSubDim + i] * q.qv[$mi * $pqSubDim + i]))"
+  private def pqAdcScoreSql: String =
+    s"""${pqSumL((0 until pqM).map(pqQdotSql))}
+                   / sqrt(${pqSumL((0 until pqM).map(pqQnqSql))})
                    / sqrt(${pqSumL((0 until pqM).map(mi => s"cw.ns$mi"))})"""
-  }
   private def pqCbJoinsSql: String = (0 until pqM)
     .map(mi => s"JOIN cb cb$mi ON cb$mi.m = $mi AND cb$mi.c = cw.code$mi")
     .mkString("\n          ")
@@ -677,110 +769,166 @@ object Similarity {
 
   // ---- IVF-PQ: the standard 100 TB ANN serving structure ----
 
-  /** IVF coarse pruning + PQ/ADC scoring combined — what a production
-    * vector index actually deploys at 100 TB (FAISS's IVFPQ family):
-    * the corpus is bucketed once by nearest trained coarse centroid
-    * ([[kmeansCentroids]], shared with q49) and stored ONLY as 4-byte
-    * PQ codes ([[pqCodebooks]], shared with q77); a query probes its
-    * `nprobe` closest buckets and ADC-scores just those candidates via
-    * its lookup tables. Work per query: O(C) centroid scan + O(N·nprobe
-    * /C) table lookups; storage: codes + bucket id. (Classic IVFPQ
-    * encodes the RESIDUAL v − centroid; this variant encodes v
-    * directly so the codes are shared verbatim with q77 — the
-    * structural plan is identical, the residual refinement is a
-    * documented quality upgrade.)
+  /** IVF coarse pruning + residual PQ/ADC scoring — the faithful IVFPQ
+    * (Jégou et al. §III / FAISS IVFPQ): the corpus is bucketed once by
+    * nearest trained coarse centroid ([[kmeansCentroids]], shared with
+    * q49), each vector's RESIDUAL v − centroid is quantized by
+    * residual-trained codebooks ([[pqResidualCodebooks]]) into pqM
+    * 4-bit codes, and a query probes its `nprobe` closest buckets,
+    * scoring candidates as
+    *   adc = (⟨q, cent_b⟩ + Σ_m pd_m[code_m]) / ‖q‖ / ‖x̂‖
+    * where every term is a table lookup: the per-query dot tables pd
+    * (against the residual codebooks), the per-probe ⟨q, cent⟩, and
+    * the reconstruction norm from the [[pqResidualCross]] literals.
+    * Work per query: O(C) centroid scan + O(N·nprobe/C) lookups;
+    * storage: bucket + codes (≈5 bytes/vector). Residual quantization
+    * is what makes the coarse-then-fine budget pay on clustered data:
+    * the residual domain shrinks to the within-cluster spread, so the
+    * same 32 bits of code carry more precision than on raw vectors.
+    * (On the near-random fixture embeddings the coarse centroids carry
+    * little mass — ‖cent‖≈0.33 vs ‖v‖=1 — so the measured
+    * reconstruction gain is ~5%; the formulation is what matters at
+    * 100 TB, where real corpora cluster hard.)
+    *
+    * Scale notes: the corpus-side encode is ONE native-expression map
+    * ([[pqEncode]], Exchange-free, pinned); the query-side probe table
+    * stays behind the family's structural bounded-batch limit.
     */
   /** The stored 100 TB artifact: every vector reduced to a coarse
-    * bucket id + pqM codebook codes — ONE native expression pass over
-    * the corpus ([[graft.functions.PqEncode]]: no join, no window
-    * exchange, no per-element lambda interpretation; the trained
-    * constants ride along as literals). Pinned Exchange-free by
-    * PlanSpec. This table (≈5 bytes payload/vector) is what the search
-    * side of [[ivfPqTopK]] scans instead of the float vectors.
+    * bucket id + pqM residual codebook codes — ONE native expression
+    * pass over the corpus ([[graft.functions.PqEncode]] with
+    * `residual = true`: assign bucket, subtract the centroid, argmin
+    * codes — no join, no window exchange, no per-element lambda
+    * interpretation). Pinned Exchange-free by PlanSpec. This table is
+    * what the search side of [[ivfPqTopK]] scans instead of the float
+    * vectors.
     */
   def pqEncode(s: SparkSession, dir: String): DataFrame = {
-    val cbs = pqCache.computeIfAbsent(dir, _ => pqCodebooks(s, dir))
+    val rcbs = pqResidualCache.computeIfAbsent(dir, _ => pqResidualCodebooks(s, dir))
     val cents = trainedCache.computeIfAbsent(dir, _ => kmeansCentroids(s, dir))
     val enc = graft.functions.pq_encode(col("v"),
-      cents.map(_._2.toSeq).toSeq, cbs.map(_.map(_.toSeq).toSeq).toSeq)
+      cents.sortBy(_._1).map(_._2.toSeq).toSeq,
+      rcbs.map(_.map(_.toSeq).toSeq).toSeq, residual = true)
     // two-stage projection on purpose: `enc` is materialized once per
     // row, then the cheap getItem picks split it into columns
     // (CollapseProject leaves non-cheap aliases referenced many times
     // in place, so the optimizer cannot duplicate the encode work)
     emb(s, dir).select(col("vec_id"), enc.as("enc"))
       .select(col("vec_id") +: col("enc").getItem(0).as("bucket") +:
-        cbs.indices.map(mi => col("enc").getItem(mi + 1).as(s"code$mi")): _*)
+        rcbs.indices.map(mi => col("enc").getItem(mi + 1).as(s"code$mi")): _*)
   }
 
   def ivfPqTopK(s: SparkSession, dir: String, k: Int = defaultK): DataFrame = {
-    val cbs = pqCache.computeIfAbsent(dir, _ => pqCodebooks(s, dir))
+    val rcbs = pqResidualCache.computeIfAbsent(dir, _ => pqResidualCodebooks(s, dir))
     val cents = trainedCache.computeIfAbsent(dir, _ => kmeansCentroids(s, dir))
+    val (nsb, rns) = pqResidualCross(cents, rcbs)
     val corpus = emb(s, dir)
-    val centLit = typedLit(cents.map(_._2.toSeq).toSeq)
+    val centLit = typedLit(cents.sortBy(_._1).map(_._2.toSeq).toSeq)
     def centCos(v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) = {
       val cv = element_at(centLit, c + 1)
       pqDotp(v, cv) / sqrt(pqDotp(v, v)) / sqrt(pqDotp(cv, cv))
     }
     val coded = pqEncode(s, dir)
-    // queries: probe the nprobe nearest centroids, carry the pd tables
-    val (pd, qn) = pqQueryCols(cbs)
+    // queries: probe the nprobe nearest centroids; carry the residual
+    // pd tables, ‖q‖, and the per-probe ⟨q, cent⟩
+    val (pd, qn) = pqQueryCols(rcbs)
     val probeBuckets = transform(
       slice(array_sort(transform(sequence(lit(0), lit(cents.length - 1)),
         c => struct((centCos(col("qv"), c) * lit(-1.0)).as("d"), c.as("c")))), 1, nprobe),
       e => e.getField("c"))
     val queries = queryBatch(corpus)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      .select(col("query_id") +: pd :+ qn.as("qn") :+ probeBuckets.as("buckets"): _*)
-      .select(Seq(col("query_id"), explode(col("buckets")).as("bucket"), col("qn")) ++
-        cbs.indices.map(mi => col(s"pd$mi")): _*)
+      .select(Seq(col("query_id"), col("qv")) ++ pd ++
+        Seq(qn.as("qn"), probeBuckets.as("buckets")): _*)
+      .select(Seq(col("query_id"), col("qv"), explode(col("buckets")).as("bucket"),
+        col("qn")) ++ rcbs.indices.map(mi => col(s"pd$mi")): _*)
+      .withColumn("qcdot", pqDotp(col("qv"), element_at(centLit, col("bucket") + 1)))
+      .drop("qv")
+    val adcDot = col("qcdot") + rcbs.indices
+      .map(mi => element_at(col(s"pd$mi"), col(s"code$mi") + 1)).reduceLeft(_ + _)
+    val rn = sqrt(element_at(typedLit(nsb.toSeq), col("bucket") + 1) +
+      rcbs.indices.map(mi =>
+        element_at(element_at(typedLit(rns(mi).map(_.toSeq).toSeq), col("bucket") + 1),
+          col(s"code$mi") + 1)).reduceLeft(_ + _))
     val scored = coded.join(broadcast(queries), "bucket")
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), pqAdcCol(cbs).as("adc"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (adcDot / col("qn") / rn).as("adc"))
     pqRanked(scored, k)
   }
 
-  /** Full-algorithm IVF-PQ oracle: BOTH trained artifacts (coarse
-    * centroids + PQ codebooks) inline as literals; gated on both caches
-    * holding exactly one dir, like [[ivfTopKTrainedSql]]/[[pqTopKSql]].
-    * Codes and ADC arithmetic come from the SAME fragments as q77's
-    * oracle; only the assignment/probe CTEs are specific to pruning.
+  /** Full-algorithm residual-IVFPQ oracle: the coarse centroids, the
+    * residual codebooks, AND the cross-term tables ([[pqResidualCross]])
+    * inline as literals; gated on both caches holding exactly one dir.
+    * The residual subtraction, every dot, and the lookup sums are
+    * written in the operator's exact IEEE order.
     */
   def ivfPqTopKSql(k: Int = defaultK): Option[String] =
-    if (trainedCache.size != 1 || pqCache.size != 1) None
+    if (trainedCache.size != 1 || pqResidualCache.size != 1) None
     else {
       val cents = trainedCache.values.iterator.next()
-      val cbs = pqCache.values.iterator.next()
-      val centRows = cents.map { case (ci, v) =>
+      val rcbs = pqResidualCache.values.iterator.next()
+      val (nsb, rns) = pqResidualCross(cents, rcbs)
+      val sd = pqSubDim
+      val centRows = cents.sortBy(_._1).map { case (ci, v) =>
         s"($ci, [${v.mkString(", ")}]::DOUBLE[])"
       }.mkString(",\n               ")
+      val cbRows = (for (mi <- rcbs.indices; c <- rcbs(mi).indices) yield
+        s"($mi, $c, [${rcbs(mi)(c).mkString(", ")}]::DOUBLE[])")
+        .mkString(",\n               ")
+      val nsbRows = nsb.indices.map(b => s"($b, (${nsb(b)})::DOUBLE)")
+        .mkString(",\n               ")
+      val rrsRows = (for (mi <- rns.indices; b <- rns(mi).indices; c <- rns(mi)(b).indices)
+        yield s"($b, $mi, $c, (${rns(mi)(b)(c)})::DOUBLE)")
+        .mkString(",\n               ")
+      val resid = (i: String) => s"((v[cb.m * $sd + $i] - cc.cv[cb.m * $sd + $i]) - cb.cv[$i])"
+      val rrsJoins = rcbs.indices
+        .map(mi => s"JOIN rrs rr$mi ON rr$mi.b = cw.bucket AND rr$mi.m = $mi AND rr$mi.c = cw.code$mi")
+        .mkString("\n          ")
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         q AS ($querySql),
         c AS (SELECT * FROM (VALUES $centRows) AS ct(cent_id, cv)),
-        cb AS (SELECT * FROM (VALUES ${pqCbRowsSql(cbs)}) AS t(m, c, cv, ns)),
+        cb AS (SELECT * FROM (VALUES $cbRows) AS t(m, c, cv)),
+        nsb AS (SELECT * FROM (VALUES $nsbRows) AS nt(b, w)),
+        rrs AS (SELECT * FROM (VALUES $rrsRows) AS rt(b, m, c, w)),
         assigned AS (
           SELECT vec_id, bucket FROM (
             SELECT e.vec_id, c.cent_id AS bucket,
                    row_number() OVER (PARTITION BY e.vec_id
                      ORDER BY ${cosSqlOn("e.v", "c.cv")} DESC, c.cent_id ASC) AS crank
             FROM e, c) WHERE crank = 1),
-        $pqCodesCtesSql,
+        dists AS (
+          SELECT e.vec_id, a.bucket, cb.m, cb.c,
+                 list_sum(list_transform(range(1, ${sd + 1}),
+                   i -> ${resid("i")} * ${resid("i")})) AS d
+          FROM e JOIN assigned a ON e.vec_id = a.vec_id
+                 JOIN c cc ON cc.cent_id = a.bucket, cb),
+        codes AS (
+          SELECT vec_id, bucket, m, c AS code FROM (
+            SELECT vec_id, bucket, m, c,
+                   row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, c ASC) AS rn
+            FROM dists) WHERE rn = 1),
         cw AS (
-          SELECT codes.vec_id, a.bucket,
-                 $pqCwColsSql
-          FROM codes JOIN assigned a ON codes.vec_id = a.vec_id
-          GROUP BY codes.vec_id, a.bucket),
+          SELECT vec_id, bucket, $pqCwCodeColsSql
+          FROM codes GROUP BY vec_id, bucket),
         probes AS (
-          SELECT query_id, qv, cent_id AS bucket FROM (
-            SELECT q.query_id, q.qv, c.cent_id,
+          SELECT query_id, qv, cent_id AS bucket,
+                 list_sum(list_transform(range(1, ${pqDim + 1}), i -> qv[i] * cv[i])) AS qcdot
+          FROM (
+            SELECT q.query_id, q.qv, c.cent_id, c.cv,
                    row_number() OVER (PARTITION BY q.query_id
                      ORDER BY ${cosSqlOn("q.qv", "c.cv")} DESC, c.cent_id ASC) AS prank
             FROM q, c) WHERE prank <= $nprobe),
         scored AS (
           SELECT q.query_id, cw.vec_id AS neighbor_id,
-                 $pqAdcScoreSql AS adc
+                 ((q.qcdot + ${pqSumL(rcbs.indices.map(pqQdotSql))})
+                   / sqrt(${pqSumL(rcbs.indices.map(pqQnqSql))})
+                   / sqrt((nb.w + ${pqSumL(rcbs.indices.map(mi => s"rr$mi.w"))}))) AS adc
           FROM cw
           JOIN probes q ON cw.bucket = q.bucket AND cw.vec_id <> q.query_id
-          $pqCbJoinsSql)
+          JOIN nsb nb ON nb.b = cw.bucket
+          $pqCbJoinsSql
+          $rrsJoins)
         ${pqRankSql(k)}""")
     }
 

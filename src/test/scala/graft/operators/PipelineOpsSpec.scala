@@ -91,22 +91,25 @@ class SimilaritySpec extends SparkSpec {
       a.zip(b).forall { case (x, y) => x.sameElements(y) } })
   }
 
-  test("IVF-PQ prunes to probed buckets yet still beats the random floor; ADC agrees with q77") {
-    val full = Similarity.pqTopK(spark, dir)
-      .select("query_id", "neighbor_id", "adc").as[(Long, Long, Double)].collect()
-      .map { case (q, n, a) => (q, n) -> a }.toMap
+  test("residual IVF-PQ: ADC tracks exact cosine on probed candidates; beats the random floor") {
     val ivfpq = Similarity.ivfPqTopK(spark, dir)
       .select("query_id", "neighbor_id", "rank", "adc")
       .as[(Long, Long, Int, Double)].collect()
     assert(ivfpq.length == 5 * Similarity.defaultK)
     assert(ivfpq.forall { case (q, n, _, _) => q % Similarity.queryMod == 0 && q != n })
-    // consistency: wherever IVF-PQ and the full PQ scan pick the same
-    // pair, the ADC score is the SAME number — pruning must change the
-    // candidate set, never the scoring arithmetic
-    val common = ivfpq.flatMap { case (q, n, _, a) => full.get((q, n)).map(a -> _) }
-    assert(common.nonEmpty)
-    assert(common.forall { case (a, b) => a == b },
-      common.filter { case (a, b) => a != b }.take(3).mkString(", "))
+    // fidelity: the residual reconstruction's cosine approximation must
+    // track the true cosine of each pick — a broken cross-term table,
+    // a mis-keyed lookup (bucket vs code), or a wrong residual
+    // subtraction all blow this band wide open
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val exact = ivfpq.toSeq.toDF("query_id", "neighbor_id", "rank", "adc")
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("nv")), "neighbor_id")
+      .select(col("adc"), cosine_sim(col("qv"), col("nv")).as("cos"))
+      .as[(Double, Double)].collect()
+    val meanErr = exact.map { case (adc, cos) => math.abs(adc - cos) }.sum / exact.length
+    assert(meanErr <= 0.3, s"mean |adc - cos| $meanErr")
     // pruned recall: nprobe/C = 1/4 of the corpus scanned; still ≥ 5×
     // the ~1% random floor on the fixture
     val bf = Similarity.bruteForceTopK(spark, dir)
@@ -114,6 +117,11 @@ class SimilaritySpec extends SparkSpec {
     val pairs = ivfpq.map { case (q, n, _, _) => (q, n) }.toSet
     val recall = (bf intersect pairs).size.toDouble / bf.size
     assert(recall >= 0.05, s"recall $recall")
+    // residual training is deterministic, like the raw-PQ trainer
+    val r1 = Similarity.pqResidualCodebooks(spark, dir, iterations = 2)
+    val r2 = Similarity.pqResidualCodebooks(spark, dir, iterations = 2)
+    assert(r1.zip(r2).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
   }
 
   test("k-means-trained IVF is valid and at least as good as random-candidate floor") {
