@@ -568,24 +568,7 @@ case class PqEncode(child: Expression, cents: Seq[Seq[Double]],
     val hasBucket = centArr.length > 0
     val out = new Array[Int]((if (hasBucket) 1 else 0) + mSub)
     if (hasBucket) {
-      var nv = 0.0
-      var k = 0
-      while (k < dim) { nv += v(k) * v(k); k += 1 }
-      val sv = math.sqrt(nv)
-      var best = 0
-      var bestKey = Double.PositiveInfinity
-      var c = 0
-      while (c < centArr.length) {
-        val cv = centArr(c)
-        var dot = 0.0
-        k = 0
-        while (k < dim) { dot += v(k) * cv(k); k += 1 }
-        // -(dot/‖v‖/‖c‖): the HOF form's (cos * -1.0); strict < keeps
-        // the first (lowest-id) centroid on exact ties
-        val key = dot / sv / centNorm(c) * -1.0
-        if (key < bestKey) { bestKey = key; best = c }
-        c += 1
-      }
+      val best = PqEncode.assignBucket(v, centArr, centNorm)
       out(0) = best
       if (residual) {
         // true IVFPQ (Jégou et al. §III): quantize the RESIDUAL
@@ -621,6 +604,36 @@ case class PqEncode(child: Expression, cents: Seq[Seq[Double]],
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
     copy(child = newChild)
   override def prettyName: String = "pq_encode"
+}
+
+object PqEncode {
+  /** THE coarse-bucket rule — argmax cosine (key = dot/‖v‖/‖c‖ · −1,
+    * strict < so exact ties keep the lowest centroid id), shared by the
+    * expression kernel and the residual trainer
+    * (`Similarity.pqResidualCodebooks`), so training and encoding see
+    * the same corpus partition BY CONSTRUCTION, not by parallel
+    * maintenance of two loops.
+    */
+  def assignBucket(v: Array[Double], cents: Array[Array[Double]],
+      centNorm: Array[Double]): Int = {
+    var nv = 0.0
+    var k = 0
+    while (k < v.length) { nv += v(k) * v(k); k += 1 }
+    val sv = math.sqrt(nv)
+    var best = 0
+    var bestKey = Double.PositiveInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var dot = 0.0
+      k = 0
+      while (k < v.length) { dot += v(k) * cv(k); k += 1 }
+      val key = dot / sv / centNorm(c) * -1.0
+      if (key < bestKey) { bestKey = key; best = c }
+      c += 1
+    }
+    best
+  }
 }
 
 /** Winnowing (MOSS) fingerprint selection over a token array in one

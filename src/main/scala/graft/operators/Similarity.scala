@@ -467,7 +467,7 @@ object Similarity {
     import s.implicits._
     pqCodebooksOn(
       emb(s, dir).select(col("vec_id"), col("v")).as[(Long, Seq[Double])],
-      mSub, ks, iterations)
+      mSub, ks, iterations, dir)
   }
 
   /** Residual codebooks — true IVFPQ training: quantize
@@ -481,7 +481,8 @@ object Similarity {
       ks: Int = pqKs, iterations: Int = 5): Array[Array[Array[Double]]] = {
     import s.implicits._
     val cents = trainedCache.computeIfAbsent(dir, _ => kmeansCentroids(s, dir))
-    val centVs = cents.map(_._2)
+    // id order = positional order everywhere in the q79 family
+    val centVs = cents.sortBy(_._1).map(_._2)
     val centNorm = centVs.map { cv =>
       var t = 0.0; var k = 0
       while (k < cv.length) { t += cv(k) * cv(k); k += 1 }
@@ -492,30 +493,21 @@ object Similarity {
       .map { case (id, v) =>
         val arr = v.toArray
         val (cvs, norms) = bc.value
-        var nv = 0.0; var k = 0
-        while (k < arr.length) { nv += arr(k) * arr(k); k += 1 }
-        val sv = math.sqrt(nv)
-        var best = 0; var bestKey = Double.PositiveInfinity
-        var c = 0
-        while (c < cvs.length) {
-          val cv = cvs(c)
-          var dot = 0.0; k = 0
-          while (k < arr.length) { dot += arr(k) * cv(k); k += 1 }
-          val key = dot / sv / norms(c) * -1.0
-          if (key < bestKey) { bestKey = key; best = c }
-          c += 1
-        }
+        // the SHARED bucket rule (graft.functions.PqEncode.assignBucket)
+        // — training and encoding agree by construction
+        val best = graft.functions.PqEncode.assignBucket(arr, cvs, norms)
         val cv = cvs(best)
         val r = new Array[Double](arr.length)
-        k = 0
+        var k = 0
         while (k < arr.length) { r(k) = arr(k) - cv(k); k += 1 }
         (id, r.toSeq)
       }
-    pqCodebooksOn(residuals, mSub, ks, iterations)
+    pqCodebooksOn(residuals, mSub, ks, iterations, s"residuals of $dir")
   }
 
   private def pqCodebooksOn(input: org.apache.spark.sql.Dataset[(Long, Seq[Double])],
-      mSub: Int, ks: Int, iterations: Int): Array[Array[Array[Double]]] = {
+      mSub: Int, ks: Int, iterations: Int,
+      what: String): Array[Array[Array[Double]]] = {
     val s = input.sparkSession
     import s.implicits._
     val sd = pqDim / mSub
@@ -526,7 +518,7 @@ object Similarity {
     // On fewer than ks vectors the codebook shrinks to the corpus size
     // (every vector its own codeword) — still valid, still deterministic.
     val init = corpus.orderBy(col("vec_id").asc).limit(ks).collect().sortBy(_._1)
-    require(init.nonEmpty, "pqCodebooks: empty training input")
+    require(init.nonEmpty, s"pqCodebooks: empty training input ($what)")
     val ksEff = init.length
     var cbs: Array[Array[Array[Double]]] =
       Array.tabulate(mSub)(mi => init.map(_._2.toArray.slice(mi * sd, (mi + 1) * sd)))

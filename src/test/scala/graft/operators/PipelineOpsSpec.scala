@@ -110,6 +110,38 @@ class SimilaritySpec extends SparkSpec {
       .as[(Double, Double)].collect()
     val meanErr = exact.map { case (adc, cos) => math.abs(adc - cos) }.sum / exact.length
     assert(meanErr <= 0.3, s"mean |adc - cos| $meanErr")
+    // INDEPENDENT reconstruction oracle: the cross-term tables
+    // (pqResidualCross) are embedded as the SAME literals in the
+    // operator and its DuckDB oracle, so the cell-exact Verify compare
+    // cannot catch a math error in them. Here the expected score is
+    // recomputed from first principles — re-encode the neighbor with
+    // plain test-local loops, reconstruct x̂ = cent + Σ codewords, and
+    // compare adc to dot(q, x̂)/‖q‖/‖x̂‖. A dropped or doubled cross
+    // term shifts adc by ~1e-2; reassociation noise is ~1e-15.
+    val sd = Similarity.pqSubDim
+    val cents = Similarity.kmeansCentroids(spark, dir).sortBy(_._1).map(_._2)
+    val rcbs = Similarity.pqResidualCodebooks(spark, dir)
+    val vecs = e.as[(Long, Seq[Double])].collect()
+      .map { case (i, v) => i -> v.toArray }.toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def norm(a: Array[Double]) = math.sqrt(dot(a, a))
+    for ((q, n, _, adc) <- ivfpq) {
+      val v = vecs(n)
+      val b = cents.indices.minBy(c => dot(v, cents(c)) / norm(v) / norm(cents(c)) * -1.0)
+      val r = v.zip(cents(b)).map { case (x, y) => x - y }
+      val xhat = cents(b).clone()
+      for (mi <- rcbs.indices) {
+        val sub = r.slice(mi * sd, (mi + 1) * sd)
+        val code = rcbs(mi).indices.minBy(c =>
+          sub.zip(rcbs(mi)(c)).map { case (x, y) => (x - y) * (x - y) }.sum)
+        for (kk <- 0 until sd) xhat(mi * sd + kk) += rcbs(mi)(code)(kk)
+      }
+      val qv = vecs(q)
+      val expected = dot(qv, xhat) / norm(qv) / norm(xhat)
+      assert(math.abs(adc - expected) <= 1e-9,
+        s"pair ($q,$n): adc $adc vs reconstruction $expected")
+    }
     // pruned recall: nprobe/C = 1/4 of the corpus scanned; still ≥ 5×
     // the ~1% random floor on the fixture
     val bf = Similarity.bruteForceTopK(spark, dir)
