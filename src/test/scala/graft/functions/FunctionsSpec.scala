@@ -182,6 +182,71 @@ class HyperplaneSigsSpec extends graft.SparkSpec {
   }
 }
 
+class PqEncodeSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  // deterministic pseudo-random fixture (no live RNG: same rows every run)
+  private val dim = 16
+  private val mSub = 4
+  private val sd = dim / mSub
+  private def vec(seed: Int): Seq[Double] =
+    (0 until dim).map(i => math.sin(seed * 31 + i * 7).toDouble)
+  private val cents: Seq[Seq[Double]] = (1 to 3).map(s => vec(100 + s))
+  private val cbs: Seq[Seq[Seq[Double]]] =
+    (0 until mSub).map(mi => (0 until 4).map(c =>
+      vec(200 + mi * 10 + c).slice(mi * sd, (mi + 1) * sd)))
+
+  private def refEncode(v: Seq[Double], residual: Boolean): Seq[Int] = {
+    def dot(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    val b = cents.indices.minBy(c =>
+      dot(v, cents(c)) / math.sqrt(dot(v, v)) / math.sqrt(dot(cents(c), cents(c))) * -1.0)
+    val base = if (residual) v.zip(cents(b)).map { case (x, y) => x - y } else v
+    b +: (0 until mSub).map { mi =>
+      val sub = base.slice(mi * sd, (mi + 1) * sd)
+      cbs(mi).indices.minBy(c =>
+        sub.zip(cbs(mi)(c)).map { case (x, y) => (x - y) * (x - y) }.sum)
+    }
+  }
+
+  test("native encode equals plain-Scala argmins, raw and residual") {
+    val rows = (1 to 40).map(s => (s.toLong, vec(s)))
+    val df = rows.toDF("id", "v")
+    for (residual <- Seq(false, true)) {
+      val got = df.select(col("id"),
+          graft.functions.pq_encode(col("v"), cents, cbs, residual).as("enc"))
+        .as[(Long, Seq[Int])].collect().toMap
+      for ((id, v) <- rows)
+        assert(got(id) == refEncode(v, residual), s"id $id residual=$residual")
+    }
+  }
+
+  test("codes-only mode (no centroids) drops the bucket element") {
+    val df = Seq((1L, vec(7))).toDF("id", "v")
+    val enc = df.select(graft.functions.pq_encode(col("v"), Seq.empty, cbs).as("e"))
+      .as[Seq[Int]].head()
+    assert(enc.length == mSub)
+    assert(enc == refEncode(vec(7), residual = false).tail)
+  }
+
+  test("null contract: short vectors and null elements encode to null") {
+    val df = Seq(1).toDF("x").select(
+      graft.functions.pq_encode(array(lit(1.0), lit(2.0)), cents, cbs).as("short"),
+      graft.functions.pq_encode(
+        array((0 until dim).map(_ => lit(null).cast("double")): _*), cents, cbs).as("nulls"))
+    val row = df.head()
+    assert(row.isNullAt(0))
+    assert(row.isNullAt(1))
+  }
+
+  test("mistyped or null constant tables are argument errors, not NPEs") {
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_pq_encode(array(1.0), NULL, NULL)").collect()
+    }
+    assert(ex.getMessage.contains("non-null array literal"), ex.getMessage)
+  }
+}
+
 class RefCodegenSpec extends graft.SparkSpec {
   import org.apache.spark.sql.functions._
 
@@ -203,9 +268,13 @@ class RefCodegenSpec extends graft.SparkSpec {
       val rows = df.collect()
       assert(rows.length == 50)
       // and the embedding-side expressions
+      val cents = Seq(Seq.fill(64)(0.1), Seq.fill(64)(-0.1))
+      val cbs = (0 until 8).map(_ => (0 until 4).map(c => Seq.fill(8)(c * 0.25))).toSeq
       val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings").limit(20)
         .select(graft.functions.hyperplane_sigs(
-          col("embedding").cast("array<double>"), 4, 2, 64).as("hs"))
+          col("embedding").cast("array<double>"), 4, 2, 64).as("hs"),
+          graft.functions.pq_encode(
+            col("embedding").cast("array<double>"), cents, cbs, residual = true).as("pq"))
       assert(e.collect().length == 20)
       val is = spark.sql(
         "SELECT graft_intersect_size(array('a','b','c'), array('b','c','d')) AS n")
