@@ -147,14 +147,25 @@ object Similarity {
     }
 
   private def ivfSearch(corpus: DataFrame, cents: DataFrame, k: Int): DataFrame = {
-    // nearest-centroid assignment for every corpus vector
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id").asc)
+    // nearest-centroid assignment for every corpus vector. As an
+    // AGGREGATE, not a window: the broadcast join inflates the corpus
+    // ×C, and a window (partitionBy vec_id) would push all C candidate
+    // rows per vector through the exchange and a sort — max_by
+    // partial-aggregates them back to ONE skinny row per vector
+    // map-side (the C rows for a vector are co-located, born of one
+    // corpus row), so the exchange carries corpus×1 rows. Same bucket
+    // choice as the oracle's ORDER BY ccos DESC, cent_id ASC: max over
+    // (ccos, -cent_id) breaks exact cosine ties toward the lower id.
+    // first(v) is deterministic here — v is functionally dependent on
+    // the group key.
     val assigned = corpus.join(broadcast(cents))
       .select(col("vec_id"), col("v"), col("cent_id"),
         cosine_sim(col("v"), col("cv")).as("ccos"))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("bucket"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"),
+        max_by(col("cent_id"), struct(col("ccos"), (-col("cent_id")).as("neg")))
+          .as("bucket"))
+      .select(col("vec_id"), col("v"), col("bucket"))
     // queries probe their nprobe nearest centroids; the batch is the
     // bounded [[queryBatch]], so `probes` below is ≤ batch·nprobe rows
     // — a broadcast bounded by construction, not by data luck

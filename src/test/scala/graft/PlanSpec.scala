@@ -92,6 +92,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("IVF assignment partial-aggregates the xC candidate rows before the exchange") {
+    // the broadcast join inflates the corpus ×C; a window formulation
+    // would shuffle all C rows per vector — the max_by aggregate must
+    // collapse them map-side so the exchange carries corpus×1 rows
+    for (q <- Seq("q26_ann_ivf", "q49_ann_ivf_trained")) {
+      val p = plan(q)
+      assert(p.contains("partial_max_by"), s"$q assignment must map-side combine:\n$p")
+    }
+  }
+
   test("global shuffle sorts via range partitioning, not a single-partition window") {
     // the distributed total-order exchange; a row_number() window over
     // the whole frame would show Exchange SinglePartition + Window
