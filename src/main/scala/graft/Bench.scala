@@ -56,8 +56,9 @@ object Bench {
     // the per-query line above is one giant JSON object and the last
     // lines of output are what survives tail capture — repeat the
     // headline as its own compact line LAST so a clipped tail still
-    // parses the total
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_run":${results.count(_._2 >= 0)},"sf":${Json.quote(sfDir)}}""")
+    // parses the total. Named total_tail, NOT total: a consumer that
+    // greps-and-sums "metric":"total" lines must not double-count.
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","queries_run":${results.count(_._2 >= 0)},"sf":${Json.quote(sfDir)}}""")
     spark.stop()
   }
 }

@@ -186,11 +186,16 @@ object SparkEntry {
     // O5/O6/O18 fidelity: the reference's composite-key index stream —
     // [size][blake2b(fk)][blake2b(pk)|zeros] keys, Kafka murmur2
     // partition routing by FK digest only, so both sides of one FK
-    // co-locate (JoinKeyPartitioner.java:20-22). No DuckDB oracle
-    // (BLAKE2b is not SQL-expressible there) → rows-only check; the
-    // per-byte layout is covered by JoinKeySpec/Murmur2Spec.
+    // co-locate (JoinKeyPartitioner.java:20-22). BLAKE2b/murmur2 are
+    // not DuckDB-expressible, but their RESULTS are (the q49/q79
+    // trained-literal pattern): [[joinKeyIndexSql]] inlines the
+    // per-key digest hex + partition id as VALUES tables, so layout,
+    // prefix-zeroing, and partition routing check cell-exact; the
+    // digest math itself is pinned by RFC 7693 / Kafka vectors in
+    // JoinKeySpec/Murmur2Spec.
     "q07_joinkey_index" -> ((s, dir) => {
       import graft.functions._
+      joinKeyDirs.add(dir)
       val lefts = Tables.load(s, dir, "orders").select(
         join_key(col("o_custkey"), col("o_orderkey")).as("jk"),
         col("o_custkey").cast("string").as("fk"))
@@ -628,6 +633,62 @@ object SparkEntry {
     }),
   )
 
+  /** Dirs q07 ran on in this JVM — [[joinKeyIndexSql]] generates its
+    * oracle for exactly one (the shape of a Verify run, which evaluates
+    * `oracleSql` after the queries).
+    */
+  private val joinKeyDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Full DuckDB oracle for q07, trained-literal style: BLAKE2b and
+    * Kafka-murmur2 aren't SQL-expressible, but their RESULTS over the
+    * (bounded) key domain are — one VALUES row per distinct FK
+    * (custkey: digest hex + partition id, computed driver-side by the
+    * same [[graft.functions.Blake2b]]/[[graft.functions.Murmur2]]
+    * kernels the expressions call — kernels pinned independently by the
+    * RFC 7693 / Kafka published-vector unit tests, so a shared-constant
+    * math error cannot self-certify) and one per distinct PK (orderkey:
+    * digest hex). DuckDB then re-derives the composite-key hex layout
+    * `[08][fk][pk|zeros]`, the is_right flag, and the partition routing
+    * relationally, so q07 checks rows+schema+hash like every other
+    * query instead of rows-only. Key domain at the verify SF is ~16.5k
+    * literals — a bounded dimension table, not data-sized.
+    */
+  private def joinKeyIndexSql(): Option[String] = {
+    if (joinKeyDirs.size != 1) return None
+    val dir = joinKeyDirs.iterator().next()
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .filter(s => !s.sparkContext.isStopped)
+      .map { s =>
+        import s.implicits._
+        def digest(k: Long): Array[Byte] = graft.functions.Blake2b.digest(
+          k.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8), 8)
+        def hexOf(d: Array[Byte]): String = d.map("%02X".format(_)).mkString
+        val fks = Tables.load(s, dir, "orders").select(col("o_custkey").cast("long"))
+          .union(Tables.load(s, dir, "customer").select(col("c_custkey").cast("long")))
+          .distinct().as[Long].collect().sorted
+        val pks = Tables.load(s, dir, "orders").select(col("o_orderkey").cast("long"))
+          .distinct().as[Long].collect().sorted
+        val fkRows = fks.map { k =>
+          val d = digest(k)
+          s"($k, '${hexOf(d)}', ${graft.functions.Murmur2.partition(d, 32)})"
+        }.mkString(",\n             ")
+        val pkRows = pks.map(k => s"($k, '${hexOf(digest(k))}')")
+          .mkString(",\n             ")
+        s"""WITH fkd AS (SELECT * FROM (VALUES $fkRows) AS ft(fk, fkhex, part)),
+             pkd AS (SELECT * FROM (VALUES $pkRows) AS pt(pk, pkhex))
+            SELECT '08' || f.fkhex || p.pkhex AS key_hex,
+                   FALSE AS is_right, f.part AS "partition"
+            FROM orders o
+            JOIN fkd f ON f.fk = o.o_custkey
+            JOIN pkd p ON p.pk = o.o_orderkey
+            UNION ALL
+            SELECT '08' || f.fkhex || '0000000000000000' AS key_hex,
+                   TRUE AS is_right, f.part AS "partition"
+            FROM customer c
+            JOIN fkd f ON f.fk = c.c_custkey"""
+      }
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -763,5 +824,8 @@ object SparkEntry {
     // same gating for q77: the PQ codebooks inline once trained
     Similarity.pqTopKSql().map("q77_pq_adc" -> _) ++
     // q79 needs BOTH trained artifacts (centroids + codebooks) inlined
-    Similarity.ivfPqTopKSql().map("q79_ann_ivfpq" -> _)
+    Similarity.ivfPqTopKSql().map("q79_ann_ivfpq" -> _) ++
+    // q07's digest/partition literal tables exist once it ran (same
+    // gating): the last rows-only query gains a full oracle
+    joinKeyIndexSql().map("q07_joinkey_index" -> _)
 }

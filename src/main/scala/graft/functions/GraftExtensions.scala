@@ -34,14 +34,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   private def leafDoubles(a: org.apache.spark.sql.catalyst.util.ArrayData, what: String): Seq[Double] =
-    try (0 until a.numElements()).map(a.getDouble)
-    catch { case _: ClassCastException =>
+    try (0 until a.numElements()).map { i =>
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(s"$what must not contain NULL elements")
+      a.getDouble(i)
+    } catch { case _: ClassCastException =>
       throw new IllegalArgumentException(s"$what elements must be DOUBLE")
     }
 
+  /** A null sub-array (e.g. `array(array(1.0), NULL)`) is the same
+    * argument error as a null leaf — raise it, don't NPE downstream.
+    */
+  private def subArray(a: org.apache.spark.sql.catalyst.util.ArrayData, i: Int,
+      what: String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val sub = a.getArray(i)
+    if (sub == null)
+      throw new IllegalArgumentException(s"$what must not contain NULL elements")
+    sub
+  }
+
   private def doubles2(e: Expression, what: String): Seq[Seq[Double]] = {
     val arr = foldedArray(e, what)
-    try (0 until arr.numElements()).map(i => leafDoubles(arr.getArray(i), what))
+    try (0 until arr.numElements()).map(i => leafDoubles(subArray(arr, i, what), what))
     catch { case _: ClassCastException =>
       throw new IllegalArgumentException(s"$what must be array<array<double>>")
     }
@@ -50,8 +64,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def doubles3(e: Expression, what: String): Seq[Seq[Seq[Double]]] = {
     val arr = foldedArray(e, what)
     try (0 until arr.numElements()).map { i =>
-      val mid = arr.getArray(i)
-      (0 until mid.numElements()).map(j => leafDoubles(mid.getArray(j), what))
+      val mid = subArray(arr, i, what)
+      (0 until mid.numElements()).map(j => leafDoubles(subArray(mid, j, what), what))
     } catch { case _: ClassCastException =>
       throw new IllegalArgumentException(s"$what must be array<array<array<double>>>")
     }

@@ -521,8 +521,13 @@ object HyperplaneSigs {
   * dimension order — the same IEEE sequence as the HOF chain it
   * replaces and as the generated oracle's list_sum.
   *
-  * Null contract: null/short vector or null element → null (mirrors
-  * [[HyperplaneSigs]]).
+  * Null contract: a null vector, a null element, or a vector whose
+  * length differs from the codebooks' dim in EITHER direction → null.
+  * Unlike [[HyperplaneSigs]] (whose prefix-projection of longer vectors
+  * is a documented signature semantic), a PQ code is only meaningful
+  * against codebooks trained at the exact dimension — prefix-encoding a
+  * 128-dim vector with 64-dim codebooks would yield silent garbage
+  * codes, so the mismatch is rejected, not truncated.
   */
 case class PqEncode(child: Expression, cents: Seq[Seq[Double]],
     cbs: Seq[Seq[Seq[Double]]], residual: Boolean = false)
@@ -557,7 +562,7 @@ case class PqEncode(child: Expression, cents: Seq[Seq[Double]],
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    if (arr.numElements() < dim) return null
+    if (arr.numElements() != dim) return null
     val v = new Array[Double](dim)
     var d = 0
     while (d < dim) {

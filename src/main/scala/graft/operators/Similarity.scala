@@ -146,19 +146,27 @@ object Similarity {
       Some(ivfSqlWith(s"SELECT * FROM (VALUES $rows) AS vt(cent_id, cv)", k))
     }
 
-  private def ivfSearch(corpus: DataFrame, cents: DataFrame, k: Int): DataFrame = {
-    // nearest-centroid assignment for every corpus vector. As an
-    // AGGREGATE, not a window: the broadcast join inflates the corpus
-    // ×C, and a window (partitionBy vec_id) would push all C candidate
-    // rows per vector through the exchange and a sort — max_by
-    // partial-aggregates them back to ONE skinny row per vector
-    // map-side (the C rows for a vector are co-located, born of one
-    // corpus row), so the exchange carries corpus×1 rows. Same bucket
-    // choice as the oracle's ORDER BY ccos DESC, cent_id ASC: max over
-    // (ccos, -cent_id) breaks exact cosine ties toward the lower id.
-    // first(v) is deterministic here — v is functionally dependent on
-    // the group key.
-    val assigned = corpus.join(broadcast(cents))
+  /** Nearest-centroid assignment for every corpus vector. As an
+    * AGGREGATE, not a window: the broadcast join inflates the corpus
+    * ×C, and a window (partitionBy vec_id) would push all C candidate
+    * rows per vector through the exchange and a sort — max_by
+    * partial-aggregates them back to ONE skinny row per vector
+    * map-side (the C rows for a vector are co-located, born of one
+    * corpus row), so the exchange carries corpus×1 rows. Same bucket
+    * choice as the oracle's ORDER BY ccos DESC, cent_id ASC: max over
+    * (ccos, -cent_id) breaks exact cosine ties toward the lower id.
+    * first(v) is deterministic here — v is functionally dependent on
+    * the group key.
+    *
+    * Null contract (explicit, mirrored as `v IS NOT NULL` in every
+    * generated oracle's assigned CTE): a corpus row with no embedding
+    * cannot be indexed and is DROPPED here, visibly — without the
+    * filter it would vanish anyway because max_by ignores rows whose
+    * ordering key is null, but silently, while a SQL oracle's
+    * row_number-over-nulls-last would still assign it a bucket.
+    */
+  private[graft] def ivfAssign(corpus: DataFrame, cents: DataFrame): DataFrame =
+    corpus.filter(col("v").isNotNull).join(broadcast(cents))
       .select(col("vec_id"), col("v"), col("cent_id"),
         cosine_sim(col("v"), col("cv")).as("ccos"))
       .groupBy(col("vec_id"))
@@ -166,6 +174,9 @@ object Similarity {
         max_by(col("cent_id"), struct(col("ccos"), (-col("cent_id")).as("neg")))
           .as("bucket"))
       .select(col("vec_id"), col("v"), col("bucket"))
+
+  private def ivfSearch(corpus: DataFrame, cents: DataFrame, k: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, cents)
     // queries probe their nprobe nearest centroids; the batch is the
     // bounded [[queryBatch]], so `probes` below is ≤ batch·nprobe rows
     // — a broadcast bounded by construction, not by data luck
@@ -202,7 +213,7 @@ object Similarity {
             SELECT e.vec_id, e.v, c.cent_id,
                    row_number() OVER (PARTITION BY e.vec_id
                      ORDER BY ${cosSqlOn("e.v", "c.cv")} DESC, c.cent_id ASC) AS crank
-            FROM e, c) WHERE crank = 1),
+            FROM e, c WHERE e.v IS NOT NULL) WHERE crank = 1),
         q AS ($querySql),
         probes AS (
           SELECT query_id, qv, cent_id AS bucket FROM (
@@ -899,7 +910,7 @@ object Similarity {
             SELECT e.vec_id, c.cent_id AS bucket,
                    row_number() OVER (PARTITION BY e.vec_id
                      ORDER BY ${cosSqlOn("e.v", "c.cv")} DESC, c.cent_id ASC) AS crank
-            FROM e, c) WHERE crank = 1),
+            FROM e, c WHERE e.v IS NOT NULL) WHERE crank = 1),
         dists AS (
           SELECT e.vec_id, a.bucket, cb.m, cb.c,
                  list_sum(list_transform(range(1, ${sd + 1}),

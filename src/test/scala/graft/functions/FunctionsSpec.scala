@@ -229,14 +229,18 @@ class PqEncodeSpec extends graft.SparkSpec {
     assert(enc == refEncode(vec(7), residual = false).tail)
   }
 
-  test("null contract: short vectors and null elements encode to null") {
+  test("null contract: wrong-dimension vectors and null elements encode to null") {
     val df = Seq(1).toDF("x").select(
       graft.functions.pq_encode(array(lit(1.0), lit(2.0)), cents, cbs).as("short"),
+      // longer than dim must be null too, NOT a garbage prefix-encode
+      graft.functions.pq_encode(
+        array((0 to dim).map(i => lit(i.toDouble)): _*), cents, cbs).as("long"),
       graft.functions.pq_encode(
         array((0 until dim).map(_ => lit(null).cast("double")): _*), cents, cbs).as("nulls"))
     val row = df.head()
     assert(row.isNullAt(0))
     assert(row.isNullAt(1))
+    assert(row.isNullAt(2))
   }
 
   test("mistyped or null constant tables are argument errors, not NPEs") {
@@ -244,6 +248,23 @@ class PqEncodeSpec extends graft.SparkSpec {
       spark.sql("SELECT graft_pq_encode(array(1.0), NULL, NULL)").collect()
     }
     assert(ex.getMessage.contains("non-null array literal"), ex.getMessage)
+  }
+
+  test("NULL sub-arrays inside constant tables are argument errors, not NPEs") {
+    // null element at the outer level of a 2-deep table (cents)...
+    val ex2 = intercept[Exception] {
+      spark.sql("""SELECT graft_pq_encode(array(1.0d, 2.0d),
+        array(array(1.0d, 2.0d), NULL),
+        array(array(array(1.0d), array(2.0d)), array(array(3.0d), array(4.0d))))""").collect()
+    }
+    assert(ex2.getMessage.contains("NULL elements"), ex2.getMessage)
+    // ...and at the middle level of a 3-deep table (codebooks)
+    val ex3 = intercept[Exception] {
+      spark.sql("""SELECT graft_pq_encode(array(1.0d, 2.0d),
+        array(array(1.0d, 2.0d)),
+        array(array(array(1.0d), NULL), array(array(3.0d), array(4.0d))))""").collect()
+    }
+    assert(ex3.getMessage.contains("NULL elements"), ex3.getMessage)
   }
 }
 

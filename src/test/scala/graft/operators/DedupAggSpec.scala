@@ -16,6 +16,21 @@ class DedupAggSpec extends SparkSpec {
   }
 }
 
+class ClusterCacheSpec extends SparkSpec {
+  test("stale foreign-session entries are evicted on the guard miss, not left pinned") {
+    // a frame owned by a DIFFERENT session under a key whose recompute
+    // fails (nonexistent dir): the guard must evict the stale entry even
+    // though the recompute never reaches its own put()
+    val other = spark.newSession()
+    val key = ("/nonexistent/cluster-cache-dir", 0.97)
+    Dedup.clusterCache.put(key, other.range(1).toDF())
+    intercept[Exception] {
+      Dedup.dedupClusters(spark, key._1, key._2)
+    }
+    assert(!Dedup.clusterCache.containsKey(key))
+  }
+}
+
 class PrefixFilterSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
   private val dir = "/root/testdata/sf0.01"

@@ -40,6 +40,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("IVF assignment drops null-embedding rows explicitly, keeps the rest") {
+    // dirty corpus: row 10 has no embedding — it must be ABSENT from the
+    // index (the documented contract, mirrored by `v IS NOT NULL` in the
+    // generated oracles), not silently swallowed by max_by null-ordering
+    val corpus = Seq(
+      (0L, Some(Seq(1.0, 0.0))),
+      (1L, Some(Seq(0.0, 1.0))),
+      (10L, Option.empty[Seq[Double]]),
+      (11L, Some(Seq(0.9, 0.1)))
+    ).toDF("vec_id", "v")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cent_id", "cv")
+    val got = Similarity.ivfAssign(corpus, cents)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 11L -> 0L))
+  }
+
   test("IVF top-k has high recall vs brute force on real embeddings") {
     val bf = Similarity.bruteForceTopK(spark, dir)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
