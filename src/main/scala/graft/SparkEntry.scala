@@ -71,7 +71,17 @@ object SparkEntry {
     * queries differ only in the stateful core (and q50's state-store
     * provider), so they verify against the SAME oracle contract.
     */
-  private def streamDenormQuery(s: SparkSession, dir: String, tag: String)(
+  /** `awaitRows`: with the default (-1) the stream runs
+    * `processAllAvailable()` — the right call for TimeMode.None cores.
+    * A TTL'd transformWithState core runs under TimeMode.ProcessingTime,
+    * which requests another batch UNCONDITIONALLY (timer/TTL sweeps need
+    * wall-clock progress), so `processAllAvailable()` NEVER returns —
+    * pass the exact expected output count instead and the harness polls
+    * the sink until the stream converges to it (or a 180 s deadline
+    * makes the failure visible as a short row count, never a hang).
+    */
+  private def streamDenormQuery(s: SparkSession, dir: String, tag: String,
+      awaitRows: Long = -1L)(
       core: org.apache.spark.sql.Dataset[graft.streaming.IndexRecord] =>
         org.apache.spark.sql.Dataset[graft.streaming.JoinedRecord]): DataFrame = {
     import s.implicits._
@@ -102,7 +112,14 @@ object SparkEntry {
         val q = core(input)
           .writeStream.format("memory").queryName(name).outputMode("append")
           .option("checkpointLocation", ckpt).start()
-        try q.processAllAvailable() finally q.stop()
+        try {
+          if (awaitRows < 0) q.processAllAvailable()
+          else {
+            val deadline = System.nanoTime() + 180L * 1000L * 1000L * 1000L
+            while (s.table(name).count() < awaitRows && System.nanoTime() < deadline)
+              Thread.sleep(100)
+          }
+        } finally q.stop()
       }
     } finally rmTree(ckpt)
     StreamDenormalize.parsed(s.table(name).as[JoinedRecord], ev.schema, cust.schema)
@@ -491,6 +508,34 @@ object SparkEntry {
         case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }),
+    // q50 with the production state-TTL knob engaged: TTLConfig on both
+    // state families + TimeMode.ProcessingTime — the bounded-state form
+    // a deployment sets to its join-window SLA so per-FK state can't
+    // grow forever (the reference leaves this open:
+    // HackerNewsPipeline.java:35-36 "compacted topics grow forever").
+    // The TTL (1 h) dwarfs the run, so nothing expires and the stream
+    // converges to the SAME relational-join oracle as q08/q50 — what
+    // this registers is the ProcessingTime+TTL execution path itself;
+    // eviction semantics are pinned by TwsDenormalizeSpec's TTL test.
+    // Batch-bounded by awaitRows: under ProcessingTime the engine
+    // requests batches forever, so processAllAvailable() would hang —
+    // the harness instead polls the sink up to the exact batch-join
+    // count (known, cheap) and stops the query explicitly.
+    "q80_stream_denorm_tws_ttl" -> ((s, dir) => {
+      val expected = Tables.events(s, dir)
+        .join(Tables.load(s, dir, "customer"),
+          col("user_id") === col("c_custkey")).count()
+      val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try streamDenormQuery(s, dir, "q80", awaitRows = expected)(
+        graft.streaming.TwsDenormalize.joined(_, "inner",
+          ttl = Some(java.time.Duration.ofHours(1))))
+      finally prevProvider match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }),
 
     // ---- round 3: sketches, sampling, stream-stream join ----
     // portable HyperLogLog: integer register math from the md5 base
@@ -789,6 +834,7 @@ object SparkEntry {
     "q47_grouping_sets" -> Analytics.orderGroupingSetsSql,
     "q48_curation" -> PipelineOps.curationSql(),
     "q50_stream_denorm_tws" -> streamDenormOracle,
+    "q80_stream_denorm_tws_ttl" -> streamDenormOracle,
     "q51_text_repetition" -> TextAnalysis.repetitionScoresSql,
     "q52_pii_scan" -> TextAnalysis.piiScanSql,
     "q53_sequence_packing" -> PipelineOps.sequencePackingSql(),
