@@ -99,6 +99,12 @@ class PlanSpec extends SparkSpec {
     for (q <- Seq("q26_ann_ivf", "q49_ann_ivf_trained")) {
       val p = plan(q)
       assert(p.contains("partial_max_by"), s"$q assignment must map-side combine:\n$p")
+      // the explicit null-embedding drop (ivfAssign's visible contract)
+      // must reach the parquet scan as a pushed filter — null rows never
+      // leave the scan, and the filter can't silently detach from the
+      // oracle's mirrored `v IS NOT NULL` in a refactor
+      assert(p.contains("IsNotNull(embedding)"),
+        s"$q: null-embedding filter not pushed to the scan:\n$p")
     }
   }
 
