@@ -536,6 +536,13 @@ object SparkEntry {
         case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }),
+    // cluster-balanced diversity sampling (the SemDeDup-style
+    // cluster-then-sample curation step): nearest trained centroid per
+    // embedding, deterministic md5 draw, at most `quota` per cluster —
+    // a dominant cluster can't dominate the sample, thin clusters
+    // survive whole. Trained-literal oracle, same gating as q49.
+    "q81_cluster_diversity_sample" ->
+      ((s, dir) => Similarity.clusterDiversitySample(s, dir)),
 
     // ---- round 3: sketches, sampling, stream-stream join ----
     // portable HyperLogLog: integer register math from the md5 base
@@ -873,5 +880,7 @@ object SparkEntry {
     Similarity.ivfPqTopKSql().map("q79_ann_ivfpq" -> _) ++
     // q07's digest/partition literal tables exist once it ran (same
     // gating): the last rows-only query gains a full oracle
-    joinKeyIndexSql().map("q07_joinkey_index" -> _)
+    joinKeyIndexSql().map("q07_joinkey_index" -> _) ++
+    // q81 reuses q49's trained centroids (shared trainedCache)
+    Similarity.clusterDiversitySampleSql().map("q81_cluster_diversity_sample" -> _)
 }

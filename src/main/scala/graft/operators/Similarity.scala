@@ -129,6 +129,69 @@ object Similarity {
     ivfSearch(corpus, cents, k)
   }
 
+  /** Cluster-balanced diversity sample — the curation move that keeps a
+    * corpus SEMANTICALLY broad under a budget (the cluster-then-sample
+    * step of SemDeDup-style pipelines): assign every embedding to its
+    * nearest trained centroid ([[ivfAssign]], the same memoized k-means
+    * as q49/q79) and keep at most `quota` vectors per cluster, chosen by
+    * a deterministic md5 draw (vec_id tiebreak). Equal per-cluster
+    * quotas mean a cluster that dominates the raw corpus (boilerplate,
+    * near-dups that survived dedup) cannot dominate the sample, while
+    * thin clusters survive whole — the opposite failure mode of uniform
+    * sampling, which reproduces the imbalance.
+    *
+    * Scale shape: assignment is the pinned map-side `max_by` aggregate
+    * (one skinny exchange); the literal `rank <= quota` bound plans as
+    * WindowGroupLimit, so each partition pre-trims to `quota` rows per
+    * bucket BEFORE the per-bucket exchange — the same partial top-k
+    * contract as q56's stratified sampler. Output is (vec_id, bucket,
+    * rank): the sample plus the provenance a downstream mixture weight
+    * needs.
+    */
+  def clusterDiversitySample(s: SparkSession, dir: String, quota: Int = 20): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, dir)
+    val trained = trainedCache.computeIfAbsent(dir, _ => kmeansCentroids(s, dir))
+    val cents = s.createDataset(trained.toSeq.map { case (i, v) => (i, v.toSeq) })
+      .toDF("cent_id", "cv")
+      .select(col("cent_id").cast("long").as("cent_id"), col("cv").as("cv"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("draw").asc, col("vec_id").asc)
+    ivfAssign(corpus, cents)
+      .select(col("vec_id"), col("bucket"),
+        graft.functions.md5_long(col("vec_id")).as("draw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= quota)
+      .select(col("vec_id"), col("bucket"), col("rank"))
+  }
+
+  /** Oracle for [[clusterDiversitySample]] — same trained-literal gating
+    * as [[ivfTopKTrainedSql]]; the md5 draw is the portable idiom shared
+    * with the split/sampling oracles.
+    */
+  def clusterDiversitySampleSql(quota: Int = 20): Option[String] =
+    if (trainedCache.size != 1) None
+    else {
+      val cents = trainedCache.values.iterator.next()
+      val rows = cents.map { case (ci, v) =>
+        s"($ci, [${v.mkString(", ")}]::DOUBLE[])"
+      }.mkString(",\n               ")
+      val draw = "('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT"
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT * FROM (VALUES $rows) AS vt(cent_id, cv)),
+        assigned AS (
+          SELECT vec_id, cent_id AS bucket FROM (
+            SELECT e.vec_id, c.cent_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosSqlOn("e.v", "c.cv")} DESC, c.cent_id ASC) AS crank
+            FROM e, c WHERE e.v IS NOT NULL) WHERE crank = 1)
+        SELECT vec_id, bucket,
+               row_number() OVER (PARTITION BY bucket
+                 ORDER BY $draw ASC, vec_id ASC) AS rank
+        FROM assigned
+        QUALIFY rank <= $quota""")
+    }
+
   /** Oracle for the trained-IVF query, available once [[ivfTopKTrained]]
     * has run in this JVM for exactly ONE sf dir (the shape of a Verify
     * run, which evaluates the oracle map after the queries): the trained

@@ -64,6 +64,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("cluster diversity sample: partial top-quota + map-side assignment") {
+    // same partial top-k contract as q56, stacked on the pinned
+    // max_by assignment — the per-bucket exchange carries at most
+    // partitions·clusters·quota rows, never the corpus
+    val p = plan("q81_cluster_diversity_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("partial_max_by"), p)
+  }
+
   test("bloom probe joins the bounded bit table by broadcast") {
     val p = plan("q57_bloom_prune")
     assert(p.contains("BroadcastHashJoin"), p)

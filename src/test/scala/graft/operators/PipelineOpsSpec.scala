@@ -56,6 +56,35 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Map(0L -> 0L, 1L -> 1L, 11L -> 0L))
   }
 
+  test("cluster diversity sample: per-cluster quota enforced, thin clusters survive whole") {
+    import org.apache.spark.sql.functions.col
+    val quota = 5
+    val got = Similarity.clusterDiversitySample(spark, dir, quota)
+      .select("vec_id", "bucket", "rank").as[(Long, Long, Int)].collect()
+    // full cluster sizes from the same assignment (no quota)
+    val trained = Similarity.kmeansCentroids(spark, dir)
+    val cents = trained.toSeq.map { case (i, v) => (i.toLong, v.toSeq) }
+      .toDF("cent_id", "cv")
+    val corpus = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val sizes = Similarity.ivfAssign(corpus, cents)
+      .groupBy("bucket").count().as[(Long, Long)].collect().toMap
+    val byBucket = got.groupBy(_._2)
+    // every assigned cluster is represented, at min(size, quota) rows,
+    // with contiguous ranks 1..n — the diversity contract
+    assert(byBucket.keySet == sizes.keySet)
+    for ((b, rows) <- byBucket) {
+      assert(rows.length == math.min(sizes(b), quota.toLong),
+        s"bucket $b: ${rows.length} rows, size ${sizes(b)}")
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        s"bucket $b ranks not contiguous")
+    }
+    // determinism: a second run returns the identical sample
+    val again = Similarity.clusterDiversitySample(spark, dir, quota)
+      .select("vec_id", "bucket", "rank").as[(Long, Long, Int)].collect()
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("IVF top-k has high recall vs brute force on real embeddings") {
     val bf = Similarity.bruteForceTopK(spark, dir)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
