@@ -13,7 +13,12 @@ object Bench {
     // fixed name order: the Map's hash order shuffles between rounds,
     // silently reassigning which query absorbs residual first-touch
     // cost — sorted order makes cross-round per-query comparison stable
+    // SPARK_GRAFT_BENCH_ONLY=q49,q81 restricts to a comma-separated
+    // prefix list for local regression adjudication (driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     // the synthetic warm-ups above don't cover the join/window/exchange
     // codegen paths, so whichever query ran first still paid ~1 s of
     // compiler warm-up even under min-of-2 (q01 swung 0.3↔1.5 s on
@@ -46,19 +51,24 @@ object Bench {
       // run, so a transient failure on EITHER side never erases a real
       // measurement — only a query that succeeded zero times records -1.
       val runs = Seq(once(), once()).filter(_ >= 0)
-      val secs = if (runs.isEmpty) -1.0 else runs.min
-      name -> secs
+      // keep BOTH min and max: min is the comparable steady-state cost,
+      // max bounds the run-to-run noise band so a cross-round judge can
+      // separate a real regression (min moved) from sandbox jitter
+      // (only max moved) without re-measuring
+      val lo = if (runs.isEmpty) -1.0 else runs.min
+      val hi = if (runs.isEmpty) -1.0 else runs.max
+      (name, lo, hi)
     }
-    val qs = results.map { case (k, v) => Json.quote(k) + ":" + v }
+    val qs = results.map { case (k, lo, hi) => Json.quote(k) + s":[$lo,$hi]" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, lo, _) if lo >= 0 => lo }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.quote(sfDir)}}""")
     // the per-query line above is one giant JSON object and the last
     // lines of output are what survives tail capture — repeat the
     // headline as its own compact line LAST so a clipped tail still
     // parses the total. Named total_tail, NOT total: a consumer that
     // greps-and-sums "metric":"total" lines must not double-count.
-    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","queries_run":${results.count(_._2 >= 0)},"sf":${Json.quote(sfDir)}}""")
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","queries_run":${results.count(_._2 >= 0.0)},"sf":${Json.quote(sfDir)}}""")
     spark.stop()
   }
 }

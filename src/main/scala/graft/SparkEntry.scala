@@ -29,6 +29,28 @@ object SparkEntry {
     java.nio.file.Files.createTempDirectory(base, s"graft_$tag").toString
   }
 
+  /** rmTree for a just-stopped streaming query's checkpoint: RocksDB
+    * state-store providers are unloaded by an ASYNC maintenance task
+    * that can still write under the checkpoint dir briefly after
+    * `query.stop()` returns, so a single walk-and-delete races it
+    * (DirectoryNotEmptyException / vanished entries). Retry a few
+    * times; the final attempt is best-effort — a leaked tmpfs temp dir
+    * is reclaimed at JVM exit and is strictly better than failing the
+    * query that already produced its result.
+    */
+  private[graft] def rmTreeRetry(path: String, attempts: Int = 4): Unit = {
+    var i = 0
+    var done = false
+    while (!done && i < attempts) {
+      i += 1
+      try { rmTree(path); done = true }
+      catch {
+        case _: java.io.IOException | _: java.io.UncheckedIOException =>
+          if (i < attempts) Thread.sleep(100)
+      }
+    }
+  }
+
   private[graft] def rmTree(path: String): Unit = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
@@ -81,21 +103,28 @@ object SparkEntry {
     * makes the failure visible as a short row count, never a hang).
     */
   private def streamDenormQuery(s: SparkSession, dir: String, tag: String,
-      awaitRows: Long = -1L)(
+      awaitRows: Long = -1L,
+      rightFilter: Option[org.apache.spark.sql.Column] = None)(
       core: org.apache.spark.sql.Dataset[graft.streaming.IndexRecord] =>
         org.apache.spark.sql.Dataset[graft.streaming.JoinedRecord]): DataFrame = {
     import s.implicits._
     import graft.streaming._
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-    val cust = Tables.load(s, dir, "customer")
+    val custAll = Tables.load(s, dir, "customer")
+    // an outer-join query thins the right side so some FKs genuinely
+    // miss — the null-side emission path has real work to do
+    val cust = rightFilter.fold(custAll)(custAll.filter)
     val idx = StreamDenormalize.indexStream(
       ev, col("event_id"), col("user_id"), col("event_id") + lit(1000000000L),
       cust, col("c_custkey"), col("c_custkey"))
     // the index stream is IDENTICAL for q08 and q50 (same inputs, same
     // re-key) — staged once per JVM under one shared tag, consumed by
-    // both cores (and by bench repetitions) with per-run checkpoints
-    val tmp = stagedOnce(dir, "denorm_idx") { p =>
+    // both cores (and by bench repetitions) with per-run checkpoints;
+    // a filtered right side is a DIFFERENT stream, so it stages under
+    // its own tag
+    val idxTag = if (rightFilter.isEmpty) "denorm_idx" else s"denorm_idx_$tag"
+    val tmp = stagedOnce(dir, idxTag) { p =>
       // repartition = write parallelism for the staging step only (the
       // single-file input otherwise writes on one task); record order
       // within a micro-batch is immaterial — the join core sorts each
@@ -109,19 +138,50 @@ object SparkEntry {
     try {
       val input = s.readStream.schema(idx.schema).parquet(tmp).as[IndexRecord]
       withStatePartitions(s, 8) {
+        // ProcessingTime cores can't processAllAvailable() (the engine
+        // requests batches forever), so convergence is detected the
+        // moment a batch lands: a StreamingQueryListener checks the sink
+        // count per progress event and trips a latch — no polling
+        // quantization on the critical path. The 1 s latch chunks are a
+        // belt-and-braces fallback for a dropped listener event; the
+        // 180 s deadline makes failure visible as a short row count.
+        val done = new java.util.concurrent.CountDownLatch(1)
+        def converged(): Boolean = s.table(name).count() >= awaitRows
+        // the listener bus is ASYNC and session-global: a terminated /
+        // progress event from the PREVIOUS streaming query can be
+        // delivered after this listener registers, so every event must
+        // be filtered to this run's query id or a stale event trips the
+        // latch and stops the query before its first batch commits
+        val myId = new java.util.concurrent.atomic.AtomicReference[java.util.UUID](null)
+        val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+          private def mine(id: java.util.UUID): Boolean = id == myId.get()
+          override def onQueryStarted(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryProgress(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+            if (awaitRows >= 0 && mine(e.progress.id) && converged()) done.countDown()
+          override def onQueryTerminated(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+            if (mine(e.id)) done.countDown()
+        }
+        if (awaitRows >= 0) s.streams.addListener(listener)
         val q = core(input)
           .writeStream.format("memory").queryName(name).outputMode("append")
           .option("checkpointLocation", ckpt).start()
+        myId.set(q.id)
         try {
           if (awaitRows < 0) q.processAllAvailable()
           else {
             val deadline = System.nanoTime() + 180L * 1000L * 1000L * 1000L
-            while (s.table(name).count() < awaitRows && System.nanoTime() < deadline)
-              Thread.sleep(100)
+            while (!done.await(1, java.util.concurrent.TimeUnit.SECONDS) &&
+                !converged() && System.nanoTime() < deadline) ()
           }
-        } finally q.stop()
+        } finally {
+          q.stop()
+          if (awaitRows >= 0) s.streams.removeListener(listener)
+        }
       }
-    } finally rmTree(ckpt)
+    } finally rmTreeRetry(ckpt)
     StreamDenormalize.parsed(s.table(name).as[JoinedRecord], ev.schema, cust.schema)
       .select(col("left.*"), col("right.*"))
   }
@@ -268,7 +328,7 @@ object SparkEntry {
         val q = joined.writeStream.format("memory").queryName(name)
           .outputMode("append").option("checkpointLocation", ckpt).start()
         try q.processAllAvailable() finally q.stop()
-      } finally rmTree(ckpt)
+      } finally rmTreeRetry(ckpt)
       s.table(name)
     }),
 
@@ -536,6 +596,27 @@ object SparkEntry {
         case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }),
+    // the streaming LEFT OUTER variant (JoinTransformer.java:72-130's
+    // leftOuter flag) against a thinned right side, so ~1/3 of the FKs
+    // genuinely miss and the null-side emission path
+    // (processRecords' `None if emitLeftNull` arm) carries real rows.
+    // Rights sort before lefts in the index stream (seq = c_custkey vs
+    // event_id+1e9) and the staged files arrive in one batch, so each
+    // left emits exactly once — joined when its customer survived the
+    // filter, left+null otherwise — and the converged output IS the
+    // relational LEFT JOIN.
+    "q82_stream_denorm_left_outer" -> ((s, dir) => {
+      val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try streamDenormQuery(s, dir, "q82",
+        rightFilter = Some(col("c_custkey") % 3 =!= 0))(
+        graft.streaming.TwsDenormalize.joined(_, "left_outer"))
+      finally prevProvider match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }),
     // cluster-balanced diversity sampling (the SemDeDup-style
     // cluster-then-sample curation step): nearest trained centroid per
     // embedding, deterministic md5 draw, at most `quota` per cluster —
@@ -613,7 +694,7 @@ object SparkEntry {
             .option("checkpointLocation", ckpt).start()
           try q.processAllAvailable() finally q.stop()
         }
-      } finally rmTree(ckpt)
+      } finally rmTreeRetry(ckpt)
       s.table(name)
     }),
 
@@ -645,7 +726,7 @@ object SparkEntry {
             .option("checkpointLocation", ckpt).start()
           try q.processAllAvailable() finally q.stop()
         }
-      } finally rmTree(ckpt)
+      } finally rmTreeRetry(ckpt)
       s.table(name)
     }),
 
@@ -680,7 +761,7 @@ object SparkEntry {
             .option("checkpointLocation", ckpt).start()
           try q.processAllAvailable() finally q.stop()
         }
-      } finally rmTree(ckpt)
+      } finally rmTreeRetry(ckpt)
       s.table(name)
     }),
   )
@@ -842,6 +923,11 @@ object SparkEntry {
     "q48_curation" -> PipelineOps.curationSql(),
     "q50_stream_denorm_tws" -> streamDenormOracle,
     "q80_stream_denorm_tws_ttl" -> streamDenormOracle,
+    "q82_stream_denorm_left_outer" ->
+      """SELECT event_id, user_id, event_type, value,
+                c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM events LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 3 <> 0) c
+           ON user_id = c_custkey""",
     "q51_text_repetition" -> TextAnalysis.repetitionScoresSql,
     "q52_pii_scan" -> TextAnalysis.piiScanSql,
     "q53_sequence_packing" -> PipelineOps.sequencePackingSql(),

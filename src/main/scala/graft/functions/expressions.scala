@@ -461,7 +461,7 @@ case class HyperplaneSigs(child: Expression, bits: Int, tables: Int, dim: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    if (arr.numElements() < dim) return null
+    if (arr.numElements() != dim) return null
     val v = new Array[Double](dim)
     var d = 0
     while (d < dim) {

@@ -169,16 +169,19 @@ class HyperplaneSigsSpec extends graft.SparkSpec {
     assert(viaNative.forall { case (k, v) => viaCols(k) == v })
   }
 
-  test("short and null-element vectors yield null signatures") {
+  test("short, long, and null-element vectors yield null signatures") {
     import spark.implicits._
     val df = Seq(1).toDF("x").select(
       graft.functions.hyperplane_sigs(
         array(lit(1.0), lit(2.0)), 4, 2, 64).as("short"),
       graft.functions.hyperplane_sigs(
+        array((0 until 128).map(i => lit(i.toDouble)): _*), 4, 2, 64).as("long"),
+      graft.functions.hyperplane_sigs(
         array((0 until 64).map(_ => lit(null).cast("double")): _*), 4, 2, 64).as("nulls"))
     val row = df.head()
     assert(row.isNullAt(0))
-    assert(row.isNullAt(1))
+    assert(row.isNullAt(1), "a longer-than-dim vector must yield null, not a truncated signature")
+    assert(row.isNullAt(2))
   }
 }
 

@@ -118,6 +118,56 @@ class TwsDenormalizeSpec extends SparkSpec {
     }
   }
 
+  test("state TTL evicts the right: a late left emits the outer null side") {
+    // complement of the stale-left test above: here the RIGHT expires
+    // between batches, so a left arriving after expiry must take the
+    // `None if emitLeftNull` arm (left+null) instead of joining — the
+    // "expired right stops new lefts from joining it" half of the TTL
+    // contract in DenormProcessor.init. Same polling harness (see the
+    // stale-left test for why processAllAvailable can't be used).
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", rocksdb)
+    try {
+      val input = MemoryStream[IndexRecord]
+      val out = scala.collection.mutable.ArrayBuffer.empty[JoinedRecord]
+      def poll(what: String)(done: => Boolean): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (!done) {
+          assert(System.nanoTime() < deadline, s"timed out waiting for $what")
+          Thread.sleep(100)
+        }
+      }
+      val q = TwsDenormalize.joined(input.toDS(), "left_outer",
+          ttl = Some(java.time.Duration.ofSeconds(2)))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[JoinedRecord], _: Long) =>
+          val rows = df.collect()
+          out.synchronized { out ++= rows }; ()
+        }
+        .outputMode("append")
+        .start()
+      try {
+        // phase 1 is positively observable: the right's arrival joins an
+        // accompanying left, confirming the right's state write landed
+        // before the TTL sleep
+        input.addData(Seq(R("s1", "s1v1", 1), L("s1", "c1", "c1v1", 2)))
+        poll("first join emitted")(out.synchronized(out.exists(_.outKey == "c1")))
+        Thread.sleep(4000) // > TTL; the only timing the test depends on
+        input.addData(Seq(L("s1", "c2", "c2v1", 3)))
+        poll("late left emitted")(out.synchronized(out.exists(_.outKey == "c2")))
+      } finally q.stop()
+      // c1 joined the live right; c2 arrived after the right expired and
+      // must carry the null right side, not "s1v1"
+      assert(out.synchronized(out.sortBy(_.seq).toSeq) == Seq(
+        JoinedRecord("c1", "c1v1", "s1v1", 2),
+        JoinedRecord("c2", "c2v1", null, 3)), out.toString)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("tws and fmgws cores agree on a mixed multi-batch sequence") {
     val batches = Seq(
       Seq(L("a", "l1", "v1", 1), R("b", "bv1", 2)),
