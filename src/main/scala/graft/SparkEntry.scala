@@ -29,38 +29,12 @@ object SparkEntry {
     java.nio.file.Files.createTempDirectory(base, s"graft_$tag").toString
   }
 
-  /** rmTree for a just-stopped streaming query's checkpoint: RocksDB
-    * state-store providers are unloaded by an ASYNC maintenance task
-    * that can still write under the checkpoint dir briefly after
-    * `query.stop()` returns, so a single walk-and-delete races it
-    * (DirectoryNotEmptyException / vanished entries). Retry a few
-    * times; the final attempt is best-effort — a leaked tmpfs temp dir
-    * is reclaimed at JVM exit and is strictly better than failing the
-    * query that already produced its result.
-    */
-  private[graft] def rmTreeRetry(path: String, attempts: Int = 4): Unit = {
-    var i = 0
-    var done = false
-    while (!done && i < attempts) {
-      i += 1
-      try { rmTree(path); done = true }
-      catch {
-        case _: java.io.IOException | _: java.io.UncheckedIOException =>
-          if (i < attempts) Thread.sleep(100)
-      }
-    }
-  }
+  // tree deletion lives in the hook-safe [[Fs]] (see its scaladoc);
+  // these forwarders keep the existing call sites and tests stable
+  private[graft] def rmTreeRetry(path: String, attempts: Int = 4): Unit =
+    Fs.rmTreeRetry(path, attempts)
 
-  private[graft] def rmTree(path: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val root = Paths.get(path)
-    if (Files.exists(root)) {
-      val stream = Files.walk(root)
-      val all = try stream.iterator().asScala.toSeq finally stream.close()
-      all.sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
-    }
-  }
+  private[graft] def rmTree(path: String): Unit = Fs.rmTree(path)
 
   /** One staging write per (sf dir, tag) per JVM: the streaming queries
     * each feed from a staged copy of the event log, and re-staging the
@@ -617,6 +591,15 @@ object SparkEntry {
         case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }),
+    // the persisted-index serving handoff for the trained-IVF family:
+    // assignment is written ONCE as parquet partitionBy(bucket) and the
+    // probe read-back is dynamic-partition-pruned to the probed buckets
+    // (PlanSpec pins the dynamicpruningexpression on the scan) — at
+    // 100 TB the per-batch cost drops from re-bucketing the corpus to
+    // reading nprobe/C of a stored index. Same centroids, probe rule,
+    // and scoring as q49 → verifies against the SAME trained-literal
+    // oracle.
+    "q83_ann_ivf_indexed" -> ((s, dir) => Similarity.ivfIndexedTopK(s, dir)),
     // cluster-balanced diversity sampling (the SemDeDup-style
     // cluster-then-sample curation step): nearest trained centroid per
     // embedding, deterministic md5 draw, at most `quota` per cluster —
@@ -968,5 +951,9 @@ object SparkEntry {
     // gating): the last rows-only query gains a full oracle
     joinKeyIndexSql().map("q07_joinkey_index" -> _) ++
     // q81 reuses q49's trained centroids (shared trainedCache)
-    Similarity.clusterDiversitySampleSql().map("q81_cluster_diversity_sample" -> _)
+    Similarity.clusterDiversitySampleSql().map("q81_cluster_diversity_sample" -> _) ++
+    // q83 is the persisted-index path over the SAME trained centroids,
+    // probe rule, and scoring as q49 (parquet round-trips doubles
+    // exactly), so it verifies against the identical trained-literal SQL
+    Similarity.ivfTopKTrainedSql().map("q83_ann_ivf_indexed" -> _)
 }

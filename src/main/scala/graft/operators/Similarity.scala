@@ -238,21 +238,30 @@ object Similarity {
           .as("bucket"))
       .select(col("vec_id"), col("v"), col("bucket"))
 
-  private def ivfSearch(corpus: DataFrame, cents: DataFrame, k: Int): DataFrame = {
-    val assigned = ivfAssign(corpus, cents)
-    // queries probe their nprobe nearest centroids; the batch is the
-    // bounded [[queryBatch]], so `probes` below is ≤ batch·nprobe rows
-    // — a broadcast bounded by construction, not by data luck
-    val queries = queryBatch(corpus)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+  /** The nprobe nearest centroids per query. ONE probe rule shared by
+    * the recompute path ([[ivfSearch]]) and the persisted-index path
+    * ([[ivfIndexedTopK]]) — training-time bucketing and serving-time
+    * probing must agree by construction, not by parallel maintenance.
+    * The batch is the bounded [[queryBatch]], so the result is ≤
+    * batch·nprobe rows — a broadcast bounded by construction, not by
+    * data luck.
+    */
+  private def ivfProbes(queries: DataFrame, cents: DataFrame): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("qcos").desc, col("cent_id").asc)
-    val probes = queries.join(broadcast(cents))
+    queries.join(broadcast(cents))
       .select(col("query_id"), col("qv"), col("cent_id"),
         cosine_sim(col("qv"), col("cv")).as("qcos"))
       .withColumn("prank", row_number().over(wProbe))
       .filter(col("prank") <= nprobe)
       .select(col("query_id"), col("qv"), col("cent_id").as("bucket"))
-    // search only probed buckets
+  }
+
+  /** Score the probed buckets and keep each query's top-k — the search
+    * core shared by [[ivfSearch]] and [[ivfIndexedTopK]]. `assigned`
+    * carries (vec_id, v, bucket) from either the in-plan assignment or
+    * the persisted index read-back.
+    */
+  private def ivfScore(assigned: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     assigned.join(broadcast(probes), "bucket")
       .filter(col("vec_id") =!= col("query_id"))
@@ -260,6 +269,74 @@ object Similarity {
         cosine_sim(col("qv"), col("v")).as("cos"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  private def ivfSearch(corpus: DataFrame, cents: DataFrame, k: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, cents)
+    val queries = queryBatch(corpus)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // search only probed buckets
+    ivfScore(assigned, ivfProbes(queries, cents), k)
+  }
+
+  /** Per-(sf dir) persisted IVF index path — the SERVING handoff the
+    * recompute variants (q26/q49) skip: a real pipeline trains once,
+    * writes the bucketed index once, and every query batch afterwards
+    * reads back only the partitions it probes. Here the index is the
+    * [[ivfAssign]] output written as parquet `partitionBy(bucket)`
+    * (written once per JVM per sf dir, cleaned at exit); the probe join
+    * is the same broadcast as [[ivfSearch]], and because `bucket` is a
+    * PARTITION column the broadcast feeds Spark's dynamic partition
+    * pruning — the scan plans a `dynamicpruningexpression` partition
+    * filter and never opens an unprobed bucket's files (pinned in
+    * PlanSpec). At 100 TB this is the difference between re-bucketing
+    * the corpus per batch (q49's shape) and reading nprobe/C of the
+    * stored index: the index write amortizes across every future batch.
+    *
+    * `bucket` is written as int so the read-back partition-inferred
+    * type matches the probe side exactly — a cast on the partition
+    * column in the join key would defeat the pruning.
+    *
+    * Results are identical to [[ivfTopKTrained]] (same centroids, same
+    * probe rule, same scoring; parquet round-trips doubles exactly), so
+    * q83 verifies against the SAME trained-literal oracle as q49.
+    */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  locally {
+    // graft.Fs, not SparkEntry: this hook may be the FIRST touch of the
+    // callee's object in a test JVM, and SparkEntry's clinit registers
+    // its own hook — illegal once shutdown has started
+    sys.addShutdownHook { indexCache.values.forEach(p => graft.Fs.rmTree(p)) }
+  }
+
+  def ivfIndexedTopK(s: SparkSession, dir: String, k: Int = defaultK): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, dir)
+    val trained = trainedCache.computeIfAbsent(dir, _ => kmeansCentroids(s, dir))
+    val cents = s.createDataset(trained.toSeq.map { case (i, v) => (i, v.toSeq) })
+      .toDF("cent_id", "cv")
+      .select(col("cent_id").cast("long").as("cent_id"), col("cv").as("cv"))
+    val path = indexCache.computeIfAbsent(dir, { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), "graft_ivf_index").toString
+      try {
+        // repartition by bucket first: at scale each bucket's rows land
+        // contiguously (C output files per write task otherwise), and
+        // the parquet row groups inside a partition dir stay fat
+        ivfAssign(corpus, cents)
+          .withColumn("bucket", col("bucket").cast("int"))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      } catch { case e: Throwable => graft.Fs.rmTree(tmp); throw e }
+      tmp
+    })
+    val index = s.read.parquet(path)
+    val queries = queryBatch(corpus)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probes = ivfProbes(queries, cents)
+      .withColumn("bucket", col("bucket").cast("int"))
+    ivfScore(index, probes, k)
   }
 
   def ivfTopKSql(k: Int = defaultK): String =

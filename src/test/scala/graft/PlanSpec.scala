@@ -117,6 +117,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF index read-back is dynamic-partition-pruned to the probed buckets") {
+    // the q83 scale contract: the index scan must carry a
+    // dynamicpruningexpression partition filter fed by the broadcast
+    // probe side — unprobed buckets' files are never opened, so a query
+    // batch reads ~nprobe/C of the stored index, not all of it
+    val p = plan("q83_ann_ivf_indexed")
+    assert(p.contains("dynamicpruningexpression"),
+      s"q83 index scan must be DPP-pruned on bucket:\n$p")
+    assert(p.contains("PartitionFilters"), p)
+  }
+
   test("global shuffle sorts via range partitioning, not a single-partition window") {
     // the distributed total-order exchange; a row_number() window over
     // the whole frame would show Exchange SinglePartition + Window
@@ -221,7 +232,8 @@ class PlanSpec extends SparkSpec {
       case _ => false // relation leaves and unknown multi-child shapes
     }
     for (q <- Seq("q25_ann_bruteforce", "q26_ann_ivf", "q49_ann_ivf_trained",
-        "q76_hard_negatives", "q77_pq_adc", "q79_ann_ivfpq")) {
+        "q76_hard_negatives", "q77_pq_adc", "q79_ann_ivfpq",
+        "q83_ann_ivf_indexed")) {
       val lp = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
       val hinted = lp.collect { case j: Join
         if j.hint.leftHint.exists(_.strategy.isDefined) ||

@@ -215,6 +215,22 @@ class SimilaritySpec extends SparkSpec {
     assert(cents1.zip(cents2).forall { case ((i1, v1), (i2, v2)) =>
       i1 == i2 && v1.sameElements(v2) })
   }
+
+  test("persisted-index IVF (q83) returns cell-identical results to the recompute path") {
+    // same centroids, probe rule, and scoring; parquet round-trips
+    // doubles exactly — the serving handoff must not change a single
+    // (query, neighbor, rank, cos) cell
+    val recompute = Similarity.ivfTopKTrained(spark, dir)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val indexed = Similarity.ivfIndexedTopK(spark, dir)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(indexed.nonEmpty)
+    assert(indexed == recompute)
+    // the memoized index write is stable across calls
+    val again = Similarity.ivfIndexedTopK(spark, dir)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(again == indexed)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
