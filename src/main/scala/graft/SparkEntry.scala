@@ -600,6 +600,14 @@ object SparkEntry {
     // and scoring as q49 → verifies against the SAME trained-literal
     // oracle.
     "q83_ann_ivf_indexed" -> ((s, dir) => Similarity.ivfIndexedTopK(s, dir)),
+    // SemDeDup's dedup step (completing cluster → dedup → sample with
+    // q81): per trained cluster, drop any vector whose epsilon ball
+    // (cos > 0.35 — inside the synthetic corpus's pair distribution)
+    // contains a higher-priority member (centroid-sim DESC, vec_id ASC)
+    // — each duplicate neighborhood keeps its most central
+    // representative; the quadratic work is per-cluster, never corpus².
+    // Trained-literal oracle with the drop rule as a self-join mark.
+    "q84_semantic_dedup" -> ((s, dir) => Similarity.semanticDedup(s, dir)),
     // cluster-balanced diversity sampling (the SemDeDup-style
     // cluster-then-sample curation step): nearest trained centroid per
     // embedding, deterministic md5 draw, at most `quota` per cluster —
@@ -955,5 +963,8 @@ object SparkEntry {
     // q83 is the persisted-index path over the SAME trained centroids,
     // probe rule, and scoring as q49 (parquet round-trips doubles
     // exactly), so it verifies against the identical trained-literal SQL
-    Similarity.ivfTopKTrainedSql().map("q83_ann_ivf_indexed" -> _)
+    Similarity.ivfTopKTrainedSql().map("q83_ann_ivf_indexed" -> _) ++
+    // q84 shares the trained centroids too; its drop rule is the
+    // correlated EXISTS over the same assigned CTE
+    Similarity.semanticDedupSql().map("q84_semantic_dedup" -> _)
 }

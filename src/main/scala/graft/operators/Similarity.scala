@@ -310,6 +310,26 @@ object Similarity {
     sys.addShutdownHook { indexCache.values.forEach(p => graft.Fs.rmTree(p)) }
   }
 
+  /** The once-per-(JVM, sf dir) index write [[ivfIndexedTopK]] and
+    * [[semanticDedup]] read from — ONE stored assignment serving every
+    * downstream consumer, which is the point of persisting it.
+    */
+  private def ivfIndexPath(s: SparkSession, dir: String, cents: DataFrame): String =
+    indexCache.computeIfAbsent(dir, { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), "graft_ivf_index").toString
+      try {
+        // repartition by bucket first: at scale each bucket's rows land
+        // contiguously (C output files per write task otherwise), and
+        // the parquet row groups inside a partition dir stay fat
+        ivfAssign(emb(s, dir), cents)
+          .withColumn("bucket", col("bucket").cast("int"))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      } catch { case e: Throwable => graft.Fs.rmTree(tmp); throw e }
+      tmp
+    })
+
   def ivfIndexedTopK(s: SparkSession, dir: String, k: Int = defaultK): DataFrame = {
     import s.implicits._
     val corpus = emb(s, dir)
@@ -317,27 +337,102 @@ object Similarity {
     val cents = s.createDataset(trained.toSeq.map { case (i, v) => (i, v.toSeq) })
       .toDF("cent_id", "cv")
       .select(col("cent_id").cast("long").as("cent_id"), col("cv").as("cv"))
-    val path = indexCache.computeIfAbsent(dir, { _ =>
-      val tmp = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), "graft_ivf_index").toString
-      try {
-        // repartition by bucket first: at scale each bucket's rows land
-        // contiguously (C output files per write task otherwise), and
-        // the parquet row groups inside a partition dir stay fat
-        ivfAssign(corpus, cents)
-          .withColumn("bucket", col("bucket").cast("int"))
-          .repartition(col("bucket"))
-          .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-      } catch { case e: Throwable => graft.Fs.rmTree(tmp); throw e }
-      tmp
-    })
-    val index = s.read.parquet(path)
+    val index = s.read.parquet(ivfIndexPath(s, dir, cents))
     val queries = queryBatch(corpus)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val probes = ivfProbes(queries, cents)
       .withColumn("bucket", col("bucket").cast("int"))
     ivfScore(index, probes, k)
   }
+
+  /** Epsilon-ball semantic dedup (SemDeDup's dedup step, completing the
+    * cluster → dedup → diversity-sample pipeline with q81): within each
+    * trained cluster, a vector is DROPPED when some other member with
+    * higher keep-priority sits inside its epsilon ball (cosine >
+    * `threshold`; 0.35 sits just inside the synthetic corpus's pair
+    * distribution — its max pairwise cosine is ~0.48/0.51 at the test
+    * SFs — so both verdicts carry real rows, where SemDeDup's usual
+    * ~0.95 on web text would be vacuous here); priority is
+    * centroid-similarity DESC with vec_id ASC
+    * tiebreak, so each duplicate neighborhood keeps its most central
+    * representative. The drop rule compares against ALL higher-priority
+    * members, kept or dropped (the paper's rule — no sequential chain),
+    * which makes it one parallel per-bucket self-join instead of a
+    * greedy scan; the kept set is still an independent set under the
+    * threshold (two close survivors would contradict the rule — pinned
+    * by test).
+    *
+    * Scale shape: the assignment comes from the PERSISTED index
+    * ([[ivfIndexPath]] — written once, shared with q83), not a
+    * recompute, so the only corpus-sized work here is two index scans
+    * plus the per-bucket self-join: both join sides hash-partition on
+    * `bucket`, so the quadratic work is per-cluster (sum |cluster|² —
+    * the SemDeDup cost model), never corpus². At 100 TB the centroid
+    * count scales with the corpus (C ~ N/target-cluster-size) to bound
+    * |cluster|, and a pathological hot cluster sub-shards by salting
+    * the self-join — both knobs orthogonal to this plan. Output is
+    * every vector's verdict (vec_id, bucket, dropped), the provenance a
+    * curation decision joins on — drop `dropped` for the kept corpus.
+    */
+  def semanticDedup(s: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+    import s.implicits._
+    val trained = trainedCache.computeIfAbsent(dir, _ => kmeansCentroids(s, dir))
+    val cents = s.createDataset(trained.toSeq.map { case (i, v) => (i, v.toSeq) })
+      .toDF("cent_id", "cv")
+      .select(col("cent_id").cast("long").as("cent_id"), col("cv").as("cv"))
+    // priority key: cosine to the OWN cluster's centroid (one bounded
+    // broadcast re-join over the stored index; ivfAssign runs only
+    // inside the one-time index write)
+    val assigned = s.read.parquet(ivfIndexPath(s, dir, cents))
+      .join(broadcast(cents), col("bucket").cast("long") === col("cent_id"))
+      .select(col("vec_id"), col("v"), col("bucket"),
+        cosine_sim(col("v"), col("cv")).as("ccos"))
+    val other = assigned.select(col("vec_id").as("o_id"), col("v").as("ov"),
+      col("bucket").as("o_bucket"), col("ccos").as("o_ccos"))
+    val higherPriority = (col("o_ccos") > col("ccos")) ||
+      (col("o_ccos") === col("ccos") && col("o_id") < col("vec_id"))
+    val dropped = assigned.join(other,
+        col("bucket") === col("o_bucket") && col("o_id") =!= col("vec_id") &&
+          higherPriority &&
+          cosine_sim(col("v"), col("ov")) > threshold)
+      .select(col("vec_id")).distinct()
+    assigned.join(dropped.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"),
+        coalesce(col("dup"), lit(false)).as("dropped"))
+  }
+
+  /** Oracle for [[semanticDedup]] — trained-literal gating like q49/q81.
+    * The drop rule is a self-join + LEFT JOIN mark, NOT a correlated
+    * EXISTS: DuckDB cannot bind outer correlated columns inside the
+    * list_transform lambdas the cosine expansion uses.
+    */
+  def semanticDedupSql(threshold: Double = 0.35): Option[String] =
+    if (trainedCache.size != 1) None
+    else {
+      val cents = trainedCache.values.iterator.next()
+      val rows = cents.map { case (ci, v) =>
+        s"($ci, [${v.mkString(", ")}]::DOUBLE[])"
+      }.mkString(",\n               ")
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT * FROM (VALUES $rows) AS vt(cent_id, cv)),
+        a0 AS (
+          SELECT vec_id, v, cent_id AS bucket FROM (
+            SELECT e.vec_id, e.v, c.cent_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosSqlOn("e.v", "c.cv")} DESC, c.cent_id ASC) AS crank
+            FROM e, c WHERE e.v IS NOT NULL) WHERE crank = 1),
+        assigned AS (
+          SELECT a0.vec_id, a0.v, a0.bucket, ${cosSqlOn("a0.v", "c.cv")} AS ccos
+          FROM a0 JOIN c ON a0.bucket = c.cent_id),
+        dropped_ids AS (
+          SELECT DISTINCT a.vec_id
+          FROM assigned a JOIN assigned b
+            ON b.bucket = a.bucket AND b.vec_id <> a.vec_id
+           AND (b.ccos > a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id))
+          WHERE ${cosSqlOn("b.v", "a.v")} > ($threshold)::DOUBLE)
+        SELECT a.vec_id, a.bucket, (d.vec_id IS NOT NULL) AS dropped
+        FROM assigned a LEFT JOIN dropped_ids d ON a.vec_id = d.vec_id""")
+    }
 
   def ivfTopKSql(k: Int = defaultK): String =
     ivfSqlWith(s"SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $numCentroids", k)

@@ -128,6 +128,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters"), p)
   }
 
+  test("semantic dedup reads the stored index; quadratic work is bucket-partitioned") {
+    // q84's scale contract: assignment comes from the persisted index,
+    // never an in-plan recompute — the ×C candidate inflate
+    // (BroadcastNestedLoopJoin corpus × centroids) must not appear; the
+    // only broadcasts are the literal centroid relation; and the
+    // epsilon-ball self-join must hash-partition (per-cluster pairs),
+    // never broadcast a corpus-derived side
+    val p = plan("q84_semantic_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q84 must read the stored assignment, not recompute it:\n$p")
+    val broadcasts = "BroadcastExchange".r.findAllIn(p).size
+    val literals = "LocalTableScan".r.findAllIn(p).size
+    assert(broadcasts == literals, s"non-literal broadcast in q84:\n$p")
+    assert(p.contains("SortMergeJoin"), p)
+  }
+
   test("global shuffle sorts via range partitioning, not a single-partition window") {
     // the distributed total-order exchange; a row_number() window over
     // the whole frame would show Exchange SinglePartition + Window

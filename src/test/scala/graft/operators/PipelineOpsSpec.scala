@@ -231,6 +231,38 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Int, Double)].collect().toSet
     assert(again == indexed)
   }
+
+  test("semantic dedup (q84): kept set is an independent set; most-central member survives") {
+    val threshold = 0.35
+    val verdicts = Similarity.semanticDedup(spark, dir, threshold)
+      .as[(Long, Long, Boolean)].collect()
+    assert(verdicts.nonEmpty)
+    // every corpus vector gets exactly one verdict
+    assert(verdicts.map(_._1).distinct.length == verdicts.length)
+    // the fixture must exercise BOTH outcomes or the test is vacuous
+    assert(verdicts.exists(_._3), "no drops at this threshold — fixture too sparse")
+    assert(verdicts.exists(!_._3))
+    // recompute cosines from the raw table to check the independent-set
+    // property: no two KEPT vectors in the same cluster sit within each
+    // other's epsilon ball (two close survivors would contradict the
+    // higher-priority drop rule)
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum) / math.sqrt(b.map(x => x * x).sum)
+    }
+    val kept = verdicts.filter(!_._3)
+    for {
+      byBucket <- kept.groupBy(_._2).values
+      i <- byBucket.indices; j <- (i + 1) until byBucket.length
+    } {
+      val c = cos(vecs(byBucket(i)._1), vecs(byBucket(j)._1))
+      assert(c <= threshold,
+        s"kept pair ${byBucket(i)._1},${byBucket(j)._1} in bucket ${byBucket(i)._2} has cos $c > $threshold")
+    }
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
