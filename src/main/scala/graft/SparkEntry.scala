@@ -608,6 +608,12 @@ object SparkEntry {
     // representative; the quadratic work is per-cluster, never corpus².
     // Trained-literal oracle with the drop rule as a self-join mark.
     "q84_semantic_dedup" -> ((s, dir) => Similarity.semanticDedup(s, dir)),
+    // BM25 retrieval scoring over q41's tf/df machinery: probe query =
+    // the top-df terms (derived in-plan, no corpus-dependent literals),
+    // log-free Robertson idf (ln last-ulp varies across libms), per-doc
+    // fold in sorted term order (double addition isn't commutative in
+    // the last ulp), distributed TakeOrderedAndProject top-k.
+    "q85_bm25" -> ((s, dir) => PipelineOps.bm25TopDocs(s, dir)),
     // cluster-balanced diversity sampling (the SemDeDup-style
     // cluster-then-sample curation step): nearest trained centroid per
     // embedding, deterministic md5 draw, at most `quota` per cluster —
@@ -905,6 +911,7 @@ object SparkEntry {
     "q74_global_shuffle" -> PipelineOps.globalShuffleSql,
     "q40_incident_range_join" -> PipelineOps.incidentEventsSql(),
     "q41_tfidf_topterms" -> PipelineOps.tfidfTopTermsSql(),
+    "q85_bm25" -> PipelineOps.bm25TopDocsSql(),
     "q42_dedup_clusters" -> Dedup.dedupClustersSql(),
     "q43_denorm_salted" -> denormOracle("JOIN"),
     "q44_frame_sample" -> Multimodal.frameSampleSql(),

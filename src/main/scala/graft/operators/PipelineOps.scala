@@ -571,4 +571,84 @@ object PipelineOps {
                tfidf
         FROM scored
         QUALIFY rank <= $k"""
+
+  // ---- BM25 relevance scoring ----
+
+  /** Top documents by BM25 for a deterministic probe query — the
+    * retrieval-side counterpart of [[tfidfTopTerms]] (RAG retrieval,
+    * dataset search, decontamination-by-retrieval all rank this way).
+    * The probe is the `m` highest-df terms (ties term ASC) so the query
+    * derives from the corpus itself — no corpus-dependent literals in
+    * operator or oracle, and high-df probes hit MANY documents, which
+    * exercises the scoring instead of degenerate one-hit lists.
+    *
+    * Portability (cell-exact across engines):
+    *  - idf is the log-free Robertson form (N − df + ½)/(df + ½) —
+    *    `ln` last-ulp behavior differs across libm implementations, and
+    *    dropping it preserves the ranking monotonically (same reasoning
+    *    as q41's ratio idf);
+    *  - every constant (k1, b, 1−b, k1+1) is computed ONCE in Scala and
+    *    interpolated into the SQL via Double.toString (round-trip
+    *    exact), never re-derived in SQL arithmetic;
+    *  - the per-document sum over matched probe terms folds in sorted
+    *    term order on BOTH engines (sort_array + aggregate vs
+    *    list_sum(list(… ORDER BY term))) — double addition is not
+    *    commutative in the last ulp, so the fold order is pinned;
+    *  - dl and avgdl stay exact: token counts are integer-valued, and
+    *    integer-valued double sums are exact below 2^53.
+    *
+    * Scale shape: tf/df/dl aggregate with map-side partials on their
+    * natural keys; the probe set is a TakeOrderedAndProject over the
+    * vocabulary-sized df table (bounded broadcast by construction);
+    * scalars (n_docs, avgdl) ride one literal-sized broadcast; the
+    * final top-`topDocs` is a distributed TakeOrderedAndProject, never
+    * a single-partition window.
+    */
+  def bm25TopDocs(s: SparkSession, dir: String, m: Int = 8, topDocs: Int = 50,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = df.orderBy(col("df").desc, col("term").asc).limit(m)
+    val dl = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("double").as("dl"))
+    val stats = dl.agg(
+      (sum(col("dl")) / count(lit(1)).cast("double")).as("avgdl"),
+      count(lit(1)).cast("double").as("n_docs"))
+    val dfd = col("df").cast("double")
+    val tfd = col("tf").cast("double")
+    val scored = tf.join(broadcast(qterms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        (((col("n_docs") - dfd) + lit(0.5)) / (dfd + lit(0.5)) *
+          (tfd * lit(k1 + 1.0)) /
+          (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl")))))
+          .as("score"))
+    scored.groupBy(col("doc_id"))
+      .agg(aggregate(sort_array(collect_list(struct(col("term"), col("score")))),
+        lit(0.0), (acc, x) => acc + x.getField("score")).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(topDocs)
+      .select(col("doc_id"), col("bm25"))
+  }
+
+  def bm25TopDocsSql(m: Int = 8, topDocs: Int = 50,
+      k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        qterms AS (SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT $m),
+        dl AS (SELECT doc_id, len(string_split(lower(text), ' '))::DOUBLE AS dl FROM documents),
+        stats AS (SELECT sum(dl) / count(*)::DOUBLE AS avgdl, count(*)::DOUBLE AS n_docs FROM dl),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 ((n_docs - qterms.df::DOUBLE) + (0.5)::DOUBLE) / (qterms.df::DOUBLE + (0.5)::DOUBLE)
+                   * (tf::DOUBLE * (${k1 + 1.0})::DOUBLE)
+                   / (tf::DOUBLE + (${k1})::DOUBLE * ((${1.0 - b})::DOUBLE + (${b})::DOUBLE * (dl / avgdl))) AS score
+          FROM tf JOIN qterms USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
+        SELECT doc_id, list_sum(list(score ORDER BY term)) AS bm25
+        FROM scored GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id ASC LIMIT $topDocs"""
 }

@@ -144,6 +144,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin"), p)
   }
 
+  test("BM25 top-k is a distributed TakeOrderedAndProject over partial-aggregated stats") {
+    // the global ranking is TakeOrderedAndProject (per-partition top-k
+    // + merge), never a Window over one partition; tf/df map-side
+    // combine before their exchanges. (The scalar avgdl/n_docs
+    // aggregate legitimately funnels to a single partition — one row.)
+    val p = plan("q85_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("global shuffle sorts via range partitioning, not a single-partition window") {
     // the distributed total-order exchange; a row_number() window over
     // the whole frame would show Exchange SinglePartition + Window
@@ -242,6 +253,9 @@ class PlanSpec extends SparkSpec {
     // which contains a GlobalLimit yet scales with the corpus.
     def bounded(p: LogicalPlan): Boolean = p match {
       case _: GlobalLimit | _: LocalRelation => true
+      // a global (ungrouped) aggregate is exactly one row by
+      // construction — the scalar stats broadcasts (avgdl/n_docs)
+      case a: Aggregate if a.groupingExpressions.isEmpty => true
       case j: Join => bounded(j.left) && bounded(j.right)
       case u: Union => u.children.forall(bounded)
       case other if other.children.size == 1 => bounded(other.children.head)
@@ -249,7 +263,7 @@ class PlanSpec extends SparkSpec {
     }
     for (q <- Seq("q25_ann_bruteforce", "q26_ann_ivf", "q49_ann_ivf_trained",
         "q76_hard_negatives", "q77_pq_adc", "q79_ann_ivfpq",
-        "q83_ann_ivf_indexed")) {
+        "q83_ann_ivf_indexed", "q85_bm25")) {
       val lp = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
       val hinted = lp.collect { case j: Join
         if j.hint.leftHint.exists(_.strategy.isDefined) ||

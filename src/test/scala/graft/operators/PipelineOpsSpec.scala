@@ -431,6 +431,40 @@ class PipelineOpsSpec extends SparkSpec {
     })
   }
 
+  test("bm25 ranks docs containing the probe terms; recomputes from first principles") {
+    val top = PipelineOps.bm25TopDocs(spark, dir, m = 8, topDocs = 50).collect()
+    assert(top.nonEmpty && top.length <= 50)
+    assert(top.forall(_.getDouble(1) > 0.0))
+    // deterministic across runs (probe derivation, fold order, ties)
+    val again = PipelineOps.bm25TopDocs(spark, dir, m = 8, topDocs = 50).collect()
+    assert(top.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // independent recompute of the full scoring pipeline on the driver
+    // (tokenize → tf/df → probe terms → log-free idf → length norm →
+    // sorted-term fold → top-k) — pins the algorithm, not just plumbing
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) => id -> t.toLowerCase.split(" ", -1).toSeq }
+    val tf = toks.flatMap { case (id, ts) => ts.map(id -> _) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val dfm = tf.keys.groupBy(_._2).view.mapValues(_.size).toMap
+    val probe = dfm.toSeq.sortBy { case (t, c) => (-c, t) }.take(8).map(_._1).toSet
+    val n = docs.length.toDouble
+    val avgdl = toks.map(_._2.length.toDouble).sum / n
+    val (k1, b) = (1.2, 0.75)
+    val expected = toks.map { case (id, ts) =>
+      val dl = ts.length.toDouble
+      val score = ts.distinct.filter(probe).sorted.map { t =>
+        val tfd = tf((id, t)).toDouble
+        val dfd = dfm(t).toDouble
+        ((n - dfd) + 0.5) / (dfd + 0.5) * (tfd * (k1 + 1.0)) /
+          (tfd + k1 * ((1.0 - b) + b * (dl / avgdl)))
+      }.foldLeft(0.0)(_ + _)
+      (id, score)
+    }.filter(_._2 > 0.0).sortBy { case (id, sc) => (-sc, id) }.take(50)
+    assert(top.map(r => (r.getLong(0), r.getDouble(1))).toSeq == expected.toSeq)
+  }
+
   test("snapshotDiff classifies hash buckets correctly and keys are unique") {
     val sfDir = "/root/testdata/sf0.01" // 1500 keys: bucket proportions are tight
     val d = PipelineOps.snapshotDiff(spark, sfDir)
