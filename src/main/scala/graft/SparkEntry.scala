@@ -614,6 +614,12 @@ object SparkEntry {
     // fold in sorted term order (double addition isn't commutative in
     // the last ulp), distributed TakeOrderedAndProject top-k.
     "q85_bm25" -> ((s, dir) => PipelineOps.bm25TopDocs(s, dir)),
+    // bucketed co-located FK join — the Spark analog of the reference's
+    // FK-partitioned index topic: both fact tables bucketed+sorted on
+    // the join key ONCE (managed tables, memoized per session+dir), so
+    // the join itself needs no exchange; the only shuffle in the plan
+    // is the final aggregation's (pinned in PlanSpec).
+    "q86_bucketed_join" -> ((s, dir) => PipelineOps.bucketedDenormJoin(s, dir)),
     // cluster-balanced diversity sampling (the SemDeDup-style
     // cluster-then-sample curation step): nearest trained centroid per
     // embedding, deterministic md5 draw, at most `quota` per cluster —
@@ -912,6 +918,9 @@ object SparkEntry {
     "q40_incident_range_join" -> PipelineOps.incidentEventsSql(),
     "q41_tfidf_topterms" -> PipelineOps.tfidfTopTermsSql(),
     "q85_bm25" -> PipelineOps.bm25TopDocsSql(),
+    // the bucketed layout changes the PLAN, never the result — the
+    // oracle is the plain relational join on the raw parquet
+    "q86_bucketed_join" -> PipelineOps.bucketedDenormJoinSql,
     "q42_dedup_clusters" -> Dedup.dedupClustersSql(),
     "q43_denorm_salted" -> denormOracle("JOIN"),
     "q44_frame_sample" -> Multimodal.frameSampleSql(),

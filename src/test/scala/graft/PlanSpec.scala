@@ -155,6 +155,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("bucketed co-located join: the only exchange is the aggregation's") {
+    // both bucketed scans satisfy the SortMergeJoin distribution
+    // requirement directly — the fact ⋈ fact join itself must not
+    // shuffle; the single Exchange belongs to the final groupBy
+    val p = plan("q86_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, s"join must be exchange-free:\n$p")
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("global shuffle sorts via range partitioning, not a single-partition window") {
     // the distributed total-order exchange; a row_number() window over
     // the whole frame would show Exchange SinglePartition + Window

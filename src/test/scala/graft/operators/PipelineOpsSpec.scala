@@ -465,6 +465,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(top.map(r => (r.getLong(0), r.getDouble(1))).toSeq == expected.toSeq)
   }
 
+  test("bucketed join equals the plain join cell-for-cell") {
+    // the layout must never change results — compare against the same
+    // join computed straight off the parquet with no bucketing
+    val bucketed = PipelineOps.bucketedDenormJoin(spark, dir)
+      .as[(java.sql.Timestamp, Double, Long)].collect().toSet
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderdate"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+      .as[(java.sql.Timestamp, Double, Long)].collect().toSet
+    assert(bucketed.nonEmpty)
+    assert(bucketed == plain)
+  }
+
   test("snapshotDiff classifies hash buckets correctly and keys are unique") {
     val sfDir = "/root/testdata/sf0.01" // 1500 keys: bucket proportions are tight
     val d = PipelineOps.snapshotDiff(spark, sfDir)
