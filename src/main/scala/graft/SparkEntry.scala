@@ -620,6 +620,13 @@ object SparkEntry {
     // the join itself needs no exchange; the only shuffle in the plan
     // is the final aggregation's (pinned in PlanSpec).
     "q86_bucketed_join" -> ((s, dir) => PipelineOps.bucketedDenormJoin(s, dir)),
+    // streaming IVF index maintenance: micro-batched embedding arrivals
+    // foreachBatch-append their pinned nearest-centroid assignment into
+    // q83's partitionBy(bucket) layout — keeping the vector index fresh
+    // without rebuild; assignment is per-row deterministic against the
+    // frozen trained centroids, so the converged index IS the batch
+    // assignment (the trained-literal oracle).
+    "q87_stream_ivf_index" -> ((s, dir) => Similarity.ivfIndexStreamed(s, dir)),
     // cluster-balanced diversity sampling (the SemDeDup-style
     // cluster-then-sample curation step): nearest trained centroid per
     // embedding, deterministic md5 draw, at most `quota` per cluster —
@@ -982,5 +989,7 @@ object SparkEntry {
     Similarity.ivfTopKTrainedSql().map("q83_ann_ivf_indexed" -> _) ++
     // q84 shares the trained centroids too; its drop rule is the
     // correlated EXISTS over the same assigned CTE
-    Similarity.semanticDedupSql().map("q84_semantic_dedup" -> _)
+    Similarity.semanticDedupSql().map("q84_semantic_dedup" -> _) ++
+    // q87's converged stream-appended index equals the batch assignment
+    Similarity.ivfIndexStreamedSql().map("q87_stream_ivf_index" -> _)
 }

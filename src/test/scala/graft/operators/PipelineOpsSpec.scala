@@ -232,6 +232,28 @@ class SimilaritySpec extends SparkSpec {
     assert(again == indexed)
   }
 
+  test("streamed index maintenance (q87) converges to the batch assignment") {
+    val streamed = Similarity.ivfIndexStreamed(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    // one row per vector (append-only unique ids — nothing doubled)
+    assert(streamed.map(_._1).size == streamed.size)
+    // the converged index IS the batch assignment
+    val trained = Similarity.kmeansCentroids(spark, dir)
+    val cents = spark.createDataset(trained.toSeq.map { case (i, v) => (i, v.toSeq) })
+      .toDF("cent_id", "cv")
+      .select(col("cent_id").cast("long").as("cent_id"), col("cv"))
+    val batch = Similarity.ivfAssign(
+      Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      cents).select(col("vec_id"), col("bucket")).as[(Long, Long)].collect().toSet
+    assert(streamed == batch)
+    // and a second invocation (a fresh append run) returns the same
+    val again = Similarity.ivfIndexStreamed(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(again == streamed)
+  }
+
   test("semantic dedup (q84): kept set is an independent set; most-central member survives") {
     val threshold = 0.35
     val verdicts = Similarity.semanticDedup(spark, dir, threshold)
