@@ -594,23 +594,36 @@ object PipelineOps {
     * planner picks anyway — the hint makes the layout's benefit
     * testable, it does not fight the optimizer at scale.
     */
+  // keyed by EVERY parameter that shapes the artifact (session, dir,
+  // bucket count) — a (session, dir)-only key would silently return a
+  // 16-bucket layout to a caller who asked for 32
   private val bucketedCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), (String, String)]()
+  private val bucketedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    // managed tables can't be dropped through a session that is already
+    // stopping — remove their warehouse dirs directly, like every other
+    // persisted artifact cache; fresh() below still handles leftovers
+    // from a hard-killed JVM that never ran its hooks
+    sys.addShutdownHook { bucketedDirs.forEach(p => graft.Fs.rmTree(p)) }
+  }
 
   private def bucketedTables(s: SparkSession, dir: String, buckets: Int): (String, String) =
-    bucketedCache.computeIfAbsent((s, dir), { _ =>
+    bucketedCache.computeIfAbsent((s, dir, buckets), { _ =>
       val tag = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        .digest(s"$dir|$buckets".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       val liT = s"graft_bkt_lineitem_$tag"
       val oT = s"graft_bkt_orders_$tag"
       // a PREVIOUS JVM's warehouse dir can survive while this session's
       // in-memory catalog starts empty — then even mode(overwrite)
       // refuses the orphaned location (LOCATION_ALREADY_EXISTS), so an
       // uncataloged leftover is removed before the write
-      def fresh(name: String): Unit = if (!s.catalog.tableExists(name)) {
-        val w = s.conf.get("spark.sql.warehouse.dir")
-        val base = if (w.startsWith("file:")) new java.net.URI(w).getPath else w
-        graft.Fs.rmTree(s"$base/$name")
+      val w = s.conf.get("spark.sql.warehouse.dir")
+      val base = if (w.startsWith("file:")) new java.net.URI(w).getPath else w
+      def fresh(name: String): Unit = {
+        if (!s.catalog.tableExists(name)) graft.Fs.rmTree(s"$base/$name")
+        bucketedDirs.add(s"$base/$name")
       }
       fresh(liT)
       Tables.load(s, dir, "lineitem")
@@ -665,7 +678,10 @@ object PipelineOps {
     *    list_sum(list(… ORDER BY term))) — double addition is not
     *    commutative in the last ulp, so the fold order is pinned;
     *  - dl and avgdl stay exact: token counts are integer-valued, and
-    *    integer-valued double sums are exact below 2^53.
+    *    integer-valued double sums are exact below 2^53. dl derives
+    *    from the tf aggregate (Σ tf per doc), not a second tokenize
+    *    pass — every document has ≥ 1 token (splitting "" yields [""]),
+    *    so the doc sets agree.
     *
     * Scale shape: tf/df/dl aggregate with map-side partials on their
     * natural keys; the probe set is a TakeOrderedAndProject over the
@@ -682,8 +698,11 @@ object PipelineOps {
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val qterms = df.orderBy(col("df").desc, col("term").asc).limit(m)
-    val dl = docs.select(col("doc_id"),
-      size(TextAnalysis.tokens(col("text"))).cast("double").as("dl"))
+    // dl derives from tf (Σ tf per doc = token count — integer sums,
+    // exact under any order) instead of a second tokenize pass over the
+    // corpus: at 100 TB that second scan is the query's biggest cost
+    val dl = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("double").as("dl"))
     val stats = dl.agg(
       (sum(col("dl")) / count(lit(1)).cast("double")).as("avgdl"),
       count(lit(1)).cast("double").as("n_docs"))
@@ -710,7 +729,7 @@ object PipelineOps {
         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         qterms AS (SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT $m),
-        dl AS (SELECT doc_id, len(string_split(lower(text), ' '))::DOUBLE AS dl FROM documents),
+        dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY doc_id),
         stats AS (SELECT sum(dl) / count(*)::DOUBLE AS avgdl, count(*)::DOUBLE AS n_docs FROM dl),
         scored AS (
           SELECT tf.doc_id, tf.term,

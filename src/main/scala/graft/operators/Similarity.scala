@@ -119,15 +119,44 @@ object Similarity {
   private val trainedCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Double])]]()
 
-  def ivfTopKTrained(s: SparkSession, dir: String, k: Int = defaultK): DataFrame = {
+  /** The trained-centroid literal relation every trained-family operator
+    * (q49/q81/q83/q84/q87) joins against — ONE builder, so training
+    * reuse and the (cent_id: long, cv) shape cannot drift between
+    * operators.
+    */
+  private def centsDF(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val corpus = emb(s, dir)
     val trained = trainedCache.computeIfAbsent(dir, _ => kmeansCentroids(s, dir))
-    val cents = s.createDataset(trained.toSeq.map { case (i, v) => (i, v.toSeq) })
+    s.createDataset(trained.toSeq.map { case (i, v) => (i, v.toSeq) })
       .toDF("cent_id", "cv")
       .select(col("cent_id").cast("long").as("cent_id"), col("cv").as("cv"))
-    ivfSearch(corpus, cents, k)
   }
+
+  /** The trained-literal VALUES body shared by every generated oracle in
+    * the family, gated on exactly ONE trained dir (Verify's shape —
+    * None means the driver records nothing rather than a wrong oracle).
+    */
+  private def trainedRowsSql(): Option[String] =
+    if (trainedCache.size != 1) None
+    else Some(trainedCache.values.iterator.next().map { case (ci, v) =>
+      s"($ci, [${v.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n               "))
+
+  /** The nearest-centroid assignment CTE body — the SQL mirror of
+    * [[ivfAssign]], defined ONCE so a tie-break edit cannot silently
+    * diverge between the oracles that assign (q49/q81/q84/q87 and the
+    * static-centroid q26). Expects CTEs `e(vec_id, v)` and
+    * `c(cent_id, cv)` in scope; emits (vec_id, v, bucket).
+    */
+  private def assignedCteSql: String =
+    s"""SELECT vec_id, v, cent_id AS bucket FROM (
+            SELECT e.vec_id, e.v, c.cent_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosSqlOn("e.v", "c.cv")} DESC, c.cent_id ASC) AS crank
+            FROM e, c WHERE e.v IS NOT NULL) WHERE crank = 1"""
+
+  def ivfTopKTrained(s: SparkSession, dir: String, k: Int = defaultK): DataFrame =
+    ivfSearch(emb(s, dir), centsDF(s, dir), k)
 
   /** Cluster-balanced diversity sample — the curation move that keeps a
     * corpus SEMANTICALLY broad under a budget (the cluster-then-sample
@@ -149,15 +178,9 @@ object Similarity {
     * needs.
     */
   def clusterDiversitySample(s: SparkSession, dir: String, quota: Int = 20): DataFrame = {
-    import s.implicits._
-    val corpus = emb(s, dir)
-    val trained = trainedCache.computeIfAbsent(dir, _ => kmeansCentroids(s, dir))
-    val cents = s.createDataset(trained.toSeq.map { case (i, v) => (i, v.toSeq) })
-      .toDF("cent_id", "cv")
-      .select(col("cent_id").cast("long").as("cent_id"), col("cv").as("cv"))
     val w = Window.partitionBy(col("bucket"))
       .orderBy(col("draw").asc, col("vec_id").asc)
-    ivfAssign(corpus, cents)
+    ivfAssign(emb(s, dir), centsDF(s, dir))
       .select(col("vec_id"), col("bucket"),
         graft.functions.md5_long(col("vec_id")).as("draw"))
       .withColumn("rank", row_number().over(w))
@@ -170,26 +193,16 @@ object Similarity {
     * with the split/sampling oracles.
     */
   def clusterDiversitySampleSql(quota: Int = 20): Option[String] =
-    if (trainedCache.size != 1) None
-    else {
-      val cents = trainedCache.values.iterator.next()
-      val rows = cents.map { case (ci, v) =>
-        s"($ci, [${v.mkString(", ")}]::DOUBLE[])"
-      }.mkString(",\n               ")
+    trainedRowsSql().map { rows =>
       val draw = "('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT"
-      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         c AS (SELECT * FROM (VALUES $rows) AS vt(cent_id, cv)),
-        assigned AS (
-          SELECT vec_id, cent_id AS bucket FROM (
-            SELECT e.vec_id, c.cent_id,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY ${cosSqlOn("e.v", "c.cv")} DESC, c.cent_id ASC) AS crank
-            FROM e, c WHERE e.v IS NOT NULL) WHERE crank = 1)
+        assigned AS ($assignedCteSql)
         SELECT vec_id, bucket,
                row_number() OVER (PARTITION BY bucket
                  ORDER BY $draw ASC, vec_id ASC) AS rank
         FROM assigned
-        QUALIFY rank <= $quota""")
+        QUALIFY rank <= $quota"""
     }
 
   /** Oracle for the trained-IVF query, available once [[ivfTopKTrained]]
@@ -200,13 +213,8 @@ object Similarity {
     * rows-only check, never a wrong oracle.
     */
   def ivfTopKTrainedSql(k: Int = defaultK): Option[String] =
-    if (trainedCache.size != 1) None
-    else {
-      val cents = trainedCache.values.iterator.next()
-      val rows = cents.map { case (ci, v) =>
-        s"($ci, [${v.mkString(", ")}]::DOUBLE[])"
-      }.mkString(",\n               ")
-      Some(ivfSqlWith(s"SELECT * FROM (VALUES $rows) AS vt(cent_id, cv)", k))
+    trainedRowsSql().map { rows =>
+      ivfSqlWith(s"SELECT * FROM (VALUES $rows) AS vt(cent_id, cv)", k)
     }
 
   /** Nearest-centroid assignment for every corpus vector. As an
@@ -331,12 +339,8 @@ object Similarity {
     })
 
   def ivfIndexedTopK(s: SparkSession, dir: String, k: Int = defaultK): DataFrame = {
-    import s.implicits._
     val corpus = emb(s, dir)
-    val trained = trainedCache.computeIfAbsent(dir, _ => kmeansCentroids(s, dir))
-    val cents = s.createDataset(trained.toSeq.map { case (i, v) => (i, v.toSeq) })
-      .toDF("cent_id", "cv")
-      .select(col("cent_id").cast("long").as("cent_id"), col("cv").as("cv"))
+    val cents = centsDF(s, dir)
     val index = s.read.parquet(ivfIndexPath(s, dir, cents))
     val queries = queryBatch(corpus)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -370,8 +374,10 @@ object Similarity {
     * terminates. Each invocation appends into its OWN fresh output dir
     * (bench repetitions must not double-append), cleaned at JVM exit.
     */
+  // keyed by (dir, nFiles): a dir-only key would silently replay a
+  // 4-file staging for a caller who asked for 8 micro-batches
   private val streamEmbCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
   private val streamIdxDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   locally {
@@ -382,14 +388,10 @@ object Similarity {
   }
 
   def ivfIndexStreamed(s: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
-    import s.implicits._
-    val trained = trainedCache.computeIfAbsent(dir, _ => kmeansCentroids(s, dir))
-    val cents = s.createDataset(trained.toSeq.map { case (i, v) => (i, v.toSeq) })
-      .toDF("cent_id", "cv")
-      .select(col("cent_id").cast("long").as("cent_id"), col("cv").as("cv"))
+    val cents = centsDF(s, dir)
     def tmp(tag: String): String = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), tag).toString
-    val staged = streamEmbCache.computeIfAbsent(dir, { _ =>
+    val staged = streamEmbCache.computeIfAbsent((dir, nFiles), { _ =>
       val p = tmp("graft_emb_split")
       try Tables.load(s, dir, "embeddings").repartition(nFiles)
         .write.mode("overwrite").parquet(p)
@@ -415,7 +417,7 @@ object Similarity {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally graft.SparkEntry.rmTreeRetry(ckpt)
+    } finally graft.Fs.rmTreeRetry(ckpt)
     s.read.parquet(out)
       .select(col("vec_id"), col("bucket").cast("long").as("bucket"))
   }
@@ -424,19 +426,11 @@ object Similarity {
     * trained-literal gated like q49/q81/q84.
     */
   def ivfIndexStreamedSql(): Option[String] =
-    if (trainedCache.size != 1) None
-    else {
-      val cents = trainedCache.values.iterator.next()
-      val rows = cents.map { case (ci, v) =>
-        s"($ci, [${v.mkString(", ")}]::DOUBLE[])"
-      }.mkString(",\n               ")
-      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        c AS (SELECT * FROM (VALUES $rows) AS vt(cent_id, cv))
-        SELECT vec_id, cent_id AS bucket FROM (
-          SELECT e.vec_id, c.cent_id,
-                 row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY ${cosSqlOn("e.v", "c.cv")} DESC, c.cent_id ASC) AS crank
-          FROM e, c WHERE e.v IS NOT NULL) WHERE crank = 1""")
+    trainedRowsSql().map { rows =>
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT * FROM (VALUES $rows) AS vt(cent_id, cv)),
+        assigned AS ($assignedCteSql)
+        SELECT vec_id, bucket FROM assigned"""
     }
 
   /** Epsilon-ball semantic dedup (SemDeDup's dedup step, completing the
@@ -469,16 +463,15 @@ object Similarity {
     * curation decision joins on — drop `dropped` for the kept corpus.
     */
   def semanticDedup(s: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
-    import s.implicits._
-    val trained = trainedCache.computeIfAbsent(dir, _ => kmeansCentroids(s, dir))
-    val cents = s.createDataset(trained.toSeq.map { case (i, v) => (i, v.toSeq) })
-      .toDF("cent_id", "cv")
-      .select(col("cent_id").cast("long").as("cent_id"), col("cv").as("cv"))
+    val cents = centsDF(s, dir)
     // priority key: cosine to the OWN cluster's centroid (one bounded
     // broadcast re-join over the stored index; ivfAssign runs only
-    // inside the one-time index write)
+    // inside the one-time index write). bucket goes back to long so
+    // the output schema matches the family (q81/q87) and the oracle's
+    // BIGINT cent_id, not the index's partition-inferred int
     val assigned = s.read.parquet(ivfIndexPath(s, dir, cents))
-      .join(broadcast(cents), col("bucket").cast("long") === col("cent_id"))
+      .withColumn("bucket", col("bucket").cast("long"))
+      .join(broadcast(cents), col("bucket") === col("cent_id"))
       .select(col("vec_id"), col("v"), col("bucket"),
         cosine_sim(col("v"), col("cv")).as("ccos"))
     val other = assigned.select(col("vec_id").as("o_id"), col("v").as("ov"),
@@ -501,20 +494,10 @@ object Similarity {
     * list_transform lambdas the cosine expansion uses.
     */
   def semanticDedupSql(threshold: Double = 0.35): Option[String] =
-    if (trainedCache.size != 1) None
-    else {
-      val cents = trainedCache.values.iterator.next()
-      val rows = cents.map { case (ci, v) =>
-        s"($ci, [${v.mkString(", ")}]::DOUBLE[])"
-      }.mkString(",\n               ")
-      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    trainedRowsSql().map { rows =>
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         c AS (SELECT * FROM (VALUES $rows) AS vt(cent_id, cv)),
-        a0 AS (
-          SELECT vec_id, v, cent_id AS bucket FROM (
-            SELECT e.vec_id, e.v, c.cent_id,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY ${cosSqlOn("e.v", "c.cv")} DESC, c.cent_id ASC) AS crank
-            FROM e, c WHERE e.v IS NOT NULL) WHERE crank = 1),
+        a0 AS ($assignedCteSql),
         assigned AS (
           SELECT a0.vec_id, a0.v, a0.bucket, ${cosSqlOn("a0.v", "c.cv")} AS ccos
           FROM a0 JOIN c ON a0.bucket = c.cent_id),
@@ -525,7 +508,7 @@ object Similarity {
            AND (b.ccos > a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id))
           WHERE ${cosSqlOn("b.v", "a.v")} > ($threshold)::DOUBLE)
         SELECT a.vec_id, a.bucket, (d.vec_id IS NOT NULL) AS dropped
-        FROM assigned a LEFT JOIN dropped_ids d ON a.vec_id = d.vec_id""")
+        FROM assigned a LEFT JOIN dropped_ids d ON a.vec_id = d.vec_id"""
     }
 
   def ivfTopKSql(k: Int = defaultK): String =
@@ -537,12 +520,7 @@ object Similarity {
   private def ivfSqlWith(cCte: String, k: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         c AS ($cCte),
-        assigned AS (
-          SELECT vec_id, v, cent_id AS bucket FROM (
-            SELECT e.vec_id, e.v, c.cent_id,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY ${cosSqlOn("e.v", "c.cv")} DESC, c.cent_id ASC) AS crank
-            FROM e, c WHERE e.v IS NOT NULL) WHERE crank = 1),
+        assigned AS ($assignedCteSql),
         q AS ($querySql),
         probes AS (
           SELECT query_id, qv, cent_id AS bucket FROM (
