@@ -18,13 +18,18 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *
   * Mismatched vector lengths throw (silent truncation would mask bad
   * ingest rows AND diverge from the oracle, which normalizes each side
-  * over its own full length). A zero vector yields NaN (0/0), which
-  * threshold filters drop — callers wanting explicit null handling
-  * should pre-filter zero norms.
+  * over its own full length). A NULL element on either side yields
+  * NULL — the same propagation as the oracle's list arithmetic and the
+  * sibling array expressions (HyperplaneSigs/PqEncode); reading the
+  * slot as 0.0 would produce a structurally-valid but wrong score. A
+  * zero vector yields NaN (0/0), which threshold filters drop —
+  * callers wanting explicit null handling should pre-filter zero
+  * norms.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType => DT}
@@ -44,6 +49,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
@@ -60,15 +66,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val anyNull = ctx.freshName("anyNull")
       s"""
         int $n = graft.functions.CosineSimilarity.checkedLength($a.numElements(), $b.numElements());
         double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        boolean $anyNull = false;
         for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
           double $xi = $a.getDouble($i);
           double $yi = $b.getDouble($i);
           $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
         }
-        ${ev.value} = $dot / java.lang.Math.sqrt($na) / java.lang.Math.sqrt($nb);
+        if ($anyNull) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $dot / java.lang.Math.sqrt($na) / java.lang.Math.sqrt($nb);
+        }
       """
     })
 

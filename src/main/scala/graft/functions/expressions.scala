@@ -423,10 +423,12 @@ object Murmur2 {
   * ascending dimension order — the same IEEE sequence as the Column
   * reduce and the oracle's list_sum.
   *
-  * Null contract: a null/short vector or a null element yields a null
-  * signature array (the row drops out of banding — candidate generation
-  * over garbage is meaningless); vectors longer than `dim` use their
-  * first `dim` components, matching the Column form's getItem(0..dim-1).
+  * Null contract: a null vector, a null element, or ANY length other
+  * than `dim` yields a null signature array (the row drops out of
+  * banding — candidate generation over garbage is meaningless). Strict
+  * `!= dim`, like PqEncode: hashing a 128-dim vector's first 64
+  * components would produce a structurally-valid signature with no
+  * signal.
   */
 case class HyperplaneSigs(child: Expression, bits: Int, tables: Int, dim: Int)
     extends UnaryExpression with RequiresInputType with RefCodegen {

@@ -11,8 +11,9 @@ import org.apache.spark.sql.types.BinaryType
   */
 package object functions {
 
+  // cast already propagates NULL — no explicit branch needed
   private def toBytes(c: Column): Column =
-    when(c.isNull, lit(null).cast(BinaryType)).otherwise(c.cast("string").cast(BinaryType))
+    c.cast("string").cast(BinaryType)
 
   /** BLAKE2b digest (`size` bytes, default 8 as in the reference demo,
     * `HackerNewsPipeline.java:42`) of any column (serialized as its
@@ -59,7 +60,7 @@ package object functions {
 
   /** All `tables` random-hyperplane LSH signatures (array<long>) of an
     * array<double> embedding column in one native pass — map-side, no
-    * shuffle; NULL for short/null-element vectors.
+    * shuffle; NULL for null-element vectors and any length != dim.
     */
   def hyperplane_sigs(v: Column, bits: Int, tables: Int, dim: Int): Column =
     call_function("graft_hyperplane_sigs", v, lit(bits), lit(tables), lit(dim))

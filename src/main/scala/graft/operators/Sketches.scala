@@ -165,7 +165,13 @@ object Sketches {
     */
   def kmvDistinct(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NULL keys are excluded EXPLICITLY on both engines: Spark's window
+    // sort puts NULLS FIRST, DuckDB's puts them LAST, so an unfiltered
+    // NULL hash would occupy Spark's rank 1 while never entering
+    // DuckDB's top-k — the sketch would silently diverge cross-engine
+    // (countDistinct below already ignores NULLs on both)
     val hashes = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
       .select(col("event_type"), graft.functions.md5_long(col("user_id")).as("h"))
       .distinct()
     val w = Window.partitionBy(col("event_type")).orderBy(col("h").asc)
@@ -186,7 +192,7 @@ object Sketches {
     s"""WITH h AS (
           SELECT DISTINCT event_type,
                  ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
-          FROM events),
+          FROM events WHERE user_id IS NOT NULL),
         kth AS (
           SELECT event_type, count(*) AS n_min, max(h) AS kth_min
           FROM (SELECT event_type, h,
@@ -271,7 +277,7 @@ object Sketches {
   def quantileHistogramSql(width: Double = 8.0, buckets: Int = 64,
       ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): String =
     s"""WITH hist AS (
-          SELECT event_type, greatest(0, least(floor(value / $width)::BIGINT, ${buckets - 1})) AS bucket,
+          SELECT event_type, greatest(0, least(floor(value / ($width)::DOUBLE)::BIGINT, ${buckets - 1})) AS bucket,
                  count(*) AS cnt
           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
         cum AS (
@@ -287,7 +293,7 @@ object Sketches {
                  row_number() OVER (PARTITION BY r.event_type, r.p ORDER BY c.bucket) AS rn
           FROM ranks r JOIN cum c ON r.event_type = c.event_type AND c.cum >= r.rank)
         SELECT event_type, p, n, rank, bucket,
-               bucket * $width + (rank - (cum - cnt))::DOUBLE / cnt::DOUBLE * $width AS q_est
+               bucket * ($width)::DOUBLE + (rank - (cum - cnt))::DOUBLE / cnt::DOUBLE * ($width)::DOUBLE AS q_est
         FROM cand WHERE rn = 1"""
 
   /** Incremental materialized-aggregate maintenance (IVM): the nightly
@@ -331,13 +337,18 @@ object Sketches {
     val (deltaS, deltaR) = side(delta = true)
     // scalar-state merge: add counts/sums, fold min/max (least/greatest
     // skip NULLs in both engines, so a group present on one side only
-    // inherits that side's extremum)
+    // inherits that side's extremum). The sum keeps SQL semantics: a
+    // group whose values are ALL NULL has a NULL sum on both sides, and
+    // the merged sum must stay NULL — coalescing both absences to 0
+    // would report 0.0 where the scratch path reports NULL, breaking
+    // the defining merge==scratch property
     val mergedS = baseS.as("b")
       .join(deltaS.as("d"), Seq("event_type"), "full_outer")
       .select(col("event_type"),
         (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
-        (coalesce(col("b.sum_v"), lit(0).cast("decimal(18,2)"))
-          + coalesce(col("d.sum_v"), lit(0).cast("decimal(18,2)")))
+        when(col("b.sum_v").isNull && col("d.sum_v").isNull, lit(null))
+          .otherwise(coalesce(col("b.sum_v"), lit(0).cast("decimal(18,2)"))
+            + coalesce(col("d.sum_v"), lit(0).cast("decimal(18,2)")))
           .cast("double").as("sum_value"),
         least(col("b.min_v"), col("d.min_v")).as("min_value"),
         greatest(col("b.max_v"), col("d.max_v")).as("max_value"))

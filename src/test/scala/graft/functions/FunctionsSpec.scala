@@ -130,6 +130,29 @@ class NullElementSpec extends graft.SparkSpec {
   }
 }
 
+class CosineNullElementSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("a null element on either side yields NULL, never a zero-filled score") {
+    // the oracle's list arithmetic propagates NULL; reading the slot as
+    // 0.0 would produce a structurally-valid but wrong similarity
+    val df = spark.range(1).select(
+      graft.functions.cosine_sim(
+        array(lit(1.0), lit(null).cast("double"), lit(2.0)),
+        array(lit(1.0), lit(1.0), lit(1.0))).as("l_null"),
+      graft.functions.cosine_sim(
+        array(lit(1.0), lit(1.0), lit(1.0)),
+        array(lit(1.0), lit(null).cast("double"), lit(2.0))).as("r_null"),
+      graft.functions.cosine_sim(
+        array(lit(1.0), lit(0.0), lit(2.0)),
+        array(lit(1.0), lit(1.0), lit(1.0))).as("clean"))
+    val row = df.head()
+    assert(row.isNullAt(0))
+    assert(row.isNullAt(1))
+    assert(!row.isNullAt(2) && !row.getDouble(2).isNaN)
+  }
+}
+
 class ArityCheckSpec extends graft.SparkSpec {
   test("wrong SQL arity is an AnalysisException, not an index error") {
     for (bad <- Seq(
