@@ -41,6 +41,17 @@ object TextAnalysis {
   private def stopHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
 
+  // the quality sub-expressions, each defined ONCE: qualityCol blends
+  // them and qualityScores also exposes them as columns — two parallel
+  // hand-maintained derivations would let an edit to one silently
+  // desync the exposed metric from the blended score computed on the
+  // same row (Catalyst CSEs the repeated subtrees, so sharing is free)
+  private def nToks(text: Column): Column = size(tokens(text)).cast("double")
+  private def stopCount(text: Column): Column =
+    stopHits(tokens(text), langStopwords.flatMap(_._2)).cast("double")
+  private def meanTokenLen(text: Column): Column =
+    (length(text).cast("double") - (nToks(text) - lit(1.0))) / nToks(text)
+
   /** Token/char counts: whitespace tokens + regex (BPE-ish) tokens. */
   def tokenCounts(df: DataFrame, text: Column): DataFrame =
     df.select(
@@ -55,13 +66,10 @@ object TextAnalysis {
     * joining per-metric frames.
     */
   private[operators] def qualityCol(text: Column): Column = {
-    val toks = tokens(text)
-    val n = size(toks).cast("double")
-    val stop = stopHits(toks, langStopwords.flatMap(_._2)).cast("double")
-    val meanLen = (length(text).cast("double") - (n - lit(1.0))) / n
+    val n = nToks(text)
     least(lit(1.0), n / lit(64.0)) * lit(0.5) +
-      least(lit(1.0), stop / n * lit(5.0)) * lit(0.3) +
-      least(lit(1.0), meanLen / lit(8.0)) * lit(0.2)
+      least(lit(1.0), stopCount(text) / n * lit(5.0)) * lit(0.3) +
+      least(lit(1.0), meanTokenLen(text) / lit(8.0)) * lit(0.2)
   }
 
   /** Stopword-heuristic language verdict (column form; see
@@ -80,19 +88,15 @@ object TextAnalysis {
     * density, and a blended [0,1] quality score.
     */
   def qualityScores(df: DataFrame, text: Column): DataFrame = {
-    val toks = tokens(text)
-    val n = size(toks).cast("double")
-    val stop = stopHits(toks, langStopwords.flatMap(_._2)).cast("double")
     val punct = size(regexp_extract_all(text, lit("[^a-z0-9 ]"), lit(0))).cast("double")
-    val meanLen = (length(text).cast("double") - (n - lit(1.0))) / n
     df.select(
       col("doc_id"),
-      size(toks).as("n_tokens"),
+      size(tokens(text)).as("n_tokens"),
       // raw doubles, not round()ed: the two engines' round() disagree on
       // exact half-boundaries, while the unrounded values are bit-identical
       // (same IEEE ops in the same order on integer-derived inputs)
-      (stop / n).as("stopword_ratio"),
-      meanLen.as("mean_token_len"),
+      (stopCount(text) / nToks(text)).as("stopword_ratio"),
+      meanTokenLen(text).as("mean_token_len"),
       (punct / greatest(length(text).cast("double"), lit(1.0))).as("punct_density"),
       qualityCol(text).as("quality"))
   }
@@ -184,10 +188,14 @@ object TextAnalysis {
   /** The duplicate-3-gram fraction (column form; see
     * [[repetitionScores]]).
     */
+  // total 3-gram count, defined once for the metric column and the
+  // exposed n_3grams (same desync hazard as the quality sub-expressions)
+  private def trigramTotal(text: Column): Column =
+    greatest(size(tokens(text)) - lit(2), lit(0)).cast("double")
+
   private[operators] def dupTrigramFracCol(text: Column): Column = {
-    val toksCol = tokens(text)
-    val total = greatest(size(toksCol) - lit(2), lit(0)).cast("double")
-    val distinctSh = size(graft.functions.shingles(toksCol, 3)).cast("double")
+    val total = trigramTotal(text)
+    val distinctSh = size(graft.functions.shingles(tokens(text), 3)).cast("double")
     when(total > 0, lit(1.0) - distinctSh / total)
   }
 
@@ -198,13 +206,11 @@ object TextAnalysis {
     * a pure per-row map like the other text metrics. NULL for docs
     * under 3 tokens (no 3-grams to judge).
     */
-  def repetitionScores(df: DataFrame, text: Column): DataFrame = {
-    val total = greatest(size(tokens(text)) - lit(2), lit(0)).cast("double")
+  def repetitionScores(df: DataFrame, text: Column): DataFrame =
     df.select(
       col("doc_id"),
-      total.cast("int").as("n_3grams"),
+      trigramTotal(text).cast("int").as("n_3grams"),
       dupTrigramFracCol(text).as("dup_3gram_frac"))
-  }
 
   val repetitionScoresSql: String =
     """SELECT doc_id,

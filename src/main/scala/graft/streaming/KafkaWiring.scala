@@ -34,6 +34,13 @@ object KafkaWiring {
     * unknown fields ignored, missing fields null — `from_json` semantics
     * match the reference's Jackson config, `dto/Comment.java:5-6`).
     *
+    * The metadata columns (`record_key`/`seq`/`tie`) sit NEXT TO the
+    * payload fields, so a payload schema that itself declares one of
+    * those three names collides (AMBIGUOUS_REFERENCE downstream, and
+    * to_json over duplicate field names corrupts the re-encoded value).
+    * Rejected loudly here — renaming silently would desync the output
+    * from the declared schema.
+    *
     * Ordering: `seq` (record timestamp, ms) is the cross-topic major
     * order — raw offsets alone would be incomparable between topics and
     * partitions — and `tie` (the raw offset) breaks ties EXACTLY in
@@ -48,13 +55,19 @@ object KafkaWiring {
     * needing that exact guarantee should materialize the index topic
     * (`writeTopic` + re-read) rather than union two sources.
     */
-  def decode(kafkaRecords: DataFrame, schema: StructType): DataFrame =
+  def decode(kafkaRecords: DataFrame, schema: StructType): DataFrame = {
+    val reserved = Set("record_key", "seq", "tie")
+    val clash = schema.fieldNames.filter(reserved)
+    require(clash.isEmpty,
+      s"payload schema declares reserved metadata column(s): ${clash.mkString(", ")} " +
+        "— rename the payload field(s); decode emits record_key/seq/tie alongside the payload")
     kafkaRecords.select(
       col("key").cast("string").as("record_key"),
       from_json(col("value").cast("string"), schema).as("v"),
       unix_millis(col("timestamp")).as("seq"),
       col("offset").as("tie"))
       .select(col("record_key"), col("seq"), col("tie"), col("v.*"))
+  }
 
   /** Shape a DataFrame for a Kafka sink: `keyExpr` → binary key,
     * remaining columns JSON-encoded as the value (O16).
@@ -64,14 +77,22 @@ object KafkaWiring {
       keyExpr.cast("string").cast("binary").as("key"),
       to_json(struct(valueCols: _*)).cast("binary").as("value"))
 
-  /** Subscribe to a topic (O1/O2). Requires spark-sql-kafka connector. */
+  /** Subscribe to a topic (O1/O2). Requires spark-sql-kafka connector.
+    * `maxOffsetsPerTrigger` caps catch-up micro-batches: the join core
+    * builds each FK group's fan-out list eagerly, so an unbounded first
+    * batch over topic backlog is an executor-memory hazard on hot FKs
+    * (and widens the strictBatchDedup drop window to the whole backlog).
+    */
   def readTopic(spark: SparkSession, bootstrap: String, topic: String,
-      startingOffsets: String = "earliest"): DataFrame =
-    spark.readStream.format("kafka")
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
+    val base = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
-      .load()
+    maxOffsetsPerTrigger.fold(base)(n =>
+      base.option("maxOffsetsPerTrigger", n.toString)).load()
+  }
 
   /** Produce to a topic (O7/O16). Requires spark-sql-kafka connector.
     * The checkpoint plays the compacted-changelog role (SURVEY.md §4).
@@ -86,20 +107,35 @@ object KafkaWiring {
   /** Full reference topology (`HackerNewsPipeline.java:33-55`): two
     * source topics → stateful FK denormalization → output topic. Returns
     * the writer; caller `.start()`s it.
+    *
+    * `strictBatchDedup` passes through to the join core. The default
+    * (true) is reference parity — a left claims its dedup key BEFORE
+    * the lookup — but that drop window is one micro-batch here, not one
+    * stream-time millisecond, so a catch-up batch over topic backlog
+    * (both sides of an FK in ONE batch, left sorting first) would
+    * silently never emit those pairs. Deployments starting from
+    * `earliest` on non-empty topics should set it false and/or cap the
+    * batch with `maxOffsetsPerTrigger`.
     */
   def denormalizeTopology(
       spark: SparkSession, bootstrap: String,
       leftTopic: String, rightTopic: String, outTopic: String,
       leftSchema: StructType, rightSchema: StructType,
       leftKey: Column, leftFk: Column, rightKey: Column,
-      joinType: String, checkpoint: String): DataStreamWriter[Row] = {
-    val left = decode(readTopic(spark, bootstrap, leftTopic), leftSchema)
-    val right = decode(readTopic(spark, bootstrap, rightTopic), rightSchema)
+      joinType: String, checkpoint: String,
+      strictBatchDedup: Boolean = true,
+      maxOffsetsPerTrigger: Option[Long] = None): DataStreamWriter[Row] = {
+    val left = decode(
+      readTopic(spark, bootstrap, leftTopic, maxOffsetsPerTrigger = maxOffsetsPerTrigger),
+      leftSchema)
+    val right = decode(
+      readTopic(spark, bootstrap, rightTopic, maxOffsetsPerTrigger = maxOffsetsPerTrigger),
+      rightSchema)
     val index = StreamDenormalize.indexStream(
       left, leftKey, leftFk, col("seq"), right, rightKey, col("seq"),
       leftTie = col("tie"), rightTie = col("tie"))
     val joined = StreamDenormalize.parsed(
-      StreamDenormalize.joined(index, joinType), leftSchema, rightSchema)
+      StreamDenormalize.joined(index, joinType, strictBatchDedup), leftSchema, rightSchema)
     writeTopic(
       encode(joined, col("out_key"), Seq(col("left"), col("right"))),
       bootstrap, outTopic, checkpoint)

@@ -76,22 +76,35 @@ object StreamDenormalize {
     * sides by FK and union — O3/O4/O7. `leftFk` is the joinOn extraction
     * (`LeftKeyMapper.java:19-22`); the right's FK is its own key
     * (`RightKeyMapper.java:16-18`).
+    *
+    * Records with a null FK or null primary key are DROPPED before the
+    * union — Kafka Streams parity (a repartition after selectKey drops
+    * null-key records before any stateful operator reaches them).
+    * Without the filter, every missing-joinOn-field record from BOTH
+    * sides (schema-on-read JSON yields null for absent fields) would
+    * meet under one shared null FK group and emit bogus pairs — and a
+    * null primary key crashes the MapState backend at runtime while the
+    * fMGWS backend silently accepts it, a backend-divergent behavior.
     */
   def indexStream(
       left: DataFrame, leftKey: Column, leftFk: Column, leftSeq: Column,
       right: DataFrame, rightKey: Column, rightSeq: Column,
       leftTie: Column = lit(0L), rightTie: Column = lit(0L)): Dataset[IndexRecord] = {
     import left.sparkSession.implicits._
-    val l = left.select(
-      leftFk.cast("string").as("fk"), lit(true).as("isLeft"),
-      leftKey.cast("string").as("key"),
-      to_json(struct(left.columns.map(col).toSeq: _*)).as("value"),
-      leftSeq.cast("long").as("seq"), leftTie.cast("long").as("tie"))
-    val r = right.select(
-      rightKey.cast("string").as("fk"), lit(false).as("isLeft"),
-      rightKey.cast("string").as("key"),
-      to_json(struct(right.columns.map(col).toSeq: _*)).as("value"),
-      rightSeq.cast("long").as("seq"), rightTie.cast("long").as("tie"))
+    val l = left
+      .filter(leftFk.isNotNull && leftKey.isNotNull)
+      .select(
+        leftFk.cast("string").as("fk"), lit(true).as("isLeft"),
+        leftKey.cast("string").as("key"),
+        to_json(struct(left.columns.map(col).toSeq: _*)).as("value"),
+        leftSeq.cast("long").as("seq"), leftTie.cast("long").as("tie"))
+    val r = right
+      .filter(rightKey.isNotNull)
+      .select(
+        rightKey.cast("string").as("fk"), lit(false).as("isLeft"),
+        rightKey.cast("string").as("key"),
+        to_json(struct(right.columns.map(col).toSeq: _*)).as("value"),
+        rightSeq.cast("long").as("seq"), rightTie.cast("long").as("tie"))
     l.unionAll(r).as[IndexRecord]
   }
 

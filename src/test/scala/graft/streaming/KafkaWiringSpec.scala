@@ -38,6 +38,14 @@ class KafkaWiringSpec extends SparkSpec {
     assert(out(0).getAs[Long]("tie") == 1048575L && out(1).getAs[Long]("tie") == 1048576L)
   }
 
+  test("decode rejects payload schemas that declare reserved metadata columns") {
+    val clashing = StructType(Seq(
+      StructField("id", LongType), StructField("seq", LongType),
+      StructField("tie", LongType)))
+    val e = intercept[IllegalArgumentException](KafkaWiring.decode(kafkaShaped, clashing))
+    assert(e.getMessage.contains("seq") && e.getMessage.contains("tie"))
+  }
+
   test("encode → decode roundtrip is lossless for the declared fields") {
     val rows = Seq((7L, 70L, "body")).toDF("id", "story", "text")
     val encoded = KafkaWiring.encode(rows, col("id"),

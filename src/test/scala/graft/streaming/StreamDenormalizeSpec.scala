@@ -33,6 +33,23 @@ class StreamDenormalizeSpec extends SparkSpec {
   private def R(fk: String, v: String, seq: Long) =
     IndexRecord(fk, isLeft = false, fk, v, seq)
 
+  test("indexStream drops null-FK and null-key records before the union") {
+    import org.apache.spark.sql.functions._
+    // schema-on-read JSON yields null for absent fields: a left missing
+    // its joinOn field, a left missing its primary key, a right missing
+    // its key — none may reach the stateful join (Kafka Streams drops
+    // null-key records at the repartition; a shared "null" FK group
+    // would otherwise pair unrelated records)
+    val left = Seq((Some("c1"), Some("s1"), "ok"), (None, Some("s1"), "noKey"),
+      (Some("c2"), None, "noFk")).toDF("id", "story", "text")
+    val right = Seq((Some("s1"), "rOk"), (None, "rNoKey")).toDF("id", "body")
+    val idx = StreamDenormalize.indexStream(
+      left, col("id"), col("story"), lit(1L),
+      right, col("id"), lit(2L)).collect()
+    assert(idx.count(_.isLeft) == 1 && idx.filter(_.isLeft).head.key == "c1")
+    assert(idx.count(!_.isLeft) == 1 && idx.filterNot(_.isLeft).head.fk == "s1")
+  }
+
   test("scenario 1: left then right (separate batches) → right arrival re-emits") {
     val out = run("inner")(Seq(L("s1", "c1", "c1v1", 1)), Seq(R("s1", "s1v1", 2)))
     assert(out == Seq(JoinedRecord("c1", "c1v1", "s1v1", 2)))
