@@ -76,28 +76,46 @@ object SparkEntry {
     * the sink until the stream converges to it (or a 180 s deadline
     * makes the failure visible as a short row count, never a hang).
     */
+  /** `leftsFirst` flips the cross-side arrival order: by default rights
+    * (customers) sort before lefts (events) in the staged single batch,
+    * so every left finds its right on arrival — the ordering q08/q50/
+    * q80/q82 rely on for convergence. A right-outer run needs the
+    * OPPOSITE: lefts first, so a right's prefix-scan fan-out emits each
+    * stored left exactly once and only a genuinely left-less right
+    * emits its null+right row — converging to the relational RIGHT
+    * JOIN (with rights first, EVERY right would emit a null+right
+    * transient before its lefts arrived).
+    */
   private def streamDenormQuery(s: SparkSession, dir: String, tag: String,
       awaitRows: Long = -1L,
-      rightFilter: Option[org.apache.spark.sql.Column] = None)(
+      rightFilter: Option[org.apache.spark.sql.Column] = None,
+      leftFilter: Option[org.apache.spark.sql.Column] = None,
+      leftsFirst: Boolean = false)(
       core: org.apache.spark.sql.Dataset[graft.streaming.IndexRecord] =>
         org.apache.spark.sql.Dataset[graft.streaming.JoinedRecord]): DataFrame = {
     import s.implicits._
     import graft.streaming._
-    val ev = Tables.events(s, dir)
+    val evAll = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     val custAll = Tables.load(s, dir, "customer")
-    // an outer-join query thins the right side so some FKs genuinely
-    // miss — the null-side emission path has real work to do
+    // an outer-join query thins the missing-capable side so some FKs
+    // genuinely miss — the null-side emission path has real work to do
+    val ev = leftFilter.fold(evAll)(evAll.filter)
     val cust = rightFilter.fold(custAll)(custAll.filter)
+    val laterSide = lit(1000000000L)
     val idx = StreamDenormalize.indexStream(
-      ev, col("event_id"), col("user_id"), col("event_id") + lit(1000000000L),
-      cust, col("c_custkey"), col("c_custkey"))
+      ev, col("event_id"), col("user_id"),
+      if (leftsFirst) col("event_id") else col("event_id") + laterSide,
+      cust, col("c_custkey"),
+      if (leftsFirst) col("c_custkey") + laterSide else col("c_custkey"))
     // the index stream is IDENTICAL for q08 and q50 (same inputs, same
     // re-key) — staged once per JVM under one shared tag, consumed by
     // both cores (and by bench repetitions) with per-run checkpoints;
-    // a filtered right side is a DIFFERENT stream, so it stages under
-    // its own tag
-    val idxTag = if (rightFilter.isEmpty) "denorm_idx" else s"denorm_idx_$tag"
+    // a filtered side or flipped ordering is a DIFFERENT stream, so it
+    // stages under its own tag
+    val idxTag =
+      if (rightFilter.isEmpty && leftFilter.isEmpty && !leftsFirst) "denorm_idx"
+      else s"denorm_idx_$tag"
     val tmp = stagedOnce(dir, idxTag) { p =>
       // repartition = write parallelism for the staging step only (the
       // single-file input otherwise writes on one task); record order
@@ -591,6 +609,20 @@ object SparkEntry {
         case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }),
+    // the streaming RIGHT OUTER variant (JoinTransformer.java:192-196's
+    // rightOuter flag) with the arrival order FLIPPED (lefts first) and
+    // a thinned left side, so a third of the customers genuinely have
+    // no events: each right's prefix-scan fan-out emits its stored
+    // lefts, a left-less right emits the null+right row, and the
+    // converged output IS the relational RIGHT JOIN. Runs the fMGWS
+    // core in non-strict dedup mode — with lefts first, strict mode's
+    // claim-on-miss would suppress the same-batch fan-out entirely —
+    // giving strictBatchDedup=false its first oracle-checked query.
+    "q88_stream_denorm_right_outer" -> ((s, dir) =>
+      streamDenormQuery(s, dir, "q88",
+        leftFilter = Some(col("user_id") % 3 =!= 0), leftsFirst = true)(
+        graft.streaming.StreamDenormalize.joined(_, "right_outer",
+          strictBatchDedup = false))),
     // the persisted-index serving handoff for the trained-IVF family:
     // assignment is written ONCE as parquet partitionBy(bucket) and the
     // probe read-back is dynamic-partition-pruned to the probed buckets
@@ -941,6 +973,11 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value,
                 c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
          FROM events LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 3 <> 0) c
+           ON user_id = c_custkey""",
+    "q88_stream_denorm_right_outer" ->
+      """SELECT event_id, user_id, event_type, value,
+                c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM (SELECT * FROM events WHERE user_id % 3 <> 0) e RIGHT JOIN customer
            ON user_id = c_custkey""",
     "q51_text_repetition" -> TextAnalysis.repetitionScoresSql,
     "q52_pii_scan" -> TextAnalysis.piiScanSql,
