@@ -102,7 +102,11 @@ object SparkEntry {
     // genuinely miss — the null-side emission path has real work to do
     val ev = leftFilter.fold(evAll)(evAll.filter)
     val cust = rightFilter.fold(custAll)(custAll.filter)
-    val laterSide = lit(1000000000L)
+    // the later-arriving side's seq offset must exceed ANY key on the
+    // earlier side — 2^62 rather than a data-plausible constant, so a
+    // large-sf event_id can never leak past the offset and emit an
+    // un-retractable null-side transient out of order
+    val laterSide = lit(1L << 62)
     val idx = StreamDenormalize.indexStream(
       ev, col("event_id"), col("user_id"),
       if (leftsFirst) col("event_id") else col("event_id") + laterSide,
@@ -178,10 +182,16 @@ object SparkEntry {
       .select(col("left.*"), col("right.*"))
   }
 
+  // the IS NOT NULL mirrors encode indexStream's declared drop of
+  // null-FK / null-key records (Kafka Streams parity): the inner join
+  // already excludes a null FK, but a null PRIMARY key rides any join
+  // type — the oracle must drop exactly what the engine drops, not
+  // rely on the fixtures staying null-free
   private val streamDenormOracle =
     """SELECT event_id, user_id, event_type, value,
               c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-       FROM events JOIN customer ON user_id = c_custkey"""
+       FROM (SELECT * FROM events WHERE event_id IS NOT NULL) e
+       JOIN customer ON user_id = c_custkey"""
 
   /** Run `body` with a temporarily lowered shuffle-partition count.
     * Streaming state is partitioned by the shuffle-partition conf
@@ -288,7 +298,7 @@ object SparkEntry {
     // driver-side collect, no dataset-sized task closures — the exact
     // shape a Kafka source has on a cluster). One micro-batch: rights
     // sort before lefts within each FK group (rights seq = c_custkey <
-    // 1e9 <= left seqs), so every left takes the point-lookup path
+    // 2^62 <= left seqs), so every left takes the point-lookup path
     // against already-stored state.
     "q08_stream_denorm" -> ((s, dir) =>
       streamDenormQuery(s, dir, "q08")(
@@ -593,7 +603,7 @@ object SparkEntry {
     // genuinely miss and the null-side emission path
     // (processRecords' `None if emitLeftNull` arm) carries real rows.
     // Rights sort before lefts in the index stream (seq = c_custkey vs
-    // event_id+1e9) and the staged files arrive in one batch, so each
+    // event_id+2^62) and the staged files arrive in one batch, so each
     // left emits exactly once — joined when its customer survived the
     // filter, left+null otherwise — and the converged output IS the
     // relational LEFT JOIN.
@@ -969,15 +979,24 @@ object SparkEntry {
     "q48_curation" -> PipelineOps.curationSql(),
     "q50_stream_denorm_tws" -> streamDenormOracle,
     "q80_stream_denorm_tws_ttl" -> streamDenormOracle,
+    // left-side IS NOT NULL mirrors indexStream's null drop: a left
+    // with a null FK or null key would ride the LEFT JOIN's null arm
+    // in plain SQL but never reaches the engine's stateful join
     "q82_stream_denorm_left_outer" ->
       """SELECT event_id, user_id, event_type, value,
                 c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-         FROM events LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 3 <> 0) c
+         FROM (SELECT * FROM events
+               WHERE event_id IS NOT NULL AND user_id IS NOT NULL) e
+         LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 3 <> 0) c
            ON user_id = c_custkey""",
+    // the event_id/c_custkey IS NOT NULL mirrors encode indexStream's
+    // null-key drop (the % 3 predicate already excludes a null user_id)
     "q88_stream_denorm_right_outer" ->
       """SELECT event_id, user_id, event_type, value,
                 c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-         FROM (SELECT * FROM events WHERE user_id % 3 <> 0) e RIGHT JOIN customer
+         FROM (SELECT * FROM events
+               WHERE user_id % 3 <> 0 AND event_id IS NOT NULL) e
+         RIGHT JOIN (SELECT * FROM customer WHERE c_custkey IS NOT NULL) c
            ON user_id = c_custkey""",
     "q51_text_repetition" -> TextAnalysis.repetitionScoresSql,
     "q52_pii_scan" -> TextAnalysis.piiScanSql,

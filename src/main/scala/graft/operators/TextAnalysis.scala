@@ -185,14 +185,14 @@ object TextAnalysis {
         FROM sel"""
   }
 
-  /** The duplicate-3-gram fraction (column form; see
-    * [[repetitionScores]]).
-    */
   // total 3-gram count, defined once for the metric column and the
   // exposed n_3grams (same desync hazard as the quality sub-expressions)
   private def trigramTotal(text: Column): Column =
     greatest(size(tokens(text)) - lit(2), lit(0)).cast("double")
 
+  /** The duplicate-3-gram fraction (column form; see
+    * [[repetitionScores]]).
+    */
   private[operators] def dupTrigramFracCol(text: Column): Column = {
     val total = trigramTotal(text)
     val distinctSh = size(graft.functions.shingles(tokens(text), 3)).cast("double")
