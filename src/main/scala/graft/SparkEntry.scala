@@ -359,6 +359,9 @@ object SparkEntry {
     "q19_text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
     "q51_text_repetition" -> ((s, dir) => TextAnalysis.repetitionScores(s, dir)),
     "q52_pii_scan" -> ((s, dir) => TextAnalysis.piiScan(s, dir)),
+    // the redaction transform itself (q52 only counts): sentinel
+    // substitution in a fixed pass order, counts from the original text
+    "q89_pii_redact" -> ((s, dir) => TextAnalysis.piiRedact(s, dir)),
     // pretraining batch assembly: bucket-sharded greedy sequence packing
     "q53_sequence_packing" -> ((s, dir) => PipelineOps.sequencePacking(s, dir)),
     // native session_window operator (streaming-capable sessionization),
@@ -1000,6 +1003,7 @@ object SparkEntry {
            ON user_id = c_custkey""",
     "q51_text_repetition" -> TextAnalysis.repetitionScoresSql,
     "q52_pii_scan" -> TextAnalysis.piiScanSql,
+    "q89_pii_redact" -> TextAnalysis.piiRedactSql,
     "q53_sequence_packing" -> PipelineOps.sequencePackingSql(),
     "q54_session_window" -> Analytics.sessionWindowsSql(),
     "q55_hll_distinct" -> operators.Sketches.hllDistinctSql(),

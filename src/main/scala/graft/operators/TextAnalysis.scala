@@ -250,6 +250,44 @@ object TextAnalysis {
           len(regexp_extract_all(lower(text), '$longDigitPattern')) AS n_long_digits
         FROM documents"""
 
+  /** PII redaction — the transform counterpart of [[piiScan]]: emails,
+    * URLs, then long digit runs replaced by typed sentinels, applied in
+    * that FIXED order (the passes compose — an email inside a URL is
+    * redacted first and the URL pass then swallows the sentinel; any
+    * single deterministic order is correct, but engine and oracle must
+    * share it, so it is part of the declared contract). `n_redacted`
+    * counts matches on the ORIGINAL lowered text, so it can exceed the
+    * sentinel count when passes overlap. Pure per-row map — redacting
+    * 100 TB is one scan-shaped pass, no shuffle.
+    */
+  def piiRedact(df: DataFrame, text: Column): DataFrame = {
+    val lowered = lower(text)
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(lowered, emailPattern, "<EMAIL>"),
+        urlPattern, "<URL>"),
+      longDigitPattern, "<DIGITS>")
+    df.select(
+      col("doc_id"),
+      redacted.as("redacted"),
+      (size(regexp_extract_all(lowered, lit(emailPattern), lit(0))) +
+        size(regexp_extract_all(lowered, lit(urlPattern), lit(0))) +
+        longDigitsCol(text)).as("n_redacted"))
+  }
+
+  // DuckDB's regexp_replace needs the 'g' flag (first-match-only by
+  // default); Spark's replaces all matches unconditionally
+  val piiRedactSql: String =
+    s"""SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(lower(text),
+              '$emailPattern', '<EMAIL>', 'g'),
+              '$urlPattern', '<URL>', 'g'),
+              '$longDigitPattern', '<DIGITS>', 'g') AS redacted,
+          (len(regexp_extract_all(lower(text), '$emailPattern'))
+           + len(regexp_extract_all(lower(text), '$urlPattern'))
+           + len(regexp_extract_all(lower(text), '$longDigitPattern'))) AS n_redacted
+        FROM documents"""
+
   /** RAG/embedding-prep chunking: split each document into overlapping
     * token-window chunks — window `cw` tokens, stride `st` (overlap
     * `cw-st`). Chunk count is `1 + ceil((n-cw)/st)` so the final chunk
@@ -366,4 +404,6 @@ object TextAnalysis {
     repetitionScores(Tables.load(s, dir, "documents"), col("text"))
   def piiScan(s: SparkSession, dir: String): DataFrame =
     piiScan(Tables.load(s, dir, "documents"), col("text"))
+  def piiRedact(s: SparkSession, dir: String): DataFrame =
+    piiRedact(Tables.load(s, dir, "documents"), col("text"))
 }

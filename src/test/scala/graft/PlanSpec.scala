@@ -15,8 +15,8 @@ class PlanSpec extends SparkSpec {
     for (q <- Seq("q39_hash_split", "q22_dedup_simhash", "q24_dedup_minhash_sigs",
         "q16_text_tokens", "q17_text_quality", "q18_text_langid",
         "q19_text_fingerprint", "q28_multimodal_meta", "q44_frame_sample",
-        "q51_text_repetition", "q52_pii_scan", "q62_zorder_key",
-        "q63_winnowing", "q70_doc_chunks")) {
+        "q51_text_repetition", "q52_pii_scan", "q89_pii_redact",
+        "q62_zorder_key", "q63_winnowing", "q70_doc_chunks")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q should be shuffle-free:\n$p")
     }

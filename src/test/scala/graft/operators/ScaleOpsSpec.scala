@@ -357,6 +357,27 @@ class ChunkingSpec extends SparkSpec {
   }
 }
 
+class PiiRedactSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redaction: typed sentinels, fixed pass order, counts from the original text") {
+    val docs = Seq(
+      (1L, "mail a.b@example.com or visit https://x.io/path?id=1234567 now"),
+      (2L, "card 4111111111111111 twice 4111111111111111"),
+      (3L, "clean text with no pii at all"),
+      // email inside a URL: the email pass fires first, the URL pass
+      // then swallows the sentinel — one <URL> survives, count is 2
+      (4L, "see https://host/a.b@example.com here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(docs, col("text"))
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "mail <EMAIL> or visit <URL> now", 3))) // 1234567 inside the URL counts
+    assert(out(1) == ((2L, "card <DIGITS> twice <DIGITS>", 2)))
+    assert(out(2) == ((3L, "clean text with no pii at all", 0)))
+    assert(out(3) == ((4L, "see <URL> here", 2)))
+  }
+}
+
 class WinnowingSpec extends SparkSpec {
   import spark.implicits._
 
