@@ -232,15 +232,21 @@ object TextAnalysis {
   val urlPattern = "https?://[^ ]+"
   val longDigitPattern = "[0-9]{6,}"
 
-  /** Long-digit-run count (column form; see [[piiScan]]). */
+  // per-pattern match counts, each defined ONCE — piiScan exposes them
+  // and piiRedact sums them into n_redacted, the same define-once
+  // discipline as the quality sub-expressions above
+  private[operators] def emailsCol(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(emailPattern), lit(0)))
+  private[operators] def urlsCol(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(urlPattern), lit(0)))
   private[operators] def longDigitsCol(text: Column): Column =
     size(regexp_extract_all(lower(text), lit(longDigitPattern), lit(0)))
 
   def piiScan(df: DataFrame, text: Column): DataFrame =
     df.select(
       col("doc_id"),
-      size(regexp_extract_all(lower(text), lit(emailPattern), lit(0))).as("n_emails"),
-      size(regexp_extract_all(lower(text), lit(urlPattern), lit(0))).as("n_urls"),
+      emailsCol(text).as("n_emails"),
+      urlsCol(text).as("n_urls"),
       longDigitsCol(text).as("n_long_digits"))
 
   val piiScanSql: String =
@@ -270,9 +276,7 @@ object TextAnalysis {
     df.select(
       col("doc_id"),
       redacted.as("redacted"),
-      (size(regexp_extract_all(lowered, lit(emailPattern), lit(0))) +
-        size(regexp_extract_all(lowered, lit(urlPattern), lit(0))) +
-        longDigitsCol(text)).as("n_redacted"))
+      (emailsCol(text) + urlsCol(text) + longDigitsCol(text)).as("n_redacted"))
   }
 
   // DuckDB's regexp_replace needs the 'g' flag (first-match-only by
