@@ -166,6 +166,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           }))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_known_non_null_elements"),
+      new ExpressionInfo(classOf[KnownNonNullElements].getName, "graft_known_non_null_elements"),
+      (exprs: Seq[Expression]) => {
+        checkArity("graft_known_non_null_elements", exprs, Seq(1))
+        KnownNonNullElements(exprs.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_intersect_size"),
       new ExpressionInfo(classOf[IntersectSize].getName, "graft_intersect_size"),
       (exprs: Seq[Expression]) => {

@@ -42,17 +42,42 @@ case class CosineSimilarity(left: Expression, right: Expression)
     }
   }
 
+  /** The per-element null check costs a branch in the innermost loop —
+    * measurable on the ANN hot path (q79 regressed ~2.2× when it was
+    * added unconditionally in round 8). The schema already knows whether
+    * elements CAN be null: when both inputs declare
+    * `ArrayType(..., containsNull = false)` the branch is provably dead,
+    * so both the interpreted and generated loops omit it and keep the
+    * round-7 branch-free fused form. The null contract itself is
+    * unchanged — nullable-element inputs still take the checking loop.
+    */
+  private lazy val elementsNullable: Boolean = {
+    import org.apache.spark.sql.types.ArrayType
+    Seq(left.dataType, right.dataType).exists {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = CosineSimilarity.checkedLength(x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xi = x.getDouble(i); val yi = y.getDouble(i)
-      dot += xi * yi; na += xi * xi; nb += yi * yi
-      i += 1
+    if (elementsNullable) {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        val xi = x.getDouble(i); val yi = y.getDouble(i)
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        val xi = x.getDouble(i); val yi = y.getDouble(i)
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
     }
     dot / math.sqrt(na) / math.sqrt(nb)
   }
@@ -67,7 +92,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       val anyNull = ctx.freshName("anyNull")
-      s"""
+      if (elementsNullable) s"""
         int $n = graft.functions.CosineSimilarity.checkedLength($a.numElements(), $b.numElements());
         double $dot = 0.0, $na = 0.0, $nb = 0.0;
         boolean $anyNull = false;
@@ -82,6 +107,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
         } else {
           ${ev.value} = $dot / java.lang.Math.sqrt($na) / java.lang.Math.sqrt($nb);
         }
+      """ else s"""
+        int $n = graft.functions.CosineSimilarity.checkedLength($a.numElements(), $b.numElements());
+        double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xi = $a.getDouble($i);
+          double $yi = $b.getDouble($i);
+          $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+        }
+        ${ev.value} = $dot / java.lang.Math.sqrt($na) / java.lang.Math.sqrt($nb);
       """
     })
 
@@ -97,4 +131,52 @@ object CosineSimilarity {
       s"cosine_sim: vector lengths differ ($a vs $b)")
     a
   }
+}
+
+/** Zero-cost nullability narrowing for an array column — the array
+  * analog of Spark's own `KnownNotNull`: the value passes through
+  * untouched (identity in both eval and codegen), only the declared
+  * `ArrayType.containsNull` flips to false. Applied at the embeddings
+  * LOAD boundary to state the ingest contract "vectors have no null
+  * elements": parquet infers nullable list elements, which would
+  * otherwise force every downstream vector kernel
+  * ([[CosineSimilarity]]/[[HyperplaneSigs]]/[[PqEncode]]) into its
+  * per-element null-checking loop on data that provably has none
+  * (q79 paid ~2.2× for that branch in round 8).
+  *
+  * Like any schema assertion (`spark.read.schema` with a required
+  * field), this is trusted, not verified: a row that violates the
+  * contract yields undefined values downstream. Declare it only at
+  * boundaries whose writer guarantees dense vectors.
+  */
+case class KnownNonNullElements(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: ArrayType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array input, got $other")
+    }
+
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(et, _) => ArrayType(et, containsNull = false)
+    case other => other
+  }
+  override def nullable: Boolean = child.nullable
+  // identity on the value → null out iff null in; declaring it lets
+  // InferFiltersFromConstraints rewrite isnotnull(known_non_null_elements(x))
+  // to isnotnull(x), which is what pushes the null filter to the scan
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = input
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+
+  override protected def withNewChildInternal(newChild: Expression): KnownNonNullElements =
+    copy(child = newChild)
+  override def prettyName: String = "known_non_null_elements"
 }

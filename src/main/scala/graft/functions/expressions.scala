@@ -461,15 +461,28 @@ case class HyperplaneSigs(child: Expression, bits: Int, tables: Int, dim: Int)
     out
   }
 
+  // per-element null checks cost a branch per dimension in the copy
+  // loop; when the input schema declares containsNull=false (the
+  // embeddings load boundary does, via known_non_null_elements) the
+  // branch is provably dead and the plain copy runs instead
+  @transient private lazy val elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     if (arr.numElements() != dim) return null
     val v = new Array[Double](dim)
     var d = 0
-    while (d < dim) {
-      if (arr.isNullAt(d)) return null
-      v(d) = arr.getDouble(d)
-      d += 1
+    if (elemNullable) {
+      while (d < dim) {
+        if (arr.isNullAt(d)) return null
+        v(d) = arr.getDouble(d)
+        d += 1
+      }
+    } else {
+      while (d < dim) { v(d) = arr.getDouble(d); d += 1 }
     }
     val out = new Array[Long](tables)
     var t = 0
@@ -562,15 +575,26 @@ case class PqEncode(child: Expression, cents: Seq[Seq[Double]],
   @transient private lazy val cbArr: Array[Array[Array[Double]]] =
     cbs.map(_.map(_.toArray).toArray).toArray
 
+  // same copy-loop gate as [[HyperplaneSigs]]: schema-dead null branch
+  // elided when the input declares containsNull=false
+  @transient private lazy val elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     if (arr.numElements() != dim) return null
     val v = new Array[Double](dim)
     var d = 0
-    while (d < dim) {
-      if (arr.isNullAt(d)) return null
-      v(d) = arr.getDouble(d)
-      d += 1
+    if (elemNullable) {
+      while (d < dim) {
+        if (arr.isNullAt(d)) return null
+        v(d) = arr.getDouble(d)
+        d += 1
+      }
+    } else {
+      while (d < dim) { v(d) = arr.getDouble(d); d += 1 }
     }
     val hasBucket = centArr.length > 0
     val out = new Array[Int]((if (hasBucket) 1 else 0) + mSub)

@@ -89,6 +89,13 @@ package object functions {
     call_function("graft_cosine_sim",
       a.cast("array<double>"), b.cast("array<double>"))
 
+  /** Declares (zero-cost, trusted) that an array column has no null
+    * elements, so the vector kernels take their branch-free loops —
+    * apply at load boundaries whose writer guarantees dense vectors.
+    */
+  def known_non_null_elements(c: Column): Column =
+    call_function("graft_known_non_null_elements", c)
+
   /** Composite join key `[size:1][blake2b(fk):size][blake2b(pk):size]`
     * (left records) — layout from `schema/JoinKey.java:29-43`.
     */

@@ -597,8 +597,12 @@ object PipelineOps {
   // keyed by EVERY parameter that shapes the artifact (session, dir,
   // bucket count) — a (session, dir)-only key would silently return a
   // 16-bucket layout to a caller who asked for 32
+  // keyed by (dir, buckets) — NOT by session: the table name tag hashes
+  // only (dir, buckets), so two sessions in one JVM would race on the
+  // same warehouse paths if each got its own cache slot; the catalog
+  // entries live in the shared session catalog anyway
   private val bucketedCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (String, String)]()
   private val bucketedDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   locally {
@@ -610,7 +614,7 @@ object PipelineOps {
   }
 
   private def bucketedTables(s: SparkSession, dir: String, buckets: Int): (String, String) =
-    bucketedCache.computeIfAbsent((s, dir, buckets), { _ =>
+    bucketedCache.computeIfAbsent((dir, buckets), { _ =>
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$dir|$buckets".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       val liT = s"graft_bkt_lineitem_$tag"
