@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.cosine_sim
+import graft.functions.{cosine_sim, known_non_null_elements}
 
 /** Approximate-nearest-neighbor search and embedding near-dup detection
   * over the `embeddings` table (`vec_id`, `embedding: array<float>`,
@@ -46,9 +46,14 @@ object Similarity {
   val numCentroids = 16
   val nprobe = 4
 
+  // known_non_null_elements: the embeddings writer guarantees dense
+  // vectors (parquet merely INFERS nullable list elements), and the
+  // declaration lets every vector kernel downstream keep its
+  // branch-free inner loop — see the expression's scaladoc
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        known_non_null_elements(col("embedding").cast("array<double>")).as("v"))
 
   /** The deterministic, EXPLICITLY BOUNDED query batch (see
     * [[maxQueryBatch]]): lowest-id members of the `% queryMod` subset.
@@ -235,6 +240,16 @@ object Similarity {
     * filter it would vanish anyway because max_by ignores rows whose
     * ordering key is null, but silently, while a SQL oracle's
     * row_number-over-nulls-last would still assign it a bucket.
+    *
+    * Null ELEMENTS inside a non-null vector (which would make ccos
+    * null and reopen the same engine-vs-oracle divergence one level
+    * down: max_by ignores the row, row_number ranks it last but still
+    * assigns crank=1) are excluded by the load-boundary contract
+    * instead of a per-row filter: [[emb]] declares
+    * `known_non_null_elements`, so a sparse vector is out of contract
+    * for this whole family — the declaration is what keeps the cosine
+    * kernel branch-free, and an O(dim) existence filter here would
+    * give back exactly what that buys.
     */
   private[graft] def ivfAssign(corpus: DataFrame, cents: DataFrame): DataFrame =
     corpus.filter(col("v").isNotNull).join(broadcast(cents))
@@ -408,7 +423,8 @@ object Similarity {
         .writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
           ivfAssign(
-            b.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+            b.select(col("vec_id"),
+              known_non_null_elements(col("embedding").cast("array<double>")).as("v")),
             cents)
             .withColumn("bucket", col("bucket").cast("int"))
             .write.mode("append").partitionBy("bucket").parquet(out)
@@ -431,6 +447,114 @@ object Similarity {
         c AS (SELECT * FROM (VALUES $rows) AS vt(cent_id, cv)),
         assigned AS ($assignedCteSql)
         SELECT vec_id, bucket FROM assigned"""
+    }
+
+  /** Re-embedding compaction over the persisted IVF index — the
+    * maintenance job [[ivfIndexStreamed]]'s scaladoc defers to: the
+    * reference's compacted-topic upsert semantics (O8, q05's
+    * latest-per-key) applied to the q83 `partitionBy(bucket)` layout.
+    *
+    * Fixture: an epoch-0 full assignment plus an epoch-1 re-embedding
+    * wave (every `vec_id % 10 == 0` arrives with a NEW vector — its
+    * deterministic negation, which inverts its cosine ordering against
+    * every centroid and so genuinely MOVES it across buckets) are
+    * appended with a `ver` column. [[compactIndex]] then removes the
+    * superseded epoch-0 rows, after which each re-embedded vec_id is
+    * served from its NEW vector's bucket — the oracle checks the
+    * bucket AND a full-vector checksum (`vsum`, the sequential fold
+    * DuckDB's list_sum mirrors bit-exactly), proving the stored vector
+    * is the new one, not just relocated.
+    */
+  def ivfIndexCompacted(s: SparkSession, dir: String): DataFrame = {
+    val cents = centsDF(s, dir)
+    val p = compactIdxCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft_ivf_compact").toString
+      streamIdxDirs.add(out) // same exit-time cleanup as the streamed index dirs
+      ivfAssign(emb(s, dir), cents)
+        .withColumn("ver", lit(0L))
+        .withColumn("bucket", col("bucket").cast("int"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(out)
+      val re = emb(s, dir).filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), transform(col("v"), x => -x).as("v"))
+      ivfAssign(re, cents)
+        .withColumn("ver", lit(1L))
+        .withColumn("bucket", col("bucket").cast("int"))
+        .write.mode("append").partitionBy("bucket").parquet(out)
+      compactIndex(s, out)
+      out
+    })
+    s.read.parquet(p)
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
+        aggregate(col("v"), lit(0.0), (acc, x) => acc + x).as("vsum"))
+  }
+
+  private val compactIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The compaction job itself — latest-version-per-key applied
+    * per bucket, touching ONLY dirty buckets:
+    *  1. keys with multiple versions (bounded by the re-embed wave, not
+    *     the index) and from them the DIRTY buckets — those holding a
+    *     superseded row;
+    *  2. a partition-pruned re-read of only those buckets (broadcast
+    *     join on the partition column), dropping superseded rows via
+    *     left_anti against the bounded (key, max_ver) set;
+    *  3. dynamic-partition-overwrite of just those buckets (clean
+    *     buckets' files are never opened, let alone rewritten), plus
+    *     directory removal for a dirty bucket left with no rows (a
+    *     partition absent from the output is not overwritten).
+    * At 100 TB the rewrite IO is Σ|dirty bucket| and the driver-side
+    * collect is the dirty-bucket ID LIST (≤ C centroids) — the same
+    * bounded-literal class as the trained centroids themselves.
+    */
+  private[operators] def compactIndex(s: SparkSession, path: String): Unit = {
+    import s.implicits._
+    val idx = s.read.parquet(path)
+    val multi = idx.groupBy("vec_id")
+      .agg(max(col("ver")).as("max_ver"), count(lit(1)).as("n_ver"))
+      .filter(col("n_ver") > 1)
+      .select(col("vec_id").as("m_id"), col("max_ver"))
+    val dirty = idx.join(broadcast(multi),
+        col("vec_id") === col("m_id") && col("ver") < col("max_ver"))
+      .select(col("bucket")).distinct()
+    val dirtyIds = dirty.as[Int].collect()
+    if (dirtyIds.nonEmpty) {
+      // materialize the kept rows BEFORE overwriting the files they
+      // are read from (a direct overwrite-what-you-read is rejected,
+      // and lazily re-reading post-delete would corrupt); the
+      // checkpoint is bounded by the dirty buckets' size
+      val keep = idx.join(broadcast(dirty), Seq("bucket"))
+        .join(broadcast(multi),
+          col("vec_id") === col("m_id") && col("ver") < col("max_ver"), "left_anti")
+        .localCheckpoint()
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try keep.write.mode("overwrite").partitionBy("bucket").parquet(path)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      val written = keep.select(col("bucket")).distinct().as[Int].collect().toSet
+      dirtyIds.filterNot(written).foreach(b => graft.Fs.rmTree(s"$path/bucket=$b"))
+    }
+  }
+
+  /** Oracle for [[ivfIndexCompacted]]: the assignment of the EFFECTIVE
+    * (post-re-embedding) vectors, trained-literal gated. `-(x)` and the
+    * list_sum fold are bit-exact mirrors of the engine's negation and
+    * sequential sum.
+    */
+  def ivfIndexCompactedSql(): Option[String] =
+    trainedRowsSql().map { rows =>
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        e AS (SELECT vec_id,
+                CASE WHEN vec_id % 10 = 0 THEN list_transform(v, x -> -(x)) ELSE v END AS v
+              FROM e0),
+        c AS (SELECT * FROM (VALUES $rows) AS vt(cent_id, cv)),
+        assigned AS ($assignedCteSql)
+        SELECT vec_id, bucket, list_sum(v) AS vsum FROM assigned"""
     }
 
   /** Epsilon-ball semantic dedup (SemDeDup's dedup step, completing the
@@ -717,7 +841,8 @@ object Similarity {
     */
   def hardNegatives(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+      .select(col("vec_id"),
+        known_non_null_elements(col("embedding").cast("array<double>")).as("v"),
         col("label"))
     val queries = queryBatch(e)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),

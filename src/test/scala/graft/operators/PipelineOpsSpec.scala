@@ -254,6 +254,72 @@ class SimilaritySpec extends SparkSpec {
     assert(again == streamed)
   }
 
+  test("index compaction (q91): re-embedded ids serve the NEW vector") {
+    val compacted = Similarity.ivfIndexCompacted(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(compacted.nonEmpty)
+    // exactly one row per corpus vector — the superseded epoch-0 rows
+    // of the re-embedded ids are gone
+    val n = Tables.load(spark, dir, "embeddings").count()
+    assert(compacted.length.toLong == n)
+    assert(compacted.map(_._1).distinct.length == compacted.length)
+    // the compacted index IS the batch assignment of the EFFECTIVE
+    // vectors (negated for the % 10 re-embedding wave), checksum incl.
+    val trained = Similarity.kmeansCentroids(spark, dir)
+    val cents = spark.createDataset(trained.toSeq.map { case (i, v) => (i, v.toSeq) })
+      .toDF("cent_id", "cv")
+      .select(col("cent_id").cast("long").as("cent_id"), col("cv"))
+    val raw = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
+    val eff = raw.select(col("vec_id"),
+      when(col("vec_id") % 10 === 0, transform(col("v0"), x => -x))
+        .otherwise(col("v0")).as("v"))
+    val batch = Similarity.ivfAssign(eff, cents)
+      .select(col("vec_id"), col("bucket"),
+        aggregate(col("v"), lit(0.0), (a, x) => a + x).as("vsum"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(compacted.toSet == batch)
+    // the wave must actually MOVE vectors across buckets, or the
+    // dirty-bucket machinery is untested against this fixture
+    val orig = Similarity.ivfAssign(raw.select(col("vec_id"), col("v0").as("v")), cents)
+      .select(col("vec_id"), col("bucket")).as[(Long, Long)].collect().toMap
+    assert(compacted.exists(r => r._1 % 10 == 0 && orig(r._1) != r._2),
+      "no re-embedded vector changed bucket — fixture vacuous")
+  }
+
+  test("compactIndex rewrites only dirty buckets and removes all-stale buckets") {
+    val p = java.nio.file.Files.createTempDirectory("graft_compact_test").toString
+    try {
+      // bucket 0: clean; bucket 1: dirty (a superseding row lands
+      // beside an untouched key); bucket 2: ALL rows superseded
+      Seq(
+        (1L, Seq(1.0), 0L, 0),
+        (2L, Seq(2.0), 0L, 1),
+        (3L, Seq(3.0), 0L, 2),
+        (3L, Seq(9.0), 1L, 1)
+      ).toDF("vec_id", "v", "ver", "bucket")
+        .write.mode("overwrite").partitionBy("bucket").parquet(p)
+      def files(b: Int): Set[(String, Long)] = {
+        val d = new java.io.File(s"$p/bucket=$b")
+        if (!d.exists()) Set.empty
+        else d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified())).toSet
+      }
+      val cleanBefore = files(0)
+      assert(cleanBefore.nonEmpty)
+      Similarity.compactIndex(spark, p)
+      // the clean bucket's files were never rewritten (same names AND
+      // mtimes — dynamic overwrite would have replaced both)
+      assert(files(0) == cleanBefore)
+      // the all-stale bucket is removed outright, not left behind
+      assert(!new java.io.File(s"$p/bucket=2").exists())
+      // survivors: latest version per key, nothing else
+      val after = spark.read.parquet(p).select(col("vec_id"), col("ver"))
+        .as[(Long, Long)].collect().toSet
+      assert(after == Set((1L, 0L), (2L, 0L), (3L, 1L)))
+    } finally graft.Fs.rmTree(p)
+  }
+
   test("semantic dedup (q84): kept set is an independent set; most-central member survives") {
     val threshold = 0.35
     val verdicts = Similarity.semanticDedup(spark, dir, threshold)
