@@ -782,6 +782,11 @@ object SparkEntry {
     // fold in sorted term order (double addition isn't commutative in
     // the last ulp), distributed TakeOrderedAndProject top-k.
     "q85_bm25" -> ((s, dir) => PipelineOps.bm25TopDocs(s, dir)),
+    // hybrid retrieval: q85's lexical arm ⊕ one-query vector cosine
+    // arm, reciprocal-rank fused (1/(60+rank), fixed lex+vec sum
+    // order). Both arms bounded distributed top-N before any window or
+    // join; fusion work never exceeds kLex+kVec rows.
+    "q92_hybrid_retrieval_rrf" -> ((s, dir) => PipelineOps.hybridRrf(s, dir)),
     // bucketed co-located FK join — the Spark analog of the reference's
     // FK-partitioned index topic: both fact tables bucketed+sorted on
     // the join key ONCE (managed tables, memoized per session+dir), so
@@ -1093,6 +1098,7 @@ object SparkEntry {
     "q40_incident_range_join" -> PipelineOps.incidentEventsSql(),
     "q41_tfidf_topterms" -> PipelineOps.tfidfTopTermsSql(),
     "q85_bm25" -> PipelineOps.bm25TopDocsSql(),
+    "q92_hybrid_retrieval_rrf" -> PipelineOps.hybridRrfSql(),
     // the bucketed layout changes the PLAN, never the result — the
     // oracle is the plain relational join on the raw parquet
     "q86_bucketed_join" -> PipelineOps.bucketedDenormJoinSql,

@@ -727,9 +727,11 @@ object PipelineOps {
       .select(col("doc_id"), col("bm25"))
   }
 
-  def bm25TopDocsSql(m: Int = 8, topDocs: Int = 50,
-      k1: Double = 1.2, b: Double = 0.75): String =
-    s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+  // the CTE chain shared verbatim by the q85 oracle and q92's lexical
+  // arm — factoring it (rather than re-deriving) is what keeps the two
+  // oracles' BM25 scores bit-identical by construction
+  private def bm25CtesSql(m: Int, k1: Double, b: Double): String =
+    s"""toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         qterms AS (SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT $m),
@@ -740,8 +742,89 @@ object PipelineOps {
                  ((n_docs - qterms.df::DOUBLE) + (0.5)::DOUBLE) / (qterms.df::DOUBLE + (0.5)::DOUBLE)
                    * (tf::DOUBLE * (${k1 + 1.0})::DOUBLE)
                    / (tf::DOUBLE + (${k1})::DOUBLE * ((${1.0 - b})::DOUBLE + (${b})::DOUBLE * (dl / avgdl))) AS score
-          FROM tf JOIN qterms USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
-        SELECT doc_id, list_sum(list(score ORDER BY term)) AS bm25
-        FROM scored GROUP BY doc_id
+          FROM tf JOIN qterms USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+        bm25ranked AS (
+          SELECT doc_id, list_sum(list(score ORDER BY term)) AS bm25
+          FROM scored GROUP BY doc_id)"""
+
+  def bm25TopDocsSql(m: Int = 8, topDocs: Int = 50,
+      k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH ${bm25CtesSql(m, k1, b)}
+        SELECT doc_id, bm25 FROM bm25ranked
         ORDER BY bm25 DESC, doc_id ASC LIMIT $topDocs"""
+
+  // ---- hybrid retrieval: BM25 ⊕ vector cosine, reciprocal-rank fusion ----
+
+  /** Top-`k` documents by reciprocal-rank fusion of the two retrieval
+    * arms every production pipeline runs side by side: [[bm25TopDocs]]'s
+    * lexical ranking (its deterministic high-df probe) and a vector
+    * ranking by cosine against one deterministic query embedding
+    * (`vec_id = `[[queryVecId]] — the synthetic tables are row-aligned,
+    * `doc_id ≡ vec_id`, so the arms rank the same corpus). RRF is the
+    * standard fusion: `Σ_arms 1/(rrfK + rank)`, robust to the arms'
+    * incomparable score scales, here summed in a FIXED arm order
+    * (lexical + vector — two-term double addition is order-sensitive in
+    * the last ulp, so engine and oracle pin it).
+    *
+    * Scale shape: each arm is already a bounded distributed top-N
+    * (TakeOrderedAndProject — no global sort, no single-partition
+    * window over corpus-sized data); the rank row_numbers and the
+    * full-outer fusion join run over ≤ `kLex`/`kVec` rows BY
+    * CONSTRUCTION, so the single-partition steps are bounded the same
+    * way the trained-literal broadcasts are. At 100 TB the corpus cost
+    * is the arms' (BM25 stats + one cosine pass), both already
+    * scale-shaped; fusion cost never grows past kLex + kVec rows.
+    */
+  def hybridRrf(s: SparkSession, dir: String, m: Int = 8,
+      kLex: Int = 50, kVec: Int = 50, k: Int = 20, rrfK: Int = 60): DataFrame = {
+    val lex = bm25TopDocs(s, dir, m = m, topDocs = kLex)
+    val lexRanked = lex
+      .withColumn("lrank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+      .select(col("doc_id").as("l_id"), col("lrank"))
+    val e = Similarity.emb(s, dir)
+    val qv = e.filter(col("vec_id") === queryVecId).limit(1)
+      .select(col("v").as("qv"))
+    val vecTop = e.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(qv)) // one-row scalar broadcast, the stats pattern
+      .select(col("vec_id"), graft.functions.cosine_sim(col("qv"), col("v")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(kVec)
+    val vecRanked = vecTop
+      .withColumn("vrank",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id").asc)))
+      .select(col("vec_id").as("v_id"), col("vrank"))
+    lexRanked.join(vecRanked, col("l_id") === col("v_id"), "full_outer")
+      .select(coalesce(col("l_id"), col("v_id")).as("doc_id"),
+        col("lrank"), col("vrank"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("lrank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vrank")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc).limit(k)
+  }
+
+  /** The deterministic query embedding for [[hybridRrf]]'s vector arm. */
+  val queryVecId = 0L
+
+  def hybridRrfSql(m: Int = 8, kLex: Int = 50, kVec: Int = 50,
+      k: Int = 20, rrfK: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH ${bm25CtesSql(m, k1, b)},
+        lexall AS (SELECT doc_id, bm25 FROM bm25ranked
+                   ORDER BY bm25 DESC, doc_id ASC LIMIT $kLex),
+        lex AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lrank
+                FROM lexall),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = $queryVecId),
+        vecscored AS (SELECT e.vec_id, ${Similarity.cosSqlOn("q.qv", "e.v")} AS cos
+                      FROM e, q WHERE e.vec_id <> $queryVecId),
+        vecall AS (SELECT vec_id, cos FROM vecscored
+                   ORDER BY cos DESC, vec_id ASC LIMIT $kVec),
+        vec AS (SELECT vec_id,
+                       row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS vrank
+                FROM vecall)
+        SELECT coalesce(lex.doc_id, vec.vec_id) AS doc_id, lrank, vrank,
+               coalesce((1.0)::DOUBLE / ($rrfK + lrank), (0)::DOUBLE)
+                 + coalesce((1.0)::DOUBLE / ($rrfK + vrank), (0)::DOUBLE) AS rrf
+        FROM lex FULL JOIN vec ON lex.doc_id = vec.vec_id
+        ORDER BY rrf DESC, doc_id ASC LIMIT $k"""
 }

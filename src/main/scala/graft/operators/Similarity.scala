@@ -50,7 +50,7 @@ object Similarity {
   // vectors (parquet merely INFERS nullable list elements), and the
   // declaration lets every vector kernel downstream keep its
   // branch-free inner loop — see the expression's scaladoc
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private[operators] def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"),
         known_non_null_elements(col("embedding").cast("array<double>")).as("v"))
@@ -1381,7 +1381,7 @@ object Similarity {
   /** Explicit-order cosine in DuckDB SQL: sequential dot and norms,
     * then dot/sqrt/sqrt — mirrors [[graft.functions.CosineSimilarity]].
     */
-  private def cosSqlOn(a: String, b: String): String =
+  private[operators] def cosSqlOn(a: String, b: String): String =
     s"""(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))
         / sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i])))
         / sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]))))"""

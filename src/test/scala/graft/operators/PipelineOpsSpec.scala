@@ -553,6 +553,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(top.map(r => (r.getLong(0), r.getDouble(1))).toSeq == expected.toSeq)
   }
 
+  test("hybrid RRF (q92) fuses the two arms' ranks exactly") {
+    val k = 20; val rrfK = 60
+    val fused = PipelineOps.hybridRrf(spark, dir, k = k, rrfK = rrfK)
+      .select(col("doc_id"), col("lrank"), col("vrank"), col("rrf")).collect()
+    assert(fused.nonEmpty && fused.length <= k)
+    // recompute both arms independently and fuse on the driver
+    val lex = PipelineOps.bm25TopDocs(spark, dir, topDocs = 50).collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val qv = e.filter(col("vec_id") === PipelineOps.queryVecId)
+      .select(col("v")).as[Seq[Double]].collect().head
+    val cos = e.filter(col("vec_id") =!= PipelineOps.queryVecId)
+      .select(col("vec_id"),
+        graft.functions.cosine_sim(typedLit(qv), col("v")).as("c"))
+      .as[(Long, Double)].collect()
+    val vec = cos.sortBy { case (id, c) => (-c, id) }.take(50)
+      .map(_._1).zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    val expect = (lex.keySet ++ vec.keySet).toSeq.map { id =>
+      val rrf = lex.get(id).map(r => 1.0 / (rrfK + r)).getOrElse(0.0) +
+        vec.get(id).map(r => 1.0 / (rrfK + r)).getOrElse(0.0)
+      (id, lex.get(id), vec.get(id), rrf)
+    }.sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(k)
+    val got = fused.map(r => (r.getLong(0),
+      Option(r.get(1)).map(_.asInstanceOf[Int]),
+      Option(r.get(2)).map(_.asInstanceOf[Int]),
+      r.getDouble(3))).toSeq
+    assert(got == expect)
+    // the fusion must genuinely mix arms: the top-k carries at least
+    // one doc ranked by only one arm, or the fixture is vacuous
+    assert(expect.exists(r => r._2.isEmpty || r._3.isEmpty))
+  }
+
   test("bucketed join equals the plain join cell-for-cell") {
     // the layout must never change results — compare against the same
     // join computed straight off the parquet with no bucketing
