@@ -155,6 +155,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("hybrid RRF: both arms are distributed top-N; windows run post-limit only") {
+    // each retrieval arm must rank via TakeOrderedAndProject (bounded
+    // distributed top-N), never a Window over corpus-sized data; the
+    // only Window operators are the two rank row_numbers, and both sit
+    // ABOVE a TakeOrderedAndProject/GlobalLimit (≤ kLex/kVec rows by
+    // construction); the one-row query-embedding broadcast carries its
+    // structural limit
+    val p = plan("q92_hybrid_retrieval_rrf")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(windows == 2, s"expected exactly the two bounded rank windows:\n$p")
+    // every Window's subtree must contain a limit — scan the plan text
+    // below each Window occurrence for the nearest TakeOrderedAndProject
+    p.split("\n").zipWithIndex.filter(_._1.contains("Window ")).foreach { case (_, i) =>
+      val below = p.split("\n").drop(i)
+      assert(below.exists(l =>
+        l.contains("TakeOrderedAndProject") || l.contains("GlobalLimit")),
+        s"window at line $i has no bounding limit below it:\n$p")
+    }
+  }
+
   test("bucketed co-located join: the only exchange is the aggregation's") {
     // both bucketed scans satisfy the SortMergeJoin distribution
     // requirement directly — the fact ⋈ fact join itself must not
