@@ -787,6 +787,13 @@ object SparkEntry {
     // order). Both arms bounded distributed top-N before any window or
     // join; fusion work never exceeds kLex+kVec rows.
     "q92_hybrid_retrieval_rrf" -> ((s, dir) => PipelineOps.hybridRrf(s, dir)),
+    // near-dup dedup AT INGEST: the reference's seen-set ingestion
+    // dedup (O21) generalized to near-duplicates — micro-batched
+    // arrivals checked against (and claimed into) a persisted LSH band
+    // index; claim-on-arrival keeps the rule non-recursive (kept ⇔ no
+    // earlier arrival shares a band), arrival order = doc_id order via
+    // mtime-stamped range batches
+    "q93_stream_ingest_neardup" -> ((s, dir) => Dedup.streamIngestNearDup(s, dir)),
     // bucketed co-located FK join — the Spark analog of the reference's
     // FK-partitioned index topic: both fact tables bucketed+sorted on
     // the join key ONCE (managed tables, memoized per session+dir), so
@@ -1099,6 +1106,7 @@ object SparkEntry {
     "q41_tfidf_topterms" -> PipelineOps.tfidfTopTermsSql(),
     "q85_bm25" -> PipelineOps.bm25TopDocsSql(),
     "q92_hybrid_retrieval_rrf" -> PipelineOps.hybridRrfSql(),
+    "q93_stream_ingest_neardup" -> Dedup.streamIngestNearDupSql,
     // the bucketed layout changes the PLAN, never the result — the
     // oracle is the plain relational join on the raw parquet
     "q86_bucketed_join" -> PipelineOps.bucketedDenormJoinSql,

@@ -14,6 +14,44 @@ class DedupAggSpec extends SparkSpec {
     assert(a.keySet == b.keySet)
     assert(a.forall { case (k, v) => b(k) == v })
   }
+
+  test("streaming ingest near-dedup (q93): kept set = claim-on-arrival rule; both blocking paths exercised") {
+    import org.apache.spark.sql.functions._
+    val nBatches = 4
+    val kept = Dedup.streamIngestNearDup(spark, dir, nBatches)
+      .as[Long].collect().toSet
+    // batch recompute of the declared contract: kept ⇔ no smaller
+    // doc_id shares an LSH band (claim-on-arrival, so blockers include
+    // dropped docs)
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val bands = Dedup.bandedDocs(docs)
+    val blocked = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("b.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id")).distinct().as[Long].collect().toSet
+    val allIds = docs.select(col("doc_id")).as[Long].collect().toSet
+    assert(kept == allIds -- blocked)
+    assert(blocked.nonEmpty, "fixture has no near-dups — test vacuous")
+    // the fixture must exercise BOTH paths: a doc blocked only by an
+    // earlier BATCH (its earliest band-mate in an earlier id range) and
+    // a doc blocked within its OWN batch
+    val maxId = allIds.max
+    val chunk = maxId / nBatches + 1
+    val earliestBlocker = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("b.doc_id") < col("a.doc_id"))
+      .groupBy(col("a.doc_id").as("d")).agg(min(col("b.doc_id")).as("e"))
+      .as[(Long, Long)].collect()
+    assert(earliestBlocker.exists { case (d, e) => d / chunk != e / chunk },
+      "no cross-batch blocking in fixture")
+    assert(earliestBlocker.exists { case (d, e) => d / chunk == e / chunk },
+      "no intra-batch blocking in fixture")
+    // determinism: a second full run (fresh index/output dirs) agrees
+    val again = Dedup.streamIngestNearDup(spark, dir, nBatches)
+      .as[Long].collect().toSet
+    assert(again == kept)
+  }
 }
 
 class ClusterCacheSpec extends SparkSpec {
