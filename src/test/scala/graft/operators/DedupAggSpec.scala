@@ -52,6 +52,33 @@ class DedupAggSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(again == kept)
   }
+
+  test("ingestStep semantics: intra-batch, cross-batch, claim-on-arrival, shingle-less") {
+    import org.apache.spark.sql.functions._
+    val longA = (1 to 30).map(i => s"tok$i").mkString(" ")   // distinct text A
+    val longB = (1 to 30).map(i => s"other$i").mkString(" ") // distinct text B
+    val batch1 = Seq(
+      (1L, longA),  // first claimant of A's bands → kept
+      (2L, longA),  // same text, same batch → blocked intra-batch
+      (3L, "xx")    // one token → shingle-less → always kept
+    ).toDF("doc_id", "text")
+    val (kept1, claims1) = Dedup.ingestStep(batch1, None)
+    assert(kept1.as[Long].collect().toSet == Set(1L, 3L))
+    // claims cover every SHINGLED arrival, kept or dropped
+    assert(claims1.select("doc_id").distinct().as[Long].collect().toSet == Set(1L, 2L))
+    val batch2 = Seq(
+      (4L, longA),  // blocked by the index (doc 1's claims)
+      (5L, longB)   // fresh text → kept
+    ).toDF("doc_id", "text")
+    val (kept2, _) = Dedup.ingestStep(batch2, Some(claims1))
+    assert(kept2.as[Long].collect().toSet == Set(5L))
+    // claim-on-arrival: doc 2 was DROPPED, but its claims still block —
+    // feed an index holding ONLY doc 2's bands
+    val only2 = claims1.filter(col("doc_id") === 2L)
+    val (kept3, _) = Dedup.ingestStep(
+      Seq((6L, longA)).toDF("doc_id", "text"), Some(only2))
+    assert(kept3.as[Long].collect().isEmpty)
+  }
 }
 
 class ClusterCacheSpec extends SparkSpec {
