@@ -192,14 +192,10 @@ object SparkEntry {
         val maxLeftMtime = leftFiles.map(_.lastModified()).max
         new java.io.File(p).listFiles()
           .filter(f => f.getName.endsWith(".parquet") && !leftFiles.contains(f))
-          .foreach { f =>
-            // setLastModified may silently no-op on some filesystems —
-            // verify the stamp took (a tie would let a right ride in
-            // batch 1 and be suppressed by that batch's dedup claims)
-            f.setLastModified(maxLeftMtime + 60000L)
-            if (f.lastModified() <= maxLeftMtime) throw new IllegalStateException(
-              s"could not advance right-side mtime past left files: ${f.getPath}")
-          }
+          // verified stamp (Fs.stampMtime) — a tie would let a right
+          // ride in batch 1 and be suppressed by that batch's dedup
+          // claims
+          .foreach(f => graft.Fs.stampMtime(f, maxLeftMtime + 60000L))
         stagedBatchFiles.put(p, leftFiles.length)
       }
     }
@@ -581,16 +577,10 @@ object SparkEntry {
         val maxEventMtime = eventFiles.map(_.lastModified()).max
         new java.io.File(tmp).listFiles()
           .filter(f => f.getName.endsWith(".parquet") && !eventFiles.contains(f))
-          .foreach { f =>
-            // setLastModified may silently fail (returns false) on some
-            // filesystems; verify the stamp actually advanced past every
-            // event file — a tie would let the sentinel ride in batch 1
-            // and drop late event rows below its watermark
-            f.setLastModified(maxEventMtime + 60000L)
-            if (f.lastModified() <= maxEventMtime) throw new IllegalStateException(
-              s"could not advance sentinel mtime past event files: ${f.getPath} " +
-                s"(${f.lastModified()} <= $maxEventMtime)")
-          }
+          // verified stamp (Fs.stampMtime) — a tie would let the
+          // sentinel ride in batch 1 and drop late event rows below
+          // its watermark
+          .foreach(f => graft.Fs.stampMtime(f, maxEventMtime + 60000L))
         val input2 = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", nEventFiles.toString).parquet(tmp)
         withStatePartitions(s, 8) {

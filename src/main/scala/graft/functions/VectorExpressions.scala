@@ -50,14 +50,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
     * so both the interpreted and generated loops omit it and keep the
     * round-7 branch-free fused form. The null contract itself is
     * unchanged — nullable-element inputs still take the checking loop.
+    * Shared gate: [[NullGates.anyNullableElements]].
     */
-  private lazy val elementsNullable: Boolean = {
-    import org.apache.spark.sql.types.ArrayType
-    Seq(left.dataType, right.dataType).exists {
-      case ArrayType(_, cn) => cn
-      case _ => true
-    }
-  }
+  @transient private lazy val elementsNullable: Boolean =
+    NullGates.anyNullableElements(left.dataType, right.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -122,6 +118,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
     copy(left = l, right = r)
   override def prettyName: String = "cosine_sim"
+}
+
+/** The one shared schema-dead-null-branch gate for the vector kernels
+  * ([[CosineSimilarity]], `HyperplaneSigs`, `PqEncode`): true when any
+  * input COULD hold null elements per its declared type — the kernels
+  * run their per-element null-checking loop exactly then, and the
+  * branch-free fused loop when the schema (usually narrowed by
+  * [[KnownNonNullElements]] at the load boundary) proves the branch
+  * dead. One definition so the contract can't drift between kernels.
+  */
+private[functions] object NullGates {
+  import org.apache.spark.sql.types.ArrayType
+  def anyNullableElements(dts: DataType*): Boolean = dts.exists {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
 }
 
 object CosineSimilarity {

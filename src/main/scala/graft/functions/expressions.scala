@@ -464,11 +464,10 @@ case class HyperplaneSigs(child: Expression, bits: Int, tables: Int, dim: Int)
   // per-element null checks cost a branch per dimension in the copy
   // loop; when the input schema declares containsNull=false (the
   // embeddings load boundary does, via known_non_null_elements) the
-  // branch is provably dead and the plain copy runs instead
-  @transient private lazy val elemNullable: Boolean = child.dataType match {
-    case ArrayType(_, cn) => cn
-    case _ => true
-  }
+  // branch is provably dead and the plain copy runs instead — shared
+  // gate: NullGates.anyNullableElements
+  @transient private lazy val elemNullable: Boolean =
+    NullGates.anyNullableElements(child.dataType)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -576,11 +575,10 @@ case class PqEncode(child: Expression, cents: Seq[Seq[Double]],
     cbs.map(_.map(_.toArray).toArray).toArray
 
   // same copy-loop gate as [[HyperplaneSigs]]: schema-dead null branch
-  // elided when the input declares containsNull=false
-  @transient private lazy val elemNullable: Boolean = child.dataType match {
-    case ArrayType(_, cn) => cn
-    case _ => true
-  }
+  // elided when the input declares containsNull=false (shared gate:
+  // NullGates.anyNullableElements)
+  @transient private lazy val elemNullable: Boolean =
+    NullGates.anyNullableElements(child.dataType)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]

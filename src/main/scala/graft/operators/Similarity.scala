@@ -393,6 +393,8 @@ object Similarity {
   // 4-file staging for a caller who asked for 8 micro-batches
   private val streamEmbCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+  private val streamIdxLastRun =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
   private val streamIdxDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   locally {
@@ -413,8 +415,17 @@ object Similarity {
       catch { case e: Throwable => graft.Fs.rmTree(p); throw e }
       p
     })
+    // fresh per-invocation output dir (bench repetitions must not
+    // double-append); the PREVIOUS invocation's dir is dropped now, not
+    // at JVM exit, so repeated runs never accumulate index copies in
+    // the tmpfs-backed tmpdir (callers materialize the returned frame
+    // before the next invocation — the memorySinkName contract)
+    Option(streamIdxLastRun.remove((dir, nFiles))).foreach { p =>
+      streamIdxDirs.remove(p); graft.Fs.rmTree(p)
+    }
     val out = tmp("graft_ivf_stream")
     streamIdxDirs.add(out)
+    streamIdxLastRun.put((dir, nFiles), out)
     val ckpt = tmp("graft_ivf_stream_ckpt")
     try {
       val sch = s.read.parquet(staged).schema

@@ -162,17 +162,31 @@ class PlanSpec extends SparkSpec {
     // ABOVE a TakeOrderedAndProject/GlobalLimit (≤ kLex/kVec rows by
     // construction); the one-row query-embedding broadcast carries its
     // structural limit
-    val p = plan("q92_hybrid_retrieval_rrf")
-    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
-    val windows = "Window \\[".r.findAllIn(p).size
-    assert(windows == 2, s"expected exactly the two bounded rank windows:\n$p")
-    // every Window's subtree must contain a limit — scan the plan text
-    // below each Window occurrence for the nearest TakeOrderedAndProject
-    p.split("\n").zipWithIndex.filter(_._1.contains("Window ")).foreach { case (_, i) =>
-      val below = p.split("\n").drop(i)
-      assert(below.exists(l =>
-        l.contains("TakeOrderedAndProject") || l.contains("GlobalLimit")),
-        s"window at line $i has no bounding limit below it:\n$p")
+    // walk the actual plan TREE, not its printout: a text scan "below
+    // the Window line" would also match the sibling arm's limit and
+    // pass vacuously
+    import org.apache.spark.sql.execution.{GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+    val exec = SparkEntry.queries("q92_hybrid_retrieval_rrf")(spark, dir)
+      .queryExecution.executedPlan match {
+      // AQE hides the inner tree from collect(); unwrap to the initial
+      // physical plan (the pre-reoptimization shape is what we pin)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case other => other
+    }
+    assert(exec.collect {
+      case t: TakeOrderedAndProjectExec => t }.size >= 2, exec.toString)
+    val windows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size == 2,
+      s"expected exactly the two bounded rank windows:\n$exec")
+    windows.foreach { w =>
+      val bounded = w.collect {
+        case t: TakeOrderedAndProjectExec => t: SparkPlan
+        case g: GlobalLimitExec => g: SparkPlan
+      }
+      assert(bounded.nonEmpty,
+        s"rank window has no bounding limit in ITS OWN subtree:\n$w")
     }
   }
 
