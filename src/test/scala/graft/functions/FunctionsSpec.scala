@@ -153,6 +153,52 @@ class CosineNullElementSpec extends graft.SparkSpec {
   }
 }
 
+class KnownNonNullElementsSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.ArrayType
+
+  test("narrows containsNull only: values identical, outer nullability kept, filters still push") {
+    val df = spark.range(3).select(
+      array(col("id").cast("double"), lit(1.0)).as("v"),
+      when(col("id") % 2 === 0, array(col("id").cast("double"))).as("maybe"))
+    val narrowed = df.select(
+      graft.functions.known_non_null_elements(col("v")).as("v"),
+      graft.functions.known_non_null_elements(col("maybe")).as("maybe"))
+    // schema: element containsNull flips to false, column nullability
+    // is the child's (v non-null, maybe nullable)
+    val vT = narrowed.schema("v").dataType.asInstanceOf[ArrayType]
+    assert(!vT.containsNull)
+    assert(narrowed.schema("maybe").dataType.asInstanceOf[ArrayType].containsNull == false)
+    assert(narrowed.schema("maybe").nullable)
+    // identity on values; a null ARRAY still passes through as null
+    val rows = narrowed.collect()
+    assert(rows.map(_.getSeq[Double](0)).toSeq ==
+      Seq(Seq(0.0, 1.0), Seq(1.0, 1.0), Seq(2.0, 1.0)))
+    assert(rows(1).isNullAt(1) && !rows(0).isNullAt(1))
+    // cosine over the narrowed (branch-free) loop equals the checking
+    // loop on the same clean data — the gate must not change results
+    val a = df.select(graft.functions.cosine_sim(col("v"), col("v")).as("c")).collect()
+    val b = narrowed.select(graft.functions.cosine_sim(col("v"), col("v")).as("c")).collect()
+    assert(a.map(_.getDouble(0)).toSeq == b.map(_.getDouble(0)).toSeq)
+    // nullIntolerant: an IsNotNull over the wrapper must reach the scan
+    // side as IsNotNull(child) — checked at the analyzed-plan level via
+    // the inferred constraint (the PlanSpec q26 test pins the scan)
+    assert(graft.functions.KnownNonNullElements(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0), ArrayType(org.apache.spark.sql.types.DoubleType))).nullIntolerant)
+  }
+
+  test("SQL registration: graft_known_non_null_elements callable, rejects non-arrays") {
+    val got = spark.range(1)
+      .selectExpr("graft_known_non_null_elements(array(1.0d, 2.0d)) AS v")
+    assert(!got.schema("v").dataType.asInstanceOf[ArrayType].containsNull)
+    assert(got.head().getSeq[Double](0) == Seq(1.0, 2.0))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(1).selectExpr("graft_known_non_null_elements(1)").collect()
+    }
+  }
+}
+
 class ArityCheckSpec extends graft.SparkSpec {
   test("wrong SQL arity is an AnalysisException, not an index error") {
     for (bad <- Seq(
