@@ -944,6 +944,37 @@ object SparkEntry {
       } finally rmTreeRetry(ckpt)
       s.table(name)
     }),
+    // streaming CMS sketch maintenance — the sketch analog of q87's
+    // index maintenance: events arrive in micro-batches and a
+    // Complete-mode streaming aggregation maintains the d×w counter
+    // grid (the ONLY streaming state — bounded by the sketch dimensions
+    // regardless of stream length, the property sketches exist for; the
+    // mode's full-result output is viable for exactly that reason).
+    // Counters are order-independent sums, so the converged grid IS the
+    // batch grid and q69's probe + oracle apply unchanged. The grid
+    // build shares q69's cmsPositions derivation verbatim.
+    "q94_stream_cms_maintenance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"))
+      val tmp = stagedOnce(dir, "q94_events") { p =>
+        ev.repartition(8).write.mode("overwrite").parquet(p) // parallel staging write
+      }
+      val ckpt = stageDir("q94_ckpt")
+      val name = memorySinkName(s, "q94")
+      try {
+        val nFiles = new java.io.File(tmp).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        val input = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", math.max(1, nFiles / 4).toString)
+          .parquet(tmp)
+        val grid = operators.Sketches.cmsPositions(input)
+          .groupBy(col("i"), col("pos")).agg(count(lit(1)).as("c"))
+        val q = grid.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally rmTreeRetry(ckpt)
+      operators.Sketches.cmsEstimates(Tables.events(s, dir), s.table(name))
+    }),
   )
 
   /** Dirs q07 ran on in this JVM — [[joinKeyIndexSql]] generates its
@@ -1153,6 +1184,9 @@ object SparkEntry {
     "q78_stream_dedup_watermark" -> "SELECT DISTINCT user_id, event_type FROM events",
     "q61_kmv_distinct" -> operators.Sketches.kmvDistinctSql(),
     "q69_cms_heavy_hitters" -> operators.Sketches.cmsHeavyHittersSql(),
+    // the streamed grid equals the batch grid cell-for-cell (counters
+    // are order-independent sums), so the q69 oracle applies unchanged
+    "q94_stream_cms_maintenance" -> operators.Sketches.cmsHeavyHittersSql(),
     "q73_incremental_agg" -> operators.Sketches.incrementalAggSql(),
     "q75_quantile_histogram" -> operators.Sketches.quantileHistogramSql(),
     "q70_doc_chunks" -> TextAnalysis.chunkDocumentsSql(),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -439,17 +439,31 @@ object Sketches {
     * for the demo corpus; a production stream uses w = ceil(e/eps)
     * for an eps·N error bound — still executor-memory-trivial.
     */
-  def cmsHeavyHitters(s: SparkSession, dir: String,
+  /** The ONE position hash `md5(user || ':' || i) % w` — build and
+    * probe (and the streaming maintenance build, q94) must agree on it
+    * cell-exactly, so it has a single definition.
+    */
+  private def cmsPos(user: Column, i: Column, w: Int): Column =
+    graft.functions.md5_long(concat(user.cast("string"),
+      lit(":"), i.cast("string"))) % w
+
+  /** The d-row (i, pos) derivation feeding the grid's groupBy — shared
+    * verbatim by the batch build and q94's streaming Complete-mode
+    * aggregation, so the two grids are the same computation over the
+    * same rows.
+    */
+  def cmsPositions(ev: DataFrame, d: Int = 4, w: Int = 512): DataFrame =
+    ev.select(col("user_id"), explode(array((0 until d).map(lit(_)): _*)).as("i"))
+      .select(col("i"), cmsPos(col("user_id"), col("i"), w).as("pos"))
+
+  /** Point estimates for the exact top-`topN` users against a supplied
+    * grid — factored so q69 probes its batch-built grid and q94 probes
+    * the STREAMED one with the identical code path.
+    */
+  def cmsEstimates(ev: DataFrame, grid: DataFrame,
       d: Int = 4, w: Int = 512, topN: Int = 25): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rows = (0 until d).map(lit(_))
-    val ev = Tables.events(s, dir)
-    // build: one explode to d rows per event, then a bounded groupBy
-    val grid = ev.select(col("user_id"), explode(array(rows: _*)).as("i"))
-      .select(col("i"),
-        (graft.functions.md5_long(concat(col("user_id").cast("string"),
-          lit(":"), col("i").cast("string"))) % w).as("pos"))
-      .groupBy(col("i"), col("pos")).agg(count(lit(1)).as("c"))
     // candidates: top-N by exact count (deterministic tiebreak on id);
     // the literal rank bound plans as WindowGroupLimit pre-shuffle
     val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
@@ -459,13 +473,20 @@ object Sketches {
     // probe: d lookups per candidate, min across the rows
     val probes = cand.select(col("user_id"), col("n_exact"),
         explode(array(rows: _*)).as("i"))
-      .withColumn("pos",
-        graft.functions.md5_long(concat(col("user_id").cast("string"),
-          lit(":"), col("i").cast("string"))) % w)
+      .withColumn("pos", cmsPos(col("user_id"), col("i"), w))
     probes.join(broadcast(grid), Seq("i", "pos"))
       .groupBy(col("user_id"), col("n_exact"))
       .agg(min(col("c")).as("cms_est"))
       .select(col("user_id"), col("n_exact"), col("cms_est"))
+  }
+
+  def cmsHeavyHitters(s: SparkSession, dir: String,
+      d: Int = 4, w: Int = 512, topN: Int = 25): DataFrame = {
+    val ev = Tables.events(s, dir)
+    // build: one explode to d rows per event, then a bounded groupBy
+    val grid = cmsPositions(ev, d, w)
+      .groupBy(col("i"), col("pos")).agg(count(lit(1)).as("c"))
+    cmsEstimates(ev, grid, d, w, topN)
   }
 
   def cmsHeavyHittersSql(d: Int = 4, w: Int = 512, topN: Int = 25): String = {

@@ -100,4 +100,33 @@ class StreamSessionWindowSpec extends SparkSpec {
     assert(got == batch)
     assert(got.size == 3) // u1 x 2 sessions + u2 x 1 (sentinel's never closes)
   }
+
+  test("streamed CMS grid (q94): Complete-mode aggregation converges to the batch grid") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(10L, 10L, 10L, 20L, 20L, 30L)
+    val input = MemoryStream[Long]
+    val grid = graft.operators.Sketches
+      .cmsPositions(input.toDS().toDF("user_id"))
+      .groupBy(col("i"), col("pos")).agg(count(lit(1)).as("c"))
+    val q = grid.writeStream.format("memory").queryName("cms_grid_out")
+      .outputMode("complete").start()
+    try {
+      // two micro-batches: counters must ACCUMULATE across them, and
+      // Complete mode must replace (not append) the sink contents
+      input.addData(events.take(3)); q.processAllAvailable()
+      input.addData(events.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cms_grid_out")
+      .as[(Int, Long, Long)].collect().toSet
+    val batch = graft.operators.Sketches
+      .cmsPositions(events.toDF("user_id"))
+      .groupBy(col("i"), col("pos")).agg(count(lit(1)).as("c"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    // bounded state: never more cells than d*w, and the replace
+    // semantics held (no duplicate (i,pos) rows in the sink)
+    assert(streamed.size <= 4 * 512)
+    assert(streamed.toSeq.map(r => (r._1, r._2)).distinct.size == streamed.size)
+  }
 }
