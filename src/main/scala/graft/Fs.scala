@@ -60,4 +60,48 @@ object Fs {
       s"mtime stamp failed (wanted $mtime, have ${f.lastModified()}): ${f.getPath}")
   }
 
+  def tmpDir(tag: String): String = java.nio.file.Files.createTempDirectory(
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), tag).toString
+
+  /** Per-invocation output-dir lifecycle shared by the streaming
+    * harnesses that append into fresh dirs each run (q87's index
+    * stream, q93's ingest). Bench repetitions replay the whole stream
+    * (double-append would corrupt the artifact), so each invocation
+    * gets fresh dirs and the PREVIOUS invocation's are dropped here —
+    * not at JVM exit — keeping repeated runs from accumulating
+    * corpus-sized artifacts in the (tmpfs-backed) tmpdir. Dropping at
+    * next invocation is safe for the memorySinkName reason: every
+    * caller materializes the returned frame before invoking again.
+    * Owners register their own shutdown hook calling [[cleanup]] for
+    * the final run's dirs — see the class-init note above for why this
+    * object registers none itself.
+    */
+  final class RunDirs {
+    private val lastRun =
+      new java.util.concurrent.ConcurrentHashMap[Any, Seq[String]]()
+    private val dirs =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+    /** Drop `key`'s previous dirs (if any), create one fresh temp dir
+      * per tag, and track them for [[cleanup]].
+      */
+    def fresh(key: Any, tags: String*): Seq[String] = {
+      Option(lastRun.remove(key)).foreach(_.foreach { p =>
+        dirs.remove(p); rmTree(p)
+      })
+      val ds = tags.map(tmpDir)
+      ds.foreach(dirs.add)
+      lastRun.put(key, ds)
+      ds
+    }
+
+    /** Track a dir that lives until JVM exit (a once-per-session cached
+      * artifact sharing this pool's [[cleanup]] hook, not a
+      * per-invocation output).
+      */
+    def track(p: String): Unit = dirs.add(p)
+
+    def cleanup(): Unit = dirs.forEach(p => rmTree(p))
+  }
+
 }

@@ -952,7 +952,7 @@ object SparkEntry {
     // mode's full-result output is viable for exactly that reason).
     // Counters are order-independent sums, so the converged grid IS the
     // batch grid and q69's probe + oracle apply unchanged. The grid
-    // build shares q69's cmsPositions derivation verbatim.
+    // build IS q69's cmsGrid, applied to the streaming reader.
     "q94_stream_cms_maintenance" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(col("user_id"))
       val tmp = stagedOnce(dir, "q94_events") { p =>
@@ -966,8 +966,7 @@ object SparkEntry {
         val input = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", math.max(1, nFiles / 4).toString)
           .parquet(tmp)
-        val grid = operators.Sketches.cmsPositions(input)
-          .groupBy(col("i"), col("pos")).agg(count(lit(1)).as("c"))
+        val grid = operators.Sketches.cmsGrid(input)
         val q = grid.writeStream.format("memory").queryName(name)
           .outputMode("complete")
           .option("checkpointLocation", ckpt).start()

@@ -393,40 +393,27 @@ object Similarity {
   // 4-file staging for a caller who asked for 8 micro-batches
   private val streamEmbCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
-  private val streamIdxLastRun =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
-  private val streamIdxDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val streamIdxRuns = new graft.Fs.RunDirs
   locally {
     sys.addShutdownHook {
       streamEmbCache.values.forEach(p => graft.Fs.rmTree(p))
-      streamIdxDirs.forEach(p => graft.Fs.rmTree(p))
+      streamIdxRuns.cleanup()
     }
   }
 
   def ivfIndexStreamed(s: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
     val cents = centsDF(s, dir)
-    def tmp(tag: String): String = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), tag).toString
     val staged = streamEmbCache.computeIfAbsent((dir, nFiles), { _ =>
-      val p = tmp("graft_emb_split")
+      val p = graft.Fs.tmpDir("graft_emb_split")
       try Tables.load(s, dir, "embeddings").repartition(nFiles)
         .write.mode("overwrite").parquet(p)
       catch { case e: Throwable => graft.Fs.rmTree(p); throw e }
       p
     })
-    // fresh per-invocation output dir (bench repetitions must not
-    // double-append); the PREVIOUS invocation's dir is dropped now, not
-    // at JVM exit, so repeated runs never accumulate index copies in
-    // the tmpfs-backed tmpdir (callers materialize the returned frame
-    // before the next invocation — the memorySinkName contract)
-    Option(streamIdxLastRun.remove((dir, nFiles))).foreach { p =>
-      streamIdxDirs.remove(p); graft.Fs.rmTree(p)
-    }
-    val out = tmp("graft_ivf_stream")
-    streamIdxDirs.add(out)
-    streamIdxLastRun.put((dir, nFiles), out)
-    val ckpt = tmp("graft_ivf_stream_ckpt")
+    // fresh per-invocation output dir, previous run's dropped now — the
+    // RunDirs contract (see graft.Fs)
+    val Seq(out) = streamIdxRuns.fresh((dir, nFiles), "graft_ivf_stream")
+    val ckpt = graft.Fs.tmpDir("graft_ivf_stream_ckpt")
     try {
       val sch = s.read.parquet(staged).schema
       val q = s.readStream.schema(sch)
@@ -479,10 +466,8 @@ object Similarity {
   def ivfIndexCompacted(s: SparkSession, dir: String): DataFrame = {
     val cents = centsDF(s, dir)
     val p = compactIdxCache.computeIfAbsent(dir, { _ =>
-      val out = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
-        "graft_ivf_compact").toString
-      streamIdxDirs.add(out) // same exit-time cleanup as the streamed index dirs
+      val out = graft.Fs.tmpDir("graft_ivf_compact")
+      streamIdxRuns.track(out) // same exit-time cleanup as the streamed index dirs
       ivfAssign(emb(s, dir), cents)
         .withColumn("ver", lit(0L))
         .withColumn("bucket", col("bucket").cast("int"))

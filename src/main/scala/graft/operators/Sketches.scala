@@ -420,25 +420,6 @@ object Sketches {
         col("c_custkey").isNotNull.cast("int").as("true_match"))
   }
 
-  /** Count-min sketch heavy hitters: estimate each user's event count
-    * from a d×w counter grid and report the estimate next to ground
-    * truth for the top `topN` users by exact count. Counter update is
-    * `grid[i][md5(user || ':' || i) % w] += 1` for every event and
-    * every row i < d; the point estimate is the MIN over the d rows —
-    * one-sided by construction (collisions only ADD), so
-    * `cms_est >= n_exact` always (unit-tested, as is counter-wise
-    * mergeability — the property that lets per-partition sketches
-    * combine into the global one). Pure integer math on the portable
-    * md5 hash → the grid and the estimates are cell-exact in DuckDB.
-    *
-    * Scale (100 TB): the grid is bounded by d·w cells regardless of
-    * input size, and it is built by an ordinary two-phase groupBy —
-    * map-side partial counts mean the shuffle carries at most d·w rows
-    * per map partition, NOT d× the event count. The probe joins the
-    * candidate×d rows against the broadcast grid. d·w here is sized
-    * for the demo corpus; a production stream uses w = ceil(e/eps)
-    * for an eps·N error bound — still executor-memory-trivial.
-    */
   /** The ONE position hash `md5(user || ':' || i) % w` — build and
     * probe (and the streaming maintenance build, q94) must agree on it
     * cell-exactly, so it has a single definition.
@@ -455,6 +436,14 @@ object Sketches {
   def cmsPositions(ev: DataFrame, d: Int = 4, w: Int = 512): DataFrame =
     ev.select(col("user_id"), explode(array((0 until d).map(lit(_)): _*)).as("i"))
       .select(col("i"), cmsPos(col("user_id"), col("i"), w).as("pos"))
+
+  /** The d×w counter grid — the ONE grid definition, shared by the
+    * batch build (q69), q94's streaming Complete-mode aggregation, and
+    * the specs, so the streamed and batch grids cannot drift.
+    */
+  def cmsGrid(ev: DataFrame, d: Int = 4, w: Int = 512): DataFrame =
+    cmsPositions(ev, d, w)
+      .groupBy(col("i"), col("pos")).agg(count(lit(1)).as("c"))
 
   /** Point estimates for the exact top-`topN` users against a supplied
     * grid — factored so q69 probes its batch-built grid and q94 probes
@@ -480,13 +469,29 @@ object Sketches {
       .select(col("user_id"), col("n_exact"), col("cms_est"))
   }
 
+  /** Count-min sketch heavy hitters: estimate each user's event count
+    * from a d×w counter grid and report the estimate next to ground
+    * truth for the top `topN` users by exact count. Counter update is
+    * `grid[i][md5(user || ':' || i) % w] += 1` for every event and
+    * every row i < d; the point estimate is the MIN over the d rows —
+    * one-sided by construction (collisions only ADD), so
+    * `cms_est >= n_exact` always (unit-tested, as is counter-wise
+    * mergeability — the property that lets per-partition sketches
+    * combine into the global one). Pure integer math on the portable
+    * md5 hash → the grid and the estimates are cell-exact in DuckDB.
+    *
+    * Scale (100 TB): the grid is bounded by d·w cells regardless of
+    * input size, and it is built by an ordinary two-phase groupBy —
+    * map-side partial counts mean the shuffle carries at most d·w rows
+    * per map partition, NOT d× the event count. The probe joins the
+    * candidate×d rows against the broadcast grid. d·w here is sized
+    * for the demo corpus; a production stream uses w = ceil(e/eps)
+    * for an eps·N error bound — still executor-memory-trivial.
+    */
   def cmsHeavyHitters(s: SparkSession, dir: String,
       d: Int = 4, w: Int = 512, topN: Int = 25): DataFrame = {
     val ev = Tables.events(s, dir)
-    // build: one explode to d rows per event, then a bounded groupBy
-    val grid = cmsPositions(ev, d, w)
-      .groupBy(col("i"), col("pos")).agg(count(lit(1)).as("c"))
-    cmsEstimates(ev, grid, d, w, topN)
+    cmsEstimates(ev, cmsGrid(ev, d, w), d, w, topN)
   }
 
   def cmsHeavyHittersSql(d: Int = 4, w: Int = 512, topN: Int = 25): String = {

@@ -62,7 +62,7 @@ class DedupAggSpec extends SparkSpec {
       (2L, longA),  // same text, same batch → blocked intra-batch
       (3L, "xx")    // one token → shingle-less → always kept
     ).toDF("doc_id", "text")
-    val (kept1, claims1) = Dedup.ingestStep(batch1, None)
+    val (kept1, claims1, _) = Dedup.ingestStep(batch1, None)
     assert(kept1.as[Long].collect().toSet == Set(1L, 3L))
     // claims cover every SHINGLED arrival, kept or dropped
     assert(claims1.select("doc_id").distinct().as[Long].collect().toSet == Set(1L, 2L))
@@ -70,12 +70,12 @@ class DedupAggSpec extends SparkSpec {
       (4L, longA),  // blocked by the index (doc 1's claims)
       (5L, longB)   // fresh text → kept
     ).toDF("doc_id", "text")
-    val (kept2, _) = Dedup.ingestStep(batch2, Some(claims1))
+    val (kept2, _, _) = Dedup.ingestStep(batch2, Some(claims1))
     assert(kept2.as[Long].collect().toSet == Set(5L))
     // claim-on-arrival: doc 2 was DROPPED, but its claims still block —
     // feed an index holding ONLY doc 2's bands
     val only2 = claims1.filter(col("doc_id") === 2L)
-    val (kept3, _) = Dedup.ingestStep(
+    val (kept3, _, _) = Dedup.ingestStep(
       Seq((6L, longA)).toDF("doc_id", "text"), Some(only2))
     assert(kept3.as[Long].collect().isEmpty)
   }

@@ -106,9 +106,7 @@ class StreamSessionWindowSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq(10L, 10L, 10L, 20L, 20L, 30L)
     val input = MemoryStream[Long]
-    val grid = graft.operators.Sketches
-      .cmsPositions(input.toDS().toDF("user_id"))
-      .groupBy(col("i"), col("pos")).agg(count(lit(1)).as("c"))
+    val grid = graft.operators.Sketches.cmsGrid(input.toDS().toDF("user_id"))
     val q = grid.writeStream.format("memory").queryName("cms_grid_out")
       .outputMode("complete").start()
     try {
@@ -119,9 +117,7 @@ class StreamSessionWindowSpec extends SparkSpec {
     } finally q.stop()
     val streamed = spark.table("cms_grid_out")
       .as[(Int, Long, Long)].collect().toSet
-    val batch = graft.operators.Sketches
-      .cmsPositions(events.toDF("user_id"))
-      .groupBy(col("i"), col("pos")).agg(count(lit(1)).as("c"))
+    val batch = graft.operators.Sketches.cmsGrid(events.toDF("user_id"))
       .as[(Int, Long, Long)].collect().toSet
     assert(streamed == batch)
     // bounded state: never more cells than d*w, and the replace
