@@ -515,11 +515,12 @@ object SparkEntry {
       import s.implicits._
       val ev = Tables.events(s, dir)
         .select(col("ts"), col("event_type"), col("value"))
-      // max event time read from the RAW parquet column (one skinny
-      // column scan; for the nanos-long layout no timestamp conversion
-      // runs per row) — only the sentinel placement needs it
-      val rawTs = Tables.load(s, dir, "events").select(col("ts"))
-      val maxTsRow = rawTs.agg(max(col("ts"))).head()
+      // max event time via the layout-normalized ts_ns column (one
+      // skinny column scan; Tables.events owns the per-layout decode,
+      // so this site survives the driver switching the parquet
+      // timestamp physical type between rounds) — only the sentinel
+      // placement needs it
+      val maxTsRow = Tables.events(s, dir).agg(max(col("ts_ns"))).head()
       if (maxTsRow.isNullAt(0)) {
         // empty input: no windows can ever close — the streaming result
         // is the empty set, same as the oracle's empty aggregate
@@ -558,11 +559,7 @@ object SparkEntry {
         // starts; maxFilesPerTrigger = (#event files) puts it alone in
         // micro-batch 2 (file sources process in modification order), so
         // one processAllAvailable drives both batches
-        val maxMs = maxTsRow.get(0) match {
-          case ns: Long => ns / 1000000L // nanos-long layout
-          case ts: java.sql.Timestamp => ts.getTime
-          case other => throw new IllegalStateException(s"unexpected ts type: $other")
-        }
+        val maxMs = maxTsRow.getLong(0) / 1000000L // ts_ns is always nanos
         val sentinel = new java.sql.Timestamp(maxMs + 3 * 3600 * 1000L)
         val eventFiles = new java.io.File(tmp).listFiles()
           .filter(_.getName.endsWith(".parquet"))
@@ -974,6 +971,65 @@ object SparkEntry {
       } finally rmTreeRetry(ckpt)
       operators.Sketches.cmsEstimates(Tables.events(s, dir), s.table(name))
     }),
+    // streaming SESSION windows — the stateful-MERGE aggregation the
+    // tumbling-window q31 can't exercise (session extents grow and
+    // merge as events arrive; state is per (user, open-session) and is
+    // finalized by the watermark). Same sentinel mechanism as q31, but
+    // the sentinel is staged ONCE inside the shared immutable dir: it
+    // is written after the event files and mtime-stamped past them, so
+    // maxFilesPerTrigger = (#files - 1) puts it alone in micro-batch 2
+    // on every run — no per-run dir copy needed. The sentinel user's
+    // own session never closes (its end sits past the final watermark),
+    // so the emitted rows are exactly the real sessions and q54's
+    // relational oracle applies unchanged.
+    "q95_stream_session_window" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select(col("ts"), col("user_id"), col("value"))
+      val maxTsRow = Tables.events(s, dir).agg(max(col("ts_ns"))).head()
+      if (maxTsRow.isNullAt(0)) {
+        // empty input: no sessions can ever finalize — the streaming
+        // result is the empty set, same as the oracle's empty aggregate
+        // (withWatermark is a no-op in batch mode, so this is the same
+        // plan shape with zero rows)
+        graft.streaming.StreamAggregates.sessionizedEventStats(ev)
+      } else {
+      val tmp = stagedOnce(dir, "q95_events") { p =>
+        ev.repartition(16).write.mode("overwrite").parquet(p)
+        val maxMs = maxTsRow.getLong(0) / 1000000L // ts_ns is always nanos
+        val eventFiles = new java.io.File(p).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+        val sentinel = new java.sql.Timestamp(maxMs + 3 * 3600 * 1000L)
+        Seq((sentinel, -1L, 0.0)).toDF("ts", "user_id", "value")
+          .coalesce(1).write.mode("append").parquet(p)
+        // batch separation must not depend on filesystem clock
+        // granularity: stamp the sentinel past every event file so the
+        // file source's modification-order sort puts it alone in batch 2
+        val maxEventMtime = eventFiles.map(_.lastModified()).max
+        new java.io.File(p).listFiles()
+          .filter(f => f.getName.endsWith(".parquet") && !eventFiles.contains(f))
+          .foreach(f => graft.Fs.stampMtime(f, maxEventMtime + 60000L))
+      }
+      val ckpt = stageDir("q95_ckpt")
+      val name = memorySinkName(s, "q95")
+      try {
+        val nFiles = new java.io.File(tmp).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        val input = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", (nFiles - 1).toString).parquet(tmp)
+        withStatePartitions(s, 8) {
+          val q = graft.streaming.StreamAggregates.sessionizedEventStats(input)
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", ckpt).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      } finally rmTreeRetry(ckpt)
+      s.table(name)
+      }
+    }),
+    // unigram-LM perplexity gate (CCNet-style quality filtering):
+    // integer micro-unit logprobs make the distributed sums
+    // order-independent, so the score hash-matches the oracle
+    "q96_perplexity_filter" -> ((s, dir) => PipelineOps.perplexityFilter(s, dir)),
   )
 
   /** Dirs q07 ran on in this JVM — [[joinKeyIndexSql]] generates its
@@ -1124,6 +1180,7 @@ object SparkEntry {
     "q74_global_shuffle" -> PipelineOps.globalShuffleSql,
     "q40_incident_range_join" -> PipelineOps.incidentEventsSql(),
     "q41_tfidf_topterms" -> PipelineOps.tfidfTopTermsSql(),
+    "q96_perplexity_filter" -> PipelineOps.perplexityFilterSql(),
     "q85_bm25" -> PipelineOps.bm25TopDocsSql(),
     "q92_hybrid_retrieval_rrf" -> PipelineOps.hybridRrfSql(),
     "q93_stream_ingest_neardup" -> Dedup.streamIngestNearDupSql,
@@ -1173,6 +1230,10 @@ object SparkEntry {
     "q89_pii_redact" -> TextAnalysis.piiRedactSql,
     "q53_sequence_packing" -> PipelineOps.sequencePackingSql(),
     "q54_session_window" -> Analytics.sessionWindowsSql(),
+    // the converged streaming session set IS the batch session set
+    // (every real session finalizes under the sentinel's watermark, the
+    // sentinel's own never does), so q54's oracle applies unchanged
+    "q95_stream_session_window" -> Analytics.sessionWindowsSql(),
     "q55_hll_distinct" -> operators.Sketches.hllDistinctSql(),
     "q56_stratified_sample" -> PipelineOps.stratifiedSampleSql(),
     "q57_bloom_prune" -> operators.Sketches.bloomPruneSql(),

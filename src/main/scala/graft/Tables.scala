@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver-generated star schema
   * (`TESTDATA.md`). All queries take the sf directory as a parameter so the
@@ -24,10 +24,20 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-    else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) layout under nanosAsLong
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case TimestampNTZType =>
+        // timestamp[us] written without UTC adjustment reads as NTZ; the
+        // generator's wall-clock IS the UTC instant and the session tz is
+        // pinned UTC (Sessions), so the cast preserves the instant —
+        // DuckDB's epoch_us/epoch_ns over the same file agree.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+      case _ =>
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
   }
 
   /** Register every table as a temp view (handy for spark.sql tests). */

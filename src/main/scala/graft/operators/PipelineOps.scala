@@ -572,6 +572,70 @@ object PipelineOps {
         FROM scored
         QUALIFY rank <= $k"""
 
+  // ---- unigram-LM perplexity filtering ----
+
+  /** CCNet-style unigram language-model fluency scoring: each document
+    * is scored by the mean log-probability of its tokens under the
+    * corpus's own unigram distribution, and `kept` flags documents
+    * above the perplexity cutoff (low mean logprob = rare-token-heavy =
+    * high perplexity = filtered). This is the classic LM quality gate
+    * in web-corpus pipelines, with the reference LM replaced by the
+    * corpus itself (self-perplexity).
+    *
+    * Hash-exactness contract: per-term logprob is rounded ONCE to
+    * integer micro-units (`round(ln(cnt/total)*1e6)::BIGINT`) and every
+    * later sum is BIGINT — order-independent, so the unordered
+    * distributed aggregation hash-matches the oracle exactly. The only
+    * cross-engine float op is the single `ln` per DISTINCT term (both
+    * engines' libm within 1 ulp; a mismatch needs the true value within
+    * ~1 ulp of a 0.5 micro-unit boundary). The final avg re-derives as
+    * the same two IEEE divisions on both sides.
+    *
+    * Scale shape: tf shuffles on (doc, term) with map-side combine; the
+    * term-count table is vocabulary-sized and joins tf on term (key-
+    * partitioned; sublinear in corpus size by Heaps' law — broadcast if
+    * it fits, shuffle-join if not: the plan is declarative so AQE
+    * decides); `total` is a scalar broadcast; the per-doc rollup
+    * shuffles on doc_id. No global sort, no driver-side data.
+    */
+  def perplexityFilter(s: SparkSession, dir: String,
+      thresholdLp: Double = -3.402): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val tot = cnt.agg(sum(col("cnt")).as("total"))
+    val lp = cnt.crossJoin(broadcast(tot))
+      .withColumn("lp_micro",
+        round(log(col("cnt").cast("double") / col("total").cast("double")) * 1e6)
+          .cast("long"))
+      .select(col("term"), col("lp_micro"))
+    tf.join(lp, "term")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("lp_micro")).as("sum_lp_micro"))
+      .withColumn("avg_logprob",
+        col("sum_lp_micro").cast("double") / lit(1000000.0) / col("n_tokens").cast("double"))
+      .withColumn("kept", col("avg_logprob") >= lit(thresholdLp))
+      .select(col("doc_id"), col("n_tokens"), col("avg_logprob"), col("kept"))
+  }
+
+  def perplexityFilterSql(thresholdLp: Double = -3.402): String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        cnt AS (SELECT term, sum(tf)::BIGINT AS cnt FROM tf GROUP BY 1),
+        tot AS (SELECT sum(cnt)::BIGINT AS total FROM cnt),
+        lp AS (SELECT term, round(ln(cnt::DOUBLE / total::DOUBLE) * 1000000)::BIGINT AS lp_micro
+               FROM cnt CROSS JOIN tot),
+        doc AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+                       sum(tf * lp_micro)::BIGINT AS sum_lp_micro
+                FROM tf JOIN lp USING (term) GROUP BY 1)
+        SELECT doc_id, n_tokens,
+               sum_lp_micro::DOUBLE / 1000000.0 / n_tokens::DOUBLE AS avg_logprob,
+               (sum_lp_micro::DOUBLE / 1000000.0 / n_tokens::DOUBLE >= $thresholdLp) AS kept
+        FROM doc"""
+
   // ---- bucketed co-located join (storage layout) ----
 
   /** FK join over PRE-BUCKETED tables — zero join-time exchange. The

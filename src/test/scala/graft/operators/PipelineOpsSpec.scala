@@ -646,6 +646,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(10L) == 10L && got(11L) == 10L)
     assert(got.size == 8)
   }
+
+  test("perplexityFilter (q96): scores equal an independent in-memory LM bit-for-bit") {
+    val texts = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    // independent reimplementation: plain Scala collections, same
+    // integer micro-unit contract
+    val toks = texts.map { case (id, t) => id -> t.toLowerCase.split(" ", -1).toSeq }
+    val cnt = toks.flatMap(_._2).groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val total = cnt.values.sum.toDouble
+    val lpMicro = cnt.map { case (w, c) => w -> math.round(math.log(c.toDouble / total) * 1e6) }
+    val want = toks.map { case (id, ts) =>
+      val n = ts.size.toLong
+      val slp = ts.map(lpMicro).sum
+      id -> ((n, slp.toDouble / 1000000.0 / n.toDouble))
+    }.toMap
+    val got = PipelineOps.perplexityFilter(spark, dir)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(got.length == want.size)
+    got.foreach { case (id, n, avg, kept) =>
+      val (wn, wavg) = want(id)
+      assert(n == wn, s"doc $id token count")
+      assert(avg == wavg, s"doc $id avg_logprob") // exact: BIGINT sums both sides
+      assert(kept == (avg >= -3.402))
+    }
+    // the gate must actually split the corpus
+    assert(got.exists(_._4) && got.exists(!_._4))
+  }
 }
 
 class ConnectedComponentsSpec extends SparkSpec {
