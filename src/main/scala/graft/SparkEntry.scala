@@ -1030,6 +1030,33 @@ object SparkEntry {
     // integer micro-unit logprobs make the distributed sums
     // order-independent, so the score hash-matches the oracle
     "q96_perplexity_filter" -> ((s, dir) => PipelineOps.perplexityFilter(s, dir)),
+    // day-partitioned storage layout: the range probe is statically
+    // partition-pruned — files outside [lo, hi] are never listed
+    "q97_day_partition_prune" -> ((s, dir) => PipelineOps.dayRangeProbe(s, dir)),
+    // streaming HLL register maintenance — q94's pattern with max-merge
+    // registers instead of counter sums: the converged register table
+    // IS the batch one, so q55's probe and oracle apply unchanged
+    "q98_stream_hll_maintenance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+      val tmp = stagedOnce(dir, "q98_events") { p =>
+        ev.repartition(8).write.mode("overwrite").parquet(p)
+      }
+      val ckpt = stageDir("q98_ckpt")
+      val name = memorySinkName(s, "q98")
+      try {
+        val nFiles = new java.io.File(tmp).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        val input = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", math.max(1, nFiles / 4).toString)
+          .parquet(tmp)
+        val regs = operators.Sketches.hllRegistersStream(input)
+        val q = regs.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally rmTreeRetry(ckpt)
+      operators.Sketches.hllEstimates(Tables.events(s, dir), s.table(name))
+    }),
   )
 
   /** Dirs q07 ran on in this JVM — [[joinKeyIndexSql]] generates its
@@ -1181,6 +1208,7 @@ object SparkEntry {
     "q40_incident_range_join" -> PipelineOps.incidentEventsSql(),
     "q41_tfidf_topterms" -> PipelineOps.tfidfTopTermsSql(),
     "q96_perplexity_filter" -> PipelineOps.perplexityFilterSql(),
+    "q97_day_partition_prune" -> PipelineOps.dayRangeProbeSql(),
     "q85_bm25" -> PipelineOps.bm25TopDocsSql(),
     "q92_hybrid_retrieval_rrf" -> PipelineOps.hybridRrfSql(),
     "q93_stream_ingest_neardup" -> Dedup.streamIngestNearDupSql,
@@ -1235,6 +1263,9 @@ object SparkEntry {
     // sentinel's own never does), so q54's oracle applies unchanged
     "q95_stream_session_window" -> Analytics.sessionWindowsSql(),
     "q55_hll_distinct" -> operators.Sketches.hllDistinctSql(),
+    // the streamed registers equal the batch registers cell-for-cell
+    // (max is order-independent), so the q55 oracle applies unchanged
+    "q98_stream_hll_maintenance" -> operators.Sketches.hllDistinctSql(),
     "q56_stratified_sample" -> PipelineOps.stratifiedSampleSql(),
     "q57_bloom_prune" -> operators.Sketches.bloomPruneSql(),
     "q59_snapshot_diff" -> PipelineOps.snapshotDiffSql,

@@ -891,4 +891,68 @@ object PipelineOps {
                  + coalesce((1.0)::DOUBLE / ($rrfK + vrank), (0)::DOUBLE) AS rrf
         FROM lex FULL JOIN vec ON lex.doc_id = vec.vec_id
         ORDER BY rrf DESC, doc_id ASC LIMIT $k"""
+
+  // ---- time-partitioned layout + statically pruned range probe ----
+
+  /** Once-per-(JVM, sf dir) time-partitioned rewrite of `events`:
+    * `partitionBy(day)` parquet with `day = yyyymmdd int` derived from
+    * event time. This is the third storage-layout operator next to the
+    * bucketed FK tables (q86, co-located joins) and the persisted IVF
+    * index (q83, DPP on a join): it buys STATIC pruning — a literal
+    * time-range predicate is resolved against the partition directory
+    * listing at plan time, so files outside the range are never listed
+    * into the scan at all. At 100 TB a month-long retention layout
+    * turns "scan everything and filter" into "open 7/30 of the data"
+    * for a week-long probe — the standard day-partitioned lakehouse
+    * layout, and the batch complement of q62's Z-order (which clusters
+    * WITHIN files for row-group skipping on two dimensions).
+    *
+    * `day` is written as int so the read-back partition-inferred type
+    * matches the literal probe range exactly — a cast on the partition
+    * column would defeat the pruning (same contract as q83's bucket).
+    * The rewrite keeps the table whole (all columns), so any later
+    * query column-prunes at the scan; rows are repartitioned by day
+    * first so each partition dir gets contiguous fat row groups.
+    */
+  private val dayLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  locally {
+    // graft.Fs, not SparkEntry: first touch may happen inside another
+    // object's shutdown hook (see Similarity.indexCache)
+    sys.addShutdownHook { dayLayoutCache.values.forEach(p => graft.Fs.rmTree(p)) }
+  }
+
+  private def dayLayoutPath(s: SparkSession, dir: String): String =
+    dayLayoutCache.computeIfAbsent(dir, { _ =>
+      val tmp = graft.Fs.tmpDir("graft_day_layout")
+      try {
+        Tables.events(s, dir)
+          .withColumn("day", date_format(col("ts"), "yyyyMMdd").cast("int"))
+          .repartition(col("day"))
+          .write.mode("overwrite").partitionBy("day").parquet(tmp)
+      } catch { case e: Throwable => graft.Fs.rmTree(tmp); throw e }
+      tmp
+    })
+
+  /** Per-day event stats for `day` in [lo, hi], served from the
+    * partitioned layout — the scan carries the range in its
+    * PartitionFilters (pinned in PlanSpec) and never lists the other
+    * days' files. Results match the raw-table aggregate exactly (day
+    * derives deterministically from `ts` in the pinned UTC session).
+    */
+  def dayRangeProbe(s: SparkSession, dir: String,
+      lo: Int = 20240108, hi: Int = 20240114): DataFrame =
+    s.read.parquet(dayLayoutPath(s, dir))
+      .filter(col("day").between(lo, hi))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  def dayRangeProbeSql(lo: Int = 20240108, hi: Int = 20240114): String =
+    s"""SELECT CAST(strftime(ts, '%Y%m%d') AS INT) AS day,
+               count(*) AS n,
+               sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+        FROM events
+        WHERE CAST(strftime(ts, '%Y%m%d') AS INT) BETWEEN $lo AND $hi
+        GROUP BY 1"""
 }

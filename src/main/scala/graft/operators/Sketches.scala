@@ -150,6 +150,30 @@ object Sketches {
                s.hll_zeros
         FROM sums s JOIN ex ON s.event_type = ex.event_type"""
 
+  /** Streaming register-maintenance core (q98): [[hllRegisters]] over a
+    * streaming frame. `groupBy + max` is order- and batching-
+    * independent, so a Complete-mode streaming aggregation converges to
+    * exactly the batch registers — the HLL analog of q94's CMS grid,
+    * and the sketch property (bounded m-row state per group regardless
+    * of stream length) is what makes Complete mode viable.
+    */
+  def hllRegistersStream(ev: DataFrame, p: Int = 5): DataFrame =
+    hllRegisters(ev, "event_type", col("user_id"), p)
+
+  /** Probe over STORED registers: fold them to the integer S carry and
+    * raw estimate and attach the exact count from the batch table —
+    * q55's output contract exactly, so [[hllDistinctSql]] applies
+    * unchanged to the streamed registers.
+    */
+  def hllEstimates(ev: DataFrame, regs: DataFrame, p: Int = 5): DataFrame = {
+    val sums = hllSums(regs, "event_type", p, "hll_est")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    sums.join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"), col("hll_s"),
+        col("hll_est"), col("hll_zeros"))
+  }
+
   /** K-minimum-values distinct sketch per event_type — the
     * order-statistics counterpart to [[hllDistinct]] (register maxima
     * there, hash minima here; both mergeable, this one also supports

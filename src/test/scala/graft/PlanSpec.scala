@@ -128,6 +128,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters"), p)
   }
 
+  test("day-partitioned probe is statically pruned to the requested range") {
+    // the q97 scale contract: the literal day range must resolve
+    // against the partition listing at PLAN time — the scan's
+    // PartitionFilters carry the range, so out-of-range days' files
+    // are never listed into the scan
+    val df = SparkEntry.queries("q97_day_partition_prune")(spark, dir)
+    val exec = df.queryExecution.executedPlan match {
+      // AQE hides the inner tree from collect(); the scan and its
+      // partition filters exist in the initial plan already
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case other => other
+    }
+    val scans = exec.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"q97 scan must carry partition filters:\n${df.queryExecution.executedPlan}")
+    // 30 days in the fixture; the [20240108, 20240114] probe must list 7
+    assert(scan.selectedPartitions.partitionCount == 7,
+      s"expected 7 pruned partitions, got ${scan.selectedPartitions.partitionCount}")
+  }
+
   test("semantic dedup reads the stored index; quadratic work is bucket-partitioned") {
     // q84's scale contract: assignment comes from the persisted index,
     // never an in-plan recompute — the ×C candidate inflate

@@ -673,6 +673,22 @@ class PipelineOpsSpec extends SparkSpec {
     // the gate must actually split the corpus
     assert(got.exists(_._4) && got.exists(!_._4))
   }
+
+  test("dayRangeProbe (q97): pruned-layout aggregate equals the raw-table aggregate") {
+    val fromLayout = PipelineOps.dayRangeProbe(spark, dir)
+      .as[(Int, Long, Double)].collect()
+      .map { case (d, n, v) => d -> ((n, v)) }.toMap
+    val raw = Tables.events(spark, dir)
+      .withColumn("day", date_format(col("ts"), "yyyyMMdd").cast("int"))
+      .filter(col("day").between(20240108, 20240114))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .as[(Int, Long, Double)].collect()
+      .map { case (d, n, v) => d -> ((n, v)) }.toMap
+    assert(fromLayout == raw)
+    assert(fromLayout.keySet == (20240108 to 20240114).toSet)
+  }
 }
 
 class ConnectedComponentsSpec extends SparkSpec {

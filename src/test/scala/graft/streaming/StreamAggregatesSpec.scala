@@ -125,4 +125,28 @@ class StreamSessionWindowSpec extends SparkSpec {
     assert(streamed.size <= 4 * 512)
     assert(streamed.toSeq.map(r => (r._1, r._2)).distinct.size == streamed.size)
   }
+
+  test("streamed HLL registers (q98): Complete-mode max-merge converges to the batch registers") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(("a", 10L), ("a", 11L), ("b", 10L), ("a", 12L), ("b", 99L), ("a", 10L))
+    val input = MemoryStream[(String, Long)]
+    val regs = graft.operators.Sketches.hllRegistersStream(
+      input.toDS().toDF("event_type", "user_id"))
+    val q = regs.writeStream.format("memory").queryName("hll_regs_out")
+      .outputMode("complete").start()
+    try {
+      // registers must MERGE (max) across micro-batches
+      input.addData(events.take(3)); q.processAllAvailable()
+      input.addData(events.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hll_regs_out")
+      .as[(String, Long, Int)].collect().toSet
+    val batch = graft.operators.Sketches.hllRegistersStream(
+      events.toDF("event_type", "user_id"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(streamed == batch)
+    // bounded state: at most m = 2^5 registers per group
+    assert(streamed.groupBy(_._1).values.forall(_.size <= 32))
+  }
 }
