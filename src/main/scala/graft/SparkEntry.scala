@@ -763,6 +763,9 @@ object SparkEntry {
     // representative; the quadratic work is per-cluster, never corpus².
     // Trained-literal oracle with the drop rule as a self-join mark.
     "q84_semantic_dedup" -> ((s, dir) => Similarity.semanticDedup(s, dir)),
+    // embedding-space benchmark decontamination over the same stored
+    // index: train × held-out-slice epsilon-ball probe, per-bucket
+    "q99_semantic_decontaminate" -> ((s, dir) => Similarity.semanticDecontaminate(s, dir)),
     // BM25 retrieval scoring over q41's tf/df machinery: probe query =
     // the top-df terms (derived in-plan, no corpus-dependent literals),
     // log-free Robertson idf (ln last-ulp varies across libms), per-doc
@@ -1318,5 +1321,8 @@ object SparkEntry {
     Similarity.ivfIndexStreamedSql().map("q87_stream_ivf_index" -> _) ++
     // q91's compacted index equals the assignment of the EFFECTIVE
     // (post-re-embedding) vectors
-    Similarity.ivfIndexCompactedSql().map("q91_ivf_index_compact" -> _)
+    Similarity.ivfIndexCompactedSql().map("q91_ivf_index_compact" -> _) ++
+    // q99 shares q84's trained centroids, stored index, and mark shape;
+    // only the pairing (train × held-out slice) differs
+    Similarity.semanticDecontaminateSql().map("q99_semantic_decontaminate" -> _)
 }

@@ -631,6 +631,69 @@ object Similarity {
         FROM assigned a LEFT JOIN dropped_ids d ON a.vec_id = d.vec_id"""
     }
 
+  /** Semantic benchmark decontamination — the embedding-space
+    * complement of the 13-gram decontamination (q66): a TRAIN vector is
+    * contaminated when a held-out BENCHMARK vector in the same trained
+    * cluster sits inside its epsilon ball (cosine > `threshold`). The
+    * held-out set is the deterministic `vec_id % testMod == 0` slice
+    * (the q88-style thinning idiom), so the oracle re-derives both
+    * sides relationally. Same-bucket-only comparison is the DECLARED
+    * policy, exactly as q84's: paraphrase-level contamination lands in
+    * the same cluster by construction, and the policy is what bounds
+    * the work.
+    *
+    * Scale shape: both sides read the SAME persisted index as q83/q84
+    * (no recompute, no re-bucketing); the join hash-partitions on
+    * `bucket`, so the pair work is Σ|cluster-train|×|cluster-test|,
+    * never |train|×|test|. In production the benchmark side is
+    * benchmark-sized (thousands), so it broadcasts and the whole pass
+    * is one map-side probe over the train index — the same degenerate
+    * case as q72's stream-static join; the bucketed form here is the
+    * general path when the "benchmark" is itself corpus-sized (e.g.
+    * held-out shard decontamination).
+    *
+    * Output is every train vector's verdict (vec_id, bucket,
+    * contaminated) — the provenance a curation step anti-joins on.
+    */
+  def semanticDecontaminate(s: SparkSession, dir: String,
+      threshold: Double = 0.35, testMod: Int = 29): DataFrame = {
+    val cents = centsDF(s, dir)
+    val idx = s.read.parquet(ivfIndexPath(s, dir, cents))
+      .withColumn("bucket", col("bucket").cast("long"))
+    val train = idx.filter(col("vec_id") % testMod =!= 0)
+    val test = idx.filter(col("vec_id") % testMod === 0)
+      .select(col("vec_id").as("t_id"), col("v").as("tv"),
+        col("bucket").as("t_bucket"))
+    val contaminated = train.join(test,
+        col("bucket") === col("t_bucket") &&
+          cosine_sim(col("v"), col("tv")) > threshold)
+      .select(col("vec_id")).distinct()
+    train.join(contaminated.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"),
+        coalesce(col("hit"), lit(false)).as("contaminated"))
+  }
+
+  /** Oracle for [[semanticDecontaminate]] — trained-literal gating and
+    * the self-join + LEFT JOIN mark shape shared with
+    * [[semanticDedupSql]] (same DuckDB correlated-lambda limitation).
+    */
+  def semanticDecontaminateSql(threshold: Double = 0.35,
+      testMod: Int = 29): Option[String] =
+    trainedRowsSql().map { rows =>
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT * FROM (VALUES $rows) AS vt(cent_id, cv)),
+        assigned AS ($assignedCteSql),
+        train AS (SELECT * FROM assigned WHERE vec_id % $testMod <> 0),
+        test AS (SELECT vec_id AS t_id, v AS tv, bucket AS t_bucket
+                 FROM assigned WHERE vec_id % $testMod = 0),
+        contaminated AS (
+          SELECT DISTINCT a.vec_id
+          FROM train a JOIN test b ON b.t_bucket = a.bucket
+          WHERE ${cosSqlOn("b.tv", "a.v")} > ($threshold)::DOUBLE)
+        SELECT a.vec_id, a.bucket, (d.vec_id IS NOT NULL) AS contaminated
+        FROM train a LEFT JOIN contaminated d ON a.vec_id = d.vec_id"""
+    }
+
   def ivfTopKSql(k: Int = defaultK): String =
     ivfSqlWith(s"SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $numCentroids", k)
 

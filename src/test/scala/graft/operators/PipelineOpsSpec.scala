@@ -351,6 +351,43 @@ class SimilaritySpec extends SparkSpec {
         s"kept pair ${byBucket(i)._1},${byBucket(j)._1} in bucket ${byBucket(i)._2} has cos $c > $threshold")
     }
   }
+
+  test("semantic decontamination (q99): verdicts match a brute-force within-bucket check") {
+    val threshold = 0.35
+    val testMod = 29
+    val verdicts = Similarity.semanticDecontaminate(spark, dir, threshold, testMod)
+      .as[(Long, Long, Boolean)].collect()
+    assert(verdicts.nonEmpty)
+    // exactly the train slice, one verdict each
+    assert(verdicts.forall(_._1 % testMod != 0))
+    assert(verdicts.map(_._1).distinct.length == verdicts.length)
+    // the fixture must exercise BOTH outcomes or the test is vacuous
+    assert(verdicts.exists(_._3), "no contamination at this threshold — fixture too sparse")
+    assert(verdicts.exists(!_._3))
+    // brute-force recheck from the raw table, bucket assignments taken
+    // from the operator's own output (the bucket policy is declared;
+    // what we verify is the epsilon-ball rule applied under it)
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum) / math.sqrt(b.map(x => x * x).sum)
+    }
+    // test-side buckets come from the shared index too: reuse q84's
+    // full-corpus verdicts for the assignment of the held-out ids
+    val allBuckets = Similarity.semanticDedup(spark, dir, threshold)
+      .as[(Long, Long, Boolean)].collect().map(v => v._1 -> v._2).toMap
+    val testByBucket = allBuckets.collect {
+      case (id, b) if id % testMod == 0 => (id, b)
+    }.groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    verdicts.foreach { case (id, bucket, contaminated) =>
+      val hits = testByBucket.getOrElse(bucket, Seq.empty)
+        .exists(tid => cos(vecs(id), vecs(tid)) > threshold)
+      assert(hits == contaminated,
+        s"vec $id in bucket $bucket: brute-force says $hits, operator says $contaminated")
+    }
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
