@@ -61,6 +61,87 @@ object SparkEntry {
       tmp
     })
 
+  /** Per-(sf dir) max event time in nanos, computed once per JVM (one
+    * skinny ts_ns column scan, via Tables.events so the per-layout
+    * decode lives in one place) — the sentinel-placement input for the
+    * once-staged watermark harnesses (q31/q95). None = empty table:
+    * the callers return their empty-aggregate frame without streaming.
+    */
+  private val maxEventNs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.Optional[java.lang.Long]]()
+  private def maxEventNsOf(s: SparkSession, dir: String): Option[Long] = {
+    val opt = maxEventNs.computeIfAbsent(dir, { _ =>
+      val r = Tables.events(s, dir).agg(max(col("ts_ns"))).head()
+      if (r.isNullAt(0)) java.util.Optional.empty[java.lang.Long]()
+      else java.util.Optional.of(java.lang.Long.valueOf(r.getLong(0)))
+    })
+    if (opt.isPresent) Some(opt.get.longValue) else None
+  }
+
+  /** Stage `ev` once per (dir, tag) WITH a far-future sentinel row
+    * staged inside the same immutable dir: the sentinel is written
+    * after the event files and mtime-stamped 60 s past them, so
+    * `maxFilesPerTrigger = nFiles − 1` puts it alone in micro-batch 2
+    * on every run (file sources batch oldest-mtime-first) — one
+    * `processAllAvailable` drives arrival then watermark-flush, with
+    * no per-run dir copies. The stamp must not depend on filesystem
+    * clock granularity: a tie would let the sentinel ride batch 1 and
+    * drop late event rows below its watermark (hence the verified
+    * Fs.stampMtime). `sentinelRow` builds the one-row frame at the
+    * sentinel timestamp (max event time + 3 h — one hour past any
+    * real window/session end plus the 1 h watermark delay). Returns
+    * (stagedDir, maxFilesPerTrigger).
+    */
+  private def stagedWithSentinel(s: SparkSession, dir: String, tag: String,
+      ev: org.apache.spark.sql.DataFrame, maxNs: Long)(
+      sentinelRow: java.sql.Timestamp => org.apache.spark.sql.DataFrame): (String, Int) = {
+    val tmp = stagedOnce(dir, tag) { p =>
+      // repartition = parallel staging write (single-file input would
+      // otherwise write on one task); within-batch row order is
+      // immaterial to a watermarked aggregate
+      ev.repartition(16).write.mode("overwrite").parquet(p)
+      val eventFiles = new java.io.File(p).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      val sentinel = new java.sql.Timestamp(maxNs / 1000000L + 3 * 3600 * 1000L)
+      sentinelRow(sentinel).coalesce(1).write.mode("append").parquet(p)
+      val maxEventMtime = eventFiles.map(_.lastModified()).max
+      new java.io.File(p).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !eventFiles.contains(f))
+        .foreach(f => graft.Fs.stampMtime(f, maxEventMtime + 60000L))
+    }
+    val nFiles = new java.io.File(tmp).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    (tmp, nFiles - 1)
+  }
+
+  /** Shared Complete-mode sketch-maintenance harness (q94/q98): stage
+    * the projected event columns once, stream them back in ~4
+    * micro-batches, run `core`'s bounded-state aggregation in Complete
+    * mode into this query's stable memory sink, and return the
+    * converged sink table.
+    */
+  private def completeModeStream(s: SparkSession, dir: String, tag: String,
+      ev: org.apache.spark.sql.DataFrame)(
+      core: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tmp = stagedOnce(dir, s"${tag}_events") { p =>
+      ev.repartition(8).write.mode("overwrite").parquet(p) // parallel staging write
+    }
+    val ckpt = stageDir(s"${tag}_ckpt")
+    val name = memorySinkName(s, tag)
+    try {
+      val nFiles = new java.io.File(tmp).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      val input = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", math.max(1, nFiles / 4).toString)
+        .parquet(tmp)
+      val q = core(input).writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally rmTreeRetry(ckpt)
+    s.table(name)
+  }
+
   /** A memory sink pins its FULL result set in the driver for as long
     * as its temp view exists. Round 8 named every sink with a fresh
     * UUID and never dropped one, so a Bench sweep (~22 streaming
@@ -515,79 +596,29 @@ object SparkEntry {
       import s.implicits._
       val ev = Tables.events(s, dir)
         .select(col("ts"), col("event_type"), col("value"))
-      // max event time via the layout-normalized ts_ns column (one
-      // skinny column scan; Tables.events owns the per-layout decode,
-      // so this site survives the driver switching the parquet
-      // timestamp physical type between rounds) — only the sentinel
-      // placement needs it
-      val maxTsRow = Tables.events(s, dir).agg(max(col("ts_ns"))).head()
-      if (maxTsRow.isNullAt(0)) {
-        // empty input: no windows can ever close — the streaming result
-        // is the empty set, same as the oracle's empty aggregate
-        ev.groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"), col("event_type"))
-          .agg(count(lit(1)).as("n"), lit(0.0).as("sum_value"))
-      } else {
-      // the immutable event staging is shared per JVM (stagedOnce); the
-      // per-run dir holds HARDLINKS to it plus this run's sentinel, so
-      // repeat runs skip the 16-task staging write while the shared dir
-      // is never mutated (the sentinel append and its mtime stamp land
-      // on the fresh dir only — links share inodes, and we only stamp
-      // the newly-written sentinel files)
-      val sharedTmp = stagedOnce(dir, "q31_events") { p =>
-        // repartition = parallel staging write (single-file input would
-        // otherwise write on one task); within-batch row order is
-        // immaterial to a windowed aggregate
-        ev.repartition(16).write.mode("overwrite").parquet(p)
-      }
-      val tmp = stageDir("q31_run")
-      val ckpt = stageDir("q31_ckpt")
-      val name = memorySinkName(s, "q31")
-      // tmpfs-backed per-run staging/checkpoint dirs are cleaned on
-      // every exit path, including a failed stream start (removing a
-      // link leaves the shared source file intact)
-      try {
-        val srcFiles = new java.io.File(sharedTmp).listFiles()
-          .filter(_.getName.endsWith(".parquet"))
-        for (f <- srcFiles) {
-          val target = java.nio.file.Paths.get(tmp, f.getName)
-          try java.nio.file.Files.createLink(target, f.toPath)
-          catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-            java.nio.file.Files.copy(f.toPath, target) // cross-device fallback
-          }
-        }
-        // the sentinel is staged as one extra file BEFORE the stream
-        // starts; maxFilesPerTrigger = (#event files) puts it alone in
-        // micro-batch 2 (file sources process in modification order), so
-        // one processAllAvailable drives both batches
-        val maxMs = maxTsRow.getLong(0) / 1000000L // ts_ns is always nanos
-        val sentinel = new java.sql.Timestamp(maxMs + 3 * 3600 * 1000L)
-        val eventFiles = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet"))
-        val nEventFiles = eventFiles.length
-        Seq((sentinel, "__sentinel", 0.0)).toDF("ts", "event_type", "value")
-          .coalesce(1).write.mode("append").parquet(tmp)
-        // batch separation must not depend on filesystem clock granularity:
-        // stamp the sentinel's mtime explicitly past every event file so the
-        // file source's modification-order sort puts it alone in batch 2
-        // (a tie would let it ride with batch 1 and drop late event rows
-        // below its watermark)
-        val maxEventMtime = eventFiles.map(_.lastModified()).max
-        new java.io.File(tmp).listFiles()
-          .filter(f => f.getName.endsWith(".parquet") && !eventFiles.contains(f))
-          // verified stamp (Fs.stampMtime) — a tie would let the
-          // sentinel ride in batch 1 and drop late event rows below
-          // its watermark
-          .foreach(f => graft.Fs.stampMtime(f, maxEventMtime + 60000L))
-        val input2 = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", nEventFiles.toString).parquet(tmp)
-        withStatePartitions(s, 8) {
-          val q = graft.streaming.StreamAggregates.windowedEventStats(input2)
-            .writeStream.format("memory").queryName(name).outputMode("append")
-            .option("checkpointLocation", ckpt).start()
-          try q.processAllAvailable() finally q.stop()
-        }
-      } finally { rmTree(tmp); rmTree(ckpt) }
-      s.table(name)
+      maxEventNsOf(s, dir) match {
+        case None =>
+          // empty input: no windows can ever close — the streaming
+          // result is the empty set, same as the oracle's empty
+          // aggregate
+          ev.groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"), col("event_type"))
+            .agg(count(lit(1)).as("n"), lit(0.0).as("sum_value"))
+        case Some(maxNs) =>
+          val (tmp, mft) = stagedWithSentinel(s, dir, "q31_events", ev, maxNs)(
+            snt => Seq((snt, "__sentinel", 0.0)).toDF("ts", "event_type", "value"))
+          val ckpt = stageDir("q31_ckpt")
+          val name = memorySinkName(s, "q31")
+          try {
+            val input = s.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", mft.toString).parquet(tmp)
+            withStatePartitions(s, 8) {
+              val q = graft.streaming.StreamAggregates.windowedEventStats(input)
+                .writeStream.format("memory").queryName(name).outputMode("append")
+                .option("checkpointLocation", ckpt).start()
+              try q.processAllAvailable() finally q.stop()
+            }
+          } finally rmTreeRetry(ckpt)
+          s.table(name)
       }
     }),
 
@@ -954,25 +985,10 @@ object SparkEntry {
     // batch grid and q69's probe + oracle apply unchanged. The grid
     // build IS q69's cmsGrid, applied to the streaming reader.
     "q94_stream_cms_maintenance" -> ((s, dir) => {
-      val ev = Tables.events(s, dir).select(col("user_id"))
-      val tmp = stagedOnce(dir, "q94_events") { p =>
-        ev.repartition(8).write.mode("overwrite").parquet(p) // parallel staging write
-      }
-      val ckpt = stageDir("q94_ckpt")
-      val name = memorySinkName(s, "q94")
-      try {
-        val nFiles = new java.io.File(tmp).listFiles()
-          .count(_.getName.endsWith(".parquet"))
-        val input = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", math.max(1, nFiles / 4).toString)
-          .parquet(tmp)
-        val grid = operators.Sketches.cmsGrid(input)
-        val q = grid.writeStream.format("memory").queryName(name)
-          .outputMode("complete")
-          .option("checkpointLocation", ckpt).start()
-        try q.processAllAvailable() finally q.stop()
-      } finally rmTreeRetry(ckpt)
-      operators.Sketches.cmsEstimates(Tables.events(s, dir), s.table(name))
+      val grid = completeModeStream(s, dir, "q94",
+        Tables.events(s, dir).select(col("user_id")))(
+        operators.Sketches.cmsGrid(_))
+      operators.Sketches.cmsEstimates(Tables.events(s, dir), grid)
     }),
     // streaming SESSION windows — the stateful-MERGE aggregation the
     // tumbling-window q31 can't exercise (session extents grow and
@@ -988,45 +1004,29 @@ object SparkEntry {
     "q95_stream_session_window" -> ((s, dir) => {
       import s.implicits._
       val ev = Tables.events(s, dir).select(col("ts"), col("user_id"), col("value"))
-      val maxTsRow = Tables.events(s, dir).agg(max(col("ts_ns"))).head()
-      if (maxTsRow.isNullAt(0)) {
-        // empty input: no sessions can ever finalize — the streaming
-        // result is the empty set, same as the oracle's empty aggregate
-        // (withWatermark is a no-op in batch mode, so this is the same
-        // plan shape with zero rows)
-        graft.streaming.StreamAggregates.sessionizedEventStats(ev)
-      } else {
-      val tmp = stagedOnce(dir, "q95_events") { p =>
-        ev.repartition(16).write.mode("overwrite").parquet(p)
-        val maxMs = maxTsRow.getLong(0) / 1000000L // ts_ns is always nanos
-        val eventFiles = new java.io.File(p).listFiles()
-          .filter(_.getName.endsWith(".parquet"))
-        val sentinel = new java.sql.Timestamp(maxMs + 3 * 3600 * 1000L)
-        Seq((sentinel, -1L, 0.0)).toDF("ts", "user_id", "value")
-          .coalesce(1).write.mode("append").parquet(p)
-        // batch separation must not depend on filesystem clock
-        // granularity: stamp the sentinel past every event file so the
-        // file source's modification-order sort puts it alone in batch 2
-        val maxEventMtime = eventFiles.map(_.lastModified()).max
-        new java.io.File(p).listFiles()
-          .filter(f => f.getName.endsWith(".parquet") && !eventFiles.contains(f))
-          .foreach(f => graft.Fs.stampMtime(f, maxEventMtime + 60000L))
-      }
-      val ckpt = stageDir("q95_ckpt")
-      val name = memorySinkName(s, "q95")
-      try {
-        val nFiles = new java.io.File(tmp).listFiles()
-          .count(_.getName.endsWith(".parquet"))
-        val input = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", (nFiles - 1).toString).parquet(tmp)
-        withStatePartitions(s, 8) {
-          val q = graft.streaming.StreamAggregates.sessionizedEventStats(input)
-            .writeStream.format("memory").queryName(name).outputMode("append")
-            .option("checkpointLocation", ckpt).start()
-          try q.processAllAvailable() finally q.stop()
-        }
-      } finally rmTreeRetry(ckpt)
-      s.table(name)
+      maxEventNsOf(s, dir) match {
+        case None =>
+          // empty input: no sessions can ever finalize — the streaming
+          // result is the empty set, same as the oracle's empty
+          // aggregate (withWatermark is a no-op in batch mode, so this
+          // is the same plan shape with zero rows)
+          graft.streaming.StreamAggregates.sessionizedEventStats(ev)
+        case Some(maxNs) =>
+          val (tmp, mft) = stagedWithSentinel(s, dir, "q95_events", ev, maxNs)(
+            snt => Seq((snt, -1L, 0.0)).toDF("ts", "user_id", "value"))
+          val ckpt = stageDir("q95_ckpt")
+          val name = memorySinkName(s, "q95")
+          try {
+            val input = s.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", mft.toString).parquet(tmp)
+            withStatePartitions(s, 8) {
+              val q = graft.streaming.StreamAggregates.sessionizedEventStats(input)
+                .writeStream.format("memory").queryName(name).outputMode("append")
+                .option("checkpointLocation", ckpt).start()
+              try q.processAllAvailable() finally q.stop()
+            }
+          } finally rmTreeRetry(ckpt)
+          s.table(name)
       }
     }),
     // unigram-LM perplexity gate (CCNet-style quality filtering):
@@ -1040,25 +1040,10 @@ object SparkEntry {
     // registers instead of counter sums: the converged register table
     // IS the batch one, so q55's probe and oracle apply unchanged
     "q98_stream_hll_maintenance" -> ((s, dir) => {
-      val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
-      val tmp = stagedOnce(dir, "q98_events") { p =>
-        ev.repartition(8).write.mode("overwrite").parquet(p)
-      }
-      val ckpt = stageDir("q98_ckpt")
-      val name = memorySinkName(s, "q98")
-      try {
-        val nFiles = new java.io.File(tmp).listFiles()
-          .count(_.getName.endsWith(".parquet"))
-        val input = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", math.max(1, nFiles / 4).toString)
-          .parquet(tmp)
-        val regs = operators.Sketches.hllRegistersStream(input)
-        val q = regs.writeStream.format("memory").queryName(name)
-          .outputMode("complete")
-          .option("checkpointLocation", ckpt).start()
-        try q.processAllAvailable() finally q.stop()
-      } finally rmTreeRetry(ckpt)
-      operators.Sketches.hllEstimates(Tables.events(s, dir), s.table(name))
+      val regs = completeModeStream(s, dir, "q98",
+        Tables.events(s, dir).select(col("event_type"), col("user_id")))(
+        operators.Sketches.hllRegistersStream(_))
+      operators.Sketches.hllEstimates(Tables.events(s, dir), regs)
     }),
   )
 

@@ -914,17 +914,22 @@ object PipelineOps {
     * query column-prunes at the scan; rows are repartitioned by day
     * first so each partition dir gets contiguous fat row groups.
     */
+  // memoization only — exit-time cleanup rides a RunDirs pool
+  // (artifactDirs.track) instead of a fourth hand-rolled
+  // CHM-values-walking hook, so the dir-lifecycle mechanics live in
+  // Fs.RunDirs (graft.Fs, not SparkEntry, for the hook-ordering reason
+  // its scaladoc records)
   private val dayLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val artifactDirs = new graft.Fs.RunDirs
   locally {
-    // graft.Fs, not SparkEntry: first touch may happen inside another
-    // object's shutdown hook (see Similarity.indexCache)
-    sys.addShutdownHook { dayLayoutCache.values.forEach(p => graft.Fs.rmTree(p)) }
+    sys.addShutdownHook { artifactDirs.cleanup() }
   }
 
   private def dayLayoutPath(s: SparkSession, dir: String): String =
     dayLayoutCache.computeIfAbsent(dir, { _ =>
       val tmp = graft.Fs.tmpDir("graft_day_layout")
+      artifactDirs.track(tmp)
       try {
         Tables.events(s, dir)
           .withColumn("day", date_format(col("ts"), "yyyyMMdd").cast("int"))

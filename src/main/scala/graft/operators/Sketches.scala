@@ -94,17 +94,12 @@ object Sketches {
       .withColumn("hll_zeros", lit(m.toLong) - col("nb"))
   }
 
-  /** [[hllDistinct]] core over any frame with `event_type`, `user_id`. */
-  def hllFromEvents(ev: DataFrame, p: Int): DataFrame = {
-    val sums = hllSums(
-      hllRegisters(ev, "event_type", col("user_id"), p),
-      "event_type", p, "hll_est")
-    val exact = ev.groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("n_exact"))
-    sums.join(exact, "event_type")
-      .select(col("event_type"), col("n_exact"), col("hll_s"),
-        col("hll_est"), col("hll_zeros"))
-  }
+  /** [[hllDistinct]] core over any frame with `event_type`, `user_id`
+    * — register build + the shared [[hllEstimates]] probe, so the
+    * batch (q55) and streamed (q98) paths cannot drift.
+    */
+  def hllFromEvents(ev: DataFrame, p: Int): DataFrame =
+    hllEstimates(ev, hllRegisters(ev, "event_type", col("user_id"), p), p)
 
   /** `alpha_m · m² · 2^(wbits+1)` as one double — the raw-HLL estimator
     * numerator over the integer register sum S (see [[hllDistinct]]:

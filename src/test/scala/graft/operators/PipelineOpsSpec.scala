@@ -692,7 +692,11 @@ class PipelineOpsSpec extends SparkSpec {
     val toks = texts.map { case (id, t) => id -> t.toLowerCase.split(" ", -1).toSeq }
     val cnt = toks.flatMap(_._2).groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
     val total = cnt.values.sum.toDouble
-    val lpMicro = cnt.map { case (w, c) => w -> math.round(math.log(c.toDouble / total) * 1e6) }
+    // HALF_UP away from zero, matching Spark's round() and DuckDB's
+    // (math.round ties toward +inf — wrong side for these negatives)
+    def roundAway(x: Double): Long =
+      (math.signum(x) * math.floor(math.abs(x) + 0.5)).toLong
+    val lpMicro = cnt.map { case (w, c) => w -> roundAway(math.log(c.toDouble / total) * 1e6) }
     val want = toks.map { case (id, ts) =>
       val n = ts.size.toLong
       val slp = ts.map(lpMicro).sum
