@@ -1045,6 +1045,20 @@ object SparkEntry {
         operators.Sketches.hllRegistersStream(_))
       operators.Sketches.hllEstimates(Tables.events(s, dir), regs)
     }),
+    // streaming quantile-histogram maintenance — the third sketch on
+    // the shared Complete-mode harness (counter sums, like q94's CMS):
+    // the converged grid IS the batch grid, so q75's probe and oracle
+    // apply unchanged
+    "q100_stream_quantile_maintenance" -> ((s, dir) => {
+      val grid = completeModeStream(s, dir, "q100",
+        Tables.events(s, dir).select(col("event_type"), col("value")))(
+        operators.Sketches.histGrid(_))
+      // the probe self-joins the grid (ranks ⋈ cum), and a memory-sink
+      // leaf does not dedup its references across the two sides —
+      // snapshot the (≤ groups×buckets)-row grid to an RDD leaf first;
+      // this is the sketch STATE, bounded by construction, not data
+      operators.Sketches.histQuantiles(grid.localCheckpoint())
+    }),
   )
 
   /** Dirs q07 ran on in this JVM — [[joinKeyIndexSql]] generates its
@@ -1268,6 +1282,9 @@ object SparkEntry {
     "q94_stream_cms_maintenance" -> operators.Sketches.cmsHeavyHittersSql(),
     "q73_incremental_agg" -> operators.Sketches.incrementalAggSql(),
     "q75_quantile_histogram" -> operators.Sketches.quantileHistogramSql(),
+    // the streamed histogram equals the batch histogram cell-for-cell
+    // (counters are order-independent sums), so q75's oracle applies
+    "q100_stream_quantile_maintenance" -> operators.Sketches.quantileHistogramSql(),
     "q70_doc_chunks" -> TextAnalysis.chunkDocumentsSql(),
     "q62_zorder_key" -> PipelineOps.zOrderKeySql(),
     "q63_winnowing" -> TextAnalysis.winnowingFingerprintsSql(),

@@ -261,16 +261,26 @@ object Sketches {
     // interpolation error, which is the documented fixed-bin trade.
     greatest(lit(0L), least(floor(value / width), lit(buckets - 1L)))
 
-  def quantileHistogram(s: SparkSession, dir: String, width: Double = 8.0,
-      buckets: Int = 64, ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // NULL values are excluded from the sketch on both engines (a NULL
-    // bucket would also sort NULLS FIRST in Spark vs NULLS LAST in
-    // DuckDB, silently shifting every cumulative count)
-    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
-    val hist = ev
+  /** The histogram STATE build — (event_type, bucket, cnt) counters
+    * over non-null values. Shared by the batch q75 and the streamed
+    * q100 (counters are order-independent sums, so a Complete-mode
+    * streaming aggregation of this exact frame converges to the batch
+    * grid — the same argument as [[cmsGrid]]).
+    */
+  def histGrid(ev: DataFrame, width: Double = 8.0,
+      buckets: Int = 64): DataFrame =
+    ev.filter(col("value").isNotNull)
       .select(col("event_type"), histBucket(col("value"), width, buckets).as("bucket"))
       .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** Quantile estimates from a STORED histogram grid — the probe half
+    * of q75, shared with q100 so the estimator cannot drift between
+    * the batch and streamed paths. Bounded work: the grid is ≤
+    * groups×buckets rows.
+    */
+  def histQuantiles(hist: DataFrame, width: Double = 8.0,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cum = hist.withColumn("cum",
       sum(col("cnt")).over(Window.partitionBy(col("event_type"))
         .orderBy(col("bucket").asc)))
@@ -292,6 +302,10 @@ object Sketches {
         (col("rank") - (col("cum") - col("cnt"))).cast("double")
           / col("cnt").cast("double") * lit(width)).as("q_est"))
   }
+
+  def quantileHistogram(s: SparkSession, dir: String, width: Double = 8.0,
+      buckets: Int = 64, ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =
+    histQuantiles(histGrid(Tables.events(s, dir), width, buckets), width, ps)
 
   def quantileHistogramSql(width: Double = 8.0, buckets: Int = 64,
       ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): String =

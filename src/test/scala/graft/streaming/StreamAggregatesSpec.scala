@@ -149,4 +149,30 @@ class StreamSessionWindowSpec extends SparkSpec {
     // bounded state: at most m = 2^5 registers per group
     assert(streamed.groupBy(_._1).values.forall(_.size <= 32))
   }
+
+  test("streamed histogram grid (q100): Complete-mode counter sums converge to the batch grid") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(("a", 1.0), ("a", 9.5), ("b", 3.0), ("a", 1.5), ("b", 700.0), ("a", -2.0))
+    val input = MemoryStream[(String, Double)]
+    val grid = graft.operators.Sketches.histGrid(
+      input.toDS().toDF("event_type", "value"))
+    val q = grid.writeStream.format("memory").queryName("hist_grid_out")
+      .outputMode("complete").start()
+    try {
+      // counters must ACCUMULATE across micro-batches
+      input.addData(events.take(3)); q.processAllAvailable()
+      input.addData(events.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hist_grid_out")
+      .as[(String, Long, Long)].collect().toSet
+    val batch = graft.operators.Sketches.histGrid(
+      events.toDF("event_type", "value"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    // clamping held in the streamed path too: 700.0 -> top bucket,
+    // -2.0 -> bucket 0
+    assert(streamed.exists { case (t, b, _) => t == "b" && b == 63L })
+    assert(streamed.collect { case ("a", 0L, c) => c }.sum == 3L) // 1.0, 1.5, -2.0
+  }
 }
