@@ -134,10 +134,17 @@ object SparkEntry {
       val input = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", math.max(1, nFiles / 4).toString)
         .parquet(tmp)
-      val q = core(input).writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt).start()
-      try q.processAllAvailable() finally q.stop()
+      // 8 state partitions like the stateful-join harnesses: the state
+      // is sketch-sized (≤ groups×cells rows), so 32 state stores per
+      // micro-batch is pure per-batch overhead at any scale where the
+      // sketch fits — a real deployment sizes state partitions to the
+      // GROUP cardinality, not the input volume
+      withStatePartitions(s, 8) {
+        val q = core(input).writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable() finally q.stop()
+      }
     } finally rmTreeRetry(ckpt)
     s.table(name)
   }
