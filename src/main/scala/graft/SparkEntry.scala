@@ -114,15 +114,18 @@ object SparkEntry {
     (tmp, nFiles - 1)
   }
 
-  /** Shared Complete-mode sketch-maintenance harness (q94/q98): stage
-    * the projected event columns once, stream them back in ~4
-    * micro-batches, run `core`'s bounded-state aggregation in Complete
-    * mode into this query's stable memory sink, and return the
-    * converged sink table.
+  /** Shared sketch-maintenance harness (q94/q98/q100 in Complete mode,
+    * q101 in Update mode): stage the projected event columns once,
+    * stream them back in ~4 micro-batches, run `core`'s bounded-state
+    * aggregation into this query's stable memory sink, and return the
+    * sink table. Complete-mode cores converge in place (the sink holds
+    * the full latest result); an Update-mode core's sink accumulates
+    * one row per state change, and the caller applies the
+    * latest-revision-per-group compaction (O8's compacted-topic read).
     */
   private def completeModeStream(s: SparkSession, dir: String, tag: String,
-      ev: org.apache.spark.sql.DataFrame)(
-      core: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      ev: org.apache.spark.sql.DataFrame, mode: String = "complete")(
+      core: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[_]): org.apache.spark.sql.DataFrame = {
     val tmp = stagedOnce(dir, s"${tag}_events") { p =>
       ev.repartition(8).write.mode("overwrite").parquet(p) // parallel staging write
     }
@@ -141,7 +144,7 @@ object SparkEntry {
       // GROUP cardinality, not the input volume
       withStatePartitions(s, 8) {
         val q = core(input).writeStream.format("memory").queryName(name)
-          .outputMode("complete")
+          .outputMode(mode)
           .option("checkpointLocation", ckpt).start()
         try q.processAllAvailable() finally q.stop()
       }
@@ -1066,6 +1069,23 @@ object SparkEntry {
       // this is the sketch STATE, bounded by construction, not data
       operators.Sketches.histQuantiles(grid.localCheckpoint())
     }),
+    // streaming KMV maintenance — the CUSTOM-STATE sketch path: the
+    // k-minima set has no built-in streaming-aggregate form, so
+    // mapGroupsWithState holds each group's capped TreeSet (O(k) state
+    // regardless of stream length) and the Update-mode sink's rows
+    // compact to the final state by latest-rev-per-group — the
+    // reference's compacted-topic read (O8) applied to sketch state
+    "q101_stream_kmv_maintenance" -> ((s, dir) => {
+      val sink = completeModeStream(s, dir, "q101",
+        Tables.events(s, dir).select(col("event_type"), col("user_id")),
+        mode = "update")(operators.Sketches.kmvStateStream(_))
+      val latest = sink.groupBy(col("event_type"))
+        .agg(max_by(col("mins"), col("rev")).as("mins"))
+      val kth = latest.select(col("event_type"),
+        size(col("mins")).cast("long").as("n_min"),
+        array_max(col("mins")).as("kth_min"))
+      operators.Sketches.kmvEstimates(Tables.events(s, dir), kth)
+    }),
   )
 
   /** Dirs q07 ran on in this JVM — [[joinKeyIndexSql]] generates its
@@ -1283,6 +1303,10 @@ object SparkEntry {
     // the bounded-state form emits exactly the distinct key set
     "q78_stream_dedup_watermark" -> "SELECT DISTINCT user_id, event_type FROM events",
     "q61_kmv_distinct" -> operators.Sketches.kmvDistinctSql(),
+    // min-k of a distinct union is order- and batching-independent, so
+    // the converged streamed k-minima equal the batch sketch and q61's
+    // oracle applies unchanged
+    "q101_stream_kmv_maintenance" -> operators.Sketches.kmvDistinctSql(),
     "q69_cms_heavy_hitters" -> operators.Sketches.cmsHeavyHittersSql(),
     // the streamed grid equals the batch grid cell-for-cell (counters
     // are order-independent sums), so the q69 oracle applies unchanged

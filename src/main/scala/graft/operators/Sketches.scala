@@ -182,6 +182,21 @@ object Sketches {
     * partial top-k per partition before the shuffle, the same
     * scale shape as [[PipelineOps.stratifiedSample]].
     */
+  /** Fold a (event_type, n_min, kth_min) k-minima summary into the q61
+    * output contract (exact count attached, estimator applied) — the
+    * probe half shared by the batch [[kmvDistinct]] and the streamed
+    * q101, so the estimator cannot drift between paths.
+    */
+  def kmvEstimates(ev: DataFrame, kth: DataFrame, k: Int = 64): DataFrame = {
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    kth.join(exact, "event_type")
+      .withColumn("kmv_est",
+        when(col("n_min") < k, col("n_min").cast("double"))
+          .otherwise(lit(((k - 1).toDouble) * (1L << 60).toDouble) / col("kth_min").cast("double")))
+      .select(col("event_type"), col("n_exact"), col("kth_min"), col("kmv_est"))
+  }
+
   def kmvDistinct(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // NULL keys are excluded EXPLICITLY on both engines: Spark's window
@@ -198,13 +213,54 @@ object Sketches {
       .filter(col("r") <= k)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_min"), max(col("h")).as("kth_min"))
-    val exact = Tables.events(s, dir).groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("n_exact"))
-    kth.join(exact, "event_type")
-      .withColumn("kmv_est",
-        when(col("n_min") < k, col("n_min").cast("double"))
-          .otherwise(lit(((k - 1).toDouble) * (1L << 60).toDouble) / col("kth_min").cast("double")))
-      .select(col("event_type"), col("n_exact"), col("kth_min"), col("kmv_est"))
+    kmvEstimates(Tables.events(s, dir), kth, k)
+  }
+
+  /** The streamed KMV state row: each group's current sorted k-minima
+    * plus a per-group monotone revision (incremented on every state
+    * update, so an Update-mode sink's accumulated rows compact to the
+    * final state by latest-rev-per-group — O8's compacted-topic read
+    * applied to sketch state).
+    */
+  case class KmvState(event_type: String, mins: Array[Long], rev: Long)
+
+  /** Streaming KMV maintenance core (q101). Unlike the CMS/HLL/
+    * histogram grids (sums, maxima, counts — built-in streaming
+    * aggregates), the k-minima set has no built-in aggregate form:
+    * per-group ranking is unsupported on streaming frames, and a
+    * naive distinct-then-rank would hold the full distinct set in
+    * state. This is therefore the CUSTOM-STATE sketch path:
+    * `mapGroupsWithState` keeps each group's sorted distinct k-minima
+    * (a TreeSet capped at k — O(k) state per group REGARDLESS of
+    * stream length, O(log k) per arrival), the sketch-bounded state
+    * contract enforced by construction rather than by the aggregate's
+    * shape. Groups are invoked only on batches that bring them data;
+    * the emitted row carries the post-merge state and its revision.
+    * Min-k of a distinct union is order- and batching-independent, so
+    * the converged state equals the batch k-minima and q61's oracle
+    * applies unchanged.
+    */
+  def kmvStateStream(ev: DataFrame, k: Int = 64): org.apache.spark.sql.Dataset[KmvState] = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val s = ev.sparkSession
+    import s.implicits._
+    ev.filter(col("user_id").isNotNull)
+      .select(col("event_type"), graft.functions.md5_long(col("user_id")).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[KmvState, KmvState](GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          val prev = state.getOption
+          val buf = scala.collection.mutable.TreeSet.empty[Long]
+          prev.foreach(p => buf ++= p.mins)
+          rows.foreach { case (_, h) =>
+            if (buf.size < k) buf += h
+            else if (h < buf.lastKey) { buf += h; if (buf.size > k) buf -= buf.lastKey }
+          }
+          val next = KmvState(key, buf.toArray, prev.fold(1L)(_.rev + 1L))
+          state.update(next)
+          next
+      }
   }
 
   def kmvDistinctSql(k: Int = 64): String =

@@ -175,4 +175,39 @@ class StreamSessionWindowSpec extends SparkSpec {
     assert(streamed.exists { case (t, b, _) => t == "b" && b == 63L })
     assert(streamed.collect { case ("a", 0L, c) => c }.sum == 3L) // 1.0, 1.5, -2.0
   }
+
+  test("streamed KMV state (q101): capped custom state converges to the batch k-minima") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 4
+    val users = Seq(("a", 10L), ("a", 11L), ("a", 12L), ("b", 10L),
+      ("a", 13L), ("a", 14L), ("a", 10L), ("b", 99L))
+    val input = MemoryStream[(String, Long)]
+    val q = graft.operators.Sketches.kmvStateStream(
+        input.toDS().toDF("event_type", "user_id"), k)
+      .writeStream.format("memory").queryName("kmv_state_out")
+      .outputMode("update").start()
+    try {
+      // k-minima must MERGE across micro-batches with state capped at k
+      input.addData(users.take(4)); q.processAllAvailable()
+      input.addData(users.drop(4)); q.processAllAvailable()
+    } finally q.stop()
+    // compacted read: latest revision per group
+    val latest = spark.table("kmv_state_out")
+      .groupBy(col("event_type")).agg(max_by(col("mins"), col("rev")).as("mins"))
+      .as[(String, Seq[Long])].collect().toMap
+    // reference: batch k smallest distinct md5 hashes per group (the
+    // same string-cast-then-digest kernel md5_long(col) applies)
+    val batch = users.groupBy(_._1).map { case (t, rows) =>
+      t -> rows.map(r => graft.functions.Md5Long.hash(
+        r._2.toString.getBytes("UTF-8"))).distinct.sorted.take(k)
+    }
+    assert(latest.keySet == batch.keySet)
+    latest.foreach { case (t, mins) =>
+      assert(mins.length <= k)
+      assert(mins == batch(t), s"group $t")
+    }
+    // group a saw 6 distinct users -> state capped at exactly k
+    assert(latest("a").length == k)
+  }
 }
