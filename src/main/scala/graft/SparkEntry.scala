@@ -123,7 +123,7 @@ object SparkEntry {
     * one row per state change, and the caller applies the
     * latest-revision-per-group compaction (O8's compacted-topic read).
     */
-  private def completeModeStream(s: SparkSession, dir: String, tag: String,
+  private def sketchMaintenanceStream(s: SparkSession, dir: String, tag: String,
       ev: org.apache.spark.sql.DataFrame, mode: String = "complete")(
       core: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[_]): org.apache.spark.sql.DataFrame = {
     val tmp = stagedOnce(dir, s"${tag}_events") { p =>
@@ -995,7 +995,7 @@ object SparkEntry {
     // batch grid and q69's probe + oracle apply unchanged. The grid
     // build IS q69's cmsGrid, applied to the streaming reader.
     "q94_stream_cms_maintenance" -> ((s, dir) => {
-      val grid = completeModeStream(s, dir, "q94",
+      val grid = sketchMaintenanceStream(s, dir, "q94",
         Tables.events(s, dir).select(col("user_id")))(
         operators.Sketches.cmsGrid(_))
       operators.Sketches.cmsEstimates(Tables.events(s, dir), grid)
@@ -1050,7 +1050,7 @@ object SparkEntry {
     // registers instead of counter sums: the converged register table
     // IS the batch one, so q55's probe and oracle apply unchanged
     "q98_stream_hll_maintenance" -> ((s, dir) => {
-      val regs = completeModeStream(s, dir, "q98",
+      val regs = sketchMaintenanceStream(s, dir, "q98",
         Tables.events(s, dir).select(col("event_type"), col("user_id")))(
         operators.Sketches.hllRegistersStream(_))
       operators.Sketches.hllEstimates(Tables.events(s, dir), regs)
@@ -1060,14 +1060,18 @@ object SparkEntry {
     // the converged grid IS the batch grid, so q75's probe and oracle
     // apply unchanged
     "q100_stream_quantile_maintenance" -> ((s, dir) => {
-      val grid = completeModeStream(s, dir, "q100",
+      // width/buckets threaded ONCE to both halves — the build and the
+      // probe diverging on the bin geometry would be a silent wrong
+      // answer, same contract as the batch path's shared parameters
+      val width = 8.0
+      val grid = sketchMaintenanceStream(s, dir, "q100",
         Tables.events(s, dir).select(col("event_type"), col("value")))(
-        operators.Sketches.histGrid(_))
+        operators.Sketches.histGrid(_, width))
       // the probe self-joins the grid (ranks ⋈ cum), and a memory-sink
       // leaf does not dedup its references across the two sides —
       // snapshot the (≤ groups×buckets)-row grid to an RDD leaf first;
       // this is the sketch STATE, bounded by construction, not data
-      operators.Sketches.histQuantiles(grid.localCheckpoint())
+      operators.Sketches.histQuantiles(grid.localCheckpoint(), width)
     }),
     // streaming KMV maintenance — the CUSTOM-STATE sketch path: the
     // k-minima set has no built-in streaming-aggregate form, so
@@ -1076,15 +1080,20 @@ object SparkEntry {
     // compact to the final state by latest-rev-per-group — the
     // reference's compacted-topic read (O8) applied to sketch state
     "q101_stream_kmv_maintenance" -> ((s, dir) => {
-      val sink = completeModeStream(s, dir, "q101",
+      // k threaded ONCE to both halves: the state cap and the
+      // estimator's (k-1)·2^60/h_(k) branch must agree or kmv_est is
+      // silently wrong (the batch kmvDistinct threads it the same way)
+      val k = 64
+      val sink = sketchMaintenanceStream(s, dir, "q101",
         Tables.events(s, dir).select(col("event_type"), col("user_id")),
-        mode = "update")(operators.Sketches.kmvStateStream(_))
-      val latest = sink.groupBy(col("event_type"))
-        .agg(max_by(col("mins"), col("rev")).as("mins"))
+        mode = "update")(operators.Sketches.kmvStateStream(_, k))
+      // the compacted read is the codebase's canonical latest-per-key
+      // (O8), not a bespoke groupBy
+      val latest = operators.Upsert.latestPerKeyAgg(sink, Seq("event_type"), col("rev"))
       val kth = latest.select(col("event_type"),
         size(col("mins")).cast("long").as("n_min"),
         array_max(col("mins")).as("kth_min"))
-      operators.Sketches.kmvEstimates(Tables.events(s, dir), kth)
+      operators.Sketches.kmvEstimates(Tables.events(s, dir), kth, k)
     }),
   )
 

@@ -207,7 +207,7 @@ class StreamSessionWindowSpec extends SparkSpec {
       assert(mins.length <= k)
       assert(mins == batch(t), s"group $t")
     }
-    // group a saw 6 distinct users -> state capped at exactly k
+    // group a saw 5 distinct users (> k=4) -> state capped at exactly k
     assert(latest("a").length == k)
   }
 }
