@@ -1095,6 +1095,23 @@ object SparkEntry {
         array_max(col("mins")).as("kth_min"))
       operators.Sketches.kmvEstimates(Tables.events(s, dir), kth, k)
     }),
+    // streaming Bloom-filter maintenance — dimension updates (hot
+    // customers) arrive as a stream and the bit table is maintained as
+    // a Complete-mode aggregation (≤ m position rows of state); the
+    // probe is q57's verdict path against the streamed table, so its
+    // oracle applies unchanged
+    "q102_stream_bloom_maintenance" -> ((s, dir) => {
+      // minBal/m/k threaded ONCE across build and probe (the q100/q101
+      // geometry contract)
+      val (minBal, m, k) = (5000.0, 1 << 16, 4)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+      val bits = sketchMaintenanceStream(s, dir, "q102", cust)(in =>
+        operators.Sketches.bloomBits(
+          in.filter(col("c_acctbal") > minBal).select(col("c_custkey").as("key")),
+          m, k))
+      operators.Sketches.bloomVerdict(s, dir, bits, minBal, m, k)
+    }),
   )
 
   /** Dirs q07 ran on in this JVM — [[joinKeyIndexSql]] generates its
@@ -1306,6 +1323,10 @@ object SparkEntry {
     "q98_stream_hll_maintenance" -> operators.Sketches.hllDistinctSql(),
     "q56_stratified_sample" -> PipelineOps.stratifiedSampleSql(),
     "q57_bloom_prune" -> operators.Sketches.bloomPruneSql(),
+    // the streamed bit table sets exactly the batch positions (counts
+    // add across batches; the probe reads presence only), so q57's
+    // oracle applies unchanged
+    "q102_stream_bloom_maintenance" -> operators.Sketches.bloomPruneSql(),
     "q59_snapshot_diff" -> PipelineOps.snapshotDiffSql,
     "q60_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
     // same contract as q60: the 90-day delay covers the fixture log, so

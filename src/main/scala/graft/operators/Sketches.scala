@@ -479,25 +479,45 @@ object Sketches {
     * broadcast; at scale this is the shape of semi-join pushdown where
     * shipping the exact key set would be too large.
     */
-  def bloomPrune(s: SparkSession, dir: String,
+  /** The k position hashes `md5(key || ':' || i) % m` — ONE definition
+    * shared by the bit-table build (batch q57, streamed q102) and the
+    * probe, the same no-drift contract as [[cmsPos]].
+    */
+  private def bloomIdx(key: Column, m: Int, k: Int): Seq[Column] =
+    (0 until k).map(i =>
+      graft.functions.md5_long(concat(key.cast("string"), lit(":" + i))) % m)
+
+  /** Bit-table build from a hot-key frame (column `key`): the set
+    * positions with their contributing-key counts — ≤ m rows, the
+    * sketch-bounded state that makes the streamed build (q102) a
+    * Complete-mode aggregation (counts ADD across batches; the probe
+    * only consults position presence, so the streamed table prunes
+    * identically to the batch one).
+    */
+  def bloomBits(hot: DataFrame, m: Int = 1 << 16, k: Int = 4): DataFrame =
+    hot.select(explode(array(bloomIdx(col("key"), m, k): _*)).as("pos"))
+      .groupBy(col("pos")).agg(count(lit(1)).as("n_keys"))
+
+  /** q57's probe/verdict against a SUPPLIED bit table — factored so the
+    * batch build (q57) and the streamed one (q102) share the identical
+    * probe path.
+    */
+  def bloomVerdict(s: SparkSession, dir: String, bits: DataFrame,
       minBal: Double = 5000.0, m: Int = 1 << 16, k: Int = 4): DataFrame = {
-    val idx = (0 until k).map(i =>
-      graft.functions.md5_long(concat(col("key").cast("string"), lit(":" + i))) % m)
     val hot = Tables.load(s, dir, "customer")
       .filter(col("c_acctbal") > minBal)
       .select(col("c_custkey"))
-    val bits = hot.select(col("c_custkey").as("key"))
-      .select(explode(array(idx: _*)).as("pos"))
-      .distinct()
     // ONE probe pass over the fact table: every order emits exactly k
     // position rows, so the group-back recovers every order (no second
     // orders scan to restore the zero-hit ones); a LEFT join against
     // the bit table marks hits, count(hit) counts the non-nulls
     val probes = Tables.load(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey").as("key"))
-      .select(col("o_orderkey"), col("key"), explode(array(idx: _*)).as("pos"))
+      .select(col("o_orderkey"), col("key"),
+        explode(array(bloomIdx(col("key"), m, k): _*)).as("pos"))
     val verdict = probes
-      .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
+      .join(broadcast(bits.select(col("pos")).withColumn("hit", lit(1))),
+        Seq("pos"), "left")
       .groupBy(col("o_orderkey"), col("key"))
       .agg(count(col("hit")).as("hits"))
       .withColumn("bloom_pass", (col("hits") === k).cast("int"))
@@ -507,6 +527,14 @@ object Sketches {
       .select(col("o_orderkey"), col("key").as("o_custkey"),
         col("bloom_pass"),
         col("c_custkey").isNotNull.cast("int").as("true_match"))
+  }
+
+  def bloomPrune(s: SparkSession, dir: String,
+      minBal: Double = 5000.0, m: Int = 1 << 16, k: Int = 4): DataFrame = {
+    val hot = Tables.load(s, dir, "customer")
+      .filter(col("c_acctbal") > minBal)
+      .select(col("c_custkey").as("key"))
+    bloomVerdict(s, dir, bloomBits(hot, m, k), minBal, m, k)
   }
 
   /** The ONE position hash `md5(user || ':' || i) % w` — build and

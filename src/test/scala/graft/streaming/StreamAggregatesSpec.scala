@@ -210,4 +210,27 @@ class StreamSessionWindowSpec extends SparkSpec {
     // group a saw 5 distinct users (> k=4) -> state capped at exactly k
     assert(latest("a").length == k)
   }
+
+  test("streamed Bloom bits (q102): Complete-mode position counts converge to the batch bit set") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val keys = Seq(1L, 2L, 3L, 2L, 4L)
+    val input = MemoryStream[Long]
+    val q = graft.operators.Sketches.bloomBits(input.toDS().toDF("key"))
+      .writeStream.format("memory").queryName("bloom_bits_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(keys.take(2)); q.processAllAvailable()
+      input.addData(keys.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("bloom_bits_out")
+      .as[(Long, Long)].collect().toSet
+    val batch = graft.operators.Sketches.bloomBits(keys.toDF("key"))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch)
+    // k=4 hashes over 4 distinct keys -> at most 16 set positions, and
+    // the duplicate key contributes counts, not new positions
+    assert(streamed.size <= 16)
+    assert(streamed.map(_._1) == batch.map(_._1))
+  }
 }
