@@ -240,6 +240,23 @@ object Sketches {
     * the converged state equals the batch k-minima and q61's oracle
     * applies unchanged.
     */
+  /** The pure k-minima merge: fold `arrivals` into the sorted distinct
+    * `prev` set, keeping the k smallest — O(k) memory, O(log k) per
+    * arrival. Extracted from the streaming core so the invariant
+    * (`merge(prev, xs, k) == (prev ++ xs).distinct.sorted.take(k)`) is
+    * property-testable without a streaming query.
+    */
+  private[graft] def kmvMerge(prev: Array[Long],
+      arrivals: Iterator[Long], k: Int): Array[Long] = {
+    val buf = scala.collection.mutable.TreeSet.empty[Long]
+    buf ++= prev
+    arrivals.foreach { h =>
+      if (buf.size < k) buf += h
+      else if (h < buf.lastKey) { buf += h; if (buf.size > k) buf -= buf.lastKey }
+    }
+    buf.toArray
+  }
+
   def kmvStateStream(ev: DataFrame, k: Int = 64): org.apache.spark.sql.Dataset[KmvState] = {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     val s = ev.sparkSession
@@ -251,13 +268,8 @@ object Sketches {
       .mapGroupsWithState[KmvState, KmvState](GroupStateTimeout.NoTimeout) {
         (key, rows, state) =>
           val prev = state.getOption
-          val buf = scala.collection.mutable.TreeSet.empty[Long]
-          prev.foreach(p => buf ++= p.mins)
-          rows.foreach { case (_, h) =>
-            if (buf.size < k) buf += h
-            else if (h < buf.lastKey) { buf += h; if (buf.size > k) buf -= buf.lastKey }
-          }
-          val next = KmvState(key, buf.toArray, prev.fold(1L)(_.rev + 1L))
+          val mins = kmvMerge(prev.fold(Array.empty[Long])(_.mins), rows.map(_._2), k)
+          val next = KmvState(key, mins, prev.fold(1L)(_.rev + 1L))
           state.update(next)
           next
       }

@@ -208,3 +208,30 @@ object ShingleProperties extends Properties("graft.shingles") {
       out == out.distinct
     }
 }
+
+/** The q101 k-minima merge kernel, independent of any streaming query:
+  * incremental capped-TreeSet folding must equal the spec
+  * `(prev ++ arrivals).distinct.sorted.take(k)` for every split of the
+  * input into batches — the property that makes the streamed sketch
+  * equal the batch one regardless of batching.
+  */
+object KmvMergeProps extends Properties("KmvMerge") {
+  private val hashes = Gen.listOf(Gen.choose(0L, 1L << 24))
+  private val kGen = Gen.choose(1, 16)
+
+  property("merge == sorted-distinct-take-k from empty") =
+    forAll(hashes, kGen) { (xs, k) =>
+      graft.operators.Sketches.kmvMerge(Array.empty, xs.iterator, k).toSeq ==
+        xs.distinct.sorted.take(k)
+    }
+
+  property("batched merge == one-shot merge for every split point") =
+    forAll(hashes, kGen) { (xs, k) =>
+      val oneShot = graft.operators.Sketches.kmvMerge(Array.empty, xs.iterator, k).toSeq
+      (0 to xs.length).forall { split =>
+        val (a, b) = xs.splitAt(split)
+        val first = graft.operators.Sketches.kmvMerge(Array.empty, a.iterator, k)
+        graft.operators.Sketches.kmvMerge(first, b.iterator, k).toSeq == oneShot
+      }
+    }
+}
