@@ -64,6 +64,54 @@ class FormatsSpec extends SparkSpec {
 class PartitionOverwriteSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
 
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_fmt_$tag").toString
+
+  test("Tables.events normalizes every ts physical layout to one (ts, ts_ns) contract") {
+    import spark.implicits._
+    // the driver has shipped events.ts as TIMESTAMP(NANOS) (rounds ≤8,
+    // long under nanosAsLong), and as timestamp[us] without UTC
+    // adjustment (round 9, reads as TIMESTAMP_NTZ); a proper TIMESTAMP
+    // is the third possible layout. One synthetic instant through all
+    // three must yield identical (ts, ts_ns) — this is the pin that
+    // turns the next physical-type flip into a one-test failure
+    // instead of a 21-test cascade.
+    val us = 1704067200123456L // 2024-01-01 00:00:00.123456 UTC
+    def base(tag: String) = tmp(s"evlayout_$tag")
+    // nanos-long layout (what nanosAsLong yields at read time)
+    val pNs = base("ns")
+    Seq((1L, us * 1000L, 2L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(pNs)
+    // NTZ layout: timestamp[us] with isAdjustedToUTC=false
+    val pNtz = base("ntz")
+    Seq((1L, java.time.LocalDateTime.ofEpochSecond(us / 1000000L,
+        ((us % 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC), 2L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(pNtz)
+    // proper UTC-adjusted TIMESTAMP layout
+    val pTz = base("tz")
+    Seq((1L, new java.sql.Timestamp(us / 1000L), 2L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts") + expr(s"INTERVAL ${us % 1000L} MICROSECONDS"))
+      .write.mode("overwrite").parquet(pTz)
+    // stage each layout under <dir>/events.parquet and load through
+    // the real entry point
+    val normalized = Seq(("ns", pNs), ("ntz", pNtz), ("tz", pTz)).map { case (tag, p) =>
+      val d = tmp(s"evroot_$tag")
+      val target = java.nio.file.Paths.get(d, "events.parquet")
+      graft.Fs.rmTree(target.toString)
+      java.nio.file.Files.move(java.nio.file.Paths.get(p), target)
+      val ev = Tables.events(spark, d)
+      val row = ev.select(col("ts_ns"), unix_micros(col("ts"))).head()
+      (tag, row.getLong(0), row.getLong(1))
+    }
+    normalized.foreach { case (tag, tsNs, tsUs) =>
+      assert(tsNs == us * 1000L, s"layout $tag ts_ns")
+      assert(tsUs == us, s"layout $tag ts")
+    }
+  }
+
   test("overwriting one partition leaves sibling partitions intact") {
     val dir = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("graft_dpo").toString
