@@ -153,6 +153,60 @@ class PlanSpec extends SparkSpec {
       s"expected 7 pruned partitions, got ${scan.selectedPartitions.partitionCount}")
   }
 
+  test("ingest band-index probe is statically pruned to the batch's buckets") {
+    // the q93 scale contract: the per-batch semi-join's index scan must
+    // carry the batch's literal bucket list as a partition filter, so
+    // only matching bhb= dirs are listed — per-batch probe IO is
+    // proportional to the BATCH's band coverage, never the accumulated
+    // index size
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val idxDir = Fs.tmpDir("graft_plan_ingest_idx")
+    try {
+      // seed enough distinct texts that the index populates (w.h.p.)
+      // every bucket; the fixture is deterministic, so the coverage
+      // asserts below make any bad luck loud, not flaky
+      val seed = (1L to 40L)
+        .map(i => (i, (1 to 30).map(j => s"w$i-$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      val (_, seedClaims, seedBlocks) = operators.Dedup.ingestStep(seed, None)
+      seedClaims.repartition(col("bhb"))
+        .write.mode("append").partitionBy("bhb").parquet(idxDir)
+      seedBlocks.unpersist(blocking = false)
+      val totalDirs = new java.io.File(idxDir).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("bhb="))
+      // one-doc probe batch (same text as seed doc 7, so every touched
+      // bucket exists in the index): 8 bands → ≤8 of the 16 buckets
+      val probe = Seq((100L, (1 to 30).map(j => s"w7-$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      val expected = operators.Dedup.bandedDocs(probe)
+        .select(pmod(col("bh"), lit(operators.Dedup.bhBuckets.toLong)))
+        .distinct().count().toInt
+      assert(expected > 0 && expected < totalDirs,
+        s"fixture vacuous: probe touches $expected of $totalDirs buckets")
+      val (kept, _, probeBlocks) = operators.Dedup.ingestStep(
+        probe, Some(spark.read.parquet(idxDir)))
+      try {
+        val exec = kept.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.initialPlan
+          case other => other
+        }
+        val scans = exec.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.location.rootPaths.exists(_.toString.contains(idxDir)) => f
+        }
+        assert(scans.nonEmpty, s"no index scan in probe plan:\n$exec")
+        val scan = scans.head
+        assert(scan.partitionFilters.nonEmpty,
+          s"index scan must carry the bucket-list partition filter:\n$exec")
+        assert(scan.selectedPartitions.partitionCount == expected,
+          s"expected $expected pruned buckets, got " +
+            s"${scan.selectedPartitions.partitionCount} of $totalDirs")
+      } finally probeBlocks.unpersist(blocking = false)
+    } finally Fs.rmTree(idxDir)
+  }
+
   test("semantic dedup reads the stored index; quadratic work is bucket-partitioned") {
     // q84's scale contract: assignment comes from the persisted index,
     // never an in-plan recompute — the ×C candidate inflate

@@ -79,6 +79,36 @@ class DedupAggSpec extends SparkSpec {
       Seq((6L, longA)).toDF("doc_id", "text"), Some(only2))
     assert(kept3.as[Long].collect().isEmpty)
   }
+
+  test("compactBandIndex folds multi-file buckets to one file; rows unchanged") {
+    import org.apache.spark.sql.functions._
+    val idxDir = graft.Fs.tmpDir("graft_compact_idx")
+    try {
+      // two appends → two files per touched bucket (the per-batch write
+      // shape), crossing the minFiles=2 threshold for every bucket
+      for (base <- Seq(0L, 100L)) {
+        val docs = (1L to 20L)
+          .map(i => (base + i, (1 to 30).map(j => s"c${base + i}-$j").mkString(" ")))
+          .toDF("doc_id", "text")
+        val (_, claims, blocks) = Dedup.ingestStep(docs, None)
+        claims.repartition(col("bhb"))
+          .write.mode("append").partitionBy("bhb").parquet(idxDir)
+        blocks.unpersist(blocking = false)
+      }
+      def rows() = spark.read.parquet(idxDir)
+        .select("doc_id", "band", "bh", "bhb").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+      def bucketFiles() = new java.io.File(idxDir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bhb="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+      val before = rows()
+      assert(bucketFiles().exists(_ >= 2), "fixture vacuous: no multi-file bucket")
+      Dedup.compactBandIndex(spark, idxDir, minFiles = 2)
+      assert(bucketFiles().forall(_ == 1),
+        s"buckets not folded to one file: ${bucketFiles().toSeq}")
+      assert(rows() == before, "compaction changed the index contents")
+    } finally graft.Fs.rmTree(idxDir)
+  }
 }
 
 class ClusterCacheSpec extends SparkSpec {
