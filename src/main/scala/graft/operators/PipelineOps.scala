@@ -658,9 +658,6 @@ object PipelineOps {
     * planner picks anyway — the hint makes the layout's benefit
     * testable, it does not fight the optimizer at scale.
     */
-  // keyed by EVERY parameter that shapes the artifact (session, dir,
-  // bucket count) — a (session, dir)-only key would silently return a
-  // 16-bucket layout to a caller who asked for 32
   // keyed by (dir, buckets) — NOT by session: the table name tag hashes
   // only (dir, buckets), so two sessions in one JVM would race on the
   // same warehouse paths if each got its own cache slot; the catalog
@@ -877,7 +874,7 @@ object PipelineOps {
         lex AS (SELECT doc_id,
                        row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lrank
                 FROM lexall),
-        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings ${Similarity.denseWhereSql}),
         q AS (SELECT v AS qv FROM e WHERE vec_id = $queryVecId),
         vecscored AS (SELECT e.vec_id, ${Similarity.cosSqlOn("q.qv", "e.v")} AS cos
                       FROM e, q WHERE e.vec_id <> $queryVecId),

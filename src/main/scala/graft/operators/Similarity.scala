@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -46,14 +46,36 @@ object Similarity {
   val numCentroids = 16
   val nprobe = 4
 
-  // known_non_null_elements: the embeddings writer guarantees dense
-  // vectors (parquet merely INFERS nullable list elements), and the
-  // declaration lets every vector kernel downstream keep its
-  // branch-free inner loop — see the expression's scaladoc
+  /** The one guarded embeddings load boundary: a non-null vector
+    * holding a null ELEMENT is dropped HERE, upstream of the
+    * `known_non_null_elements` declaration, so the declaration states a
+    * fact this filter just enforced instead of trusting the writer —
+    * and every vector kernel downstream still gets its branch-free
+    * inner loop (the filter is O(dim) once per row at the scan; the
+    * declaration saves O(dim) per kernel CALL, ×C in the assignment
+    * join). The filter must sit on the RAW column: downstream of the
+    * declaration the optimizer would correctly fold an element
+    * null-check away as provably true. NULL VECTORS pass through (the
+    * family's visible `v IS NOT NULL` contract handles them). Mirrored
+    * verbatim in every generated oracle's `e` CTE via [[denseWhereSql]]
+    * — the symmetry is what closes the latent max_by-vs-row_number
+    * divergence a dirty fixture would otherwise open (pinned by
+    * DirtyEmbeddingSpec).
+    */
+  private[operators] def withDenseV(df: DataFrame, extra: Column*): DataFrame = {
+    val v0 = col("embedding").cast("array<double>")
+    df.filter(v0.isNull || forall(v0, x => x.isNotNull))
+      .select((col("vec_id") +: known_non_null_elements(v0).as("v") +: extra): _*)
+  }
+
+  /** SQL mirror of [[withDenseV]]'s dense-vector gate, for oracle `e`
+    * CTE bodies reading the raw `embeddings` table.
+    */
+  private[operators] val denseWhereSql: String =
+    "WHERE (embedding IS NULL OR len(list_filter(embedding, x -> x IS NULL)) = 0)"
+
   private[operators] def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"),
-        known_non_null_elements(col("embedding").cast("array<double>")).as("v"))
+    withDenseV(Tables.load(s, dir, "embeddings"))
 
   /** The deterministic, EXPLICITLY BOUNDED query batch (see
     * [[maxQueryBatch]]): lowest-id members of the `% queryMod` subset.
@@ -81,7 +103,7 @@ object Similarity {
   }
 
   def bruteForceTopKSql(k: Int = defaultK): String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql),
         q AS ($querySql),
         scored AS (
           SELECT query_id, e.vec_id AS neighbor_id, $cosSql AS cos
@@ -200,7 +222,7 @@ object Similarity {
   def clusterDiversitySampleSql(quota: Int = 20): Option[String] =
     trainedRowsSql().map { rows =>
       val draw = "('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT"
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql),
         c AS (SELECT * FROM (VALUES $rows) AS vt(cent_id, cv)),
         assigned AS ($assignedCteSql)
         SELECT vec_id, bucket,
@@ -241,15 +263,15 @@ object Similarity {
     * ordering key is null, but silently, while a SQL oracle's
     * row_number-over-nulls-last would still assign it a bucket.
     *
-    * Null ELEMENTS inside a non-null vector (which would make ccos
-    * null and reopen the same engine-vs-oracle divergence one level
-    * down: max_by ignores the row, row_number ranks it last but still
-    * assigns crank=1) are excluded by the load-boundary contract
-    * instead of a per-row filter: [[emb]] declares
-    * `known_non_null_elements`, so a sparse vector is out of contract
-    * for this whole family — the declaration is what keeps the cosine
-    * kernel branch-free, and an O(dim) existence filter here would
-    * give back exactly what that buys.
+    * Null ELEMENTS inside a non-null vector (which would reopen the
+    * same engine-vs-oracle divergence one level down: the native
+    * kernel nulls out while DuckDB's list_sum skips the element and
+    * scores a partial cosine) are excluded at the load boundary by
+    * [[withDenseV]]'s ENFORCED filter — upstream of the
+    * `known_non_null_elements` declaration, so the declaration that
+    * keeps this join's cosine kernel branch-free states a checked fact.
+    * The oracle mirrors the exclusion via [[denseWhereSql]] in every
+    * `e` CTE; DirtyEmbeddingSpec pins the symmetry.
     */
   private[graft] def ivfAssign(corpus: DataFrame, cents: DataFrame): DataFrame =
     corpus.filter(col("v").isNotNull).join(broadcast(cents))
@@ -420,10 +442,7 @@ object Similarity {
         .option("maxFilesPerTrigger", 1).parquet(staged)
         .writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
-          ivfAssign(
-            b.select(col("vec_id"),
-              known_non_null_elements(col("embedding").cast("array<double>")).as("v")),
-            cents)
+          ivfAssign(withDenseV(b), cents)
             .withColumn("bucket", col("bucket").cast("int"))
             .write.mode("append").partitionBy("bucket").parquet(out)
         }
@@ -441,7 +460,7 @@ object Similarity {
     */
   def ivfIndexStreamedSql(): Option[String] =
     trainedRowsSql().map { rows =>
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql),
         c AS (SELECT * FROM (VALUES $rows) AS vt(cent_id, cv)),
         assigned AS ($assignedCteSql)
         SELECT vec_id, bucket FROM assigned"""
@@ -544,7 +563,7 @@ object Similarity {
     */
   def ivfIndexCompactedSql(): Option[String] =
     trainedRowsSql().map { rows =>
-      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql),
         e AS (SELECT vec_id,
                 CASE WHEN vec_id % 10 = 0 THEN list_transform(v, x -> -(x)) ELSE v END AS v
               FROM e0),
@@ -615,7 +634,7 @@ object Similarity {
     */
   def semanticDedupSql(threshold: Double = 0.35): Option[String] =
     trainedRowsSql().map { rows =>
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql),
         c AS (SELECT * FROM (VALUES $rows) AS vt(cent_id, cv)),
         a0 AS ($assignedCteSql),
         assigned AS (
@@ -680,7 +699,7 @@ object Similarity {
   def semanticDecontaminateSql(threshold: Double = 0.35,
       testMod: Int = 29): Option[String] =
     trainedRowsSql().map { rows =>
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql),
         c AS (SELECT * FROM (VALUES $rows) AS vt(cent_id, cv)),
         assigned AS ($assignedCteSql),
         train AS (SELECT * FROM assigned WHERE vec_id % $testMod <> 0),
@@ -701,7 +720,7 @@ object Similarity {
     * variants; `cCte` supplies the centroid table body.
     */
   private def ivfSqlWith(cCte: String, k: Int): String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql),
         c AS ($cCte),
         assigned AS ($assignedCteSql),
         q AS ($querySql),
@@ -741,7 +760,7 @@ object Similarity {
   }
 
   def embeddingNearDupSql(threshold: Double = 0.5): String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql)
         SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosSqlOn("a.v", "b.v")} AS cos
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE ${cosSqlOn("a.v", "b.v")} >= $threshold"""
@@ -872,7 +891,7 @@ object Similarity {
     val bandArms = (0 until tables)
       .map(t => s"SELECT vec_id, $t AS t, sig$t AS sig FROM sigs")
       .mkString("\n          UNION ALL ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql),
         sigs AS (SELECT vec_id, $sigCols FROM e),
         banded AS ($bandArms),
         cands AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
@@ -899,10 +918,7 @@ object Similarity {
     * the IVF/LSH candidate generators (q26/q64) unchanged downstream.
     */
   def hardNegatives(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"),
-        known_non_null_elements(col("embedding").cast("array<double>")).as("v"),
-        col("label"))
+    val e = withDenseV(Tables.load(s, dir, "embeddings"), col("label"))
     val queries = queryBatch(e)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("label").as("qlabel"))
@@ -927,7 +943,7 @@ object Similarity {
   }
 
   def hardNegativesSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings $denseWhereSql),
         q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel
               FROM e WHERE vec_id % $queryMod = 0 ORDER BY vec_id LIMIT $maxQueryBatch),
         scored AS (
@@ -1256,7 +1272,7 @@ object Similarity {
     if (pqCache.size != 1) None
     else {
       val cbs = pqCache.values.iterator.next()
-      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql),
         q AS ($querySql),
         cb AS (SELECT * FROM (VALUES ${pqCbRowsSql(cbs)}) AS t(m, c, cv, ns)),
         $pqCodesCtesSql,
@@ -1390,7 +1406,7 @@ object Similarity {
       val rrsJoins = rcbs.indices
         .map(mi => s"JOIN rrs rr$mi ON rr$mi.b = cw.bucket AND rr$mi.m = $mi AND rr$mi.c = cw.code$mi")
         .mkString("\n          ")
-      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql),
         q AS ($querySql),
         c AS (SELECT * FROM (VALUES $centRows) AS ct(cent_id, cv)),
         cb AS (SELECT * FROM (VALUES $cbRows) AS t(m, c, cv)),
