@@ -47,10 +47,17 @@ object Bench {
       // neighboring queries' GC pressure (±3 s swings on UNCHANGED code
       // between rounds). The min is the reproducible per-query cost;
       // run-to-run steady state, not first-touch noise, is what a
-      // long-lived 1000-executor job experiences. Both attempts always
+      // long-lived 1000-executor job experiences. All attempts always
       // run, so a transient failure on EITHER side never erases a real
       // measurement — only a query that succeeded zero times records -1.
-      val runs = Seq(once(), once()).filter(_ >= 0)
+      // STREAMING queries get a third attempt: their micro-batch
+      // machinery (checkpoint dirs, state-store provider spin-up, sink
+      // staging) swings ±2-4 s between runs even at min-of-2 (q90
+      // measured 8.6 vs 4.3 s across otherwise-identical rounds), and
+      // one extra sample tightens the min at ~2-3 s per streaming query
+      // — bounded, because only the ~18 "stream" queries pay it.
+      val attempts = if (name.contains("stream")) 3 else 2
+      val runs = Seq.fill(attempts)(once()).filter(_ >= 0)
       // keep BOTH min and max: min is the comparable steady-state cost,
       // max bounds the run-to-run noise band so a cross-round judge can
       // separate a real regression (min moved) from sandbox jitter

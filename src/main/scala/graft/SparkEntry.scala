@@ -92,17 +92,32 @@ object SparkEntry {
     * real window/session end plus the 1 h watermark delay). Returns
     * (stagedDir, maxFilesPerTrigger).
     */
+  private val sentinelOffsetMs = 3L * 3600 * 1000
+
   private def stagedWithSentinel(s: SparkSession, dir: String, tag: String,
-      ev: org.apache.spark.sql.DataFrame, maxNs: Long)(
+      ev: org.apache.spark.sql.DataFrame, maxNs: Long, minClearMs: Long)(
       sentinelRow: java.sql.Timestamp => org.apache.spark.sql.DataFrame): (String, Int) = {
-    val tmp = stagedOnce(dir, tag) { p =>
+    // the sentinel must sit past every real window/session END plus the
+    // watermark delay or finalization silently misses rows — asserted
+    // against the caller's actual horizon (window/gap + delay) instead
+    // of trusting the 3h/1h/30min literals to stay compatible. Strict
+    // >: at equality the sentinel's own window/session could close and
+    // leak into the result. The margin also exceeds any plausible gap,
+    // so a REAL row sharing the sentinel's key can never merge with it.
+    require(sentinelOffsetMs > minClearMs,
+      s"sentinel offset ${sentinelOffsetMs}ms must clear horizon ${minClearMs}ms")
+    // "_sentinel" suffix: the staged dir CONTAINS the sentinel row, so
+    // it must never share a stagedOnce tag with a consumer expecting
+    // clean events — the suffix makes the namespaces disjoint by
+    // construction
+    val tmp = stagedOnce(dir, s"${tag}_sentinel") { p =>
       // repartition = parallel staging write (single-file input would
       // otherwise write on one task); within-batch row order is
       // immaterial to a watermarked aggregate
       ev.repartition(16).write.mode("overwrite").parquet(p)
       val eventFiles = new java.io.File(p).listFiles()
         .filter(_.getName.endsWith(".parquet"))
-      val sentinel = new java.sql.Timestamp(maxNs / 1000000L + 3 * 3600 * 1000L)
+      val sentinel = new java.sql.Timestamp(maxNs / 1000000L + sentinelOffsetMs)
       sentinelRow(sentinel).coalesce(1).write.mode("append").parquet(p)
       val maxEventMtime = eventFiles.map(_.lastModified()).max
       new java.io.File(p).listFiles()
@@ -614,7 +629,9 @@ object SparkEntry {
           ev.groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"), col("event_type"))
             .agg(count(lit(1)).as("n"), lit(0.0).as("sum_value"))
         case Some(maxNs) =>
-          val (tmp, mft) = stagedWithSentinel(s, dir, "q31_events", ev, maxNs)(
+          val (tmp, mft) = stagedWithSentinel(s, dir, "q31_events", ev, maxNs,
+            graft.streaming.StreamAggregates.windowLenMs
+              + graft.streaming.StreamAggregates.delayMs)(
             snt => Seq((snt, "__sentinel", 0.0)).toDF("ts", "event_type", "value"))
           val ckpt = stageDir("q31_ckpt")
           val name = memorySinkName(s, "q31")
@@ -1022,7 +1039,12 @@ object SparkEntry {
           // is the same plan shape with zero rows)
           graft.streaming.StreamAggregates.sessionizedEventStats(ev)
         case Some(maxNs) =>
-          val (tmp, mft) = stagedWithSentinel(s, dir, "q95_events", ev, maxNs)(
+          // sentinel user -1: even if a REAL user -1 existed, the
+          // asserted offset > gap + delay means its last event can
+          // never gap-merge into the sentinel's session
+          val (tmp, mft) = stagedWithSentinel(s, dir, "q95_events", ev, maxNs,
+            graft.streaming.StreamAggregates.sessionGapMs
+              + graft.streaming.StreamAggregates.delayMs)(
             snt => Seq((snt, -1L, 0.0)).toDF("ts", "user_id", "value"))
           val ckpt = stageDir("q95_ckpt")
           val name = memorySinkName(s, "q95")

@@ -188,6 +188,13 @@ object Sketches {
     * q101, so the estimator cannot drift between paths.
     */
   def kmvEstimates(ev: DataFrame, kth: DataFrame, k: Int = 64): DataFrame = {
+    // division-branch safety: that branch runs only when n_min >= k,
+    // i.e. kth_min is the max of k DISTINCT non-negative hashes — for
+    // k >= 2 that max is >= 1, so the estimator can never divide by a
+    // zero kth_min (a single hash of exactly 0 lands in the n_min < k
+    // exact branch instead). k = 1 would break the invariant (and be a
+    // useless sketch), so it is rejected rather than guarded per-row.
+    require(k >= 2, s"KMV needs k >= 2, got $k")
     val exact = ev.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_exact"))
     kth.join(exact, "event_type")

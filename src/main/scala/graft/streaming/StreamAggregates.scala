@@ -15,11 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object StreamAggregates {
 
+  /** Default horizons in MILLISECONDS — the single source of truth the
+    * interval-string defaults below are built from, exposed so the
+    * sentinel-staging harnesses (q31/q95) can ASSERT their sentinel
+    * offset clears window/session end + watermark delay instead of
+    * trusting independent literals to stay compatible.
+    */
+  val windowLenMs: Long = 3600L * 1000
+  val sessionGapMs: Long = 30L * 60 * 1000
+  val delayMs: Long = 3600L * 1000
+
   /** Tumbling event-time aggregate over a streaming DataFrame with
     * columns `ts: timestamp`, `event_type: string`, `value: double`.
     */
-  def windowedEventStats(events: DataFrame, windowLen: String = "1 hour",
-      delay: String = "1 hour"): DataFrame =
+  def windowedEventStats(events: DataFrame,
+      windowLen: String = s"$windowLenMs milliseconds",
+      delay: String = s"$delayMs milliseconds"): DataFrame =
     events
       .withWatermark("ts", delay)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
@@ -63,8 +74,9 @@ object StreamAggregates {
     * grow and merge as events arrive, unlike fixed tumbling frames).
     * Input columns `ts: timestamp`, `user_id: long`, `value: double`.
     */
-  def sessionizedEventStats(events: DataFrame, gap: String = "30 minutes",
-      delay: String = "1 hour"): DataFrame =
+  def sessionizedEventStats(events: DataFrame,
+      gap: String = s"$sessionGapMs milliseconds",
+      delay: String = s"$delayMs milliseconds"): DataFrame =
     events
       .withWatermark("ts", delay)
       .groupBy(col("user_id"), session_window(col("ts"), gap))

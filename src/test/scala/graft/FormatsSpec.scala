@@ -7,11 +7,16 @@ import org.apache.spark.sql.functions._
   * roundtrips pin that ORC, CSV, and JSON-lines inputs produce
   * bit-identical operator results to the parquet originals.
   */
-class FormatsSpec extends SparkSpec {
+class FormatsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   private val dir = "/root/testdata/sf0.001"
 
-  private def tmp(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_fmt_$tag").toString
+  private val made = scala.collection.mutable.ArrayBuffer.empty[String]
+  private def tmp(tag: String): String = made.synchronized {
+    val p = java.nio.file.Files.createTempDirectory(s"graft_fmt_$tag").toString
+    made += p
+    p
+  }
+  override def afterAll(): Unit = made.foreach(graft.Fs.rmTree)
 
   // XOR-fold of row hashes: order-independent and overflow-free (a sum
   // of 64-bit hashes overflows under ANSI arithmetic)
@@ -61,11 +66,16 @@ class FormatsSpec extends SparkSpec {
   * recomputation ships downstream of the streaming core when no
   * transactional table format is available.
   */
-class PartitionOverwriteSpec extends SparkSpec {
+class PartitionOverwriteSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   import org.apache.spark.sql.functions._
 
-  private def tmp(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_fmt_$tag").toString
+  private val made = scala.collection.mutable.ArrayBuffer.empty[String]
+  private def tmp(tag: String): String = made.synchronized {
+    val p = java.nio.file.Files.createTempDirectory(s"graft_fmt_$tag").toString
+    made += p
+    p
+  }
+  override def afterAll(): Unit = made.foreach(graft.Fs.rmTree)
 
   test("Tables.events normalizes every ts physical layout to one (ts, ts_ns) contract") {
     import spark.implicits._
