@@ -80,6 +80,67 @@ class DedupAggSpec extends SparkSpec {
     assert(kept3.as[Long].collect().isEmpty)
   }
 
+  test("bucket-pruned probe is lossless vs an unpruned probe on random corpora") {
+    // the pruning-correctness claim attacked directly: for random docs
+    // (small vocab → forced band collisions, plus shingle-less shorts)
+    // split into sequential batches, the kept set from ingestStep's
+    // bhb-pruned semi-join must equal the kept set computed against the
+    // FULL accumulated index with no bucket restriction. Seeded — three
+    // deterministic rounds, not a flaky sample.
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 3) {
+      val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+      val docs = (1L to 60L).map { i =>
+        // ~30% planted duplicates (reuse an earlier text → shared bands,
+        // the blocking signal); fresh texts may be < 3 tokens, hitting
+        // the shingle-less always-kept path
+        val t = if (texts.nonEmpty && rnd.nextDouble() < 0.3)
+            texts(rnd.nextInt(texts.size))
+          else {
+            val n = 1 + rnd.nextInt(12)
+            Seq.fill(n)(s"w${rnd.nextInt(18)}").mkString(" ")
+          }
+        texts += t
+        (i, t)
+      }
+      val cut1 = 20 + rnd.nextInt(10)
+      val cut2 = 40 + rnd.nextInt(10)
+      val batches = Seq(docs.filter(_._1 <= cut1),
+        docs.filter(d => d._1 > cut1 && d._1 <= cut2),
+        docs.filter(_._1 > cut2)).map(_.toDF("doc_id", "text"))
+      var index: Option[org.apache.spark.sql.DataFrame] = None
+      var keptPruned = Set.empty[Long]
+      var keptFull = Set.empty[Long]
+      // claims stay live as the accumulated index across the round's
+      // batches — their checkpoint blocks are freed only at round end
+      // (the operator itself can free per-batch because it persists
+      // claims to parquet first)
+      val live = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.rdd.RDD[_]]
+      for (b <- batches) {
+        val (kept, claims, blocks) = Dedup.ingestStep(b, index)
+        keptPruned ++= kept.as[Long].collect()
+        // unpruned re-derivation of the same batch against the same
+        // pre-batch index: plain (band, bh) semi-join, no bhb filter
+        val bands = Dedup.bandedDocs(b)
+        val intra = bands.join(bands.groupBy(col("band"), col("bh"))
+            .agg(min(col("doc_id")).as("first_id")), Seq("band", "bh"))
+          .filter(col("doc_id") > col("first_id")).select(col("doc_id"))
+        val blocked = index.fold(intra)(idx => intra.unionAll(
+            bands.join(idx, Seq("band", "bh"), "left_semi").select(col("doc_id"))))
+          .distinct()
+        keptFull ++= b.select(col("doc_id"))
+          .join(blocked, Seq("doc_id"), "left_anti").as[Long].collect()
+        index = Some(index.fold(claims)(_.unionAll(claims)))
+        live += blocks
+      }
+      assert(keptPruned == keptFull, s"round $round: pruning changed the kept set")
+      assert(keptPruned.size < 60, s"round $round vacuous: nothing blocked")
+      live.foreach(_.unpersist(blocking = false))
+    }
+  }
+
   test("compactBandIndex folds multi-file buckets to one file; rows unchanged") {
     import org.apache.spark.sql.functions._
     val idxDir = graft.Fs.tmpDir("graft_compact_idx")
