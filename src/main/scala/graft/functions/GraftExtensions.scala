@@ -85,7 +85,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "actualNum" -> exprs.size.toString,
           "docroot" -> "https://spark.apache.org/docs/latest"))
 
+  private def stringArg(e: Expression, what: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) if s != null => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_avro_encode"),
+      new ExpressionInfo(classOf[AvroEncode].getName, "graft_avro_encode"),
+      (exprs: Seq[Expression]) => {
+        checkArity("graft_avro_encode", exprs, Seq(2))
+        AvroEncode(exprs.head, stringArg(exprs(1), "avro writer schema"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_avro_decode"),
+      new ExpressionInfo(classOf[AvroDecode].getName, "graft_avro_decode"),
+      (exprs: Seq[Expression]) => {
+        checkArity("graft_avro_decode", exprs, Seq(2))
+        AvroDecode(exprs.head, stringArg(exprs(1), "avro reader schema"))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_blake2b"),
       new ExpressionInfo(classOf[Blake2bDigest].getName, "graft_blake2b"),

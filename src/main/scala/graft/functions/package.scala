@@ -89,6 +89,16 @@ package object functions {
     call_function("graft_cosine_sim",
       a.cast("array<double>"), b.cast("array<double>"))
 
+  /** Avro binary serde pair (see [[AvroEncode]]/[[AvroDecode]]): raw
+    * binary datum under a plan-time writer schema — spark-avro's wire
+    * format from the BUNDLED spark-sql kernel, usable offline.
+    */
+  def avro_encode(value: Column, jsonSchema: String): Column =
+    call_function("graft_avro_encode", value, lit(jsonSchema))
+
+  def avro_decode(value: Column, jsonSchema: String): Column =
+    call_function("graft_avro_decode", value, lit(jsonSchema))
+
   /** Declares (zero-cost, trusted) that an array column has no null
     * elements, so the vector kernels take their branch-free loops —
     * apply at load boundaries whose writer guarantees dense vectors.

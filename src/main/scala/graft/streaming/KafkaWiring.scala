@@ -77,6 +77,61 @@ object KafkaWiring {
       keyExpr.cast("string").cast("binary").as("key"),
       to_json(struct(valueCols: _*)).cast("binary").as("value"))
 
+  /** The Avro writer schema for a value struct — derived ONCE from the
+    * Catalyst schema so [[decodeAvro]]/[[encodeAvro]] and any external
+    * producer agree on the binary layout by construction (nullable
+    * fields become `union(null, T)`, Avro's required encoding of
+    * optionality).
+    */
+  def avroSchemaFor(schema: StructType): String =
+    org.apache.spark.sql.avro.SchemaConverters
+      .toAvroType(schema, nullable = false, "value", "graft.kafka").toString
+
+  /** Avro value serde — O17's serde PLUGGABILITY made concrete: the
+    * reference takes the value `Serde` as a constructor parameter
+    * (`dsl/StreamDenormalize.java:21-28`; `JsonSerde` is only the
+    * demo's binding), and Avro is the production-typical Kafka wire
+    * format. Same record-shape contract as [[decode]]
+    * (`record_key`/`seq`/`tie` + payload fields, same reserved-name
+    * rejection). Where JSON gives schema-on-read laxity (unknown
+    * ignored, missing → null), Avro moves that to schema RESOLUTION:
+    * the binary value must be readable under the derived writer schema
+    * — a corrupt or schema-incompatible record fails loudly instead of
+    * null-filling, which is the contract a typed pipeline wants.
+    * Backed by graft's own [[graft.functions.AvroDecode]] expression
+    * (the BUNDLED spark-sql Avro kernel), so it works offline where
+    * the external spark-avro module — and Spark's gated
+    * from_avro/to_avro — is unavailable.
+    */
+  def decodeAvro(kafkaRecords: DataFrame, schema: StructType): DataFrame = {
+    val reserved = Set("record_key", "seq", "tie")
+    val clash = schema.fieldNames.filter(reserved)
+    require(clash.isEmpty,
+      s"payload schema declares reserved metadata column(s): ${clash.mkString(", ")} " +
+        "— rename the payload field(s); decodeAvro emits record_key/seq/tie alongside the payload")
+    kafkaRecords.select(
+      col("key").cast("string").as("record_key"),
+      graft.functions.avro_decode(col("value"), avroSchemaFor(schema)).as("v"),
+      unix_millis(col("timestamp")).as("seq"),
+      col("offset").as("tie"))
+      .select(col("record_key"), col("seq"), col("tie"), col("v.*"))
+  }
+
+  /** Avro counterpart of [[encode]]: binary key + Avro-encoded value.
+    * The value struct is encoded under [[avroSchemaFor]] of its own
+    * Catalyst type, so encode→decode round-trips bit-exactly by
+    * construction.
+    */
+  def encodeAvro(df: DataFrame, keyExpr: Column, valueCols: Seq[Column]): DataFrame = {
+    val v = struct(valueCols: _*)
+    val valueSchema = avroSchemaFor(
+      df.select(v.as("v")).schema.fields.head.dataType
+        .asInstanceOf[StructType])
+    df.select(
+      keyExpr.cast("string").cast("binary").as("key"),
+      graft.functions.avro_encode(v, valueSchema).as("value"))
+  }
+
   /** Subscribe to a topic (O1/O2). Requires spark-sql-kafka connector.
     * `maxOffsetsPerTrigger` caps catch-up micro-batches: the join core
     * builds each FK group's fan-out list eagerly, so an unbounded first

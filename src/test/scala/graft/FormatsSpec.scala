@@ -32,6 +32,20 @@ class FormatsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(fingerprint(back) == fingerprint(docs))
   }
 
+  test("Avro file roundtrip preserves the documents table exactly") {
+    // the bundled spark-sql Avro kernel's FILE format: the "avro"
+    // shortname is gated on the external spark-avro module, but the
+    // format class itself ships in spark-sql and loads by explicit
+    // name — same offline-binding story as graft's avro_encode/decode
+    val fmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val out = tmp("avro")
+    docs.write.mode("overwrite").format(fmt).save(out)
+    val back = spark.read.format(fmt).load(out)
+    assert(back.count() == docs.count())
+    assert(fingerprint(back) == fingerprint(docs))
+  }
+
   test("CSV roundtrip with explicit schema feeds the text operators identically") {
     val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
     val out = tmp("csv")
