@@ -1134,6 +1134,34 @@ object SparkEntry {
           m, k))
       operators.Sketches.bloomVerdict(s, dir, bits, minBal, m, k)
     }),
+    // O17's serde PLUGGABILITY through the driver's own gate: the batch
+    // denormalization core (q01's plan) fed by inputs that took a full
+    // Avro encode → decode round-trip over graft's avro_encode/
+    // avro_decode expressions (the BUNDLED spark-sql Avro kernel —
+    // spark-avro's wire format, usable offline). The oracle is q01's
+    // plain relational join: rows+schema+hash equality IS the proof the
+    // binary serde is lossless across every column type in play (long,
+    // double, string, int, timestamp[us]). At scale the serde is a
+    // per-row codegen'd map with no shuffle of its own — the join's
+    // data movement is identical to q01's.
+    "q103_avro_denorm" -> ((s, dir) => {
+      import graft.streaming.KafkaWiring
+      def roundtrip(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+        val shaped = KafkaWiring.encodeAvro(df, key, df.columns.map(col).toSeq)
+          .select(col("key"), col("value"),
+            // deterministic Kafka-record metadata: decode re-derives
+            // seq/tie from these, and both are dropped before the join
+            lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("timestamp"),
+            xxhash64(col("value")).as("offset"))
+        KafkaWiring.decodeAvro(shaped, df.schema)
+          .drop("record_key", "seq", "tie")
+      }
+      val o = roundtrip(Tables.load(s, dir, "orders"), col("o_orderkey"))
+      val c = roundtrip(Tables.load(s, dir, "customer"), col("c_custkey"))
+      Denormalize.builder(o, c, rightKey = "c_custkey")
+        .joinOn(df => df("o_custkey"))
+        .inner
+    }),
   )
 
   /** Dirs q07 ran on in this JVM — [[joinKeyIndexSql]] generates its
@@ -1349,6 +1377,10 @@ object SparkEntry {
     // add across batches; the probe reads presence only), so q57's
     // oracle applies unchanged
     "q102_stream_bloom_maintenance" -> operators.Sketches.bloomPruneSql(),
+    // Avro encode → decode is lossless, so the oracle is the plain
+    // relational join (q01's); hash equality across every column type
+    // is the serde's cross-engine proof
+    "q103_avro_denorm" -> denormOracle("JOIN"),
     "q59_snapshot_diff" -> PipelineOps.snapshotDiffSql,
     "q60_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
     // same contract as q60: the 90-day delay covers the fixture log, so

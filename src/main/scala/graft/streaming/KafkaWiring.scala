@@ -27,6 +27,41 @@ import org.apache.spark.sql.Row
   * the identical decode → stateful-join → encode chain end-to-end with
   * a file streaming source standing in for the topics).
   */
+/** O17's pluggable value serde as a first-class PARAMETER, mirroring
+  * the reference's constructor-injected `Serde` pair
+  * (`dsl/StreamDenormalize.java:21-28` — `JsonSerde` is only the demo's
+  * binding): a topology is built against this interface and bound to a
+  * wire format at construction. Both bindings emit the identical
+  * record-shape contract (`record_key`/`seq`/`tie` + payload fields),
+  * so the downstream join core is serde-agnostic by type.
+  */
+sealed trait ValueSerde {
+  /** Kafka-shaped records (binary key/value + timestamp/offset) →
+    * `record_key`/`seq`/`tie` + typed payload columns. */
+  def decode(kafkaRecords: DataFrame, schema: StructType): DataFrame
+  /** Output rows → Kafka-shaped binary key/value. */
+  def encode(df: DataFrame, keyExpr: Column, valueCols: Seq[Column]): DataFrame
+}
+
+/** Schema-on-read laxity: unknown fields ignored, missing → null
+  * (the reference demo's Jackson behavior). */
+case object JsonValueSerde extends ValueSerde {
+  def decode(kafkaRecords: DataFrame, schema: StructType): DataFrame =
+    KafkaWiring.decode(kafkaRecords, schema)
+  def encode(df: DataFrame, keyExpr: Column, valueCols: Seq[Column]): DataFrame =
+    KafkaWiring.encode(df, keyExpr, valueCols)
+}
+
+/** Typed binary contract: records must resolve under the derived writer
+  * schema — corrupt/incompatible data fails loudly instead of
+  * null-filling. spark-avro wire format via the bundled kernel. */
+case object AvroValueSerde extends ValueSerde {
+  def decode(kafkaRecords: DataFrame, schema: StructType): DataFrame =
+    KafkaWiring.decodeAvro(kafkaRecords, schema)
+  def encode(df: DataFrame, keyExpr: Column, valueCols: Seq[Column]): DataFrame =
+    KafkaWiring.encodeAvro(df, keyExpr, valueCols)
+}
+
 object KafkaWiring {
 
   /** Parse a Kafka-shaped record stream: binary `key`/`value` columns →
@@ -163,6 +198,10 @@ object KafkaWiring {
     * source topics → stateful FK denormalization → output topic. Returns
     * the writer; caller `.start()`s it.
     *
+    * `serde` binds the VALUE wire format for all three topics (O17's
+    * constructor-parameter contract; [[JsonValueSerde]] is reference-
+    * demo parity, [[AvroValueSerde]] the typed production binding).
+    *
     * `strictBatchDedup` passes through to the join core. The default
     * (true) is reference parity — a left claims its dedup key BEFORE
     * the lookup — but that drop window is one micro-batch here, not one
@@ -179,11 +218,12 @@ object KafkaWiring {
       leftKey: Column, leftFk: Column, rightKey: Column,
       joinType: String, checkpoint: String,
       strictBatchDedup: Boolean = true,
-      maxOffsetsPerTrigger: Option[Long] = None): DataStreamWriter[Row] = {
-    val left = decode(
+      maxOffsetsPerTrigger: Option[Long] = None,
+      serde: ValueSerde = JsonValueSerde): DataStreamWriter[Row] = {
+    val left = serde.decode(
       readTopic(spark, bootstrap, leftTopic, maxOffsetsPerTrigger = maxOffsetsPerTrigger),
       leftSchema)
-    val right = decode(
+    val right = serde.decode(
       readTopic(spark, bootstrap, rightTopic, maxOffsetsPerTrigger = maxOffsetsPerTrigger),
       rightSchema)
     val index = StreamDenormalize.indexStream(
@@ -192,7 +232,7 @@ object KafkaWiring {
     val joined = StreamDenormalize.parsed(
       StreamDenormalize.joined(index, joinType, strictBatchDedup), leftSchema, rightSchema)
     writeTopic(
-      encode(joined, col("out_key"), Seq(col("left"), col("right"))),
+      serde.encode(joined, col("out_key"), Seq(col("left"), col("right"))),
       bootstrap, outTopic, checkpoint)
   }
 }

@@ -67,6 +67,32 @@ class AvroSerdeSpec extends SparkSpec {
     assert(err.getMessage.contains("seq"))
   }
 
+  test("both ValueSerde bindings round-trip the same payload through the trait surface") {
+    val rows = Seq((1L, "a", Some(2.5)), (2L, "b", None))
+      .toDF("id", "name", "score")
+    for (serde <- Seq[ValueSerde](JsonValueSerde, AvroValueSerde)) {
+      val decoded = serde.decode(
+        kafkaShaped(serde.encode(rows, col("id"), rows.columns.map(col).toSeq)),
+        rows.schema)
+      // identical record-shape contract regardless of wire format
+      assert(decoded.columns.take(3).toSeq == Seq("record_key", "seq", "tie"))
+      val got = decoded.select(col("id"), col("name"), col("score"))
+        .as[(Long, String, Option[Double])].collect().toSet
+      assert(got == Set((1L, "a", Some(2.5)), (2L, "b", None)), s"serde=$serde")
+    }
+  }
+
+  test("q103 (denorm over Avro roundtrip) equals q01 (plain denorm) row-for-row") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q103_avro_denorm")(spark, dir)
+    val plain = graft.SparkEntry.queries("q01_denorm_inner")(spark, dir)
+    assert(got.schema == plain.schema)
+    val key = got.columns.map(col).toSeq
+    assert(got.sort(key: _*).collect().toSeq ==
+      plain.sort(key: _*).collect().toSeq)
+    assert(got.count() > 0)
+  }
+
   test("the full denormalization core runs over Avro-decoded inputs unchanged") {
     // the serde is upstream of the join contract: the identical
     // indexStream → joined chain the JSON golden-fixture test runs,
