@@ -22,6 +22,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q103's Avro serde round-trip adds no exchange over the plain join (q01)") {
+    val p103 = plan("q103_avro_denorm")
+    val p01 = plan("q01_denorm_inner")
+    // the serde pair is a per-row map between scan and join: any extra
+    // shuffle would mean the encode/decode boundary broke the plan shape
+    assert("Exchange".r.findAllIn(p103).size == "Exchange".r.findAllIn(p01).size,
+      s"q103 should shuffle exactly as q01 does:\n$p103")
+  }
+
   test("binned range join plans as a broadcast hash join, not a nested loop") {
     val p = plan("q40_incident_range_join")
     assert(p.contains("BroadcastHashJoin"), p)
