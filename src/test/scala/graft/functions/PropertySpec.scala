@@ -235,3 +235,68 @@ object KmvMergeProps extends Properties("KmvMerge") {
       }
     }
 }
+
+/** The Avro serde expressions, session-free: encode → decode must be
+  * the identity on every value of the schema's domain — including
+  * nulls, empty/unicode strings, NaN/±Inf doubles, and extreme
+  * integrals — because q103's oracle equality (and any external Avro
+  * consumer) rests on exactly that. Evaluated at the Catalyst level
+  * (Literal → AvroEncode → AvroDecode), the same interpreted path the
+  * codegen stubs call.
+  */
+object AvroSerdeProperties extends Properties("graft.avroserde") {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.catalyst.CatalystTypeConverters
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType, nullable = true),
+    StructField("score", DoubleType, nullable = true),
+    StructField("n", IntegerType, nullable = true),
+    StructField("flag", BooleanType, nullable = true)))
+  private val avroJson = graft.streaming.KafkaWiring.avroSchemaFor(schema)
+
+  // valid-UTF8 strings only: BMP minus surrogates, plus supplementary
+  // code points built as proper pairs (a lone surrogate is not a
+  // string, and no wire format is required to round-trip one)
+  private val strGen: Gen[String] = Gen.listOf(Gen.frequency(
+    8 -> Gen.choose(0x20, 0xD7FF).map(_.toChar.toString),
+    1 -> Gen.choose(0x10000, 0x10FFFF).map(cp => new String(Character.toChars(cp))),
+    1 -> Gen.const("\n"))).map(_.mkString)
+  private val dblGen: Gen[Double] = Gen.frequency(
+    6 -> Gen.choose(-1e18, 1e18),
+    1 -> Gen.oneOf(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, -0.0, Double.MinPositiveValue))
+  private val rowGen: Gen[Row] = for {
+    id <- Gen.choose(Long.MinValue, Long.MaxValue)
+    name <- Gen.option(strGen)
+    score <- Gen.option(dblGen)
+    n <- Gen.option(Gen.choose(Int.MinValue, Int.MaxValue))
+    flag <- Gen.option(Gen.oneOf(true, false))
+  } yield Row(id, name.orNull, score.orNull, n.orNull, flag.orNull)
+
+  private def bitsEq(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Double, y: Double) => // NaN == NaN here; -0.0 != 0.0
+      java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y)
+    case _ => a == b
+  }
+
+  property("encode → decode is the identity over the schema's domain") =
+    forAll(rowGen) { row =>
+      val enc = AvroEncode(Literal.create(row, schema), avroJson)
+      val bytes = enc.eval(null).asInstanceOf[Array[Byte]]
+      val dec = AvroDecode(Literal(bytes, BinaryType), avroJson)
+      val back = CatalystTypeConverters.createToScalaConverter(dec.dataType)
+        .apply(dec.eval(null)).asInstanceOf[Row]
+      (0 until schema.length).forall(i => bitsEq(back.get(i), row.get(i)))
+    }
+
+  property("encoding is deterministic (bitwise-stable wire bytes)") =
+    forAll(rowGen) { row =>
+      val a = AvroEncode(Literal.create(row, schema), avroJson).eval(null)
+      val b = AvroEncode(Literal.create(row, schema), avroJson).eval(null)
+      java.util.Arrays.equals(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    }
+}
