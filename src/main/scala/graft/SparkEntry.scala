@@ -1162,6 +1162,14 @@ object SparkEntry {
         .joinOn(df => df("o_custkey"))
         .inner
     }),
+    // exact water-filling token-budget allocation — the production
+    // mixer q71's scaladoc concedes its single-pass rate form
+    // approximates: saturated sources surrender surplus to unsaturated
+    // ones so the kept-token mass hits the budget exactly. The solve is
+    // loop-free (sorted breakpoints + window prefix sums over the
+    // bounded per-source table), so the DuckDB oracle re-derives the
+    // ENTIRE allocation relationally — no trained literals.
+    "q104_token_budget_mix" -> ((s, dir) => PipelineOps.tokenBudgetMix(s, dir)),
   )
 
   /** Dirs q07 ran on in this JVM — [[joinKeyIndexSql]] generates its
@@ -1381,6 +1389,7 @@ object SparkEntry {
     // relational join (q01's); hash equality across every column type
     // is the serde's cross-engine proof
     "q103_avro_denorm" -> denormOracle("JOIN"),
+    "q104_token_budget_mix" -> PipelineOps.tokenBudgetMixSql(),
     "q59_snapshot_diff" -> PipelineOps.snapshotDiffSql,
     "q60_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
     // same contract as q60: the 90-day delay covers the fixture log, so

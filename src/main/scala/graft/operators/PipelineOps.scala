@@ -134,6 +134,8 @@ object PipelineOps {
     * the single-pass form is kept here because its rate table is the
     * direct reading of the mixture config, matching how published
     * mixtures (e.g. Pile/ROOTS-style weights) are specified.
+    * [[tokenBudgetMix]] (q104) IS that exact allocation — solved
+    * loop-free as a sorted-breakpoint scan over the source table.
     *
     * The demo mixture upweights even-numbered sources 2:1 (an explicit
     * stand-in for real mixture configs like {web:5, books:3, code:2});
@@ -175,6 +177,106 @@ object PipelineOps {
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("keep_rate"), (col("draw") < col("keep_rate")).cast("int").as("kept"))
   }
+
+  /** Exact token-budget allocation across sources — the WATER-FILLING
+    * mixer [[mixtureSample]]'s scaladoc names as the production path
+    * its single-pass form approximates: find the level `lam` such that
+    * `sum_i min(src_tokens_i, lam * w_i) = budget`, so a saturated
+    * source (allocated its whole corpus) surrenders its surplus to the
+    * unsaturated ones and the realized token mass hits the budget
+    * EXACTLY instead of undershooting whenever a clamp fires.
+    *
+    * No driver loop, no iteration: sort sources by saturation level
+    * `c_i = src_tokens_i / w_i`; for each breakpoint k (sources before
+    * k saturated), the candidate level is
+    * `lam_k = (budget - sum_{i<k} src_tokens_i) / sum_{i>=k} w_i`, and
+    * the correct level is the FIRST k whose `lam_k <= c_k` (the
+    * standard greedy argument: saturate sources in c-order until the
+    * residual level fits under the next source's ceiling). That is two
+    * window prefix sums and a filter over the SOURCE-cardinality
+    * aggregate — the whole solve is relational, so the DuckDB oracle
+    * re-derives it verbatim rather than trusting a trained literal.
+    *
+    * Hash-exactness is by construction: src_tokens/w sums are exact
+    * (BIGINT counts; weights 1.0/2.0 are binary-exact), and every
+    * cross-engine double op is a single multiply/divide of identical
+    * operands — no float accumulation anywhere.
+    *
+    * Scale: one corpus scan into a map-side-combined groupBy(source);
+    * everything after runs on the bounded per-source table (sources
+    * are config-cardinality at any corpus size — the same bounded
+    * class as q71's rate table), and the windows' single-partition
+    * frame holds #sources rows, not data. Output is the allocation
+    * table a downstream sampler consumes.
+    */
+  def tokenBudgetMix(s: SparkSession, dir: String,
+      budgetFrac: Double = 0.75): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("source"),
+        size(split(lower(col("text")), " ")).as("n_tokens"))
+    // same 2:1 even-source mixture config (and try_cast fallback) as
+    // mixtureSample — the two operators answer the same config
+    val weighted = docs.withColumn("w",
+      when(expr("try_cast(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT)") % 2 === 0,
+        lit(2.0)).otherwise(lit(1.0)))
+    val totals = weighted.groupBy(col("source"), col("w"))
+      .agg(sum(col("n_tokens")).cast("long").as("src_tokens"))
+    val all = Window.partitionBy()
+    val before = Window.orderBy(col("c"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cand = totals
+      .withColumn("c", col("src_tokens").cast("double") / col("w"))
+      .withColumn("budget",
+        lit(budgetFrac) * sum(col("src_tokens")).over(all).cast("double"))
+      .withColumn("cum_cap",
+        coalesce(sum(col("src_tokens")).over(before).cast("double"), lit(0.0)))
+      .withColumn("rem_w",
+        sum(col("w")).over(all) - coalesce(sum(col("w")).over(before), lit(0.0)))
+      .withColumn("lam_k", (col("budget") - col("cum_cap")) / col("rem_w"))
+    // the first valid breakpoint in saturation order; budgetFrac < 1
+    // guarantees one exists (the last source can never saturate under
+    // a budget smaller than the corpus)
+    val lam = cand.filter(col("lam_k") <= col("c"))
+      .orderBy(col("c"), col("source")).limit(1)
+      .select(col("lam_k").as("lam"))
+    totals.crossJoin(broadcast(lam))
+      .withColumn("alloc",
+        least(col("src_tokens").cast("double"), col("lam") * col("w")))
+      .select(col("source"), col("w"), col("src_tokens"), col("alloc"),
+        (col("alloc") / col("src_tokens").cast("double")).as("keep_rate"),
+        (col("lam") * col("w") >= col("src_tokens").cast("double"))
+          .cast("int").as("saturated"))
+  }
+
+  def tokenBudgetMixSql(budgetFrac: Double = 0.75): String =
+    s"""WITH docs AS (
+          SELECT source,
+                 len(string_split(lower(text), ' ')) AS n_tokens,
+                 CASE WHEN try_cast(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) % 2 = 0
+                      THEN 2.0 ELSE 1.0 END AS w
+          FROM documents),
+        totals AS (
+          SELECT source, w, sum(n_tokens)::BIGINT AS src_tokens
+          FROM docs GROUP BY 1, 2),
+        cand AS (
+          SELECT source, w, src_tokens,
+                 src_tokens::DOUBLE / w AS c,
+                 $budgetFrac * (sum(src_tokens) OVER ())::DOUBLE AS budget,
+                 coalesce((sum(src_tokens) OVER (ORDER BY src_tokens::DOUBLE / w, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))::DOUBLE, 0.0) AS cum_cap,
+                 (sum(w) OVER ()) - coalesce(sum(w) OVER (ORDER BY src_tokens::DOUBLE / w, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS rem_w
+          FROM totals),
+        lam AS (
+          SELECT (budget - cum_cap) / rem_w AS lam
+          FROM cand
+          WHERE (budget - cum_cap) / rem_w <= c
+          ORDER BY c, source LIMIT 1)
+        SELECT t.source, t.w, t.src_tokens,
+               least(t.src_tokens::DOUBLE, l.lam * t.w) AS alloc,
+               least(t.src_tokens::DOUBLE, l.lam * t.w) / t.src_tokens::DOUBLE AS keep_rate,
+               (l.lam * t.w >= t.src_tokens::DOUBLE)::INT AS saturated
+        FROM totals t CROSS JOIN lam l"""
 
   def mixtureSampleSql(budgetFrac: Double = 0.6): String = {
     val draw = "('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE / (1152921504606846976)::DOUBLE"
