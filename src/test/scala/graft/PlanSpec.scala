@@ -126,6 +126,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q104 water-filling: one corpus scan at runtime; data-sized work stops at the bounded aggregate") {
+    val df = SparkEntry.queries("q104_token_budget_mix")(spark, dir)
+    // finalize AQE on THIS queryExecution (a write would plan a clone)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the lam (level) side must REUSE the totals shuffle, not re-scan
+    // the corpus — AQE's exchange reuse is the plan property that makes
+    // the two-sided formulation a single scan at 100 TB
+    assert(p.contains("ReusedExchange"),
+      s"q104's level side should reuse the totals exchange:\n$p")
+    // the single-partition exchange carries only the per-source
+    // aggregate (it sits ABOVE the groupBy), and the level is a
+    // TakeOrdered limit=1, not a global sort
+    assert(p.contains("TakeOrderedAndProject(limit=1"), p)
+    // map-side partial aggregation before the only data-sized shuffle
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("persisted IVF index read-back is dynamic-partition-pruned to the probed buckets") {
     // the q83 scale contract: the index scan must carry a
     // dynamicpruningexpression partition filter fed by the broadcast
