@@ -1170,6 +1170,22 @@ object SparkEntry {
     // bounded per-source table), so the DuckDB oracle re-derives the
     // ENTIRE allocation relationally — no trained literals.
     "q104_token_budget_mix" -> ((s, dir) => PipelineOps.tokenBudgetMix(s, dir)),
+    // stream-maintained token-budget allocation — q104's per-source
+    // totals are counter SUMS, so they stream exactly like q94's CMS
+    // grid: a Complete-mode aggregation whose only state is the bounded
+    // per-source table. The converged state IS the batch totals, and
+    // the factored waterFill solve is shared, so q104's oracle applies
+    // unchanged — the mixer is re-solvable continuously as the corpus
+    // grows, without rescanning it.
+    "q105_stream_budget_mix" -> ((s, dir) => {
+      val totals = sketchMaintenanceStream(s, dir, "q105",
+        PipelineOps.weightedDocs(s, dir))(PipelineOps.sourceTotals)
+      // the solve touches the totals on both sides (the level and the
+      // allocation join), and a memory-sink leaf does not dedup across
+      // join sides — snapshot the bounded per-source state first (the
+      // q100 pattern; sketch-sized, not data)
+      PipelineOps.waterFill(totals.localCheckpoint(), 0.75)
+    }),
   )
 
   /** Dirs q07 ran on in this JVM — [[joinKeyIndexSql]] generates its
@@ -1390,6 +1406,10 @@ object SparkEntry {
     // is the serde's cross-engine proof
     "q103_avro_denorm" -> denormOracle("JOIN"),
     "q104_token_budget_mix" -> PipelineOps.tokenBudgetMixSql(),
+    // the converged Complete-mode totals equal the batch totals
+    // (counter sums) and the solve is shared, so q104's oracle applies
+    // unchanged
+    "q105_stream_budget_mix" -> PipelineOps.tokenBudgetMixSql(),
     "q59_snapshot_diff" -> PipelineOps.snapshotDiffSql,
     "q60_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
     // same contract as q60: the 90-day delay covers the fixture log, so

@@ -210,17 +210,34 @@ object PipelineOps {
     * table a downstream sampler consumes.
     */
   def tokenBudgetMix(s: SparkSession, dir: String,
-      budgetFrac: Double = 0.75): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+      budgetFrac: Double = 0.75): DataFrame =
+    waterFill(sourceTotals(weightedDocs(s, dir)), budgetFrac)
+
+  /** Per-document (source, n_tokens, w) rows under the shared 2:1
+    * even-source mixture config (and try_cast fallback) of
+    * [[mixtureSample]] — the two operators answer the same config.
+    */
+  def weightedDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
       .select(col("source"),
         size(split(lower(col("text")), " ")).as("n_tokens"))
-    // same 2:1 even-source mixture config (and try_cast fallback) as
-    // mixtureSample — the two operators answer the same config
-    val weighted = docs.withColumn("w",
-      when(expr("try_cast(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT)") % 2 === 0,
-        lit(2.0)).otherwise(lit(1.0)))
-    val totals = weighted.groupBy(col("source"), col("w"))
+      .withColumn("w",
+        when(expr("try_cast(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT)") % 2 === 0,
+          lit(2.0)).otherwise(lit(1.0)))
+
+  /** The bounded per-source aggregate the solve runs on. Counter SUMS,
+    * so it is also maintainable as a Complete-mode streaming
+    * aggregation (q105) — the converged state IS this table.
+    */
+  def sourceTotals(weighted: DataFrame): DataFrame =
+    weighted.groupBy(col("source"), col("w"))
       .agg(sum(col("n_tokens")).cast("long").as("src_tokens"))
+
+  /** The loop-free water-filling solve over a (source, w, src_tokens)
+    * table — factored so the batch (q104) and stream-maintained (q105)
+    * totals run the IDENTICAL solve and cannot drift.
+    */
+  def waterFill(totals: DataFrame, budgetFrac: Double): DataFrame = {
     val all = Window.partitionBy()
     val before = Window.orderBy(col("c"), col("source"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -971,6 +971,20 @@ class MixtureSampleSpec extends SparkSpec {
       assert(math.abs(alloc(src) - a) <= 1e-9 * math.max(1.0, a),
         s"$src: iterative ${alloc(src)} vs relational $a")
   }
+
+  test("stream-maintained budget mix (q105) equals the batch solve (q104) cell-for-cell") {
+    val batch = graft.SparkEntry.queries("q104_token_budget_mix")(spark, dir)
+    val streamed = graft.SparkEntry.queries("q105_stream_budget_mix")(spark, dir)
+    // names+types; nullability differs benignly (a memory-sink leaf
+    // widens the derived w to nullable)
+    assert(streamed.schema.map(f => (f.name, f.dataType)) ==
+      batch.schema.map(f => (f.name, f.dataType)))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Double, Long, Double, Double, Int)].collect().sortBy(_._1).toSeq
+    // counter sums converge to the batch totals exactly, and the solve
+    // is the shared waterFill — so equality here is EXACT, not approximate
+    assert(rows(streamed) == rows(batch))
+  }
 }
 
 class GlobalShuffleSpec extends SparkSpec {
