@@ -238,6 +238,12 @@ object PipelineOps {
     * totals run the IDENTICAL solve and cannot drift.
     */
   def waterFill(totals: DataFrame, budgetFrac: Double): DataFrame = {
+    // the first-valid-breakpoint existence proof (see lam below) needs
+    // budget < corpus; at >= 1 no breakpoint validates and the solve
+    // would return an EMPTY frame — reject loudly instead (a budget of
+    // the whole corpus needs no mixer)
+    require(budgetFrac > 0.0 && budgetFrac < 1.0,
+      s"budgetFrac must be in (0, 1), got $budgetFrac")
     val all = Window.partitionBy()
     val before = Window.orderBy(col("c"), col("source"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -972,6 +972,16 @@ class MixtureSampleSpec extends SparkSpec {
         s"$src: iterative ${alloc(src)} vs relational $a")
   }
 
+  test("waterFill rejects budgets outside (0,1) instead of returning an empty frame") {
+    val totals = PipelineOps.sourceTotals(PipelineOps.weightedDocs(spark, dir))
+    for (bad <- Seq(0.0, 1.0, 1.5, -0.1)) {
+      val e = intercept[IllegalArgumentException] {
+        PipelineOps.waterFill(totals, bad)
+      }
+      assert(e.getMessage.contains("budgetFrac"), s"frac $bad: ${e.getMessage}")
+    }
+  }
+
   test("stream-maintained budget mix (q105) equals the batch solve (q104) cell-for-cell") {
     val batch = graft.SparkEntry.queries("q104_token_budget_mix")(spark, dir)
     val streamed = graft.SparkEntry.queries("q105_stream_budget_mix")(spark, dir)
