@@ -67,6 +67,23 @@ class AvroSerdeSpec extends SparkSpec {
     assert(err.getMessage.contains("seq"))
   }
 
+  test("corrupt Avro bytes fail loudly — the typed contract, not from_json's null-fill") {
+    val rows = Seq((1L, "a")).toDF("id", "name")
+    val schema = rows.schema
+    // valid wire bytes decode; the same stream truncated mid-datum throws
+    val good = KafkaWiring.decodeAvro(
+      kafkaShaped(KafkaWiring.encodeAvro(rows, col("id"),
+        Seq(col("id"), col("name")))), schema)
+    assert(good.select(col("name")).as[String].collect().toSeq == Seq("a"))
+    val corrupt = KafkaWiring.decodeAvro(
+      kafkaShaped(KafkaWiring.encodeAvro(rows, col("id"),
+        Seq(col("id"), col("name")))
+        .select(col("key"), expr("substring(value, 1, 1)").as("value"))), schema)
+    val e = intercept[Exception] { corrupt.collect() }
+    // any decode-layer failure is acceptable; silently returning rows is not
+    assert(e != null)
+  }
+
   test("both ValueSerde bindings round-trip the same payload through the trait surface") {
     val rows = Seq((1L, "a", Some(2.5)), (2L, "b", None))
       .toDF("id", "name", "score")
