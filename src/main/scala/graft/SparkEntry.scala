@@ -1186,6 +1186,11 @@ object SparkEntry {
       // q100 pattern; sketch-sized, not data)
       PipelineOps.waterFill(totals.localCheckpoint(), 0.75)
     }),
+    // Deequ-style single-pass constraint audit: column metrics from one
+    // map-side-combined aggregation per table, referential integrity as
+    // a column-pruned LEFT ANTI join, long-format (check, observed,
+    // passed) report assembled from one-row scalar frames
+    "q106_data_quality_audit" -> ((s, dir) => operators.DataQuality.auditReport(s, dir)),
   )
 
   /** Dirs q07 ran on in this JVM — [[joinKeyIndexSql]] generates its
@@ -1410,6 +1415,7 @@ object SparkEntry {
     // (counter sums) and the solve is shared, so q104's oracle applies
     // unchanged
     "q105_stream_budget_mix" -> PipelineOps.tokenBudgetMixSql(),
+    "q106_data_quality_audit" -> operators.DataQuality.auditReportSql,
     "q59_snapshot_diff" -> PipelineOps.snapshotDiffSql,
     "q60_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
     // same contract as q60: the 90-day delay covers the fixture log, so

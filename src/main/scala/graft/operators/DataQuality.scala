@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deequ-style data-quality constraint auditing — the validation gate a
+  * production ingestion pipeline runs before data is allowed into the
+  * corpus (the reference's ingestion loop trusts the HN API blindly;
+  * at 100 TB nobody does). One audit = a fixed list of declarative
+  * constraints (completeness, uniqueness, value ranges, referential
+  * integrity) evaluated in as few passes as possible, emitted as a
+  * long-format report `(check, observed, passed)` so downstream
+  * alerting is a plain filter on `passed = 0`.
+  *
+  * Scale shape: each table's column metrics come from ONE aggregation
+  * over that table — count/sum/conditional-sum partials combine
+  * map-side, and the scan is column-pruned to exactly the audited
+  * columns. Uniqueness is the only metric needing a shuffle keyed by
+  * data (two-phase distinct-count on the key). Referential integrity
+  * is a LEFT ANTI join of the child's (column-pruned) FK against the
+  * parent key — declarative, so AQE picks broadcast vs shuffle as the
+  * parent's size dictates. The report assembly itself cross-joins
+  * three ONE-ROW frames — scalar broadcasts, no data movement. Nothing
+  * here collects to the driver.
+  *
+  * Hash-exactness contract: every observed ratio is a single IEEE
+  * division of two exact BIGINT counts, so both engines compute the
+  * identical double; `passed` compares counts (not floats) wherever
+  * the semantics allow.
+  */
+object DataQuality {
+
+  /** The audit core over explicit frames (unit tests inject dirty
+    * data here; [[auditReport]] binds the sf tables). */
+  def audit(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val o = orders.agg(
+      count(lit(1)).as("o_n"),
+      countDistinct(col("o_orderkey")).as("o_nd_key"),
+      count(col("o_custkey")).as("o_nn_cust"),
+      // coalesce: sum over an EMPTY table is NULL, and the verdict
+      // comparison must stay a count equality (0 = 0), not NULL
+      coalesce(sum(when(col("o_totalprice") >= 0, 1L).otherwise(0L)), lit(0L)).as("o_nonneg"))
+    val l = lineitem.agg(
+      count(lit(1)).as("l_n"),
+      coalesce(sum(when(col("l_quantity").between(1, 50), 1L).otherwise(0L)), lit(0L)).as("l_inrange"),
+      count(col("l_extendedprice")).as("l_nn_price"))
+    // RI pass reads ONLY the FK column (column-pruned scan), so the
+    // second lineitem "scan" is one column, not the table
+    val ri = lineitem.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("ri_misses"))
+    // try_divide: ANSI mode errors on a zero divisor (even for doubles);
+    // an EMPTY table's ratio checks read NULL observed, verdicts stay
+    // count equalities. Non-empty input (any real corpus, and the
+    // verify SF) never takes the NULL branch, so the cross-engine
+    // contract is untouched.
+    def ratio(a: Column, b: Column): Column =
+      try_divide(a.cast("double"), b.cast("double"))
+    o.crossJoin(l).crossJoin(ri)
+      .withColumn("r_uniq", ratio(col("o_nd_key"), col("o_n")))
+      .withColumn("r_cust", ratio(col("o_nn_cust"), col("o_n")))
+      .withColumn("r_nonneg", ratio(col("o_nonneg"), col("o_n")))
+      .withColumn("r_inrange", ratio(col("l_inrange"), col("l_n")))
+      .withColumn("r_price", ratio(col("l_nn_price"), col("l_n")))
+      .withColumn("r_ri", ratio(col("l_n") - col("ri_misses"), col("l_n")))
+      // stack(8, label, observed, passed, ...) → long-format report
+      .selectExpr("""stack(8,
+        'orders.row_count',                 cast(o_n as double), cast(o_n > 0 as int),
+        'orders.o_orderkey.uniqueness',     r_uniq,              cast(o_nd_key = o_n as int),
+        'orders.o_custkey.completeness',    r_cust,              cast(o_nn_cust = o_n as int),
+        'orders.o_totalprice.non_negative', r_nonneg,            cast(o_nonneg = o_n as int),
+        'lineitem.row_count',               cast(l_n as double), cast(l_n > 0 as int),
+        'lineitem.l_quantity.in_range',     r_inrange,           cast(l_inrange = l_n as int),
+        'lineitem.l_extendedprice.completeness', r_price,        cast(l_nn_price = l_n as int),
+        'lineitem.l_orderkey.ri_orders',    r_ri,                cast(ri_misses = 0 as int)
+      ) as (check, observed, passed)""")
+  }
+
+  def auditReport(s: SparkSession, dir: String): DataFrame =
+    audit(Tables.load(s, dir, "orders"), Tables.load(s, dir, "lineitem"))
+
+  def auditReportSql: String =
+    """WITH o AS (SELECT count(*)::BIGINT AS n,
+                         count(DISTINCT o_orderkey)::BIGINT AS nd_key,
+                         count(o_custkey)::BIGINT AS nn_cust,
+                         coalesce(sum(CASE WHEN o_totalprice >= 0 THEN 1 ELSE 0 END), 0)::BIGINT AS nonneg
+                  FROM orders),
+            l AS (SELECT count(*)::BIGINT AS n,
+                         coalesce(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END), 0)::BIGINT AS inrange,
+                         count(l_extendedprice)::BIGINT AS nn_price
+                  FROM lineitem),
+            ri AS (SELECT count(*)::BIGINT AS misses
+                   FROM lineitem li
+                   WHERE NOT EXISTS (SELECT 1 FROM orders oo
+                                     WHERE oo.o_orderkey = li.l_orderkey))
+       SELECT 'orders.row_count' AS check, o.n::DOUBLE AS observed, (o.n > 0)::INT AS passed FROM o
+       UNION ALL SELECT 'orders.o_orderkey.uniqueness', o.nd_key::DOUBLE / o.n::DOUBLE, (o.nd_key = o.n)::INT FROM o
+       UNION ALL SELECT 'orders.o_custkey.completeness', o.nn_cust::DOUBLE / o.n::DOUBLE, (o.nn_cust = o.n)::INT FROM o
+       UNION ALL SELECT 'orders.o_totalprice.non_negative', o.nonneg::DOUBLE / o.n::DOUBLE, (o.nonneg = o.n)::INT FROM o
+       UNION ALL SELECT 'lineitem.row_count', l.n::DOUBLE, (l.n > 0)::INT FROM l
+       UNION ALL SELECT 'lineitem.l_quantity.in_range', l.inrange::DOUBLE / l.n::DOUBLE, (l.inrange = l.n)::INT FROM l
+       UNION ALL SELECT 'lineitem.l_extendedprice.completeness', l.nn_price::DOUBLE / l.n::DOUBLE, (l.nn_price = l.n)::INT FROM l
+       UNION ALL SELECT 'lineitem.l_orderkey.ri_orders', (l.n - ri.misses)::DOUBLE / l.n::DOUBLE, (ri.misses = 0)::INT FROM l, ri"""
+}
