@@ -1191,6 +1191,16 @@ object SparkEntry {
     // a column-pruned LEFT ANTI join, long-format (check, observed,
     // passed) report assembled from one-row scalar frames
     "q106_data_quality_audit" -> ((s, dir) => operators.DataQuality.auditReport(s, dir)),
+    // streaming quality monitor — q106's live sibling: Complete-mode
+    // per-(type, user) metric state (entity-keyed, not input-sized),
+    // folded to the per-type report after convergence; every cell is
+    // order-independent so the batch oracle applies unchanged
+    "q107_stream_quality_monitor" -> ((s, dir) => {
+      val state = sketchMaintenanceStream(s, dir, "q107",
+        Tables.events(s, dir).select(col("event_type"), col("user_id"), col("value")))(
+        operators.DataQuality.monitorState)
+      operators.DataQuality.monitorFinal(state)
+    }),
   )
 
   /** Dirs q07 ran on in this JVM — [[joinKeyIndexSql]] generates its
@@ -1416,6 +1426,10 @@ object SparkEntry {
     // unchanged
     "q105_stream_budget_mix" -> PipelineOps.tokenBudgetMixSql(),
     "q106_data_quality_audit" -> operators.DataQuality.auditReportSql,
+    // converged Complete-mode state equals the batch aggregate
+    // cell-for-cell (all cells order-independent), so the batch GROUP
+    // BY oracle applies unchanged
+    "q107_stream_quality_monitor" -> operators.DataQuality.monitorSql,
     "q59_snapshot_diff" -> PipelineOps.snapshotDiffSql,
     "q60_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
     // same contract as q60: the 90-day delay covers the fixture log, so

@@ -103,4 +103,43 @@ object DataQuality {
        UNION ALL SELECT 'lineitem.l_quantity.in_range', l.inrange::DOUBLE / l.n::DOUBLE, (l.inrange = l.n)::INT FROM l
        UNION ALL SELECT 'lineitem.l_extendedprice.completeness', l.nn_price::DOUBLE / l.n::DOUBLE, (l.nn_price = l.n)::INT FROM l
        UNION ALL SELECT 'lineitem.l_orderkey.ri_orders', (l.n - ri.misses)::DOUBLE / l.n::DOUBLE, (ri.misses = 0)::INT FROM l, ri"""
+
+  // ---- streaming quality monitor (q107) ----
+
+  /** Per-(event_type, user_id) metric state — the Complete-mode
+    * streaming aggregation a live quality monitor maintains. Every
+    * cell is order- and batching-independent (counts, min/max, and a
+    * BIGINT micro-unit sum — `floor(value·1e6)` is one IEEE mul + floor
+    * so both engines derive the identical integer), which is what lets
+    * the converged stream state equal the batch aggregate cell-for-cell
+    * (the q94/q98 sketch-maintenance contract). State cardinality is
+    * #(type, user) PAIRS — keyed by entities, not input volume; the
+    * approximate path at extreme user cardinality is q98's HLL grid.
+    */
+  def monitorState(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("value")).as("mn"),
+        max(col("value")).as("mx"),
+        sum(floor(col("value") * lit(1e6)).cast("long")).as("sm"))
+
+  /** Fold the monitor state down to the per-type quality report:
+    * exact distinct users (the state rows ARE the distinct pairs),
+    * event counts, value bounds, and the micro-unit value sum. */
+  def monitorFinal(state: DataFrame): DataFrame =
+    state.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n_events"),
+        count(lit(1)).as("n_users"),
+        min(col("mn")).as("min_value"),
+        max(col("mx")).as("max_value"),
+        sum(col("sm")).as("sum_value_micro"))
+
+  def monitorSql: String =
+    """SELECT event_type,
+              count(*)::BIGINT AS n_events,
+              count(DISTINCT user_id)::BIGINT AS n_users,
+              min(value) AS min_value,
+              max(value) AS max_value,
+              sum(floor(value * 1000000)::BIGINT)::BIGINT AS sum_value_micro
+       FROM events GROUP BY event_type"""
 }

@@ -61,4 +61,17 @@ class DataQualitySpec extends SparkSpec {
     assert(rep("lineitem.l_orderkey.ri_orders") == (None, 1))
     assert(rep("orders.o_orderkey.uniqueness") == (None, 1))
   }
+
+  test("q107 monitor: two-level state fold equals the direct batch aggregate") {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("value"))
+    val folded = DataQuality.monitorFinal(DataQuality.monitorState(ev))
+    val direct = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_events"),
+      countDistinct(col("user_id")).as("n_users"),
+      min(col("value")).as("min_value"),
+      max(col("value")).as("max_value"),
+      sum(floor(col("value") * lit(1e6)).cast("long")).as("sum_value_micro"))
+    assert(folded.exceptAll(direct).isEmpty && direct.exceptAll(folded).isEmpty)
+  }
 }
