@@ -1201,6 +1201,11 @@ object SparkEntry {
         operators.DataQuality.monitorState)
       operators.DataQuality.monitorFinal(state)
     }),
+    // SQ8 scalar-quantized ANN — the third compression point of the
+    // quantization family (PQ q77, IVF-PQ q79): dim-sized per-dimension
+    // stats (one map-side-combined pass), 1-byte-per-dim codes, on-the-
+    // fly mid-rise dequantization scored by exact-order cosine
+    "q108_ann_sq8" -> ((s, dir) => Similarity.sq8TopK(s, dir)),
   )
 
   /** Dirs q07 ran on in this JVM — [[joinKeyIndexSql]] generates its
@@ -1467,6 +1472,8 @@ object SparkEntry {
     Similarity.ivfTopKTrainedSql().map("q49_ann_ivf_trained" -> _) ++
     // same gating for q77: the PQ codebooks inline once trained
     Similarity.pqTopKSql().map("q77_pq_adc" -> _) ++
+    // q108's per-dimension SQ8 stats inline once trained (same gating)
+    Similarity.sq8TopKSql().map("q108_ann_sq8" -> _) ++
     // q79 needs BOTH trained artifacts (centroids + codebooks) inlined
     Similarity.ivfPqTopKSql().map("q79_ann_ivfpq" -> _) ++
     // q07's digest/partition literal tables exist once it ran (same

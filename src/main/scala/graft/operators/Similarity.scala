@@ -1453,6 +1453,111 @@ object Similarity {
         ${pqRankSql(k)}""")
     }
 
+  // ---- SQ8 scalar quantization (q108) ----
+
+  /** Per-dimension SQ8 stats: `(mins, scales, invScales)` where
+    * `scale_d = 256/(max_d − min_d)` (0 for a constant dimension) and
+    * `invScale_d = (max_d − min_d)/256`. Trained in ONE corpus pass:
+    * posexplode + groupBy(dim) min/max partial-aggregates map-side, so
+    * the shuffle carries dim rows per partition, and the driver-side
+    * collect is the DIM-sized stats table (bounded by construction,
+    * q91's literal class — not data).
+    */
+  private val sqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double], Array[Double])]()
+
+  private[graft] def sqTrain(s: SparkSession, dir: String): (Array[Double], Array[Double], Array[Double]) = {
+    val rows = emb(s, dir)
+      .select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mins = rows.map(_._2)
+    val scales = rows.map { case (_, mn, mx) => if (mx > mn) 256.0 / (mx - mn) else 0.0 }
+    val invs = rows.map { case (_, mn, mx) => (mx - mn) / 256.0 }
+    (mins, scales, invs)
+  }
+
+  private def litArr(xs: Array[Double]): Column = array(xs.map(lit): _*)
+
+  /** The stored SQ8 artifact: every vector as dim CODES in [0,255]
+    * (1 byte/dim — 8× smaller than the float64 corpus, 4× smaller than
+    * float32): `code_d = clamp(floor((x_d − min_d)·scale_d), 0, 255)`.
+    * Pure per-row map over literal stat arrays — zero shuffles.
+    */
+  private[graft] def sqEncode(corpus: DataFrame, mins: Array[Double],
+      scales: Array[Double]): DataFrame =
+    corpus.select(col("vec_id"),
+      zip_with(zip_with(col("v"), litArr(mins), (x, mn) => x - mn),
+        litArr(scales),
+        (y, sc) => greatest(lit(0.0), least(lit(255.0), floor(y * sc))).cast("int"))
+        .as("codes"))
+
+  /** Dequantized vector: `x̂_d = min_d + (code_d + 0.5)·invScale_d`
+    * (mid-rise reconstruction). Exact IEEE order mirrored in the
+    * oracle, so scores are cell-exact cross-engine. */
+  private def sqRecon(codes: Column, mins: Array[Double], invs: Array[Double]): Column =
+    zip_with(
+      zip_with(codes, litArr(invs), (c, iv) => (c.cast("double") + lit(0.5)) * iv),
+      litArr(mins), (a, mn) => mn + a)
+
+  /** SQ8 ANN top-k: search runs against the 8×-compressed code table —
+    * candidates dequantize on the fly and score by exact-order cosine
+    * against the full-precision query. Same bounded broadcast-batch /
+    * distributed window shape as [[bruteForceTopK]]; the win at 100 TB
+    * is the scan (codes, not floats) and the memory-resident index
+    * footprint. Quality vs exact cosine is the recall contract test in
+    * the spec; arithmetic fidelity is the generated oracle (stats
+    * inlined as literals, the trained-artifact gating of q49/q77).
+    */
+  def sq8TopK(s: SparkSession, dir: String, k: Int = defaultK): DataFrame = {
+    val (mins, scales, invs) = sqCache.computeIfAbsent(dir, _ => sqTrain(s, dir))
+    val corpus = emb(s, dir)
+    val codes = sqEncode(corpus, mins, scales)
+    val queries = queryBatch(corpus)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = codes.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.cosine_sim(col("qv"), sqRecon(col("codes"), mins, invs)).as("sq_cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sq_cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sq_cos"))
+  }
+
+  private def sqArrSql(xs: Array[Double]): String =
+    s"[${xs.mkString(", ")}]::DOUBLE[]"
+
+  /** Full-algorithm SQ8 oracle (stats inlined as literals, gated like
+    * [[ivfTopKTrainedSql]]): DuckDB re-derives the codes, the mid-rise
+    * reconstruction, and the exact-order cosine cell-exactly.
+    */
+  def sq8TopKSql(k: Int = defaultK): Option[String] =
+    if (sqCache.size != 1) None
+    else {
+      val (mins, scales, invs) = sqCache.values.iterator.next()
+      val dim = mins.length
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql),
+        q AS ($querySql),
+        lits AS (SELECT ${sqArrSql(mins)} AS mn, ${sqArrSql(scales)} AS sc, ${sqArrSql(invs)} AS iv),
+        codes AS (
+          SELECT vec_id,
+                 list_transform(range(1, ${dim + 1}),
+                   i -> greatest(0.0::DOUBLE, least(255.0::DOUBLE, floor((v[i] - mn[i]) * sc[i])))) AS cd
+          FROM e, lits),
+        recon AS (
+          SELECT vec_id,
+                 list_transform(range(1, ${dim + 1}), i -> mn[i] + ((cd[i] + 0.5) * iv[i])) AS rv
+          FROM codes, lits),
+        scored AS (
+          SELECT q.query_id, r.vec_id AS neighbor_id, ${cosSqlOn("q.qv", "r.rv")} AS sq_cos
+          FROM recon r, q WHERE r.vec_id <> q.query_id)
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY sq_cos DESC, neighbor_id ASC) AS rank,
+               sq_cos
+        FROM scored
+        QUALIFY rank <= $k""")
+    }
+
   /** Explicit-order cosine in DuckDB SQL: sequential dot and norms,
     * then dot/sqrt/sqrt — mirrors [[graft.functions.CosineSimilarity]].
     */

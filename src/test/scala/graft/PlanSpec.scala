@@ -346,6 +346,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"pqEncode must be map-only:\n$p")
   }
 
+  test("SQ8 encode (the stored code table) is a shuffle-free map over the corpus") {
+    // q108's storage side: per-dimension stats are LITERAL arrays, so
+    // quantization is one projection over the scan — no join, no window
+    import org.apache.spark.sql.functions.col
+    val (mins, scales, _) = graft.operators.Similarity.sqTrain(spark, dir)
+    val corpus = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val p = graft.operators.Similarity.sqEncode(corpus, mins, scales)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"sqEncode must be map-only:\n$p")
+  }
+
   test("q64 LSH: native one-pass signatures; no forced join strategy") {
     val df = SparkEntry.queries("q64_embed_neardup_lsh")(spark, dir)
     val p = df.queryExecution.executedPlan.toString

@@ -201,6 +201,31 @@ class SimilaritySpec extends SparkSpec {
       a.zip(b).forall { case (x, y) => x.sameElements(y) } })
   }
 
+  test("SQ8: 8-bit codes carry near-exact cosine — tight scores, high recall") {
+    val (mins, scales, invs) = Similarity.sqTrain(spark, dir)
+    assert(mins.length == 64 && scales.forall(_ > 0))
+    // mid-rise reconstruction error is bounded by half a quantization
+    // step per dimension: |x̂ − x| ≤ invScale/2 (+1 ulp headroom)
+    val corpus = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val enc = Similarity.sqEncode(corpus, mins, scales)
+    val maxErr = corpus.join(enc, "vec_id")
+      .select(posexplode(arrays_zip($"v", $"codes")).as(Seq("d", "p")))
+      .select(($"p.v" - (element_at(array(invs.map(lit): _*), $"d" + 1) * ($"p.codes" + lit(0.5))
+        + element_at(array(mins.map(lit): _*), $"d" + 1))).as("err"))
+      .agg(max(abs($"err"))).as[Double].head()
+    val step = invs.max
+    assert(maxErr <= step / 2 + 1e-12, s"max reconstruction error $maxErr vs step $step")
+    // 8 bits/dim is a near-lossless score: SQ8 top-5 ≈ exact top-5
+    val bf = Similarity.bruteForceTopK(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sq = Similarity.sq8TopK(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(sq.nonEmpty)
+    val recall = (bf intersect sq).size.toDouble / bf.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("k-means-trained IVF is valid and at least as good as random-candidate floor") {
     val bf = Similarity.bruteForceTopK(spark, dir)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
