@@ -1206,6 +1206,10 @@ object SparkEntry {
     // stats (one map-side-combined pass), 1-byte-per-dim codes, on-the-
     // fly mid-rise dequantization scored by exact-order cosine
     "q108_ann_sq8" -> ((s, dir) => Similarity.sq8TopK(s, dir)),
+    // fastText-style hashed linear classifier gate — one per-row
+    // projection (in-row transform + left-fold), zero shuffles; BIGINT
+    // micro-unit weights make the logit integer-exact cross-engine
+    "q109_classifier_filter" -> ((s, dir) => PipelineOps.classifierFilter(s, dir)),
   )
 
   /** Dirs q07 ran on in this JVM — [[joinKeyIndexSql]] generates its
@@ -1435,6 +1439,7 @@ object SparkEntry {
     // cell-for-cell (all cells order-independent), so the batch GROUP
     // BY oracle applies unchanged
     "q107_stream_quality_monitor" -> operators.DataQuality.monitorSql,
+    "q109_classifier_filter" -> PipelineOps.classifierFilterSql(),
     "q59_snapshot_diff" -> PipelineOps.snapshotDiffSql,
     "q60_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
     // same contract as q60: the 90-day delay covers the fixture log, so

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -1082,4 +1082,53 @@ object PipelineOps {
         FROM events
         WHERE CAST(strftime(ts, '%Y%m%d') AS INT) BETWEEN $lo AND $hi
         GROUP BY 1"""
+
+  // ---- hashed linear classifier filtering (q109) ----
+
+  /** fastText-style quality-classifier gate via the hashing trick —
+    * the OTHER classic web-corpus filter next to q96's LM perplexity
+    * (CCNet runs both): each token hashes into a bounded feature space
+    * of `d` buckets, a linear model scores the document as the sum of
+    * its tokens' bucket weights, and `kept` thresholds the logit. A
+    * production deployment broadcasts the trained d-row weight table;
+    * here the weights are a deterministic function of the bucket id
+    * (`((b+1)·2654435761) mod 2000001 − 10⁶` micro-units ∈ [−1, 1]) so
+    * BOTH engines derive the model from the same integer arithmetic —
+    * the plumbing (hash → bounded features → linear score) is the real
+    * thing, the weights are the stand-in.
+    *
+    * Scale shape: the whole filter is ONE per-row projection — the
+    * token→weight map and the left-fold sum run inside the row
+    * (`transform` + `aggregate` higher-order functions), so there is no
+    * explode, no shuffle, and no state at ANY corpus size. Hash-exact
+    * by construction: every weight and the logit are BIGINT micro-units
+    * (order-independent integer sums); the mean divides once on each
+    * engine; `kept` is an INTEGER comparison, immune to float drift.
+    */
+  def classifierFilter(s: SparkSession, dir: String, d: Long = 1024L,
+      thresholdMicro: Long = -333000L): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    val weight = (t: Column) =>
+      (pmod(graft.functions.md5_long(t), lit(d)) + lit(1L)) * lit(2654435761L) % lit(2000001L) - lit(1000000L)
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      aggregate(transform(toks, weight), lit(0L), (acc, x) => acc + x).as("logit_micro"))
+      .withColumn("mean_logit",
+        col("logit_micro").cast("double") / lit(1000000.0) / col("n_tokens").cast("double"))
+      // per-token threshold, applied in INTEGER space: logit/n > τ ⇔
+      // logit > n·τ_micro — no float enters the verdict
+      .withColumn("kept", col("logit_micro") > col("n_tokens") * lit(thresholdMicro))
+  }
+
+  def classifierFilterSql(d: Long = 1024L, thresholdMicro: Long = -333000L): String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        scored AS (
+          SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                 sum((((('0x' || substring(md5(term), 1, 15))::BIGINT % $d) + 1) * 2654435761) % 2000001 - 1000000)::BIGINT AS logit_micro
+          FROM toks GROUP BY 1)
+        SELECT doc_id, n_tokens, logit_micro,
+               logit_micro::DOUBLE / 1000000.0 / n_tokens::DOUBLE AS mean_logit,
+               (logit_micro > n_tokens * ($thresholdMicro)) AS kept
+        FROM scored"""
 }

@@ -358,6 +358,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"sqEncode must be map-only:\n$p")
   }
 
+  test("q109 classifier filter is a single per-row projection — no Exchange, no explode") {
+    // the hashing trick bounds the feature space, and the in-row
+    // transform+fold keeps the whole filter map-side at any corpus size
+    val p = plan("q109_classifier_filter")
+    assert(!p.contains("Exchange"), s"classifier filter must be map-only:\n$p")
+    assert(!p.contains("Generate"), s"no explode — the fold runs in-row:\n$p")
+  }
+
   test("q64 LSH: native one-pass signatures; no forced join strategy") {
     val df = SparkEntry.queries("q64_embed_neardup_lsh")(spark, dir)
     val p = df.queryExecution.executedPlan.toString

@@ -755,6 +755,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fromLayout == raw)
     assert(fromLayout.keySet == (20240108 to 20240114).toSet)
   }
+
+  test("q109 classifier filter: in-row fold equals the explode-and-sum derivation") {
+    val d = 1024L
+    val byFold = PipelineOps.classifierFilter(spark, dir)
+      .select($"doc_id", $"n_tokens", $"logit_micro")
+    val byExplode = Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum((pmod(graft.functions.md5_long($"term"), lit(d)) + lit(1L))
+          * lit(2654435761L) % lit(2000001L) - lit(1000000L)).as("logit_micro"))
+    assert(byFold.exceptAll(byExplode).isEmpty && byExplode.exceptAll(byFold).isEmpty)
+    // the gate keeps a nontrivial fraction both ways (weights span [-1,1])
+    val kept = PipelineOps.classifierFilter(spark, dir)
+      .agg(sum($"kept".cast("long")), count(lit(1))).as[(Long, Long)].head()
+    assert(kept._1 > 0 && kept._1 < kept._2)
+  }
 }
 
 class ConnectedComponentsSpec extends SparkSpec {
