@@ -1210,6 +1210,10 @@ object SparkEntry {
     // projection (in-row transform + left-fold), zero shuffles; BIGINT
     // micro-unit weights make the logit integer-exact cross-engine
     "q109_classifier_filter" -> ((s, dir) => PipelineOps.classifierFilter(s, dir)),
+    // interpolated bigram-LM perplexity gate — q96's context-sensitive
+    // upgrade: in-row bigram materialization (no self-join), Heaps-
+    // bounded count tables, one ln per distinct bigram in micro-units
+    "q110_bigram_perplexity" -> ((s, dir) => PipelineOps.bigramPerplexityFilter(s, dir)),
   )
 
   /** Dirs q07 ran on in this JVM — [[joinKeyIndexSql]] generates its
@@ -1440,6 +1444,7 @@ object SparkEntry {
     // BY oracle applies unchanged
     "q107_stream_quality_monitor" -> operators.DataQuality.monitorSql,
     "q109_classifier_filter" -> PipelineOps.classifierFilterSql(),
+    "q110_bigram_perplexity" -> PipelineOps.bigramPerplexityFilterSql(),
     "q59_snapshot_diff" -> PipelineOps.snapshotDiffSql,
     "q60_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
     // same contract as q60: the 90-day delay covers the fixture log, so

@@ -1131,4 +1131,88 @@ object PipelineOps {
                logit_micro::DOUBLE / 1000000.0 / n_tokens::DOUBLE AS mean_logit,
                (logit_micro > n_tokens * ($thresholdMicro)) AS kept
         FROM scored"""
+
+  // ---- interpolated bigram-LM perplexity filtering (q110) ----
+
+  /** Bigram upgrade of [[perplexityFilter]] (q96): each document is
+    * scored by the mean log-probability of its BIGRAMS under a
+    * Jelinek–Mercer–interpolated bigram model trained on the corpus
+    * itself — `p(w2|w1) = λ·c(w1w2)/c(w1) + (1−λ)·c(w2)/N`. The
+    * interpolation term is what makes the model total (every observed
+    * bigram has c(w2) ≥ 1, so p > 0 and ln is defined); context
+    * sensitivity is what the unigram gate can't see: a document of
+    * common words in implausible ORDER scores low here but fine there.
+    *
+    * Same hash-exactness contract as q96: one `ln` per DISTINCT bigram
+    * (the interpolated p is a fixed IEEE op sequence over exact BIGINT
+    * counts, mirrored operand-for-operand in the oracle), rounded ONCE
+    * to micro-units; all downstream sums are BIGINT and the verdict is
+    * an integer comparison.
+    *
+    * Scale shape: bigrams materialize IN-ROW (two slices + zip — no
+    * self-join); tf shuffles on (doc, w1, w2) with map-side combine;
+    * the bigram-count table is observed-bigram-sized (Heaps-sublinear);
+    * the two unigram joins and the scalar total are
+    * vocabulary-sized — AQE broadcasts them when they fit. Single-token
+    * documents have no bigrams and drop out (the documented contract,
+    * `WHERE`-mirrored in the oracle), which also keeps the mean's
+    * divisor nonzero on both engines.
+    */
+  def bigramPerplexityFilter(s: SparkSession, dir: String, lam: Double = 0.75,
+      thresholdMicro: Long = -3400000L): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val toksCol = split(lower(col("text")), " ")
+    val pairs = arrays_zip(
+      slice(toksCol, lit(1), size(toksCol) - 1).as("w1"),
+      slice(toksCol, lit(2), size(toksCol) - 1).as("w2"))
+    val tf2 = docs.select(col("doc_id"), explode(pairs).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
+    val cnt1 = docs.select(explode(toksCol).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c1"))
+    val tot = cnt1.agg(sum(col("c1")).as("n"))
+    val lp = tf2.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c12"))
+      .join(cnt1.select(col("term").as("w1"), col("c1")), "w1")
+      .join(cnt1.select(col("term").as("w2"), col("c1").as("cw2")), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp_micro",
+        round(log(lit(lam) * (col("c12").cast("double") / col("c1").cast("double"))
+          + lit(1.0 - lam) * (col("cw2").cast("double") / col("n").cast("double"))) * 1e6)
+          .cast("long"))
+      .select(col("w1"), col("w2"), col("lp_micro"))
+    tf2.join(lp, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("lp_micro")).as("sum_lp_micro"))
+      .withColumn("avg_logprob",
+        col("sum_lp_micro").cast("double") / lit(1000000.0) / col("n_bigrams").cast("double"))
+      .withColumn("kept", col("sum_lp_micro") > col("n_bigrams") * lit(thresholdMicro))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"), col("kept"))
+  }
+
+  def bigramPerplexityFilterSql(lam: Double = 0.75,
+      thresholdMicro: Long = -3400000L): String =
+    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+        toks AS (SELECT doc_id, unnest(l) AS term FROM d),
+        n1 AS (SELECT term, count(*)::BIGINT AS c1 FROM toks GROUP BY 1),
+        tot AS (SELECT sum(c1)::BIGINT AS n FROM n1),
+        bgr AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+                FROM (SELECT doc_id,
+                             unnest(list_transform(range(1, len(l)), i -> {'w1': l[i], 'w2': l[i+1]})) AS u
+                      FROM d)),
+        tf2 AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS tf FROM bgr GROUP BY 1, 2, 3),
+        c2 AS (SELECT w1, w2, sum(tf)::BIGINT AS c12 FROM tf2 GROUP BY 1, 2),
+        lp AS (SELECT c2.w1, c2.w2,
+                      round(ln(($lam) * (c2.c12::DOUBLE / a.c1::DOUBLE)
+                               + (${1.0 - lam}) * (b.c1::DOUBLE / tot.n::DOUBLE)) * 1000000)::BIGINT AS lp_micro
+               FROM c2 JOIN n1 a ON a.term = c2.w1
+                       JOIN n1 b ON b.term = c2.w2
+                       CROSS JOIN tot),
+        doc AS (SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+                       sum(tf * lp_micro)::BIGINT AS sum_lp_micro
+                FROM tf2 JOIN lp USING (w1, w2) GROUP BY 1)
+        SELECT doc_id, n_bigrams,
+               sum_lp_micro::DOUBLE / 1000000.0 / n_bigrams::DOUBLE AS avg_logprob,
+               (sum_lp_micro > n_bigrams * ($thresholdMicro)) AS kept
+        FROM doc"""
 }

@@ -772,6 +772,25 @@ class PipelineOpsSpec extends SparkSpec {
       .agg(sum($"kept".cast("long")), count(lit(1))).as[(Long, Long)].head()
     assert(kept._1 > 0 && kept._1 < kept._2)
   }
+
+  test("q110 bigram LM: in-row bigrams count n_tokens-1; model is total; gate splits") {
+    val bp = PipelineOps.bigramPerplexityFilter(spark, dir)
+    val nTok = Tables.load(spark, dir, "documents")
+      .select($"doc_id", size(split(lower($"text"), " ")).cast("long").as("nt"))
+    // every multi-token doc scores, with exactly n_tokens-1 bigrams
+    val joined = bp.join(nTok, "doc_id")
+      .select($"doc_id", $"n_bigrams", $"nt", $"avg_logprob").collect()
+    assert(joined.nonEmpty)
+    assert(joined.forall(r => r.getLong(1) == r.getLong(2) - 1))
+    // interpolation keeps every observed bigram's probability finite
+    assert(joined.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+    // the threshold splits the corpus nontrivially
+    val k = bp.agg(sum($"kept".cast("long")), count(lit(1))).as[(Long, Long)].head()
+    assert(k._1 > 0 && k._1 < k._2)
+    // single-token docs drop out (no bigrams), multi-token docs all present
+    val docsWithBigrams = nTok.filter($"nt" >= 2).count()
+    assert(bp.count() == docsWithBigrams)
+  }
 }
 
 class ConnectedComponentsSpec extends SparkSpec {
