@@ -1214,6 +1214,22 @@ object SparkEntry {
     // upgrade: in-row bigram materialization (no self-join), Heaps-
     // bounded count tables, one ln per distinct bigram in micro-units
     "q110_bigram_perplexity" -> ((s, dir) => PipelineOps.bigramPerplexityFilter(s, dir)),
+    // ORC round-trip through the denorm core — q103's lossless-serde
+    // gate applied to the columnar FILE format (Avro = wire serde, ORC
+    // = storage): both join inputs are staged ONCE as ORC, read back,
+    // and must hash-match q01's plain relational oracle across every
+    // column type in play (long, double, string, date/timestamp)
+    "q111_orc_denorm" -> ((s, dir) => {
+      def viaOrc(name: String): DataFrame = {
+        val p = stagedOnce(dir, s"${name}_orc") { tmp =>
+          Tables.load(s, dir, name).write.mode("overwrite").orc(tmp)
+        }
+        s.read.orc(p)
+      }
+      Denormalize.builder(viaOrc("orders"), viaOrc("customer"), rightKey = "c_custkey")
+        .joinOn(df => df("o_custkey"))
+        .inner
+    }),
   )
 
   /** Dirs q07 ran on in this JVM — [[joinKeyIndexSql]] generates its
@@ -1445,6 +1461,10 @@ object SparkEntry {
     "q107_stream_quality_monitor" -> operators.DataQuality.monitorSql,
     "q109_classifier_filter" -> PipelineOps.classifierFilterSql(),
     "q110_bigram_perplexity" -> PipelineOps.bigramPerplexityFilterSql(),
+    // rows+schema+hash equality against the PARQUET-read oracle proves
+    // the ORC write→read round-trip lossless (q103's gate, file-format
+    // flavor)
+    "q111_orc_denorm" -> denormOracle("JOIN"),
     "q59_snapshot_diff" -> PipelineOps.snapshotDiffSql,
     "q60_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
     // same contract as q60: the 90-day delay covers the fixture log, so
