@@ -1230,6 +1230,31 @@ object SparkEntry {
         .joinOn(df => df("o_custkey"))
         .inner
     }),
+    // CSV round-trip through the denorm core — the TEXT-format leg of
+    // the q103/q111 lossless-serde family. Losslessness here is NOT
+    // free: the default CSV timestamp pattern truncates to
+    // milliseconds, so the µs-precision columns pin an explicit
+    // microsecond format (write AND read), quoteAll guards delimiter
+    // collisions, and doubles survive via Spark's shortest-round-trip
+    // rendering. Read binds the original schema (CSV carries none).
+    "q112_csv_denorm" -> ((s, dir) => {
+      val usFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+      def viaCsv(name: String): DataFrame = {
+        val schema = Tables.load(s, dir, name).schema
+        val p = stagedOnce(dir, s"${name}_csv") { tmp =>
+          Tables.load(s, dir, name).write.mode("overwrite")
+            .option("header", "true").option("quoteAll", "true")
+            .option("timestampFormat", usFmt).option("timestampNTZFormat", usFmt)
+            .csv(tmp)
+        }
+        s.read.schema(schema).option("header", "true")
+          .option("timestampFormat", usFmt).option("timestampNTZFormat", usFmt)
+          .csv(p)
+      }
+      Denormalize.builder(viaCsv("orders"), viaCsv("customer"), rightKey = "c_custkey")
+        .joinOn(df => df("o_custkey"))
+        .inner
+    }),
   )
 
   /** Dirs q07 ran on in this JVM — [[joinKeyIndexSql]] generates its
@@ -1465,6 +1490,9 @@ object SparkEntry {
     // the ORC write→read round-trip lossless (q103's gate, file-format
     // flavor)
     "q111_orc_denorm" -> denormOracle("JOIN"),
+    // same gate, text-format leg: µs timestamps and shortest-round-trip
+    // doubles must survive the CSV write→read to hash-match
+    "q112_csv_denorm" -> denormOracle("JOIN"),
     "q59_snapshot_diff" -> PipelineOps.snapshotDiffSql,
     "q60_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
     // same contract as q60: the 90-day delay covers the fixture log, so
