@@ -1255,6 +1255,25 @@ object SparkEntry {
         .joinOn(df => df("o_custkey"))
         .inner
     }),
+    // streaming referential-integrity monitor — q106's RI check gone
+    // live: each micro-batch anti-joins the event stream against the
+    // static "active" registry (stream-static LEFT ANTI — stateless,
+    // the dim broadcasts), and a Complete-mode entity-keyed state grid
+    // (q107's shape) folds to per-type orphan counts. The active
+    // subset is a deterministic slice of customer (custkey % 3 ≠ 0) —
+    // the fixture's full-RI events need a restricted registry for the
+    // monitor to have something to catch.
+    "q113_stream_orphan_monitor" -> ((s, dir) => {
+      val active = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") % 3 =!= 0).select(col("c_custkey"))
+      val state = sketchMaintenanceStream(s, dir, "q113",
+        Tables.events(s, dir).select(col("event_type"), col("user_id")))(
+        ev => ev.join(active, ev("user_id") === active("c_custkey"), "left_anti")
+          .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("cnt")))
+      state.groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("n_orphan_events"),
+          count(lit(1)).as("n_orphan_users"))
+    }),
   )
 
   /** Dirs q07 ran on in this JVM — [[joinKeyIndexSql]] generates its
@@ -1493,6 +1512,15 @@ object SparkEntry {
     // same gate, text-format leg: µs timestamps and shortest-round-trip
     // doubles must survive the CSV write→read to hash-match
     "q112_csv_denorm" -> denormOracle("JOIN"),
+    // converged Complete-mode orphan grid equals the batch anti-join
+    // aggregate (counts are order-independent; the dim is static)
+    "q113_stream_orphan_monitor" ->
+      """SELECT event_type, count(*)::BIGINT AS n_orphan_events,
+                count(DISTINCT user_id)::BIGINT AS n_orphan_users
+         FROM events e
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = e.user_id AND c.c_custkey % 3 <> 0)
+         GROUP BY 1""",
     "q59_snapshot_diff" -> PipelineOps.snapshotDiffSql,
     "q60_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
     // same contract as q60: the 90-day delay covers the fixture log, so
