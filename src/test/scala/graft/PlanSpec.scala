@@ -366,6 +366,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate"), s"no explode — the fold runs in-row:\n$p")
   }
 
+  test("q106 audit: RI is a LEFT ANTI join; metric scans column-prune; no data cross product") {
+    val p = plan("q106_data_quality_audit")
+    assert(p.contains("LeftAnti"), s"RI must be an anti join:\n$p")
+    // the report assembly cross-joins ONE-ROW aggregates only — a
+    // cartesian over data-sized inputs must never appear
+    assert(!p.contains("CartesianProduct"), p)
+    // metrics partial-aggregate map-side before their single exchange
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    // the orders metric scan reads only the audited columns
+    assert(!p.contains("o_orderpriority"), s"audit must not read unaudited columns:\n$p")
+  }
+
+  test("q110 bigram LM: in-row bigram zip (no positional self-join); tf map-side combines") {
+    val p = plan("q110_bigram_perplexity")
+    // bigrams come from slices+zip inside Generate explode — NOT from a
+    // (doc, pos)×(doc, pos+1) self-join: exactly one scan-family join
+    // chain (tf2⋈n1⋈n1⋈tot⋈lp), no join keyed on a position column
+    assert(!p.contains("pos#") || !p.contains("pos + 1"), p)
+    assert(p.contains("partial_count"), s"bigram tf must map-side combine:\n$p")
+  }
+
+  test("q111/q112 format gates read back via their own format scans") {
+    val orc = plan("q111_orc_denorm")
+    assert(orc.contains("Scan orc"), s"q111 must execute over ORC scans:\n$orc")
+    val csv = plan("q112_csv_denorm")
+    assert(csv.contains("Scan csv"), s"q112 must execute over CSV scans:\n$csv")
+  }
+
   test("q64 LSH: native one-pass signatures; no forced join strategy") {
     val df = SparkEntry.queries("q64_embed_neardup_lsh")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
