@@ -1274,6 +1274,11 @@ object SparkEntry {
         .agg(sum(col("cnt")).as("n_orphan_events"),
           count(lit(1)).as("n_orphan_users"))
     }),
+    // the model-based curation cascade: q48's heuristic pass composed
+    // with the three model gates (q96 unigram LM, q109 classifier,
+    // q110 bigram LM) into one doc_id-keyed verdict/ablation table —
+    // integer-exact by composition
+    "q114_model_curation" -> ((s, dir) => PipelineOps.modelCuration(s, dir)),
   )
 
   /** Dirs q07 ran on in this JVM — [[joinKeyIndexSql]] generates its
@@ -1521,6 +1526,7 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM customer c
                            WHERE c.c_custkey = e.user_id AND c.c_custkey % 3 <> 0)
          GROUP BY 1""",
+    "q114_model_curation" -> PipelineOps.modelCurationSql(),
     "q59_snapshot_diff" -> PipelineOps.snapshotDiffSql,
     "q60_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
     // same contract as q60: the 90-day delay covers the fixture log, so

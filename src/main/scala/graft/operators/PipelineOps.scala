@@ -1215,4 +1215,50 @@ object PipelineOps {
                sum_lp_micro::DOUBLE / 1000000.0 / n_bigrams::DOUBLE AS avg_logprob,
                (sum_lp_micro > n_bigrams * ($thresholdMicro)) AS kept
         FROM doc"""
+
+  // ---- model-based curation cascade (q114) ----
+
+  /** The second curation pass a production pipeline runs AFTER q48's
+    * heuristic gates: the model-based filters — unigram-LM perplexity
+    * (q96), the hashed linear classifier (q109), and the interpolated
+    * bigram LM (q110) — joined into one verdict table. The cascade
+    * shape (cheap heuristics first, model scores on what survives) is
+    * the standard cost structure; here all verdicts are emitted for
+    * every document so the report doubles as a filter-ablation table
+    * (which gate killed what). Single-token documents have no bigram
+    * score (LEFT join) and fail the composite by `coalesce(false)`.
+    *
+    * Every input verdict is already integer-exact (q48's count/flag
+    * logic, q96/q110's BIGINT micro-unit sums, q109's integer
+    * comparison), so the composite is hash-exact by composition. The
+    * joins are all on doc_id — one co-partitioned key, no new shuffle
+    * class at scale; each component keeps its own documented shape.
+    */
+  def modelCuration(s: SparkSession, dir: String): DataFrame = {
+    val heur = curation(s, dir).select(col("doc_id"), col("keep").as("heur_keep"))
+    val uni = perplexityFilter(s, dir)
+      .select(col("doc_id"), col("kept").as("uni_kept"))
+    val cls = classifierFilter(s, dir)
+      .select(col("doc_id"), col("kept").as("cls_kept"))
+    val bi = bigramPerplexityFilter(s, dir)
+      .select(col("doc_id"), col("kept").as("bi_kept"))
+    heur.join(uni, "doc_id").join(cls, "doc_id")
+      .join(bi, Seq("doc_id"), "left")
+      .withColumn("keep",
+        (col("heur_keep") === 1 && col("uni_kept") && col("cls_kept")
+          && coalesce(col("bi_kept"), lit(false))).cast("int"))
+      .select(col("doc_id"), col("heur_keep"), col("uni_kept"),
+        col("cls_kept"), col("bi_kept"), col("keep"))
+  }
+
+  def modelCurationSql(): String =
+    s"""WITH cur AS (SELECT doc_id, keep FROM (${curationSql()}) t),
+        u AS (SELECT doc_id, kept FROM (${perplexityFilterSql()}) t),
+        c AS (SELECT doc_id, kept FROM (${classifierFilterSql()}) t),
+        b AS (SELECT doc_id, kept FROM (${bigramPerplexityFilterSql()}) t)
+        SELECT cur.doc_id, cur.keep AS heur_keep, u.kept AS uni_kept,
+               c.kept AS cls_kept, b.kept AS bi_kept,
+               (cur.keep = 1 AND u.kept AND c.kept AND coalesce(b.kept, false))::INT AS keep
+        FROM cur JOIN u USING (doc_id) JOIN c USING (doc_id)
+        LEFT JOIN b USING (doc_id)"""
 }

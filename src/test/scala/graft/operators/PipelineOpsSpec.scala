@@ -791,6 +791,18 @@ class PipelineOpsSpec extends SparkSpec {
     val docsWithBigrams = nTok.filter($"nt" >= 2).count()
     assert(bp.count() == docsWithBigrams)
   }
+
+  test("q114 cascade: keep is exactly the conjunction of its component gates") {
+    val mc = PipelineOps.modelCuration(spark, dir).collect()
+    assert(mc.nonEmpty)
+    mc.foreach { r =>
+      val expected = r.getInt(1) == 1 && r.getBoolean(2) && r.getBoolean(3) &&
+        (!r.isNullAt(4) && r.getBoolean(4))
+      assert(r.getInt(5) == (if (expected) 1 else 0), s"row $r")
+    }
+    // one verdict row per document — the ablation table covers the corpus
+    assert(mc.length == Tables.load(spark, dir, "documents").count())
+  }
 }
 
 class ConnectedComponentsSpec extends SparkSpec {
