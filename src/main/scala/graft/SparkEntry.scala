@@ -1279,6 +1279,67 @@ object SparkEntry {
     // q110 bigram LM) into one doc_id-keyed verdict/ablation table —
     // integer-exact by composition
     "q114_model_curation" -> ((s, dir) => PipelineOps.modelCuration(s, dir)),
+    // the reference's FULL topology code path under the driver's own
+    // gate: denormalizeCore — the exact decode → index → stateful-join
+    // → encode chain denormalizeTopology wraps between readTopic and
+    // writeTopic — executed over file-staged Kafka-SHAPED topics
+    // (binary key/value + timestamp/offset) with the Avro serde
+    // binding, its binary output decoded back the way a downstream
+    // consumer would. After this, readTopic/writeTopic are the only
+    // lines the sandbox has never executed (no broker/connector jar).
+    // Ordering: the right topic's record timestamps predate the left's
+    // (seq is the cross-topic major order), so rights sort first in
+    // each FK group — q08's arrival discipline, here produced by the
+    // serde metadata instead of the harness's synthetic seq offsets.
+    "q115_stream_topology_avro" -> ((s, dir) => {
+      import graft.streaming._
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val cust = Tables.load(s, dir, "customer")
+      def topic(df: DataFrame, key: org.apache.spark.sql.Column, tag: String,
+          ts: String): String =
+        stagedOnce(dir, tag) { p =>
+          KafkaWiring.encodeAvro(df, key, df.columns.map(col).toSeq)
+            .select(col("key"), col("value"),
+              lit(java.sql.Timestamp.valueOf(ts)).as("timestamp"),
+              xxhash64(col("value")).as("offset"))
+            .repartition(8).write.mode("overwrite").parquet(p)
+        }
+      val leftDir = topic(ev, col("event_id"), "q115_left_topic", "2024-06-01 00:00:00")
+      val rightDir = topic(cust, col("c_custkey"), "q115_right_topic", "2024-01-01 00:00:00")
+      val recSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("timestamp", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("offset", org.apache.spark.sql.types.LongType)))
+      val name = memorySinkName(s, "q115")
+      val ckpt = stageDir("q115_ckpt")
+      try {
+        withStatePartitions(s, 8) {
+          val out = KafkaWiring.denormalizeCore(
+            s.readStream.schema(recSchema).parquet(leftDir),
+            s.readStream.schema(recSchema).parquet(rightDir),
+            ev.schema, cust.schema,
+            col("event_id"), col("user_id"), col("c_custkey"),
+            "inner", strictBatchDedup = true,
+            serde = graft.streaming.AvroValueSerde)
+          val q = out.writeStream.format("memory").queryName(name)
+            .outputMode("append").option("checkpointLocation", ckpt).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      } finally rmTreeRetry(ckpt)
+      // consume the output topic: re-attach record metadata, Avro-decode
+      // under the derived schema, flatten to the relational columns
+      val valueSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("left", ev.schema),
+        org.apache.spark.sql.types.StructField("right", cust.schema)))
+      KafkaWiring.decodeAvro(
+        s.table(name).select(col("key"), col("value"),
+          lit(java.sql.Timestamp.valueOf("2024-06-01 00:00:00")).as("timestamp"),
+          xxhash64(col("value")).as("offset")),
+        valueSchema)
+        .select(col("left.*"), col("right.*"))
+    }),
   )
 
   /** Dirs q07 ran on in this JVM — [[joinKeyIndexSql]] generates its
@@ -1527,6 +1588,9 @@ object SparkEntry {
                            WHERE c.c_custkey = e.user_id AND c.c_custkey % 3 <> 0)
          GROUP BY 1""",
     "q114_model_curation" -> PipelineOps.modelCurationSql(),
+    // the topology converges to the relational join (q08's contract);
+    // the Avro encode→decode legs are lossless by the q103 gate
+    "q115_stream_topology_avro" -> streamDenormOracle,
     "q59_snapshot_diff" -> PipelineOps.snapshotDiffSql,
     "q60_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
     // same contract as q60: the 90-day delay covers the fixture log, so

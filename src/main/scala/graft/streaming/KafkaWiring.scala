@@ -219,20 +219,47 @@ object KafkaWiring {
       joinType: String, checkpoint: String,
       strictBatchDedup: Boolean = true,
       maxOffsetsPerTrigger: Option[Long] = None,
-      serde: ValueSerde = JsonValueSerde): DataStreamWriter[Row] = {
-    val left = serde.decode(
-      readTopic(spark, bootstrap, leftTopic, maxOffsetsPerTrigger = maxOffsetsPerTrigger),
-      leftSchema)
-    val right = serde.decode(
-      readTopic(spark, bootstrap, rightTopic, maxOffsetsPerTrigger = maxOffsetsPerTrigger),
-      rightSchema)
+      serde: ValueSerde = JsonValueSerde): DataStreamWriter[Row] =
+    writeTopic(
+      denormalizeCore(
+        readTopic(spark, bootstrap, leftTopic, maxOffsetsPerTrigger = maxOffsetsPerTrigger),
+        readTopic(spark, bootstrap, rightTopic, maxOffsetsPerTrigger = maxOffsetsPerTrigger),
+        leftSchema, rightSchema, leftKey, leftFk, rightKey,
+        joinType, strictBatchDedup, serde),
+      bootstrap, outTopic, checkpoint)
+
+  /** The topology MINUS the connector bind: Kafka-shaped record streams
+    * in (binary key/value + timestamp/offset — what [[readTopic]]
+    * yields), Kafka-shaped records out (what [[writeTopic]] consumes).
+    * Factored so the exact decode → index → stateful-join → encode
+    * path the connector runs can also execute over any source that
+    * produces the record shape — which is how q115 holds this code
+    * path to the driver's oracle offline (file-staged topics), leaving
+    * readTopic/writeTopic as the ONLY never-executed-in-sandbox lines.
+    */
+  def denormalizeCore(
+      leftRecords: DataFrame, rightRecords: DataFrame,
+      leftSchema: StructType, rightSchema: StructType,
+      leftKey: Column, leftFk: Column, rightKey: Column,
+      joinType: String, strictBatchDedup: Boolean = true,
+      serde: ValueSerde = JsonValueSerde): DataFrame = {
+    // normalize the payload schemas to all-nullable ONCE: the join's
+    // parsed leg re-reads payloads with from_json (all-nullable by
+    // construction) and outer variants emit null sides, so a declared
+    // non-null field would make the Avro writer schema (built from the
+    // parsed structs) diverge from a reader schema built from the
+    // caller's original — a resolution failure on perfectly good data
+    def asNullable(st: StructType): StructType =
+      StructType(st.fields.map(_.copy(nullable = true)))
+    val ls = asNullable(leftSchema)
+    val rs = asNullable(rightSchema)
+    val left = serde.decode(leftRecords, ls)
+    val right = serde.decode(rightRecords, rs)
     val index = StreamDenormalize.indexStream(
       left, leftKey, leftFk, col("seq"), right, rightKey, col("seq"),
       leftTie = col("tie"), rightTie = col("tie"))
     val joined = StreamDenormalize.parsed(
-      StreamDenormalize.joined(index, joinType, strictBatchDedup), leftSchema, rightSchema)
-    writeTopic(
-      serde.encode(joined, col("out_key"), Seq(col("left"), col("right"))),
-      bootstrap, outTopic, checkpoint)
+      StreamDenormalize.joined(index, joinType, strictBatchDedup), ls, rs)
+    serde.encode(joined, col("out_key"), Seq(col("left"), col("right")))
   }
 }

@@ -60,4 +60,51 @@ class KafkaWiringSpec extends SparkSpec {
     assert(back.getAs[Long]("story") == 70L)
     assert(back.getAs[String]("text") == "body")
   }
+
+  test("denormalizeCore is serde-agnostic: Json and Avro bindings converge to the same join") {
+    // the q115 claim in miniature, across BOTH serde bindings, in batch
+    // mode (the core is a Dataset transform — batch execution exercises
+    // the same decode → index → join → encode chain)
+    // nullable-ized schemas: the core's from_json/parsed leg emits
+    // all-nullable payload structs, so the declared schemas must agree
+    // (toDF of Scala primitives would declare non-null longs and the
+    // Avro reader schema would diverge from the writer's unions)
+    def asNullable(st: StructType): StructType =
+      StructType(st.fields.map(_.copy(nullable = true)))
+    val lefts0 = Seq((1L, 10L, "a"), (2L, 10L, "b"), (3L, 20L, "c"))
+      .toDF("id", "fk", "payload")
+    val rights0 = Seq((10L, "ten"), (20L, "twenty"), (30L, "thirty"))
+      .toDF("rk", "name")
+    val lefts = spark.createDataFrame(lefts0.rdd, asNullable(lefts0.schema))
+    val rights = spark.createDataFrame(rights0.rdd, asNullable(rights0.schema))
+    def shaped(df: org.apache.spark.sql.DataFrame, key: String, ts: String,
+        serde: ValueSerde) =
+      serde.encode(df, col(key), df.columns.map(col).toSeq)
+        .select(col("key"), col("value"),
+          lit(java.sql.Timestamp.valueOf(ts)).as("timestamp"),
+          xxhash64(col("value")).as("offset"))
+    def run(serde: ValueSerde): Set[(Long, Long, String, Long, String)] = {
+      val out = KafkaWiring.denormalizeCore(
+        shaped(lefts, "id", "2024-06-01 00:00:00", serde),
+        shaped(rights, "rk", "2024-01-01 00:00:00", serde),
+        lefts.schema, rights.schema,
+        col("id"), col("fk"), col("rk"), "inner", strictBatchDedup = true, serde)
+      val valueSchema = StructType(Seq(
+        StructField("left", lefts.schema), StructField("right", rights.schema)))
+      val reshaped = out.select(col("key"), col("value"),
+        lit(java.sql.Timestamp.valueOf("2024-06-01 00:00:00")).as("timestamp"),
+        lit(0L).as("offset"))
+      val dec = serde match {
+        case AvroValueSerde => KafkaWiring.decodeAvro(reshaped, valueSchema)
+        case JsonValueSerde => KafkaWiring.decode(reshaped, valueSchema)
+      }
+      dec.select(col("left.*"), col("right.*"))
+        .as[(Long, Long, String, Long, String)].collect().toSet
+    }
+    val expected = Set(
+      (1L, 10L, "a", 10L, "ten"), (2L, 10L, "b", 10L, "ten"),
+      (3L, 20L, "c", 20L, "twenty"))
+    assert(run(AvroValueSerde) == expected)
+    assert(run(JsonValueSerde) == expected)
+  }
 }
