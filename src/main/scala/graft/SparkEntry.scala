@@ -1340,6 +1340,10 @@ object SparkEntry {
         valueSchema)
         .select(col("left.*"), col("right.*"))
     }),
+    // distributed time-series similarity search: per-user daily
+    // milli-unit series, d² = SS(a)+SS(b)−2·dot factorization (no
+    // dense grid), bounded query batch, exact integer arithmetic
+    "q116_timeseries_similarity" -> ((s, dir) => Analytics.tsSimilarityTopK(s, dir)),
   )
 
   /** Dirs q07 ran on in this JVM — [[joinKeyIndexSql]] generates its
@@ -1591,6 +1595,7 @@ object SparkEntry {
     // the topology converges to the relational join (q08's contract);
     // the Avro encode→decode legs are lossless by the q103 gate
     "q115_stream_topology_avro" -> streamDenormOracle,
+    "q116_timeseries_similarity" -> Analytics.tsSimilarityTopKSql(),
     "q59_snapshot_diff" -> PipelineOps.snapshotDiffSql,
     "q60_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
     // same contract as q60: the 90-day delay covers the fixture log, so

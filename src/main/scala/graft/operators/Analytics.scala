@@ -386,4 +386,76 @@ object Analytics {
       .agg(
         count(lit(1)).as("n"),
         sum(col("value").cast(money)).cast("double").as("sum_value"))
+
+  // ---- time-series similarity search (q116) ----
+
+  /** Distributed time-series similarity search (the EDBT'19 streaming
+    * time-series-similarity problem shape, PAPERS.md): each user's
+    * activity is a DAILY series of milli-unit value sums, and a bounded
+    * query batch retrieves its top-k most-similar users by squared
+    * Euclidean distance with missing days as zero. The key scale move
+    * is the FACTORIZATION d²(a,b) = SS(a) + SS(b) − 2·dot(a,b): no
+    * dense user×day grid ever materializes — SS is one entity-keyed
+    * aggregate, and dot needs only the SHARED days of each (query,
+    * user) pair via a day-keyed join against the broadcast query
+    * series. Work: O(|series|·B) join fan-out with map-side partial
+    * aggregation, then a |U|·B pair table (bounded-B fan-out, the ANN
+    * family's query-batch discipline) and a distributed top-k window.
+    *
+    * Hash-exact by construction: series values are BIGINT milli-units
+    * (`floor(value·1000)` — one IEEE mul + floor), so SS, dot, and d²
+    * are exact integer arithmetic on both engines; ranking ties break
+    * on neighbor_id.
+    */
+  def tsSimilarityTopK(s: SparkSession, dir: String, k: Int = 5,
+      queryMod: Int = 50): DataFrame = {
+    val sr = Tables.events(s, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("2024-01-01")))
+          .cast("long").as("day"),
+        floor(col("value") * lit(1000)).cast("long").as("vm"))
+      .groupBy(col("user_id"), col("day")).agg(sum(col("vm")).as("v"))
+    val ss = sr.groupBy(col("user_id")).agg(sum(col("v") * col("v")).as("ss"))
+    val q = ss.filter(col("user_id") % queryMod === 0)
+      .select(col("user_id").as("query_id"), col("ss").as("ss_q"))
+    val qs = sr.join(broadcast(q.select(col("query_id"))),
+        sr("user_id") === col("query_id"))
+      .select(col("query_id"), col("day"), col("v").as("qv"))
+    val dots = sr.join(broadcast(qs), Seq("day"))
+      .filter(col("user_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("user_id"))
+      .agg(sum(col("qv") * col("v")).as("dot"))
+    val pairs = ss.crossJoin(broadcast(q))
+      .filter(col("user_id") =!= col("query_id"))
+    val scored = pairs.join(dots, Seq("query_id", "user_id"), "left")
+      .select(col("query_id"), col("user_id").as("neighbor_id"),
+        (col("ss_q") + col("ss") - lit(2L) * coalesce(col("dot"), lit(0L))).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d2").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("d2"))
+  }
+
+  def tsSimilarityTopKSql(k: Int = 5, queryMod: Int = 50): String =
+    s"""WITH s AS (SELECT user_id,
+                          date_diff('day', DATE '2024-01-01', ts)::BIGINT AS day,
+                          sum(floor(value * 1000)::BIGINT)::BIGINT AS v
+                   FROM events GROUP BY 1, 2),
+        ss AS (SELECT user_id, sum(v * v)::BIGINT AS ss FROM s GROUP BY 1),
+        q AS (SELECT user_id AS query_id, ss AS ss_q FROM ss WHERE user_id % $queryMod = 0),
+        qs AS (SELECT s.user_id AS query_id, day, v AS qv FROM s JOIN q ON s.user_id = q.query_id),
+        dots AS (SELECT qs.query_id, s.user_id, sum(qs.qv * s.v)::BIGINT AS dot
+                 FROM qs JOIN s USING (day) WHERE s.user_id <> qs.query_id
+                 GROUP BY 1, 2),
+        pairs AS (SELECT q.query_id, u.user_id, q.ss_q, u.ss
+                  FROM q CROSS JOIN ss u WHERE u.user_id <> q.query_id),
+        scored AS (SELECT p.query_id, p.user_id AS neighbor_id,
+                          (p.ss_q + p.ss - 2 * coalesce(d.dot, 0))::BIGINT AS d2
+                   FROM pairs p LEFT JOIN dots d
+                     ON d.query_id = p.query_id AND d.user_id = p.user_id)
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS rank,
+               d2
+        FROM scored
+        QUALIFY rank <= $k"""
 }

@@ -72,6 +72,43 @@ class ScaleOpsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS customer_b")
     }
   }
+
+  test("q116: SS+SS-2dot factorization equals the dense-grid distance (missing days = 0)") {
+    // the factorization is the whole scale story — pin it against the
+    // naive dense computation on the real fixture
+    val sr = Tables.events(spark, dir)
+      .select($"user_id",
+        datediff(to_date($"ts"), lit(java.sql.Date.valueOf("2024-01-01")))
+          .cast("long").as("day"),
+        floor($"value" * lit(1000)).cast("long").as("vm"))
+      .groupBy($"user_id", $"day").agg(sum($"vm").as("v"))
+    val series = sr.as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (u, rows) =>
+        u -> rows.map(r => r._2 -> r._3).toMap }
+    val got = Analytics.tsSimilarityTopK(spark, dir)
+      .as[(Long, Long, Int, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (q, n, _, d2) =>
+      assert(q != n)
+      val a = series(q); val b = series(n)
+      val days = a.keySet ++ b.keySet
+      val dense = days.toSeq.map { d =>
+        val diff = a.getOrElse(d, 0L) - b.getOrElse(d, 0L); diff * diff
+      }.sum
+      assert(d2 == dense, s"query $q neighbor $n: $d2 != dense $dense")
+    }
+    // ranks are the true k-smallest distances per query
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val allD2 = series.keys.filter(_ != q).map { n =>
+        val a = series(q); val b = series(n)
+        (a.keySet ++ b.keySet).toSeq.map { d =>
+          val diff = a.getOrElse(d, 0L) - b.getOrElse(d, 0L); diff * diff
+        }.sum
+      }.toSeq.sorted
+      val kth = allD2.take(rows.length).max
+      assert(rows.map(_._4).max <= kth)
+    }
+  }
 }
 
 class SketchesSpec extends SparkSpec {
