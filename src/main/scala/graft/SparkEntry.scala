@@ -1344,6 +1344,18 @@ object SparkEntry {
     // milli-unit series, d² = SS(a)+SS(b)−2·dot factorization (no
     // dense grid), bounded query batch, exact integer arithmetic
     "q116_timeseries_similarity" -> ((s, dir) => Analytics.tsSimilarityTopK(s, dir)),
+    // continuous time-series similarity (the EDBT'19 streaming
+    // problem): the daily grid is a counter-sum state (q94's
+    // streamable class) maintained in Complete mode; the shared
+    // search fold runs over the converged snapshot (localCheckpoint:
+    // the fold joins the grid against itself, and a memory-sink leaf
+    // does not dedup across join sides — the q105 pattern)
+    "q117_stream_timeseries_similarity" -> ((s, dir) => {
+      val grid = sketchMaintenanceStream(s, dir, "q117",
+        Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")))(
+        Analytics.tsDailyGrid)
+      Analytics.tsSimilarityFold(grid.localCheckpoint())
+    }),
   )
 
   /** Dirs q07 ran on in this JVM — [[joinKeyIndexSql]] generates its
@@ -1596,6 +1608,10 @@ object SparkEntry {
     // the Avro encode→decode legs are lossless by the q103 gate
     "q115_stream_topology_avro" -> streamDenormOracle,
     "q116_timeseries_similarity" -> Analytics.tsSimilarityTopKSql(),
+    // the converged Complete-mode grid equals the batch grid (daily
+    // sums are counter sums) and the search fold is shared, so q116's
+    // fully relational oracle applies unchanged
+    "q117_stream_timeseries_similarity" -> Analytics.tsSimilarityTopKSql(),
     "q59_snapshot_diff" -> PipelineOps.snapshotDiffSql,
     "q60_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
     // same contract as q60: the 90-day delay covers the fixture log, so

@@ -407,14 +407,26 @@ object Analytics {
     * are exact integer arithmetic on both engines; ranking ties break
     * on neighbor_id.
     */
-  def tsSimilarityTopK(s: SparkSession, dir: String, k: Int = 5,
-      queryMod: Int = 50): DataFrame = {
-    val sr = Tables.events(s, dir)
-      .select(col("user_id"),
-        datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("2024-01-01")))
-          .cast("long").as("day"),
-        floor(col("value") * lit(1000)).cast("long").as("vm"))
+  /** The per-(user, day) milli-unit series grid — q116's batch input
+    * and q117's Complete-mode streaming state (daily sums are counter
+    * sums, the streamable class: the converged grid equals the batch
+    * grid cell-for-cell). */
+  def tsDailyGrid(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"),
+      datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("2024-01-01")))
+        .cast("long").as("day"),
+      floor(col("value") * lit(1000)).cast("long").as("vm"))
       .groupBy(col("user_id"), col("day")).agg(sum(col("vm")).as("v"))
+
+  def tsSimilarityTopK(s: SparkSession, dir: String, k: Int = 5,
+      queryMod: Int = 50): DataFrame =
+    tsSimilarityFold(tsDailyGrid(
+      Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))), k, queryMod)
+
+  /** The search fold over a series grid (batch-computed or the
+    * converged streaming state): SS, shared-day dots against the
+    * bounded query batch, factorized d², distributed top-k. */
+  def tsSimilarityFold(sr: DataFrame, k: Int = 5, queryMod: Int = 50): DataFrame = {
     val ss = sr.groupBy(col("user_id")).agg(sum(col("v") * col("v")).as("ss"))
     val q = ss.filter(col("user_id") % queryMod === 0)
       .select(col("user_id").as("query_id"), col("ss").as("ss_q"))
