@@ -425,10 +425,19 @@ object Analytics {
 
   /** The search fold over a series grid (batch-computed or the
     * converged streaming state): SS, shared-day dots against the
-    * bounded query batch, factorized d², distributed top-k. */
-  def tsSimilarityFold(sr: DataFrame, k: Int = 5, queryMod: Int = 50): DataFrame = {
+    * bounded query batch, factorized d², distributed top-k.
+    *
+    * The query batch is EXPLICITLY bounded (lowest `maxQueryBatch`
+    * ids of the `% queryMod` slice — the Similarity family's
+    * discipline): both broadcasts below ride it, and an unbounded
+    * "all sampled users" batch would be an executor-memory hazard at
+    * real user cardinality. Plans as TakeOrderedAndProject.
+    */
+  def tsSimilarityFold(sr: DataFrame, k: Int = 5, queryMod: Int = 50,
+      maxQueryBatch: Int = 1024): DataFrame = {
     val ss = sr.groupBy(col("user_id")).agg(sum(col("v") * col("v")).as("ss"))
     val q = ss.filter(col("user_id") % queryMod === 0)
+      .orderBy(col("user_id").asc).limit(maxQueryBatch)
       .select(col("user_id").as("query_id"), col("ss").as("ss_q"))
     val qs = sr.join(broadcast(q.select(col("query_id"))),
         sr("user_id") === col("query_id"))
@@ -448,13 +457,15 @@ object Analytics {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("d2"))
   }
 
-  def tsSimilarityTopKSql(k: Int = 5, queryMod: Int = 50): String =
+  def tsSimilarityTopKSql(k: Int = 5, queryMod: Int = 50,
+      maxQueryBatch: Int = 1024): String =
     s"""WITH s AS (SELECT user_id,
                           date_diff('day', DATE '2024-01-01', ts)::BIGINT AS day,
                           sum(floor(value * 1000)::BIGINT)::BIGINT AS v
                    FROM events GROUP BY 1, 2),
         ss AS (SELECT user_id, sum(v * v)::BIGINT AS ss FROM s GROUP BY 1),
-        q AS (SELECT user_id AS query_id, ss AS ss_q FROM ss WHERE user_id % $queryMod = 0),
+        q AS (SELECT user_id AS query_id, ss AS ss_q FROM ss
+              WHERE user_id % $queryMod = 0 ORDER BY user_id LIMIT $maxQueryBatch),
         qs AS (SELECT s.user_id AS query_id, day, v AS qv FROM s JOIN q ON s.user_id = q.query_id),
         dots AS (SELECT qs.query_id, s.user_id, sum(qs.qv * s.v)::BIGINT AS dot
                  FROM qs JOIN s USING (day) WHERE s.user_id <> qs.query_id

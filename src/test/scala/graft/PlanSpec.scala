@@ -387,6 +387,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"bigram tf must map-side combine:\n$p")
   }
 
+  test("q116 time-series search: bounded query batch (distributed top-N), no dense grid") {
+    val p = plan("q116_timeseries_similarity")
+    // the query batch is an explicit ORDER+LIMIT → TakeOrderedAndProject
+    // (never a full sort), and it is what every broadcast rides
+    assert(p.contains("TakeOrderedAndProject"), s"query batch must be bounded:\n$p")
+    // the factorization means no user×day cartesian materializes
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q111/q112 format gates read back via their own format scans") {
     val orc = plan("q111_orc_denorm")
     assert(orc.contains("Scan orc"), s"q111 must execute over ORC scans:\n$orc")
