@@ -1356,6 +1356,14 @@ object SparkEntry {
         Analytics.tsDailyGrid)
       Analytics.tsSimilarityFold(grid.localCheckpoint())
     }),
+    // the released-corpus datasheet: per-(source, lang) doc/token
+    // counts + kept fraction after the FULL q114 cascade + token share
+    // — stratum-bounded output, single-division exactness
+    "q118_datasheet" -> ((s, dir) => PipelineOps.datasheet(s, dir)),
+    // join-key skew diagnosis: the report that decides salting vs AQE
+    // skew-split; heavy key via one max(struct) aggregate, never a
+    // global sort of the counts table
+    "q119_skew_report" -> ((s, dir) => operators.DataQuality.skewReport(s, dir)),
   )
 
   /** Dirs q07 ran on in this JVM — [[joinKeyIndexSql]] generates its
@@ -1612,6 +1620,8 @@ object SparkEntry {
     // sums are counter sums) and the search fold is shared, so q116's
     // fully relational oracle applies unchanged
     "q117_stream_timeseries_similarity" -> Analytics.tsSimilarityTopKSql(),
+    "q118_datasheet" -> PipelineOps.datasheetSql(),
+    "q119_skew_report" -> operators.DataQuality.skewReportSql,
     "q59_snapshot_diff" -> PipelineOps.snapshotDiffSql,
     "q60_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
     // same contract as q60: the 90-day delay covers the fixture log, so

@@ -134,6 +134,58 @@ object DataQuality {
         max(col("mx")).as("max_value"),
         sum(col("sm")).as("sum_value_micro"))
 
+  // ---- join-key skew diagnosis (q119) ----
+
+  /** Per-join-key skew report — the diagnostic that decides whether a
+    * join needs salting (`Denormalize`'s skew path) or AQE's skew
+    * split: for each audited key column, the key cardinality, row
+    * count, the heaviest key and its count, the mean rows/key, and the
+    * skew ratio max/mean. Two-phase shape at any scale: the per-key
+    * counts partial-aggregate map-side and shuffle on the key; the
+    * rollup to ONE row per column is a scalar aggregate; the heavy key
+    * itself comes from a `max(struct(cnt, key))` — one aggregate, ties
+    * broken on the key, NO global sort of the counts table (a
+    * row_number window there would be the single-partition
+    * scale-killer this report exists to prevent). Exactness: counts
+    * BIGINT; mean and skew are two IEEE divisions mirrored
+    * operand-for-operand.
+    */
+  def skewReport(s: SparkSession, dir: String): DataFrame = {
+    def onecol(df: DataFrame, label: String, key: Column): DataFrame = {
+      val counts = df.select(key.cast("long").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"),
+        max(struct(col("cnt"), col("k"))).getField("k").as("heavy_key"))
+        .select(lit(label).as("key_col"), col("n_keys"), col("n_rows"),
+          col("max_cnt"), col("heavy_key"),
+          (col("n_rows").cast("double") / col("n_keys").cast("double")).as("mean_cnt"),
+          (col("max_cnt").cast("double")
+            / (col("n_rows").cast("double") / col("n_keys").cast("double"))).as("skew_ratio"))
+    }
+    onecol(Tables.load(s, dir, "lineitem"), "lineitem.l_orderkey", col("l_orderkey"))
+      .unionAll(onecol(Tables.load(s, dir, "orders"), "orders.o_custkey", col("o_custkey")))
+      .unionAll(onecol(Tables.load(s, dir, "events"), "events.user_id", col("user_id")))
+  }
+
+  def skewReportSql: String = {
+    def one(table: String, colName: String): String =
+      s"""SELECT '$table.$colName' AS key_col,
+                 count(*)::BIGINT AS n_keys,
+                 sum(cnt)::BIGINT AS n_rows,
+                 max(cnt)::BIGINT AS max_cnt,
+                 (max({'cnt': cnt, 'k': k})).k AS heavy_key,
+                 sum(cnt)::DOUBLE / count(*)::DOUBLE AS mean_cnt,
+                 max(cnt)::DOUBLE / (sum(cnt)::DOUBLE / count(*)::DOUBLE) AS skew_ratio
+          FROM (SELECT $colName::BIGINT AS k, count(*)::BIGINT AS cnt
+                FROM $table GROUP BY 1)"""
+    s"""${one("lineitem", "l_orderkey")}
+        UNION ALL ${one("orders", "o_custkey")}
+        UNION ALL ${one("events", "user_id")}"""
+  }
+
   def monitorSql: String =
     """SELECT event_type,
               count(*)::BIGINT AS n_events,

@@ -1251,6 +1251,52 @@ object PipelineOps {
         col("cls_kept"), col("bi_kept"), col("keep"))
   }
 
+  // ---- corpus datasheet (q118) ----
+
+  /** The "datasheet for a dataset" summary every released corpus
+    * ships: per (source, lang) stratum — document and token counts,
+    * the kept fraction after the full q114 curation cascade, and the
+    * stratum's share of total corpus tokens. One aggregation over the
+    * documents scan (token counts are in-row `size(split)`), one
+    * doc_id join against the cascade verdicts, and a one-row total
+    * broadcast for the share — no new shuffle class; the stratum table
+    * is (sources × langs)-bounded. Counts are BIGINT; kept_frac and
+    * token_share are each a single IEEE division of exact counts.
+    */
+  def datasheet(s: SparkSession, dir: String): DataFrame = {
+    val verdicts = modelCuration(s, dir).select(col("doc_id"), col("keep"))
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_toks"))
+      .join(verdicts, "doc_id")
+    val strata = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("keep").cast("long")).as("n_kept"))
+    val tot = strata.agg(sum(col("n_tokens")).as("total_tokens"))
+    strata.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_kept"),
+        (col("n_kept").cast("double") / col("n_docs").cast("double")).as("kept_frac"),
+        (col("n_tokens").cast("double") / col("total_tokens").cast("double")).as("token_share"))
+  }
+
+  def datasheetSql(): String =
+    s"""WITH mc AS (SELECT doc_id, keep FROM (${modelCurationSql()}) t),
+        d AS (SELECT doc_id, source, lang,
+                     len(string_split(lower(text), ' '))::BIGINT AS n_toks
+              FROM documents),
+        strata AS (SELECT source, lang,
+                          count(*)::BIGINT AS n_docs,
+                          sum(n_toks)::BIGINT AS n_tokens,
+                          sum(mc.keep)::BIGINT AS n_kept
+                   FROM d JOIN mc USING (doc_id) GROUP BY 1, 2),
+        tot AS (SELECT sum(n_tokens)::BIGINT AS total_tokens FROM strata)
+        SELECT source, lang, n_docs, n_tokens, n_kept,
+               n_kept::DOUBLE / n_docs::DOUBLE AS kept_frac,
+               n_tokens::DOUBLE / tot.total_tokens::DOUBLE AS token_share
+        FROM strata, tot"""
+
   def modelCurationSql(): String =
     s"""WITH cur AS (SELECT doc_id, keep FROM (${curationSql()}) t),
         u AS (SELECT doc_id, kept FROM (${perplexityFilterSql()}) t),

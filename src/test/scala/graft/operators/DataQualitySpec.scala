@@ -62,6 +62,28 @@ class DataQualitySpec extends SparkSpec {
     assert(rep("orders.o_orderkey.uniqueness") == (None, 1))
   }
 
+  test("q119 skew report: exact ratios and deterministic heavy key on the sf tables") {
+    val rep = DataQuality.skewReport(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rep.size == 3)
+    rep.values.foreach { r =>
+      val (nKeys, nRows, maxCnt) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nKeys > 0 && nRows >= nKeys && maxCnt >= 1)
+      // mean and skew re-derive exactly from the counts
+      assert(r.getDouble(5) == nRows.toDouble / nKeys.toDouble)
+      assert(r.getDouble(6) == maxCnt.toDouble / (nRows.toDouble / nKeys.toDouble))
+      assert(r.getDouble(6) >= 1.0)
+    }
+    // the heavy key really is a max-count key (spot check on events)
+    val ev = graft.Tables.events(spark, dir).groupBy($"user_id").count()
+      .as[(Long, Long)].collect().toMap
+    val heavy = rep("events.user_id").getLong(4)
+    assert(ev(heavy) == ev.values.max)
+    // tie-break: among max-count keys, the LARGEST key id wins
+    val tied = ev.filter(_._2 == ev.values.max).keys.max
+    assert(heavy == tied)
+  }
+
   test("q107 monitor: two-level state fold equals the direct batch aggregate") {
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_type"), col("user_id"), col("value"))

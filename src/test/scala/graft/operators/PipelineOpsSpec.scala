@@ -792,6 +792,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bp.count() == docsWithBigrams)
   }
 
+  test("q118 datasheet: strata cover the corpus, shares sum to ~1, kept bounded") {
+    val ds = PipelineOps.datasheet(spark, dir).collect()
+    assert(ds.nonEmpty)
+    val totalDocs = ds.map(_.getLong(2)).sum
+    assert(totalDocs == Tables.load(spark, dir, "documents").count())
+    val shareSum = ds.map(_.getDouble(6)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"token shares sum to $shareSum")
+    ds.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(2)) // n_kept <= n_docs
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
   test("q114 cascade: keep is exactly the conjunction of its component gates") {
     val mc = PipelineOps.modelCuration(spark, dir).collect()
     assert(mc.nonEmpty)
