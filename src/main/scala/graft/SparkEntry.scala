@@ -1364,6 +1364,10 @@ object SparkEntry {
     // skew-split; heavy key via one max(struct) aggregate, never a
     // global sort of the counts table
     "q119_skew_report" -> ((s, dir) => operators.DataQuality.skewReport(s, dir)),
+    // Tukey-fence outlier gate on the shared q75/q100 histogram
+    // quantile estimator: group-bounded bounds broadcast, one map-side
+    // flagging join over the scan
+    "q120_outlier_gate" -> ((s, dir) => operators.Sketches.outlierGate(s, dir)),
   )
 
   /** Dirs q07 ran on in this JVM — [[joinKeyIndexSql]] generates its
@@ -1622,6 +1626,7 @@ object SparkEntry {
     "q117_stream_timeseries_similarity" -> Analytics.tsSimilarityTopKSql(),
     "q118_datasheet" -> PipelineOps.datasheetSql(),
     "q119_skew_report" -> operators.DataQuality.skewReportSql,
+    "q120_outlier_gate" -> operators.Sketches.outlierGateSql(),
     "q59_snapshot_diff" -> PipelineOps.snapshotDiffSql,
     "q60_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
     // same contract as q60: the 90-day delay covers the fixture log, so

@@ -382,6 +382,51 @@ object Sketches {
       buckets: Int = 64, ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =
     histQuantiles(histGrid(Tables.events(s, dir), width, buckets), width, ps)
 
+  /** IQR outlier gate (q120) — robust-statistics event cleaning: per
+    * event_type, flag values outside [q25 − k·IQR, q75 + k·IQR]
+    * (Tukey's fences, k = 1.5). The quartiles come from the SAME
+    * stored-histogram estimator as q75/q100 (shared constants — the
+    * gate, the batch quantiles, and the streamed quantiles cannot
+    * drift), so the bounds are cell-exact cross-engine: q_est's fixed
+    * IEEE order is already proven, and the fence arithmetic mirrors
+    * operand-for-operand. The bounds table is group-bounded (one row
+    * per event_type) and broadcasts; the flagging pass is one map-side
+    * join over the scan — no per-row quantile work at any scale.
+    */
+  def outlierGate(s: SparkSession, dir: String, width: Double = 8.0,
+      buckets: Int = 64, k: Double = 1.5): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val qs = histQuantiles(
+      histGrid(ev.select(col("event_type"), col("value")), width, buckets),
+      width, Seq(0.25, 0.75))
+    val b = qs.groupBy(col("event_type")).agg(
+      max(when(col("p") === 0.25, col("q_est"))).as("q25"),
+      max(when(col("p") === 0.75, col("q_est"))).as("q75"))
+    val bounds = b.select(col("event_type"),
+      (col("q25") - lit(k) * (col("q75") - col("q25"))).as("lo"),
+      (col("q75") + lit(k) * (col("q75") - col("q25"))).as("hi"))
+    ev.select(col("event_id"), col("event_type"), col("value"))
+      .join(broadcast(bounds), Seq("event_type"))
+      .withColumn("is_outlier",
+        (col("value") < col("lo") || col("value") > col("hi")).cast("int"))
+  }
+
+  def outlierGateSql(width: Double = 8.0, buckets: Int = 64,
+      k: Double = 1.5): String =
+    s"""WITH qh AS (SELECT event_type, p, q_est
+                    FROM (${quantileHistogramSql(width, buckets, Seq(0.25, 0.75))}) t),
+        b AS (SELECT event_type,
+                     max(CASE WHEN p = 0.25 THEN q_est END) AS q25,
+                     max(CASE WHEN p = 0.75 THEN q_est END) AS q75
+              FROM qh GROUP BY 1),
+        bounds AS (SELECT event_type,
+                          q25 - ($k) * (q75 - q25) AS lo,
+                          q75 + ($k) * (q75 - q25) AS hi
+                   FROM b)
+        SELECT e.event_id, e.event_type, e.value, bounds.lo, bounds.hi,
+               (e.value < bounds.lo OR e.value > bounds.hi)::INT AS is_outlier
+        FROM events e JOIN bounds USING (event_type)"""
+
   def quantileHistogramSql(width: Double = 8.0, buckets: Int = 64,
       ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): String =
     s"""WITH hist AS (

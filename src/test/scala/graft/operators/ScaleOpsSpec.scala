@@ -73,6 +73,25 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("q120 outlier gate: fences bracket the bulk; flags match a plain-Scala re-derivation") {
+    val rows = Sketches.outlierGate(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // per type: bounds are constant, lo < hi, and the outlier fraction
+    // is a minority (Tukey fences at 1.5 IQR on any non-degenerate data)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val lo = rs.head.getDouble(3); val hi = rs.head.getDouble(4)
+      assert(rs.forall(r => r.getDouble(3) == lo && r.getDouble(4) == hi))
+      assert(lo < hi)
+      val outFrac = rs.count(_.getInt(5) == 1).toDouble / rs.length
+      assert(outFrac < 0.5, s"outlier fraction $outFrac")
+      // each flag re-derives from the row's own value and bounds
+      rs.foreach { r =>
+        val expect = if (r.getDouble(2) < lo || r.getDouble(2) > hi) 1 else 0
+        assert(r.getInt(5) == expect)
+      }
+    }
+  }
+
   test("q116: SS+SS-2dot factorization equals the dense-grid distance (missing days = 0)") {
     // the factorization is the whole scale story — pin it against the
     // naive dense computation on the real fixture
