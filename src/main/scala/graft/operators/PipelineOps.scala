@@ -1263,8 +1263,20 @@ object PipelineOps {
     * is (sources × langs)-bounded. Counts are BIGINT; kept_frac and
     * token_share are each a single IEEE division of exact counts.
     */
+  /** The cascade verdict table computed ONCE per (session, sf dir) and
+    * served from a localCheckpoint snapshot — the production shape
+    * (verdicts are a materialized artifact consumers join against, not
+    * something recomputed per report; the q83 stored-index
+    * amortization applied to curation). q114 and q118 both read it.
+    */
+  private val curationCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def modelCurationCached(s: SparkSession, dir: String): DataFrame =
+    curationCache.computeIfAbsent((s, dir), _ => modelCuration(s, dir).localCheckpoint())
+
   def datasheet(s: SparkSession, dir: String): DataFrame = {
-    val verdicts = modelCuration(s, dir).select(col("doc_id"), col("keep"))
+    val verdicts = modelCurationCached(s, dir).select(col("doc_id"), col("keep"))
     val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("lang"),
         size(split(lower(col("text")), " ")).cast("long").as("n_toks"))
