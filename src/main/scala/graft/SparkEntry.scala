@@ -383,6 +383,14 @@ object SparkEntry {
   // already excludes a null FK, but a null PRIMARY key rides any join
   // type — the oracle must drop exactly what the engine drops, not
   // rely on the fixtures staying null-free
+  /** q121/q122: latest-per-user with the q05 version order; a user
+    * whose LATEST record is a tombstone (event_id % 7 = 0) is absent.
+    */
+  private val upsertTombstoneOracle =
+    """SELECT user_id, event_id, event_type, value FROM events
+       QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+           AND NOT (event_id % 7 = 0)"""
+
   private val streamDenormOracle =
     """SELECT event_id, user_id, event_type, value,
               c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
@@ -1371,6 +1379,39 @@ object SparkEntry {
     // quantile estimator: group-bounded bounds broadcast, one map-side
     // flagging join over the scan
     "q120_outlier_gate" -> ((s, dir) => operators.Sketches.outlierGate(s, dir)),
+    // O8's other half: compacted-topic semantics WITH delete markers
+    // (Kafka cleanup.policy=compact tombstones — the reference
+    // delegates deletion to the broker; this honors it engine-side).
+    // Deterministic synthetic tombstone rule: event_id % 7 = 0.
+    "q121_upsert_tombstones" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts"))
+      Upsert.latestPerKeyTombstone(ev, Seq("user_id"),
+        struct(unix_micros(col("ts")), col("event_id")),
+        col("event_id") % 7 === 0)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    }),
+    // the streamed form: the per-key argmax is a Complete-mode max_by
+    // aggregation (entity-keyed state, one row per user); the argmax
+    // of a fixed version order is batching-independent, so the
+    // converged state equals the batch snapshot and the tombstone
+    // filter + q121's oracle apply unchanged
+    "q122_stream_upsert_tombstones" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts"))
+      val state = sketchMaintenanceStream(s, dir, "q122", ev)(
+        df => df.withColumn("__tomb", col("event_id") % 7 === 0)
+          .groupBy(col("user_id"))
+          .agg(max_by(
+            struct(col("user_id").as("k"), col("event_id"), col("event_type"),
+              col("value"), col("__tomb")),
+            struct(unix_micros(col("ts")), col("event_id"))).as("__row")))
+      state.filter(!col("__row.__tomb"))
+        .select(col("__row.k").as("user_id"), col("__row.event_id"),
+          col("__row.event_type"), col("__row.value"))
+    }),
   )
 
   /** Dirs q07 ran on in this JVM — [[joinKeyIndexSql]] generates its
@@ -1630,6 +1671,10 @@ object SparkEntry {
     "q118_datasheet" -> PipelineOps.datasheetSql(),
     "q119_skew_report" -> operators.DataQuality.skewReportSql,
     "q120_outlier_gate" -> operators.Sketches.outlierGateSql(),
+    "q121_upsert_tombstones" -> upsertTombstoneOracle,
+    // batching-independent argmax: the converged streaming state equals
+    // the batch snapshot, so the same oracle applies
+    "q122_stream_upsert_tombstones" -> upsertTombstoneOracle,
     "q59_snapshot_diff" -> PipelineOps.snapshotDiffSql,
     "q60_stream_dedup" -> "SELECT DISTINCT user_id, event_type FROM events",
     // same contract as q60: the 90-day delay covers the fixture log, so

@@ -42,6 +42,28 @@ object Upsert {
       .select(df.columns.map(c => col(s"__row.$c")).toSeq: _*)
   }
 
+  /** Compacted-topic semantics WITH delete markers — Kafka
+    * `cleanup.policy=compact`'s other half: a tombstone (null-payload
+    * record) DELETES its key at compaction. The reference's topics
+    * declare `compact,delete` but delegate deletion entirely to the
+    * broker; this is the engine-side equivalent so a snapshot read
+    * honors deletes without waiting for log cleaning: latest record
+    * per key wins (same map-side-combining max_by as
+    * [[latestPerKeyAgg]]), and a key whose LATEST record is a
+    * tombstone is absent from the snapshot. Order matters: the filter
+    * runs AFTER the argmax — a tombstone must suppress older live
+    * versions (filtering tombstones first would resurrect them).
+    */
+  def latestPerKeyTombstone(df: DataFrame, keys: Seq[String], version: Column,
+      isTomb: Column): DataFrame = {
+    val withT = df.withColumn("__tomb", isTomb)
+    val payload = struct(withT.columns.map(col).toSeq: _*)
+    withT.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, version).as("__row"))
+      .filter(!col("__row.__tomb"))
+      .select(df.columns.map(c => col(s"__row.$c")).toSeq: _*)
+  }
+
   /** Ingestion-style seen-set dedup (SURVEY.md §2 O21,
     * `services/comments.py:18,52-53`): first occurrence per id wins.
     * "First" is defined by ascending `arrivalOrder` for determinism.

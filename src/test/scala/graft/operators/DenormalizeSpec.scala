@@ -101,4 +101,19 @@ class UpsertSpec extends SparkSpec {
       .select("k", "v").as[(Long, String)].collect().toSet
     assert(out == Set((1L, "a"), (2L, "c")))
   }
+
+  test("tombstone compaction: latest tombstone deletes; older tombstone does not resurrect") {
+    // key 1: live(10) < TOMB(20)        → deleted (tombstone suppresses older live)
+    // key 2: TOMB(5)  < live(9)         → survives with the newer live row
+    // key 3: TOMB(7) only               → deleted
+    val rows = Seq(
+      (1L, "a", 10L, false), (1L, "t", 20L, true),
+      (2L, "t", 5L, true), (2L, "b", 9L, false),
+      (3L, "t", 7L, true)
+    ).toDF("k", "v", "ver", "tomb")
+    val out = Upsert.latestPerKeyTombstone(
+      rows.drop("tomb"), Seq("k"), col("ver"), col("v") === "t")
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(out == Set((2L, "b")))
+  }
 }
