@@ -59,6 +59,36 @@ class FormatsSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("CSV corrupt-row contract: PERMISSIVE null-fills and counts, FAILFAST throws") {
+    // the text-format sibling of the Avro strict-failure pin: a 100 TB
+    // ingest must CHOOSE between tolerating and rejecting corrupt rows,
+    // and the choice must be explicit and observable — not silent
+    import org.apache.spark.sql.types._
+    val out = tmp("csv_corrupt")
+    val good = "1,alpha,10.5\n2,beta,20.25\n"
+    val bad = "3,gamma,not_a_number\n"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "part-0.csv"), good + bad)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("_corrupt", StringType)))
+    // PERMISSIVE: the corrupt cell nulls, the raw line lands in the
+    // declared corrupt-record column — quarantine-able, never silent
+    val perm = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(out).collect().sortBy(_.getLong(0))
+    assert(perm.length == 3)
+    assert(perm(2).isNullAt(2) && perm(2).getString(3) == bad.trim)
+    assert((0 to 1).forall(i => !perm(i).isNullAt(2) && perm(i).isNullAt(3)))
+    // FAILFAST: the same file throws instead of null-filling
+    val strictSchema = StructType(schema.fields.dropRight(1))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.schema(strictSchema).option("mode", "FAILFAST").csv(out).collect()
+    }
+    assert(e.getMessage.contains("Malformed") || e.getCause != null)
+  }
+
   test("JSON-lines roundtrip (the Kafka value shape) is lossless for events") {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
