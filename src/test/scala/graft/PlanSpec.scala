@@ -387,6 +387,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"bigram tf must map-side combine:\n$p")
   }
 
+  test("q121 tombstone compaction: map-side-combining argmax, no window") {
+    // the agg form's point: versions collapse BEFORE the exchange, so
+    // the shuffle carries one row per (partition, key) — a row_number
+    // window would ship every version
+    val p = plan("q121_upsert_tombstones")
+    assert(p.contains("partial_max_by"), s"argmax must map-side combine:\n$p")
+    assert(!p.contains("Window"), s"no window/sort path:\n$p")
+  }
+
   test("q116 time-series search: bounded query batch (distributed top-N), no dense grid") {
     val p = plan("q116_timeseries_similarity")
     // the query batch is an explicit ORDER+LIMIT → TakeOrderedAndProject
