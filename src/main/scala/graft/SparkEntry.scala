@@ -1392,6 +1392,26 @@ object SparkEntry {
         col("event_id") % 7 === 0)
         .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
     }),
+    // streamed sliding-window TRENDING — q46's streamed sibling with a
+    // per-window top-N: the (window × user) count grid is counter-sum
+    // state (the streamable class; Complete mode converges to the
+    // batch grid), and the fold ranks each window's users over the
+    // bounded per-window slice. Production evicts closed windows via
+    // watermark + Append (q31's form); Complete here matches the
+    // sketch-maintenance family and keeps the oracle exact.
+    "q123_stream_trending" -> ((s, dir) => {
+      val grid = sketchMaintenanceStream(s, dir, "q123",
+        Tables.events(s, dir).select(col("ts"), col("user_id")))(
+        ev => ev.groupBy(window(col("ts"), "2 hours", "1 hour"), col("user_id"))
+          .agg(count(lit(1)).as("cnt")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("win_start")).orderBy(col("cnt").desc, col("user_id").asc)
+      grid.select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("win_start"),
+        col("user_id"), col("cnt"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("win_start"), col("user_id"), col("rank"), col("cnt"))
+    }),
     // the streamed form: the per-key argmax is a Complete-mode max_by
     // aggregation (entity-keyed state, one row per user); the argmax
     // of a fixed version order is batching-independent, so the
@@ -1672,6 +1692,18 @@ object SparkEntry {
     "q119_skew_report" -> operators.DataQuality.skewReportSql,
     "q120_outlier_gate" -> operators.Sketches.outlierGateSql(),
     "q121_upsert_tombstones" -> upsertTombstoneOracle,
+    // the streamed (window × user) grid equals the batch grid (counter
+    // sums), so the trending oracle re-derives relationally
+    "q123_stream_trending" ->
+      """WITH w AS (
+           SELECT user_id,
+                  unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR, date_trunc('hour', ts)]) AS ws
+           FROM events),
+         c AS (SELECT ws, user_id, count(*)::BIGINT AS cnt FROM w GROUP BY 1, 2)
+         SELECT strftime(ws, '%Y-%m-%d %H') AS win_start, user_id,
+                row_number() OVER (PARTITION BY ws ORDER BY cnt DESC, user_id ASC) AS rank,
+                cnt
+         FROM c QUALIFY rank <= 5""",
     // batching-independent argmax: the converged streaming state equals
     // the batch snapshot, so the same oracle applies
     "q122_stream_upsert_tombstones" -> upsertTombstoneOracle,
