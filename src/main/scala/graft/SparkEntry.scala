@@ -383,6 +383,22 @@ object SparkEntry {
   // already excludes a null FK, but a null PRIMARY key rides any join
   // type — the oracle must drop exactly what the engine drops, not
   // rely on the fixtures staying null-free
+  /** q123/q124: top-5 users per (2 h, 1 h) sliding window — each event
+    * belongs to the two hourly starts covering it; counts are
+    * order-independent so both the Complete grid and the Append
+    * emitted set equal this batch derivation.
+    */
+  private val trendingOracle =
+    """WITH w AS (
+         SELECT user_id,
+                unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR, date_trunc('hour', ts)]) AS ws
+         FROM events),
+       c AS (SELECT ws, user_id, count(*)::BIGINT AS cnt FROM w GROUP BY 1, 2)
+       SELECT strftime(ws, '%Y-%m-%d %H') AS win_start, user_id,
+              row_number() OVER (PARTITION BY ws ORDER BY cnt DESC, user_id ASC) AS rank,
+              cnt
+       FROM c QUALIFY rank <= 5"""
+
   /** q121/q122: latest-per-user with the q05 version order; a user
     * whose LATEST record is a tombstone (event_id % 7 = 0) is absent.
     */
@@ -1412,6 +1428,43 @@ object SparkEntry {
         .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
         .select(col("win_start"), col("user_id"), col("rank"), col("cnt"))
     }),
+    // the EVICTING trending form — q123's grid in watermark + APPEND
+    // mode: each (window, user) row emits once when the watermark
+    // passes the window end and its state drops, so state holds only
+    // OPEN windows (the production memory bound). Sentinel staging
+    // finalizes every real window; the emitted set IS the batch grid,
+    // so the fold and oracle are q123's unchanged.
+    "q124_stream_trending_evicting" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select(col("ts"), col("user_id"))
+      maxEventNsOf(s, dir) match {
+        case None =>
+          graft.streaming.StreamAggregates.slidingUserCounts(ev)
+            .withColumn("rank", lit(1)).filter(lit(false))
+            .select(col("win_start"), col("user_id"), col("rank"), col("cnt"))
+        case Some(maxNs) =>
+          val (tmp, mft) = stagedWithSentinel(s, dir, "q124_events", ev, maxNs,
+            graft.streaming.StreamAggregates.slidingClearMs)(
+            snt => Seq((snt, -1L)).toDF("ts", "user_id"))
+          val ckpt = stageDir("q124_ckpt")
+          val name = memorySinkName(s, "q124")
+          try {
+            val input = s.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", mft.toString).parquet(tmp)
+            withStatePartitions(s, 8) {
+              val q = graft.streaming.StreamAggregates.slidingUserCounts(input)
+                .writeStream.format("memory").queryName(name).outputMode("append")
+                .option("checkpointLocation", ckpt).start()
+              try q.processAllAvailable() finally q.stop()
+            }
+          } finally rmTreeRetry(ckpt)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("win_start")).orderBy(col("cnt").desc, col("user_id").asc)
+          s.table(name)
+            .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+            .select(col("win_start"), col("user_id"), col("rank"), col("cnt"))
+      }
+    }),
     // the streamed form: the per-key argmax is a Complete-mode max_by
     // aggregation (entity-keyed state, one row per user); the argmax
     // of a fixed version order is batching-independent, so the
@@ -1694,16 +1747,10 @@ object SparkEntry {
     "q121_upsert_tombstones" -> upsertTombstoneOracle,
     // the streamed (window × user) grid equals the batch grid (counter
     // sums), so the trending oracle re-derives relationally
-    "q123_stream_trending" ->
-      """WITH w AS (
-           SELECT user_id,
-                  unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR, date_trunc('hour', ts)]) AS ws
-           FROM events),
-         c AS (SELECT ws, user_id, count(*)::BIGINT AS cnt FROM w GROUP BY 1, 2)
-         SELECT strftime(ws, '%Y-%m-%d %H') AS win_start, user_id,
-                row_number() OVER (PARTITION BY ws ORDER BY cnt DESC, user_id ASC) AS rank,
-                cnt
-         FROM c QUALIFY rank <= 5""",
+    "q123_stream_trending" -> trendingOracle,
+    // the Append-mode emitted set is exactly the finalized grid — the
+    // same batch grid, so the same oracle
+    "q124_stream_trending_evicting" -> trendingOracle,
     // batching-independent argmax: the converged streaming state equals
     // the batch snapshot, so the same oracle applies
     "q122_stream_upsert_tombstones" -> upsertTombstoneOracle,

@@ -41,6 +41,28 @@ object StreamAggregates {
         date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Watermarked SLIDING-window per-user counts in APPEND mode — the
+    * EVICTING production form of the Complete-mode trending grid
+    * (q123): each (window, user) row emits ONCE when the watermark
+    * passes the window end, and its state is dropped — state holds
+    * only the open windows instead of the full history. Delay is a
+    * parameter (q124 uses 30 min) so the sentinel offset can clear
+    * `2 h window + delay` under the shared 3 h sentinel constant.
+    */
+  def slidingUserCounts(events: DataFrame,
+      windowLen: String = "2 hours", slide: String = "1 hour",
+      delay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowLen, slide), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("win_start"),
+        col("user_id"), col("cnt"))
+
+  /** The q124 sentinel horizon: window length + watermark delay. */
+  val slidingClearMs: Long = 2L * 3600 * 1000 + 30L * 60 * 1000
+
   /** Stream-stream INTERVAL join: purchases matched to error events of
     * the same user within the preceding `window` — the two-sided
     * stateful join the reference cannot express (its store holds one
