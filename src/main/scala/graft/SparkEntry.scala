@@ -1465,6 +1465,10 @@ object SparkEntry {
             .select(col("win_start"), col("user_id"), col("rank"), col("cnt"))
       }
     }),
+    // market-basket association rules: per-user small-basket pair
+    // self-join (fan-out bounded by the type vocabulary), BIGINT
+    // counts, single-division support/confidence, mirrored lift
+    "q125_association_rules" -> ((s, dir) => Analytics.associationRules(s, dir)),
     // the streamed form: the per-key argmax is a Complete-mode max_by
     // aggregation (entity-keyed state, one row per user); the argmax
     // of a fixed version order is batching-independent, so the
@@ -1751,6 +1755,7 @@ object SparkEntry {
     // the Append-mode emitted set is exactly the finalized grid — the
     // same batch grid, so the same oracle
     "q124_stream_trending_evicting" -> trendingOracle,
+    "q125_association_rules" -> Analytics.associationRulesSql,
     // batching-independent argmax: the converged streaming state equals
     // the batch snapshot, so the same oracle applies
     "q122_stream_upsert_tombstones" -> upsertTombstoneOracle,

@@ -387,6 +387,59 @@ object Analytics {
         count(lit(1)).as("n"),
         sum(col("value").cast(money)).cast("double").as("sum_value"))
 
+  // ---- association-rule mining (q125) ----
+
+  /** Market-basket association rules over user event baskets: each
+    * user's basket is their DISTINCT event types, and every
+    * co-occurring type pair (canonicalized a < b) reports support,
+    * both directional confidences, and lift. Scale shape: basket
+    * membership is an entity-keyed distinct (map-side combined); the
+    * pair stage is a per-user SMALL-basket self-join (fan-out ≤ k²
+    * per user for k distinct types — bounded by the type vocabulary,
+    * not the event volume); the singles table and the user total are
+    * group-bounded/scalar broadcasts. Exactness: all counts BIGINT;
+    * support/confidence are single IEEE divisions and lift is
+    * (n_ab·n)/(n_a·n_b) — one mul each side of one division, mirrored
+    * operand-for-operand.
+    */
+  def associationRules(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val n = b.agg(countDistinct(col("user_id")).as("n"))
+    val singles = b.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    val x = b.select(col("user_id"), col("event_type").as("a"))
+    val y = b.select(col("user_id"), col("event_type").as("b"))
+    val pairs = x.join(y, Seq("user_id")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(singles.select(col("event_type").as("a"), col("cnt").as("n_a")), "a")
+      .join(singles.select(col("event_type").as("b"), col("cnt").as("n_b")), "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("n_ab"),
+        (col("n_ab").cast("double") / col("n").cast("double")).as("support"),
+        (col("n_ab").cast("double") / col("n_a").cast("double")).as("conf_a_b"),
+        (col("n_ab").cast("double") / col("n_b").cast("double")).as("conf_b_a"),
+        ((col("n_ab").cast("double") * col("n").cast("double"))
+          / (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+  }
+
+  def associationRulesSql: String =
+    """WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+       n AS (SELECT count(DISTINCT user_id)::BIGINT AS n FROM events),
+       s AS (SELECT event_type, count(*)::BIGINT AS cnt FROM b GROUP BY 1),
+       p AS (SELECT x.event_type AS a, y.event_type AS b, count(*)::BIGINT AS n_ab
+             FROM b x JOIN b y ON x.user_id = y.user_id AND x.event_type < y.event_type
+             GROUP BY 1, 2)
+       SELECT p.a, p.b, p.n_ab,
+              p.n_ab::DOUBLE / n.n::DOUBLE AS support,
+              p.n_ab::DOUBLE / sa.cnt::DOUBLE AS conf_a_b,
+              p.n_ab::DOUBLE / sb.cnt::DOUBLE AS conf_b_a,
+              (p.n_ab::DOUBLE * n.n::DOUBLE) / (sa.cnt::DOUBLE * sb.cnt::DOUBLE) AS lift
+       FROM p
+       JOIN s sa ON sa.event_type = p.a
+       JOIN s sb ON sb.event_type = p.b
+       CROSS JOIN n"""
+
   // ---- time-series similarity search (q116) ----
 
   /** Distributed time-series similarity search (the EDBT'19 streaming

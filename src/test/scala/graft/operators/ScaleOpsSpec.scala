@@ -73,6 +73,29 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("q125 association rules: canonical pairs, exact identities vs re-derived baskets") {
+    val rules = Analytics.associationRules(spark, dir).collect()
+    assert(rules.nonEmpty)
+    // re-derive baskets in plain Scala
+    val baskets = Tables.events(spark, dir)
+      .select($"user_id", $"event_type").distinct()
+      .as[(Long, String)].collect()
+    val nUsers = baskets.map(_._1).distinct.length.toLong
+    val byType = baskets.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val byUser = baskets.groupBy(_._1).map { case (_, xs) => xs.map(_._2).toSet }
+    rules.foreach { r =>
+      val (a, b, nAb) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(a < b) // canonicalized
+      val expect = byUser.count(s => s.contains(a) && s.contains(b)).toLong
+      assert(nAb == expect, s"($a,$b): $nAb != $expect")
+      assert(r.getDouble(3) == nAb.toDouble / nUsers.toDouble)
+      assert(r.getDouble(4) == nAb.toDouble / byType(a).toDouble)
+      assert(r.getDouble(5) == nAb.toDouble / byType(b).toDouble)
+      assert(r.getDouble(6) ==
+        (nAb.toDouble * nUsers.toDouble) / (byType(a).toDouble * byType(b).toDouble))
+    }
+  }
+
   test("q120 outlier gate: fences bracket the bulk; flags match a plain-Scala re-derivation") {
     val rows = Sketches.outlierGate(spark, dir).collect()
     assert(rows.nonEmpty)
