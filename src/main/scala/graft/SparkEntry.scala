@@ -1469,6 +1469,18 @@ object SparkEntry {
     // self-join (fan-out bounded by the type vocabulary), BIGINT
     // counts, single-division support/confidence, mirrored lift
     "q125_association_rules" -> ((s, dir) => Analytics.associationRules(s, dir)),
+    // streamed association rules — basket membership is DISTINCT-pair
+    // state (q60's class: a set, batching-independent), maintained in
+    // Complete mode; the shared fold runs over the localCheckpoint
+    // snapshot (the fold self-joins the membership table, and a
+    // memory-sink leaf does not dedup across join sides)
+    "q126_stream_association_rules" -> ((s, dir) => {
+      val member = sketchMaintenanceStream(s, dir, "q126",
+        Tables.events(s, dir).select(col("user_id"), col("event_type")))(
+        ev => ev.groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("cnt")))
+      Analytics.associationRulesFold(
+        member.select(col("user_id"), col("event_type")).localCheckpoint())
+    }),
     // the streamed form: the per-key argmax is a Complete-mode max_by
     // aggregation (entity-keyed state, one row per user); the argmax
     // of a fixed version order is batching-independent, so the
@@ -1756,6 +1768,9 @@ object SparkEntry {
     // same batch grid, so the same oracle
     "q124_stream_trending_evicting" -> trendingOracle,
     "q125_association_rules" -> Analytics.associationRulesSql,
+    // converged distinct membership equals the batch distinct, and the
+    // fold is shared — q125's oracle applies unchanged
+    "q126_stream_association_rules" -> Analytics.associationRulesSql,
     // batching-independent argmax: the converged streaming state equals
     // the batch snapshot, so the same oracle applies
     "q122_stream_upsert_tombstones" -> upsertTombstoneOracle,

@@ -402,9 +402,14 @@ object Analytics {
     * (n_ab·n)/(n_a·n_b) — one mul each side of one division, mirrored
     * operand-for-operand.
     */
-  def associationRules(s: SparkSession, dir: String): DataFrame = {
-    val b = Tables.events(s, dir)
-      .select(col("user_id"), col("event_type")).distinct()
+  def associationRules(s: SparkSession, dir: String): DataFrame =
+    associationRulesFold(Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct())
+
+  /** The rule derivation over a basket-membership table — q125's batch
+    * distinct or q126's converged streaming distinct state (the q60
+    * class: membership is a set, order- and batching-independent). */
+  def associationRulesFold(b: DataFrame): DataFrame = {
     val n = b.agg(countDistinct(col("user_id")).as("n"))
     val singles = b.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
     val x = b.select(col("user_id"), col("event_type").as("a"))
