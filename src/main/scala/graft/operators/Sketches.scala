@@ -53,11 +53,18 @@ object Sketches {
     * drift. A two-phase groupBy: partial max per register map-side.
     */
   private[operators] def hllRegisters(df: DataFrame, groupCol: String,
+      keyCol: org.apache.spark.sql.Column, p: Int): DataFrame =
+    hllRegistersBy(df, Seq(groupCol), keyCol, p)
+
+  /** [[hllRegisters]] generalized to a composite group — q73 builds
+    * per-(event_type, side) registers in ONE scan this way.
+    */
+  private[operators] def hllRegistersBy(df: DataFrame, groupCols: Seq[String],
       keyCol: org.apache.spark.sql.Column, p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"register precision must be 4..16, got $p")
     val m = 1 << p
     val wbits = 60 - p // md5_long yields 60 bits
-    df.select(col(groupCol), graft.functions.md5_long(keyCol).as("h"))
+    df.select(groupCols.map(col) :+ graft.functions.md5_long(keyCol).as("h"): _*)
       .withColumn("bucket", col("h") % m)
       .withColumn("w", expr(s"h div $m"))
       // minimal-binary-string length == index of highest set bit: the
@@ -65,7 +72,7 @@ object Sketches {
       .withColumn("rho",
         when(col("w") === 0, lit(wbits + 1))
           .otherwise(lit(wbits + 1) - length(bin(col("w")))))
-      .groupBy(col(groupCol), col("bucket"))
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
       .agg(max(col("rho")).as("mj"))
   }
 
@@ -476,40 +483,34 @@ object Sketches {
     * `event_type`, `user_id`, `value`.
     */
   def incrementalAggFromEvents(ev: DataFrame, p: Int = 5): DataFrame = {
-    def side(delta: Boolean): (DataFrame, DataFrame) = {
-      val part = ev.filter(if (delta) col("event_id") % 10 === 9
-        else col("event_id") % 10 =!= 9)
-      val scalars = part.groupBy(col("event_type")).agg(
-        count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("sum_v"),
-        min(col("value")).as("min_v"),
-        max(col("value")).as("max_v"))
-      (scalars, hllRegisters(part, "event_type", col("user_id"), p))
-    }
-    val (baseS, baseR) = side(delta = false)
-    val (deltaS, deltaR) = side(delta = true)
-    // scalar-state merge: add counts/sums, fold min/max (least/greatest
-    // skip NULLs in both engines, so a group present on one side only
-    // inherits that side's extremum). The sum keeps SQL semantics: a
-    // group whose values are ALL NULL has a NULL sum on both sides, and
-    // the merged sum must stay NULL — coalescing both absences to 0
-    // would report 0.0 where the scratch path reports NULL, breaking
-    // the defining merge==scratch property
-    val mergedS = baseS.as("b")
-      .join(deltaS.as("d"), Seq("event_type"), "full_outer")
-      .select(col("event_type"),
-        (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
-        when(col("b.sum_v").isNull && col("d.sum_v").isNull, lit(null))
-          .otherwise(coalesce(col("b.sum_v"), lit(0).cast("decimal(18,2)"))
-            + coalesce(col("d.sum_v"), lit(0).cast("decimal(18,2)")))
-          .cast("double").as("sum_value"),
-        least(col("b.min_v"), col("d.min_v")).as("min_value"),
-        greatest(col("b.max_v"), col("d.max_v")).as("max_value"))
+    // ONE scan per statistic family: tag each row with its side and
+    // aggregate per (event_type, side) — the per-side partial states —
+    // then MERGE the (≤ 2) partials per type in a second, tiny stage.
+    // (The old shape filtered the log once per side per family = four
+    // scans; the merge laws are unchanged, only the scan count is.)
+    val tagged = ev.withColumn("is_delta", col("event_id") % 10 === 9)
+    val sideS = tagged.groupBy(col("event_type"), col("is_delta")).agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(18,2)")).as("sum_v"),
+      min(col("value")).as("min_v"),
+      max(col("value")).as("max_v"))
+    // scalar-state merge: counts/sums ADD, min/max fold. sum/min/max
+    // skip NULL partials and return NULL only when every partial is
+    // NULL — exactly the coalesce/least/greatest laws of a two-sided
+    // merge, so a group whose values are ALL NULL keeps a NULL sum
+    // (the defining merge==scratch property) and a group present on
+    // one side only inherits that side's extremum
+    val mergedS = sideS.groupBy(col("event_type")).agg(
+      sum(col("n")).as("n"),
+      sum(col("sum_v")).cast("double").as("sum_value"),
+      min(col("min_v")).as("min_value"),
+      max(col("max_v")).as("max_value"))
     // register merge: per-bucket max across sides, then the q55 fold —
     // both via the shared helpers, so q55 and q73 share one register math
+    val sideR = hllRegistersBy(tagged, Seq("event_type", "is_delta"),
+      col("user_id"), p)
     val mergedR = hllSums(
-      baseR.unionAll(deltaR)
-        .groupBy(col("event_type"), col("bucket")).agg(max(col("mj")).as("mj")),
+      sideR.groupBy(col("event_type"), col("bucket")).agg(max(col("mj")).as("mj")),
       "event_type", p, "hll_users")
       .select(col("event_type"), col("hll_s"), col("hll_users"))
     mergedS.join(mergedR, "event_type")
