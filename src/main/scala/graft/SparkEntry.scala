@@ -853,7 +853,7 @@ object SparkEntry {
     // log-free Robertson idf (ln last-ulp varies across libms), per-doc
     // fold in sorted term order (double addition isn't commutative in
     // the last ulp), distributed TakeOrderedAndProject top-k.
-    "q85_bm25" -> ((s, dir) => PipelineOps.bm25TopDocs(s, dir)),
+    "q85_bm25" -> ((s, dir) => PipelineOps.bm25TopDocsCached(s, dir)),
     // hybrid retrieval: q85's lexical arm ⊕ one-query vector cosine
     // arm, reciprocal-rank fused (1/(60+rank), fixed lex+vec sum
     // order). Both arms bounded distributed top-N before any window or

@@ -913,6 +913,21 @@ object PipelineOps {
       .select(col("doc_id"), col("bm25"))
   }
 
+  /** [[bm25TopDocs]] computed ONCE per (sf dir, m, topDocs) and served
+    * from a localCheckpoint snapshot — the q114/q83 stored-artifact
+    * amortization applied to retrieval: production serves BM25 from a
+    * built index, it does not re-derive corpus tf/df per query. q85 and
+    * q92's lexical arm both read this ≤ topDocs-row artifact, so the
+    * corpus passes happen once per session instead of once per query.
+    */
+  private val bm25Cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), DataFrame]()
+
+  def bm25TopDocsCached(s: SparkSession, dir: String,
+      m: Int = 8, topDocs: Int = 50): DataFrame =
+    cachedArtifact(bm25Cache, (dir, m, topDocs), s)(
+      bm25TopDocs(s, dir, m = m, topDocs = topDocs))
+
   // the CTE chain shared verbatim by the q85 oracle and q92's lexical
   // arm — factoring it (rather than re-deriving) is what keeps the two
   // oracles' BM25 scores bit-identical by construction
@@ -963,7 +978,11 @@ object PipelineOps {
     */
   def hybridRrf(s: SparkSession, dir: String, m: Int = 8,
       kLex: Int = 50, kVec: Int = 50, k: Int = 20, rrfK: Int = 60): DataFrame = {
-    val lex = bm25TopDocs(s, dir, m = m, topDocs = kLex)
+    // re-assert the arm's ≤ kLex bound structurally: the artifact is
+    // already capped by construction, but the checkpoint scan erases
+    // that from the plan — the no-op limit keeps the rank window
+    // provably bounded in the plan itself (PlanSpec pins it)
+    val lex = bm25TopDocsCached(s, dir, m = m, topDocs = kLex).limit(kLex)
     val lexRanked = lex
       .withColumn("lrank",
         row_number().over(Window.orderBy(col("bm25").desc, col("doc_id").asc)))
@@ -1269,11 +1288,32 @@ object PipelineOps {
     * something recomputed per report; the q83 stored-index
     * amortization applied to curation). q114 and q118 both read it.
     */
+  /** Session-safe once-per-key artifact cache: the Dedup clusterCache
+    * discipline factored out — a hit owned by a stopped or foreign
+    * session is evicted and rebuilt, so localCheckpoint blocks (and the
+    * sessions that own them) never accumulate for the JVM lifetime
+    * (the round-8 memory-sink leak class). Keys deliberately do NOT
+    * include the SparkSession: the frame itself remembers its owner,
+    * and keying by session would pin stopped sessions forever.
+    */
+  private def cachedArtifact[K](
+      cache: java.util.concurrent.ConcurrentHashMap[K, DataFrame],
+      key: K, s: SparkSession)(build: => DataFrame): DataFrame = {
+    val hit = cache.get(key)
+    if (hit != null && (hit.sparkSession eq s) && !s.sparkContext.isStopped) hit
+    else {
+      if (hit != null) cache.remove(key, hit)
+      val built = build.localCheckpoint(true)
+      cache.put(key, built)
+      built
+    }
+  }
+
   private val curationCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   def modelCurationCached(s: SparkSession, dir: String): DataFrame =
-    curationCache.computeIfAbsent((s, dir), _ => modelCuration(s, dir).localCheckpoint())
+    cachedArtifact(curationCache, dir, s)(modelCuration(s, dir))
 
   def datasheet(s: SparkSession, dir: String): DataFrame = {
     val verdicts = modelCurationCached(s, dir).select(col("doc_id"), col("keep"))

@@ -255,7 +255,11 @@ class PlanSpec extends SparkSpec {
     // + merge), never a Window over one partition; tf/df map-side
     // combine before their exchanges. (The scalar avgdl/n_docs
     // aggregate legitimately funnels to a single partition — one row.)
-    val p = plan("q85_bm25")
+    // Pin the artifact BUILDER: the registry query serves the cached
+    // checkpoint (whose plan is just the artifact scan), and this build
+    // shape is exactly what runs once per session to create it.
+    val p = operators.PipelineOps.bm25TopDocs(spark, dir)
+      .queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Window"), p)
     assert(p.contains("partial_count"), p)
@@ -478,10 +482,14 @@ class PlanSpec extends SparkSpec {
       case other if other.children.size == 1 => bounded(other.children.head)
       case _ => false // relation leaves and unknown multi-child shapes
     }
-    for (q <- Seq("q25_ann_bruteforce", "q26_ann_ivf", "q49_ann_ivf_trained",
-        "q76_hard_negatives", "q77_pq_adc", "q79_ann_ivfpq",
-        "q83_ann_ivf_indexed", "q85_bm25")) {
-      val lp = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
+    // q85's frame is the BUILDER, not the registry entry: the registry
+    // serves the cached checkpoint artifact, whose plan has no joins
+    for ((q, df) <- Seq("q25_ann_bruteforce", "q26_ann_ivf",
+        "q49_ann_ivf_trained", "q76_hard_negatives", "q77_pq_adc",
+        "q79_ann_ivfpq", "q83_ann_ivf_indexed")
+          .map(n => n -> SparkEntry.queries(n)(spark, dir)) :+
+        ("q85_bm25" -> operators.PipelineOps.bm25TopDocs(spark, dir))) {
+      val lp = df.queryExecution.optimizedPlan
       val hinted = lp.collect { case j: Join
         if j.hint.leftHint.exists(_.strategy.isDefined) ||
           j.hint.rightHint.exists(_.strategy.isDefined) => j }
