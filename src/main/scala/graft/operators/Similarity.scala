@@ -146,6 +146,29 @@ object Similarity {
   private val trainedCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Double])]]()
 
+  /** Session-guarded once-per-(kind, dir) codes-table cache — the PQ
+    * families' stored artifact (the 64×-compressed codes ARE what a
+    * 100 TB deployment persists and scans; re-encoding the float
+    * corpus per query defeats the operator's purpose). Same stale-owner
+    * eviction discipline as Dedup.clusterCache: a hit from a stopped or
+    * foreign session is dropped and rebuilt, never served.
+    */
+  private val codesCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private def cachedCodes(kind: String, dir: String, s: SparkSession)(
+      build: => DataFrame): DataFrame = {
+    val key = (kind, dir)
+    val hit = codesCache.get(key)
+    if (hit != null && (hit.sparkSession eq s) && !s.sparkContext.isStopped) hit
+    else {
+      if (hit != null) codesCache.remove(key, hit)
+      val built = build.localCheckpoint(true)
+      codesCache.put(key, built)
+      built
+    }
+  }
+
   /** The trained-centroid literal relation every trained-family operator
     * (q49/q81/q83/q84/q87) joins against — ONE builder, so training
     * reuse and the (cent_id: long, cv) shape cannot drift between
@@ -1034,56 +1057,75 @@ object Similarity {
     pqCodebooksOn(residuals, mSub, ks, iterations, s"residuals of $dir")
   }
 
+  /** Lloyd's training-sample bound: the codebooks train on at most this
+    * many vectors — the LOWEST vec_ids, fetched by one distributed
+    * TakeOrderedAndProject — the Faiss discipline (codebooks train on a
+    * bounded sample; only ENCODING streams the full corpus). This makes
+    * training cost and driver traffic O(bound · dim) by construction at
+    * any corpus size; below the bound the sample IS the corpus, so
+    * small-SF results (and the inlined oracle literals) are unchanged.
+    */
+  val pqTrainSample = 16384
+
   private def pqCodebooksOn(input: org.apache.spark.sql.Dataset[(Long, Seq[Double])],
       mSub: Int, ks: Int, iterations: Int,
       what: String): Array[Array[Array[Double]]] = {
-    val s = input.sparkSession
-    import s.implicits._
     val sd = pqDim / mSub
-    val corpus = input.toDF("vec_id", "v").as[(Long, Seq[Double])].cache()
+    // ONE cluster job: the bounded lowest-id sample (sorted by vec_id —
+    // the accumulation order below is part of the result's bit pattern).
+    // The 5 Lloyd iterations then run locally over ≤ pqTrainSample·dim
+    // doubles: the former per-iteration shuffle+collect loop spent
+    // seconds of job machinery on milliseconds of arithmetic, and its
+    // per-(subspace, codeword) vec_id-ordered double accumulation is
+    // reproduced here exactly (same assignment rule `d < bestD` with
+    // ties to the lower code, same sum/count division, empty clusters
+    // keep their previous codeword), so the trained literals are
+    // bit-identical to the distributed iteration's on any corpus that
+    // fits the sample bound.
+    val sample = input.toDF("vec_id", "v")
+      .orderBy(col("vec_id").asc).limit(pqTrainSample)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray)).sortBy(_._1)
+    require(sample.nonEmpty, s"pqCodebooks: empty training input ($what)")
+    val vecs = sample.map(_._2)
     // seed from the ks LOWEST vec_ids present — not `vec_id < ks`, which
     // assumes ids densely cover [0, ks) and would leave a short codebook
     // (and index crashes below) on corpora whose ids start elsewhere.
     // On fewer than ks vectors the codebook shrinks to the corpus size
     // (every vector its own codeword) — still valid, still deterministic.
-    val init = corpus.orderBy(col("vec_id").asc).limit(ks).collect().sortBy(_._1)
-    require(init.nonEmpty, s"pqCodebooks: empty training input ($what)")
-    val ksEff = init.length
+    val ksEff = math.min(ks, vecs.length)
     var cbs: Array[Array[Array[Double]]] =
-      Array.tabulate(mSub)(mi => init.map(_._2.toArray.slice(mi * sd, (mi + 1) * sd)))
+      Array.tabulate(mSub)(mi =>
+        Array.tabulate(ksEff)(c => vecs(c).slice(mi * sd, (mi + 1) * sd)))
     for (_ <- 1 to iterations) {
-      val bc = s.sparkContext.broadcast(cbs)
-      val assigned = corpus.flatMap { case (id, v) =>
-        val arr = v.toArray
-        (0 until mSub).map { mi =>
-          val sub = arr.slice(mi * sd, (mi + 1) * sd)
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < bc.value(mi).length) {
-            val cw = bc.value(mi)(c)
-            var d = 0.0; var i = 0
-            while (i < sd) { val t = sub(i) - cw(i); d += t * t; i += 1 }
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
-          (mi, best, id, sub)
+      val sums = Array.fill(mSub, ksEff)(new Array[Double](sd))
+      val counts = Array.fill(mSub, ksEff)(0L)
+      for (v <- vecs; mi <- 0 until mSub) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < ksEff) {
+          val cw = cbs(mi)(c)
+          var d = 0.0; var i = 0
+          while (i < sd) { val t = v(mi * sd + i) - cw(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
         }
+        val acc = sums(mi)(best)
+        var i = 0
+        while (i < sd) { acc(i) += v(mi * sd + i); i += 1 }
+        counts(mi)(best) += 1
       }
-      val updated = assigned.groupByKey(r => (r._1, r._2))
-        .mapGroups { (key, rows) =>
-          val sorted = rows.toArray.sortBy(_._3)
-          val sum = new Array[Double](sorted.head._4.length)
-          for ((_, _, _, v) <- sorted) {
-            var i = 0; while (i < v.length) { sum(i) += v(i); i += 1 }
-          }
-          var i = 0; while (i < sum.length) { sum(i) /= sorted.length; i += 1 }
-          (key._1, key._2, sum)
-        }.collect()
-      val byId = updated.map(u => (u._1, u._2) -> u._3).toMap
-      cbs = Array.tabulate(mSub)(mi =>
-        Array.tabulate(ksEff)(c => byId.getOrElse((mi, c), cbs(mi)(c))))
+      cbs = Array.tabulate(mSub)(mi => Array.tabulate(ksEff) { c =>
+        val n = counts(mi)(c)
+        if (n == 0) cbs(mi)(c)
+        else {
+          val avg = new Array[Double](sd)
+          var i = 0
+          while (i < sd) { avg(i) = sums(mi)(c)(i) / n; i += 1 }
+          avg
+        }
+      })
     }
-    corpus.unpersist()
     cbs
   }
 
@@ -1250,9 +1292,12 @@ object Similarity {
     // empty centroid table = no coarse bucket, codes only
     val enc = graft.functions.pq_encode(col("v"),
       Seq.empty, cbs.map(_.map(_.toSeq).toSeq).toSeq)
-    val codes = corpus.select(col("vec_id"), enc.as("enc"))
-      .select(col("vec_id") +:
-        cbs.indices.map(mi => col("enc").getItem(mi).as(s"code$mi")): _*)
+    // the stored-artifact serve: encode once per session, scan the
+    // checkpoint thereafter (build shape stays pinned via pqEncode)
+    val codes = cachedCodes("pq", dir, s)(
+      corpus.select(col("vec_id"), enc.as("enc"))
+        .select(col("vec_id") +:
+          cbs.indices.map(mi => col("enc").getItem(mi).as(s"code$mi")): _*))
     val (pd, qn) = pqQueryCols(cbs)
     val queries = queryBatch(corpus)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -1349,7 +1394,7 @@ object Similarity {
       val cv = element_at(centLit, c + 1)
       pqDotp(v, cv) / sqrt(pqDotp(v, v)) / sqrt(pqDotp(cv, cv))
     }
-    val coded = pqEncode(s, dir)
+    val coded = cachedCodes("ivfpq", dir, s)(pqEncode(s, dir))
     // queries: probe the nprobe nearest centroids; carry the residual
     // pd tables, ‖q‖, and the per-probe ⟨q, cent⟩
     val (pd, qn) = pqQueryCols(rcbs)
