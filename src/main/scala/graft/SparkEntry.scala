@@ -1523,6 +1523,15 @@ object SparkEntry {
     * query instead of rows-only. Key domain at the verify SF is ~16.5k
     * literals — a bounded dimension table, not data-sized.
     */
+  /** Inline-VALUES bound for [[joinKeyIndexSql]]: at most this many
+    * digest literals ride in the SQL text itself (≤ ~2 MB of SQL; the
+    * shape every driver verify SF to date uses). Above it the digest
+    * tables spill to parquet artifacts and the SQL stays O(1) —
+    * without the cap, the generated string grows with the key domain
+    * and becomes the bottleneck itself at sf10+.
+    */
+  private val joinKeyInlineCap = 50000L
+
   private def joinKeyIndexSql(): Option[String] = {
     if (joinKeyDirs.size != 1) return None
     val dir = joinKeyDirs.iterator().next()
@@ -1533,19 +1542,50 @@ object SparkEntry {
         def digest(k: Long): Array[Byte] = graft.functions.Blake2b.digest(
           k.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8), 8)
         def hexOf(d: Array[Byte]): String = d.map("%02X".format(_)).mkString
-        val fks = Tables.load(s, dir, "orders").select(col("o_custkey").cast("long"))
+        val fkDs = Tables.load(s, dir, "orders").select(col("o_custkey").cast("long"))
           .union(Tables.load(s, dir, "customer").select(col("c_custkey").cast("long")))
-          .distinct().as[Long].collect().sorted
-        val pks = Tables.load(s, dir, "orders").select(col("o_orderkey").cast("long"))
-          .distinct().as[Long].collect().sorted
-        val fkRows = fks.map { k =>
-          val d = digest(k)
-          s"($k, '${hexOf(d)}', ${graft.functions.Murmur2.partition(d, 32)})"
-        }.mkString(",\n             ")
-        val pkRows = pks.map(k => s"($k, '${hexOf(digest(k))}')")
-          .mkString(",\n             ")
-        s"""WITH fkd AS (SELECT * FROM (VALUES $fkRows) AS ft(fk, fkhex, part)),
-             pkd AS (SELECT * FROM (VALUES $pkRows) AS pt(pk, pkhex))
+          .distinct().as[Long]
+        val pkDs = Tables.load(s, dir, "orders").select(col("o_orderkey").cast("long"))
+          .distinct().as[Long]
+        val nKeys = fkDs.count() + pkDs.count()
+        val (fkdCte, pkdCte) =
+          if (nKeys <= joinKeyInlineCap) {
+            // bounded domain: digests as inline VALUES, computed
+            // driver-side by the kernels (not the expressions under
+            // test) — the trained-literal shape, proven at every
+            // driver verify SF
+            val fks = fkDs.collect().sorted
+            val pks = pkDs.collect().sorted
+            val fkRows = fks.map { k =>
+              val d = digest(k)
+              s"($k, '${hexOf(d)}', ${graft.functions.Murmur2.partition(d, 32)})"
+            }.mkString(",\n             ")
+            val pkRows = pks.map(k => s"($k, '${hexOf(digest(k))}')")
+              .mkString(",\n             ")
+            (s"(SELECT * FROM (VALUES $fkRows) AS ft(fk, fkhex, part))",
+              s"(SELECT * FROM (VALUES $pkRows) AS pt(pk, pkhex))")
+          } else {
+            // large domain: the same kernel-direct derivation runs
+            // DISTRIBUTED (a Dataset map calling the Scala kernels —
+            // still not the Catalyst expressions the query uses, so the
+            // evaluation paths stay distinct) and lands in parquet
+            // artifacts the oracle reads back — SQL text stays O(1)
+            // however large the key domain grows, and nothing
+            // key-domain-sized ever rides the driver or the SQL string
+            val art = System.getProperty("java.io.tmpdir") +
+              "/graft_q07_digests_" + Integer.toHexString(dir.hashCode)
+            fkDs.map { k =>
+              val d = digest(k)
+              (k, hexOf(d), graft.functions.Murmur2.partition(d, 32))
+            }.toDF("fk", "fkhex", "part")
+              .write.mode("overwrite").parquet(s"$art/fk")
+            pkDs.map(k => (k, hexOf(digest(k)))).toDF("pk", "pkhex")
+              .write.mode("overwrite").parquet(s"$art/pk")
+            (s"(SELECT fk, fkhex, part FROM read_parquet('$art/fk/*.parquet'))",
+              s"(SELECT pk, pkhex FROM read_parquet('$art/pk/*.parquet'))")
+          }
+        s"""WITH fkd AS $fkdCte,
+             pkd AS $pkdCte
             SELECT '08' || f.fkhex || p.pkhex AS key_hex,
                    FALSE AS is_right, f.part AS "partition"
             FROM orders o
