@@ -61,6 +61,28 @@ object SparkEntry {
       tmp
     })
 
+  /** q112's lossless-CSV option contract, applied IDENTICALLY on write
+    * and read: microsecond timestamp patterns (the default truncates
+    * to ms), quoteAll (delimiter collisions), and — because under the
+    * default nullValue/emptyValue a NULL string and an empty string
+    * both surface the same on read-back — an explicit NULL token
+    * (`\N`, never a data value here) with quoted-empty kept as the
+    * empty string. The round trip is lossless for null AND empty
+    * strings by construction, not by fixture luck; CsvLosslessSpec
+    * pins both.
+    */
+  private val csvUsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+  private[graft] def csvLosslessOptions[T](
+      w: org.apache.spark.sql.DataFrameWriter[T]): org.apache.spark.sql.DataFrameWriter[T] =
+    w.option("header", "true").option("quoteAll", "true")
+      .option("timestampFormat", csvUsFmt).option("timestampNTZFormat", csvUsFmt)
+      .option("nullValue", "\\N").option("emptyValue", "\"\"")
+  private[graft] def csvLosslessOptions(
+      r: org.apache.spark.sql.DataFrameReader): org.apache.spark.sql.DataFrameReader =
+    r.option("header", "true")
+      .option("timestampFormat", csvUsFmt).option("timestampNTZFormat", csvUsFmt)
+      .option("nullValue", "\\N").option("emptyValue", "")
+
   /** Per-(sf dir) max event time in nanos, computed once per JVM (one
     * skinny ts_ns column scan, via Tables.events so the per-layout
     * decode lives in one place) — the sentinel-placement input for the
@@ -1259,21 +1281,19 @@ object SparkEntry {
     // free: the default CSV timestamp pattern truncates to
     // milliseconds, so the µs-precision columns pin an explicit
     // microsecond format (write AND read), quoteAll guards delimiter
-    // collisions, and doubles survive via Spark's shortest-round-trip
+    // collisions, explicit null/empty tokens keep a NULL string and an
+    // empty string distinguishable on read-back (the defaults conflate
+    // them), and doubles survive via Spark's shortest-round-trip
     // rendering. Read binds the original schema (CSV carries none).
+    // The full option contract lives in csvLosslessOptions.
     "q112_csv_denorm" -> ((s, dir) => {
-      val usFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
       def viaCsv(name: String): DataFrame = {
         val schema = Tables.load(s, dir, name).schema
         val p = stagedOnce(dir, s"${name}_csv") { tmp =>
-          Tables.load(s, dir, name).write.mode("overwrite")
-            .option("header", "true").option("quoteAll", "true")
-            .option("timestampFormat", usFmt).option("timestampNTZFormat", usFmt)
+          csvLosslessOptions(Tables.load(s, dir, name).write.mode("overwrite"))
             .csv(tmp)
         }
-        s.read.schema(schema).option("header", "true")
-          .option("timestampFormat", usFmt).option("timestampNTZFormat", usFmt)
-          .csv(p)
+        csvLosslessOptions(s.read.schema(schema)).csv(p)
       }
       Denormalize.builder(viaCsv("orders"), viaCsv("customer"), rightKey = "c_custkey")
         .joinOn(df => df("o_custkey"))
@@ -1296,7 +1316,10 @@ object SparkEntry {
           .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("cnt")))
       state.groupBy(col("event_type"))
         .agg(sum(col("cnt")).as("n_orphan_events"),
-          count(lit(1)).as("n_orphan_users"))
+          // count the key, not the row — a NULL user_id state group
+          // must not count as an orphan user (the oracle's
+          // count(DISTINCT user_id) skips NULL; see monitorFinal)
+          count(col("user_id")).as("n_orphan_users"))
     }),
     // the model-based curation cascade: q48's heuristic pass composed
     // with the three model gates (q96 unigram LM, q109 classifier,

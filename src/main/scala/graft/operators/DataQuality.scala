@@ -129,7 +129,12 @@ object DataQuality {
   def monitorFinal(state: DataFrame): DataFrame =
     state.groupBy(col("event_type"))
       .agg(sum(col("cnt")).as("n_events"),
-        count(lit(1)).as("n_users"),
+        // count the KEY, not the row: the state holds one row per
+        // (type, user) pair INCLUDING a possible user_id=NULL group,
+        // and the oracle's count(DISTINCT user_id) ignores NULL — so
+        // must this fold, or a null-keyed fixture diverges
+        // (DirtyMonitorSpec pins both directions)
+        count(col("user_id")).as("n_users"),
         min(col("mn")).as("min_value"),
         max(col("mx")).as("max_value"),
         sum(col("sm")).as("sum_value_micro"))

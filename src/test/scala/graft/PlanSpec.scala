@@ -385,9 +385,11 @@ class PlanSpec extends SparkSpec {
   test("q110 bigram LM: in-row bigram zip (no positional self-join); tf map-side combines") {
     val p = plan("q110_bigram_perplexity")
     // bigrams come from slices+zip inside Generate explode — NOT from a
-    // (doc, pos)×(doc, pos+1) self-join: exactly one scan-family join
-    // chain (tf2⋈n1⋈n1⋈tot⋈lp), no join keyed on a position column
-    assert(!p.contains("pos#") || !p.contains("pos + 1"), p)
+    // (doc, pos)×(doc, pos+1) self-join: no position column may appear
+    // in the plan AT ALL (a conjunction — either substring alone would
+    // mean a positional self-join crept in)
+    assert(!p.contains("pos#"), p)
+    assert(!p.contains("pos + 1"), p)
     assert(p.contains("partial_count"), s"bigram tf must map-side combine:\n$p")
   }
 
