@@ -1321,6 +1321,42 @@ object SparkEntry {
           // count(DISTINCT user_id) skips NULL; see monitorFinal)
           count(col("user_id")).as("n_orphan_users"))
     }),
+    // q107's quality monitor in the EVICTING form — per-(hourly
+    // window, type, user) metric cells under watermark + APPEND: each
+    // state row emits once when the watermark passes its window end
+    // and drops, so state is bounded by OPEN windows instead of the
+    // whole entity grid (the q123 → q124 progression applied to the
+    // monitor). The batch fold over the emitted finalized pairs is
+    // q107's fold keyed by window; the sentinel finalizes every real
+    // window and its own never-closing group is never emitted.
+    "q127_stream_quality_monitor_evicting" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+      maxEventNsOf(s, dir) match {
+        case None =>
+          operators.DataQuality.windowedMonitorFinal(
+            operators.DataQuality.windowedMonitorState(ev).filter(lit(false)))
+        case Some(maxNs) =>
+          val (tmp, mft) = stagedWithSentinel(s, dir, "q127_events", ev, maxNs,
+            operators.DataQuality.windowedMonitorClearMs)(
+            snt => Seq((snt, "-sentinel-", -1L, Option.empty[Double]))
+              .toDF("ts", "event_type", "user_id", "value"))
+          val ckpt = stageDir("q127_ckpt")
+          val name = memorySinkName(s, "q127")
+          try {
+            val input = s.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", mft.toString).parquet(tmp)
+            withStatePartitions(s, 8) {
+              val q = operators.DataQuality.windowedMonitorState(input)
+                .writeStream.format("memory").queryName(name).outputMode("append")
+                .option("checkpointLocation", ckpt).start()
+              try q.processAllAvailable() finally q.stop()
+            }
+          } finally rmTreeRetry(ckpt)
+          operators.DataQuality.windowedMonitorFinal(s.table(name))
+      }
+    }),
     // the model-based curation cascade: q48's heuristic pass composed
     // with the three model gates (q96 unigram LM, q109 classifier,
     // q110 bigram LM) into one doc_id-keyed verdict/ablation table —
@@ -1793,6 +1829,8 @@ object SparkEntry {
     // cell-for-cell (all cells order-independent), so the batch GROUP
     // BY oracle applies unchanged
     "q107_stream_quality_monitor" -> operators.DataQuality.monitorSql,
+    "q127_stream_quality_monitor_evicting" ->
+      operators.DataQuality.windowedMonitorSql,
     "q109_classifier_filter" -> PipelineOps.classifierFilterSql(),
     "q110_bigram_perplexity" -> PipelineOps.bigramPerplexityFilterSql(),
     // rows+schema+hash equality against the PARQUET-read oracle proves

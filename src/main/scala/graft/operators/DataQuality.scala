@@ -199,4 +199,56 @@ object DataQuality {
               max(value) AS max_value,
               sum(floor(value * 1000000)::BIGINT)::BIGINT AS sum_value_micro
        FROM events GROUP BY event_type"""
+
+  // ---- evicting (windowed) streaming quality monitor (q127) ----
+
+  /** [[monitorState]]'s metric cells in the EVICTING form: keyed by
+    * (hourly window, event_type, user_id) under watermark + Append, so
+    * a state row emits exactly once when the watermark passes its
+    * window end and is then DROPPED — state holds only open windows,
+    * the production memory bound q107's Complete-mode grid deliberately
+    * trades away (the q123 → q124 progression, applied to the quality
+    * monitor). Cell math is identical (counts, min/max, the BIGINT
+    * micro-unit sum), so the emitted set equals the batch derivation
+    * and [[windowedMonitorSql]] checks it cell-exact.
+    */
+  def windowedMonitorState(ev: DataFrame, windowLen: String = "1 hour",
+      delay: String = "30 minutes"): DataFrame =
+    ev.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("value")).as("mn"),
+        max(col("value")).as("mx"),
+        sum(floor(col("value") * lit(1e6)).cast("long")).as("sm"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("win_start"),
+        col("event_type"), col("user_id"),
+        col("cnt"), col("mn"), col("mx"), col("sm"))
+
+  /** The q124 sentinel horizon for [[windowedMonitorState]]: a real
+    * window ends at most one window length past the last event, plus
+    * the watermark delay.
+    */
+  val windowedMonitorClearMs: Long = 3600L * 1000 + 30L * 60 * 1000
+
+  /** [[monitorFinal]] with the window start as an extra key — same
+    * count-the-key NULL-user semantics (see monitorFinal; the emitted
+    * pair rows include a possible user_id=NULL group per window).
+    */
+  def windowedMonitorFinal(state: DataFrame): DataFrame =
+    state.groupBy(col("win_start"), col("event_type"))
+      .agg(sum(col("cnt")).as("n_events"),
+        count(col("user_id")).as("n_users"),
+        min(col("mn")).as("min_value"),
+        max(col("mx")).as("max_value"),
+        sum(col("sm")).as("sum_value_micro"))
+
+  def windowedMonitorSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS win_start,
+              event_type,
+              count(*)::BIGINT AS n_events,
+              count(DISTINCT user_id)::BIGINT AS n_users,
+              min(value) AS min_value,
+              max(value) AS max_value,
+              sum(floor(value * 1000000)::BIGINT)::BIGINT AS sum_value_micro
+       FROM events GROUP BY 1, 2"""
 }
