@@ -982,6 +982,61 @@ object SparkEntry {
       s.table(name)
     }),
 
+    // the LEFT OUTER form of q58's stream-stream interval join — the
+    // missing-coverage report ("purchases with NO error in the hour
+    // before") that an inner two-stream join cannot express: a
+    // buffered purchase emits its null-extended row only when the
+    // error-side watermark clears its whole interval and its state
+    // drops — the two-stream analog of the O11 outer family, state
+    // bounded by the interval + delay horizon on BOTH sides. The
+    // sentinel (an error-class row that can never match: user −1,
+    // far-future ts) advances the watermark so every real purchase
+    // finalizes; left-outer output carries purchase-side rows only, so
+    // the sentinel is unobservable. Oracle: the batch LEFT JOIN with
+    // the identical interval predicate.
+    "q129_stream_interval_join_outer" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "error"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      maxEventNsOf(s, dir) match {
+        case None =>
+          graft.streaming.StreamAggregates
+            .purchaseErrorJoin(ev, ev, joinType = "left_outer").filter(lit(false))
+        case Some(maxNs) =>
+          // a sentinel per CLASS: each side's watermark node only sees
+          // rows surviving its own filter, and the global watermark is
+          // the MIN across nodes — an error-only sentinel would leave
+          // the purchase-side watermark (and so the global one) stalled
+          // 1 h behind the last real purchase, silently never flushing
+          // the final hour's unmatched rows. Neither sentinel is
+          // observable: user −1 matches nothing, and the purchase
+          // sentinel's own eviction point (its far-future ts) stays
+          // ahead of the watermark forever. The two sentinels carry
+          // DIFFERENT impossible users: matches emit on arrival
+          // whatever the watermark, so same-keyed sentinels would join
+          // each other (same instant satisfies the interval).
+          val (tmp, mft) = stagedWithSentinel(s, dir, "q129_events", ev, maxNs,
+            graft.streaming.StreamAggregates.intervalJoinClearMs)(
+            snt => Seq((-1L, -1L, snt, "error"), (-2L, -2L, snt, "purchase"))
+              .toDF("event_id", "user_id", "ts", "event_type"))
+          val ckpt = stageDir("q129_ckpt")
+          val name = memorySinkName(s, "q129")
+          try {
+            def src = s.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", mft.toString).parquet(tmp)
+            withStatePartitions(s, 8) {
+              val q = graft.streaming.StreamAggregates
+                .purchaseErrorJoin(src, src, joinType = "left_outer")
+                .writeStream.format("memory").queryName(name).outputMode("append")
+                .option("checkpointLocation", ckpt).start()
+              try q.processAllAvailable() finally q.stop()
+            }
+          } finally rmTreeRetry(ckpt)
+          s.table(name)
+      }
+    }),
+
     // the reference's ingestion seen-set (O21, services/comments.py:18)
     // as a real STREAMING query: cross-micro-batch keyed dedup over the
     // file-source event stream (maxFilesPerTrigger splits the staged
@@ -1273,6 +1328,31 @@ object SparkEntry {
         s.read.orc(p)
       }
       Denormalize.builder(viaOrc("orders"), viaOrc("customer"), rightKey = "c_custkey")
+        .joinOn(df => df("o_custkey"))
+        .inner
+    }),
+    // JSON-lines round-trip through the denorm core — the
+    // schema-on-read text leg of the lossless-serde family
+    // (parquet/avro/orc/csv/jsonl). Lossless needs the same µs
+    // timestamp pattern as CSV (the default truncates to ms); null
+    // fields are OMITTED on write and re-surface as NULL under the
+    // bound schema (so null round-trips by construction, and an empty
+    // string stays "" — JSON never conflates the two, unlike CSV);
+    // doubles ride Spark's shortest-round-trip rendering.
+    "q128_jsonl_denorm" -> ((s, dir) => {
+      val usFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+      def viaJsonl(name: String): DataFrame = {
+        val schema = Tables.load(s, dir, name).schema
+        val p = stagedOnce(dir, s"${name}_jsonl") { tmp =>
+          Tables.load(s, dir, name).write.mode("overwrite")
+            .option("timestampFormat", usFmt).option("timestampNTZFormat", usFmt)
+            .json(tmp)
+        }
+        s.read.schema(schema)
+          .option("timestampFormat", usFmt).option("timestampNTZFormat", usFmt)
+          .json(p)
+      }
+      Denormalize.builder(viaJsonl("orders"), viaJsonl("customer"), rightKey = "c_custkey")
         .joinOn(df => df("o_custkey"))
         .inner
     }),
@@ -1840,6 +1920,7 @@ object SparkEntry {
     // same gate, text-format leg: µs timestamps and shortest-round-trip
     // doubles must survive the CSV write→read to hash-match
     "q112_csv_denorm" -> denormOracle("JOIN"),
+    "q128_jsonl_denorm" -> denormOracle("JOIN"),
     // converged Complete-mode orphan grid equals the batch anti-join
     // aggregate (counts are order-independent; the dim is static)
     "q113_stream_orphan_monitor" ->
@@ -1905,6 +1986,14 @@ object SparkEntry {
          JOIN events e ON p.user_id = e.user_id
            AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts <= p.ts
          WHERE p.event_type = 'purchase' AND e.event_type = 'error'""",
+    "q129_stream_interval_join_outer" ->
+      """SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id,
+                epoch_us(p.ts)::BIGINT AS purchase_us,
+                epoch_us(e.ts)::BIGINT AS error_us
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+           ON p.user_id = e.user_id
+           AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts <= p.ts""",
   ) ++
     // q49's oracle exists only after its query ran in this JVM (Verify's
     // evaluation order): the trained centroids are then known and get

@@ -75,7 +75,8 @@ object StreamAggregates {
     * `event_id, user_id, ts, event_type` columns.
     */
   def purchaseErrorJoin(purchases: DataFrame, errors: DataFrame,
-      window: String = "1 hour", delay: String = "1 hour"): DataFrame = {
+      window: String = "1 hour", delay: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val p = purchases.filter(col("event_type") === "purchase")
       .withWatermark("ts", delay)
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
@@ -85,11 +86,19 @@ object StreamAggregates {
     p.join(e,
         col("user_id") === col("e_user") &&
           col("e_ts") >= col("p_ts") - expr(s"INTERVAL $window") &&
-          col("e_ts") <= col("p_ts"))
+          col("e_ts") <= col("p_ts"),
+        joinType)
       .select(col("purchase_id"), col("error_id"), col("user_id"),
         unix_micros(col("p_ts")).as("purchase_us"),
         unix_micros(col("e_ts")).as("error_us"))
   }
+
+  /** The q129 sentinel horizon for the OUTER form of
+    * [[purchaseErrorJoin]]: a buffered left row can only be declared
+    * match-less once the right watermark clears its whole interval —
+    * join window + watermark delay.
+    */
+  val intervalJoinClearMs: Long = 2L * 3600 * 1000
 
   /** Streaming SESSION windows: gap-merged per-user sessions finalized
     * by the watermark — the stateful-merge variant (session extents

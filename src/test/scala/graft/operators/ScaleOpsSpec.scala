@@ -390,6 +390,38 @@ class StreamIntervalJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join: unmatched purchase emits null-extended only after BOTH watermarks clear it") {
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[(Long, Long, Timestamp, String)]
+    val right = MemoryStream[(Long, Long, Timestamp, String)]
+    def df(m: MemoryStream[(Long, Long, Timestamp, String)]) =
+      m.toDS().toDF("event_id", "user_id", "ts", "event_type")
+    val q = graft.streaming.StreamAggregates
+      .purchaseErrorJoin(df(left), df(right), joinType = "left_outer")
+      .writeStream.format("memory").queryName("ssjo_out").outputMode("append").start()
+    try {
+      val t = (h: Int, min: Int) => Timestamp.valueOf(f"2026-01-01 $h%02d:$min%02d:00")
+      left.addData((1L, 7L, t(10, 30), "purchase"))
+      right.addData((2L, 9L, t(10, 35), "error")) // other user: no match
+      q.processAllAvailable()
+      // no emission yet — the purchase could still match a late error
+      assert(spark.table("ssjo_out").count() == 0)
+      // advancing ONLY the right watermark must not flush (global
+      // watermark = min across nodes — the q129 dual-sentinel rule)
+      right.addData((3L, 9L, t(14, 0), "error"))
+      q.processAllAvailable()
+      assert(spark.table("ssjo_out").count() == 0)
+      // advancing the left side too clears the interval + delay horizon
+      left.addData((4L, 9L, t(14, 0), "purchase"))
+      q.processAllAvailable()
+      val out = spark.table("ssjo_out")
+        .select("purchase_id", "error_id", "user_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -99L else r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(out.contains((1L, -99L, 7L)), s"unmatched purchase must emit null-extended: $out")
+    } finally q.stop()
+  }
+
   private def tUs(t: Timestamp): Long = t.getTime * 1000L
 }
 
