@@ -1608,6 +1608,18 @@ object SparkEntry {
     // self-join (fan-out bounded by the type vocabulary), BIGINT
     // counts, single-division support/confidence, mirrored lift
     "q125_association_rules" -> ((s, dir) => Analytics.associationRules(s, dir)),
+    // graph centrality: bounded-iteration integer PageRank over the
+    // customer–supplier graph — the driver loops over ROUNDS (fixed,
+    // like q42's star contraction), never data; every round is
+    // node-keyed two-phase shuffles, and the damped update is pure
+    // BIGINT micro-unit arithmetic so the unrolled-CTE oracle is
+    // cell-exact
+    "q130_pagerank" -> ((s, dir) => Analytics.pageRank(s, dir)),
+    // incremental JOIN maintenance — q73's merge==scratch contract for
+    // the denormalization itself: stored base snapshot + three delta
+    // joins, held cell-exact to the full re-join by the q01 oracle
+    "q131_delta_join_maintenance" ->
+      ((s, dir) => PipelineOps.deltaJoinMaintenance(s, dir)),
     // streamed association rules — basket membership is DISTINCT-pair
     // state (q60's class: a set, batching-independent), maintained in
     // Complete mode; the shared fold runs over the localCheckpoint
@@ -1921,6 +1933,7 @@ object SparkEntry {
     // doubles must survive the CSV write→read to hash-match
     "q112_csv_denorm" -> denormOracle("JOIN"),
     "q128_jsonl_denorm" -> denormOracle("JOIN"),
+    "q131_delta_join_maintenance" -> denormOracle("JOIN"),
     // converged Complete-mode orphan grid equals the batch anti-join
     // aggregate (counts are order-independent; the dim is static)
     "q113_stream_orphan_monitor" ->
@@ -1946,6 +1959,7 @@ object SparkEntry {
     // the streamed (window × user) grid equals the batch grid (counter
     // sums), so the trending oracle re-derives relationally
     "q123_stream_trending" -> trendingOracle,
+    "q130_pagerank" -> Analytics.pageRankSql(),
     // the Append-mode emitted set is exactly the finalized grid — the
     // same batch grid, so the same oracle
     "q124_stream_trending_evicting" -> trendingOracle,

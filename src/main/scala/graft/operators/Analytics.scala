@@ -539,4 +539,77 @@ object Analytics {
                d2
         FROM scored
         QUALIFY rank <= $k"""
+
+  // ---- graph centrality: bounded-iteration integer PageRank (q130) ----
+
+  /** PageRank over the customer–supplier interaction graph (who
+    * ordered from whom, via orders ⋈ lineitem), the graph-centrality
+    * member of the graph family q42's connected components opened.
+    * Design choices, each forced by scale or cross-engine exactness:
+    *
+    *  - The graph is UNDIRECTED (each edge in both directions), so
+    *    every node has out-degree ≥ 1 and the dangling-mass correction
+    *    — whose global redistribution term would make every rank
+    *    depend on a float total — never arises.
+    *  - Node ids disambiguate the two entity spaces arithmetically
+    *    (customer k → 2k, supplier k → 2k+1) — cheaper at 100 TB than
+    *    string-prefixed keys and reversible in the output projection.
+    *  - Arithmetic is INTEGER micro-units end to end: ranks start at
+    *    10^6, each step is `150000 + Σ (85·r(u)) div (100·outdeg(u))`
+    *    — the damped update with division-before-sum pinned, so both
+    *    engines fold identical BIGINTs in any order and the oracle
+    *    (the same recurrence unrolled as CTEs) is cell-exact. No
+    *    floats anywhere.
+    *  - A FIXED iteration count (the q42 star-contraction discipline):
+    *    the driver loop is over rounds, never data; each round is one
+    *    edges⋈ranks⋈degrees join batch + one aggregation — all
+    *    two-phase shuffles on the node key at any scale.
+    */
+  def pageRank(s: SparkSession, dir: String, iterations: Int = 3): DataFrame = {
+    val pairs = Tables.load(s, dir, "lineitem")
+      .join(Tables.load(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("src"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      .distinct()
+    val edges = pairs.unionAll(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
+    for (_ <- 1 to iterations) {
+      ranks = edges
+        .join(ranks, edges("src") === ranks("node"))
+        .join(deg, "src")
+        .select(col("dst"),
+          // integer div, never `/` (which is IEEE division on longs)
+          expr("(rank * 85) div (outdeg * 100)").as("c"))
+        .groupBy(col("dst"))
+        .agg((lit(150000L) + sum(col("c"))).as("rank"))
+        .select(col("dst").as("node"), col("rank"))
+    }
+    ranks.select(
+      when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+        .as("entity"),
+      expr("node div 2").as("entity_id"),
+      col("rank"))
+  }
+
+  def pageRankSql(iterations: Int = 3): String = {
+    val base = """eraw AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        e AS (SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw),
+        deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY 1),
+        r0 AS (SELECT src AS node, 1000000::BIGINT AS rank FROM deg)"""
+    val steps = (1 to iterations).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+                 (150000 + sum((85 * r${i - 1}.rank) // (100 * deg.outdeg)))::BIGINT AS rank
+           FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node JOIN deg ON e.src = deg.src
+           GROUP BY 1)"""
+    }.mkString(",\n        ")
+    s"""WITH $base,
+        $steps
+        SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
+               (node // 2)::BIGINT AS entity_id, rank
+        FROM r$iterations"""
+  }
 }

@@ -845,6 +845,42 @@ object PipelineOps {
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        GROUP BY o_orderdate"""
 
+  // ---- incremental JOIN maintenance (q131) ----
+
+  /** The q73 IVM contract applied to a JOIN: maintain the stored
+    * denormalized snapshot `base = O_b ⋈ C_b` and refresh it with the
+    * three delta joins `ΔO ⋈ C_b ∪ O_b ⋈ ΔC ∪ ΔO ⋈ ΔC` — the algebra
+    * every nightly 100 TB denormalization pipeline runs instead of
+    * re-joining the world (the four cross-classes partition O × C, so
+    * the union is EXACTLY the scratch join, which is what the oracle
+    * recomputes). The base snapshot is a session-stored artifact (the
+    * q83/q114 amortization — production materializes it once per
+    * snapshot); per-refresh cost is the delta joins, each keyed on the
+    * FK with a delta side small enough to broadcast at any realistic
+    * delta rate. Deltas are the `% 10 = 9` slices on each side's key —
+    * q73's convention, so the two IVM operators share one fixture
+    * story.
+    */
+  private val deltaJoinCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def deltaJoinMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val customer = Tables.load(s, dir, "customer")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment")
+    def joined(l: DataFrame, r: DataFrame): DataFrame =
+      l.join(r, l("o_custkey") === r("c_custkey")).select(cols.map(col): _*)
+    val ob = orders.filter(col("o_orderkey") % 10 =!= 9)
+    val od = orders.filter(col("o_orderkey") % 10 === 9)
+    val cb = customer.filter(col("c_custkey") % 10 =!= 9)
+    val cd = customer.filter(col("c_custkey") % 10 === 9)
+    val base = cachedArtifact(deltaJoinCache, dir, s)(joined(ob, cb))
+    base.unionAll(joined(od, cb)).unionAll(joined(ob, cd))
+      .unionAll(joined(od, cd))
+  }
+
   // ---- BM25 relevance scoring ----
 
   /** Top documents by BM25 for a deterministic probe query — the
