@@ -565,21 +565,44 @@ object Analytics {
     *    edges⋈ranks⋈degrees join batch + one aggregation — all
     *    two-phase shuffles on the node key at any scale.
     */
+  /** The (edge, out-degree) adjacency — iteration-INVARIANT, so it is
+    * derived once per (session, dir) and checkpointed: re-deriving the
+    * lineitem⋈orders graph and re-joining degrees inside every
+    * iteration would triple the join count for no information (and at
+    * 100 TB the adjacency is precisely the artifact a graph pipeline
+    * materializes once per snapshot). Session-guarded like the other
+    * artifact caches.
+    */
+  private val adjacencyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def adjacency(s: SparkSession, dir: String): DataFrame = {
+    val hit = adjacencyCache.get(dir)
+    if (hit != null && (hit.sparkSession eq s) && !s.sparkContext.isStopped) hit
+    else {
+      if (hit != null) adjacencyCache.remove(dir, hit)
+      val pairs = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+        .distinct()
+      val edges = pairs.unionAll(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val adj = edges.join(deg, "src").localCheckpoint(true)
+      adjacencyCache.put(dir, adj)
+      adj
+    }
+  }
+
   def pageRank(s: SparkSession, dir: String, iterations: Int = 3): DataFrame = {
-    val pairs = Tables.load(s, dir, "lineitem")
-      .join(Tables.load(s, dir, "orders"),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).cast("long").as("src"),
-        (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
-      .distinct()
-    val edges = pairs.unionAll(
-      pairs.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
+    val adj = adjacency(s, dir) // (src, dst, outdeg)
+    var ranks = adj.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("rank"))
     for (_ <- 1 to iterations) {
-      ranks = edges
-        .join(ranks, edges("src") === ranks("node"))
-        .join(deg, "src")
+      ranks = adj
+        .join(ranks, adj("src") === ranks("node"))
         .select(col("dst"),
           // integer div, never `/` (which is IEEE division on longs)
           expr("(rank * 85) div (outdeg * 100)").as("c"))
