@@ -1615,6 +1615,13 @@ object SparkEntry {
     // BIGINT micro-unit arithmetic so the unrolled-CTE oracle is
     // cell-exact
     "q130_pagerank" -> ((s, dir) => Analytics.pageRank(s, dir)),
+    // strictly-ordered conversion funnel — sequential-pattern
+    // analytics as a chain of per-user min aggregates (two-phase,
+    // user-keyed; no window over the raw log)
+    "q132_funnel" -> ((s, dir) => Analytics.funnel(s, dir)),
+    // SCD Type 2 history build — q05's version order becomes validity
+    // intervals via one user-partitioned lead window
+    "q133_scd2_history" -> ((s, dir) => Analytics.scd2History(s, dir)),
     // incremental JOIN maintenance — q73's merge==scratch contract for
     // the denormalization itself: stored base snapshot + three delta
     // joins, held cell-exact to the full re-join by the q01 oracle
@@ -1960,6 +1967,8 @@ object SparkEntry {
     // sums), so the trending oracle re-derives relationally
     "q123_stream_trending" -> trendingOracle,
     "q130_pagerank" -> Analytics.pageRankSql(),
+    "q132_funnel" -> Analytics.funnelSql,
+    "q133_scd2_history" -> Analytics.scd2HistorySql,
     // the Append-mode emitted set is exactly the finalized grid — the
     // same batch grid, so the same oracle
     "q124_stream_trending_evicting" -> trendingOracle,

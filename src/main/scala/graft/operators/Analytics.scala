@@ -540,6 +540,97 @@ object Analytics {
         FROM scored
         QUALIFY rank <= $k"""
 
+  // ---- sequential funnel analysis (q132) ----
+
+  /** Strictly-ordered conversion funnel (view → click → purchase):
+    * step k counts users whose earliest step-k event falls AFTER their
+    * matched step-(k−1) time — the sequential-pattern analytics every
+    * product pipeline runs, expressed as a chain of per-user min
+    * aggregates (each step is one filter + one FK join against the
+    * previous step's one-row-per-user table + one min — all two-phase,
+    * user-keyed shuffles; no per-user event-list materialization, no
+    * window over the raw log). Conversion ratios are one IEEE division
+    * of exact BIGINTs, NULL-guarded the same way on both engines.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val step1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val step2 = ev.filter(col("event_type") === "click")
+      .join(step1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val step3 = ev.filter(col("event_type") === "purchase")
+      .join(step2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val nAll = ev.agg(countDistinct(col("user_id")).as("n0"))
+    val n1 = step1.agg(count(lit(1)).as("n1"))
+    val n2 = step2.agg(count(lit(1)).as("n2"))
+    val n3 = step3.agg(count(lit(1)).as("n3"))
+    def ratio(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den === 0, lit(null)).otherwise(
+        num.cast("double") / den.cast("double"))
+    n1.crossJoin(n2).crossJoin(n3).crossJoin(nAll).select(
+      lit("1_view").as("step"), col("n1").as("n_users"),
+      ratio(col("n1"), col("n0")).as("conv"))
+      .unionAll(n1.crossJoin(n2).select(
+        lit("2_click").as("step"), col("n2").as("n_users"),
+        ratio(col("n2"), col("n1")).as("conv")))
+      .unionAll(n2.crossJoin(n3).select(
+        lit("3_purchase").as("step"), col("n3").as("n_users"),
+        ratio(col("n3"), col("n2")).as("conv")))
+  }
+
+  def funnelSql: String =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+               JOIN s1 ON e.user_id = s1.user_id
+               WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+               JOIN s2 ON e.user_id = s2.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        n AS (SELECT (SELECT count(DISTINCT user_id) FROM events)::BIGINT AS n0,
+                     (SELECT count(*) FROM s1)::BIGINT AS n1,
+                     (SELECT count(*) FROM s2)::BIGINT AS n2,
+                     (SELECT count(*) FROM s3)::BIGINT AS n3)
+        SELECT '1_view' AS step, n1 AS n_users,
+               CASE WHEN n0 = 0 THEN NULL ELSE n1::DOUBLE / n0::DOUBLE END AS conv FROM n
+        UNION ALL
+        SELECT '2_click', n2,
+               CASE WHEN n1 = 0 THEN NULL ELSE n2::DOUBLE / n1::DOUBLE END FROM n
+        UNION ALL
+        SELECT '3_purchase', n3,
+               CASE WHEN n2 = 0 THEN NULL ELSE n3::DOUBLE / n2::DOUBLE END FROM n"""
+
+  // ---- temporal history build: SCD Type 2 (q133) ----
+
+  /** Slowly-changing-dimension (Type 2) history from the event log:
+    * each user's events, version-ordered by (ts, event_id) — q05's
+    * order — become validity intervals `[valid_from, valid_to)`, the
+    * open current row carrying NULL valid_to. One `lead` window
+    * PARTITIONED BY USER (distributed by the entity key — never a
+    * global sort; the per-user partition is history-deep, not
+    * corpus-wide). Interval bounds are epoch-µs BIGINTs, the only
+    * timestamp form both engines compare losslessly.
+    */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        unix_micros(lead(col("ts"), 1).over(w)).as("valid_to_us"),
+        (lead(col("ts"), 1).over(w).isNull).as("is_current"))
+  }
+
+  def scd2HistorySql: String =
+    """SELECT user_id, event_id, event_type, value,
+              epoch_us(ts)::BIGINT AS valid_from_us,
+              epoch_us(lead(ts, 1) OVER w)::BIGINT AS valid_to_us,
+              (lead(ts, 1) OVER w IS NULL) AS is_current
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"""
+
   // ---- graph centrality: bounded-iteration integer PageRank (q130) ----
 
   /** PageRank over the customer–supplier interaction graph (who
