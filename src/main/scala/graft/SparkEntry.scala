@@ -744,6 +744,10 @@ object SparkEntry {
     // into the oracle as literals once the query has run (see
     // ivfTopKTrainedSql); recall vs brute force is unit-tested.
     "q49_ann_ivf_trained" -> ((s, dir) => Similarity.ivfTopKTrained(s, dir)),
+    // embedding-space acceptance check: per-bucket base-vs-delta share
+    // drift over the trained assignment — one conditional-agg scan of
+    // the max_by assignment, totals on a one-row broadcast
+    "q134_embedding_drift" -> ((s, dir) => Similarity.embeddingDriftReport(s, dir)),
     // q08's stateful FK join on the transformWithState core (Spark 4's
     // modern stateful API: ValueState point-get + MapState prefix-scan,
     // RocksDB state store) — same oracle, different state backend.
@@ -2022,6 +2026,7 @@ object SparkEntry {
     // evaluation order): the trained centroids are then known and get
     // inlined as literals — the training loop isn't SQL, its result is
     Similarity.ivfTopKTrainedSql().map("q49_ann_ivf_trained" -> _) ++
+    Similarity.embeddingDriftReportSql().map("q134_embedding_drift" -> _) ++
     // same gating for q77: the PQ codebooks inline once trained
     Similarity.pqTopKSql().map("q77_pq_adc" -> _) ++
     // q108's per-dimension SQ8 stats inline once trained (same gating)

@@ -208,6 +208,65 @@ object Similarity {
   def ivfTopKTrained(s: SparkSession, dir: String, k: Int = defaultK): DataFrame =
     ivfSearch(emb(s, dir), centsDF(s, dir), k)
 
+  // ---- embedding distribution drift report (q134) ----
+
+  /** Per-bucket distribution drift between the BASE corpus slice
+    * (vec_id % 10 ≠ 9) and the DELTA slice (= 9, the q73/q131 delta
+    * convention) — the embedding-space acceptance check a production
+    * pipeline runs before merging a new crawl: has the new data's
+    * semantic mix shifted against the serving index? Every vector
+    * assigns to its trained centroid via THE family assignment
+    * ([[ivfAssign]] — max_by aggregate, one skinny exchange), each
+    * side counts per bucket in one conditional aggregation (single
+    * scan of the assignment, the q73 discipline), and each bucket
+    * reports its share of its side plus the share drift. Counts are
+    * BIGINT; shares/drift are NULL-guarded single IEEE divisions and
+    * one subtraction of those exact quotients, mirrored order-for-order
+    * in the oracle. The totals ride a one-row broadcast.
+    */
+  def embeddingDriftReport(s: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssign(emb(s, dir), centsDF(s, dir))
+      .select(col("vec_id"), col("bucket"),
+        (col("vec_id") % 10 === 9).as("is_delta"))
+    val counts = assigned.groupBy(col("bucket"))
+      .agg(sum(when(!col("is_delta"), lit(1L)).otherwise(lit(0L))).as("n_base"),
+        sum(when(col("is_delta"), lit(1L)).otherwise(lit(0L))).as("n_delta"))
+    val tot = counts.agg(sum(col("n_base")).as("tb"), sum(col("n_delta")).as("td"))
+    val shareBase = when(col("tb") === 0, lit(null))
+      .otherwise(col("n_base").cast("double") / col("tb").cast("double"))
+    val shareDelta = when(col("td") === 0, lit(null))
+      .otherwise(col("n_delta").cast("double") / col("td").cast("double"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_base"), col("n_delta"),
+        shareBase.as("share_base"), shareDelta.as("share_delta"),
+        (shareDelta - shareBase).as("drift"))
+  }
+
+  /** Oracle for [[embeddingDriftReport]] — trained-literal gating like
+    * [[ivfTopKTrainedSql]], assignment via the shared [[assignedCteSql]].
+    */
+  def embeddingDriftReportSql(): Option[String] =
+    trainedRowsSql().map { rows =>
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql),
+        c AS (SELECT * FROM (VALUES $rows) AS vt(cent_id, cv)),
+        assigned AS ($assignedCteSql),
+        counts AS (SELECT bucket,
+                          sum(CASE WHEN vec_id % 10 = 9 THEN 0 ELSE 1 END)::BIGINT AS n_base,
+                          sum(CASE WHEN vec_id % 10 = 9 THEN 1 ELSE 0 END)::BIGINT AS n_delta
+                   FROM assigned GROUP BY 1),
+        tot AS (SELECT sum(n_base)::BIGINT AS tb, sum(n_delta)::BIGINT AS td FROM counts)
+        SELECT bucket, n_base, n_delta,
+               CASE WHEN tb = 0 THEN NULL
+                    ELSE n_base::DOUBLE / tb::DOUBLE END AS share_base,
+               CASE WHEN td = 0 THEN NULL
+                    ELSE n_delta::DOUBLE / td::DOUBLE END AS share_delta,
+               (CASE WHEN td = 0 THEN NULL
+                     ELSE n_delta::DOUBLE / td::DOUBLE END
+                - CASE WHEN tb = 0 THEN NULL
+                       ELSE n_base::DOUBLE / tb::DOUBLE END) AS drift
+        FROM counts, tot"""
+    }
+
   /** Cluster-balanced diversity sample — the curation move that keeps a
     * corpus SEMANTICALLY broad under a budget (the cluster-then-sample
     * step of SemDeDup-style pipelines): assign every embedding to its
