@@ -748,6 +748,11 @@ object SparkEntry {
     // drift over the trained assignment — one conditional-agg scan of
     // the max_by assignment, totals on a one-row broadcast
     "q134_embedding_drift" -> ((s, dir) => Similarity.embeddingDriftReport(s, dir)),
+    // JL sign projection 64 -> 16: shuffle-free per-row sketching; the
+    // oracle re-derives the sign matrix independently (DuckDB md5 vs
+    // the Scala MessageDigest kernel), so the matrix is cross-checked,
+    // never shipped
+    "q135_jl_projection" -> ((s, dir) => Similarity.jlProject(s, dir)),
     // q08's stateful FK join on the transformWithState core (Spark 4's
     // modern stateful API: ValueState point-get + MapState prefix-scan,
     // RocksDB state store) — same oracle, different state backend.
@@ -1973,6 +1978,7 @@ object SparkEntry {
     "q130_pagerank" -> Analytics.pageRankSql(),
     "q132_funnel" -> Analytics.funnelSql,
     "q133_scd2_history" -> Analytics.scd2HistorySql,
+    "q135_jl_projection" -> Similarity.jlProjectSql(),
     // the Append-mode emitted set is exactly the finalized grid — the
     // same batch grid, so the same oracle
     "q124_stream_trending_evicting" -> trendingOracle,

@@ -208,6 +208,51 @@ object Similarity {
   def ivfTopKTrained(s: SparkSession, dir: String, k: Int = defaultK): DataFrame =
     ivfSearch(emb(s, dir), centsDF(s, dir), k)
 
+  // ---- random sign-projection dimensionality reduction (q135) ----
+
+  /** Johnson–Lindenstrauss sign projection 64 → 16: each output
+    * coordinate is `0.25 · Σ_i ±v[i]` with the sign of cell (i, j)
+    * drawn deterministically from the corpus-independent md5 seed
+    * `"i:j"` — the sketched-embedding move that lets a 100 TB vector
+    * corpus keep 4× less float per row for coarse filtering while the
+    * full vectors stay cold. Zero shuffles (a pure per-row projection);
+    * the fold is left-associated in ascending element order and the
+    * 1/√16 scale is the exactly-representable 0.25, so every output
+    * double is bit-determined. The ORACLE derives the same signs
+    * independently — DuckDB's md5 against the Scala MessageDigest
+    * kernel — so the projection matrix itself is cross-checked, not
+    * shipped (no literals, no gating).
+    */
+  val jlOutDim = 16
+
+  def jlProject(s: SparkSession, dir: String): DataFrame = {
+    val signs = Array.tabulate(pqDim, jlOutDim)((i, j) =>
+      if (graft.functions.Md5Long.hash(
+        s"$i:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8)) % 2 == 0) 1.0
+      else -1.0)
+    val cols = (0 until jlOutDim).map { j =>
+      // the pqDotp fold shape: zip with the sign column-vector literal,
+      // left-fold from 0.0 — the exact engine mirror of list_sum
+      val sj = typedLit((0 until pqDim).map(i => signs(i)(j)))
+      (aggregate(zip_with(col("v"), sj, (x, sgn) => x * sgn),
+        lit(0.0), (acc, x) => acc + x) * lit(0.25)).as(s"p$j")
+    }
+    emb(s, dir).select(col("vec_id") +: cols: _*)
+  }
+
+  def jlProjectSql(): String = {
+    val cols = (0 until jlOutDim).map { j =>
+      s"""(list_sum(list_transform(range(1, ${pqDim + 1}),
+             i -> v[i] * (CASE WHEN ('0x' || substring(md5((i - 1)::VARCHAR || ':$j'), 1, 15))::BIGINT % 2 = 0
+                          THEN (1.0)::DOUBLE ELSE (-1.0)::DOUBLE END)))
+           * (0.25)::DOUBLE) AS p$j"""
+    }.mkString(",\n               ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql)
+        SELECT vec_id,
+               $cols
+        FROM e"""
+  }
+
   // ---- embedding distribution drift report (q134) ----
 
   /** Per-bucket distribution drift between the BASE corpus slice

@@ -70,3 +70,36 @@ class GraphIvmSpec extends SparkSpec {
     assert(incr.filter(!o9 && c9).count() > 0)
   }
 }
+
+/** q135's geometry contract: a JL sign projection approximately
+  * preserves pairwise distance on average — checked loosely (the JL
+  * bound is probabilistic) — and the projection is a shuffle-free
+  * per-row map.
+  */
+class JlProjectionSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("jl projection is shuffle-free and roughly preserves pairwise distances") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = Similarity.jlProject(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must be a pure map:\n$plan")
+    val p = Similarity.jlProject(spark, dir).limit(40).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getDouble).toArray).toMap
+    val v = graft.Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id").isin(p.keySet.toSeq: _*))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Double])].collect().map { case (id, e) => id -> e.toArray }.toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = p.keySet.toSeq.sorted
+    val ratios = for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      orig = d2(v(ids(i)), v(ids(j))) if orig > 1e-9
+    } yield d2(p(ids(i)), p(ids(j))) / orig
+    assert(ratios.nonEmpty)
+    val mean = ratios.sum / ratios.size
+    // E[ratio] = 1 under the JL scaling; allow a generous band
+    assert(mean > 0.5 && mean < 2.0, s"mean distortion $mean")
+  }
+}
