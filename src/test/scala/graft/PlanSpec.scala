@@ -504,4 +504,31 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  test("round-11 additions keep their scale shapes") {
+    // q130: every PageRank round is node-keyed joins + aggregation —
+    // no Window, no global sort anywhere in the plan
+    val p130 = plan("q130_pagerank")
+    assert(!p130.contains("Window"), p130)
+    assert(p130.contains("partial_sum") || p130.contains("partial_count"), p130)
+    // q132: the funnel chain never windows over the raw event log;
+    // counts partial-aggregate before their exchanges
+    val p132 = plan("q132_funnel")
+    assert(!p132.contains("Window"), p132)
+    assert(p132.contains("partial_min"), p132)
+    // q133: the history build's one window is PARTITIONED by the
+    // entity key — rangepartitioning on user, never a single partition
+    val p133 = plan("q133_scd2_history")
+    assert(p133.contains("Window"), p133)
+    assert(!p133.contains("SinglePartition"), p133)
+    // q134: totals ride a one-row broadcast over the bucket counts
+    val p134 = plan("q134_embedding_drift")
+    assert(p134.contains("BroadcastNestedLoopJoin") || p134.contains("BroadcastExchange"), p134)
+    // q135: pure per-row projection (pinned Exchange-free in its own
+    // spec); q128 adds no exchange over the plain denorm join
+    val p128 = plan("q128_jsonl_denorm")
+    val p01 = plan("q01_denorm_inner")
+    assert("Exchange".r.findAllIn(p128).size == "Exchange".r.findAllIn(p01).size,
+      s"jsonl serde must not change the join shape:\n$p128")
+  }
 }
