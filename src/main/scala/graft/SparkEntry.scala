@@ -753,6 +753,10 @@ object SparkEntry {
     // the Scala MessageDigest kernel), so the matrix is cross-checked,
     // never shipped
     "q135_jl_projection" -> ((s, dir) => Similarity.jlProject(s, dir)),
+    // entity resolution: blocked fuzzy self-join (nation x name-suffix
+    // blocking key, then exact Levenshtein on block-bounded candidates
+    // — the edit-distance cousin of PPJoin; edges feed q42's components)
+    "q136_record_linkage" -> ((s, dir) => Dedup.recordLinkage(s, dir)),
     // q08's stateful FK join on the transformWithState core (Spark 4's
     // modern stateful API: ValueState point-get + MapState prefix-scan,
     // RocksDB state store) — same oracle, different state backend.
@@ -1979,6 +1983,7 @@ object SparkEntry {
     "q132_funnel" -> Analytics.funnelSql,
     "q133_scd2_history" -> Analytics.scd2HistorySql,
     "q135_jl_projection" -> Similarity.jlProjectSql(),
+    "q136_record_linkage" -> Dedup.recordLinkageSql(),
     // the Append-mode emitted set is exactly the finalized grid — the
     // same batch grid, so the same oracle
     "q124_stream_trending_evicting" -> trendingOracle,
