@@ -753,6 +753,22 @@ object SparkEntry {
     // the Scala MessageDigest kernel), so the matrix is cross-checked,
     // never shipped
     "q135_jl_projection" -> ((s, dir) => Similarity.jlProject(s, dir)),
+    // q134's LIVE form: the drift grid keyed by (bucket, is_delta) is
+    // counter-sum state (the streamable class), maintained Complete-
+    // mode with a PER-ROW literal-centroid assignment (no stateful
+    // join); the converged grid equals the batch conditional agg, so
+    // the shared driftShares fold + q134's trained-literal oracle
+    // apply unchanged
+    "q137_stream_embedding_drift" -> ((s, dir) => {
+      val e = Similarity.embeddingsDense(s, dir).select(col("vec_id"), col("v"))
+      val assign = Similarity.driftAssignCol(s, dir)
+      val state = sketchMaintenanceStream(s, dir, "q137", e)(
+        df => df.withColumn("bucket", assign)
+          .withColumn("is_delta", col("vec_id") % 10 === 9)
+          .groupBy(col("bucket"), col("is_delta"))
+          .agg(count(lit(1)).as("cnt")))
+      Similarity.driftStateFold(state.localCheckpoint())
+    }),
     // entity resolution: blocked fuzzy self-join (nation x name-suffix
     // blocking key, then exact Levenshtein on block-bounded candidates
     // — the edit-distance cousin of PPJoin; edges feed q42's components)
@@ -2038,6 +2054,7 @@ object SparkEntry {
     // inlined as literals — the training loop isn't SQL, its result is
     Similarity.ivfTopKTrainedSql().map("q49_ann_ivf_trained" -> _) ++
     Similarity.embeddingDriftReportSql().map("q134_embedding_drift" -> _) ++
+    Similarity.embeddingDriftReportSql().map("q137_stream_embedding_drift" -> _) ++
     // same gating for q77: the PQ codebooks inline once trained
     Similarity.pqTopKSql().map("q77_pq_adc" -> _) ++
     // q108's per-dimension SQ8 stats inline once trained (same gating)

@@ -273,9 +273,16 @@ object Similarity {
     val assigned = ivfAssign(emb(s, dir), centsDF(s, dir))
       .select(col("vec_id"), col("bucket"),
         (col("vec_id") % 10 === 9).as("is_delta"))
-    val counts = assigned.groupBy(col("bucket"))
+    driftShares(assigned.groupBy(col("bucket"))
       .agg(sum(when(!col("is_delta"), lit(1L)).otherwise(lit(0L))).as("n_base"),
-        sum(when(col("is_delta"), lit(1L)).otherwise(lit(0L))).as("n_delta"))
+        sum(when(col("is_delta"), lit(1L)).otherwise(lit(0L))).as("n_delta")))
+  }
+
+  /** The drift fold over per-bucket side counts — ONE definition shared
+    * by the batch report and the streamed monitor (q137), so the two
+    * paths cannot drift in share/NULL-guard arithmetic.
+    */
+  private def driftShares(counts: DataFrame): DataFrame = {
     val tot = counts.agg(sum(col("n_base")).as("tb"), sum(col("n_delta")).as("td"))
     val shareBase = when(col("tb") === 0, lit(null))
       .otherwise(col("n_base").cast("double") / col("tb").cast("double"))
@@ -286,6 +293,38 @@ object Similarity {
         shareBase.as("share_base"), shareDelta.as("share_delta"),
         (shareDelta - shareBase).as("drift"))
   }
+
+  // ---- streamed drift monitor (q137): q134 live ----
+
+  /** Dense embeddings frame for the q137 staging step (the family's
+    * load boundary, made visible outside the operators package).
+    */
+  def embeddingsDense(s: SparkSession, dir: String): DataFrame = emb(s, dir)
+
+  /** PER-ROW nearest-centroid assignment against the trained-centroid
+    * literal — the streaming form of [[ivfAssign]]: a map-side
+    * expression (the [[ivfProbes]] argmin idiom with probe depth 1, so
+    * ties break to the lower id exactly like the max_by), usable inside
+    * a streaming aggregation where a join+argmax would be another
+    * stateful stage. Training is memoized per dir like every trained
+    * operator; the literal is C×dim — bounded by construction.
+    */
+  def driftAssignCol(s: SparkSession, dir: String): org.apache.spark.sql.Column = {
+    val cents = trainedCache.computeIfAbsent(dir, _ => kmeansCentroids(s, dir))
+    val centLit = typedLit(cents.sortBy(_._1).map(_._2.toSeq).toSeq)
+    val scored = transform(sequence(lit(0), lit(cents.length - 1)),
+      c => struct((cosine_sim(col("v"), element_at(centLit, c + 1)) * lit(-1.0)).as("d"),
+        c.as("c")))
+    element_at(array_sort(scored), 1).getField("c").cast("long")
+  }
+
+  /** Fold the converged (bucket, is_delta, cnt) grid to the drift
+    * report — the q134 [[driftShares]] over a pivoted state table.
+    */
+  def driftStateFold(state: DataFrame): DataFrame =
+    driftShares(state.groupBy(col("bucket"))
+      .agg(sum(when(!col("is_delta"), col("cnt")).otherwise(lit(0L))).as("n_base"),
+        sum(when(col("is_delta"), col("cnt")).otherwise(lit(0L))).as("n_delta")))
 
   /** Oracle for [[embeddingDriftReport]] — trained-literal gating like
     * [[ivfTopKTrainedSql]], assignment via the shared [[assignedCteSql]].
