@@ -973,6 +973,11 @@ object SparkEntry {
     // counts) — d×w integer counter grid, one-sided error, cell-exact
     // oracle; grid bounded by d·w regardless of input size
     "q69_cms_heavy_hitters" -> ((s, dir) => operators.Sketches.cmsHeavyHitters(s, dir)),
+    // optimizer statistics: AMS/CMS inner-product join-size estimate
+    // (two d x w grids over the join key, min of per-row inner
+    // products) reported against the exact join cardinality
+    "q138_cms_join_estimate" ->
+      ((s, dir) => operators.Sketches.cmsJoinSizeEstimate(s, dir)),
     // RAG/embedding-prep chunking: overlapping token windows with
     // deterministic (doc_id, chunk_idx) ids and md5 chunk hashes —
     // pure map + generate, zero shuffles
@@ -2021,6 +2026,7 @@ object SparkEntry {
     // oracle applies unchanged
     "q101_stream_kmv_maintenance" -> operators.Sketches.kmvDistinctSql(),
     "q69_cms_heavy_hitters" -> operators.Sketches.cmsHeavyHittersSql(),
+    "q138_cms_join_estimate" -> operators.Sketches.cmsJoinSizeEstimateSql(),
     // the streamed grid equals the batch grid cell-for-cell (counters
     // are order-independent sums), so the q69 oracle applies unchanged
     "q94_stream_cms_maintenance" -> operators.Sketches.cmsHeavyHittersSql(),

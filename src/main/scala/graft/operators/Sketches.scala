@@ -700,6 +700,60 @@ object Sketches {
         GROUP BY 1, 2"""
   }
 
+  /** CMS join-size estimation (q138) — the AMS/CMS inner-product
+    * bound every cost-based optimizer variant uses to size a join
+    * WITHOUT running it: build one d×w counter grid per side over the
+    * join key ([[cmsGrid]] — THE grid definition, shared with q69/q94,
+    * so the estimator rides sketches that already exist), take the
+    * per-row inner product Σ_pos cA·cB, and report the MIN across the
+    * d rows next to the exact join cardinality and the overestimate
+    * ratio. Everything up to the ratio is exact BIGINT arithmetic; the
+    * grids are d×w-bounded whatever the table sizes, and the (i, pos)
+    * join touches ≤ d·w rows — the whole estimate costs two key scans
+    * at any scale, which is the point.
+    */
+  def cmsJoinSizeEstimate(s: SparkSession, dir: String,
+      d: Int = 4, w: Int = 512): DataFrame = {
+    val ga = cmsGrid(Tables.load(s, dir, "orders")
+      .select(col("o_custkey").cast("long").as("user_id")), d, w)
+      .withColumnRenamed("c", "ca")
+    val gb = cmsGrid(Tables.events(s, dir).select(col("user_id")), d, w)
+      .withColumnRenamed("c", "cb")
+    val est = ga.join(gb, Seq("i", "pos"))
+      .groupBy(col("i")).agg(sum(col("ca") * col("cb")).as("row_est"))
+      .agg(min(col("row_est")).as("cms_join_est"))
+    val actual = Tables.load(s, dir, "orders")
+      .select(col("o_custkey").cast("long").as("k"))
+      .join(Tables.events(s, dir).select(col("user_id").as("k")), "k")
+      .agg(count(lit(1)).as("n_actual"))
+    est.crossJoin(actual).select(col("cms_join_est"), col("n_actual"),
+      when(col("n_actual") === 0, lit(null))
+        .otherwise(col("cms_join_est").cast("double") / col("n_actual").cast("double"))
+        .as("overestimate"))
+  }
+
+  def cmsJoinSizeEstimateSql(d: Int = 4, w: Int = 512): String = {
+    val is = (0 until d).map(_.toString).mkString(", ")
+    s"""WITH ks AS (SELECT unnest([$is]) AS i),
+        ga AS (SELECT i,
+                      ('0x' || substring(md5(o_custkey::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % $w AS pos,
+                      count(*) AS ca
+               FROM orders, ks GROUP BY 1, 2),
+        gb AS (SELECT i,
+                      ('0x' || substring(md5(user_id::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % $w AS pos,
+                      count(*) AS cb
+               FROM events, ks GROUP BY 1, 2),
+        est AS (SELECT min(row_est)::BIGINT AS cms_join_est FROM (
+          SELECT ga.i, sum(ga.ca * gb.cb)::BIGINT AS row_est
+          FROM ga JOIN gb ON ga.i = gb.i AND ga.pos = gb.pos GROUP BY 1)),
+        act AS (SELECT count(*)::BIGINT AS n_actual
+                FROM orders JOIN events ON o_custkey = user_id)
+        SELECT cms_join_est, n_actual,
+               CASE WHEN n_actual = 0 THEN NULL
+                    ELSE cms_join_est::DOUBLE / n_actual::DOUBLE END AS overestimate
+        FROM est, act"""
+  }
+
   def bloomPruneSql(minBal: Double = 5000.0, m: Int = 1 << 16, k: Int = 4): String = {
     val is = (0 until k).map(_.toString).mkString(", ")
     s"""WITH ks AS (SELECT unnest([$is]) AS i),
