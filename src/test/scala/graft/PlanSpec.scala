@@ -531,4 +531,19 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p128).size == "Exchange".r.findAllIn(p01).size,
       s"jsonl serde must not change the join shape:\n$p128")
   }
+
+  test("q136/q138: blocked fuzzy join hash-joins on the block key; CMS grids join bounded") {
+    // entity resolution must plan the blocking equi-key as a real hash
+    // join (SMJ or BHJ) — a BroadcastNestedLoopJoin would mean the
+    // block key fell out of the join condition and the distance filter
+    // went quadratic over the whole table
+    val p136 = plan("q136_record_linkage")
+    assert(p136.contains("SortMergeJoin") || p136.contains("BroadcastHashJoin"), p136)
+    assert(!p136.contains("BroadcastNestedLoopJoin"), p136)
+    assert(!p136.contains("CartesianProduct"), p136)
+    // the join-size estimator's grids partial-aggregate before their
+    // exchanges, and the exact-side count partial-aggregates too
+    val p138 = plan("q138_cms_join_estimate")
+    assert(p138.contains("partial_count"), p138)
+  }
 }

@@ -56,4 +56,12 @@ class FunnelScd2Spec extends SparkSpec {
       assert(sorted.last._3.isEmpty)
     }
   }
+
+  test("funnel counts are monotone non-increasing across steps on the fixture tables") {
+    val out = Analytics.funnel(spark, "/root/testdata/sf0.001")
+      .select("step", "n_users").as[(String, Long)].collect().toMap
+    assert(out.keySet == Set("1_view", "2_click", "3_purchase"))
+    assert(out("1_view") >= out("2_click") && out("2_click") >= out("3_purchase"),
+      s"funnel must narrow: $out")
+  }
 }
