@@ -753,6 +753,42 @@ object SparkEntry {
     // the Scala MessageDigest kernel), so the matrix is cross-checked,
     // never shipped
     "q135_jl_projection" -> ((s, dir) => Similarity.jlProject(s, dir)),
+    // q98's register maintenance in the EVICTING form (the q124/q127
+    // progression applied to a SKETCH): per-(hourly window, type) HLL
+    // registers under watermark + Append — max-merge is a plain
+    // windowed aggregation, so each window's m-register block emits
+    // once at finalization and drops; state is open-windows × m, not
+    // history. Fold + register math are the family's shared
+    // definitions; the oracle is the canonical CTE chain keyed by the
+    // hour window.
+    "q139_stream_windowed_hll_evicting" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("ts"), col("event_type"), col("user_id"))
+      maxEventNsOf(s, dir) match {
+        case None =>
+          operators.Sketches.hllWindowedFold(ev,
+            operators.Sketches.hllWindowedRegisters(ev).filter(lit(false)))
+        case Some(maxNs) =>
+          val (tmp, mft) = stagedWithSentinel(s, dir, "q139_events", ev, maxNs,
+            operators.Sketches.hllWindowedClearMs)(
+            snt => Seq((snt, "-sentinel-", -1L))
+              .toDF("ts", "event_type", "user_id"))
+          val ckpt = stageDir("q139_ckpt")
+          val name = memorySinkName(s, "q139")
+          try {
+            val input = s.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", mft.toString).parquet(tmp)
+            withStatePartitions(s, 8) {
+              val q = operators.Sketches.hllWindowedRegisters(input)
+                .writeStream.format("memory").queryName(name).outputMode("append")
+                .option("checkpointLocation", ckpt).start()
+              try q.processAllAvailable() finally q.stop()
+            }
+          } finally rmTreeRetry(ckpt)
+          operators.Sketches.hllWindowedFold(ev, s.table(name))
+      }
+    }),
     // q134's LIVE form: the drift grid keyed by (bucket, is_delta) is
     // counter-sum state (the streamable class), maintained Complete-
     // mode with a PER-ROW literal-centroid assignment (no stateful
@@ -2027,6 +2063,7 @@ object SparkEntry {
     "q101_stream_kmv_maintenance" -> operators.Sketches.kmvDistinctSql(),
     "q69_cms_heavy_hitters" -> operators.Sketches.cmsHeavyHittersSql(),
     "q138_cms_join_estimate" -> operators.Sketches.cmsJoinSizeEstimateSql(),
+    "q139_stream_windowed_hll_evicting" -> operators.Sketches.hllWindowedSql(),
     // the streamed grid equals the batch grid cell-for-cell (counters
     // are order-independent sums), so the q69 oracle applies unchanged
     "q94_stream_cms_maintenance" -> operators.Sketches.cmsHeavyHittersSql(),

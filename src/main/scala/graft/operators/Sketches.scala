@@ -60,11 +60,24 @@ object Sketches {
     * per-(event_type, side) registers in ONE scan this way.
     */
   private[operators] def hllRegistersBy(df: DataFrame, groupCols: Seq[String],
+      keyCol: org.apache.spark.sql.Column, p: Int): DataFrame =
+    hllRhoRows(df.select(groupCols.map(col) :+ keyCol.as("__hll_key"): _*),
+      col("__hll_key"), p)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("mj"))
+
+  /** The per-row h → (bucket, rho) derivation — THE register row math,
+    * one definition shared by [[hllRegistersBy]] and the windowed build
+    * ([[hllWindowedRegisters]]) so the two cannot drift. Keeps the
+    * caller's other columns alongside the derived ones.
+    */
+  private def hllRhoRows(df: DataFrame,
       keyCol: org.apache.spark.sql.Column, p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"register precision must be 4..16, got $p")
     val m = 1 << p
     val wbits = 60 - p // md5_long yields 60 bits
-    df.select(groupCols.map(col) :+ graft.functions.md5_long(keyCol).as("h"): _*)
+    df
+      .withColumn("h", graft.functions.md5_long(keyCol))
       .withColumn("bucket", col("h") % m)
       .withColumn("w", expr(s"h div $m"))
       // minimal-binary-string length == index of highest set bit: the
@@ -72,8 +85,6 @@ object Sketches {
       .withColumn("rho",
         when(col("w") === 0, lit(wbits + 1))
           .otherwise(lit(wbits + 1) - length(bin(col("w")))))
-      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
-      .agg(max(col("rho")).as("mj"))
   }
 
   /** Fold register maxima (`groupCol`, bucket, mj) into the exact
@@ -82,10 +93,17 @@ object Sketches {
     * callers for the same no-drift reason.
     */
   private[operators] def hllSums(regs: DataFrame, groupCol: String,
+      p: Int, estName: String): DataFrame =
+    hllSumsBy(regs, Seq(groupCol), p, estName)
+
+  /** [[hllSums]] generalized to a composite group — the windowed fold
+    * (q139) folds per (win_start, event_type) this way.
+    */
+  private[operators] def hllSumsBy(regs: DataFrame, groupCols: Seq[String],
       p: Int, estName: String): DataFrame = {
     val m = 1 << p
     val wbits = 60 - p
-    regs.groupBy(col(groupCol))
+    regs.groupBy(groupCols.map(col): _*)
       .agg(
         sum(expr(s"shiftleft(cast(1 as bigint), cast(${wbits + 1} - mj as int))")).as("s_occ"),
         count(lit(1)).as("nb"))
@@ -123,25 +141,35 @@ object Sketches {
     * [[hllDistinctSql]] and [[incrementalAggSql]] (the no-drift rule,
     * SQL side).
     */
-  private def hllCtes(p: Int): String = {
+  private def hllCtes(p: Int): String =
+    hllCtesBy(p, Seq("event_type" -> "event_type"))
+
+  /** [[hllCtes]] with a parameterized key list (`alias -> selectExpr`)
+    * — ONE canonical register chain however it is keyed; q139's
+    * windowed oracle adds the hour window as a second key this way.
+    */
+  private def hllCtesBy(p: Int, keys: Seq[(String, String)]): String = {
     val m = 1 << p
     val wbits = 60 - p
+    val sel = keys.map { case (a, e) => s"$e AS $a" }.mkString(", ")
+    val ks = keys.map(_._1).mkString(", ")
+    val grp = keys.indices.map(_ + 1).mkString(", ")
     s"""h AS (
-          SELECT event_type,
+          SELECT $sel,
                  ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
           FROM events),
-        b AS (SELECT event_type, h % $m AS bucket, h // $m AS w FROM h),
-        r AS (SELECT event_type, bucket,
+        b AS (SELECT $ks, h % $m AS bucket, h // $m AS w FROM h),
+        r AS (SELECT $ks, bucket,
                      CASE WHEN w = 0 THEN ${wbits + 1}
                           ELSE ${wbits + 1} - length(bin(w)) END AS rho
               FROM b),
-        regs AS (SELECT event_type, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+        regs AS (SELECT $ks, bucket, max(rho) AS mj FROM r GROUP BY $grp, ${keys.size + 1}),
         sums AS (
-          SELECT event_type,
+          SELECT $ks,
                  (sum((1::BIGINT << (${wbits + 1} - mj)))::BIGINT
                    + ($m - count(*)) * (1::BIGINT << ${wbits + 1}))::BIGINT AS hll_s,
                  ($m - count(*))::BIGINT AS hll_zeros
-          FROM regs GROUP BY 1)"""
+          FROM regs GROUP BY $grp)"""
   }
 
   def hllDistinctSql(p: Int = 5): String =
@@ -174,6 +202,59 @@ object Sketches {
     sums.join(exact, "event_type")
       .select(col("event_type"), col("n_exact"), col("hll_s"),
         col("hll_est"), col("hll_zeros"))
+  }
+
+  // ---- evicting windowed HLL (q139) ----
+
+  /** HLL registers keyed by (hourly event-time window, event_type)
+    * under watermark + Append — the EVICTING sketch form (the
+    * q123 → q124 / q107 → q127 progression applied to q98's register
+    * maintenance): each window's registers emit once when the
+    * watermark passes its end and their state drops, so streaming
+    * state is bounded by open windows × m registers instead of growing
+    * with history. The row math is [[hllRhoRows]] — the ONE register
+    * derivation — and max(rho) is a plain windowed aggregation, which
+    * is exactly why HLL (a max-merge sketch) can evict this way.
+    */
+  def hllWindowedRegisters(ev: DataFrame, p: Int = 5,
+      windowLen: String = "1 hour", delay: String = "30 minutes"): DataFrame =
+    hllRhoRows(
+      ev.withWatermark("ts", delay)
+        .select(col("ts"), col("event_type"), col("user_id").as("__hll_key")),
+      col("__hll_key"), p)
+      .groupBy(window(col("ts"), windowLen), col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("mj"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("win_start"),
+        col("event_type"), col("bucket"), col("mj"))
+
+  /** The q124-style sentinel horizon for [[hllWindowedRegisters]]. */
+  val hllWindowedClearMs: Long = 3600L * 1000 + 30L * 60 * 1000
+
+  /** Fold the emitted finalized registers to per-(window, type)
+    * estimates next to the exact distinct count — [[hllSumsBy]], the
+    * shared fold, so q55/q73/q98/q139 ride one register math.
+    */
+  def hllWindowedFold(ev: DataFrame, state: DataFrame, p: Int = 5): DataFrame = {
+    val sums = hllSumsBy(state, Seq("win_start", "event_type"), p, "hll_est")
+    val exact = ev.groupBy(
+      date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("win_start"),
+      col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    sums.join(exact, Seq("win_start", "event_type"))
+      .select(col("win_start"), col("event_type"), col("n_exact"),
+        col("hll_s"), col("hll_est"))
+  }
+
+  def hllWindowedSql(p: Int = 5): String = {
+    val win = "strftime(date_trunc('hour', ts), '%Y-%m-%d %H')"
+    s"""WITH ${hllCtesBy(p, Seq("win_start" -> win, "event_type" -> "event_type"))},
+        ex AS (SELECT $win AS win_start, event_type,
+                      count(DISTINCT user_id) AS n_exact
+               FROM events GROUP BY 1, 2)
+        SELECT s.win_start, s.event_type, ex.n_exact, s.hll_s,
+               ${hllNumerator(p)} / s.hll_s::DOUBLE AS hll_est
+        FROM sums s JOIN ex
+          ON s.win_start = ex.win_start AND s.event_type = ex.event_type"""
   }
 
   /** K-minimum-values distinct sketch per event_type — the
