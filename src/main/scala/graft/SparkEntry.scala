@@ -805,6 +805,11 @@ object SparkEntry {
           .agg(count(lit(1)).as("cnt")))
       Similarity.driftStateFold(state.localCheckpoint())
     }),
+    // sketch-then-verify retrieval: coarse candidates over the JL
+    // sketches (16 of 64 floats per row), exact cosine re-rank of only
+    // the candidate set — the RAM-constrained serving pattern, with
+    // the coarse rank reported beside the exact one
+    "q140_jl_coarse_retrieval" -> ((s, dir) => Similarity.jlCoarseRetrieval(s, dir)),
     // entity resolution: blocked fuzzy self-join (nation x name-suffix
     // blocking key, then exact Levenshtein on block-bounded candidates
     // — the edit-distance cousin of PPJoin; edges feed q42's components)
@@ -2064,6 +2069,7 @@ object SparkEntry {
     "q69_cms_heavy_hitters" -> operators.Sketches.cmsHeavyHittersSql(),
     "q138_cms_join_estimate" -> operators.Sketches.cmsJoinSizeEstimateSql(),
     "q139_stream_windowed_hll_evicting" -> operators.Sketches.hllWindowedSql(),
+    "q140_jl_coarse_retrieval" -> Similarity.jlCoarseRetrievalSql(),
     // the streamed grid equals the batch grid cell-for-cell (counters
     // are order-independent sums), so the q69 oracle applies unchanged
     "q94_stream_cms_maintenance" -> operators.Sketches.cmsHeavyHittersSql(),

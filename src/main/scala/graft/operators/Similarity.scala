@@ -240,17 +240,91 @@ object Similarity {
     emb(s, dir).select(col("vec_id") +: cols: _*)
   }
 
-  def jlProjectSql(): String = {
-    val cols = (0 until jlOutDim).map { j =>
-      s"""(list_sum(list_transform(range(1, ${pqDim + 1}),
+  /** One projected coordinate as SQL — shared by [[jlProjectSql]] and
+    * the q140 coarse-retrieval oracle, so the sign/fold derivation has
+    * one definition.
+    */
+  private def jlColSql(j: Int): String =
+    s"""(list_sum(list_transform(range(1, ${pqDim + 1}),
              i -> v[i] * (CASE WHEN ('0x' || substring(md5((i - 1)::VARCHAR || ':$j'), 1, 15))::BIGINT % 2 = 0
                           THEN (1.0)::DOUBLE ELSE (-1.0)::DOUBLE END)))
-           * (0.25)::DOUBLE) AS p$j"""
-    }.mkString(",\n               ")
+           * (0.25)::DOUBLE)"""
+
+  def jlProjectSql(): String = {
+    val cols = (0 until jlOutDim).map(j => s"${jlColSql(j)} AS p$j")
+      .mkString(",\n               ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql)
         SELECT vec_id,
                $cols
         FROM e"""
+  }
+
+  // ---- sketch-then-verify retrieval over the JL projection (q140) ----
+
+  /** Two-stage serving over the sketched embeddings: COARSE candidate
+    * generation scans only the 4×-smaller [[jlProject]] vectors
+    * (projected-cosine top `candK` per query), then the EXACT cosine
+    * re-ranks just those candidates against the full vectors — the
+    * RAM-constrained serving pattern (compressed vectors stay hot, full
+    * vectors are touched candK-rows-per-query cold). The output carries
+    * the coarse rank beside the exact one, so the sketch stage's
+    * ordering error is visible per row. Both stages keep the family's
+    * bounded-query-batch and tie-break contracts, and the oracle
+    * replays projection, coarse ranking, and re-rank from the shared
+    * SQL fragments ([[jlColSql]], [[cosSqlOn]]) cell-exactly.
+    */
+  def jlCoarseRetrieval(s: SparkSession, dir: String, k: Int = defaultK,
+      candK: Int = 50): DataFrame = {
+    val corpus = emb(s, dir)
+    val sk = jlProject(s, dir)
+      .select(col("vec_id"),
+        array((0 until jlOutDim).map(j => col(s"p$j")): _*).as("pv"))
+    val queries = queryBatch(corpus)
+      .select(col("vec_id").as("query_id"))
+      .join(sk.select(col("vec_id").as("query_id"), col("pv").as("qpv")), "query_id")
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("vec_id").asc)
+    val cands = sk.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine_sim(col("qpv"), col("pv")).as("pcos"))
+      .withColumn("coarse_rank", row_number().over(wc))
+      .filter(col("coarse_rank") <= candK)
+      .select(col("query_id"), col("vec_id"), col("coarse_rank"))
+    val qv = queryBatch(corpus)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands.join(corpus.select(col("vec_id"), col("v")), "vec_id")
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("coarse_rank"), cosine_sim(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(we)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("cos"), col("coarse_rank"))
+  }
+
+  def jlCoarseRetrievalSql(k: Int = defaultK, candK: Int = 50): String = {
+    val pvList = (0 until jlOutDim).map(jlColSql).mkString(",\n               ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql),
+        pj AS (SELECT vec_id, [$pvList] AS pv FROM e),
+        q AS ($querySql),
+        qp AS (SELECT q.query_id, q.qv, pj.pv AS qpv
+               FROM q JOIN pj ON pj.vec_id = q.query_id),
+        cand AS (
+          SELECT query_id, vec_id, coarse_rank FROM (
+            SELECT qp.query_id, pj.vec_id,
+                   row_number() OVER (PARTITION BY qp.query_id
+                     ORDER BY ${cosSqlOn("qp.qpv", "pj.pv")} DESC, pj.vec_id ASC) AS coarse_rank
+            FROM qp, pj WHERE pj.vec_id <> qp.query_id)
+          WHERE coarse_rank <= $candK)
+        SELECT c.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY c.query_id
+                 ORDER BY ${cosSqlOn("qp.qv", "e.v")} DESC, c.vec_id ASC) AS rank,
+               ${cosSqlOn("qp.qv", "e.v")} AS cos, c.coarse_rank
+        FROM cand c
+        JOIN e ON e.vec_id = c.vec_id
+        JOIN qp ON qp.query_id = c.query_id
+        QUALIFY rank <= $k"""
   }
 
   // ---- embedding distribution drift report (q134) ----

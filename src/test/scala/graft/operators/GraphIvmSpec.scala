@@ -102,4 +102,23 @@ class JlProjectionSpec extends graft.SparkSpec {
     // E[ratio] = 1 under the JL scaling; allow a generous band
     assert(mean > 0.5 && mean < 2.0, s"mean distortion $mean")
   }
+
+  test("jl coarse retrieval: candidates bound the exact stage; recall vs brute force is sane") {
+    val dir = "/root/testdata/sf0.001"
+    val two = Similarity.jlCoarseRetrieval(spark, dir)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    assert(two.nonEmpty)
+    // ranks are 1..k per query, and every emitted row passed the
+    // coarse stage (coarse_rank <= candK is enforced pre-re-rank)
+    val brute = Similarity.bruteForceTopK(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val hit = two.count { case (q, n, _) => brute.contains((q, n)) }
+    // 16 of 64 dims keeps coarse recall MODERATE by design (measured
+    // 0.4 on this fixture); the pin is a beats-random floor — random
+    // 50-of-499 candidates would recover ~0.1 of the exact top-k, so
+    // 0.25 = 2.5x random catches a broken projection or candidate
+    // bound without overclaiming sketch quality
+    assert(hit.toDouble / two.length >= 0.25,
+      s"coarse-stage recall ${hit.toDouble / two.length} not better than random")
+  }
 }
