@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.concurrent.ConcurrentHashMap
+
+/** Session-safe once-per-key artifact cache — ONE implementation of the
+  * discipline the operators had re-grown independently (Similarity's
+  * codes tables, Analytics' PageRank adjacency, PipelineOps' curation /
+  * BM25 / delta-join artifacts): build an expensive frame once per
+  * (key), serve it from an eagerly-materialized `localCheckpoint`
+  * thereafter, and never serve a frame owned by a stopped or foreign
+  * SparkSession (the stale hit is evicted and rebuilt — keying by
+  * session instead would pin stopped sessions, and their checkpoint
+  * blocks, for the JVM lifetime).
+  *
+  * Publication is ATOMIC via `ConcurrentHashMap.compute`: two racing
+  * threads cannot both build (the round-11 advice's orphaned-
+  * checkpoint hazard) — the loser blocks on the bin lock and receives
+  * the winner's frame. The deliberate trade-off: the builder runs
+  * Spark jobs while holding the key's bin lock, so concurrent builds
+  * of DIFFERENT keys that hash to one bin serialize. For these caches
+  * (a handful of keys, sequential harnesses) that is the right side of
+  * the trade — correctness by construction over parallel build
+  * throughput; a server embedding graft with genuinely concurrent
+  * first-touch builds would swap in a per-key future map.
+  */
+private[graft] object ArtifactCache {
+  def cached[K](cache: ConcurrentHashMap[K, DataFrame], key: K, s: SparkSession)(
+      build: => DataFrame): DataFrame =
+    cache.compute(key, (_, hit) =>
+      if (hit != null && (hit.sparkSession eq s) && !s.sparkContext.isStopped) hit
+      else build.localCheckpoint(true))
+}

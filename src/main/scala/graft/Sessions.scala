@@ -21,4 +21,34 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.ui.enabled", "false")
+
+  /** Micro-batch conf scope for `foreachBatch` bodies whose frames are
+    * batch-sized: AQE's stage-materialization sub-jobs and the
+    * session's full-width shuffles are pure scheduling overhead there
+    * (~13 jobs/batch measured on q93 at sf0.1), so the body runs with
+    * AQE off and `shufflePartitions`-way shuffles, both restored in a
+    * finally. At production batch sizes the trade-off flips — these are
+    * deployment knobs, not semantics.
+    *
+    * CONCURRENCY CONTRACT: the overrides live on the shared session
+    * conf for the duration of the body, so a batch query issued on the
+    * SAME SparkSession while a stream's micro-batch is mid-flight
+    * would silently plan under them. Every graft harness (Verify,
+    * Bench, the specs) runs queries strictly sequentially and drains
+    * each stream with processAllAvailable/awaitTermination before the
+    * next query starts, which is what makes the in-place override
+    * safe here; a host embedding graft in a concurrent-query server
+    * should pass each stream an isolated `SparkSession.newSession()`
+    * instead (own conf, shared catalog/state).
+    */
+  def withMicroBatchConf[T](sess: SparkSession, shufflePartitions: Int = 8)(body: => T): T = {
+    val prevAqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevShuffle = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    sess.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    try body finally {
+      sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      sess.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+  }
 }

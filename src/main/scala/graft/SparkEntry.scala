@@ -61,6 +61,29 @@ object SparkEntry {
       tmp
     })
 
+  /** The plain-projection streaming consumers (q58/q60/q72/q78) used to
+    * stage four separate filtered/projected copies of the event log —
+    * four repartition+write passes over the same table per JVM, with
+    * whichever consumer ran first paying its copy inside its own timed
+    * window (q72's 14.5 s first-invocation outlier in BENCH_r11). They
+    * now share ONE staged superset (event_id, user_id, event_type,
+    * value, ts): each consumer declares its own narrower read schema
+    * (the parquet file source prunes to the declared columns) and
+    * applies its filters in-stream — in Kafka terms one firehose topic
+    * with per-consumer projection, instead of four pre-filtered topics.
+    * Bench pre-stages it in the untimed warm-up so no timed run pays
+    * the copy; the write itself happens at most once per (dir) either
+    * way. 16 files so q60/q78's nFiles/2 trigger still yields multiple
+    * micro-batches (their cross-batch state is the point).
+    */
+  private[graft] def stagedEventsShared(s: SparkSession, dir: String): String =
+    stagedOnce(dir, "events_shared") { p =>
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+        .repartition(16).write.mode("overwrite").parquet(p)
+    }
+
   /** q112's lossless-CSV option contract, applied IDENTICALLY on write
     * and read: microsecond timestamp patterns (the default truncates
     * to ms), quoteAll (delimiter collisions), and — because under the
@@ -557,9 +580,7 @@ object SparkEntry {
     "q72_stream_static_denorm" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      val tmp = stagedOnce(dir, "q72_events") { p =>
-        ev.repartition(16).write.mode("overwrite").parquet(p)
-      }
+      val tmp = stagedEventsShared(s, dir) // read schema prunes to ev's 4 columns
       val cust = Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
           col("c_acctbal"), col("c_mktsegment"))
@@ -1034,15 +1055,14 @@ object SparkEntry {
     // emit complete results once both sides are processed, so the batch
     // range-join oracle is the exact contract
     "q58_stream_interval_join" -> ((s, dir) => {
-      // stage only the two event classes the join reads: the filter
-      // belongs BEFORE the stream boundary (in Kafka terms: subscribe to
-      // the purchase/error topics, don't ship the whole firehose)
+      // reads the SHARED staged firehose; purchaseErrorJoin applies the
+      // per-side event_type filters itself, so the class filter lives
+      // in the streaming query (one topic, per-consumer filtering)
+      // rather than in a pre-filtered staged copy — identical results,
+      // one staging write shared with q60/q72/q78
       val ev = Tables.events(s, dir)
-        .filter(col("event_type").isin("purchase", "error"))
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-      val tmp = stagedOnce(dir, "q58_events") { p =>
-        ev.repartition(8).write.mode("overwrite").parquet(p) // parallel staging write
-      }
+      val tmp = stagedEventsShared(s, dir)
       val ckpt = stageDir("q58_ckpt")
       val name = memorySinkName(s, "q58")
       try {
@@ -1123,9 +1143,7 @@ object SparkEntry {
     // production form.
     "q60_stream_dedup" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"))
-      val tmp = stagedOnce(dir, "q60_events") { p =>
-        ev.repartition(8).write.mode("overwrite").parquet(p) // parallel staging write
-      }
+      val tmp = stagedEventsShared(s, dir) // read schema prunes to the 2 columns
       val ckpt = stageDir("q60_ckpt")
       val name = memorySinkName(s, "q60")
       try {
@@ -1156,9 +1174,7 @@ object SparkEntry {
     // eviction behavior is pinned in StreamingDedupSpec.
     "q78_stream_dedup_watermark" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
-      val tmp = stagedOnce(dir, "q78_events") { p =>
-        ev.repartition(8).write.mode("overwrite").parquet(p) // parallel staging write
-      }
+      val tmp = stagedEventsShared(s, dir) // read schema prunes to the 3 columns
       val ckpt = stageDir("q78_ckpt")
       val name = memorySinkName(s, "q78")
       try {
@@ -1512,6 +1528,42 @@ object SparkEntry {
           operators.DataQuality.windowedMonitorFinal(s.table(name))
       }
     }),
+    // q113's RI orphan monitor in the EVICTING form — watermark +
+    // Append per-(hourly window, type, user) orphan cells, state
+    // bounded by open windows (the q127 progression applied to the
+    // last Complete-mode member of the data-quality family). The
+    // sentinel (user −1, far-future ts) is itself an orphan — it must
+    // SURVIVE the anti join to reach the watermark node — and its own
+    // never-closing window is never emitted.
+    "q142_stream_orphan_monitor_evicting" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("ts"), col("event_type"), col("user_id"))
+      val active = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") % 3 =!= 0).select(col("c_custkey"))
+      maxEventNsOf(s, dir) match {
+        case None =>
+          operators.DataQuality.windowedOrphanFinal(
+            operators.DataQuality.windowedOrphanState(ev, active).filter(lit(false)))
+        case Some(maxNs) =>
+          val (tmp, mft) = stagedWithSentinel(s, dir, "q142_events", ev, maxNs,
+            operators.DataQuality.windowedOrphanClearMs)(
+            snt => Seq((snt, "-sentinel-", -1L)).toDF("ts", "event_type", "user_id"))
+          val ckpt = stageDir("q142_ckpt")
+          val name = memorySinkName(s, "q142")
+          try {
+            val input = s.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", mft.toString).parquet(tmp)
+            withStatePartitions(s, 8) {
+              val q = operators.DataQuality.windowedOrphanState(input, active)
+                .writeStream.format("memory").queryName(name).outputMode("append")
+                .option("checkpointLocation", ckpt).start()
+              try q.processAllAvailable() finally q.stop()
+            }
+          } finally rmTreeRetry(ckpt)
+          operators.DataQuality.windowedOrphanFinal(s.table(name))
+      }
+    }),
     // the model-based curation cascade: q48's heuristic pass composed
     // with the three model gates (q96 unigram LM, q109 classifier,
     // q110 bigram LM) into one doc_id-keyed verdict/ablation table —
@@ -1805,8 +1857,17 @@ object SparkEntry {
             // artifacts the oracle reads back — SQL text stays O(1)
             // however large the key domain grows, and nothing
             // key-domain-sized ever rides the driver or the SQL string
+            // keyed by a collision-RESISTANT digest of the dir string
+            // (the repo's own BLAKE2b kernel), not a 32-bit hashCode:
+            // two sf dirs colliding on hashCode would overwrite each
+            // other's fk/pk artifacts mid-oracle. mode("overwrite")
+            // makes reruns self-cleaning per dir; the artifacts are
+            // oracle inputs the driver reads AFTER this JVM exits, so
+            // they deliberately outlive the process (tmpdir is the
+            // contract for that — the OS, not a shutdown hook, reclaims)
             val art = System.getProperty("java.io.tmpdir") +
-              "/graft_q07_digests_" + Integer.toHexString(dir.hashCode)
+              "/graft_q07_digests_" + hexOf(graft.functions.Blake2b.digest(
+                dir.getBytes(java.nio.charset.StandardCharsets.UTF_8), 16))
             fkDs.map { k =>
               val d = digest(k)
               (k, hexOf(d), graft.functions.Murmur2.partition(d, 32))
@@ -2025,6 +2086,11 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM customer c
                            WHERE c.c_custkey = e.user_id AND c.c_custkey % 3 <> 0)
          GROUP BY 1""",
+    // every real window finalizes (the sentinel clears them) and the
+    // emitted cells are batching-independent counts, so the emitted
+    // set equals the batch windowed derivation exactly
+    "q142_stream_orphan_monitor_evicting" ->
+      operators.DataQuality.windowedOrphanSql,
     "q114_model_curation" -> PipelineOps.modelCurationSql(),
     // the topology converges to the relational join (q08's contract);
     // the Avro encode→decode legs are lossless by the q103 gate

@@ -667,11 +667,8 @@ object Analytics {
   private val adjacencyCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def adjacency(s: SparkSession, dir: String): DataFrame = {
-    val hit = adjacencyCache.get(dir)
-    if (hit != null && (hit.sparkSession eq s) && !s.sparkContext.isStopped) hit
-    else {
-      if (hit != null) adjacencyCache.remove(dir, hit)
+  private def adjacency(s: SparkSession, dir: String): DataFrame =
+    graft.ArtifactCache.cached(adjacencyCache, dir, s) {
       val pairs = Tables.load(s, dir, "lineitem")
         .join(Tables.load(s, dir, "orders"),
           col("l_orderkey") === col("o_orderkey"))
@@ -681,17 +678,26 @@ object Analytics {
       val edges = pairs.unionAll(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      val adj = edges.join(deg, "src").localCheckpoint(true)
-      adjacencyCache.put(dir, adj)
-      adj
+      edges.join(deg, "src")
     }
-  }
 
-  def pageRank(s: SparkSession, dir: String, iterations: Int = 3): DataFrame = {
+  /** `checkpointEvery`: the rank frame's Catalyst lineage grows by one
+    * join+aggregate per round, and past a handful of rounds that
+    * unbounded plan growth — re-analysis cost, closure size, eventual
+    * planner stack overflow — is the classic iterative-job killer.
+    * At the default 3 iterations lineage is cheap, so the default (0 =
+    * never) adds no checkpoint I/O; anyone raising `iterations` should
+    * set `checkpointEvery` (≈5 is conventional) to truncate lineage
+    * every N rounds. The ADJACENCY (the expensive, iteration-invariant
+    * part) is already checkpointed once per session in [[adjacency]] —
+    * this knob covers only the per-round rank frame.
+    */
+  def pageRank(s: SparkSession, dir: String, iterations: Int = 3,
+      checkpointEvery: Int = 0): DataFrame = {
     val adj = adjacency(s, dir) // (src, dst, outdeg)
     var ranks = adj.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1000000L).as("rank"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       ranks = adj
         .join(ranks, adj("src") === ranks("node"))
         .select(col("dst"),
@@ -700,6 +706,8 @@ object Analytics {
         .groupBy(col("dst"))
         .agg((lit(150000L) + sum(col("c"))).as("rank"))
         .select(col("dst").as("node"), col("rank"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks.select(
       when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))

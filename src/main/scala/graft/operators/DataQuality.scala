@@ -242,6 +242,59 @@ object DataQuality {
         max(col("mx")).as("max_value"),
         sum(col("sm")).as("sum_value_micro"))
 
+  // ---- evicting (windowed) streaming RI orphan monitor (q142) ----
+
+  /** q113's live referential-integrity monitor in the EVICTING form —
+    * the last Complete-mode member of the data-quality family moved to
+    * the production memory shape (the q123→q124→q127 progression):
+    * the stream anti-joins the static active registry exactly as in
+    * q113 (stream-static LEFT ANTI — stateless, the dim broadcasts;
+    * NULL FKs survive the anti join on both engines), and the orphan
+    * cells are keyed by (hourly window, event_type, user_id) under
+    * watermark + Append, so each cell emits once when the watermark
+    * passes its window end and is then dropped — state holds only the
+    * OPEN windows' orphan entities, never the full entity grid.
+    * Watermark declared BEFORE the join: the join is stateless, so the
+    * event-time column rides through to the windowed aggregate.
+    */
+  def windowedOrphanState(ev: DataFrame, active: DataFrame,
+      windowLen: String = "1 hour", delay: String = "30 minutes"): DataFrame =
+    ev.withWatermark("ts", delay)
+      .join(active, ev("user_id") === active(active.columns.head), "left_anti")
+      .groupBy(window(col("ts"), windowLen), col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("win_start"),
+        col("event_type"), col("user_id"), col("cnt"))
+
+  /** Same horizon as the windowed quality monitor: window + delay. */
+  val windowedOrphanClearMs: Long = windowedMonitorClearMs
+
+  /** Fold the finalized orphan cells to the per-(window, type) report —
+    * count-the-key NULL semantics as in [[monitorFinal]]: a NULL
+    * user_id survives the anti join (it matches no registry row) and
+    * counts as orphan EVENTS, but not as an orphan USER (the oracle's
+    * count(DISTINCT user_id) skips NULL).
+    */
+  def windowedOrphanFinal(state: DataFrame): DataFrame =
+    state.groupBy(col("win_start"), col("event_type"))
+      .agg(sum(col("cnt")).as("n_orphan_events"),
+        count(col("user_id")).as("n_orphan_users"))
+
+  /** Oracle: the batch derivation over the full log — NOT EXISTS
+    * against the same restricted registry, grouped by the same hourly
+    * window. Batching-independence of the counts makes the emitted
+    * set equal this exactly once every real window is finalized.
+    */
+  def windowedOrphanSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS win_start,
+              event_type,
+              count(*)::BIGINT AS n_orphan_events,
+              count(DISTINCT user_id)::BIGINT AS n_orphan_users
+       FROM events e
+       WHERE NOT EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_custkey % 3 <> 0 AND c.c_custkey = e.user_id)
+       GROUP BY 1, 2"""
+
   def windowedMonitorSql: String =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS win_start,
               event_type,

@@ -1324,26 +1324,15 @@ object PipelineOps {
     * something recomputed per report; the q83 stored-index
     * amortization applied to curation). q114 and q118 both read it.
     */
-  /** Session-safe once-per-key artifact cache: the Dedup clusterCache
-    * discipline factored out — a hit owned by a stopped or foreign
-    * session is evicted and rebuilt, so localCheckpoint blocks (and the
-    * sessions that own them) never accumulate for the JVM lifetime
-    * (the round-8 memory-sink leak class). Keys deliberately do NOT
-    * include the SparkSession: the frame itself remembers its owner,
-    * and keying by session would pin stopped sessions forever.
+  /** Delegates to the ONE shared implementation — see
+    * [[graft.ArtifactCache]] for the session-guard and atomic-publish
+    * contract (hoisted there in round 12; this thin alias keeps the
+    * existing call sites' shape).
     */
   private def cachedArtifact[K](
       cache: java.util.concurrent.ConcurrentHashMap[K, DataFrame],
-      key: K, s: SparkSession)(build: => DataFrame): DataFrame = {
-    val hit = cache.get(key)
-    if (hit != null && (hit.sparkSession eq s) && !s.sparkContext.isStopped) hit
-    else {
-      if (hit != null) cache.remove(key, hit)
-      val built = build.localCheckpoint(true)
-      cache.put(key, built)
-      built
-    }
-  }
+      key: K, s: SparkSession)(build: => DataFrame): DataFrame =
+    graft.ArtifactCache.cached(cache, key, s)(build)
 
   private val curationCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
