@@ -750,6 +750,11 @@ object SparkEntry {
       denorm(s, dir).withSkewSalting(8).inner),
     // multimodal frame sampling: 1→N generator over payload windows
     "q44_frame_sample" -> ((s, dir) => Multimodal.frameSample(s, dir)),
+    // image near-dedup: perceptual dHash over REAL P6 decode + Hamming
+    // LSH banding (the dedup × multimodal cell — q21's band machinery
+    // on a 64-bit image fingerprint); oracle is fully relational (the
+    // deterministic pixel formula re-derived in SQL, no literals)
+    "q141_image_neardup_phash" -> ((s, dir) => Multimodal.imageNearDupPairs(s, dir)),
     // set operations: INTERSECT/EXCEPT cohort algebra
     "q45_set_ops" -> ((s, dir) => Analytics.purchaserCohorts(s, dir)),
     // sliding event-time windows (2h window, 1h slide)
@@ -1996,6 +2001,7 @@ object SparkEntry {
     "q42_dedup_clusters" -> Dedup.dedupClustersSql(),
     "q43_denorm_salted" -> denormOracle("JOIN"),
     "q44_frame_sample" -> Multimodal.frameSampleSql(),
+    "q141_image_neardup_phash" -> Multimodal.imageNearDupSql(),
     "q45_set_ops" -> Analytics.purchaserCohortsSql,
     "q46_sliding_windows" -> Analytics.slidingEventStatsSql,
     "q47_grouping_sets" -> Analytics.orderGroupingSetsSql,

@@ -108,6 +108,47 @@ object MediaCodecs {
     else None
   }
 
+  /** 64-bit difference hash (dHash) of a decoded image — the standard
+    * perceptual fingerprint for image near-duplicate detection: the
+    * image is area-reduced to a 9×8 grid of integer luma block sums
+    * (each pixel maps to block `(x·9 div W, y·8 div H)` — exact for
+    * any W,H with no float resampling), and bit `row·8+col` is set iff
+    * the block outranks its right neighbor. Horizontally-adjacent
+    * brightness GRADIENTS survive re-encode/resize/small edits, so
+    * near-duplicate images land within a few bits of Hamming distance
+    * while unrelated images differ in ~32. All-integer (luma weights
+    * 2/5/1 summed exactly), so the hash is bit-reproducible across
+    * engines — the property the q141 relational oracle builds on.
+    */
+  def dHash64(img: PpmImage): Long = {
+    val w = img.width; val h = img.height
+    val sums = new Array[Long](9 * 8)
+    var y = 0
+    while (y < h) {
+      val by = (y.toLong * 8 / h).toInt
+      var x = 0
+      while (x < w) {
+        val bx = (x.toLong * 9 / w).toInt
+        val o = 3 * (y * w + x)
+        sums(by * 9 + bx) += 2 * (img.rgb(o) & 0xff) +
+          5 * (img.rgb(o + 1) & 0xff) + (img.rgb(o + 2) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        if (sums(by * 9 + bx) > sums(by * 9 + bx + 1)) hash |= 1L << (by * 8 + bx)
+        bx += 1
+      }
+      by += 1
+    }
+    hash
+  }
+
   /** 8-dim image features from decoded RGB: per-channel means,
     * luma mean/contrast, aspect, and normalized dimensions — the
     * deterministic stand-in for a learned embedding, computed from

@@ -146,6 +146,140 @@ object Multimodal {
                length(substring(text, (frame_idx * $frameChars + 1)::INT, $frameChars)) AS frame_chars
         FROM f"""
 
+  // ---- perceptual-hash image near-dedup (q141) ----
+
+  /** Synthetic grayscale P6 corpus for the image-near-dedup operator:
+    * real PPM FILES (header + raster), generated deterministically per
+    * doc so the fixture contains near-duplicate structure by
+    * construction — docs share a base pattern per group `g = doc_id
+    * div 4`, and variant `r = doc_id mod 4` inverts ~r% of pixels
+    * (variant 0 is the clean base). The pixel formula is deliberately
+    * SQL-expressible: the q141 oracle re-derives the pixel grid, the
+    * block sums, the dHash, AND the banded join relationally — no
+    * trained literals — while the ENGINE path round-trips actual P6
+    * bytes through the real [[MediaCodecs.decodePpm]] kernel. The `g`
+    * term must MODULATE the gradients (coefficients depend on g), not
+    * just offset the values: an additive-only g cancels in dHash's
+    * adjacent-block differences and every group collides (measured:
+    * 1605 spurious cross-group pairs at sf0.01 with an additive g,
+    * zero with this formula).
+    */
+  private[operators] val phashW = 36
+  private[operators] val phashH = 32
+
+  private[operators] def syntheticPpmBytes(docId: Long): Array[Byte] = {
+    val g = docId / 4; val r = docId % 4
+    val header = s"P6\n$phashW $phashH\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + phashW * phashH * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = header.length
+    var y = 0
+    while (y < phashH) {
+      var x = 0
+      while (x < phashW) {
+        val base = (x * (13 + g % 19) + y * (31 + g % 23) + x * y * (1 + g % 5) + g) % 256
+        val v = (if ((x + phashW * y + g) % 97 < r) 255 - base else base).toInt
+        out(i) = v.toByte; out(i + 1) = v.toByte; out(i + 2) = v.toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Per-doc perceptual hash: generate the P6 bytes, decode them with
+    * the REAL kernel (a failed decode here is a bug, not data — the
+    * generator emits well-formed P6), dHash the pixels. mapPartitions
+    * batch shape like [[decodeFeatures]]; 8 output bytes per image —
+    * the 100 TB point of perceptual hashing is that the dedup join
+    * never touches the images again.
+    */
+  def perceptualHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = MediaCodecs.decodePpm(syntheticPpmBytes(id)).getOrElse(
+            throw new IllegalStateException(s"generated PPM failed decode: doc $id"))
+          (id, MediaCodecs.dHash64(img))
+        }
+      }.toDF("doc_id", "phash")
+  }
+
+  /** Image near-duplicate pairs via Hamming-distance LSH banding — the
+    * q21 MinHash band machinery applied to the 64-bit dHash: 4 bands
+    * of 16 bits; two images are COMPARED only if some whole band
+    * matches (hash-partitioned equi-join on (band, band_val) — never
+    * all-pairs), then the exact popcount filter keeps pairs within
+    * `maxHamming` bits. Recall contract: a pair differing in k bits is
+    * guaranteed found when k < 4 (pigeonhole gives a clean band) and
+    * found with the usual LSH probability above — the oracle mirrors
+    * the banding exactly, so engine ≡ oracle regardless of where
+    * recall lands. Scale shape: the banded table is 4 rows × 16 bytes
+    * per image; bucket sizes stay near-uniform because dHash bands of
+    * non-identical images are high-entropy (measured max bucket 12 at
+    * sf0.1); the distinct() dedups pairs sharing several bands.
+    */
+  def imageNearDupPairs(s: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
+    val p = perceptualHashes(s, dir)
+    val bandCols = array((0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("phash"), 16 * b).bitwiseAND(lit(65535L)).as("band_val"))): _*)
+    val banded = p.select(col("doc_id"), col("phash"), explode(bandCols).as("bd"))
+      .select(col("doc_id"), col("phash"),
+        col("bd.band").as("band"), col("bd.band_val").as("band_val"))
+    val a = banded.select(col("band"), col("band_val"),
+      col("doc_id").as("doc_a"), col("phash").as("ha"))
+    val b = banded.select(col("band"), col("band_val"),
+      col("doc_id").as("doc_b"), col("phash").as("hb"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** The fully-relational oracle: DuckDB rebuilds the pixel grid from
+    * the generator formula, sums the 4×4 blocks (integer block SUMS
+    * compare identically to the engine's luma sums: grayscale r=g=b=v
+    * makes luma 8v, and 8·s>8·s' ⟺ s>s'), assembles the dHash with
+    * bit_or (bit 63 as the min-long literal — DuckDB's `<<` range-
+    * errors at 63), and replays the same banding + popcount filter.
+    */
+  def imageNearDupSql(maxHamming: Int = 6): String =
+    s"""WITH px AS (
+          SELECT d.doc_id, (d.doc_id // 4) AS g, (d.doc_id % 4) AS r, x.x AS x, y.y AS y
+          FROM documents d, range(0, $phashW) x(x), range(0, $phashH) y(y)
+        ),
+        v AS (
+          SELECT doc_id, x // 4 AS bx, y // 4 AS by,
+                 CASE WHEN (x + $phashW*y + g) % 97 < r
+                      THEN 255 - ((x * (13 + g % 19) + y * (31 + g % 23) + x * y * (1 + g % 5) + g) % 256)
+                      ELSE (x * (13 + g % 19) + y * (31 + g % 23) + x * y * (1 + g % 5) + g) % 256 END AS val
+          FROM px
+        ),
+        s AS (SELECT doc_id, bx, by, sum(val)::BIGINT AS sv FROM v GROUP BY 1, 2, 3),
+        bits AS (
+          SELECT a.doc_id,
+                 CASE WHEN a.sv > b.sv THEN
+                   CASE WHEN a.by*8 + a.bx = 63 THEN (-9223372036854775807 - 1)::BIGINT
+                        ELSE 1::BIGINT << ((a.by*8 + a.bx)::INT) END
+                 ELSE 0::BIGINT END AS bit
+          FROM s a JOIN s b ON a.doc_id = b.doc_id AND a.by = b.by AND b.bx = a.bx + 1
+          WHERE a.bx < 8
+        ),
+        p AS (SELECT doc_id, bit_or(bit)::BIGINT AS phash FROM bits GROUP BY 1),
+        banded AS (
+          SELECT doc_id, phash, b.b AS band, (phash >> (16*b.b)::INT) & 65535 AS band_val
+          FROM p, range(0, 4) b(b)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.phash, b.phash))::INT AS hamming
+        FROM banded a JOIN banded b ON a.band = b.band AND a.band_val = b.band_val
+        WHERE a.doc_id < b.doc_id AND bit_count(xor(a.phash, b.phash)) <= $maxHamming"""
+
   /** Oracle-checkable metadata/digest query over the media table. */
   def metaDigest(s: SparkSession, dir: String): DataFrame =
     mediaTable(s, dir).select(

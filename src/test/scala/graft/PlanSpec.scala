@@ -546,4 +546,16 @@ class PlanSpec extends SparkSpec {
     val p138 = plan("q138_cms_join_estimate")
     assert(p138.contains("partial_count"), p138)
   }
+
+  test("q141: image near-dedup hash-joins on the (band, band_val) key — never all-pairs") {
+    // the LSH contract: candidate generation is an equi-join on the
+    // band key; a nested-loop/cartesian here would mean the banding
+    // fell out of the condition and the popcount filter went quadratic
+    // over the corpus
+    val p = plan("q141_image_neardup_phash")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

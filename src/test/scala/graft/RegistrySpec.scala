@@ -29,11 +29,19 @@ class RegistrySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: ${orphans.toSeq.sorted}")
   }
 
-  test("every query has an oracle, except exactly the trained-gated set") {
+  test("every query has an oracle, except (at most) the trained-gated set") {
+    // SUBSET, not equality: a gated oracle becomes EAGER once any
+    // suite in the same JVM has built its query (training populates
+    // the cache — PlanSpec does exactly that), so under sbt's
+    // concurrent suite execution the `trainedGated -- missing` side is
+    // run-order-dependent. The invariant that matters — no query ever
+    // silently downgrades to a rows-only check — is the subset
+    // direction, plus gated names staying real queries.
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing == trainedGated,
-      s"unexpected oracle-less queries: ${(missing -- trainedGated).toSeq.sorted}; " +
-        s"gated entries that now have eager oracles: ${(trainedGated -- missing).toSeq.sorted}")
+    assert(missing.subsetOf(trainedGated),
+      s"unexpected oracle-less queries: ${(missing -- trainedGated).toSeq.sorted}")
+    val stale = trainedGated -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"trainedGated names that are not queries: ${stale.toSeq.sorted}")
   }
 
   test("query names are well-formed and unique by number") {

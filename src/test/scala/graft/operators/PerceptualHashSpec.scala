@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Pins the q141 perceptual-hash kernels (pure JVM, no session) and
+  * the banding operator's recall on constructed near-duplicates.
+  */
+class DHashKernelSpec extends AnyFunSuite {
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("generated P6 corpus decodes via the real kernel at the declared dims") {
+    for (id <- Seq(0L, 1L, 4L, 1001L)) {
+      val img = MediaCodecs.decodePpm(Multimodal.syntheticPpmBytes(id))
+      assert(img.isDefined)
+      assert(img.get.width == 36 && img.get.height == 32)
+    }
+  }
+
+  test("dHash of a constant image is 0 (no block outranks its equal neighbor)") {
+    val flat = MediaCodecs.PpmImage(36, 32, Array.fill(36 * 32 * 3)(100.toByte))
+    assert(MediaCodecs.dHash64(flat) == 0L)
+  }
+
+  test("within-group perturbations stay near; cross-group images are far") {
+    def h(id: Long): Long =
+      MediaCodecs.dHash64(MediaCodecs.decodePpm(Multimodal.syntheticPpmBytes(id)).get)
+    // variants of one base differ in few bits — near-duplicate structure
+    val withins = (0 until 20).map(g => hamming(h(4L * g), h(4L * g + 1)))
+    assert(withins.forall(_ <= 8), s"within-group distances blew up: $withins")
+    // different groups' clean bases are unrelated — far in Hamming space
+    val crosses = (0 until 20).map(g => hamming(h(4L * g), h(4L * (g + 20))))
+    assert(crosses.count(_ > 6) >= 18, s"cross-group distances collapsed: $crosses")
+  }
+
+  test("single-pixel edit moves the hash by at most a few bits") {
+    val bytes = Multimodal.syntheticPpmBytes(8L)
+    val img = MediaCodecs.decodePpm(bytes).get
+    val edited = img.rgb.clone()
+    edited(3 * (5 * 36 + 7)) = (~edited(3 * (5 * 36 + 7))).toByte // flip one R sample
+    val d = hamming(MediaCodecs.dHash64(img),
+      MediaCodecs.dHash64(MediaCodecs.PpmImage(36, 32, edited)))
+    // one pixel touches one block sum → at most its two adjacent comparisons
+    assert(d <= 2, s"one-pixel edit flipped $d bits")
+  }
+}
+
+/** The banding operator end-to-end on the sf0.001 fixture. */
+class PerceptualHashSpec extends SparkSpec {
+
+  test("banding finds near-dup pairs, never reports beyond the Hamming cap") {
+    val pairs = Multimodal.imageNearDupPairs(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_._3 <= 6))
+    // the pigeonhole guarantee: every pair differing in < 4 bits shares
+    // a clean 16-bit band, so ALL such within-group pairs must be found
+    def h(id: Long): Long =
+      MediaCodecs.dHash64(MediaCodecs.decodePpm(Multimodal.syntheticPpmBytes(id)).get)
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    val docIds = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val byGroup = docIds.groupBy(_ / 4)
+    val guaranteed = for {
+      (_, ids) <- byGroup.toSeq; a <- ids.toSeq; b <- ids.toSeq if a < b
+      if java.lang.Long.bitCount(h(a) ^ h(b)) < 4
+    } yield (a, b)
+    assert(guaranteed.nonEmpty)
+    assert(guaranteed.forall(found.contains),
+      s"missed guaranteed pairs: ${guaranteed.filterNot(found.contains).take(5)}")
+  }
+}
