@@ -755,6 +755,10 @@ object SparkEntry {
     // on a 64-bit image fingerprint); oracle is fully relational (the
     // deterministic pixel formula re-derived in SQL, no literals)
     "q141_image_neardup_phash" -> ((s, dir) => Multimodal.imageNearDupPairs(s, dir)),
+    // audio near-dedup: energy-envelope fingerprint over REAL RIFF/WAV
+    // decode + the SAME Hamming banding core as q141 — the dedup ×
+    // multimodal cell's audio half, one shared band join for both
+    "q143_audio_neardup_fingerprint" -> ((s, dir) => Multimodal.audioNearDupPairs(s, dir)),
     // set operations: INTERSECT/EXCEPT cohort algebra
     "q45_set_ops" -> ((s, dir) => Analytics.purchaserCohorts(s, dir)),
     // sliding event-time windows (2h window, 1h slide)
@@ -2002,6 +2006,7 @@ object SparkEntry {
     "q43_denorm_salted" -> denormOracle("JOIN"),
     "q44_frame_sample" -> Multimodal.frameSampleSql(),
     "q141_image_neardup_phash" -> Multimodal.imageNearDupSql(),
+    "q143_audio_neardup_fingerprint" -> Multimodal.audioNearDupSql(),
     "q45_set_ops" -> Analytics.purchaserCohortsSql,
     "q46_sliding_windows" -> Analytics.slidingEventStatsSql,
     "q47_grouping_sets" -> Analytics.orderGroupingSetsSql,

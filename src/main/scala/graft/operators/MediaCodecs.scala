@@ -149,6 +149,38 @@ object MediaCodecs {
     hash
   }
 
+  /** 64-bit audio fingerprint — dHash's 1-D cousin over the energy
+    * envelope (the chromaprint/Shazam family's core move, reduced to
+    * its integer skeleton): the sample stream is cut into 65 frames
+    * (sample i → frame `i·65 div n` — exact integer mapping, no
+    * resampling), each frame's energy is the exact Σ s² (a BIGINT —
+    * 16-bit samples can't overflow it at any frame length), and bit f
+    * is set iff frame f's energy outranks frame f+1's. Energy-envelope
+    * GRADIENTS survive re-encode, gain-riding and small dropouts, so
+    * near-duplicate clips land within a few bits while unrelated audio
+    * differs in ~32. Channel-agnostic (interleaved samples sum into
+    * the same frame); all-integer, so bit-reproducible across engines
+    * (the q143 relational oracle re-derives it).
+    */
+  def audioFingerprint64(a: WavAudio): Long = {
+    val n = a.samples.length
+    if (n == 0) return 0L
+    val energy = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      val s = a.samples(i).toLong
+      energy((i.toLong * 65 / n).toInt) += s * s
+      i += 1
+    }
+    var fp = 0L
+    var f = 0
+    while (f < 64) {
+      if (energy(f) > energy(f + 1)) fp |= 1L << f
+      f += 1
+    }
+    fp
+  }
+
   /** 8-dim image features from decoded RGB: per-channel means,
     * luma mean/contrast, aspect, and normalized dimensions — the
     * deterministic stand-in for a learned embedding, computed from

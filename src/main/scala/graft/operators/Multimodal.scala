@@ -221,18 +221,27 @@ object Multimodal {
     * non-identical images are high-entropy (measured max bucket 12 at
     * sf0.1); the distinct() dedups pairs sharing several bands.
     */
-  def imageNearDupPairs(s: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
-    val p = perceptualHashes(s, dir)
+  def imageNearDupPairs(s: SparkSession, dir: String, maxHamming: Int = 6): DataFrame =
+    hammingBandPairs(
+      perceptualHashes(s, dir).select(col("doc_id"), col("phash").as("fp")), maxHamming)
+
+  /** The shared Hamming-LSH banding core (q141 images, q143 audio):
+    * any (doc_id, fp: 64-bit) fingerprint table → candidate pairs via
+    * the 4×16-bit band equi-join, exact popcount filter, distinct.
+    * One implementation so the two modalities' dedup joins cannot
+    * drift; the SQL mirror is [[bandedPairsSql]].
+    */
+  private def hammingBandPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     val bandCols = array((0 until 4).map(b =>
       struct(lit(b).as("band"),
-        shiftrightunsigned(col("phash"), 16 * b).bitwiseAND(lit(65535L)).as("band_val"))): _*)
-    val banded = p.select(col("doc_id"), col("phash"), explode(bandCols).as("bd"))
-      .select(col("doc_id"), col("phash"),
+        shiftrightunsigned(col("fp"), 16 * b).bitwiseAND(lit(65535L)).as("band_val"))): _*)
+    val banded = hashes.select(col("doc_id"), col("fp"), explode(bandCols).as("bd"))
+      .select(col("doc_id"), col("fp"),
         col("bd.band").as("band"), col("bd.band_val").as("band_val"))
     val a = banded.select(col("band"), col("band_val"),
-      col("doc_id").as("doc_a"), col("phash").as("ha"))
+      col("doc_id").as("doc_a"), col("fp").as("ha"))
     val b = banded.select(col("band"), col("band_val"),
-      col("doc_id").as("doc_b"), col("phash").as("hb"))
+      col("doc_id").as("doc_b"), col("fp").as("hb"))
     a.join(b, Seq("band", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -240,6 +249,19 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** SQL mirror of [[hammingBandPairs]]: wraps a CTE chain ending in
+    * `p(doc_id, fp)` with the same banding + popcount filter. */
+  private def bandedPairsSql(pCtes: String, maxHamming: Int): String =
+    s"""WITH $pCtes,
+        banded AS (
+          SELECT doc_id, fp, b.b AS band, (fp >> (16*b.b)::INT) & 65535 AS band_val
+          FROM p, range(0, 4) b(b)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.fp, b.fp))::INT AS hamming
+        FROM banded a JOIN banded b ON a.band = b.band AND a.band_val = b.band_val
+        WHERE a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= $maxHamming"""
 
   /** The fully-relational oracle: DuckDB rebuilds the pixel grid from
     * the generator formula, sums the 4×4 blocks (integer block SUMS
@@ -249,7 +271,7 @@ object Multimodal {
     * errors at 63), and replays the same banding + popcount filter.
     */
   def imageNearDupSql(maxHamming: Int = 6): String =
-    s"""WITH px AS (
+    bandedPairsSql(s"""px AS (
           SELECT d.doc_id, (d.doc_id // 4) AS g, (d.doc_id % 4) AS r, x.x AS x, y.y AS y
           FROM documents d, range(0, $phashW) x(x), range(0, $phashH) y(y)
         ),
@@ -270,15 +292,99 @@ object Multimodal {
           FROM s a JOIN s b ON a.doc_id = b.doc_id AND a.by = b.by AND b.bx = a.bx + 1
           WHERE a.bx < 8
         ),
-        p AS (SELECT doc_id, bit_or(bit)::BIGINT AS phash FROM bits GROUP BY 1),
-        banded AS (
-          SELECT doc_id, phash, b.b AS band, (phash >> (16*b.b)::INT) & 65535 AS band_val
-          FROM p, range(0, 4) b(b)
-        )
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               bit_count(xor(a.phash, b.phash))::INT AS hamming
-        FROM banded a JOIN banded b ON a.band = b.band AND a.band_val = b.band_val
-        WHERE a.doc_id < b.doc_id AND bit_count(xor(a.phash, b.phash)) <= $maxHamming"""
+        p AS (SELECT doc_id, bit_or(bit)::BIGINT AS fp FROM bits GROUP BY 1)""", maxHamming)
+
+  // ---- audio-fingerprint near-dedup (q143) ----
+
+  /** Synthetic PCM-WAV corpus, q141's design applied to audio: real
+    * RIFF/fmt/data files (mono, 8 kHz, 16-bit, 1625 samples = 65
+    * frames × 25) generated deterministically per doc. Sample =
+    * envelope × carrier: the CARRIER `((t·37 + t² mod 101) mod 128) −
+    * 64` is shared (scaling a shared waveform preserves every energy
+    * comparison — that is WHY a per-frame envelope is the
+    * discriminating part), and the ENVELOPE is a cubic in the frame
+    * index with g-MODULATED coefficients mod 251 — the q141 lesson
+    * squared: linear/affine g-mixing (tried: +g offsets, LCG walks)
+    * leaves adjacent-frame energy ORDERINGS correlated across groups
+    * (measured 315k spurious cross-group pairs at sf0.1); the cubic
+    * with 19·23·5 coefficient classes leaves 112. Variant r drops ~r%
+    * of samples to zero (dropout damage) — the near-dup structure.
+    */
+  private[operators] def syntheticWavBytes(docId: Long): Array[Byte] = {
+    val nSamples = 1625
+    val g = docId / 4; val r = docId % 4
+    val out = java.nio.ByteBuffer.allocate(44 + 2 * nSamples)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * nSamples)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    out.put("data".getBytes("US-ASCII")).putInt(2 * nSamples)
+    var t = 0
+    while (t < nSamples) {
+      val f = t / 25
+      val s =
+        if ((t + g) % 101 < r) 0L
+        else {
+          val env = (f * (13 + g % 19) + f.toLong * f * (1 + g % 23) +
+            f.toLong * f * f * (1 + g % 5) + g * 131) % 251 + 1
+          val w = ((t * 37 + (t * t) % 101) % 128) - 64
+          env * w
+        }
+      out.putShort(s.toShort) // |env·w| ≤ 251·64 = 16064 < 2^15
+      t += 1
+    }
+    out.array()
+  }
+
+  /** Per-doc audio fingerprint through the REAL WAV kernel: generate
+    * the RIFF bytes, decode with [[MediaCodecs.decodeWavPcm16]],
+    * fingerprint the samples ([[MediaCodecs.audioFingerprint64]]).
+    */
+  def audioFingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val a = MediaCodecs.decodeWavPcm16(syntheticWavBytes(id)).getOrElse(
+            throw new IllegalStateException(s"generated WAV failed decode: doc $id"))
+          (id, MediaCodecs.audioFingerprint64(a))
+        }
+      }.toDF("doc_id", "fp")
+  }
+
+  /** Audio near-duplicate pairs — [[hammingBandPairs]] over the audio
+    * fingerprints; same banding, same scale shape as q141. */
+  def audioNearDupPairs(s: SparkSession, dir: String, maxHamming: Int = 6): DataFrame =
+    hammingBandPairs(audioFingerprints(s, dir), maxHamming)
+
+  /** Fully-relational oracle: samples from the generator formula,
+    * exact Σ s² frame energies, the 64 adjacent comparisons assembled
+    * with bit_or, then the shared banding fragment. */
+  def audioNearDupSql(maxHamming: Int = 6): String =
+    bandedPairsSql("""smp AS (
+          SELECT d.doc_id, (d.doc_id // 4) AS g, (d.doc_id % 4) AS r, t.t AS t
+          FROM documents d, range(0, 1625) t(t)
+        ),
+        v AS (
+          SELECT doc_id, t // 25 AS f,
+                 CASE WHEN (t + g) % 101 < r THEN 0
+                      ELSE (((t // 25) * (13 + g % 19) + (t // 25) * (t // 25) * (1 + g % 23)
+                             + (t // 25) * (t // 25) * (t // 25) * (1 + g % 5) + g * 131) % 251 + 1)
+                           * (((t * 37 + (t * t) % 101) % 128) - 64) END AS s
+          FROM smp
+        ),
+        e AS (SELECT doc_id, f, sum(s * s)::BIGINT AS ev FROM v GROUP BY 1, 2),
+        bits AS (
+          SELECT a.doc_id,
+                 CASE WHEN a.ev > b.ev THEN
+                   CASE WHEN a.f = 63 THEN (-9223372036854775807 - 1)::BIGINT
+                        ELSE 1::BIGINT << (a.f::INT) END
+                 ELSE 0::BIGINT END AS bit
+          FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+          WHERE a.f < 64
+        ),
+        p AS (SELECT doc_id, bit_or(bit)::BIGINT AS fp FROM bits GROUP BY 1)""", maxHamming)
 
   /** Oracle-checkable metadata/digest query over the media table. */
   def metaDigest(s: SparkSession, dir: String): DataFrame =

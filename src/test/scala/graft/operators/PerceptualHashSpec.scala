@@ -34,6 +34,25 @@ class DHashKernelSpec extends AnyFunSuite {
     assert(crosses.count(_ > 6) >= 18, s"cross-group distances collapsed: $crosses")
   }
 
+  test("generated WAV corpus decodes via the real kernel: mono 8kHz, 1625 samples") {
+    for (id <- Seq(0L, 1L, 5L, 1001L)) {
+      val a = MediaCodecs.decodeWavPcm16(Multimodal.syntheticWavBytes(id))
+      assert(a.isDefined)
+      assert(a.get.sampleRate == 8000 && a.get.channels == 1 && a.get.samples.length == 1625)
+    }
+  }
+
+  test("audio fingerprint: silence is 0; dropout variants stay near; groups are far") {
+    assert(MediaCodecs.audioFingerprint64(
+      MediaCodecs.WavAudio(8000, 1, new Array[Short](1625))) == 0L)
+    def h(id: Long): Long = MediaCodecs.audioFingerprint64(
+      MediaCodecs.decodeWavPcm16(Multimodal.syntheticWavBytes(id)).get)
+    val withins = (0 until 20).map(g => hamming(h(4L * g), h(4L * g + 2)))
+    assert(withins.forall(_ <= 8), s"within-group distances blew up: $withins")
+    val crosses = (0 until 20).map(g => hamming(h(4L * g), h(4L * (g + 20))))
+    assert(crosses.count(_ > 6) >= 18, s"cross-group distances collapsed: $crosses")
+  }
+
   test("single-pixel edit moves the hash by at most a few bits") {
     val bytes = Multimodal.syntheticPpmBytes(8L)
     val img = MediaCodecs.decodePpm(bytes).get
@@ -46,8 +65,17 @@ class DHashKernelSpec extends AnyFunSuite {
   }
 }
 
-/** The banding operator end-to-end on the sf0.001 fixture. */
+/** The banding operators end-to-end on the sf0.001 fixture. */
 class PerceptualHashSpec extends SparkSpec {
+
+  test("audio banding finds near-dup pairs within the Hamming cap") {
+    val pairs = Multimodal.audioNearDupPairs(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_._3 <= 6))
+    // near-dup structure: most found pairs are within-group variants
+    assert(pairs.count(p => p._1 / 4 == p._2 / 4) * 2 > pairs.length)
+  }
 
   test("banding finds near-dup pairs, never reports beyond the Hamming cap") {
     val pairs = Multimodal.imageNearDupPairs(spark, "/root/testdata/sf0.001")
