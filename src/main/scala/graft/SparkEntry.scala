@@ -744,6 +744,13 @@ object SparkEntry {
     "q41_tfidf_topterms" -> ((s, dir) => PipelineOps.tfidfTopTerms(s, dir)),
     // near-dup clusters: connected components over the PPJoin pairs
     "q42_dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
+    // the decision table over those clusters: keep-best-quality policy,
+    // canonical survivor + verdict + reason per document
+    "q145_dedup_decisions" -> ((s, dir) => Dedup.dedupDecisions(s, dir)),
+    // right-to-be-forgotten cascade manifest: per deletion-set entity,
+    // the exact purge counts through the FK graph (customer → orders →
+    // lineitem, customer → events), zero-rows requesters included
+    "q147_deletion_manifest" -> ((s, dir) => PipelineOps.deletionManifest(s, dir)),
     // the skew-salted denormalization (same answer as q01 by design:
     // salting must never change join semantics, only data placement)
     "q43_denorm_salted" -> ((s, dir) =>
@@ -817,6 +824,38 @@ object SparkEntry {
             }
           } finally rmTreeRetry(ckpt)
           operators.Sketches.hllWindowedFold(ev, s.table(name))
+      }
+    }),
+    // the eviction progression applied to the SUM-merge sketch: per-
+    // (hourly window, i, pos) CMS cells under watermark + Append —
+    // counters are plain windowed counts, so each window's d×w grid
+    // emits once at finalization and drops; the fold probes per-window
+    // top-N users against their own finalized grid (q69's probe with
+    // the window key threaded through)
+    "q146_stream_windowed_cms_evicting" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select(col("ts"), col("user_id"))
+      maxEventNsOf(s, dir) match {
+        case None =>
+          operators.Sketches.cmsWindowedFold(ev,
+            operators.Sketches.cmsWindowedGrid(ev).filter(lit(false)))
+        case Some(maxNs) =>
+          val (tmp, mft) = stagedWithSentinel(s, dir, "q146_events", ev, maxNs,
+            operators.Sketches.cmsWindowedClearMs)(
+            snt => Seq((snt, -1L)).toDF("ts", "user_id"))
+          val ckpt = stageDir("q146_ckpt")
+          val name = memorySinkName(s, "q146")
+          try {
+            val input = s.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", mft.toString).parquet(tmp)
+            withStatePartitions(s, 8) {
+              val q = operators.Sketches.cmsWindowedGrid(input)
+                .writeStream.format("memory").queryName(name).outputMode("append")
+                .option("checkpointLocation", ckpt).start()
+              try q.processAllAvailable() finally q.stop()
+            }
+          } finally rmTreeRetry(ckpt)
+          operators.Sketches.cmsWindowedFold(ev, s.table(name))
       }
     }),
     // q134's LIVE form: the drift grid keyed by (bucket, is_delta) is
@@ -959,6 +998,10 @@ object SparkEntry {
     // and scoring as q49 → verifies against the SAME trained-literal
     // oracle.
     "q83_ann_ivf_indexed" -> ((s, dir) => Similarity.ivfIndexedTopK(s, dir)),
+    // radius query from the SAME persisted index: all neighbors with
+    // cosine >= τ in the probed buckets — no top-k window anywhere
+    // (result size is data-driven; the threshold replaces ranking)
+    "q144_ivf_range_search" -> ((s, dir) => Similarity.ivfRangeSearch(s, dir)),
     // SemDeDup's dedup step (completing cluster → dedup → sample with
     // q81): per trained cluster, drop any vector whose epsilon ball
     // (cos > 0.35 — inside the synthetic corpus's pair distribution)
@@ -2003,6 +2046,8 @@ object SparkEntry {
     // oracle is the plain relational join on the raw parquet
     "q86_bucketed_join" -> PipelineOps.bucketedDenormJoinSql,
     "q42_dedup_clusters" -> Dedup.dedupClustersSql(),
+    "q145_dedup_decisions" -> Dedup.dedupDecisionsSql(),
+    "q147_deletion_manifest" -> PipelineOps.deletionManifestSql(),
     "q43_denorm_salted" -> denormOracle("JOIN"),
     "q44_frame_sample" -> Multimodal.frameSampleSql(),
     "q141_image_neardup_phash" -> Multimodal.imageNearDupSql(),
@@ -2146,6 +2191,7 @@ object SparkEntry {
     "q69_cms_heavy_hitters" -> operators.Sketches.cmsHeavyHittersSql(),
     "q138_cms_join_estimate" -> operators.Sketches.cmsJoinSizeEstimateSql(),
     "q139_stream_windowed_hll_evicting" -> operators.Sketches.hllWindowedSql(),
+    "q146_stream_windowed_cms_evicting" -> operators.Sketches.cmsWindowedSql(),
     "q140_jl_coarse_retrieval" -> Similarity.jlCoarseRetrievalSql(),
     // the streamed grid equals the batch grid cell-for-cell (counters
     // are order-independent sums), so the q69 oracle applies unchanged
@@ -2196,6 +2242,7 @@ object SparkEntry {
     // probe rule, and scoring as q49 (parquet round-trips doubles
     // exactly), so it verifies against the identical trained-literal SQL
     Similarity.ivfTopKTrainedSql().map("q83_ann_ivf_indexed" -> _) ++
+    Similarity.ivfRangeSearchSql().map("q144_ivf_range_search" -> _) ++
     // q84 shares the trained centroids too; its drop rule is a
     // self-join + LEFT JOIN mark over the same assigned CTE (DuckDB
     // cannot bind correlated columns inside list_transform lambdas,

@@ -1384,4 +1384,70 @@ object PipelineOps {
                (cur.keep = 1 AND u.kept AND c.kept AND coalesce(b.kept, false))::INT AS keep
         FROM cur JOIN u USING (doc_id) JOIN c USING (doc_id)
         LEFT JOIN b USING (doc_id)"""
+
+  // ---- deletion propagation manifest (q147) ----
+
+  /** Right-to-be-forgotten cascade manifest — the compliance artifact
+    * a data platform produces BEFORE purging: for every entity in the
+    * deletion set (here a deterministic `c_custkey % mod = residue`
+    * slice standing in for the request queue), the exact row counts
+    * that will be purged from every table reachable through the FK
+    * graph (customer → orders → lineitem, customer → events), plus
+    * the entity's registry row itself. One aggregate per affected
+    * table keyed by the entity id, LEFT-joined to the deletion set so
+    * a requester with no data still appears (all-zero row — auditors
+    * need the proof of absence, not a missing line). The lineitem leg
+    * propagates through orders (two-hop FK chain): counts aggregate
+    * to the order key first, then to the customer — two entity-keyed
+    * shuffles, never a wide join of line-level rows against the
+    * deletion set. At 100 TB the manifest costs one pruned scan per
+    * table; the purge itself is each table anti-joined against the
+    * set (the q106 RI machinery run in reverse), which this manifest
+    * makes verifiable: post-purge, every count here re-derives to 0.
+    */
+  def deletionManifest(s: SparkSession, dir: String,
+      mod: Int = 97, residue: Int = 13): DataFrame = {
+    val del = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") % mod === residue)
+      .select(col("c_custkey").as("entity_id"))
+    val ev = Tables.events(s, dir).groupBy(col("user_id").as("entity_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val ord = Tables.load(s, dir, "orders").groupBy(col("o_custkey").as("entity_id"))
+      .agg(count(lit(1)).as("n_orders"))
+    val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"))
+      .join(Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("entity_id"))
+      .agg(count(lit(1)).as("n_lineitems"))
+    del.join(ev, Seq("entity_id"), "left")
+      .join(ord, Seq("entity_id"), "left")
+      .join(li, Seq("entity_id"), "left")
+      .select(col("entity_id"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_lineitems"), lit(0L)).as("n_lineitems"),
+        (lit(1L) + coalesce(col("n_events"), lit(0L)) + coalesce(col("n_orders"), lit(0L))
+          + coalesce(col("n_lineitems"), lit(0L))).as("n_total_rows"))
+  }
+
+  def deletionManifestSql(mod: Int = 97, residue: Int = 13): String =
+    s"""WITH del AS (SELECT c_custkey AS entity_id FROM customer
+                     WHERE c_custkey % $mod = $residue),
+        ev AS (SELECT user_id AS entity_id, count(*)::BIGINT AS n_events
+               FROM events GROUP BY 1),
+        ord AS (SELECT o_custkey AS entity_id, count(*)::BIGINT AS n_orders
+                FROM orders GROUP BY 1),
+        li AS (SELECT o.o_custkey AS entity_id, count(*)::BIGINT AS n_lineitems
+               FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+               GROUP BY 1)
+        SELECT d.entity_id,
+               coalesce(ev.n_events, 0)::BIGINT AS n_events,
+               coalesce(ord.n_orders, 0)::BIGINT AS n_orders,
+               coalesce(li.n_lineitems, 0)::BIGINT AS n_lineitems,
+               (1 + coalesce(ev.n_events, 0) + coalesce(ord.n_orders, 0)
+                  + coalesce(li.n_lineitems, 0))::BIGINT AS n_total_rows
+        FROM del d
+        LEFT JOIN ev USING (entity_id)
+        LEFT JOIN ord USING (entity_id)
+        LEFT JOIN li USING (entity_id)"""
 }

@@ -975,6 +975,56 @@ object Similarity {
   /** The IVF probe/search SQL shared by the static-sample and trained
     * variants; `cCte` supplies the centroid table body.
     */
+  /** Range (radius) search from the persisted IVF index — the
+    * radius-query face of the ANN family (q144): every neighbor with
+    * exact cosine ≥ `minCos` among the probed buckets, instead of a
+    * top-k. Same trained centroids, same probe rule, same DPP-pruned
+    * stored-index read as q83 — but NO window at all: the threshold
+    * replaces ranking, so the plan is probe-join → per-row cosine →
+    * filter, with no per-query sort anywhere (the shape radius
+    * queries exist for — result size is data-driven, not k-driven).
+    * The threshold compares doubles both engines derive identically
+    * (the family's pinned cosine arithmetic), so the predicate is
+    * cell-exact cross-engine. Default τ = 0.3 because the synthetic
+    * embeddings are near-orthogonal (measured max query-neighbor
+    * cosine ≈ 0.45 across SFs); a real text-embedding corpus would
+    * run this at ~0.8-0.95.
+    */
+  def ivfRangeSearch(s: SparkSession, dir: String, minCos: Double = 0.3): DataFrame = {
+    val cents = centsDF(s, dir)
+    val corpus = emb(s, dir)
+    val index = s.read.parquet(ivfIndexPath(s, dir, cents))
+    val queries = queryBatch(corpus)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probes = ivfProbes(queries, cents)
+      .withColumn("bucket", col("bucket").cast("int"))
+    index.join(broadcast(probes), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine_sim(col("qv"), col("v")).as("cos"))
+      .filter(col("cos") >= lit(minCos))
+  }
+
+  /** Oracle for [[ivfRangeSearch]] — trained-literal gated; the q83
+    * probe/assign fragments with the window replaced by the range
+    * predicate. */
+  def ivfRangeSearchSql(minCos: Double = 0.3): Option[String] =
+    trainedRowsSql().map { rows =>
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql),
+        c AS (SELECT * FROM (VALUES $rows) AS vt(cent_id, cv)),
+        assigned AS ($assignedCteSql),
+        q AS ($querySql),
+        probes AS (
+          SELECT query_id, qv, cent_id AS bucket FROM (
+            SELECT q.query_id, q.qv, c.cent_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY ${cosSqlOn("q.qv", "c.cv")} DESC, c.cent_id ASC) AS prank
+            FROM q, c) WHERE prank <= $nprobe)
+        SELECT query_id, a.vec_id AS neighbor_id, ${cosSqlOn("p.qv", "a.v")} AS cos
+        FROM assigned a JOIN probes p USING (bucket)
+        WHERE a.vec_id <> p.query_id AND ${cosSqlOn("p.qv", "a.v")} >= $minCos"""
+    }
+
   private def ivfSqlWith(cCte: String, k: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql),
         c AS ($cCte),

@@ -781,6 +781,84 @@ object Sketches {
         GROUP BY 1, 2"""
   }
 
+  // ---- evicting windowed CMS (q146) ----
+
+  /** The CMS grid keyed by (hourly event-time window, i, pos) under
+    * watermark + Append — the q139 eviction progression applied to the
+    * SUM-merge sketch: counters are plain windowed counts, so each
+    * window's d×w grid emits exactly once when the watermark passes
+    * its end and its state drops; streaming state is bounded by open
+    * windows × d·w cells instead of history × d·w. Position hash and
+    * explode shape are [[cmsPositions]]'s — one derivation across the
+    * batch grid (q69), the Complete-mode stream (q94), and this form.
+    */
+  def cmsWindowedGrid(ev: DataFrame, d: Int = 4, w: Int = 512,
+      windowLen: String = "1 hour", delay: String = "30 minutes"): DataFrame =
+    ev.withWatermark("ts", delay)
+      .select(col("ts"), col("user_id"),
+        explode(array((0 until d).map(lit(_)): _*)).as("i"))
+      .select(col("ts"), col("i"), cmsPos(col("user_id"), col("i"), w).as("pos"))
+      .groupBy(window(col("ts"), windowLen), col("i"), col("pos"))
+      .agg(count(lit(1)).as("c"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("win_start"),
+        col("i"), col("pos"), col("c"))
+
+  /** The q124-style sentinel horizon for [[cmsWindowedGrid]]. */
+  val cmsWindowedClearMs: Long = 3600L * 1000 + 30L * 60 * 1000
+
+  /** Fold the emitted finalized grids to per-(window, top-N user)
+    * estimates beside ground truth — [[cmsEstimates]]'s probe with the
+    * window as an extra key everywhere. The candidate rank bound is
+    * per-window (PARTITION BY win_start), so output is windows × topN
+    * rows; the probe join keys on (win_start, i, pos) so each window
+    * probes only its own finalized grid.
+    */
+  def cmsWindowedFold(ev: DataFrame, state: DataFrame,
+      d: Int = 4, w: Int = 512, topN: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("win_start")
+    val exact = ev.groupBy(win, col("user_id")).agg(count(lit(1)).as("n_exact"))
+    val cand = exact.withColumn("r", row_number().over(
+        Window.partitionBy(col("win_start"))
+          .orderBy(col("n_exact").desc, col("user_id").asc)))
+      .filter(col("r") <= topN).drop("r")
+    val probes = cand.select(col("win_start"), col("user_id"), col("n_exact"),
+        explode(array((0 until d).map(lit(_)): _*)).as("i"))
+      .withColumn("pos", cmsPos(col("user_id"), col("i"), w))
+    probes.join(state, Seq("win_start", "i", "pos"))
+      .groupBy(col("win_start"), col("user_id"), col("n_exact"))
+      .agg(min(col("c")).as("cms_est"))
+  }
+
+  /** Oracle: the q69 chain with the hour window added to every key. */
+  def cmsWindowedSql(d: Int = 4, w: Int = 512, topN: Int = 10): String = {
+    val is = (0 until d).map(_.toString).mkString(", ")
+    val win = "strftime(date_trunc('hour', ts), '%Y-%m-%d %H')"
+    s"""WITH ks AS (SELECT unnest([$is]) AS i),
+        grid AS (
+          SELECT $win AS win_start, i,
+                 ('0x' || substring(md5(user_id::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % $w AS pos,
+                 count(*) AS c
+          FROM events, ks GROUP BY 1, 2, 3),
+        ex AS (SELECT $win AS win_start, user_id, count(*) AS n_exact
+               FROM events GROUP BY 1, 2),
+        cand AS (
+          SELECT win_start, user_id, n_exact FROM (
+            SELECT win_start, user_id, n_exact,
+                   row_number() OVER (PARTITION BY win_start
+                     ORDER BY n_exact DESC, user_id ASC) AS r
+            FROM ex)
+          WHERE r <= $topN),
+        probes AS (
+          SELECT c.win_start, c.user_id, c.n_exact, k.i,
+                 ('0x' || substring(md5(c.user_id::VARCHAR || ':' || k.i::VARCHAR), 1, 15))::BIGINT % $w AS pos
+          FROM cand c, ks k)
+        SELECT p.win_start, p.user_id, p.n_exact, min(g.c) AS cms_est
+        FROM probes p JOIN grid g
+          ON p.win_start = g.win_start AND p.i = g.i AND p.pos = g.pos
+        GROUP BY 1, 2, 3"""
+  }
+
   /** CMS join-size estimation (q138) — the AMS/CMS inner-product
     * bound every cost-based optimizer variant uses to size a join
     * WITHOUT running it: build one d×w counter grid per side over the

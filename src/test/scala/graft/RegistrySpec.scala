@@ -22,7 +22,8 @@ class RegistrySpec extends AnyFunSuite {
     "q81_cluster_diversity_sample", "q83_ann_ivf_indexed",
     "q84_semantic_dedup", "q87_stream_ivf_index",
     "q91_ivf_index_compact", "q99_semantic_decontaminate",
-    "q108_ann_sq8", "q134_embedding_drift", "q137_stream_embedding_drift")
+    "q108_ann_sq8", "q134_embedding_drift", "q137_stream_embedding_drift",
+    "q144_ivf_range_search")
 
   test("every oracle key names a registered query (no orphan oracles)") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
