@@ -751,6 +751,17 @@ object SparkEntry {
     // the exact purge counts through the FK graph (customer → orders →
     // lineitem, customer → events), zero-rows requesters included
     "q147_deletion_manifest" -> ((s, dir) => PipelineOps.deletionManifest(s, dir)),
+    // ordered-ingest novelty: fraction of each doc's shingles first
+    // seen in it — the diffuse-duplication signal pairwise Jaccard
+    // can't see; rides the family's shared gram derivation
+    "q148_novelty_scores" -> ((s, dir) => Dedup.noveltyScores(s, dir)),
+    // winsorization from the stored histogram: clip to [P01, P99],
+    // report clip counts + raw-vs-clipped micro-unit sums per type
+    "q149_winsorize" -> ((s, dir) => operators.Sketches.winsorizeReport(s, dir)),
+    // last-touch attribution: one entity-partitioned window picks each
+    // purchase's latest preceding non-purchase touch within 7 days;
+    // the oracle's LATERAL probe cross-checks the formulation
+    "q150_last_touch_attribution" -> ((s, dir) => Analytics.lastTouchAttribution(s, dir)),
     // the skew-salted denormalization (same answer as q01 by design:
     // salting must never change join semantics, only data placement)
     "q43_denorm_salted" -> ((s, dir) =>
@@ -2048,6 +2059,9 @@ object SparkEntry {
     "q42_dedup_clusters" -> Dedup.dedupClustersSql(),
     "q145_dedup_decisions" -> Dedup.dedupDecisionsSql(),
     "q147_deletion_manifest" -> PipelineOps.deletionManifestSql(),
+    "q148_novelty_scores" -> Dedup.noveltyScoresSql,
+    "q149_winsorize" -> operators.Sketches.winsorizeReportSql(),
+    "q150_last_touch_attribution" -> Analytics.lastTouchAttributionSql(),
     "q43_denorm_salted" -> denormOracle("JOIN"),
     "q44_frame_sample" -> Multimodal.frameSampleSql(),
     "q141_image_neardup_phash" -> Multimodal.imageNearDupSql(),

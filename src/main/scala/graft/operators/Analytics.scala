@@ -631,6 +631,70 @@ object Analytics {
        FROM events
        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"""
 
+  // ---- last-touch attribution (q150) ----
+
+  /** Last-touch attribution: each purchase is credited to the LATEST
+    * preceding non-purchase event of the same user within `windowUs`
+    * (7 days) — the marketing-analytics as-of lookup, expressed as ONE
+    * entity-partitioned window instead of a self-join: `last(...,
+    * ignoreNulls)` over `ROWS UNBOUNDED PRECEDING .. 1 PRECEDING` in
+    * the user's (ts, event_id) total order picks the most recent
+    * non-purchase row in a single pass over each user's history —
+    * never a per-purchase scan-back, never a range self-join fan-out.
+    * The recency cutoff applies AFTER the pick: the latest preceding
+    * touch outside the window implies every older one is too, so
+    * cutoff-after ≡ cutoff-in-predicate (which is what the oracle's
+    * LATERAL probe does — the two formulations cross-check each
+    * other). Unattributed purchases (no touch, or touch too old) stay
+    * in the report with NULL touch columns — conversion accounting
+    * needs the denominator. Epoch-µs BIGINTs end to end.
+    */
+  def lastTouchAttribution(s: SparkSession, dir: String,
+      windowUs: Long = 7L * 24 * 3600 * 1000000): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = last(
+      when(col("event_type") =!= "purchase",
+        struct(unix_micros(col("ts")).as("t_us"), col("event_id").as("t_id"),
+          col("event_type").as("t_type"))),
+      ignoreNulls = true).over(w)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("touch", touch)
+      .filter(col("event_type") === "purchase")
+      // NULL-user guard: the window's partitionBy groups NULL users
+      // into one partition, but SQL equality (the oracle's lateral
+      // probe, and any sane attribution semantics) never matches a
+      // NULL key — a NULL-user purchase is always unattributed
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        when(col("user_id").isNotNull &&
+          col("touch.t_us") >= unix_micros(col("ts")) - windowUs, col("touch.t_id"))
+          .as("touch_id"),
+        when(col("user_id").isNotNull &&
+          col("touch.t_us") >= unix_micros(col("ts")) - windowUs, col("touch.t_type"))
+          .as("touch_type"),
+        when(col("user_id").isNotNull &&
+          col("touch.t_us") >= unix_micros(col("ts")) - windowUs, col("touch.t_us"))
+          .as("touch_us"))
+  }
+
+  def lastTouchAttributionSql(windowUs: Long = 7L * 24 * 3600 * 1000000): String =
+    s"""SELECT p.event_id AS purchase_id, p.user_id,
+               epoch_us(p.ts)::BIGINT AS purchase_us,
+               t.t_id AS touch_id, t.t_type AS touch_type, t.t_us AS touch_us
+        FROM events p
+        LEFT JOIN LATERAL (
+          SELECT e.event_id AS t_id, e.event_type AS t_type,
+                 epoch_us(e.ts)::BIGINT AS t_us
+          FROM events e
+          WHERE e.user_id = p.user_id AND e.event_type <> 'purchase'
+            AND (e.ts < p.ts OR (e.ts = p.ts AND e.event_id < p.event_id))
+            AND epoch_us(e.ts) >= epoch_us(p.ts) - $windowUs
+          ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) t ON true
+        WHERE p.event_type = 'purchase'"""
+
   // ---- graph centrality: bounded-iteration integer PageRank (q130) ----
 
   /** PageRank over the customer–supplier interaction graph (who

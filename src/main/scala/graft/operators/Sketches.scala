@@ -515,6 +515,67 @@ object Sketches {
                (e.value < bounds.lo OR e.value > bounds.hi)::INT AS is_outlier
         FROM events e JOIN bounds USING (event_type)"""
 
+  /** Winsorization report (q149) — the TRANSFORM counterpart of q120's
+    * outlier flagging: clip per-type values to the [P01, P99] fences
+    * from the SAME stored-histogram estimator, and report per type the
+    * clip counts plus the raw vs winsorized micro-unit sums — the
+    * before/after evidence a feature-engineering pipeline logs when it
+    * tames heavy tails. The fences are group-bounded broadcasts
+    * (shared q75/q100/q120 arithmetic, cell-exact cross-engine); the
+    * clipping pass is one map-side join over the scan; sums are
+    * `floor(x·1e6)` BIGINTs (the q96 micro-unit contract) so the
+    * aggregate hashes exactly. NULL values pass through unclipped and
+    * uncounted (explicit CASE both sides — least/greatest's
+    * NULL-skipping would otherwise silently turn NULL into the fence).
+    */
+  def winsorizeReport(s: SparkSession, dir: String, width: Double = 8.0,
+      buckets: Int = 64): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val qs = histQuantiles(
+      histGrid(ev.select(col("event_type"), col("value")), width, buckets),
+      width, Seq(0.01, 0.99))
+    val bounds = qs.groupBy(col("event_type")).agg(
+      max(when(col("p") === 0.01, col("q_est"))).as("lo"),
+      max(when(col("p") === 0.99, col("q_est"))).as("hi"))
+    val clipped = ev.select(col("event_type"), col("value"))
+      .join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_type"), col("value"),
+        when(col("value") < col("lo"), lit(1L)).otherwise(lit(0L)).as("clip_lo"),
+        when(col("value") > col("hi"), lit(1L)).otherwise(lit(0L)).as("clip_hi"),
+        when(col("value").isNull, lit(null).cast("double"))
+          .otherwise(when(col("value") < col("lo"), col("lo"))
+            .when(col("value") > col("hi"), col("hi"))
+            .otherwise(col("value"))).as("wv"))
+    clipped.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("clip_lo")).as("n_clip_lo"),
+        sum(col("clip_hi")).as("n_clip_hi"),
+        sum(floor(col("value") * lit(1e6)).cast("long")).as("sum_raw_micro"),
+        sum(floor(col("wv") * lit(1e6)).cast("long")).as("sum_win_micro"))
+  }
+
+  def winsorizeReportSql(width: Double = 8.0, buckets: Int = 64): String =
+    s"""WITH qh AS (SELECT event_type, p, q_est
+                    FROM (${quantileHistogramSql(width, buckets, Seq(0.01, 0.99))}) t),
+        b AS (SELECT event_type,
+                     max(CASE WHEN p = 0.01 THEN q_est END) AS lo,
+                     max(CASE WHEN p = 0.99 THEN q_est END) AS hi
+              FROM qh GROUP BY 1),
+        c AS (SELECT e.event_type, e.value,
+                     CASE WHEN e.value < b.lo THEN 1 ELSE 0 END AS clip_lo,
+                     CASE WHEN e.value > b.hi THEN 1 ELSE 0 END AS clip_hi,
+                     CASE WHEN e.value IS NULL THEN NULL
+                          WHEN e.value < b.lo THEN b.lo
+                          WHEN e.value > b.hi THEN b.hi
+                          ELSE e.value END AS wv
+              FROM events e JOIN b USING (event_type))
+        SELECT event_type, count(*)::BIGINT AS n,
+               sum(clip_lo)::BIGINT AS n_clip_lo,
+               sum(clip_hi)::BIGINT AS n_clip_hi,
+               sum(floor(value * 1000000)::BIGINT)::BIGINT AS sum_raw_micro,
+               sum(floor(wv * 1000000)::BIGINT)::BIGINT AS sum_win_micro
+        FROM c GROUP BY 1"""
+
   def quantileHistogramSql(width: Double = 8.0, buckets: Int = 64,
       ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): String =
     s"""WITH hist AS (
