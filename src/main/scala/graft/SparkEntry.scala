@@ -762,6 +762,15 @@ object SparkEntry {
     // purchase's latest preceding non-purchase touch within 7 days;
     // the oracle's LATERAL probe cross-checks the formulation
     "q150_last_touch_attribution" -> ((s, dir) => Analytics.lastTouchAttribution(s, dir)),
+    // leakage-safe temporal join: each label event joins the SCD2
+    // version valid at label_ts - 1h — the feature-store
+    // as-of-training-timestamp contract (q67's leakage guard at the
+    // JOIN level); intervals partition each user's timeline, so at
+    // most one match per label
+    "q151_point_in_time_join" -> ((s, dir) => Analytics.pointInTimeJoin(s, dir)),
+    // two-stage serving: hybrid-RRF retrieve (bounded top-N arms) →
+    // full-text hashed-linear rerank over ONLY the k candidates
+    "q152_retrieve_rerank" -> ((s, dir) => PipelineOps.retrieveRerank(s, dir)),
     // the skew-salted denormalization (same answer as q01 by design:
     // salting must never change join semantics, only data placement)
     "q43_denorm_salted" -> ((s, dir) =>
@@ -2062,6 +2071,8 @@ object SparkEntry {
     "q148_novelty_scores" -> Dedup.noveltyScoresSql,
     "q149_winsorize" -> operators.Sketches.winsorizeReportSql(),
     "q150_last_touch_attribution" -> Analytics.lastTouchAttributionSql(),
+    "q151_point_in_time_join" -> Analytics.pointInTimeJoinSql(),
+    "q152_retrieve_rerank" -> PipelineOps.retrieveRerankSql(),
     "q43_denorm_salted" -> denormOracle("JOIN"),
     "q44_frame_sample" -> Multimodal.frameSampleSql(),
     "q141_image_neardup_phash" -> Multimodal.imageNearDupSql(),

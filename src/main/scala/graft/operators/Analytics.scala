@@ -631,6 +631,60 @@ object Analytics {
        FROM events
        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"""
 
+  // ---- point-in-time (temporal) join against the SCD2 dimension (q151) ----
+
+  /** Point-in-time feature lookup — the temporal join that makes
+    * training-data assembly leakage-safe: each LABEL event (purchases
+    * here) joins the [[scd2History]] dimension row whose validity
+    * interval contains `label_ts − horizon` (1 h) — features as they
+    * stood a full horizon BEFORE the label, never the version that
+    * includes the label event itself (the feature-store
+    * "as-of-training-timestamp" contract; q67 solves leakage at the
+    * split level, this solves it at the join level). The SCD2
+    * intervals partition each user's timeline, so every label matches
+    * AT MOST one version row — a LEFT join keeps early labels (as-of
+    * before the user's first version) with NULL features, because the
+    * training set needs the row either way. Plan shape: an equi-join
+    * on the entity key with the interval containment as a post-join
+    * filter — per-user history depth is the only fan-in, never a
+    * cross product (PlanSpec-pinned). Epoch-µs BIGINT interval
+    * arithmetic end to end; `valid_to IS NULL` is the open current
+    * row.
+    */
+  def pointInTimeJoin(s: SparkSession, dir: String,
+      horizonUs: Long = 3600L * 1000000): DataFrame = {
+    val dim = scd2History(s, dir)
+      .select(col("user_id").as("d_user"), col("event_id").as("feat_event_id"),
+        col("event_type").as("feat_type"), col("value").as("feat_value"),
+        col("valid_from_us"), col("valid_to_us"))
+    val labels = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("label_id"), col("user_id"),
+        unix_micros(col("ts")).as("label_us"))
+      .withColumn("asof_us", col("label_us") - horizonUs)
+    labels.join(dim,
+        col("user_id") === col("d_user") &&
+          col("asof_us") >= col("valid_from_us") &&
+          (col("valid_to_us").isNull || col("asof_us") < col("valid_to_us")),
+        "left")
+      .select(col("label_id"), col("user_id"), col("label_us"), col("asof_us"),
+        col("feat_event_id"), col("feat_type"), col("feat_value"))
+  }
+
+  def pointInTimeJoinSql(horizonUs: Long = 3600L * 1000000): String =
+    s"""WITH dim AS (${scd2HistorySql}),
+        labels AS (
+          SELECT event_id AS label_id, user_id, epoch_us(ts)::BIGINT AS label_us,
+                 (epoch_us(ts) - $horizonUs)::BIGINT AS asof_us
+          FROM events WHERE event_type = 'purchase')
+        SELECT l.label_id, l.user_id, l.label_us, l.asof_us,
+               d.event_id AS feat_event_id, d.event_type AS feat_type,
+               d.value AS feat_value
+        FROM labels l
+        LEFT JOIN dim d ON d.user_id = l.user_id
+          AND l.asof_us >= d.valid_from_us
+          AND (d.valid_to_us IS NULL OR l.asof_us < d.valid_to_us)"""
+
   // ---- last-touch attribution (q150) ----
 
   /** Last-touch attribution: each purchase is credited to the LATEST

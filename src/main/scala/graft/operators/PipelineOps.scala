@@ -1069,6 +1069,51 @@ object PipelineOps {
         FROM lex FULL JOIN vec ON lex.doc_id = vec.vec_id
         ORDER BY rrf DESC, doc_id ASC LIMIT $k"""
 
+  // ---- retrieve → rerank serving composition (q152) ----
+
+  /** The two-stage serving pattern every retrieval deployment runs:
+    * the cheap RETRIEVE stage ([[hybridRrf]] — both arms bounded
+    * distributed top-N) produces `k` candidates, and the expensive
+    * model (the q109 hashed-linear scorer standing in for a
+    * cross-encoder: a model that reads the FULL document text) scores
+    * ONLY those k rows — never the corpus; the join back to `documents`
+    * for candidate text is k-row-bounded by construction, which is the
+    * entire point of the composition (at 100 TB the reranker's cost is
+    * k·doc_len regardless of corpus size). Output carries both ranks
+    * so the rerank's reordering of the fused list is visible per row.
+    * Exactness by composition: RRF doubles and the mean-logit division
+    * are the two operators' already-pinned arithmetic; rank windows run
+    * over ≤ k rows with doc_id tie-breaks.
+    */
+  def retrieveRerank(s: SparkSession, dir: String, k: Int = 20,
+      d: Long = 1024L): DataFrame = {
+    val cands = hybridRrf(s, dir, k = k)
+      .withColumn("retrieve_rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("retrieve_rank"), col("rrf"))
+    val toks = split(lower(col("text")), " ")
+    val scored = cands
+      .join(Tables.load(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("retrieve_rank"), col("rrf"),
+        (hashedLogitMicro(col("text"), d).cast("double") / lit(1000000.0)
+          / size(toks).cast("double")).as("mean_logit"))
+    scored.withColumn("rerank",
+        row_number().over(Window.orderBy(col("mean_logit").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("retrieve_rank"), col("rerank"),
+        col("rrf"), col("mean_logit"))
+  }
+
+  def retrieveRerankSql(k: Int = 20, d: Long = 1024L): String =
+    s"""WITH cand AS (
+          SELECT doc_id, rrf,
+                 row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS retrieve_rank
+          FROM (${hybridRrfSql(k = k)}) t),
+        cls AS (SELECT doc_id, mean_logit FROM (${classifierFilterSql(d = d)}) t)
+        SELECT c.doc_id, c.retrieve_rank,
+               row_number() OVER (ORDER BY cls.mean_logit DESC, c.doc_id ASC) AS rerank,
+               c.rrf, cls.mean_logit
+        FROM cand c JOIN cls USING (doc_id)"""
+
   // ---- time-partitioned layout + statically pruned range probe ----
 
   /** Once-per-(JVM, sf dir) time-partitioned rewrite of `events`:
@@ -1160,15 +1205,22 @@ object PipelineOps {
     * (order-independent integer sums); the mean divides once on each
     * engine; `kept` is an INTEGER comparison, immune to float drift.
     */
+  /** The hashed-linear logit in BIGINT micro-units — ONE definition
+    * shared by the corpus-wide gate (q109) and the candidate reranker
+    * (q152), so the model arithmetic cannot drift between them. */
+  private def hashedLogitMicro(text: Column, d: Long): Column = {
+    val weight = (t: Column) =>
+      (pmod(graft.functions.md5_long(t), lit(d)) + lit(1L)) * lit(2654435761L) % lit(2000001L) - lit(1000000L)
+    aggregate(transform(split(lower(text), " "), weight), lit(0L), (acc, x) => acc + x)
+  }
+
   def classifierFilter(s: SparkSession, dir: String, d: Long = 1024L,
       thresholdMicro: Long = -333000L): DataFrame = {
     val toks = split(lower(col("text")), " ")
-    val weight = (t: Column) =>
-      (pmod(graft.functions.md5_long(t), lit(d)) + lit(1L)) * lit(2654435761L) % lit(2000001L) - lit(1000000L)
     Tables.load(s, dir, "documents").select(
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
-      aggregate(transform(toks, weight), lit(0L), (acc, x) => acc + x).as("logit_micro"))
+      hashedLogitMicro(col("text"), d).as("logit_micro"))
       .withColumn("mean_logit",
         col("logit_micro").cast("double") / lit(1000000.0) / col("n_tokens").cast("double"))
       // per-token threshold, applied in INTEGER space: logit/n > τ ⇔

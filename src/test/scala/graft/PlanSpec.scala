@@ -547,6 +547,14 @@ class PlanSpec extends SparkSpec {
     assert(p138.contains("partial_count"), p138)
   }
 
+  test("q151: point-in-time join equi-joins on the entity key — interval is a filter, not a cross product") {
+    val p = plan("q151_point_in_time_join")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q141: image near-dedup hash-joins on the (band, band_val) key — never all-pairs") {
     // the LSH contract: candidate generation is an equi-join on the
     // band key; a nested-loop/cartesian here would mean the banding
