@@ -771,6 +771,10 @@ object SparkEntry {
     // two-stage serving: hybrid-RRF retrieve (bounded top-N arms) →
     // full-text hashed-linear rerank over ONLY the k candidates
     "q152_retrieve_rerank" -> ((s, dir) => PipelineOps.retrieveRerank(s, dir)),
+    // video segment-level dedup: per-frame dHash through the real
+    // decode kernel, time-aligned exact-fingerprint pair counts —
+    // completes the image (q141) / audio (q143) / video modality triple
+    "q153_video_segment_dedup" -> ((s, dir) => Multimodal.videoSegmentDupPairs(s, dir)),
     // the skew-salted denormalization (same answer as q01 by design:
     // salting must never change join semantics, only data placement)
     "q43_denorm_salted" -> ((s, dir) =>
@@ -2073,6 +2077,7 @@ object SparkEntry {
     "q150_last_touch_attribution" -> Analytics.lastTouchAttributionSql(),
     "q151_point_in_time_join" -> Analytics.pointInTimeJoinSql(),
     "q152_retrieve_rerank" -> PipelineOps.retrieveRerankSql(),
+    "q153_video_segment_dedup" -> Multimodal.videoSegmentDupSql(),
     "q43_denorm_salted" -> denormOracle("JOIN"),
     "q44_frame_sample" -> Multimodal.frameSampleSql(),
     "q141_image_neardup_phash" -> Multimodal.imageNearDupSql(),

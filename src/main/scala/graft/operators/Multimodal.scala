@@ -386,6 +386,118 @@ object Multimodal {
         ),
         p AS (SELECT doc_id, bit_or(bit)::BIGINT AS fp FROM bits GROUP BY 1)""", maxHamming)
 
+  // ---- video segment-level near-dedup (q153) ----
+
+  /** Synthetic "video" corpus: 8 PPM frames per document, each frame's
+    * base pattern seeded by `gg = group·8 + frame_idx` (q141's pixel
+    * formula with gg as the group parameter — so a group's four
+    * variants share all eight base frames), and variant `r = doc_id
+    * mod 4` INVERTS whole frames where `(idx + g) mod 11 < r` (re-
+    * encode damage on a contiguous-ish subset). Two variants share a
+    * frame exactly when BOTH left it clean or BOTH inverted it, which
+    * the thresholds make `(idx+g) mod 11 ∉ [min(ra,rb), max(ra,rb))`
+    * — deterministic non-trivial overlap counts.
+    */
+  private[operators] def syntheticFramePpm(gg: Long, invert: Boolean): Array[Byte] = {
+    val header = s"P6\n$phashW $phashH\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + phashW * phashH * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = header.length
+    var y = 0
+    while (y < phashH) {
+      var x = 0
+      while (x < phashW) {
+        val base = (x * (13 + gg % 19) + y * (31 + gg % 23) + x * y * (1 + gg % 5) + gg) % 256
+        val v = (if (invert) 255 - base else base).toInt
+        out(i) = v.toByte; out(i + 1) = v.toByte; out(i + 2) = v.toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Per-(doc, frame) perceptual hash through the real decode kernel —
+    * the frame-sampling (1→N) shape of [[perceptualHashes]]. */
+  def videoFrameHashes(s: SparkSession, dir: String, frames: Int = 8): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val g = id / 4; val r = id % 4
+          (0 until frames).iterator.map { idx =>
+            val invert = (idx + g) % 11 < r
+            val img = MediaCodecs.decodePpm(syntheticFramePpm(g * frames + idx, invert))
+              .getOrElse(throw new IllegalStateException(s"frame decode: doc $id idx $idx"))
+            (id, idx, MediaCodecs.dHash64(img))
+          }
+        }
+      }.toDF("doc_id", "frame_idx", "phash")
+  }
+
+  /** Video segment-level duplicate pairs: documents sharing ≥
+    * `minShared` time-aligned frames with IDENTICAL perceptual hash —
+    * the copied-segment detector (re-uploads, edits of the same
+    * footage). The join keys on (frame_idx, phash): exact 64-bit frame
+    * fingerprints are selective enough that banding is unnecessary at
+    * the frame level (a hash bucket holds a group's aligned variants,
+    * not the corpus), and time alignment keeps the semantics
+    * "same segment", not "similar imagery anywhere". One equi-join +
+    * one pair-keyed count at any scale.
+    */
+  def videoSegmentDupPairs(s: SparkSession, dir: String,
+      frames: Int = 8, minShared: Int = 2): DataFrame = {
+    val fh = videoFrameHashes(s, dir, frames)
+    val a = fh.select(col("frame_idx"), col("phash"), col("doc_id").as("doc_a"))
+    val b = fh.select(col("frame_idx"), col("phash"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("frame_idx", "phash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Fully-relational oracle: q141's phash CTE chain with the frame
+    * index threaded through (gg = g·frames + idx seeds the pattern,
+    * whole-frame inversion under the variant rule), then the aligned
+    * exact-match pair count. */
+  def videoSegmentDupSql(frames: Int = 8, minShared: Int = 2): String =
+    s"""WITH px AS (
+          SELECT d.doc_id, (d.doc_id // 4) AS g, (d.doc_id % 4) AS r,
+                 fi.fi AS frame_idx, x.x AS x, y.y AS y
+          FROM documents d, range(0, $frames) fi(fi),
+               range(0, $phashW) x(x), range(0, $phashH) y(y)
+        ),
+        v AS (
+          SELECT doc_id, frame_idx, x // 4 AS bx, y // 4 AS by,
+                 CASE WHEN (frame_idx + g) % 11 < r
+                      THEN 255 - ((x * (13 + (g*$frames+frame_idx) % 19) + y * (31 + (g*$frames+frame_idx) % 23)
+                                   + x * y * (1 + (g*$frames+frame_idx) % 5) + (g*$frames+frame_idx)) % 256)
+                      ELSE (x * (13 + (g*$frames+frame_idx) % 19) + y * (31 + (g*$frames+frame_idx) % 23)
+                            + x * y * (1 + (g*$frames+frame_idx) % 5) + (g*$frames+frame_idx)) % 256 END AS val
+          FROM px
+        ),
+        s AS (SELECT doc_id, frame_idx, bx, by, sum(val)::BIGINT AS sv
+              FROM v GROUP BY 1, 2, 3, 4),
+        bits AS (
+          SELECT a.doc_id, a.frame_idx,
+                 CASE WHEN a.sv > b.sv THEN
+                   CASE WHEN a.by*8 + a.bx = 63 THEN (-9223372036854775807 - 1)::BIGINT
+                        ELSE 1::BIGINT << ((a.by*8 + a.bx)::INT) END
+                 ELSE 0::BIGINT END AS bit
+          FROM s a JOIN s b ON a.doc_id = b.doc_id AND a.frame_idx = b.frame_idx
+                           AND a.by = b.by AND b.bx = a.bx + 1
+          WHERE a.bx < 8
+        ),
+        p AS (SELECT doc_id, frame_idx, bit_or(bit)::BIGINT AS phash
+              FROM bits GROUP BY 1, 2)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+        FROM p a JOIN p b ON a.frame_idx = b.frame_idx AND a.phash = b.phash
+                          AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= $minShared"""
+
   /** Oracle-checkable metadata/digest query over the media table. */
   def metaDigest(s: SparkSession, dir: String): DataFrame =
     mediaTable(s, dir).select(

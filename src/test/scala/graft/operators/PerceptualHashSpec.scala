@@ -77,6 +77,23 @@ class PerceptualHashSpec extends SparkSpec {
     assert(pairs.count(p => p._1 / 4 == p._2 / 4) * 2 > pairs.length)
   }
 
+  test("video segment dedup: share counts follow the both-clean-or-both-inverted rule") {
+    val pairs = Multimodal.videoSegmentDupPairs(spark, "/root/testdata/sf0.001")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.nonEmpty)
+    // within a group, variants ra/rb share frame idx exactly when
+    // (idx+g) mod 11 falls outside [min(ra,rb), max(ra,rb))
+    for (g <- 0L until 10L; ra <- 0 to 3; rb <- (ra + 1) to 3) {
+      val expected = (0 until 8).count { idx =>
+        val m = (idx + g) % 11
+        m < math.min(ra, rb) || m >= math.max(ra, rb)
+      }
+      val got = pairs.getOrElse((4 * g + ra, 4 * g + rb), 0L)
+      if (expected >= 2) assert(got == expected, s"g=$g ra=$ra rb=$rb")
+      else assert(got == 0L, s"g=$g ra=$ra rb=$rb under-threshold pair reported")
+    }
+  }
+
   test("banding finds near-dup pairs, never reports beyond the Hamming cap") {
     val pairs = Multimodal.imageNearDupPairs(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
