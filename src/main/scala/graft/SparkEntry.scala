@@ -775,6 +775,11 @@ object SparkEntry {
     // decode kernel, time-aligned exact-fingerprint pair counts —
     // completes the image (q141) / audio (q143) / video modality triple
     "q153_video_segment_dedup" -> ((s, dir) => Multimodal.videoSegmentDupPairs(s, dir)),
+    // the WRITE side of CDC: MERGE the q59 change feed into the old
+    // snapshot (anti-join deletes + union upserts); oracled against
+    // the new snapshot derived INDEPENDENTLY — the diff→apply≡new
+    // round-trip contract
+    "q154_cdc_apply" -> ((s, dir) => PipelineOps.cdcApply(s, dir)),
     // the skew-salted denormalization (same answer as q01 by design:
     // salting must never change join semantics, only data placement)
     "q43_denorm_salted" -> ((s, dir) =>
@@ -2078,6 +2083,7 @@ object SparkEntry {
     "q151_point_in_time_join" -> Analytics.pointInTimeJoinSql(),
     "q152_retrieve_rerank" -> PipelineOps.retrieveRerankSql(),
     "q153_video_segment_dedup" -> Multimodal.videoSegmentDupSql(),
+    "q154_cdc_apply" -> PipelineOps.cdcApplySql,
     "q43_denorm_salted" -> denormOracle("JOIN"),
     "q44_frame_sample" -> Multimodal.frameSampleSql(),
     "q141_image_neardup_phash" -> Multimodal.imageNearDupSql(),

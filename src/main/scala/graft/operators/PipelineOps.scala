@@ -583,6 +583,45 @@ object PipelineOps {
          FROM old FULL OUTER JOIN neu ON k_old = k_new)
        SELECT * FROM d WHERE change_type <> 'unchanged'"""
 
+  // ---- CDC apply / MERGE INTO (q154) ----
+
+  /** The WRITE side of CDC — [[snapshotDiff]] run in reverse: apply
+    * the change feed (added / changed / removed rows) to the OLD
+    * snapshot and produce the new one, i.e. `MERGE INTO old USING
+    * changes` in its canonical distributed form: one LEFT ANTI join
+    * drops the deleted-or-replaced keys, one union appends the
+    * upserted payloads — two key-partitioned operations, no
+    * row-at-a-time mutation anywhere (the shape Delta/Iceberg MERGE
+    * compiles to). The correctness contract is the round trip:
+    * diff(old, new) applied to old must EQUAL new — so the oracle is
+    * the new snapshot derived INDEPENDENTLY (declaratively, never
+    * touching the change feed), and hash equality proves the
+    * mechanical apply reproduces it cell-for-cell.
+    */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (graft.functions.md5_long(col("o_orderkey")) % 20).as("b"))
+    val old = o.filter(col("b") =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val changes = snapshotDiff(s, dir)
+    val dels = changes.filter(col("change_type").isin("removed", "changed"))
+      .select(col("o_orderkey"))
+    val ups = changes.filter(col("change_type").isin("added", "changed"))
+      .select(col("o_orderkey"), col("new_price").as("o_totalprice"))
+    old.join(dels, Seq("o_orderkey"), "left_anti").unionByName(ups)
+  }
+
+  /** The new snapshot, derived independently of the change feed. */
+  def cdcApplySql: String =
+    """WITH b AS (
+         SELECT o_orderkey, o_totalprice,
+                ('0x' || substring(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT % 20 AS b
+         FROM orders)
+       SELECT o_orderkey,
+              CASE WHEN b = 2 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+       FROM b WHERE b <> 1"""
+
   // ---- end-to-end curation (the capstone composition) ----
 
   /** The full training-data curation decision, composed from the
