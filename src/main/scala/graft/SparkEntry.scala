@@ -780,6 +780,12 @@ object SparkEntry {
     // the new snapshot derived INDEPENDENTLY — the diff→apply≡new
     // round-trip contract
     "q154_cdc_apply" -> ((s, dir) => PipelineOps.cdcApply(s, dir)),
+    // BPE-prep vocabulary induction: top-v tokens + cumulative corpus
+    // coverage per rank (the vocab-size/OOV trade-off table)
+    "q155_vocab_induction" -> ((s, dir) => TextAnalysis.vocabInduction(s, dir)),
+    // word2vec-prep ±2-window co-occurrence PMI over the induced
+    // vocabulary — in-row pair materialization, vocab²-bounded table
+    "q156_pmi_cooccurrence" -> ((s, dir) => TextAnalysis.pmiPairs(s, dir)),
     // the skew-salted denormalization (same answer as q01 by design:
     // salting must never change join semantics, only data placement)
     "q43_denorm_salted" -> ((s, dir) =>
@@ -2084,6 +2090,8 @@ object SparkEntry {
     "q152_retrieve_rerank" -> PipelineOps.retrieveRerankSql(),
     "q153_video_segment_dedup" -> Multimodal.videoSegmentDupSql(),
     "q154_cdc_apply" -> PipelineOps.cdcApplySql,
+    "q155_vocab_induction" -> TextAnalysis.vocabInductionSql(),
+    "q156_pmi_cooccurrence" -> TextAnalysis.pmiPairsSql(),
     "q43_denorm_salted" -> denormOracle("JOIN"),
     "q44_frame_sample" -> Multimodal.frameSampleSql(),
     "q141_image_neardup_phash" -> Multimodal.imageNearDupSql(),

@@ -347,6 +347,125 @@ object TextAnalysis {
                md5(array_to_string(toks[chunk_idx * $st + 1 : chunk_idx * $st + $cw], ' ')) AS chunk_hash
         FROM e"""
 
+  // ---- tokenizer vocabulary induction (q155) ----
+
+  /** Vocabulary induction — the BPE-prep step every tokenizer build
+    * starts from: the top-`v` corpus tokens by frequency (ties to the
+    * lexicographically smaller token) with each rank's CUMULATIVE
+    * corpus coverage, so the vocab-size/coverage trade-off reads
+    * directly off the result (the last row's coverage is 1 − OOV rate
+    * at size v). Scale shape: one token-keyed count (map-side
+    * combining), a distributed top-v (TakeOrderedAndProject — never a
+    * global sort), and the running sum windows over ≤ v rows — the
+    * single-partition step is bounded by the OUTPUT size, the same
+    * bounded-top-N argument as q92's fusion. Coverage is one division
+    * of exact BIGINTs per row.
+    */
+  def vocabInduction(s: SparkSession, dir: String, v: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.load(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("n_total"))
+    val top = counts.orderBy(col("cnt").desc, col("term").asc).limit(v)
+    val w = Window.orderBy(col("cnt").desc, col("term").asc)
+    top.withColumn("rank", row_number().over(w))
+      .withColumn("cum",
+        sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("term"), col("cnt"),
+        (col("cum").cast("double") / col("n_total").cast("double")).as("cum_coverage"))
+  }
+
+  def vocabInductionSql(v: Int = 256): String =
+    s"""WITH c AS (
+          SELECT term, count(*)::BIGINT AS cnt
+          FROM (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+          GROUP BY 1),
+        tot AS (SELECT sum(cnt)::BIGINT AS n_total FROM c),
+        top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term ASC LIMIT $v)
+        SELECT row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank, term, cnt,
+               (sum(cnt) OVER (ORDER BY cnt DESC, term ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+                 / n_total::DOUBLE AS cum_coverage
+        FROM top, tot"""
+
+  // ---- windowed co-occurrence PMI (q156) ----
+
+  /** Pointwise mutual information over token pairs co-occurring within
+    * a ±2 window — the word2vec/GloVe preprocessing statistic: which
+    * vocabulary pairs occur together far more than their frequencies
+    * predict. Pairs materialize IN-ROW (the q110 slice+zip move at
+    * distances 1 and 2 — no positional self-join ever), both sides
+    * restrict to the induced top-`vocab` vocabulary (the broadcast
+    * bounded-literal class: the pair table is ≤ vocab² rows however
+    * large the corpus), marginals and the slot total derive FROM the
+    * bounded pair table, and the report is the top `topPairs` pairs by
+    * count. Exactness: counts and both products are BIGINT (c·n and
+    * ca·cb bounded by slot-total² < 2^62 at any realistic corpus slice
+    * — documented, not assumed, via the vocab cap); PMI is ONE ln of a
+    * single IEEE division of the two exact products, rounded once to
+    * micro-units (the q96/q110 discipline).
+    */
+  def pmiPairs(s: SparkSession, dir: String, vocab: Int = 256,
+      topPairs: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksCol = tokens(col("text"))
+    // greatest(0, …): a doc shorter than the distance yields an empty
+    // pair list, not a negative slice length (which throws under ANSI)
+    def pairsAt(k: Int) = arrays_zip(
+      slice(toksCol, lit(1), greatest(lit(0), size(toksCol) - k)).as("w1"),
+      slice(toksCol, lit(1 + k), greatest(lit(0), size(toksCol) - k)).as("w2"))
+    val raw = Tables.load(s, dir, "documents")
+      .select(explode(concat(pairsAt(1), pairsAt(2))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val vt = vocabInduction(s, dir, vocab).select(col("term"))
+    val filtered = raw
+      .join(broadcast(vt.select(col("term").as("w1"))), Seq("w1"))
+      .join(broadcast(vt.select(col("term").as("w2"))), Seq("w2"))
+    val cab = filtered.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val ca = cab.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
+    val cb = cab.groupBy(col("w2")).agg(sum(col("c_ab")).as("c_b"))
+    val tot = cab.agg(sum(col("c_ab")).as("n_slots"))
+    val scored = cab.join(ca, "w1").join(cb, "w2").crossJoin(broadcast(tot))
+      .withColumn("pmi_micro",
+        round(log((col("c_ab") * col("n_slots")).cast("double")
+          / (col("c_a") * col("c_b")).cast("double")) * 1e6).cast("long"))
+    val top = scored.orderBy(col("c_ab").desc, col("w1").asc, col("w2").asc)
+      .limit(topPairs)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("c_ab").desc, col("w1").asc, col("w2").asc)))
+      .select(col("rank"), col("w1"), col("w2"), col("c_ab"), col("pmi_micro"))
+  }
+
+  def pmiPairsSql(vocab: Int = 256, topPairs: Int = 100): String =
+    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+        vt AS (SELECT term FROM (
+          SELECT term, count(*)::BIGINT AS cnt
+          FROM (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+          GROUP BY 1)
+          ORDER BY cnt DESC, term ASC LIMIT $vocab),
+        raw AS (
+          SELECT u.w1 AS w1, u.w2 AS w2 FROM (
+            SELECT unnest(list_transform(range(1, len(l)), i -> {'w1': l[i], 'w2': l[i+1]})) AS u FROM d)
+          UNION ALL
+          SELECT u.w1, u.w2 FROM (
+            SELECT unnest(list_transform(range(1, len(l) - 1), i -> {'w1': l[i], 'w2': l[i+2]})) AS u FROM d)),
+        f AS (SELECT raw.w1, raw.w2 FROM raw
+              JOIN vt a ON a.term = raw.w1 JOIN vt b ON b.term = raw.w2),
+        cab AS (SELECT w1, w2, count(*)::BIGINT AS c_ab FROM f GROUP BY 1, 2),
+        ca AS (SELECT w1, sum(c_ab)::BIGINT AS c_a FROM cab GROUP BY 1),
+        cb AS (SELECT w2, sum(c_ab)::BIGINT AS c_b FROM cab GROUP BY 1),
+        tot AS (SELECT sum(c_ab)::BIGINT AS n_slots FROM cab),
+        scored AS (
+          SELECT cab.w1, cab.w2, cab.c_ab,
+                 round(ln((cab.c_ab * tot.n_slots)::DOUBLE / (ca.c_a * cb.c_b)::DOUBLE) * 1000000)::BIGINT AS pmi_micro
+          FROM cab JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN tot),
+        top AS (SELECT * FROM scored ORDER BY c_ab DESC, w1 ASC, w2 ASC LIMIT $topPairs)
+        SELECT row_number() OVER (ORDER BY c_ab DESC, w1 ASC, w2 ASC) AS rank,
+               w1, w2, c_ab, pmi_micro
+        FROM top"""
+
   // ---- oracle SQL generators (same constants) ----
 
   private def sqlList(words: Seq[String]): String =
