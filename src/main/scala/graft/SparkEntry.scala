@@ -786,6 +786,14 @@ object SparkEntry {
     // word2vec-prep ±2-window co-occurrence PMI over the induced
     // vocabulary — in-row pair materialization, vocab²-bounded table
     "q156_pmi_cooccurrence" -> ((s, dir) => TextAnalysis.pmiPairs(s, dir)),
+    // schema-drift ingest semantics: v1 + v2 parquet files read under
+    // mergeSchema — NULL-filled added column held to the declarative
+    // union (no silent reorder/widen/row loss)
+    "q157_schema_evolution" -> ((s, dir) => PipelineOps.schemaEvolutionRead(s, dir)),
+    // surgical reprocessing: one day's partition recomputed and written
+    // under DYNAMIC partition overwrite; read-back ≡ the corrected
+    // relational derivation, proving only that partition changed
+    "q158_partition_backfill" -> ((s, dir) => PipelineOps.partitionBackfill(s, dir)),
     // the skew-salted denormalization (same answer as q01 by design:
     // salting must never change join semantics, only data placement)
     "q43_denorm_salted" -> ((s, dir) =>
@@ -2092,6 +2100,8 @@ object SparkEntry {
     "q154_cdc_apply" -> PipelineOps.cdcApplySql,
     "q155_vocab_induction" -> TextAnalysis.vocabInductionSql(),
     "q156_pmi_cooccurrence" -> TextAnalysis.pmiPairsSql(),
+    "q157_schema_evolution" -> PipelineOps.schemaEvolutionReadSql,
+    "q158_partition_backfill" -> PipelineOps.partitionBackfillSql(),
     "q43_denorm_salted" -> denormOracle("JOIN"),
     "q44_frame_sample" -> Multimodal.frameSampleSql(),
     "q141_image_neardup_phash" -> Multimodal.imageNearDupSql(),

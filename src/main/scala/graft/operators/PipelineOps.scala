@@ -1222,6 +1222,113 @@ object PipelineOps {
         WHERE CAST(strftime(ts, '%Y%m%d') AS INT) BETWEEN $lo AND $hi
         GROUP BY 1"""
 
+  // ---- schema evolution gate (q157) ----
+
+  /** Schema-drift ingestion semantics, made explicit: a table whose
+    * early files carry schema v1 (orderkey, totalprice) and later
+    * files v2 (+ orderstatus) is read back under
+    * `mergeSchema = true` — the unified schema with v1 rows NULL in
+    * the added column. This is the 100 TB ingest reality every
+    * long-lived dataset hits (producers upgrade, history doesn't),
+    * and the gate pins Spark's exact fill-with-NULL semantics against
+    * the relational derivation: the oracle rebuilds the union from
+    * the raw table with a CASE on the same split rule, so
+    * rows+schema+hash equality proves the multi-schema read is
+    * byte-equivalent to the declarative union — no silent column
+    * reorder, type widening, or row loss. Files stage once per (dir);
+    * the split rule (orderkey parity) is deterministic.
+    */
+  private val evoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def evoLayoutPath(s: SparkSession, dir: String): String =
+    evoCache.computeIfAbsent(dir, { _ =>
+      val tmp = graft.Fs.tmpDir("graft_schema_evo")
+      artifactDirs.track(tmp)
+      try {
+        val o = Tables.load(s, dir, "orders")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$tmp/v1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .write.mode("overwrite").parquet(s"$tmp/v2")
+      } catch { case e: Throwable => graft.Fs.rmTree(tmp); throw e }
+      tmp
+    })
+
+  def schemaEvolutionRead(s: SparkSession, dir: String): DataFrame = {
+    val p = evoLayoutPath(s, dir)
+    s.read.option("mergeSchema", "true").parquet(s"$p/v1", s"$p/v2")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+  }
+
+  def schemaEvolutionReadSql: String =
+    """SELECT o_orderkey, o_totalprice,
+              CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus ELSE NULL END AS o_orderstatus
+       FROM orders"""
+
+  // ---- dynamic-partition backfill (q158) ----
+
+  /** Partition backfill — the reprocessing move a day-partitioned
+    * lakehouse table lives by: one day's rows are recomputed (here the
+    * deterministic `value · 2` correction) and written back under
+    * DYNAMIC partition overwrite, which replaces ONLY the partitions
+    * present in the write (one day's directory) and leaves every other
+    * day's files untouched — the surgical alternative to rewriting the
+    * table that static overwrite mode would force. The layout is this
+    * query's OWN copy (q97's probe layout must keep serving unmodified
+    * data), the replacement derives from the RAW events table so the
+    * operation is idempotent across bench repetitions, and the
+    * read-back aggregates all days — the oracle applies the same CASE
+    * correction to the raw table, so hash equality proves exactly one
+    * partition changed and changed correctly.
+    */
+  private val backfillCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def backfillLayoutPath(s: SparkSession, dir: String): String =
+    backfillCache.computeIfAbsent(dir, { _ =>
+      val tmp = graft.Fs.tmpDir("graft_backfill_layout")
+      artifactDirs.track(tmp)
+      try {
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("ts"))
+          .withColumn("day", date_format(col("ts"), "yyyyMMdd").cast("int"))
+          .repartition(col("day"))
+          .write.mode("overwrite").partitionBy("day").parquet(tmp)
+      } catch { case e: Throwable => graft.Fs.rmTree(tmp); throw e }
+      tmp
+    })
+
+  def partitionBackfill(s: SparkSession, dir: String, day: Int = 20240110): DataFrame = {
+    val p = backfillLayoutPath(s, dir)
+    val repl = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+      .withColumn("day", date_format(col("ts"), "yyyyMMdd").cast("int"))
+      .filter(col("day") === day)
+      .withColumn("value", col("value") * 2)
+    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try repl.repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(p)
+    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    s.read.parquet(p)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+
+  def partitionBackfillSql(day: Int = 20240110): String =
+    s"""SELECT CAST(strftime(ts, '%Y%m%d') AS INT) AS day,
+               count(*) AS n,
+               sum((CASE WHEN CAST(strftime(ts, '%Y%m%d') AS INT) = $day
+                         THEN value * 2 ELSE value END)::DECIMAL(18,2))::DOUBLE AS sum_value
+        FROM events
+        GROUP BY 1"""
+
   // ---- hashed linear classifier filtering (q109) ----
 
   /** fastText-style quality-classifier gate via the hashing trick —
