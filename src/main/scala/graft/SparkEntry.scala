@@ -794,6 +794,9 @@ object SparkEntry {
     // under DYNAMIC partition overwrite; read-back ≡ the corrected
     // relational derivation, proving only that partition changed
     "q158_partition_backfill" -> ((s, dir) => PipelineOps.partitionBackfill(s, dir)),
+    // dedup-stage accounting: per-source doc/token counts before and
+    // after the q145 keep policy — the "what did dedup cost us" table
+    "q159_dedup_datasheet" -> ((s, dir) => Dedup.dedupDatasheet(s, dir)),
     // the skew-salted denormalization (same answer as q01 by design:
     // salting must never change join semantics, only data placement)
     "q43_denorm_salted" -> ((s, dir) =>
@@ -2102,6 +2105,7 @@ object SparkEntry {
     "q156_pmi_cooccurrence" -> TextAnalysis.pmiPairsSql(),
     "q157_schema_evolution" -> PipelineOps.schemaEvolutionReadSql,
     "q158_partition_backfill" -> PipelineOps.partitionBackfillSql(),
+    "q159_dedup_datasheet" -> Dedup.dedupDatasheetSql(),
     "q43_denorm_salted" -> denormOracle("JOIN"),
     "q44_frame_sample" -> Multimodal.frameSampleSql(),
     "q141_image_neardup_phash" -> Multimodal.imageNearDupSql(),

@@ -555,6 +555,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q150: last-touch attribution is ONE entity window — a single exchange, no self-join") {
+    val p = plan("q150_last_touch_attribution")
+    // the whole query is a window over the user's history: one shuffle
+    // on the entity key, one Window, and no join of events to events
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q154: CDC apply is the anti-join + union MERGE shape") {
+    val p = plan("q154_cdc_apply")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("Union"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q148: novelty's gram stages partial-aggregate before their exchanges") {
+    val p = plan("q148_novelty_scores")
+    // the inverted index (gram → min doc) and the per-doc count-back
+    // both map-side combine; a missing partial would ship every gram
+    // occurrence through the shuffle
+    assert(p.contains("partial_min") || p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q141: image near-dedup hash-joins on the (band, band_val) key — never all-pairs") {
     // the LSH contract: candidate generation is an equi-join on the
     // band key; a nested-loop/cartesian here would mean the banding
