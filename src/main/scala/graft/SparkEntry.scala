@@ -797,6 +797,21 @@ object SparkEntry {
     // dedup-stage accounting: per-source doc/token counts before and
     // after the q145 keep policy — the "what did dedup cost us" table
     "q159_dedup_datasheet" -> ((s, dir) => Dedup.dedupDatasheet(s, dir)),
+    // q156 live: the vocab-filtered pair-count grid is counter-sum
+    // state bounded by vocab² rows (the streamable class), maintained
+    // Complete-mode; converged grid = batch grid, shared PMI fold,
+    // q156's oracle unchanged — co-occurrence stats as the corpus ingests
+    "q160_stream_pmi" -> ((s, dir) => {
+      val vt = TextAnalysis.vocabInduction(s, dir).select(col("term"))
+        .localCheckpoint(true) // static side pinned once; the stream re-reads it per batch
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      // localCheckpoint snapshot before the fold: pmiFold self-joins the
+      // grid against its own aggregates, and the MemoryPlan view can't
+      // dedup its attributes across the branches (q117's discipline)
+      val cab = sketchMaintenanceStream(s, dir, "q160", docs)(
+        in => TextAnalysis.pmiPairCounts(in, vt)).localCheckpoint(true)
+      TextAnalysis.pmiFold(cab)
+    }),
     // the skew-salted denormalization (same answer as q01 by design:
     // salting must never change join semantics, only data placement)
     "q43_denorm_salted" -> ((s, dir) =>
@@ -2106,6 +2121,9 @@ object SparkEntry {
     "q157_schema_evolution" -> PipelineOps.schemaEvolutionReadSql,
     "q158_partition_backfill" -> PipelineOps.partitionBackfillSql(),
     "q159_dedup_datasheet" -> Dedup.dedupDatasheetSql(),
+    // converged Complete-mode pair grid equals the batch grid
+    // (order-independent sums), so q156's oracle applies unchanged
+    "q160_stream_pmi" -> TextAnalysis.pmiPairsSql(),
     "q43_denorm_salted" -> denormOracle("JOIN"),
     "q44_frame_sample" -> Multimodal.frameSampleSql(),
     "q141_image_neardup_phash" -> Multimodal.imageNearDupSql(),

@@ -407,23 +407,33 @@ object TextAnalysis {
     * single IEEE division of the two exact products, rounded once to
     * micro-units (the q96/q110 discipline).
     */
-  def pmiPairs(s: SparkSession, dir: String, vocab: Int = 256,
-      topPairs: Int = 100): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The vocab-filtered pair-count grid — factored so the batch query
+    * (q156) and the Complete-mode streamed form (q160) build the SAME
+    * computation over their respective readers: pair counts are
+    * order-independent sums bounded by vocab² rows, i.e. exactly the
+    * streamable counter-grid class (the cmsGrid argument), so the
+    * converged streaming state IS the batch grid and q156's oracle
+    * applies unchanged.
+    */
+  def pmiPairCounts(docs: DataFrame, vt: DataFrame): DataFrame = {
     val toksCol = tokens(col("text"))
     // greatest(0, …): a doc shorter than the distance yields an empty
     // pair list, not a negative slice length (which throws under ANSI)
     def pairsAt(k: Int) = arrays_zip(
       slice(toksCol, lit(1), greatest(lit(0), size(toksCol) - k)).as("w1"),
       slice(toksCol, lit(1 + k), greatest(lit(0), size(toksCol) - k)).as("w2"))
-    val raw = Tables.load(s, dir, "documents")
-      .select(explode(concat(pairsAt(1), pairsAt(2))).as("p"))
+    docs.select(explode(concat(pairsAt(1), pairsAt(2))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val vt = vocabInduction(s, dir, vocab).select(col("term"))
-    val filtered = raw
       .join(broadcast(vt.select(col("term").as("w1"))), Seq("w1"))
       .join(broadcast(vt.select(col("term").as("w2"))), Seq("w2"))
-    val cab = filtered.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+  }
+
+  /** Marginals + PMI + top-N over a (w1, w2, c_ab) grid — the shared
+    * fold (batch and streamed paths cannot drift in the ln/rounding
+    * arithmetic). All inputs to the fold are vocab²-bounded. */
+  def pmiFold(cab: DataFrame, topPairs: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ca = cab.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
     val cb = cab.groupBy(col("w2")).agg(sum(col("c_ab")).as("c_b"))
     val tot = cab.agg(sum(col("c_ab")).as("n_slots"))
@@ -436,6 +446,12 @@ object TextAnalysis {
     top.withColumn("rank", row_number().over(
         Window.orderBy(col("c_ab").desc, col("w1").asc, col("w2").asc)))
       .select(col("rank"), col("w1"), col("w2"), col("c_ab"), col("pmi_micro"))
+  }
+
+  def pmiPairs(s: SparkSession, dir: String, vocab: Int = 256,
+      topPairs: Int = 100): DataFrame = {
+    val vt = vocabInduction(s, dir, vocab).select(col("term"))
+    pmiFold(pmiPairCounts(Tables.load(s, dir, "documents"), vt), topPairs)
   }
 
   def pmiPairsSql(vocab: Int = 256, topPairs: Int = 100): String =
