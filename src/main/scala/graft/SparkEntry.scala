@@ -797,6 +797,21 @@ object SparkEntry {
     // dedup-stage accounting: per-source doc/token counts before and
     // after the q145 keep policy — the "what did dedup cost us" table
     "q159_dedup_datasheet" -> ((s, dir) => Dedup.dedupDatasheet(s, dir)),
+    // content-defined chunking: rolling-gram-hash boundaries (expected
+    // length ≈ modulus, re-aligning after edits — what fixed windows
+    // can't do) + corpus-wide chunk-occurrence counts (boilerplate
+    // paragraph dedup below the document level)
+    "q161_content_defined_chunks" -> ((s, dir) => TextAnalysis.contentDefinedChunks(s, dir)),
+    // q155 live: the term-count table is counter-sum state (vocabulary-
+    // sized, Heaps-sublinear) maintained Complete-mode; converged
+    // counts = batch counts, shared fold, q155's oracle unchanged —
+    // the tokenizer vocab tracks the corpus as it ingests
+    "q162_stream_vocab" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val counts = sketchMaintenanceStream(s, dir, "q162", docs)(
+        in => TextAnalysis.termCounts(in)).localCheckpoint(true)
+      TextAnalysis.vocabFold(counts)
+    }),
     // q156 live: the vocab-filtered pair-count grid is counter-sum
     // state bounded by vocab² rows (the streamable class), maintained
     // Complete-mode; converged grid = batch grid, shared PMI fold,
@@ -2121,6 +2136,10 @@ object SparkEntry {
     "q157_schema_evolution" -> PipelineOps.schemaEvolutionReadSql,
     "q158_partition_backfill" -> PipelineOps.partitionBackfillSql(),
     "q159_dedup_datasheet" -> Dedup.dedupDatasheetSql(),
+    "q161_content_defined_chunks" -> TextAnalysis.contentDefinedChunksSql(),
+    // converged Complete-mode term counts equal the batch counts
+    // (order-independent sums), so q155's oracle applies unchanged
+    "q162_stream_vocab" -> TextAnalysis.vocabInductionSql(),
     // converged Complete-mode pair grid equals the batch grid
     // (order-independent sums), so q156's oracle applies unchanged
     "q160_stream_pmi" -> TextAnalysis.pmiPairsSql(),

@@ -347,6 +347,85 @@ object TextAnalysis {
                md5(array_to_string(toks[chunk_idx * $st + 1 : chunk_idx * $st + $cw], ' ')) AS chunk_hash
         FROM e"""
 
+  // ---- content-defined chunking + chunk-level dedup (q161) ----
+
+  /** Content-defined chunking — the rolling-hash boundary rule backup
+    * and dedup systems use instead of fixed windows (q70's fixed
+    * chunks shift entirely when one token is inserted; content-defined
+    * boundaries re-align after the edit): position i starts a new
+    * chunk when its 3-token gram hash ≡ 0 (mod `modulus`), giving
+    * expected chunk length ≈ modulus tokens whatever the content.
+    * Chunk identity is the md5 of the chunk's tokens, and each chunk
+    * row carries how many times its content occurs corpus-wide — the
+    * chunk-level dedup signal (shared boilerplate paragraphs across
+    * documents surface here even when whole-document near-dedup
+    * misses them).
+    *
+    * Scale shape: the boundary flags and chunk ids are ONE
+    * entity-partitioned running sum over the position rows (per-doc
+    * windows — history-deep, never corpus-wide); chunk extents
+    * aggregate per (doc, chunk); the content rebuild slices the doc's
+    * token array once per chunk; occurrence counts are one
+    * hash-keyed groupBy joined back. All md5/integer arithmetic —
+    * cell-exact cross-engine.
+    */
+  def contentDefinedChunks(s: SparkSession, dir: String,
+      modulus: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksCol = tokens(col("text"))
+    val base = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), toksCol.as("toks"))
+      .filter(size(col("toks")) >= 1)
+    val pos = base.select(col("doc_id"), col("toks"),
+      explode(sequence(lit(1), size(col("toks")))).as("i"))
+    // a position can START a chunk if its 3-gram exists (i <= n-2) and
+    // the gram hash hits the boundary rule; position 1 is implicitly a
+    // chunk start (running count of PRIOR boundaries = 0 there)
+    val isBoundary = (col("i") <= size(col("toks")) - 2) &&
+      (graft.functions.md5_long(
+        array_join(slice(col("toks"), col("i"), lit(3)), " ")) % modulus === 0)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunked = pos.withColumn("b", isBoundary.cast("long"))
+      .withColumn("chunk_id", sum(col("b")).over(w) - col("b"))
+    val extents = chunked.groupBy(col("doc_id"), col("chunk_id"))
+      .agg(min(col("i")).cast("long").as("chunk_start"), count(lit(1)).as("chunk_len"))
+    val chunks = extents.join(base, "doc_id")
+      .select(col("doc_id"), col("chunk_id"), col("chunk_start"), col("chunk_len"),
+        md5(array_join(
+          slice(col("toks"), col("chunk_start").cast("int"), col("chunk_len").cast("int")),
+          " ")).as("chunk_hash"))
+    val occ = chunks.groupBy(col("chunk_hash")).agg(count(lit(1)).as("n_occurrences"))
+    chunks.join(occ, "chunk_hash")
+      .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+        col("chunk_len"), col("chunk_hash"), col("n_occurrences"))
+  }
+
+  def contentDefinedChunksSql(modulus: Int = 16): String =
+    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+                   WHERE len(string_split(lower(text), ' ')) >= 1),
+        pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM d),
+        b AS (SELECT doc_id, toks, i,
+                     CASE WHEN i <= len(toks) - 2
+                          AND ('0x' || substring(md5(array_to_string(toks[i:i+2], ' ')), 1, 15))::BIGINT % $modulus = 0
+                          THEN 1 ELSE 0 END AS b
+              FROM pos),
+        ch AS (SELECT doc_id, i,
+                      (sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b)::BIGINT AS chunk_id
+               FROM b),
+        ext AS (SELECT doc_id, chunk_id, min(i)::BIGINT AS chunk_start,
+                       count(*)::BIGINT AS chunk_len
+                FROM ch GROUP BY 1, 2),
+        chunks AS (
+          SELECT e.doc_id, e.chunk_id, e.chunk_start, e.chunk_len,
+                 md5(array_to_string(d.toks[e.chunk_start:e.chunk_start + e.chunk_len - 1], ' ')) AS chunk_hash
+          FROM ext e JOIN d USING (doc_id)),
+        occ AS (SELECT chunk_hash, count(*)::BIGINT AS n_occurrences
+                FROM chunks GROUP BY 1)
+        SELECT c.doc_id, c.chunk_id, c.chunk_start, c.chunk_len, c.chunk_hash, o.n_occurrences
+        FROM chunks c JOIN occ o USING (chunk_hash)"""
+
   // ---- tokenizer vocabulary induction (q155) ----
 
   /** Vocabulary induction — the BPE-prep step every tokenizer build
@@ -361,11 +440,20 @@ object TextAnalysis {
     * bounded-top-N argument as q92's fusion. Coverage is one division
     * of exact BIGINTs per row.
     */
-  def vocabInduction(s: SparkSession, dir: String, v: Int = 256): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val counts = Tables.load(s, dir, "documents")
-      .select(explode(tokens(col("text"))).as("term"))
+  /** Term-count grid — factored so the batch query (q155) and the
+    * Complete-mode streamed form (q162) build the same computation:
+    * counts are order-independent sums keyed by term (state =
+    * corpus-vocabulary-sized, the documented Heaps-sublinear class —
+    * q110's count tables make the same argument), so the converged
+    * streaming state IS the batch count table. */
+  def termCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+
+  /** Top-v + cumulative coverage over a (term, cnt) table — the shared
+    * fold (windows run over ≤ v rows by construction). */
+  def vocabFold(counts: DataFrame, v: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tot = counts.agg(sum(col("cnt")).as("n_total"))
     val top = counts.orderBy(col("cnt").desc, col("term").asc).limit(v)
     val w = Window.orderBy(col("cnt").desc, col("term").asc)
@@ -376,6 +464,9 @@ object TextAnalysis {
       .select(col("rank"), col("term"), col("cnt"),
         (col("cum").cast("double") / col("n_total").cast("double")).as("cum_coverage"))
   }
+
+  def vocabInduction(s: SparkSession, dir: String, v: Int = 256): DataFrame =
+    vocabFold(termCounts(Tables.load(s, dir, "documents")), v)
 
   def vocabInductionSql(v: Int = 256): String =
     s"""WITH c AS (
