@@ -806,6 +806,10 @@ object SparkEntry {
     // sized, Heaps-sublinear) maintained Complete-mode; converged
     // counts = batch counts, shared fold, q155's oracle unchanged —
     // the tokenizer vocab tracks the corpus as it ingests
+    // the pipeline end-state: the q104 water-fill solved over the
+    // POST-DEDUP corpus (q145's kept docs only) — budgeting raw totals
+    // over-allocates duplicate-heavy sources
+    "q163_dedup_aware_budget_mix" -> ((s, dir) => PipelineOps.dedupAwareBudgetMix(s, dir)),
     "q162_stream_vocab" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
       val counts = sketchMaintenanceStream(s, dir, "q162", docs)(
@@ -2140,6 +2144,7 @@ object SparkEntry {
     // converged Complete-mode term counts equal the batch counts
     // (order-independent sums), so q155's oracle applies unchanged
     "q162_stream_vocab" -> TextAnalysis.vocabInductionSql(),
+    "q163_dedup_aware_budget_mix" -> PipelineOps.dedupAwareBudgetMixSql(),
     // converged Complete-mode pair grid equals the batch grid
     // (order-independent sums), so q156's oracle applies unchanged
     "q160_stream_pmi" -> TextAnalysis.pmiPairsSql(),

@@ -271,17 +271,11 @@ object PipelineOps {
           .cast("int").as("saturated"))
   }
 
-  def tokenBudgetMixSql(budgetFrac: Double = 0.75): String =
-    s"""WITH docs AS (
-          SELECT source,
-                 len(string_split(lower(text), ' ')) AS n_tokens,
-                 CASE WHEN try_cast(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) % 2 = 0
-                      THEN 2.0 ELSE 1.0 END AS w
-          FROM documents),
-        totals AS (
-          SELECT source, w, sum(n_tokens)::BIGINT AS src_tokens
-          FROM docs GROUP BY 1, 2),
-        cand AS (
+  /** The water-fill SQL chain AFTER a `totals(source, w, src_tokens)`
+    * CTE — factored so every oracle composing the solve (q104, q105,
+    * q163) carries the IDENTICAL arithmetic text. */
+  private def waterFillSqlTail(budgetFrac: Double): String =
+    s"""cand AS (
           SELECT source, w, src_tokens,
                  src_tokens::DOUBLE / w AS c,
                  $budgetFrac * (sum(src_tokens) OVER ())::DOUBLE AS budget,
@@ -300,6 +294,56 @@ object PipelineOps {
                least(t.src_tokens::DOUBLE, l.lam * t.w) / t.src_tokens::DOUBLE AS keep_rate,
                (l.lam * t.w >= t.src_tokens::DOUBLE)::INT AS saturated
         FROM totals t CROSS JOIN lam l"""
+
+  def tokenBudgetMixSql(budgetFrac: Double = 0.75): String =
+    s"""WITH docs AS (
+          SELECT source,
+                 len(string_split(lower(text), ' ')) AS n_tokens,
+                 CASE WHEN try_cast(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) % 2 = 0
+                      THEN 2.0 ELSE 1.0 END AS w
+          FROM documents),
+        totals AS (
+          SELECT source, w, sum(n_tokens)::BIGINT AS src_tokens
+          FROM docs GROUP BY 1, 2),
+        ${waterFillSqlTail(budgetFrac)}"""
+
+  /** Dedup-aware token-budget allocation (q163) — the pipeline
+    * end-state composition: the water-filling mixer (q104) solved over
+    * the POST-DEDUP corpus, i.e. per-source totals counting only the
+    * q145 decision table's kept documents. This is the allocation a
+    * real pipeline actually trains on (budgeting over raw totals
+    * over-allocates the duplicate-heavy sources, then dedup silently
+    * under-delivers them); totals stay the bounded per-source
+    * aggregate, the solve is the SHARED loop-free breakpoint scan, and
+    * the oracle composes the recursive dedup closure with the
+    * identical water-fill SQL tail.
+    */
+  def dedupAwareBudgetMix(s: SparkSession, dir: String,
+      budgetFrac: Double = 0.75): DataFrame = {
+    val kept = Dedup.dedupDecisions(s, dir).filter(col("keep")).select(col("doc_id"))
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(lower(col("text")), " ")).as("n_tokens"))
+      .join(kept, "doc_id")
+      .withColumn("w",
+        when(expr("try_cast(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT)") % 2 === 0,
+          lit(2.0)).otherwise(lit(1.0)))
+    waterFill(sourceTotals(docs), budgetFrac)
+  }
+
+  def dedupAwareBudgetMixSql(budgetFrac: Double = 0.75,
+      threshold: Double = 0.8): String =
+    s"""WITH dd AS (SELECT doc_id FROM (${Dedup.dedupDecisionsSql(threshold)}) t WHERE keep),
+        docs AS (
+          SELECT d.source,
+                 len(string_split(lower(d.text), ' ')) AS n_tokens,
+                 CASE WHEN try_cast(regexp_extract(d.source, '([0-9]+)$$', 1) AS BIGINT) % 2 = 0
+                      THEN 2.0 ELSE 1.0 END AS w
+          FROM documents d JOIN dd USING (doc_id)),
+        totals AS (
+          SELECT source, w, sum(n_tokens)::BIGINT AS src_tokens
+          FROM docs GROUP BY 1, 2),
+        ${waterFillSqlTail(budgetFrac)}"""
 
   def mixtureSampleSql(budgetFrac: Double = 0.6): String = {
     val draw = "('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE / (1152921504606846976)::DOUBLE"
