@@ -810,6 +810,13 @@ object SparkEntry {
     // POST-DEDUP corpus (q145's kept docs only) — budgeting raw totals
     // over-allocates duplicate-heavy sources
     "q163_dedup_aware_budget_mix" -> ((s, dir) => PipelineOps.dedupAwareBudgetMix(s, dir)),
+    // ANALYZE-style per-column statistics (row/null/distinct/min/max)
+    // over column-pruned scans — the optimizer-stats collection pass
+    "q164_column_profile" -> ((s, dir) => operators.DataQuality.columnProfile(s, dir)),
+    // weekly retention cohort matrix: first-seen week × active week
+    // distinct-user counts + retained fraction — two entity-keyed
+    // shuffles, epoch-integer weeks, NULL users excluded both sides
+    "q165_retention_cohorts" -> ((s, dir) => Analytics.retentionCohorts(s, dir)),
     "q162_stream_vocab" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
       val counts = sketchMaintenanceStream(s, dir, "q162", docs)(
@@ -2145,6 +2152,8 @@ object SparkEntry {
     // (order-independent sums), so q155's oracle applies unchanged
     "q162_stream_vocab" -> TextAnalysis.vocabInductionSql(),
     "q163_dedup_aware_budget_mix" -> PipelineOps.dedupAwareBudgetMixSql(),
+    "q164_column_profile" -> operators.DataQuality.columnProfileSql,
+    "q165_retention_cohorts" -> Analytics.retentionCohortsSql,
     // converged Complete-mode pair grid equals the batch grid
     // (order-independent sums), so q156's oracle applies unchanged
     "q160_stream_pmi" -> TextAnalysis.pmiPairsSql(),

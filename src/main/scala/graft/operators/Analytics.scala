@@ -631,6 +631,56 @@ object Analytics {
        FROM events
        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"""
 
+  // ---- retention cohort analysis (q165) ----
+
+  /** Weekly retention cohorts — the canonical product-analytics
+    * matrix: users grouped by the week they FIRST appeared (the
+    * cohort), counted in every subsequent week they were active, with
+    * the retained fraction against the cohort's size. Two entity-keyed
+    * shuffles at any scale: first-seen week is one min-aggregate per
+    * user, per-(user, week) activity is one distinct, and the cohort
+    * matrix is a count over their join — weeks are epoch-day÷7 BIGINTs
+    * (Monday-agnostic fixed epochs; both engines derive the integer
+    * identically from epoch-µs), the retained fraction one division of
+    * exact counts. NULL-user events carry no identity and are excluded
+    * from cohorts on both sides (the count-the-key discipline).
+    */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        // integer div, never `/` (IEEE division on longs — the
+        // repo-wide ns/µs rule)
+        expr("unix_micros(ts) div 86400000000 div 7").as("week"))
+    val firstSeen = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val active = ev.distinct()
+    val cohortSize = firstSeen.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_users"))
+    active.join(firstSeen, "user_id")
+      .groupBy(col("cohort_week"), col("week"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(cohortSize, "cohort_week")
+      .select(col("cohort_week"), col("week"),
+        (col("week") - col("cohort_week")).as("weeks_since"),
+        col("active_users"), col("cohort_users"),
+        (col("active_users").cast("double") / col("cohort_users").cast("double"))
+          .as("retained_frac"))
+  }
+
+  def retentionCohortsSql: String =
+    """WITH ev AS (
+         SELECT user_id, (epoch_us(ts) // 86400000000 // 7)::BIGINT AS week
+         FROM events WHERE user_id IS NOT NULL),
+       fs AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1),
+       act AS (SELECT DISTINCT user_id, week FROM ev),
+       cs AS (SELECT cohort_week, count(*)::BIGINT AS cohort_users FROM fs GROUP BY 1),
+       m AS (SELECT fs.cohort_week, act.week, count(*)::BIGINT AS active_users
+             FROM act JOIN fs USING (user_id) GROUP BY 1, 2)
+       SELECT m.cohort_week, m.week, (m.week - m.cohort_week)::BIGINT AS weeks_since,
+              m.active_users, cs.cohort_users,
+              m.active_users::DOUBLE / cs.cohort_users::DOUBLE AS retained_frac
+       FROM m JOIN cs USING (cohort_week)"""
+
   // ---- point-in-time (temporal) join against the SCD2 dimension (q151) ----
 
   /** Point-in-time feature lookup — the temporal join that makes

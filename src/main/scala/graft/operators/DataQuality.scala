@@ -242,6 +242,56 @@ object DataQuality {
         max(col("mx")).as("max_value"),
         sum(col("sm")).as("sum_value_micro"))
 
+  // ---- column statistics profile (q164) ----
+
+  /** ANALYZE-style column profiling — the statistics collection a
+    * cost-based optimizer (and every data-quality onboarding) runs per
+    * table: for each audited numeric column, row count, null count,
+    * exact distinct count, and min/max. One aggregation per column
+    * over a column-pruned scan (count/min/max partial-aggregate
+    * map-side; the distinct count is the one shuffle, keyed by the
+    * column — q55's HLL registers are the documented approximate path
+    * at extreme cardinality). Long-format output like q106's audit so
+    * downstream consumers filter by column name. Numeric columns only
+    * BY DESIGN: min/max surface as doubles, which both engines derive
+    * identically — string min/max would drag collation semantics into
+    * the hash contract for no optimizer value.
+    */
+  def columnProfile(s: SparkSession, dir: String): DataFrame = {
+    def one(df: DataFrame, table: String, c: String): DataFrame =
+      df.agg(
+        count(lit(1)).as("n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("double").as("min_value"),
+        max(col(c)).cast("double").as("max_value"))
+        .select(lit(s"$table.$c").as("column"), col("n"), col("n_null"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+    val o = Tables.load(s, dir, "orders")
+    val l = Tables.load(s, dir, "lineitem")
+    val ev = Tables.events(s, dir)
+    one(o.select(col("o_orderkey")), "orders", "o_orderkey")
+      .unionAll(one(o.select(col("o_custkey")), "orders", "o_custkey"))
+      .unionAll(one(o.select(col("o_totalprice")), "orders", "o_totalprice"))
+      .unionAll(one(l.select(col("l_quantity")), "lineitem", "l_quantity"))
+      .unionAll(one(l.select(col("l_extendedprice")), "lineitem", "l_extendedprice"))
+      .unionAll(one(ev.select(col("user_id")), "events", "user_id"))
+      .unionAll(one(ev.select(col("value")), "events", "value"))
+  }
+
+  def columnProfileSql: String = {
+    def one(table: String, c: String): String =
+      s"""SELECT '$table.$c' AS column, count(*)::BIGINT AS n,
+                 sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+                 count(DISTINCT $c)::BIGINT AS n_distinct,
+                 min($c)::DOUBLE AS min_value, max($c)::DOUBLE AS max_value
+          FROM $table"""
+    Seq(one("orders", "o_orderkey"), one("orders", "o_custkey"),
+      one("orders", "o_totalprice"), one("lineitem", "l_quantity"),
+      one("lineitem", "l_extendedprice"), one("events", "user_id"),
+      one("events", "value")).mkString("\nUNION ALL ")
+  }
+
   // ---- evicting (windowed) streaming RI orphan monitor (q142) ----
 
   /** q113's live referential-integrity monitor in the EVICTING form —
