@@ -23,6 +23,16 @@ import java.util.concurrent.ConcurrentHashMap
   * the trade — correctness by construction over parallel build
   * throughput; a server embedding graft with genuinely concurrent
   * first-touch builds would swap in a per-key future map.
+  *
+  * NO RE-ENTRANCY: a builder must never call back into `cached` on the
+  * SAME map (e.g. one cached artifact kind composing another through
+  * this map) — `ConcurrentHashMap.compute`'s contract makes a
+  * re-entrant mutation of the map deadlock or throw
+  * IllegalStateException. Composing artifacts is fine across DIFFERENT
+  * maps (each operator family owns its own), or by building the inner
+  * frame before entering `cached`. No current call site re-enters;
+  * keep it that way, or switch to the per-key-future memoizer which
+  * runs builders outside the map lock.
   */
 private[graft] object ArtifactCache {
   def cached[K](cache: ConcurrentHashMap[K, DataFrame], key: K, s: SparkSession)(

@@ -802,10 +802,6 @@ object SparkEntry {
     // can't do) + corpus-wide chunk-occurrence counts (boilerplate
     // paragraph dedup below the document level)
     "q161_content_defined_chunks" -> ((s, dir) => TextAnalysis.contentDefinedChunks(s, dir)),
-    // q155 live: the term-count table is counter-sum state (vocabulary-
-    // sized, Heaps-sublinear) maintained Complete-mode; converged
-    // counts = batch counts, shared fold, q155's oracle unchanged —
-    // the tokenizer vocab tracks the corpus as it ingests
     // the pipeline end-state: the q104 water-fill solved over the
     // POST-DEDUP corpus (q145's kept docs only) — budgeting raw totals
     // over-allocates duplicate-heavy sources
@@ -817,6 +813,10 @@ object SparkEntry {
     // distinct-user counts + retained fraction — two entity-keyed
     // shuffles, epoch-integer weeks, NULL users excluded both sides
     "q165_retention_cohorts" -> ((s, dir) => Analytics.retentionCohorts(s, dir)),
+    // q155 live: the term-count table is counter-sum state (vocabulary-
+    // sized, Heaps-sublinear) maintained Complete-mode; converged
+    // counts = batch counts, shared fold, q155's oracle unchanged —
+    // the tokenizer vocab tracks the corpus as it ingests
     "q162_stream_vocab" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
       val counts = sketchMaintenanceStream(s, dir, "q162", docs)(

@@ -778,8 +778,14 @@ object Sketches {
     import org.apache.spark.sql.expressions.Window
     val rows = (0 until d).map(lit(_))
     // candidates: top-N by exact count (deterministic tiebreak on id);
-    // the literal rank bound plans as WindowGroupLimit pre-shuffle
-    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+    // the literal rank bound plans as WindowGroupLimit pre-shuffle.
+    // NULL users are excluded BEFORE ranking: cmsPos(NULL) is NULL so
+    // a NULL candidate could never probe the grid anyway, and Spark
+    // ranks NULLs FIRST on the ascending tiebreak while DuckDB ranks
+    // them LAST — were a NULL group to tie at the top-N boundary the
+    // engines would pick different candidate sets.
+    val exact = ev.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
     val cand = exact.withColumn("r", row_number().over(
         Window.orderBy(col("n_exact").desc, col("user_id").asc)))
       .filter(col("r") <= topN).drop("r")
@@ -826,7 +832,8 @@ object Sketches {
                  ('0x' || substring(md5(user_id::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % $w AS pos,
                  count(*) AS c
           FROM events, ks GROUP BY 1, 2),
-        ex AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1),
+        ex AS (SELECT user_id, count(*) AS n_exact FROM events
+               WHERE user_id IS NOT NULL GROUP BY 1),
         cand AS (
           SELECT user_id, n_exact FROM (
             SELECT user_id, n_exact,
@@ -878,7 +885,12 @@ object Sketches {
       d: Int = 4, w: Int = 512, topN: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val win = date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("win_start")
-    val exact = ev.groupBy(win, col("user_id")).agg(count(lit(1)).as("n_exact"))
+    // NULL users excluded before ranking, as in [[cmsEstimates]]: they
+    // can never probe the grid (cmsPos(NULL) is NULL), and the engines
+    // disagree on NULL placement in the ascending tiebreak — per-window
+    // counts are small enough that a boundary tie is actually likely.
+    val exact = ev.filter(col("user_id").isNotNull)
+      .groupBy(win, col("user_id")).agg(count(lit(1)).as("n_exact"))
     val cand = exact.withColumn("r", row_number().over(
         Window.partitionBy(col("win_start"))
           .orderBy(col("n_exact").desc, col("user_id").asc)))
@@ -902,7 +914,7 @@ object Sketches {
                  count(*) AS c
           FROM events, ks GROUP BY 1, 2, 3),
         ex AS (SELECT $win AS win_start, user_id, count(*) AS n_exact
-               FROM events GROUP BY 1, 2),
+               FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
         cand AS (
           SELECT win_start, user_id, n_exact FROM (
             SELECT win_start, user_id, n_exact,
