@@ -171,9 +171,12 @@ object Similarity {
     * reuse and the (cent_id: long, cv) shape cannot drift between
     * operators.
     */
+  private def trainedArr(s: SparkSession, dir: String): Array[(Int, Array[Double])] =
+    trainedCache.computeIfAbsent(dir, _ => kmeansCentroids(s, dir))
+
   private def centsDF(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val trained = trainedCache.computeIfAbsent(dir, _ => kmeansCentroids(s, dir))
+    val trained = trainedArr(s, dir)
     s.createDataset(trained.toSeq.map { case (i, v) => (i, v.toSeq) })
       .toDF("cent_id", "cv")
       .select(col("cent_id").cast("long").as("cent_id"), col("cv").as("cv"))
@@ -520,6 +523,38 @@ object Similarity {
           .as("bucket"))
       .select(col("vec_id"), col("v"), col("bucket"))
 
+  /** Shuffle-FREE nearest-centroid assignment: the trained centroids
+    * are a bounded C×dim literal (the same driver-side array the
+    * generated oracles inline), so the argmax over C cosines is a pure
+    * per-row expression — no ×C explode, no broadcast join, no
+    * aggregation exchange. Arithmetic and tie-break are IDENTICAL to
+    * [[ivfAssign]]: the same [[cosine_sim]] expression evaluates each
+    * (v, centroid) pair, and `array_max` over `(ccos, -cent_id, …)`
+    * structs is the same lexicographic order `max_by` uses — so the two
+    * paths are cell-interchangeable (pinned by AnnSpec).
+    *
+    * The streaming maintainer (q87) and the compacted-index build (q91)
+    * use this form: a per-micro-batch exchange is pure scheduling
+    * overhead when assignment is embarrassingly map-only — each batch
+    * becomes scan → project → partitioned append, no stage barrier at
+    * all. The batch searchers (q26/q49) keep the join formulation,
+    * whose map-side-combine shape PlanSpec pins, because their
+    * assignment feeds directly into a join against probes where the
+    * exchange does real work.
+    */
+  private[graft] def ivfAssignMapOnly(corpus: DataFrame,
+      cents: Array[(Int, Array[Double])]): DataFrame = {
+    val entries = cents.map { case (id, cv) =>
+      struct(
+        cosine_sim(col("v"), typedLit(cv)).as("ccos"),
+        lit(-id).cast("long").as("neg"),
+        lit(id).cast("long").as("cent_id"))
+    }
+    corpus.filter(col("v").isNotNull)
+      .select(col("vec_id"), col("v"),
+        array_max(array(entries.toSeq: _*)).getField("cent_id").as("bucket"))
+  }
+
   /** The nprobe nearest centroids per query. ONE probe rule shared by
     * the recompute path ([[ivfSearch]]) and the persisted-index path
     * ([[ivfIndexedTopK]]) — training-time bucketing and serving-time
@@ -682,7 +717,7 @@ object Similarity {
     })
 
   def ivfIndexStreamed(s: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
-    val cents = centsDF(s, dir)
+    val cents = trainedArr(s, dir)
     val staged = stagedStreamEmb(s, dir, nFiles)
     // fresh per-invocation output dir, previous run's dropped now — the
     // RunDirs contract (see graft.Fs)
@@ -695,9 +730,12 @@ object Similarity {
         .writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
           // batch-sized frames: AQE sub-jobs + full-width shuffles are
-          // pure per-batch scheduling here (see Sessions.withMicroBatchConf)
+          // pure per-batch scheduling here (see Sessions.withMicroBatchConf);
+          // assignment itself is the map-only literal-argmax form — each
+          // micro-batch is scan → project → partitioned append with NO
+          // exchange and no stage barrier
           graft.Sessions.withMicroBatchConf(b.sparkSession) {
-            ivfAssign(withDenseV(b), cents)
+            ivfAssignMapOnly(withDenseV(b), cents)
               .withColumn("bucket", col("bucket").cast("int"))
               .write.mode("append").partitionBy("bucket").parquet(out)
           }
@@ -739,17 +777,17 @@ object Similarity {
     * is the new one, not just relocated.
     */
   def ivfIndexCompacted(s: SparkSession, dir: String): DataFrame = {
-    val cents = centsDF(s, dir)
+    val cents = trainedArr(s, dir)
     val p = compactIdxCache.computeIfAbsent(dir, { _ =>
       val out = graft.Fs.tmpDir("graft_ivf_compact")
       streamIdxRuns.track(out) // same exit-time cleanup as the streamed index dirs
-      ivfAssign(emb(s, dir), cents)
+      ivfAssignMapOnly(emb(s, dir), cents)
         .withColumn("ver", lit(0L))
         .withColumn("bucket", col("bucket").cast("int"))
         .write.mode("overwrite").partitionBy("bucket").parquet(out)
       val re = emb(s, dir).filter(col("vec_id") % 10 === 0)
         .select(col("vec_id"), transform(col("v"), x => -x).as("v"))
-      ivfAssign(re, cents)
+      ivfAssignMapOnly(re, cents)
         .withColumn("ver", lit(1L))
         .withColumn("bucket", col("bucket").cast("int"))
         .write.mode("append").partitionBy("bucket").parquet(out)

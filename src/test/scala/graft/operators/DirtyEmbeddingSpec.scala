@@ -83,4 +83,33 @@ class DirtyEmbeddingSpec extends SparkSpec {
     assert(engine.get(4L).flatten != Some(oracle(4L)),
       s"expected divergence on the dirty row: engine=$engine oracle=$oracle")
   }
+
+  test("map-only literal-argmax assignment ≡ the join formulation, and plans with NO exchange") {
+    val centsArr = Array((0, Array(1.0, 0.0)), (1, Array(0.0, 1.0)))
+    val viaJoin = Similarity.ivfAssign(Similarity.withDenseV(raw), cents)
+      .select(col("vec_id"), col("bucket")).as[(Long, Long)].collect().toMap
+    val mapOnly = Similarity.ivfAssignMapOnly(Similarity.withDenseV(raw), centsArr)
+    assert(mapOnly.select(col("vec_id"), col("bucket"))
+      .as[(Long, Long)].collect().toMap == viaJoin)
+    val p = mapOnly.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"map-only assignment must not shuffle:\n$p")
+  }
+
+  test("map-only ≡ join on real embeddings across a multi-centroid fixture (tie-break included)") {
+    // real 64-dim vectors, four deterministic centroids — every cosine
+    // is computed by the SAME kernel expression in both formulations,
+    // so agreement here pins arithmetic AND the (ccos, -cent_id)
+    // lexicographic tie-break across the two shapes
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val centsArr = Array.tabulate(4)(c =>
+      (c, Array.tabulate(64)(i => math.sin((c + 1.0) * (i + 1.0)))))
+    val centsDf = centsArr.toSeq.map { case (i, v) => (i.toLong, v.toSeq) }
+      .toDF("cent_id", "cv")
+    val viaJoin = Similarity.ivfAssign(e, centsDf)
+      .select(col("vec_id"), col("bucket")).as[(Long, Long)].collect().toMap
+    val mapOnly = Similarity.ivfAssignMapOnly(e, centsArr)
+      .select(col("vec_id"), col("bucket")).as[(Long, Long)].collect().toMap
+    assert(viaJoin.nonEmpty && mapOnly == viaJoin)
+  }
 }
