@@ -813,6 +813,26 @@ object SparkEntry {
     // distinct-user counts + retained fraction — two entity-keyed
     // shuffles, epoch-integer weeks, NULL users excluded both sides
     "q165_retention_cohorts" -> ((s, dir) => Analytics.retentionCohorts(s, dir)),
+    // graph SHAPE beside q42's size and q130's centrality: compact-
+    // forward triangle counting (degree-oriented wedges, O(√m) out-
+    // degree bound) + global clustering coefficient; the oracle counts
+    // the naive 3-clique way, so agreement proves the algorithm
+    "q166_triangle_census" -> ((s, dir) => Analytics.triangleCensus(s, dir)),
+    // gaps-and-islands: per-user consecutive-day streak decomposition
+    // via the day − row_number constant, entity-bounded windows
+    "q167_activity_streaks" -> ((s, dir) => Analytics.activityStreaks(s, dir)),
+    // privacy release audit: equivalence-class size histogram under the
+    // quasi-identifier key, under-k classes flagged — identification
+    // risk from attribute COMBINATIONS (q52 finds literal identifiers)
+    "q168_k_anonymity" -> ((s, dir) => operators.DataQuality.kAnonymityAudit(s, dir)),
+    // classifier calibration: the full operating curve of q109's gate
+    // against q48's heuristic label — 11 thresholds × confusion matrix
+    // in ONE scan, verdicts in integer space, F1 as one exact division
+    "q176_threshold_sweep" -> ((s, dir) => PipelineOps.thresholdSweep(s, dir)),
+    // multi-touch time-decay attribution beside q150's last-touch: the
+    // decay is an INTEGER SHIFT (halve per 12 h), so the whole credit
+    // ledger is exact BIGINT arithmetic end-to-end
+    "q177_time_decay_attribution" -> ((s, dir) => Analytics.timeDecayAttribution(s, dir)),
     // q155 live: the term-count table is counter-sum state (vocabulary-
     // sized, Heaps-sublinear) maintained Complete-mode; converged
     // counts = batch counts, shared fold, q155's oracle unchanged —
@@ -2154,6 +2174,11 @@ object SparkEntry {
     "q163_dedup_aware_budget_mix" -> PipelineOps.dedupAwareBudgetMixSql(),
     "q164_column_profile" -> operators.DataQuality.columnProfileSql,
     "q165_retention_cohorts" -> Analytics.retentionCohortsSql,
+    "q166_triangle_census" -> Analytics.triangleCensusSql,
+    "q167_activity_streaks" -> Analytics.activityStreaksSql,
+    "q168_k_anonymity" -> operators.DataQuality.kAnonymityAuditSql(),
+    "q176_threshold_sweep" -> operators.PipelineOps.thresholdSweepSql(),
+    "q177_time_decay_attribution" -> Analytics.timeDecayAttributionSql(),
     // converged Complete-mode pair grid equals the batch grid
     // (order-independent sums), so q156's oracle applies unchanged
     "q160_stream_pmi" -> TextAnalysis.pmiPairsSql(),

@@ -902,4 +902,213 @@ object Analytics {
                (node // 2)::BIGINT AS entity_id, rank
         FROM r$iterations"""
   }
+
+  // ---- graph structure: triangle census / clustering coefficient (q166) ----
+
+  /** The user-interaction graph both [[triangleCensus]] and its spec
+    * derive: an edge links two users who appeared CONSECUTIVELY in the
+    * same (event_type, hour) activity bucket — the co-occurrence
+    * construction that gives a genuinely non-bipartite graph (q130's
+    * customer–supplier graph is bipartite: zero triangles by
+    * construction, useless here). The window partitions by
+    * (event_type, hour), so ordering work is bounded per bucket by the
+    * hourly event rate — never a per-type (let alone global) sort; at
+    * 100 TB the bucket count grows with retention while each bucket
+    * stays event-rate-sized.
+    */
+  private def interactionEdges(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("h"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        col("ts"), col("event_id"), col("user_id"))
+      .withColumn("nxt", lead(col("user_id"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("nxt") =!= col("user_id"))
+      .select(least(col("user_id"), col("nxt")).as("a"),
+        greatest(col("user_id"), col("nxt")).as("b"))
+      .distinct()
+  }
+
+  /** Triangle census over the interaction graph — edge/wedge/triangle
+    * counts and the global clustering coefficient, the graph-structure
+    * statistic that separates dense cliques from chain-like sprawl
+    * (q42's components give SIZE, this gives SHAPE).
+    *
+    * The triangle join is COMPACT-FORWARD, the shape a 100× graph
+    * requires: orient every edge from its (degree, id)-smaller to its
+    * (degree, id)-larger endpoint, enumerate wedges only at each
+    * node's OUT-neighbors, and close them with one semi-join against
+    * the canonical edge set. Each triangle {x≺y≺z} is found exactly
+    * once (at pivot x; y has at most one of the triangle's edges
+    * outgoing, so it can never form the wedge). The payoff is the
+    * wedge bound: out-degree under the degree orientation is O(√m)
+    * whatever the raw degree distribution, so the intermediate is
+    * Σ C(outdeg,2) — a naive pivot on raw adjacency pays Σ C(deg,2),
+    * quadratic in every hub's degree. All joins are node-keyed hash
+    * joins; counts are exact BIGINTs; the one float (the coefficient)
+    * is a single guarded division of exact counts.
+    *
+    * The ORACLE counts triangles the naive way (ordered 3-clique triple
+    * join) — agreement proves the oriented algorithm, not just the
+    * arithmetic.
+    */
+  def triangleCensus(s: SparkSession, dir: String): DataFrame = {
+    val edges = interactionEdges(s, dir)
+    val deg = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val oriented = edges
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("dst"))
+    val tri = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
+      .join(edges, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val sums = deg.agg(count(lit(1)).as("n_nodes"),
+      (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("n_wedges"))
+    val ne = edges.agg(count(lit(1)).as("n_edges"))
+    sums.crossJoin(ne).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          (col("n_triangles") * 3).cast("double") / col("n_wedges").cast("double"))
+          .as("clustering_coeff"))
+  }
+
+  private val edgesCteSql: String =
+    """seq AS (
+         SELECT event_type, date_trunc('hour', ts) AS h, user_id,
+                lead(user_id) OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                    ORDER BY ts ASC, event_id ASC) AS nxt
+         FROM events WHERE user_id IS NOT NULL),
+       e AS (SELECT DISTINCT least(user_id, nxt) AS a, greatest(user_id, nxt) AS b
+             FROM seq WHERE nxt IS NOT NULL AND nxt <> user_id)"""
+
+  def triangleCensusSql: String =
+    s"""WITH $edgesCteSql,
+       deg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+                 SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+               GROUP BY 1),
+       tri AS (SELECT count(*)::BIGINT AS n_triangles
+               FROM e e1 JOIN e e2 ON e1.b = e2.a
+                    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+       SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+              (SELECT count(*) FROM e)::BIGINT AS n_edges,
+              (SELECT (sum(deg * (deg - 1)) / 2)::BIGINT FROM deg) AS n_wedges,
+              tri.n_triangles,
+              CASE WHEN (SELECT sum(deg * (deg - 1)) / 2 FROM deg) > 0
+                   THEN (tri.n_triangles * 3)::DOUBLE /
+                        (SELECT (sum(deg * (deg - 1)) / 2)::BIGINT FROM deg)::DOUBLE
+              END AS clustering_coeff
+       FROM tri"""
+
+  // ---- activity streaks: gaps-and-islands (q167) ----
+
+  /** Per-user consecutive-day activity streaks — the gaps-and-islands
+    * decomposition (`day − row_number` is constant exactly within a run
+    * of consecutive distinct days). One distinct on (user, epoch-day)
+    * and one entity-partitioned window: the partition is each user's
+    * ACTIVE-DAY COUNT (≤ retention days, a few thousand at any corpus
+    * size), so the sort inside it is bounded no matter how many raw
+    * events a user generates. Days are epoch-µs `div` 86400000000 —
+    * integer arithmetic both engines share; NULL users carry no
+    * identity and are excluded (the count-the-key discipline).
+    */
+  def activityStreaks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+    val days = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val islands = days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"))
+  }
+
+  def activityStreaksSql: String =
+    """WITH days AS (
+         SELECT DISTINCT user_id, (epoch_us(ts) // 86400000000)::BIGINT AS day
+         FROM events WHERE user_id IS NOT NULL),
+       isl AS (
+         SELECT user_id,
+                day - row_number() OVER (PARTITION BY user_id ORDER BY day ASC) AS grp
+         FROM days),
+       runs AS (SELECT user_id, grp, count(*)::BIGINT AS len
+                FROM isl GROUP BY 1, 2)
+       SELECT user_id, sum(len)::BIGINT AS n_active_days,
+              count(*)::BIGINT AS n_streaks, max(len)::BIGINT AS longest_streak
+       FROM runs GROUP BY 1"""
+
+  // ---- time-decay multi-touch attribution (q177) ----
+
+  /** Time-decay attribution — the multi-touch counterpart of q150's
+    * last-touch: EVERY touch in the window before a purchase earns
+    * credit, halved for each 12 h of age (`1000000 >> (Δh div 12)`
+    * micro-units — the decay is an INTEGER SHIFT, so the whole credit
+    * ledger is exact BIGINT arithmetic; the float-pow formulation
+    * every analytics vendor ships cannot cross engines losslessly,
+    * the shift form can). Per (channel) totals: touches, credited
+    * purchases, credit mass.
+    *
+    * Shape: one entity-keyed equi-join (purchases ⋈ touches on
+    * user_id) with the 7-day horizon as a post-join filter — per-user
+    * fan-in is bounded by the user's OWN 7-day activity either side,
+    * never a cross product (the q151 interval discipline); then one
+    * channel-keyed aggregate. NULL-user purchases are unattributable
+    * (SQL equality never matches the NULL key) and drop out of the
+    * inner join on both engines identically.
+    */
+  def timeDecayAttribution(s: SparkSession, dir: String,
+      windowUs: Long = 7L * 24 * 3600 * 1000000, halfLifeHours: Long = 12): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("us").as("p_us"))
+    val t = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("event_type").as("channel"), col("us").as("t_us"))
+    p.join(t, "user_id")
+      .filter((col("t_us") < col("p_us") ||
+          (col("t_us") === col("p_us") && col("t_id") < col("p_id"))) &&
+        col("t_us") >= col("p_us") - windowUs)
+      .withColumn("credit_micro",
+        expr(s"shiftright(1000000L, cast(least((p_us - t_us) div ${3600000000L * halfLifeHours}, 62) as int))"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        sum(col("credit_micro")).as("credit_micro"))
+  }
+
+  def timeDecayAttributionSql(
+      windowUs: Long = 7L * 24 * 3600 * 1000000, halfLifeHours: Long = 12): String =
+    s"""WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts)::BIGINT AS us
+                    FROM events),
+       p AS (SELECT user_id, event_id AS p_id, us AS p_us FROM ev
+             WHERE event_type = 'purchase'),
+       t AS (SELECT user_id, event_id AS t_id, event_type AS channel, us AS t_us
+             FROM ev WHERE event_type <> 'purchase'),
+       c AS (SELECT t.channel, p.p_id,
+                    (1000000 >> least((p.p_us - t.t_us) // ${3600000000L * halfLifeHours}, 62)) AS credit_micro
+             FROM p JOIN t ON p.user_id = t.user_id
+             WHERE (t.t_us < p.p_us OR (t.t_us = p.p_us AND t.t_id < p.p_id))
+               AND t.t_us >= p.p_us - $windowUs)
+       SELECT channel, count(*)::BIGINT AS n_touches,
+              count(DISTINCT p_id)::BIGINT AS n_purchases,
+              sum(credit_micro)::BIGINT AS credit_micro
+       FROM c GROUP BY 1"""
 }

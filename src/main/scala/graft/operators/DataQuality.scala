@@ -354,4 +354,53 @@ object DataQuality {
               max(value) AS max_value,
               sum(floor(value * 1000000)::BIGINT)::BIGINT AS sum_value_micro
        FROM events GROUP BY 1, 2"""
+
+  // ---- k-anonymity audit (q168) ----
+
+  /** The quasi-identifier key shared by the batch audit (q168) and the
+    * streaming monitor (q169): (market segment, nation, coarse balance
+    * bucket) — the released-attribute combination a re-identification
+    * attack joins on. The balance bucket floors an IEEE division both
+    * engines compute identically.
+    */
+  private[operators] def quasiIdCols: Seq[org.apache.spark.sql.Column] = Seq(
+    col("c_mktsegment"), col("c_nationkey").cast("long").as("c_nationkey"),
+    floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+
+  /** k-anonymity audit — the privacy counterpart of the PII scan
+    * (q52 finds identifiers IN values; this measures identification
+    * risk FROM quasi-identifier combinations): every row's equivalence
+    * class under the quasi-id key, summarized as the class-size
+    * distribution with the under-k classes flagged. A release is
+    * k-anonymous iff no row sits in a class smaller than k — the
+    * violating-rows count is the mass that needs suppression or
+    * generalization before the table ships.
+    *
+    * Two bounded aggregations at any scale: one groupBy on the
+    * quasi-id key (two-phase, map-side combined), then a groupBy on
+    * the class SIZE — output is the size histogram (≤ distinct-size
+    * rows), never the class list. All counts exact BIGINTs.
+    */
+  def kAnonymityAudit(s: SparkSession, dir: String, k: Long = 5): DataFrame = {
+    val classes = graft.Tables.load(s, dir, "customer")
+      .select(quasiIdCols: _*)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"), col("bal_bucket"))
+      .agg(count(lit(1)).as("class_size"))
+    classes.groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("class_size")).as("n_rows"))
+      .select(col("class_size"), col("n_classes"), col("n_rows"),
+        (col("class_size") < k).as("violates_k"))
+  }
+
+  def kAnonymityAuditSql(k: Long = 5): String =
+    s"""WITH cls AS (
+          SELECT c_mktsegment, c_nationkey::BIGINT AS c_nationkey,
+                 floor(c_acctbal / 1000.0)::BIGINT AS bal_bucket,
+                 count(*)::BIGINT AS class_size
+          FROM customer GROUP BY 1, 2, 3)
+        SELECT class_size, count(*)::BIGINT AS n_classes,
+               sum(class_size)::BIGINT AS n_rows,
+               (class_size < $k) AS violates_k
+        FROM cls GROUP BY class_size"""
 }

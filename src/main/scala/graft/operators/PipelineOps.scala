@@ -1692,4 +1692,78 @@ object PipelineOps {
         LEFT JOIN ev USING (entity_id)
         LEFT JOIN ord USING (entity_id)
         LEFT JOIN li USING (entity_id)"""
+
+  // ---- classifier calibration: threshold sweep (q176) ----
+
+  /** Precision/recall sweep of the hashed-linear classifier (q109)
+    * against the heuristic quality gate (q48's `quality ≥ 0.5`) as the
+    * reference label — the calibration table a pipeline consults
+    * before picking the production threshold (q109 ships ONE
+    * threshold; this shows the whole operating curve, the difference
+    * between guessing a cutoff and choosing one).
+    *
+    * ONE corpus scan at any scale: scores and labels are per-row
+    * projections (the shared [[hashedLogitMicro]] and quality
+    * expressions), the 11-element threshold literal explodes each row
+    * ×11, and one groupBy on the threshold folds the confusion matrix
+    * — map-side combined to 11×4 counters per partition, so the
+    * exchange carries a bounded grid whatever the corpus size. The
+    * verdict at each threshold is the q109 INTEGER comparison
+    * (logit > n·τ, no float); precision/recall/F1 are single divisions
+    * of exact BIGINTs (F1 as 2tp/(2tp+fp+fn) — one division, not a
+    * float composition of p and r).
+    */
+  def thresholdSweep(s: SparkSession, dir: String, d: Long = 1024L,
+      minQuality: Double = 0.5): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      size(split(lower(col("text")), " ")).cast("long").as("n_tokens"),
+      hashedLogitMicro(col("text"), d).as("logit_micro"),
+      (TextAnalysis.qualityCol(col("text")) >= minQuality).as("label"))
+    val thresholds = (-10 to 0).map(i => lit(i * 100000L))
+    docs.select(col("n_tokens"), col("logit_micro"), col("label"),
+        explode(array(thresholds: _*)).as("tau_micro"))
+      .withColumn("pred", col("logit_micro") > col("n_tokens") * col("tau_micro"))
+      .groupBy(col("tau_micro"))
+      .agg(
+        sum(when(col("pred") && col("label"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("label"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("label"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred") && !col("label"), 1L).otherwise(0L)).as("tn"))
+      .select(col("tau_micro"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .as("recall"),
+        when(col("tp") * 2 + col("fp") + col("fn") > 0,
+          (col("tp") * 2).cast("double") /
+            (col("tp") * 2 + col("fp") + col("fn")).cast("double"))
+          .as("f1"))
+  }
+
+  def thresholdSweepSql(d: Long = 1024L, minQuality: Double = 0.5): String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        scored AS (
+          SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                 sum((((('0x' || substring(md5(term), 1, 15))::BIGINT % $d) + 1) * 2654435761) % 2000001 - 1000000)::BIGINT AS logit_micro
+          FROM toks GROUP BY 1),
+        lab AS (SELECT doc_id, (quality >= $minQuality) AS label
+                FROM (${TextAnalysis.qualityScoresSql}) q),
+        taus AS (SELECT unnest([${(-10 to 0).map(i => i * 100000L).mkString(", ")}]) AS tau_micro),
+        cm AS (
+          SELECT tau_micro,
+                 sum(CASE WHEN s.logit_micro > s.n_tokens * tau_micro AND l.label THEN 1 ELSE 0 END)::BIGINT AS tp,
+                 sum(CASE WHEN s.logit_micro > s.n_tokens * tau_micro AND NOT l.label THEN 1 ELSE 0 END)::BIGINT AS fp,
+                 sum(CASE WHEN NOT (s.logit_micro > s.n_tokens * tau_micro) AND l.label THEN 1 ELSE 0 END)::BIGINT AS fn,
+                 sum(CASE WHEN NOT (s.logit_micro > s.n_tokens * tau_micro) AND NOT l.label THEN 1 ELSE 0 END)::BIGINT AS tn
+          FROM scored s JOIN lab l USING (doc_id), taus
+          GROUP BY 1)
+        SELECT tau_micro, tp, fp, fn, tn,
+               CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp)::DOUBLE END AS precision,
+               CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn)::DOUBLE END AS recall,
+               CASE WHEN tp * 2 + fp + fn > 0
+                    THEN (tp * 2)::DOUBLE / (tp * 2 + fp + fn)::DOUBLE END AS f1
+        FROM cm"""
 }

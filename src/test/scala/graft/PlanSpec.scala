@@ -591,4 +591,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q166: triangle census joins on node keys — wedge close is a real join, never a cross product") {
+    // compact-forward's whole point is that every step is a node-keyed
+    // hash join (src=src for wedges, (a,b) semi-join to close) — a
+    // CartesianProduct or nested loop would mean the pivot key fell
+    // out and the enumeration went all-pairs; the edge window must
+    // partition by (type, hour), never a single partition
+    val p = plan("q166_triangle_census")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      // the three 1-row summary frames legitimately cross-join at the
+      // very top; node-scale joins must not
+      || "BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("LeftSemi"), p)
+    // the edge window distributes by (event_type, hour) — the 1-row
+    // summary aggregates may collapse to SinglePartition, the
+    // event-sequence sort must not
+    assert(p.contains("hashpartitioning(event_type"), p)
+  }
+
+  test("q177: time-decay attribution equi-joins on the entity key — horizon is a filter") {
+    val p = plan("q177_time_decay_attribution")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // channel totals partial-aggregate before the final exchange
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("q176: the threshold sweep is ONE corpus scan with a map-side-combined bounded grid") {
+    val p = plan("q176_threshold_sweep")
+    // scores, labels, and the ×11 explode are projections over one
+    // documents scan; the only exchange carries the 11-row grid
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
