@@ -833,6 +833,18 @@ object SparkEntry {
     // decay is an INTEGER SHIFT (halve per 12 h), so the whole credit
     // ledger is exact BIGINT arithmetic end-to-end
     "q177_time_decay_attribution" -> ((s, dir) => Analytics.timeDecayAttribution(s, dir)),
+    // Kneser–Ney training tables: per-word continuation counts (distinct
+    // contexts, not occurrences) + the n1/n2 count-of-counts discount —
+    // what a modified-KN trainer consumes, vocab²-bounded throughout
+    "q170_kneser_ney_stats" -> ((s, dir) => PipelineOps.kneserNeyStats(s, dir)),
+    // temperature-scaled mixing (p_s ∝ N_s^½): the q104 water-fill with
+    // the weight DERIVED from the data (⌊√N⌋) instead of a config —
+    // one shared solve across all four mixers
+    "q178_temperature_mix" -> ((s, dir) => PipelineOps.temperatureMix(s, dir)),
+    // lakehouse maintenance: compaction planning over the dedup'd
+    // corpus — per-file live ratios from q145's keep verdicts, rewrite
+    // set + target-file bin math in exact BIGINTs
+    "q179_compaction_plan" -> ((s, dir) => Dedup.compactionPlan(s, dir)),
     // q155 live: the term-count table is counter-sum state (vocabulary-
     // sized, Heaps-sublinear) maintained Complete-mode; converged
     // counts = batch counts, shared fold, q155's oracle unchanged —
@@ -2179,6 +2191,9 @@ object SparkEntry {
     "q168_k_anonymity" -> operators.DataQuality.kAnonymityAuditSql(),
     "q176_threshold_sweep" -> operators.PipelineOps.thresholdSweepSql(),
     "q177_time_decay_attribution" -> Analytics.timeDecayAttributionSql(),
+    "q170_kneser_ney_stats" -> operators.PipelineOps.kneserNeyStatsSql(),
+    "q178_temperature_mix" -> operators.PipelineOps.temperatureMixSql(),
+    "q179_compaction_plan" -> operators.Dedup.compactionPlanSql(),
     // converged Complete-mode pair grid equals the batch grid
     // (order-independent sums), so q156's oracle applies unchanged
     "q160_stream_pmi" -> TextAnalysis.pmiPairsSql(),

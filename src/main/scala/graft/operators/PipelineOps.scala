@@ -1693,6 +1693,130 @@ object PipelineOps {
         LEFT JOIN ord USING (entity_id)
         LEFT JOIN li USING (entity_id)"""
 
+  // ---- Kneser–Ney LM preparation statistics (q170) ----
+
+  /** The count tables a Kneser–Ney bigram model is trained from — the
+    * third member of the LM-prep family (q96 scores with unigrams,
+    * q110 with interpolated bigrams; THIS builds what a
+    * modified-KN trainer actually consumes): per-word CONTINUATION
+    * counts (N1+(•w) = distinct left contexts, N1+(w•) = distinct
+    * right contexts — KN's insight is that "how many contexts" beats
+    * "how many times" for backoff mass) and the corpus-level
+    * count-of-counts n1/n2 that set the absolute discount
+    * D = n1/(n1+2n2) (Ney–Essen–Kneser). Continuation probability
+    * p_cont(w) = N1+(•w)/|bigram types| is the unigram replacement KN
+    * backs off to.
+    *
+    * Shapes: the bigram TYPE table is one (w1,w2) groupBy —
+    * vocabulary²-bounded output whatever the corpus size; the
+    * continuation counts are plain counts over it (each (w1,w2) row is
+    * one distinct context by construction — no countDistinct needed);
+    * the discount is corpus-level integer division in micro-units; the
+    * report is the top-`topN` words by frequency (WindowGroupLimit —
+    * bounded output, vocabulary-sized input). Everything but
+    * p_continuation (one division of exact BIGINTs) is integer.
+    */
+  def kneserNeyStats(s: SparkSession, dir: String, topN: Int = 50): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val toksCol = split(lower(col("text")), " ")
+    val pairs = arrays_zip(
+      slice(toksCol, lit(1), size(toksCol) - 1).as("w1"),
+      slice(toksCol, lit(2), size(toksCol) - 1).as("w2"))
+    val bt = docs.select(explode(pairs).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val cnt1 = docs.select(explode(toksCol).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c1"))
+    val glob = bt.agg(count(lit(1)).as("n_types"),
+      sum(when(col("c12") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("c12") === 2, 1L).otherwise(0L)).as("n2"))
+    val leftCtx = bt.groupBy(col("w2").as("term"))
+      .agg(count(lit(1)).as("n_left_types"))
+    val rightCtx = bt.groupBy(col("w1").as("term"))
+      .agg(count(lit(1)).as("n_right_types"))
+    val top = cnt1.withColumn("rn", row_number().over(
+        Window.orderBy(col("c1").desc, col("term").asc)))
+      .filter(col("rn") <= topN).drop("rn")
+    top
+      .join(leftCtx, Seq("term"), "left")
+      .join(rightCtx, Seq("term"), "left")
+      .crossJoin(broadcast(glob))
+      .select(col("term"), col("c1"),
+        coalesce(col("n_left_types"), lit(0L)).as("n_left_types"),
+        coalesce(col("n_right_types"), lit(0L)).as("n_right_types"),
+        (coalesce(col("n_left_types"), lit(0L)).cast("double") /
+          col("n_types").cast("double")).as("p_continuation"),
+        // a corpus where every bigram type repeats >2× (tiny vocab,
+        // huge corpus) has n1 = n2 = 0: the Ney–Essen–Kneser estimate
+        // is undefined — NULL, guarded identically on both engines
+        // (Spark 4 ANSI `div` and DuckDB `//` both throw on zero)
+        when(col("n1") + lit(2) * col("n2") > 0,
+          expr("(n1 * 1000000) div (n1 + 2 * n2)")).as("d_micro"))
+  }
+
+  def kneserNeyStatsSql(topN: Int = 50): String =
+    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+        toks AS (SELECT doc_id, unnest(l) AS term FROM d),
+        n1t AS (SELECT term, count(*)::BIGINT AS c1 FROM toks GROUP BY 1),
+        bgr AS (SELECT u.w1 AS w1, u.w2 AS w2
+                FROM (SELECT unnest(list_transform(range(1, len(l)), i -> {'w1': l[i], 'w2': l[i+1]})) AS u
+                      FROM d)),
+        bt AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bgr GROUP BY 1, 2),
+        gl AS (SELECT count(*)::BIGINT AS n_types,
+                        sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+                        sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END)::BIGINT AS n2
+                 FROM bt),
+        lc AS (SELECT w2 AS term, count(*)::BIGINT AS n_left_types FROM bt GROUP BY 1),
+        rc AS (SELECT w1 AS term, count(*)::BIGINT AS n_right_types FROM bt GROUP BY 1),
+        top AS (SELECT term, c1 FROM (
+                  SELECT term, c1, row_number() OVER (ORDER BY c1 DESC, term ASC) AS rn
+                  FROM n1t) WHERE rn <= $topN)
+        SELECT t.term, t.c1,
+               coalesce(lc.n_left_types, 0)::BIGINT AS n_left_types,
+               coalesce(rc.n_right_types, 0)::BIGINT AS n_right_types,
+               coalesce(lc.n_left_types, 0)::DOUBLE / g.n_types::DOUBLE AS p_continuation,
+               CASE WHEN g.n1 + 2 * g.n2 > 0
+                    THEN ((g.n1 * 1000000) // (g.n1 + 2 * g.n2))::BIGINT
+               END AS d_micro
+        FROM top t
+        LEFT JOIN lc ON lc.term = t.term
+        LEFT JOIN rc ON rc.term = t.term
+        CROSS JOIN gl g"""
+
+  // ---- temperature-scaled mixture (q178) ----
+
+  /** Temperature-scaled source mixing — the multilingual-pretraining
+    * allocation rule (sample source s ∝ N_s^α, α ∈ (0,1), so small
+    * sources are UP-sampled relative to their share): expressed as the
+    * q104 water-fill with the per-source weight DERIVED FROM THE DATA,
+    * w_s = ⌊√N_s⌋ (α = ½), instead of read from a config. The solve,
+    * saturation semantics, and oracle arithmetic are [[waterFill]]'s —
+    * one shared definition, so a fix there fixes all four mixers
+    * (q104/q105/q163/q178). ⌊√N⌋ is safe cross-engine: IEEE sqrt is
+    * correctly rounded in both, so the floor is the same integer.
+    */
+  def temperatureMix(s: SparkSession, dir: String,
+      budgetFrac: Double = 0.5): DataFrame = {
+    val totals = Tables.load(s, dir, "documents")
+      .select(col("source"), size(split(lower(col("text")), " ")).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).cast("long").as("src_tokens"))
+      .select(col("source"),
+        floor(sqrt(col("src_tokens").cast("double"))).cast("double").as("w"),
+        col("src_tokens"))
+    waterFill(totals, budgetFrac)
+  }
+
+  def temperatureMixSql(budgetFrac: Double = 0.5): String =
+    s"""WITH docs AS (
+          SELECT source, len(string_split(lower(text), ' '))::BIGINT AS n_tokens
+          FROM documents),
+        totals AS (
+          SELECT source, floor(sqrt(sum(n_tokens)::DOUBLE)) AS w,
+                 sum(n_tokens)::BIGINT AS src_tokens
+          FROM docs GROUP BY 1),
+        ${waterFillSqlTail(budgetFrac)}"""
+
   // ---- classifier calibration: threshold sweep (q176) ----
 
   /** Precision/recall sweep of the hashed-linear classifier (q109)
