@@ -845,6 +845,16 @@ object SparkEntry {
     // corpus — per-file live ratios from q145's keep verdicts, rewrite
     // set + target-file bin math in exact BIGINTs
     "q179_compaction_plan" -> ((s, dir) => Dedup.compactionPlan(s, dir)),
+    // vision batch assembly: aspect-ratio bucketing + fixed-size batch
+    // packing with geometry measured by the REAL decode kernel (stored
+    // metadata lies at 100 TB); the manifest is per-batch aggregates
+    "q171_aspect_bucket_packing" -> ((s, dir) => Multimodal.aspectBucketPacking(s, dir)),
+    // audio quality gate over real WAV decode: dropout ratio + low-
+    // energy frame count, integer-space verdicts (q48 for audio)
+    "q172_audio_silence_gate" -> ((s, dir) => Multimodal.audioSilenceGate(s, dir)),
+    // scene-change segmentation over the q153 frame fingerprints:
+    // cuts = consecutive-frame Hamming jumps, per-video bounded windows
+    "q173_video_scene_changes" -> ((s, dir) => Multimodal.videoSceneChanges(s, dir)),
     // q155 live: the term-count table is counter-sum state (vocabulary-
     // sized, Heaps-sublinear) maintained Complete-mode; converged
     // counts = batch counts, shared fold, q155's oracle unchanged —
@@ -2194,6 +2204,9 @@ object SparkEntry {
     "q170_kneser_ney_stats" -> operators.PipelineOps.kneserNeyStatsSql(),
     "q178_temperature_mix" -> operators.PipelineOps.temperatureMixSql(),
     "q179_compaction_plan" -> operators.Dedup.compactionPlanSql(),
+    "q171_aspect_bucket_packing" -> operators.Multimodal.aspectBucketPackingSql(),
+    "q172_audio_silence_gate" -> operators.Multimodal.audioSilenceGateSql(),
+    "q173_video_scene_changes" -> operators.Multimodal.videoSceneChangesSql(),
     // converged Complete-mode pair grid equals the batch grid
     // (order-independent sums), so q156's oracle applies unchanged
     "q160_stream_pmi" -> TextAnalysis.pmiPairsSql(),

@@ -498,6 +498,235 @@ object Multimodal {
         GROUP BY 1, 2
         HAVING count(*) >= $minShared"""
 
+  // ---- aspect-ratio bucketed batch packing (q171) ----
+
+  /** Variable-geometry synthetic P6 corpus for the packing operator:
+    * per-doc dimensions `w = 16 + (7·id mod 33)`, `h = 16 + (13·id mod
+    * 29)` (coprime strides → 33×29 distinct geometries cycling through
+    * the corpus), flat fill `id mod 256`. The ENGINE recovers
+    * geometry and luma mass by decoding the actual bytes with the real
+    * kernel; the oracle re-derives both from the formula (flat
+    * grayscale: Σ luma = 8·fill·w·h exactly).
+    */
+  private[operators] def syntheticSizedPpm(docId: Long): Array[Byte] = {
+    val w = 16 + ((docId * 7) % 33).toInt
+    val h = 16 + ((docId * 13) % 29).toInt
+    val fill = (docId % 256).toByte
+    val header = s"P6\n$w $h\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    java.util.Arrays.fill(out, header.length, out.length, fill)
+    out
+  }
+
+  /** Aspect-ratio bucketed batch packing — the vision-training batch
+    * assembly step: variable-geometry images can't share a tensor
+    * batch, so images are BUCKETED by quantized aspect ratio
+    * (`4w div h` — quarter-steps of w/h) and packed into fixed-size
+    * batches inside each bucket (deterministic doc_id order). Output
+    * is the BATCH MANIFEST: per (bucket, batch) the member count,
+    * pixel mass, and the exact aspect micro-range the batch spans —
+    * what the loader prefetches against.
+    *
+    * The geometry comes from the REAL decode (header parse + raster
+    * validation + luma sum over actual bytes), never from trusted
+    * metadata — the 100 TB lesson being that stored width/height lie.
+    * The per-bucket row_number window is the packing order; partitions
+    * are per-bucket (a few dozen buckets): a production packer
+    * range-shards each bucket and packs shards independently — batch
+    * membership is the contract, global batch NUMBERING is not, which
+    * is why the manifest aggregates per batch rather than per image.
+    * All columns are exact integers.
+    */
+  def aspectBucketPacking(s: SparkSession, dir: String,
+      batchSize: Int = 8): DataFrame = {
+    import s.implicits._
+    val decoded = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = MediaCodecs.decodePpm(syntheticSizedPpm(id)).getOrElse(
+            throw new IllegalStateException(s"generated PPM failed decode: doc $id"))
+          var luma = 0L
+          var o = 0
+          while (o < img.rgb.length) {
+            luma += 2 * (img.rgb(o) & 0xff) + 5 * (img.rgb(o + 1) & 0xff) +
+              (img.rgb(o + 2) & 0xff)
+            o += 3
+          }
+          (id, img.width.toLong, img.height.toLong, luma)
+        }
+      }.toDF("doc_id", "w", "h", "luma")
+    decoded
+      .withColumn("bucket", expr("(w * 4) div h"))
+      .withColumn("batch_id", expr(s"(row_number() OVER (PARTITION BY bucket ORDER BY doc_id ASC) - 1) div $batchSize"))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("w") * col("h")).as("sum_pixels"),
+        sum(col("luma")).as("sum_luma"),
+        min(expr("(w * 1000000) div h")).as("ar_min_micro"),
+        max(expr("(w * 1000000) div h")).as("ar_max_micro"))
+  }
+
+  def aspectBucketPackingSql(batchSize: Int = 8): String =
+    s"""WITH g AS (
+          SELECT doc_id, 16 + (doc_id * 7) % 33 AS w, 16 + (doc_id * 13) % 29 AS h,
+                 8 * (doc_id % 256) * (16 + (doc_id * 7) % 33) * (16 + (doc_id * 13) % 29) AS luma
+          FROM documents),
+        b AS (SELECT doc_id, w, h, luma, (w * 4) // h AS bucket FROM g),
+        r AS (SELECT *, (row_number() OVER (PARTITION BY bucket ORDER BY doc_id ASC) - 1) // $batchSize AS batch_id
+              FROM b)
+        SELECT bucket, batch_id, count(*)::BIGINT AS n_images,
+               sum(w * h)::BIGINT AS sum_pixels,
+               sum(luma)::BIGINT AS sum_luma,
+               min((w * 1000000) // h)::BIGINT AS ar_min_micro,
+               max((w * 1000000) // h)::BIGINT AS ar_max_micro
+        FROM r GROUP BY 1, 2"""
+
+  // ---- audio silence-ratio gate (q172) ----
+
+  /** Audio quality gate over REAL WAV decode — the audio-corpus
+    * counterpart of q48's text heuristics: per clip, the dropout ratio
+    * (zero samples — transmission/decode damage) and the count of
+    * LOW-ENERGY frames (Σs² below a threshold over 25-sample frames —
+    * silence/near-silence a speech pipeline drops before wasting
+    * transcription compute on it). Gate: keep clips with ≤ 10% zero
+    * samples AND ≤ 8 silent frames. Same fixture and decode kernel as
+    * q143 (one generator, two operators); everything but `zero_frac`
+    * is exact integer arithmetic, and the verdict compares integers.
+    */
+  def audioSilenceGate(s: SparkSession, dir: String,
+      frameLen: Int = 25, energyMin: Long = 2000000L,
+      maxZeroPct: Int = 10, maxSilentFrames: Long = 8): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val a = MediaCodecs.decodeWavPcm16(syntheticWavBytes(id)).getOrElse(
+            throw new IllegalStateException(s"generated WAV failed decode: doc $id"))
+          val n = a.samples.length
+          var zeros = 0L
+          var silent = 0L
+          var f = 0
+          while (f * frameLen < n) {
+            var e = 0L
+            var j = f * frameLen
+            val end = math.min(j + frameLen, n)
+            while (j < end) {
+              val v = a.samples(j).toLong
+              if (v == 0L) zeros += 1
+              e += v * v
+              j += 1
+            }
+            if (e < energyMin) silent += 1
+            f += 1
+          }
+          (id, n.toLong, zeros, silent)
+        }
+      }.toDF("doc_id", "n_samples", "n_zero", "n_silent_frames")
+      .select(col("doc_id"), col("n_samples"), col("n_zero"), col("n_silent_frames"),
+        (col("n_zero").cast("double") / col("n_samples").cast("double")).as("zero_frac"),
+        // integer-space verdict: zeros·100 ≤ n·maxZeroPct, never a float
+        (col("n_zero") * 100 <= col("n_samples") * maxZeroPct &&
+          col("n_silent_frames") <= maxSilentFrames).as("kept"))
+  }
+
+  def audioSilenceGateSql(frameLen: Int = 25, energyMin: Long = 2000000L,
+      maxZeroPct: Int = 10, maxSilentFrames: Long = 8): String =
+    s"""WITH smp AS (
+          SELECT d.doc_id, (d.doc_id // 4) AS g, (d.doc_id % 4) AS r, t.t AS t
+          FROM documents d, range(0, 1625) t(t)
+        ),
+        v AS (
+          SELECT doc_id, t // $frameLen AS f,
+                 CASE WHEN (t + g) % 101 < r THEN 0
+                      ELSE (((t // 25) * (13 + g % 19) + (t // 25) * (t // 25) * (1 + g % 23)
+                             + (t // 25) * (t // 25) * (t // 25) * (1 + g % 5) + g * 131) % 251 + 1)
+                           * (((t * 37 + (t * t) % 101) % 128) - 64) END AS s
+          FROM smp
+        ),
+        fr AS (SELECT doc_id, f, sum(s * s)::BIGINT AS e,
+                      sum(CASE WHEN s = 0 THEN 1 ELSE 0 END)::BIGINT AS z,
+                      count(*)::BIGINT AS n
+               FROM v GROUP BY 1, 2),
+        agg AS (SELECT doc_id, sum(n)::BIGINT AS n_samples, sum(z)::BIGINT AS n_zero,
+                       sum(CASE WHEN e < $energyMin THEN 1 ELSE 0 END)::BIGINT AS n_silent_frames
+                FROM fr GROUP BY 1)
+        SELECT doc_id, n_samples, n_zero, n_silent_frames,
+               n_zero::DOUBLE / n_samples::DOUBLE AS zero_frac,
+               (n_zero * 100 <= n_samples * $maxZeroPct
+                 AND n_silent_frames <= $maxSilentFrames) AS kept
+        FROM agg"""
+
+  // ---- video scene-change segmentation (q173) ----
+
+  /** Scene-change detection over the q153 frame fingerprints: a CUT is
+    * a consecutive-frame pair whose perceptual hashes differ by more
+    * than `maxHamming` bits (adjacent frames of one scene share their
+    * gradient structure; a cut replaces it). Output per video: frame
+    * count, cut count, scene count (cuts + 1), and the largest
+    * inter-frame jump — the segmentation a sampling pipeline uses to
+    * pick one representative frame per scene instead of every-Nth
+    * (q44). The lead window partitions per (8-frame) video — bounded
+    * partitions at any corpus size; hashes ride the same real
+    * decode-kernel path as q153.
+    */
+  def videoSceneChanges(s: SparkSession, dir: String,
+      frames: Int = 8, maxHamming: Int = 16): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx").asc)
+    videoFrameHashes(s, dir, frames)
+      .withColumn("nxt", lead(col("phash"), 1).over(w))
+      .withColumn("step",
+        when(col("nxt").isNotNull,
+          bit_count(col("phash").bitwiseXOR(col("nxt"))).cast("long")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("step") > maxHamming, 1L).otherwise(0L)).as("n_cuts"),
+        (sum(when(col("step") > maxHamming, 1L).otherwise(0L)) + 1).as("n_scenes"),
+        max(col("step")).as("max_step"))
+  }
+
+  def videoSceneChangesSql(frames: Int = 8, maxHamming: Int = 16): String =
+    s"""WITH px AS (
+          SELECT d.doc_id, (d.doc_id // 4) AS g, (d.doc_id % 4) AS r,
+                 fi.fi AS frame_idx, x.x AS x, y.y AS y
+          FROM documents d, range(0, $frames) fi(fi),
+               range(0, $phashW) x(x), range(0, $phashH) y(y)
+        ),
+        v AS (
+          SELECT doc_id, frame_idx, x // 4 AS bx, y // 4 AS by,
+                 CASE WHEN (frame_idx + g) % 11 < r
+                      THEN 255 - ((x * (13 + (g*$frames+frame_idx) % 19) + y * (31 + (g*$frames+frame_idx) % 23)
+                                   + x * y * (1 + (g*$frames+frame_idx) % 5) + (g*$frames+frame_idx)) % 256)
+                      ELSE (x * (13 + (g*$frames+frame_idx) % 19) + y * (31 + (g*$frames+frame_idx) % 23)
+                            + x * y * (1 + (g*$frames+frame_idx) % 5) + (g*$frames+frame_idx)) % 256 END AS val
+          FROM px
+        ),
+        s AS (SELECT doc_id, frame_idx, bx, by, sum(val)::BIGINT AS sv
+              FROM v GROUP BY 1, 2, 3, 4),
+        bits AS (
+          SELECT a.doc_id, a.frame_idx,
+                 CASE WHEN a.sv > b.sv THEN
+                   CASE WHEN a.by*8 + a.bx = 63 THEN (-9223372036854775807 - 1)::BIGINT
+                        ELSE 1::BIGINT << ((a.by*8 + a.bx)::INT) END
+                 ELSE 0::BIGINT END AS bit
+          FROM s a JOIN s b ON a.doc_id = b.doc_id AND a.frame_idx = b.frame_idx
+                           AND a.by = b.by AND b.bx = a.bx + 1
+          WHERE a.bx < 8
+        ),
+        p AS (SELECT doc_id, frame_idx, bit_or(bit)::BIGINT AS phash
+              FROM bits GROUP BY 1, 2),
+        st AS (
+          SELECT doc_id, phash,
+                 lead(phash) OVER (PARTITION BY doc_id ORDER BY frame_idx ASC) AS nxt
+          FROM p)
+        SELECT doc_id, count(*)::BIGINT AS n_frames,
+               sum(CASE WHEN bit_count(xor(phash, nxt)) > $maxHamming THEN 1 ELSE 0 END)::BIGINT AS n_cuts,
+               (sum(CASE WHEN bit_count(xor(phash, nxt)) > $maxHamming THEN 1 ELSE 0 END) + 1)::BIGINT AS n_scenes,
+               max(CASE WHEN nxt IS NOT NULL THEN bit_count(xor(phash, nxt))::BIGINT END) AS max_step
+        FROM st GROUP BY 1"""
+
   /** Oracle-checkable metadata/digest query over the media table. */
   def metaDigest(s: SparkSession, dir: String): DataFrame =
     mediaTable(s, dir).select(

@@ -115,4 +115,30 @@ class PerceptualHashSpec extends SparkSpec {
     assert(guaranteed.forall(found.contains),
       s"missed guaranteed pairs: ${guaranteed.filterNot(found.contains).take(5)}")
   }
+
+  test("q171: sized P6 corpus decodes at the formula geometry, raster length validated") {
+    for (id <- Seq(0L, 1L, 17L, 1001L)) {
+      val img = MediaCodecs.decodePpm(Multimodal.syntheticSizedPpm(id))
+      assert(img.isDefined)
+      assert(img.get.width == 16 + (id * 7 % 33).toInt &&
+        img.get.height == 16 + (id * 13 % 29).toInt)
+      assert(img.get.rgb.length == 3 * img.get.width * img.get.height)
+    }
+  }
+
+  test("q173: scene-cut recall — an inverted frame flips every gradient, a clean pair stays") {
+    // frames of one video differ only via whole-frame inversion (the
+    // variant rule); inversion reverses every block comparison, so a
+    // cut's Hamming step is large while same-state neighbors share
+    // their base pattern's CHANGE structure across gg only partially —
+    // the pinned property is the inversion side: invert vs clean of
+    // the SAME gg differs in every decided bit
+    val gg = 40L
+    def h(invert: Boolean): Long =
+      MediaCodecs.dHash64(MediaCodecs.decodePpm(
+        Multimodal.syntheticFramePpm(gg, invert)).get)
+    val clean = h(false); val inv = h(true)
+    assert(java.lang.Long.bitCount(clean ^ inv) >= 48,
+      s"inversion should flip (nearly) all decided bits: ${java.lang.Long.bitCount(clean ^ inv)}")
+  }
 }
