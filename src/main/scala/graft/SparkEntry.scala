@@ -855,6 +855,16 @@ object SparkEntry {
     // scene-change segmentation over the q153 frame fingerprints:
     // cuts = consecutive-frame Hamming jumps, per-video bounded windows
     "q173_video_scene_changes" -> ((s, dir) => Multimodal.videoSceneChanges(s, dir)),
+    // incremental near-dedup (q131's IVM discipline on the LSH band
+    // index): delta probes the STORED base index + intra-delta join;
+    // oracle = full recompute restricted to delta pairs — the
+    // incremental ≡ recompute invariance, probe IO ∝ delta
+    "q174_dedup_ivm_delta" -> ((s, dir) => Dedup.dedupIvmDelta(s, dir)),
+    // incremental ANALYZE: q164's profile merged from stored base
+    // partials + a delta scan — algebraic stats merge exactly, distinct
+    // carried as the max-mergeable HLL register block (merge ≡
+    // recompute bit-exactly, q55's register math)
+    "q175_incremental_profile" -> ((s, dir) => operators.DataQuality.incrementalProfile(s, dir)),
     // q155 live: the term-count table is counter-sum state (vocabulary-
     // sized, Heaps-sublinear) maintained Complete-mode; converged
     // counts = batch counts, shared fold, q155's oracle unchanged —
@@ -2207,6 +2217,8 @@ object SparkEntry {
     "q171_aspect_bucket_packing" -> operators.Multimodal.aspectBucketPackingSql(),
     "q172_audio_silence_gate" -> operators.Multimodal.audioSilenceGateSql(),
     "q173_video_scene_changes" -> operators.Multimodal.videoSceneChangesSql(),
+    "q174_dedup_ivm_delta" -> operators.Dedup.dedupIvmDeltaSql(),
+    "q175_incremental_profile" -> operators.DataQuality.incrementalProfileSql(),
     // converged Complete-mode pair grid equals the batch grid
     // (order-independent sums), so q156's oracle applies unchanged
     "q160_stream_pmi" -> TextAnalysis.pmiPairsSql(),

@@ -292,6 +292,89 @@ object DataQuality {
       one("events", "value")).mkString("\nUNION ALL ")
   }
 
+  // ---- incremental (IVM) column-profile maintenance (q175) ----
+
+  private val profCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  /** INCREMENTAL ANALYZE — q164's statistics collection maintained
+    * from partials instead of recomputed: the events log splits into
+    * the BASE (event_id % 10 ≠ 0, whose per-column partial stats and
+    * HLL register block are the stored artifacts a prior run
+    * materialized) and the DELTA batch; the fresh profile merges the
+    * stored partials with delta partials — count/null/min/max/Σ are
+    * algebraically mergeable, and the distinct count is carried as the
+    * register-MAX-mergeable HLL sketch (the reason ANALYZE pipelines
+    * store sketches, not exact distinct sets: exact distinct is the
+    * one non-mergeable statistic). Delta cost is one scan OF THE
+    * DELTA; the base is never re-read.
+    *
+    * The oracle recomputes everything over the FULL table: the merge
+    * ≡ recompute invariance holds exactly for the algebraic stats and
+    * — because register max-merge commutes with partitioning —
+    * BIT-exactly for the HLL estimate too (q55's register math, one
+    * shared derivation). `hll_est` is reported for the id column;
+    * doubles never enter it except the single final division.
+    */
+  def incrementalProfile(s: SparkSession, dir: String, p: Int = 5): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val base = ev.filter(col("event_id") % 10 =!= 0)
+    val delta = ev.filter(col("event_id") % 10 === 0)
+    def statPartials(df: DataFrame): DataFrame = {
+      def one(c: String): DataFrame =
+        df.agg(
+          count(lit(1)).as("n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          min(col(c)).cast("double").as("min_value"),
+          max(col(c)).cast("double").as("max_value"),
+          sum(floor(col(c) * 1000000).cast("long")).as("sum_micro"))
+          .select(lit(s"events.$c").as("column"), col("n"), col("n_null"),
+            col("min_value"), col("max_value"), col("sum_micro"))
+      one("user_id").unionAll(one("value"))
+    }
+    def regPartials(df: DataFrame): DataFrame =
+      Sketches.hllRegistersBy(
+        df.select(lit("events.user_id").as("column"), col("user_id")),
+        Seq("column"), col("user_id"), p)
+    val baseStats = graft.ArtifactCache.cached(profCache, ("stats", dir), s)(
+      statPartials(base))
+    val baseRegs = graft.ArtifactCache.cached(profCache, ("regs", dir), s)(
+      regPartials(base))
+    val stats = baseStats.unionAll(statPartials(delta))
+      .groupBy(col("column"))
+      .agg(sum(col("n")).as("n"), sum(col("n_null")).as("n_null"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"),
+        sum(col("sum_micro")).as("sum_micro"))
+    val regs = baseRegs.unionAll(regPartials(delta))
+      .groupBy(col("column"), col("bucket")).agg(max(col("mj")).as("mj"))
+    val est = Sketches.hllSumsBy(regs, Seq("column"), p, "hll_est")
+      .select(col("column"), col("hll_est"))
+    stats.join(est, Seq("column"), "left")
+      .select(col("column"), col("n"), col("n_null"), col("min_value"),
+        col("max_value"), col("sum_micro"), col("hll_est"))
+  }
+
+  def incrementalProfileSql(p: Int = 5): String = {
+    // `column` is a DuckDB keyword as a bare reference (an unquoted
+    // ALIAS parses, q164; a reference does not) — quote it throughout
+    def one(c: String): String =
+      s"""SELECT 'events.$c' AS "column", count(*)::BIGINT AS n,
+                 sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+                 min($c)::DOUBLE AS min_value, max($c)::DOUBLE AS max_value,
+                 sum(floor($c * 1000000)::BIGINT)::BIGINT AS sum_micro
+          FROM events"""
+    s"""WITH ${Sketches.hllCtesBy(p, Seq("\"column\"" -> "'events.user_id'"))},
+        est AS (SELECT "column", ${Sketches.hllNumerator(p)} / hll_s::DOUBLE AS hll_est
+                FROM sums),
+        st AS (${one("user_id")}
+               UNION ALL ${one("value")})
+        SELECT st."column", st.n, st.n_null, st.min_value, st.max_value,
+               st.sum_micro, est.hll_est
+        FROM st LEFT JOIN est USING ("column")"""
+  }
+
   // ---- evicting (windowed) streaming RI orphan monitor (q142) ----
 
   /** q113's live referential-integrity monitor in the EVICTING form —

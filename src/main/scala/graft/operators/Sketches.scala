@@ -148,7 +148,7 @@ object Sketches {
     * — ONE canonical register chain however it is keyed; q139's
     * windowed oracle adds the hour window as a second key this way.
     */
-  private def hllCtesBy(p: Int, keys: Seq[(String, String)]): String = {
+  private[operators] def hllCtesBy(p: Int, keys: Seq[(String, String)]): String = {
     val m = 1 << p
     val wbits = 60 - p
     val sel = keys.map { case (a, e) => s"$e AS $a" }.mkString(", ")

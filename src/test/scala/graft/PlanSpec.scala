@@ -621,6 +621,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
 
+  test("q174: the IVM delta probe joins on the band key — never all-pairs, never base×base") {
+    val p = plan("q174_dedup_ivm_delta")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q176: the threshold sweep is ONE corpus scan with a map-side-combined bounded grid") {
     val p = plan("q176_threshold_sweep")
     // scores, labels, and the ×11 explode are projections over one
