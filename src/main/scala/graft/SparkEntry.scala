@@ -855,6 +855,18 @@ object SparkEntry {
     // scene-change segmentation over the q153 frame fingerprints:
     // cuts = consecutive-frame Hamming jumps, per-video bounded windows
     "q173_video_scene_changes" -> ((s, dir) => Multimodal.videoSceneChanges(s, dir)),
+    // q168 live: the equivalence-class counter table is counter-sum
+    // state bounded by the quasi-id combination count, maintained
+    // Complete-mode over the customer ingest; converged classes =
+    // batch classes, shared fold, q168's oracle unchanged — anonymity
+    // violations surface as the release table fills, not at audit time
+    "q169_stream_k_anonymity" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_nationkey"), col("c_acctbal"))
+      val classes = sketchMaintenanceStream(s, dir, "q169", cust)(
+        in => operators.DataQuality.kAnonymityClassCounts(in)).localCheckpoint(true)
+      operators.DataQuality.kAnonymityFold(classes)
+    }),
     // incremental near-dedup (q131's IVM discipline on the LSH band
     // index): delta probes the STORED base index + intra-delta join;
     // oracle = full recompute restricted to delta pairs — the
@@ -2217,6 +2229,7 @@ object SparkEntry {
     "q171_aspect_bucket_packing" -> operators.Multimodal.aspectBucketPackingSql(),
     "q172_audio_silence_gate" -> operators.Multimodal.audioSilenceGateSql(),
     "q173_video_scene_changes" -> operators.Multimodal.videoSceneChangesSql(),
+    "q169_stream_k_anonymity" -> operators.DataQuality.kAnonymityAuditSql(),
     "q174_dedup_ivm_delta" -> operators.Dedup.dedupIvmDeltaSql(),
     "q175_incremental_profile" -> operators.DataQuality.incrementalProfileSql(),
     // converged Complete-mode pair grid equals the batch grid

@@ -464,17 +464,30 @@ object DataQuality {
     * the class SIZE — output is the size histogram (≤ distinct-size
     * rows), never the class list. All counts exact BIGINTs.
     */
-  def kAnonymityAudit(s: SparkSession, dir: String, k: Long = 5): DataFrame = {
-    val classes = graft.Tables.load(s, dir, "customer")
-      .select(quasiIdCols: _*)
+  /** The equivalence-class COUNTER table — plain counter-sum state
+    * bounded by the quasi-id combination cardinality (the streamable
+    * class: q169 maintains exactly this aggregation Complete-mode over
+    * the customer ingest and converges to the batch table).
+    */
+  def kAnonymityClassCounts(cust: DataFrame): DataFrame =
+    cust.select(quasiIdCols: _*)
       .groupBy(col("c_mktsegment"), col("c_nationkey"), col("bal_bucket"))
       .agg(count(lit(1)).as("class_size"))
+
+  /** Fold the class table to the size histogram — shared by the batch
+    * audit (q168) and the live monitor (q169) so the two reports
+    * cannot drift.
+    */
+  def kAnonymityFold(classes: DataFrame, k: Long = 5): DataFrame =
     classes.groupBy(col("class_size"))
       .agg(count(lit(1)).as("n_classes"),
         sum(col("class_size")).as("n_rows"))
       .select(col("class_size"), col("n_classes"), col("n_rows"),
         (col("class_size") < k).as("violates_k"))
-  }
+
+  def kAnonymityAudit(s: SparkSession, dir: String, k: Long = 5): DataFrame =
+    kAnonymityFold(
+      kAnonymityClassCounts(graft.Tables.load(s, dir, "customer")), k)
 
   def kAnonymityAuditSql(k: Long = 5): String =
     s"""WITH cls AS (
