@@ -872,6 +872,12 @@ object SparkEntry {
     // oracle = full recompute restricted to delta pairs — the
     // incremental ≡ recompute invariance, probe IO ∝ delta
     "q174_dedup_ivm_delta" -> ((s, dir) => Dedup.dedupIvmDelta(s, dir)),
+    // the RAG serving composition at passage granularity: q161's
+    // chunks → hashed bag-of-words integer embeddings → dominant-slot
+    // bucket equi-join (training-free IVF) → exact integer-dot cosine
+    // re-rank; the whole similarity ledger is BIGINT until one final
+    // division
+    "q180_passage_retrieval" -> ((s, dir) => TextAnalysis.passageRetrieval(s, dir)),
     // incremental ANALYZE: q164's profile merged from stored base
     // partials + a delta scan — algebraic stats merge exactly, distinct
     // carried as the max-mergeable HLL register block (merge ≡
@@ -2232,6 +2238,7 @@ object SparkEntry {
     "q169_stream_k_anonymity" -> operators.DataQuality.kAnonymityAuditSql(),
     "q174_dedup_ivm_delta" -> operators.Dedup.dedupIvmDeltaSql(),
     "q175_incremental_profile" -> operators.DataQuality.incrementalProfileSql(),
+    "q180_passage_retrieval" -> operators.TextAnalysis.passageRetrievalSql(),
     // converged Complete-mode pair grid equals the batch grid
     // (order-independent sums), so q156's oracle applies unchanged
     "q160_stream_pmi" -> TextAnalysis.pmiPairsSql(),

@@ -369,7 +369,12 @@ object TextAnalysis {
     * hash-keyed groupBy joined back. All md5/integer arithmetic —
     * cell-exact cross-engine.
     */
-  def contentDefinedChunks(s: SparkSession, dir: String,
+  /** The (doc, chunk) extent table with each chunk's token slice —
+    * the rolling-gram-hash chunk derivation factored out of
+    * [[contentDefinedChunks]] so the passage retriever (q180) indexes
+    * exactly the chunks the chunker reports.
+    */
+  private[operators] def chunkExtents(s: SparkSession, dir: String,
       modulus: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toksCol = tokens(col("text"))
@@ -390,11 +395,17 @@ object TextAnalysis {
       .withColumn("chunk_id", sum(col("b")).over(w) - col("b"))
     val extents = chunked.groupBy(col("doc_id"), col("chunk_id"))
       .agg(min(col("i")).cast("long").as("chunk_start"), count(lit(1)).as("chunk_len"))
-    val chunks = extents.join(base, "doc_id")
+    extents.join(base, "doc_id")
       .select(col("doc_id"), col("chunk_id"), col("chunk_start"), col("chunk_len"),
-        md5(array_join(
-          slice(col("toks"), col("chunk_start").cast("int"), col("chunk_len").cast("int")),
-          " ")).as("chunk_hash"))
+        slice(col("toks"), col("chunk_start").cast("int"), col("chunk_len").cast("int"))
+          .as("chunk_toks"))
+  }
+
+  def contentDefinedChunks(s: SparkSession, dir: String,
+      modulus: Int = 16): DataFrame = {
+    val chunks = chunkExtents(s, dir, modulus)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_start"), col("chunk_len"),
+        md5(array_join(col("chunk_toks"), " ")).as("chunk_hash"))
     val occ = chunks.groupBy(col("chunk_hash")).agg(count(lit(1)).as("n_occurrences"))
     chunks.join(occ, "chunk_hash")
       .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
@@ -425,6 +436,124 @@ object TextAnalysis {
                 FROM chunks GROUP BY 1)
         SELECT c.doc_id, c.chunk_id, c.chunk_start, c.chunk_len, c.chunk_hash, o.n_occurrences
         FROM chunks c JOIN occ o USING (chunk_hash)"""
+
+  // ---- chunk-level passage retrieval (q180) ----
+
+  /** Passage retrieval — the RAG serving composition at CHUNK
+    * granularity (q152 retrieves documents; answers live in passages):
+    * the corpus is content-defined-chunked ([[chunkExtents]] — the
+    * SAME chunks q161 reports), every chunk gets a `dims`-dim hashed
+    * bag-of-words embedding (slot j counts the chunk's tokens with
+    * md5 % dims = j — the hashing-trick featurizer, integer
+    * end-to-end), and each bounded query (the first `nQueries` docs'
+    * full texts through the SAME featurizer) retrieves its top-`k`
+    * passages.
+    *
+    * Scale path: candidates come from an EQUI-JOIN on the dominant-
+    * slot bucket (argmax_j e_j, first-index tie-break) — the IVF idea
+    * with a data-independent bucketing rule, so the index needs no
+    * training and the oracle needs no literals; the exact re-rank
+    * touches only same-bucket chunks. The similarity ledger is exact:
+    * the dot product and both norms are BIGINT sums of products;
+    * cosine is ONE division by ONE sqrt of their exact product —
+    * bit-identical across engines. Rank windows carry the literal
+    * bound (WindowGroupLimit prunes per-partition). Queries never
+    * retrieve their own document's chunks.
+    */
+  def passageRetrieval(s: SparkSession, dir: String, dims: Int = 16,
+      nQueries: Int = 5, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def embed(toks: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+      (0 until dims).map(j =>
+        size(filter(toks, t => graft.functions.md5_long(t) % dims === j))
+          .cast("long").as(s"e$j"))
+    def withBucketNorm(df: DataFrame): DataFrame = {
+      val es = (0 until dims).map(j => col(s"e$j"))
+      df.withColumn("bucket",
+          array_position(array(es: _*), array_max(array(es: _*))))
+        .withColumn("norm2", es.map(e => e * e).reduce(_ + _))
+    }
+    val chunks = withBucketNorm(chunkExtents(s, dir)
+      .select(col("doc_id") +: col("chunk_id") +: embed(col("chunk_toks")): _*))
+    val queries = withBucketNorm(Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id") +: embed(tokens(col("text"))): _*))
+    val qSide = queries.select(col("query_id") +: col("bucket") +:
+      col("norm2").as("qnorm2") +: (0 until dims).map(j => col(s"e$j").as(s"q$j")): _*)
+    val dot = (0 until dims).map(j => col(s"e$j") * col(s"q$j")).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("doc_id").asc, col("chunk_id").asc)
+    chunks.join(broadcast(qSide), Seq("bucket"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), col("chunk_id"),
+        dot.as("dot"), col("norm2"), col("qnorm2"))
+      .filter(col("norm2") > 0)
+      .withColumn("cos",
+        col("dot").cast("double") / sqrt((col("norm2") * col("qnorm2")).cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("chunk_id"),
+        col("dot"), col("cos"), col("rank"))
+  }
+
+  def passageRetrievalSql(dims: Int = 16, nQueries: Int = 5, k: Int = 5,
+      modulus: Int = 16): String = {
+    def slotHash(t: String) =
+      s"('0x' || substring(md5($t), 1, 15))::BIGINT % $dims"
+    def embedSel(toksExpr: String): String =
+      (0 until dims).map(j =>
+        s"len(list_filter($toksExpr, t -> ${slotHash("t")} = $j))::BIGINT AS e$j")
+        .mkString(",\n                 ")
+    val es = (0 until dims).map(j => s"e$j")
+    val arr = es.mkString("[", ", ", "]")
+    val norm2 = es.map(e => s"$e * $e").mkString(" + ")
+    val dot = (0 until dims).map(j => s"c.e$j * q.q$j").mkString(" + ")
+    val qRenames = (0 until dims).map(j => s"e$j AS q$j").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+                   WHERE len(string_split(lower(text), ' ')) >= 1),
+        pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM d),
+        b AS (SELECT doc_id, i,
+                     CASE WHEN i <= len(toks) - 2
+                          AND ('0x' || substring(md5(array_to_string(toks[i:i+2], ' ')), 1, 15))::BIGINT % $modulus = 0
+                          THEN 1 ELSE 0 END AS b
+              FROM pos),
+        ch AS (SELECT doc_id, i,
+                      (sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b)::BIGINT AS chunk_id
+               FROM b),
+        ext AS (SELECT doc_id, chunk_id, min(i)::BIGINT AS chunk_start,
+                       count(*)::BIGINT AS chunk_len
+                FROM ch GROUP BY 1, 2),
+        ce AS (
+          SELECT e.doc_id, e.chunk_id,
+                 ${embedSel("d.toks[e.chunk_start:e.chunk_start + e.chunk_len - 1]")}
+          FROM ext e JOIN d USING (doc_id)),
+        cb AS (SELECT doc_id, chunk_id, ${es.mkString(", ")},
+                      list_position($arr, list_max($arr))::BIGINT AS bucket,
+                      ($norm2)::BIGINT AS norm2
+               FROM ce),
+        qe AS (
+          SELECT doc_id AS query_id, ${embedSel("toks")}
+          FROM d WHERE doc_id < $nQueries),
+        qb AS (SELECT query_id, $qRenames,
+                      list_position($arr, list_max($arr))::BIGINT AS bucket,
+                      ($norm2)::BIGINT AS qnorm2
+               FROM qe),
+        scored AS (
+          SELECT q.query_id, c.doc_id, c.chunk_id,
+                 ($dot)::BIGINT AS dot, c.norm2, q.qnorm2
+          FROM cb c JOIN qb q USING (bucket)
+          WHERE c.doc_id <> q.query_id AND c.norm2 > 0),
+        ranked AS (
+          SELECT query_id, doc_id, chunk_id, dot,
+                 dot::DOUBLE / sqrt((norm2 * qnorm2)::DOUBLE) AS cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot::DOUBLE / sqrt((norm2 * qnorm2)::DOUBLE) DESC,
+                            doc_id ASC, chunk_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, doc_id, chunk_id, dot, cos, rank
+        FROM ranked WHERE rank <= $k"""
+  }
 
   // ---- tokenizer vocabulary induction (q155) ----
 

@@ -621,6 +621,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
 
+  test("q180: passage retrieval equi-joins on the bucket; bounded top-k plans as WindowGroupLimit") {
+    // the candidate join must key on the dominant-slot bucket (the
+    // training-free IVF move) with the bounded query side broadcast;
+    // the literal rank bound must prune per-partition
+    val p = plan("q180_passage_retrieval")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q174: the IVM delta probe joins on the band key — never all-pairs, never base×base") {
     val p = plan("q174_dedup_ivm_delta")
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
