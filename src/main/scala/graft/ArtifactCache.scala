@@ -39,5 +39,17 @@ private[graft] object ArtifactCache {
       build: => DataFrame): DataFrame =
     cache.compute(key, (_, hit) =>
       if (hit != null && (hit.sparkSession eq s) && !s.sparkContext.isStopped) hit
-      else build.localCheckpoint(true))
+      else isolated(build))
+
+  /** `localCheckpoint` that is a PLAN boundary, not just a compute
+    * boundary: the checkpoint's inherited origin-constraint set
+    * (SPARK-39748) is dropped (stats kept). Artifacts are built from
+    * wide expression derivations, and consumers plan joins/filters
+    * above them — with inheritance, the constraint fixpoint re-grinds
+    * the builder's trees on EVERY consumer plan (34 s of driver time
+    * per q180 invocation before this; see GraftCheckpointBridge).
+    */
+  def isolated(df: DataFrame): DataFrame =
+    org.apache.spark.sql.execution.GraftCheckpointBridge
+      .dropOriginConstraints(df.localCheckpoint(true))
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{ArtifactCache, Tables}
 
 /** Text-analysis operators for training-data pipelines over the
   * `documents` table: token counting (whitespace + BPE-ish regex),
@@ -460,49 +460,112 @@ object TextAnalysis {
     * bound (WindowGroupLimit prunes per-partition). Queries never
     * retrieve their own document's chunks.
     */
+  private val passageIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]()
+  private val passageQueryCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), DataFrame]()
+
   def passageRetrieval(s: SparkSession, dir: String, dims: Int = 16,
       nQueries: Int = 5, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def embed(toks: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
-      (0 until dims).map(j =>
-        size(filter(toks, t => graft.functions.md5_long(t) % dims === j))
-          .cast("long").as(s"e$j"))
-    def withBucketNorm(df: DataFrame): DataFrame = {
-      val es = (0 until dims).map(j => col(s"e$j"))
-      df.withColumn("bucket",
-          array_position(array(es: _*), array_max(array(es: _*))))
-        .withColumn("norm2", es.map(e => e * e).reduce(_ + _))
-    }
-    val chunks = withBucketNorm(chunkExtents(s, dir)
-      .select(col("doc_id") +: col("chunk_id") +: embed(col("chunk_toks")): _*))
-    val queries = withBucketNorm(Tables.load(s, dir, "documents")
-      .filter(col("doc_id") < nQueries)
-      .select(col("doc_id").as("query_id") +: embed(tokens(col("text"))): _*))
-    val qSide = queries.select(col("query_id") +: col("bucket") +:
-      col("norm2").as("qnorm2") +: (0 until dims).map(j => col(s"e$j").as(s"q$j")): _*)
-    val dot = (0 until dims).map(j => col(s"e$j") * col(s"q$j")).reduce(_ + _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("doc_id").asc, col("chunk_id").asc)
-    chunks.join(broadcast(qSide), Seq("bucket"))
-      .filter(col("doc_id") =!= col("query_id"))
-      .select(col("query_id"), col("doc_id"), col("chunk_id"),
-        dot.as("dot"), col("norm2"), col("qnorm2"))
-      .filter(col("norm2") > 0)
-      .withColumn("cos",
-        col("dot").cast("double") / sqrt((col("norm2") * col("qnorm2")).cast("double")))
+    // The rank window runs over a MATERIALIZED candidate frame (one
+    // broadcast-join job, ~0.3 s at sf0.1): with the scored plan left
+    // lazy, PruneFilters' constraint fixpoint over the cos/dot alias
+    // equalities still cost 16 s of pure driver plan time even with
+    // both join inputs checkpointed. Every segment boundary here is a
+    // plain-attribute LogicalRDD, so no optimizer rule ever sees a
+    // deep tree crossed with a filter.
+    ArtifactCache.isolated(passageScored(s, dir, dims, nQueries))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("chunk_id"),
         col("dot"), col("cos"), col("rank"))
   }
 
+  /** The lazy scored-candidate frame q180 ranks — factored out so the
+    * plan suite can pin the bucket equi-join shape (the final frame
+    * ranks over a materialized segment, hiding the join from its
+    * plan).
+    */
+  private[graft] def passageScored(s: SparkSession, dir: String,
+      dims: Int = 16, nQueries: Int = 5): DataFrame = {
+    // The featurizer is explode → ONE hash per token → 16 conditional
+    // sums through a REAL aggregation. Two wrong formulations came
+    // first: 16 filter-lambdas each re-hashing (dims× the digest work,
+    // 119 s at sf0.1), then 16 filters over one slot array — which
+    // still died (~100 s), because the lambda tree re-inlines through
+    // every downstream projection and blows the codegen budget (the
+    // HyperplaneSigs failure class: giant fallback expressions
+    // interpreting per row). The aggregate is a hard materialization
+    // boundary — downstream plans see 16 plain integer columns — and
+    // is the shape a 100 TB featurizer wants anyway (map-side combine
+    // on the chunk key; tokens never ride the exchange uncombined).
+    def embedFrom(df: DataFrame,
+        toks: org.apache.spark.sql.Column,
+        keep: Seq[org.apache.spark.sql.Column],
+        keyNames: Seq[String]): DataFrame =
+      df.select(keep :+
+          explode(transform(toks, t => graft.functions.md5_long(t) % dims)).as("slot"): _*)
+        .groupBy(keyNames.map(col): _*)
+        .agg(
+          sum(when(col("slot") === 0, 1L).otherwise(0L)).as("e0"),
+          (1 until dims).map(j =>
+            sum(when(col("slot") === j, 1L).otherwise(0L)).as(s"e$j")): _*)
+    def withBucketNorm(df: DataFrame): DataFrame = {
+      val es = (0 until dims).map(j => col(s"e$j"))
+      df.withColumn("bucket",
+          array_position(array(es: _*), array_max(array(es: _*))))
+        .withColumn("norm2", es.map(e => e * e).reduce(_ + _))
+    }
+    // BOTH join inputs are materialized artifacts (the q83/q85
+    // stored-index discipline — the chunk index is the serving layout,
+    // the query embeddings the bounded probe batch), and the
+    // checkpoints are also THE perf fix, not just thematic: with live
+    // expression trees on the join inputs, Catalyst's PruneFilters
+    // spent 34 of the 34.4 s plan time (RuleExecutor.dumpTimeSpent, 0
+    // effective runs) grinding constraint propagation through the
+    // bucket equality — an EqualTo of two 16-wide array_position
+    // trees crossed with the norm2/rank filters. Checkpointed inputs
+    // are plain attributes, so constraint canonicalization is linear
+    // and the whole plan+run is ~0.5 s warm.
+    // norm2 > 0 lives INSIDE the index build (empty chunks never
+    // serve): placement is load-bearing — as a lazy Filter ABOVE the
+    // dot/cos projection it is the node whose child-constraint set
+    // PruneFilters grinds on.
+    val chunks = ArtifactCache.cached(passageIndexCache, (dir, dims), s)(
+      withBucketNorm(embedFrom(chunkExtents(s, dir),
+        col("chunk_toks"), Seq(col("doc_id"), col("chunk_id")),
+        Seq("doc_id", "chunk_id"))).filter(col("norm2") > 0))
+    val queries = ArtifactCache.cached(
+      passageQueryCache, (dir, dims, nQueries), s)(
+      withBucketNorm(embedFrom(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < nQueries),
+        tokens(col("text")), Seq(col("doc_id").as("query_id")),
+        Seq("query_id"))))
+    val qSide = queries.select(col("query_id") +: col("bucket") +:
+      col("norm2").as("qnorm2") +: (0 until dims).map(j => col(s"e$j").as(s"q$j")): _*)
+    val dot = (0 until dims).map(j => col(s"e$j") * col(s"q$j")).reduce(_ + _)
+    chunks.join(broadcast(qSide), Seq("bucket"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), col("chunk_id"),
+        dot.as("dot"), col("norm2"), col("qnorm2"))
+      .withColumn("cos",
+        col("dot").cast("double") / sqrt((col("norm2") * col("qnorm2")).cast("double")))
+  }
+
   def passageRetrievalSql(dims: Int = 16, nQueries: Int = 5, k: Int = 5,
       modulus: Int = 16): String = {
     def slotHash(t: String) =
       s"('0x' || substring(md5($t), 1, 15))::BIGINT % $dims"
-    def embedSel(toksExpr: String): String =
+    // mirror of the engine's one-digest-per-token shape: hash into a
+    // slot list once, count slots with integer compares
+    def slotsSel(toksExpr: String): String =
+      s"list_transform($toksExpr, t -> ${slotHash("t")}) AS sl"
+    val embedSel: String =
       (0 until dims).map(j =>
-        s"len(list_filter($toksExpr, t -> ${slotHash("t")} = $j))::BIGINT AS e$j")
+        s"len(list_filter(sl, x -> x = $j))::BIGINT AS e$j")
         .mkString(",\n                 ")
     val es = (0 until dims).map(j => s"e$j")
     val arr = es.mkString("[", ", ", "]")
@@ -524,17 +587,18 @@ object TextAnalysis {
         ext AS (SELECT doc_id, chunk_id, min(i)::BIGINT AS chunk_start,
                        count(*)::BIGINT AS chunk_len
                 FROM ch GROUP BY 1, 2),
-        ce AS (
+        cs AS (
           SELECT e.doc_id, e.chunk_id,
-                 ${embedSel("d.toks[e.chunk_start:e.chunk_start + e.chunk_len - 1]")}
+                 ${slotsSel("d.toks[e.chunk_start:e.chunk_start + e.chunk_len - 1]")}
           FROM ext e JOIN d USING (doc_id)),
+        ce AS (SELECT doc_id, chunk_id, $embedSel FROM cs),
         cb AS (SELECT doc_id, chunk_id, ${es.mkString(", ")},
                       list_position($arr, list_max($arr))::BIGINT AS bucket,
                       ($norm2)::BIGINT AS norm2
                FROM ce),
-        qe AS (
-          SELECT doc_id AS query_id, ${embedSel("toks")}
-          FROM d WHERE doc_id < $nQueries),
+        qs AS (SELECT doc_id AS query_id, ${slotsSel("toks")}
+               FROM d WHERE doc_id < $nQueries),
+        qe AS (SELECT query_id, $embedSel FROM qs),
         qb AS (SELECT query_id, $qRenames,
                       list_position($arr, list_max($arr))::BIGINT AS bucket,
                       ($norm2)::BIGINT AS qnorm2
