@@ -883,6 +883,27 @@ object SparkEntry {
     // carried as the max-mergeable HLL register block (merge ≡
     // recompute bit-exactly, q55's register math)
     "q175_incremental_profile" -> ((s, dir) => operators.DataQuality.incrementalProfile(s, dir)),
+    // classifier evaluation, threshold-free: exact Mann–Whitney AUC +
+    // KS over the micro-unit operating scale — pair counts and the KS
+    // argmax in BIGINT (cross-multiplied CDFs), one division per
+    // metric; the ROC prefix sums run over the BOUNDED score histogram
+    // (≤ 2·10⁶+1 rows by construction), never a global sort of docs
+    "q181_classifier_auc" -> ((s, dir) => PipelineOps.classifierAuc(s, dir)),
+    // classifier probability calibration: equal-width score bins vs
+    // empirical positive rate (q176 calibrates the threshold, this the
+    // readout) — one scan to ≤ 10 counters, divisions only per bin
+    "q190_calibration_bins" -> ((s, dir) => PipelineOps.calibrationBins(s, dir)),
+    // q181 live: the score histogram is counter-sum state bounded by
+    // the micro-unit score cardinality (the streamable class),
+    // maintained Complete-mode over the document ingest; converged
+    // histogram = batch histogram, shared AUC fold, q181's oracle
+    // unchanged — ranking quality tracked as the corpus ingests
+    "q186_stream_classifier_auc" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val hist = sketchMaintenanceStream(s, dir, "q186", docs)(
+        in => PipelineOps.scoreHistogram(in)).localCheckpoint(true)
+      PipelineOps.aucFold(hist)
+    }),
     // q155 live: the term-count table is counter-sum state (vocabulary-
     // sized, Heaps-sublinear) maintained Complete-mode; converged
     // counts = batch counts, shared fold, q155's oracle unchanged —
@@ -2221,6 +2242,12 @@ object SparkEntry {
     // converged Complete-mode term counts equal the batch counts
     // (order-independent sums), so q155's oracle applies unchanged
     "q162_stream_vocab" -> TextAnalysis.vocabInductionSql(),
+    "q181_classifier_auc" -> PipelineOps.classifierAucSql(),
+    "q190_calibration_bins" -> PipelineOps.calibrationBinsSql(),
+    // converged Complete-mode score histogram equals the batch
+    // histogram (order-independent counter sums), so q181's oracle
+    // applies unchanged
+    "q186_stream_classifier_auc" -> PipelineOps.classifierAucSql(),
     "q163_dedup_aware_budget_mix" -> PipelineOps.dedupAwareBudgetMixSql(),
     "q164_column_profile" -> operators.DataQuality.columnProfileSql,
     "q165_retention_cohorts" -> Analytics.retentionCohortsSql,

@@ -1837,13 +1837,24 @@ object PipelineOps {
     * of exact BIGINTs (F1 as 2tp/(2tp+fp+fn) — one division, not a
     * float composition of p and r).
     */
-  def thresholdSweep(s: SparkSession, dir: String, d: Long = 1024L,
-      minQuality: Double = 0.5): DataFrame = {
-    val docs = Tables.load(s, dir, "documents").select(
+  /** The scored+labeled corpus shared by the whole classifier-
+    * evaluation family — the operating curve (q176), the AUC/KS
+    * summary (q181), the live AUC monitor (q186), and the calibration
+    * table (q190): q109's hashed-linear logit against q48's heuristic
+    * quality label. One definition so the evaluated model and the
+    * reference label cannot drift across the four reports.
+    */
+  private[operators] def scoredLabeledFrom(docs: DataFrame, d: Long = 1024L,
+      minQuality: Double = 0.5): DataFrame =
+    docs.select(
       col("doc_id"),
       size(split(lower(col("text")), " ")).cast("long").as("n_tokens"),
       hashedLogitMicro(col("text"), d).as("logit_micro"),
       (TextAnalysis.qualityCol(col("text")) >= minQuality).as("label"))
+
+  def thresholdSweep(s: SparkSession, dir: String, d: Long = 1024L,
+      minQuality: Double = 0.5): DataFrame = {
+    val docs = scoredLabeledFrom(Tables.load(s, dir, "documents"), d, minQuality)
     val thresholds = (-10 to 0).map(i => lit(i * 100000L))
     docs.select(col("n_tokens"), col("logit_micro"), col("label"),
         explode(array(thresholds: _*)).as("tau_micro"))
@@ -1890,4 +1901,174 @@ object PipelineOps {
                CASE WHEN tp * 2 + fp + fn > 0
                     THEN (tp * 2)::DOUBLE / (tp * 2 + fp + fn)::DOUBLE END AS f1
         FROM cm"""
+
+  // ---- classifier evaluation: exact AUC + KS statistic (q181/q186) ----
+
+  /** The per-token mean logit quantized ONCE to micro-units — the
+    * operating scale every threshold in this family already lives on
+    * (q109 ships τ in micro-units, q176 sweeps micro-unit taus), so
+    * ranking metrics computed over it evaluate the score the pipeline
+    * actually thresholds. The quantization is also THE scale move: it
+    * bounds the distinct-score cardinality at 2·10⁶+1 BY CONSTRUCTION,
+    * so the ROC prefix sums run over a bounded histogram however large
+    * the corpus — never a global sort of per-document scores. One IEEE
+    * division of exact BIGINTs, rounded once (the q96 discipline).
+    */
+  private def scoreMicro: Column =
+    round(col("logit_micro").cast("double") / col("n_tokens").cast("double")).cast("long")
+
+  /** The (score → class counts) histogram — plain counter-sum state
+    * bounded by the micro-unit score cardinality, i.e. exactly the
+    * streamable class: q186 maintains THIS aggregation Complete-mode
+    * over the document ingest and converges to the batch table, so
+    * the shared [[aucFold]] and q181's oracle apply unchanged.
+    */
+  def scoreHistogram(docs: DataFrame, d: Long = 1024L,
+      minQuality: Double = 0.5): DataFrame =
+    scoredLabeledFrom(docs, d, minQuality)
+      .select(scoreMicro.as("s_micro"), col("label"))
+      .groupBy(col("s_micro"))
+      .agg(sum(when(col("label"), 1L).otherwise(0L)).as("npos"),
+        sum(when(!col("label"), 1L).otherwise(0L)).as("nneg"))
+
+  /** Exact AUC (Mann–Whitney U) and Kolmogorov–Smirnov statistic of
+    * the q109 classifier against q48's label — the threshold-free
+    * complement of q176's operating curve (q176 answers "how good at
+    * THIS cutoff", this answers "how good at ranking, at all").
+    *
+    * All arithmetic exact until one final division per metric:
+    * `u2 = Σ_s npos(s)·(2·cneg_below(s) + nneg(s))` counts each
+    * correctly-ordered (pos, neg) pair twice and each tied pair once
+    * (BIGINT — ties handled exactly, no average-rank floats);
+    * `AUC = u2 / 2PN`. The KS max runs over INTEGER numerators
+    * (`|cneg_le·P − cpos_le·N|` — cross-multiplied CDF difference) so
+    * the argmax never compares composed floats; one division at the
+    * end. Scale shape: one corpus scan folds to the bounded histogram
+    * (map-side combined), and the prefix sums AND class totals all run
+    * in ONE window pass over ≤ 2·10⁶+1 rows by construction (the
+    * q149/q155 bounded-grid argument). BIGINT headroom: the
+    * cross-products are bounded by (corpus rows)², exact through
+    * ~3·10⁹ rows per evaluated slice; beyond that the fold moves to
+    * DECIMAL(38) — documented, not silently truncated.
+    */
+  def aucFold(hist: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("s_micro").asc)
+    // the class TOTALS are unbounded-frame sums in the SAME
+    // single-partition window pass as the prefix sums — deriving them
+    // as a separate aggregate would re-scan the corpus (a second
+    // histogram build), measured as exactly that by the plan pin
+    val cum = hist
+      .withColumn("cneg_below",
+        coalesce(sum(col("nneg")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cpos_le",
+        sum(col("npos")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cneg_le", col("cneg_below") + col("nneg"))
+      .withColumn("p_tot",
+        sum(col("npos")).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("n_tot",
+        sum(col("nneg")).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    cum.groupBy(col("p_tot"), col("n_tot"))
+      .agg(
+        sum(col("npos") * (col("cneg_below") * 2 + col("nneg"))).as("u2"),
+        max(abs(col("cneg_le") * col("p_tot") - col("cpos_le") * col("n_tot"))).as("ks_num"))
+      .select(col("p_tot").as("n_pos"), col("n_tot").as("n_neg"), col("u2"),
+        when(col("p_tot") * col("n_tot") > 0,
+          col("u2").cast("double") / (col("p_tot") * col("n_tot") * 2).cast("double"))
+          .as("auc"),
+        when(col("p_tot") * col("n_tot") > 0,
+          col("ks_num").cast("double") / (col("p_tot") * col("n_tot")).cast("double"))
+          .as("ks"))
+  }
+
+  def classifierAuc(s: SparkSession, dir: String, d: Long = 1024L,
+      minQuality: Double = 0.5): DataFrame =
+    aucFold(scoreHistogram(Tables.load(s, dir, "documents"), d, minQuality))
+
+  /** Shared scored/label/score-micro CTE prefix for the q181/q186/q190
+    * oracles — the SQL mirror of [[scoredLabeledFrom]] + [[scoreMicro]]. */
+  private def scoredLabeledCtes(d: Long, minQuality: Double): String =
+    s"""toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        scored AS (
+          SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                 sum((((('0x' || substring(md5(term), 1, 15))::BIGINT % $d) + 1) * 2654435761) % 2000001 - 1000000)::BIGINT AS logit_micro
+          FROM toks GROUP BY 1),
+        lab AS (SELECT doc_id, (quality >= $minQuality) AS label
+                FROM (${TextAnalysis.qualityScoresSql}) q),
+        sc AS (SELECT round(s.logit_micro::DOUBLE / s.n_tokens::DOUBLE)::BIGINT AS s_micro, l.label
+               FROM scored s JOIN lab l USING (doc_id))"""
+
+  def classifierAucSql(d: Long = 1024L, minQuality: Double = 0.5): String =
+    s"""WITH ${scoredLabeledCtes(d, minQuality)},
+        h AS (SELECT s_micro,
+                     sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS npos,
+                     sum(CASE WHEN NOT label THEN 1 ELSE 0 END)::BIGINT AS nneg
+              FROM sc GROUP BY 1),
+        c AS (SELECT s_micro, npos, nneg,
+                     coalesce(sum(nneg) OVER (ORDER BY s_micro ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cneg_below,
+                     (sum(npos) OVER (ORDER BY s_micro ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cpos_le,
+                     (sum(npos) OVER ())::BIGINT AS p_tot,
+                     (sum(nneg) OVER ())::BIGINT AS n_tot
+              FROM h)
+        SELECT p_tot AS n_pos, n_tot AS n_neg,
+               sum(npos * (cneg_below * 2 + nneg))::BIGINT AS u2,
+               CASE WHEN p_tot * n_tot > 0
+                    THEN (sum(npos * (cneg_below * 2 + nneg))::BIGINT)::DOUBLE
+                         / (p_tot * n_tot * 2)::DOUBLE END AS auc,
+               CASE WHEN p_tot * n_tot > 0
+                    THEN (max(abs((cneg_below + nneg) * p_tot - cpos_le * n_tot))::BIGINT)::DOUBLE
+                         / (p_tot * n_tot)::DOUBLE END AS ks
+        FROM c GROUP BY p_tot, n_tot"""
+
+  // ---- classifier calibration table (q190) ----
+
+  /** Reliability table of the q109 classifier: equal-width bins over
+    * the micro-unit score range vs the empirical positive rate — does
+    * "score 0.8" mean 80%? q176 calibrates the THRESHOLD; this
+    * calibrates the PROBABILITY readout (the input to any
+    * temperature-scaling or isotonic fix).
+    *
+    * ONE corpus scan folding to ≤ nBins counters (map-side combined —
+    * the q176 grid argument). The bin index floors an IEEE division
+    * both engines compute identically on exact integer operands;
+    * per-bin positive rate and mean score are single divisions of
+    * exact BIGINTs. No expected-calibration-error scalar on purpose:
+    * ECE would sum |float−float| terms — the per-bin table carries the
+    * exact numerators instead, and a consumer composes whatever
+    * summary it wants.
+    */
+  def calibrationBins(s: SparkSession, dir: String, d: Long = 1024L,
+      minQuality: Double = 0.5, nBins: Int = 10): DataFrame = {
+    val width = 2000000.0 / nBins
+    scoredLabeledFrom(Tables.load(s, dir, "documents"), d, minQuality)
+      .select(scoreMicro.as("s_micro"), col("label"))
+      .withColumn("bin",
+        least(floor((col("s_micro") + lit(1000000L)) / lit(width)).cast("long"),
+          lit(nBins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("npos"),
+        sum(col("s_micro")).as("sum_s_micro"))
+      .select(col("bin"), col("n"), col("npos"), col("sum_s_micro"),
+        (col("npos").cast("double") / col("n").cast("double")).as("pos_rate"),
+        (col("sum_s_micro").cast("double") / col("n").cast("double")).as("mean_s_micro"))
+  }
+
+  def calibrationBinsSql(d: Long = 1024L, minQuality: Double = 0.5,
+      nBins: Int = 10): String = {
+    val width = 2000000.0 / nBins
+    s"""WITH ${scoredLabeledCtes(d, minQuality)},
+        b AS (SELECT least(floor((s_micro + 1000000)::DOUBLE / $width)::BIGINT, ${nBins - 1}) AS bin,
+                     s_micro, label
+              FROM sc),
+        g AS (SELECT bin, count(*)::BIGINT AS n,
+                     sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS npos,
+                     sum(s_micro)::BIGINT AS sum_s_micro
+              FROM b GROUP BY 1)
+        SELECT bin, n, npos, sum_s_micro,
+               npos::DOUBLE / n::DOUBLE AS pos_rate,
+               sum_s_micro::DOUBLE / n::DOUBLE AS mean_s_micro
+        FROM g"""
+  }
 }

@@ -652,4 +652,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q181: AUC folds one corpus scan to the bounded score histogram") {
+    val p = plan("q181_classifier_auc")
+    // the ROC prefix sums AND the class totals run in one window pass
+    // over the map-side-combined s_micro histogram (bounded by
+    // construction) — the corpus is scanned exactly once, never
+    // globally sorted, and no join of any kind appears
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q190: calibration bins are one scan folded to the bin grid") {
+    val p = plan("q190_calibration_bins")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("Window"), p) // pure grid fold — no ranking state
+  }
 }
