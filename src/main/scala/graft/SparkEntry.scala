@@ -883,6 +883,17 @@ object SparkEntry {
     // carried as the max-mergeable HLL register block (merge ≡
     // recompute bit-exactly, q55's register math)
     "q175_incremental_profile" -> ((s, dir) => operators.DataQuality.incrementalProfile(s, dir)),
+    // in-engine distributed Lloyd k-means: milli-unit quantization
+    // makes centroid sums order-independent (oracle-exact on any
+    // partitioning); assignment argmin is a plain min() on a packed
+    // BIGINT key; rounds checkpoint (the q130 discipline). Unlike
+    // q49's sample-trained literals, the oracle re-derives the WHOLE
+    // training fixpoint in SQL — no gating
+    "q182_kmeans_train" -> ((s, dir) => Similarity.kmeansTrain(s, dir)),
+    // IVF served from the in-engine-trained centroids: trained-index
+    // quality with a fully-relational oracle — bucket hash join,
+    // bounded probe batch broadcast, BIGINT dot ledger until cos
+    "q187_ann_ivf_kmeans" -> ((s, dir) => Similarity.ivfKmeansTopK(s, dir)),
     // classifier evaluation, threshold-free: exact Mann–Whitney AUC +
     // KS over the micro-unit operating scale — pair counts and the KS
     // argmax in BIGINT (cross-multiplied CDFs), one division per
@@ -2242,6 +2253,8 @@ object SparkEntry {
     // converged Complete-mode term counts equal the batch counts
     // (order-independent sums), so q155's oracle applies unchanged
     "q162_stream_vocab" -> TextAnalysis.vocabInductionSql(),
+    "q182_kmeans_train" -> Similarity.kmeansTrainSql(),
+    "q187_ann_ivf_kmeans" -> Similarity.ivfKmeansTopKSql(),
     "q181_classifier_auc" -> PipelineOps.classifierAucSql(),
     "q190_calibration_bins" -> PipelineOps.calibrationBinsSql(),
     // converged Complete-mode score histogram equals the batch

@@ -1933,4 +1933,227 @@ object Similarity {
         / sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]))))"""
 
   private def cosSql: String = cosSqlOn("q.qv", "e.v")
+
+  // ---- in-engine distributed Lloyd k-means (q182) + IVF served from it (q187) ----
+
+  /** Cluster count — a power of two so the assignment key decodes with
+    * shifts/masks on both engines (`key = dist·C + cid−1`). */
+  val kmC = 8
+  private val kmCBits = 3
+  val kmIters = 2
+  val kmNprobe = 2
+
+  /** Milli-unit quantized corpus: `xq[j] = round(v[j]·1000)` as BIGINT.
+    * The quantization is what makes DISTRIBUTED training oracle-exact:
+    * float sums are order-dependent (a shuffle reorders them), integer
+    * sums are not — so centroid updates aggregate exactly on any
+    * partitioning. The per-element round is a single IEEE multiply +
+    * one round, mirrored in SQL. BIGINT headroom: |xq| ≤ ~10³-scale,
+    * so squared distances are ≤ dims·4·10⁶-scale and per-cluster
+    * coordinate sums stay exact through ~10¹² rows.
+    */
+  private def kmQuantized(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("v").isNotNull)
+      .select(col("vec_id"),
+        transform(col("v"), e => round(e * lit(1000)).cast("long")).as("xq"))
+
+  /** Deterministic init: the C lowest-id vectors, cid = 1..C by id
+    * order (no RNG — both engines derive the same start). */
+  private def kmInit(x: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("vec_id").asc)
+    x.orderBy(col("vec_id").asc).limit(kmC)
+      .select(row_number().over(w).cast("long").as("cid"), col("xq").as("c"))
+  }
+
+  /** One assignment pass. The argmin over clusters is a plain `min()`
+    * on the packed key `dist·C + (cid−1)` — squared distance is exact
+    * BIGINT (quantized operands), so nearest-centroid-with-tie-break
+    * needs no window, no struct ordering, and no float anywhere: one
+    * broadcast of C rows and one map-side-combinable aggregate per
+    * vector, the canonical distributed k-means round.
+    */
+  private def kmAssign(x: DataFrame, cent: DataFrame): DataFrame = {
+    val dist = aggregate(zip_with(col("xq"), col("c"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, d2) => acc + d2)
+    x.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("xq"), (dist * kmC + col("cid") - 1).as("key"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("key")).as("key"), first(col("xq")).as("xq"))
+      .select(col("vec_id"), col("xq"),
+        (pmod(col("key"), lit(kmC.toLong)) + 1).as("cid"),
+        shiftright(col("key"), kmCBits).as("dist"))
+  }
+
+  /** Centroid update on the milli-unit GRID: `c[j] = round(Σxq[j]/n)`
+    * — one division of exact BIGINTs rounded once per coordinate (the
+    * q96 discipline), so the updated centroid is integer again and the
+    * next round's distances stay exact. Per-(cluster, coordinate)
+    * sums shuffle C·dims rows whatever the corpus size; empty
+    * clusters keep their previous centroid (LEFT join + coalesce).
+    */
+  private def kmUpdate(assigned: DataFrame, prev: DataFrame): DataFrame = {
+    val means = assigned
+      .select(col("cid"), posexplode(col("xq")).as(Seq("j", "xj")))
+      .groupBy(col("cid"), col("j"))
+      .agg(round(sum(col("xj")).cast("double") / count(lit(1)).cast("double"))
+        .cast("long").as("cj"))
+    val next = means.groupBy(col("cid"))
+      .agg(sort_array(collect_list(struct(col("j"), col("cj")))).as("p"))
+      .select(col("cid"), transform(col("p"), e => e.getField("cj")).as("c"))
+    prev.select(col("cid"), col("c").as("c_prev"))
+      .join(next, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("c"), col("c_prev")).as("c"))
+  }
+
+  private val kmCentCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The trained centroid table (C rows), cached per corpus dir. Each
+    * round materializes at a checkpoint boundary (the q130 PageRank
+    * round discipline — lineage stays one round deep, and the artifact
+    * boundary drops origin constraints). UNLIKE the q49/q83 family,
+    * nothing here is a driver-side literal: training runs as
+    * `kmIters` relational rounds in the engine, so the oracle
+    * re-derives the whole fixpoint in SQL — no trained-literal gating.
+    */
+  private[operators] def kmCentroids(s: SparkSession, dir: String): DataFrame =
+    graft.ArtifactCache.cached(kmCentCache, dir, s) {
+      val x = kmQuantized(s, dir)
+      var cent = kmInit(x)
+      for (_ <- 1 to kmIters)
+        cent = graft.ArtifactCache.isolated(kmUpdate(kmAssign(x, cent), cent))
+      cent
+    }
+
+  /** q182: the training report — per-cluster population, exact BIGINT
+    * inertia (Σ min squared distance), and the centroid's squared norm
+    * (pins the trained coordinates cell-exactly through the oracle).
+    */
+  def kmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    val cent = kmCentroids(s, dir)
+    val fin = kmAssign(kmQuantized(s, dir), cent)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_points"), sum(col("dist")).as("inertia"))
+    cent.select(col("cid"),
+        aggregate(transform(col("c"), z => z * z), lit(0L), (a, b) => a + b)
+          .as("centroid_norm2"))
+      .join(fin, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("n_points"), lit(0L)).as("n_points"),
+        coalesce(col("inertia"), lit(0L)).as("inertia"), col("centroid_norm2"))
+  }
+
+  /** The e/x/c0→c2 training chain every oracle in this family shares —
+    * the SQL re-derivation of [[kmCentroids]] (init, `kmIters` rounds
+    * of assign+update), NOT a literal dump of it.
+    */
+  private def kmChainSql: String = {
+    def distSql(xv: String, cv: String) =
+      s"list_sum(list_transform(range(1, len($xv) + 1), i -> ($xv[i] - $cv[i]) * ($xv[i] - $cv[i])))::BIGINT"
+    def assignCte(prevC: String) =
+      s"""SELECT x.vec_id, min(${distSql("x.xq", "c.c")} * $kmC + c.cid - 1) AS key
+          FROM x, $prevC c GROUP BY 1"""
+    val rounds = (1 to kmIters).map { r =>
+      s"""a$r AS (${assignCte(s"c${r - 1}")}),
+        m$r AS (SELECT cid, j, round(sum(xj)::DOUBLE / count(*)::DOUBLE)::BIGINT AS cj
+                FROM (SELECT cid, u.j AS j, u.xj AS xj
+                      FROM (SELECT a.key % $kmC + 1 AS cid,
+                                   unnest(list_transform(range(1, len(x.xq) + 1),
+                                     i -> {'j': i, 'xj': x.xq[i]})) AS u
+                            FROM a$r a JOIN x USING (vec_id)))
+                GROUP BY 1, 2),
+        c$r AS (SELECT p.cid, coalesce(n.c, p.c) AS c
+                FROM c${r - 1} p LEFT JOIN
+                     (SELECT cid, list(cj ORDER BY j) AS c FROM m$r GROUP BY 1) n
+                     USING (cid))"""
+    }.mkString(",\n        ")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql),
+        x AS (SELECT vec_id, list_transform(v, e -> round(e * 1000)::BIGINT) AS xq
+              FROM e WHERE v IS NOT NULL),
+        c0 AS (SELECT (row_number() OVER (ORDER BY vec_id))::BIGINT AS cid, xq AS c
+               FROM (SELECT vec_id, xq FROM x ORDER BY vec_id LIMIT $kmC)),
+        $rounds,
+        af AS (${assignCte(s"c$kmIters")})"""
+  }
+
+  def kmeansTrainSql(): String =
+    s"""WITH $kmChainSql,
+        fin AS (SELECT key % $kmC + 1 AS cid, count(*)::BIGINT AS n_points,
+                       sum(key // $kmC)::BIGINT AS inertia
+                FROM af GROUP BY 1)
+        SELECT cid, coalesce(f.n_points, 0)::BIGINT AS n_points,
+               coalesce(f.inertia, 0)::BIGINT AS inertia,
+               list_sum(list_transform(c.c, z -> z * z))::BIGINT AS centroid_norm2
+        FROM c$kmIters c LEFT JOIN fin f USING (cid)"""
+
+  /** q187: IVF top-k served from the IN-ENGINE-trained centroids — the
+    * quality of a trained index (q49's pitch) with a fully-relational
+    * oracle (q26's checkability): corpus bucketed by trained centroid,
+    * queries probe their `kmNprobe` nearest buckets, candidates score
+    * by integer dot product (BIGINT until cos's one division — the
+    * q180 ledger). Probe join is a hash join on the bucket id with the
+    * bounded query batch broadcast; per-query candidate IO is
+    * nprobe/C of the corpus, the IVF contract.
+    */
+  def ivfKmeansTopK(s: SparkSession, dir: String, k: Int = defaultK): DataFrame = {
+    val cent = kmCentroids(s, dir)
+    val x = kmQuantized(s, dir)
+    val norm2of = (v: Column) =>
+      aggregate(transform(v, z => z * z), lit(0L), (a, b) => a + b)
+    val indexed = kmAssign(x, cent)
+      .withColumn("n2", norm2of(col("xq"))).filter(col("n2") > 0)
+    val qdist = aggregate(zip_with(col("xq"), col("c"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, d2) => acc + d2)
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("qkey").asc)
+    val probes = x.filter(col("vec_id") % queryMod === 0)
+      .orderBy(col("vec_id").asc).limit(maxQueryBatch)
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id").as("query_id"), col("xq").as("q"),
+        (qdist * kmC + col("cid") - 1).as("qkey"))
+      .withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= kmNprobe)
+      .withColumn("qn2", norm2of(col("q"))).filter(col("qn2") > 0)
+      .select(col("query_id"), col("q"), col("qn2"),
+        (pmod(col("qkey"), lit(kmC.toLong)) + 1).as("cid"))
+    val dot = aggregate(zip_with(col("xq"), col("q"), (a, b) => a * b),
+      lit(0L), (acc, p) => acc + p)
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    indexed.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dot.as("dot"), col("n2"), col("qn2"))
+      .withColumn("cos",
+        col("dot").cast("double") / sqrt((col("n2") * col("qn2")).cast("double")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"), col("dot"))
+  }
+
+  def ivfKmeansTopKSql(k: Int = defaultK): String = {
+    def distSql(xv: String, cv: String) =
+      s"list_sum(list_transform(range(1, len($xv) + 1), i -> ($xv[i] - $cv[i]) * ($xv[i] - $cv[i])))::BIGINT"
+    s"""WITH $kmChainSql,
+        ix AS (SELECT vec_id, xq, key % $kmC + 1 AS cid,
+                      list_sum(list_transform(xq, z -> z * z))::BIGINT AS n2
+               FROM af JOIN x USING (vec_id)),
+        q0 AS (SELECT vec_id AS query_id, xq AS q FROM x
+               WHERE vec_id % $queryMod = 0 ORDER BY vec_id LIMIT $maxQueryBatch),
+        pr AS (SELECT query_id, q, cid,
+                      list_sum(list_transform(q, z -> z * z))::BIGINT AS qn2
+               FROM (SELECT q0.query_id, q0.q, c.cid,
+                            row_number() OVER (PARTITION BY q0.query_id
+                              ORDER BY ${distSql("q0.q", "c.c")} * $kmC + c.cid - 1 ASC) AS prank
+                     FROM q0, c$kmIters c)
+               WHERE prank <= $kmNprobe),
+        cand AS (SELECT p.query_id, i.vec_id AS neighbor_id,
+                        list_sum(list_transform(range(1, len(i.xq) + 1),
+                          j -> i.xq[j] * p.q[j]))::BIGINT AS dot,
+                        i.n2, p.qn2
+                 FROM ix i JOIN pr p USING (cid)
+                 WHERE i.vec_id <> p.query_id AND i.n2 > 0 AND p.qn2 > 0)
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY dot::DOUBLE / sqrt((n2 * qn2)::DOUBLE) DESC, neighbor_id ASC) AS rank,
+               dot::DOUBLE / sqrt((n2 * qn2)::DOUBLE) AS cos, dot
+        FROM cand QUALIFY rank <= $k"""
+  }
 }

@@ -664,6 +664,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q182/q187: k-means rounds broadcast C centroids; IVF probes hash-join the bucket key") {
+    // training assignment = corpus × broadcast(C rows), never a
+    // shuffle-pairing of corpus against centroids
+    val t = plan("q182_kmeans_train")
+    assert(t.contains("BroadcastNestedLoopJoin"), t)
+    assert(!t.contains("CartesianProduct"), t)
+    // serving: the candidate join keys on the trained bucket id with
+    // the bounded probe batch broadcast — the IVF contract
+    val p = plan("q187_ann_ivf_kmeans")
+    assert(p.contains("BroadcastHashJoin [cid"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q190: calibration bins are one scan folded to the bin grid") {
     val p = plan("q190_calibration_bins")
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
