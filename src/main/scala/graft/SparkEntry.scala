@@ -883,6 +883,15 @@ object SparkEntry {
     // carried as the max-mergeable HLL register block (merge ≡
     // recompute bit-exactly, q55's register math)
     "q175_incremental_profile" -> ((s, dir) => operators.DataQuality.incrementalProfile(s, dir)),
+    // tokenizer TRAINING in-engine: BPE merge induction — per round,
+    // pair counts (map-side combined) → 1-row argmax broadcast →
+    // windowed greedy re-segmentation (overlaps = run-parity windows,
+    // never a sequential loop); oracle re-derives all rounds in SQL
+    "q183_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMerges(s, dir)),
+    // what the learned tokenizer does to the corpus: per-source
+    // before/after token counts + compression under the q183 merges —
+    // the token-budget accounting the mixers consume
+    "q188_bpe_encode_stats" -> ((s, dir) => TextAnalysis.bpeEncodeStats(s, dir)),
     // in-engine distributed Lloyd k-means: milli-unit quantization
     // makes centroid sums order-independent (oracle-exact on any
     // partitioning); assignment argmin is a plain min() on a packed
@@ -2253,6 +2262,8 @@ object SparkEntry {
     // converged Complete-mode term counts equal the batch counts
     // (order-independent sums), so q155's oracle applies unchanged
     "q162_stream_vocab" -> TextAnalysis.vocabInductionSql(),
+    "q183_bpe_merges" -> TextAnalysis.bpeMergesSql(),
+    "q188_bpe_encode_stats" -> TextAnalysis.bpeEncodeStatsSql(),
     "q182_kmeans_train" -> Similarity.kmeansTrainSql(),
     "q187_ann_ivf_kmeans" -> Similarity.ivfKmeansTopKSql(),
     "q181_classifier_auc" -> PipelineOps.classifierAucSql(),

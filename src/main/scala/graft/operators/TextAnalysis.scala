@@ -829,4 +829,190 @@ object TextAnalysis {
     piiScan(Tables.load(s, dir, "documents"), col("text"))
   def piiRedact(s: SparkSession, dir: String): DataFrame =
     piiRedact(Tables.load(s, dir, "documents"), col("text"))
+
+  // ---- BPE merge induction (q183) + encode stats (q188) ----
+
+  /** Tokenizer TRAINING in-engine: byte-pair-encoding merge induction
+    * over the corpus token sequences — each round counts adjacent
+    * symbol pairs, takes the global argmax as the next merge rule, and
+    * re-segments every sequence by that rule (greedy left-to-right, as
+    * BPE specifies). q155 induces the vocab BPE starts FROM; this runs
+    * the merge loop itself — the part usually assumed to need an
+    * imperative trainer — as `bpeRounds` relational rounds.
+    *
+    * The left-to-right overlap discipline is the one non-obvious bit:
+    * two occurrences of (w1, w2) can only overlap when w1 = w2 (an
+    * occurrence at i and i+1 forces sym[i+1] = w2 = w1), so greedy
+    * scanning ≡ "merge every occurrence" when w1 ≠ w2, and "merge the
+    * even offsets within each maximal equal-symbol run" when w1 = w2
+    * — both expressible as entity-partitioned windows (gaps-and-
+    * islands run ids + run-offset parity), never a per-row sequential
+    * loop. A merged symbol is the space-join of its parts, so rules
+    * compose across rounds ("a b" can merge again with "c").
+    *
+    * Scale shape: pair counts are token-keyed sums with map-side
+    * combine; the argmax is a 1-row TakeOrderedAndProject broadcast;
+    * re-segmentation is per-document windows (history-deep, never
+    * corpus-wide) + one per-doc rebuild aggregate. Each round lands at
+    * a checkpoint boundary (the q130/q182 round discipline — at
+    * production scale each round's corpus would persist to storage,
+    * same shape). Cost is Θ(corpus) per round — which is what BPE
+    * training costs anywhere; the engine form just shards it.
+    */
+  val bpeRounds = 3
+
+  private[graft] def bpeSeqs0(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents").select(col("doc_id"), tokens(col("text")).as("syms"))
+
+  private[graft] def bpePairCounts(seqs: DataFrame): DataFrame =
+    seqs.select(explode(arrays_zip(
+        slice(col("syms"), lit(1), size(col("syms")) - 1).as("w1"),
+        slice(col("syms"), lit(2), size(col("syms")) - 1).as("w2"))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private[graft] def bpeBest(pc: DataFrame): DataFrame =
+    pc.orderBy(col("cnt").desc, col("w1").asc, col("w2").asc).limit(1)
+
+  /** Apply one merge rule everywhere (see the overlap note above). */
+  private[graft] def bpeApply(seqs: DataFrame, best: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wD = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val pos = seqs.select(col("doc_id"), posexplode(col("syms")).as(Seq("i", "sym")))
+      .crossJoin(broadcast(best))
+      .withColumn("nxt", lead(col("sym"), 1).over(wD))
+      .withColumn("brk", when(lag(col("sym"), 1).over(wD).isNull ||
+        lag(col("sym"), 1).over(wD) =!= col("sym"), 1L).otherwise(0L))
+    val runs = pos
+      .withColumn("pair_here",
+        coalesce(col("sym") === col("w1") && col("nxt") === col("w2"), lit(false)))
+      .withColumn("run_id",
+        sum(col("brk")).over(wD.rowsBetween(Window.unboundedPreceding, 0)))
+    val wR = Window.partitionBy(col("doc_id"), col("run_id")).orderBy(col("i"))
+    val marked = runs
+      .withColumn("merge_start", col("pair_here") &&
+        (col("w1") =!= col("w2") ||
+          pmod(row_number().over(wR) - 1, lit(2)) === 0))
+      .withColumn("consumed",
+        coalesce(lag(col("merge_start"), 1).over(wD), lit(false)))
+    marked.filter(!col("consumed"))
+      .withColumn("sym2",
+        when(col("merge_start"), concat(col("sym"), lit(" "), col("nxt")))
+          .otherwise(col("sym")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("i"), col("sym2")))).as("p"))
+      .select(col("doc_id"), transform(col("p"), e => e.getField("sym2")).as("syms"))
+  }
+
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
+  /** One training run per corpus dir → (merge rules, final sequences),
+    * both shared by q183/q188 (the ArtifactCache session-guard
+    * contract, inlined because the artifact here is a PAIR).
+    */
+  private def bpeChain(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    bpeCache.compute(dir, (_, hit) =>
+      if (hit != null && (hit._1.sparkSession eq s) && !s.sparkContext.isStopped) hit
+      else {
+        var seqs = graft.ArtifactCache.isolated(bpeSeqs0(s, dir))
+        val rules = (1 to bpeRounds).map { r =>
+          val best = graft.ArtifactCache.isolated(bpeBest(bpePairCounts(seqs)))
+          seqs = graft.ArtifactCache.isolated(bpeApply(seqs, best))
+          val nAfter = seqs.agg(sum(size(col("syms"))).cast("long").as("n_symbols_after"))
+          graft.ArtifactCache.isolated(
+            best.crossJoin(broadcast(nAfter))
+              .select(lit(r.toLong).as("round"), col("w1"), col("w2"), col("cnt"),
+                col("n_symbols_after")))
+        }
+        (graft.ArtifactCache.isolated(rules.reduce(_ union _)), seqs)
+      })
+
+  /** q183: the learned merge table — one row per round: the rule, its
+    * pre-merge pair count, and the corpus symbol count after applying
+    * it (pins the whole re-segmentation cell-exactly).
+    */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = bpeChain(s, dir)._1
+
+  /** q188: what the learned tokenizer DOES to the corpus — per-source
+    * token counts before/after the `bpeRounds` merges and the
+    * compression ratio (one division of exact BIGINTs). The accounting
+    * a mixing step (q104/q178) consumes when budgets are in TOKENS.
+    */
+  def bpeEncodeStats(s: SparkSession, dir: String): DataFrame = {
+    val seqs = bpeChain(s, dir)._2
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(seqs.select(col("doc_id"), size(col("syms")).cast("long").as("n_syms")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens_before"),
+        sum(col("n_syms")).as("n_symbols_after"))
+      .withColumn("compression",
+        col("n_symbols_after").cast("double") / col("n_tokens_before").cast("double"))
+  }
+
+  /** The s0→s{bpeRounds} chain every BPE oracle shares — the full SQL
+    * re-derivation of the training loop (pair counts, argmax,
+    * windowed re-segmentation), no literals.
+    */
+  private def bpeChainSql: String = {
+    val rounds = (1 to bpeRounds).map { r =>
+      val p = s"s${r - 1}"
+      s"""pc$r AS (SELECT u.w1 AS w1, u.w2 AS w2, count(*)::BIGINT AS cnt
+                FROM (SELECT unnest(list_transform(range(1, len(syms)),
+                        i -> {'w1': syms[i], 'w2': syms[i + 1]})) AS u
+                      FROM $p)
+                GROUP BY 1, 2),
+        b$r AS (SELECT w1, w2, cnt FROM pc$r ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1),
+        f$r AS (SELECT doc_id, i, sym, b.w1, b.w2,
+                       lead(sym) OVER (PARTITION BY doc_id ORDER BY i) AS nxt,
+                       CASE WHEN lag(sym) OVER (PARTITION BY doc_id ORDER BY i)
+                                 IS DISTINCT FROM sym THEN 1 ELSE 0 END AS brk
+                FROM (SELECT doc_id, u.i AS i, u.sym AS sym
+                      FROM (SELECT doc_id, unnest(list_transform(range(1, len(syms) + 1),
+                              i -> {'i': i, 'sym': syms[i]})) AS u
+                            FROM $p)), b$r b),
+        g$r AS (SELECT *, coalesce(sym = w1 AND nxt = w2, false) AS pair_here,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+                FROM f$r),
+        h$r AS (SELECT *, (pair_here AND (w1 <> w2 OR
+                       (row_number() OVER (PARTITION BY doc_id, run_id ORDER BY i) - 1) % 2 = 0))
+                       AS merge_start
+                FROM g$r),
+        j$r AS (SELECT doc_id, i,
+                       CASE WHEN merge_start THEN sym || ' ' || nxt ELSE sym END AS sym2,
+                       coalesce(lag(merge_start) OVER (PARTITION BY doc_id ORDER BY i), false)
+                         AS consumed
+                FROM h$r),
+        s$r AS (SELECT doc_id, list(sym2 ORDER BY i) AS syms
+                FROM j$r WHERE NOT consumed GROUP BY 1),
+        r$r AS (SELECT $r::BIGINT AS round, w1, w2, cnt,
+                       (SELECT sum(len(syms)) FROM s$r)::BIGINT AS n_symbols_after
+                FROM b$r)"""
+    }.mkString(",\n        ")
+    s"""s0 AS (SELECT doc_id, string_split(lower(text), ' ') AS syms FROM documents),
+        $rounds"""
+  }
+
+  def bpeMergesSql(): String =
+    s"""WITH $bpeChainSql
+        ${(1 to bpeRounds).map(r =>
+          s"SELECT round, w1, w2, cnt, n_symbols_after FROM r$r")
+          .mkString("\n        UNION ALL ")}"""
+
+  def bpeEncodeStatsSql(): String =
+    s"""WITH $bpeChainSql,
+        bef AS (SELECT doc_id, source,
+                       len(string_split(lower(text), ' '))::BIGINT AS n_tokens
+                FROM documents),
+        aft AS (SELECT doc_id, len(syms)::BIGINT AS n_syms FROM s$bpeRounds)
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(n_tokens)::BIGINT AS n_tokens_before,
+               sum(n_syms)::BIGINT AS n_symbols_after,
+               (sum(n_syms)::BIGINT)::DOUBLE / (sum(n_tokens)::BIGINT)::DOUBLE AS compression
+        FROM bef JOIN aft USING (doc_id)
+        GROUP BY 1"""
 }

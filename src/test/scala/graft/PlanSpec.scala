@@ -677,6 +677,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q183: a BPE round broadcasts the 1-row rule; re-segmentation is per-doc windows") {
+    val seqs = operators.TextAnalysis.bpeSeqs0(spark, dir)
+    val best = operators.TextAnalysis.bpeBest(
+      operators.TextAnalysis.bpePairCounts(seqs))
+    val p = operators.TextAnalysis.bpeApply(seqs, best)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the 1-row rule
+    assert(p.contains("Window"), p) // run ids / parity / consumption
+    assert(!p.contains("CartesianProduct"), p)
+    // pair counts combine map-side before the exchange
+    val pc = operators.TextAnalysis.bpePairCounts(seqs)
+      .queryExecution.executedPlan.toString
+    assert(pc.contains("partial_count"), pc)
+  }
+
   test("q190: calibration bins are one scan folded to the bin grid") {
     val p = plan("q190_calibration_bins")
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
