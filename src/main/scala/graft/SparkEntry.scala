@@ -883,6 +883,18 @@ object SparkEntry {
     // carried as the max-mergeable HLL register block (merge ≡
     // recompute bit-exactly, q55's register math)
     "q175_incremental_profile" -> ((s, dir) => operators.DataQuality.incrementalProfile(s, dir)),
+    // Zipf's-law fit over q155's vocabulary table: integer milli-unit
+    // log moments, slope/r² as divisions of exact BIGINTs — a corpus-
+    // level health check (natural text ≈ −1; boilerplate bends away)
+    "q184_zipf_fit" -> ((s, dir) => TextAnalysis.zipfFit(s, dir)),
+    // Heaps'-law fit: vocabulary growth across doc-id prefix cells —
+    // MEASURES the sublinearity the vocab-state arguments cite; two
+    // keyed aggregates, then windows + fit over the bounded grid
+    "q189_heaps_fit" -> ((s, dir) => TextAnalysis.heapsFit(s, dir)),
+    // l-diversity: the homogeneity attack q168 misses — per-class
+    // DISTINCT sensitive values (order priority) under the shared
+    // quasi-id key; q168's histogram fold keyed by diversity
+    "q185_l_diversity" -> ((s, dir) => operators.DataQuality.lDiversityAudit(s, dir)),
     // tokenizer TRAINING in-engine: BPE merge induction — per round,
     // pair counts (map-side combined) → 1-row argmax broadcast →
     // windowed greedy re-segmentation (overlaps = run-parity windows,
@@ -2262,6 +2274,9 @@ object SparkEntry {
     // converged Complete-mode term counts equal the batch counts
     // (order-independent sums), so q155's oracle applies unchanged
     "q162_stream_vocab" -> TextAnalysis.vocabInductionSql(),
+    "q184_zipf_fit" -> TextAnalysis.zipfFitSql(),
+    "q189_heaps_fit" -> TextAnalysis.heapsFitSql(),
+    "q185_l_diversity" -> operators.DataQuality.lDiversityAuditSql(),
     "q183_bpe_merges" -> TextAnalysis.bpeMergesSql(),
     "q188_bpe_encode_stats" -> TextAnalysis.bpeEncodeStatsSql(),
     "q182_kmeans_train" -> Similarity.kmeansTrainSql(),

@@ -499,4 +499,52 @@ object DataQuality {
                sum(class_size)::BIGINT AS n_rows,
                (class_size < $k) AS violates_k
         FROM cls GROUP BY class_size"""
+
+  // ---- l-diversity audit (q185) ----
+
+  /** l-diversity — the attack k-anonymity (q168) misses: a class can
+    * hold k rows and still leak if every row carries the SAME
+    * sensitive value (the homogeneity attack — the attacker learns the
+    * attribute without identifying the row). Released table modeled as
+    * orders + the q168 quasi-identifier key of the ordering customer;
+    * sensitive attribute = o_orderpriority (low-cardinality, the shape
+    * l-diversity is about). A class is l-diverse iff it spans ≥ l
+    * distinct sensitive values; the report is the diversity histogram
+    * with under-l classes flagged — q168's fold, keyed by distinct
+    * count instead of size.
+    *
+    * Scale shape: one FK hash join (orders shuffles on o_custkey,
+    * customer broadcast when it fits), one groupBy on the quasi-id key
+    * with an exact distinct (two-phase: the (class, value) dedup
+    * combines map-side), then the bounded histogram fold.
+    */
+  def lDiversityAudit(s: SparkSession, dir: String, l: Long = 3): DataFrame = {
+    val cust = graft.Tables.load(s, dir, "customer")
+      .select(col("c_custkey") +: quasiIdCols: _*)
+    graft.Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderpriority"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"), col("bal_bucket"))
+      .agg(count(lit(1)).as("n_rows_cls"),
+        countDistinct(col("o_orderpriority")).as("l_distinct"))
+      .groupBy(col("l_distinct"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("n_rows_cls")).as("n_rows"))
+      .select(col("l_distinct"), col("n_classes"), col("n_rows"),
+        (col("l_distinct") < l).as("violates_l"))
+  }
+
+  def lDiversityAuditSql(l: Long = 3): String =
+    s"""WITH rel AS (
+          SELECT c_mktsegment, c_nationkey::BIGINT AS c_nationkey,
+                 floor(c_acctbal / 1000.0)::BIGINT AS bal_bucket,
+                 o_orderpriority
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        cls AS (SELECT c_mktsegment, c_nationkey, bal_bucket,
+                       count(*)::BIGINT AS n_rows_cls,
+                       count(DISTINCT o_orderpriority)::BIGINT AS l_distinct
+                FROM rel GROUP BY 1, 2, 3)
+        SELECT l_distinct, count(*)::BIGINT AS n_classes,
+               sum(n_rows_cls)::BIGINT AS n_rows,
+               (l_distinct < $l) AS violates_l
+        FROM cls GROUP BY 1"""
 }

@@ -1003,6 +1003,131 @@ object TextAnalysis {
           s"SELECT round, w1, w2, cnt, n_symbols_after FROM r$r")
           .mkString("\n        UNION ALL ")}"""
 
+  // ---- corpus power-law fits: Zipf (q184) and Heaps (q189) ----
+
+  /** Least-squares line fit over integer milli-unit log points — the
+    * fold shared by the Zipf rank-frequency fit (q184) and the Heaps
+    * vocabulary-growth fit (q189). Exactness: each ln is taken once
+    * per input row and rounded once to milli-units (the q96
+    * discipline), every moment is then an order-independent BIGINT
+    * sum, and the slope/r² are divisions of exact BIGINTs (milli
+    * scales cancel in the slope; the intercept converts back to ln
+    * units with one /1000). Both callers feed BOUNDED xy tables (top-v
+    * vocab rows / prefix-grid cells), so the fold is a single
+    * all-to-one aggregate of a small frame whatever the corpus size.
+    */
+  private[graft] def regressionFold(xy: DataFrame): DataFrame = {
+    val st = xy.agg(count(lit(1)).as("n"), sum(col("xm")).as("sx"),
+      sum(col("ym")).as("sy"), sum(col("xm") * col("ym")).as("sxy"),
+      sum(col("xm") * col("xm")).as("sxx"), sum(col("ym") * col("ym")).as("syy"))
+    val dxx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dyy = col("n") * col("syy") - col("sy") * col("sy")
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    st.withColumn("slope",
+        when(dxx > 0, num.cast("double") / dxx.cast("double")))
+      .select(col("n"), col("slope"),
+        ((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n").cast("double") / lit(1000.0)).as("intercept"),
+        when(dxx > 0 && dyy > 0,
+          (num.cast("double") * num.cast("double"))
+            / (dxx.cast("double") * dyy.cast("double"))).as("r2"))
+  }
+
+  /** Shared SQL tail: expects a CTE `xy(xm, ym)` in scope. */
+  private def regressionFoldSql: String =
+    s"""st AS (SELECT count(*)::BIGINT AS n, sum(xm)::BIGINT AS sx, sum(ym)::BIGINT AS sy,
+                      sum(xm * ym)::BIGINT AS sxy, sum(xm * xm)::BIGINT AS sxx,
+                      sum(ym * ym)::BIGINT AS syy
+               FROM xy),
+        sl AS (SELECT *, CASE WHEN n * sxx - sx * sx > 0
+                              THEN (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+                         END AS slope
+               FROM st)
+        SELECT n, slope,
+               (sy::DOUBLE - slope * sx::DOUBLE) / n::DOUBLE / 1000.0 AS intercept,
+               CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                    THEN ((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE)
+                         / ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE)
+               END AS r2
+        FROM sl"""
+
+  /** q184: Zipf's-law fit over the induced vocabulary — the slope of
+    * ln(freq) against ln(rank) on q155's top-v table (−slope is the
+    * Zipf exponent, r² how law-like the corpus is; natural text ≈ −1,
+    * and template/boilerplate-heavy corpora bend away — a corpus-level
+    * health check next to the per-doc gates). Composition: fits the
+    * EXACT table q155 ships, so the two reports can't disagree about
+    * what the vocabulary is.
+    */
+  def zipfFit(s: SparkSession, dir: String, v: Int = 256): DataFrame =
+    regressionFold(vocabInduction(s, dir, v)
+      .select(round(log(col("rank").cast("double")) * 1000).cast("long").as("xm"),
+        round(log(col("cnt").cast("double")) * 1000).cast("long").as("ym")))
+
+  def zipfFitSql(v: Int = 256): String =
+    s"""WITH base AS (${vocabInductionSql(v)}),
+        xy AS (SELECT round(ln(rank::DOUBLE) * 1000)::BIGINT AS xm,
+                      round(ln(cnt::DOUBLE) * 1000)::BIGINT AS ym
+               FROM base),
+        $regressionFoldSql"""
+
+  /** q189: Heaps'-law fit — vocabulary growth V(N) ≈ K·N^β across
+    * corpus prefixes (β is the sublinearity every "vocabulary-sized
+    * state" argument in this repo leans on — q110/q155/q162 cite
+    * Heaps; this MEASURES it on the corpus at hand). Prefixes are
+    * `cells` doc-id ranges: per-term first-seen doc (one token-keyed
+    * min), per-cell token totals, then cumulative (N, V) over the
+    * ≤ cells grid — corpus-sized work is two keyed aggregates, the
+    * windows and the fit run over the bounded grid.
+    */
+  def heapsFit(s: SparkSession, dir: String, cells: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(s, dir, "documents")
+    val tot = docs.agg((max(col("doc_id")) + 1).as("td"))
+    val cellOf = (d: Column) =>
+      floor((d * cells).cast("double") / col("td").cast("double")).cast("long")
+    val cellTok = docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("nt"))
+      .crossJoin(broadcast(tot))
+      .groupBy(cellOf(col("doc_id")).as("cell")).agg(sum(col("nt")).as("toks"))
+    val cellNew = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(tot))
+      .groupBy(cellOf(col("fd")).as("cell")).agg(count(lit(1)).as("newt"))
+    val w = Window.orderBy(col("cell"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val xy = cellTok.join(cellNew, Seq("cell"), "left")
+      .select(col("cell"), col("toks"), coalesce(col("newt"), lit(0L)).as("newt"))
+      .select(sum(col("toks")).over(w).as("n_le"), sum(col("newt")).over(w).as("v_le"))
+      .select(round(log(col("n_le").cast("double")) * 1000).cast("long").as("xm"),
+        round(log(col("v_le").cast("double")) * 1000).cast("long").as("ym"))
+    regressionFold(xy)
+  }
+
+  def heapsFitSql(cells: Int = 64): String =
+    s"""WITH d AS (SELECT doc_id, len(string_split(lower(text), ' '))::BIGINT AS nt FROM documents),
+        tot AS (SELECT max(doc_id) + 1 AS td FROM d),
+        ct AS (SELECT floor((doc_id * $cells)::DOUBLE / td::DOUBLE)::BIGINT AS cell,
+                      sum(nt)::BIGINT AS toks
+               FROM d, tot GROUP BY 1),
+        fs AS (SELECT term, min(doc_id) AS fd
+               FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+               GROUP BY 1),
+        cn AS (SELECT floor((fd * $cells)::DOUBLE / td::DOUBLE)::BIGINT AS cell,
+                      count(*)::BIGINT AS newt
+               FROM fs, tot GROUP BY 1),
+        g AS (SELECT ct.cell, ct.toks, coalesce(cn.newt, 0)::BIGINT AS newt
+              FROM ct LEFT JOIN cn USING (cell)),
+        c AS (SELECT (sum(toks) OVER (ORDER BY cell
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS n_le,
+                     (sum(newt) OVER (ORDER BY cell
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS v_le
+              FROM g),
+        xy AS (SELECT round(ln(n_le::DOUBLE) * 1000)::BIGINT AS xm,
+                      round(ln(v_le::DOUBLE) * 1000)::BIGINT AS ym
+               FROM c),
+        $regressionFoldSql"""
+
   def bpeEncodeStatsSql(): String =
     s"""WITH $bpeChainSql,
         bef AS (SELECT doc_id, source,

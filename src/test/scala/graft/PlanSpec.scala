@@ -692,6 +692,26 @@ class PlanSpec extends SparkSpec {
     assert(pc.contains("partial_count"), pc)
   }
 
+  test("q184/q189: power-law fits fold bounded grids; corpus work is keyed aggregates") {
+    // Zipf: the xy table is q155's top-v (TakeOrderedAndProject —
+    // distributed top-N, no global sort of the vocabulary)
+    val z = plan("q184_zipf_fit")
+    assert(z.contains("TakeOrderedAndProject"), z)
+    assert(!z.contains("CartesianProduct"), z)
+    // Heaps: per-term first-seen and per-cell totals combine map-side;
+    // the only single-partition step is the ≤64-cell grid window
+    val h = plan("q189_heaps_fit")
+    assert(h.contains("partial_min"), h)
+    assert(!h.contains("CartesianProduct"), h)
+  }
+
+  test("q185: l-diversity is one FK equi-join + two-phase distinct, no cartesian") {
+    val p = plan("q185_l_diversity")
+    assert(p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q190: calibration bins are one scan folded to the bin grid") {
     val p = plan("q190_calibration_bins")
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
