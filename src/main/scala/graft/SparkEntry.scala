@@ -883,6 +883,15 @@ object SparkEntry {
     // carried as the max-mergeable HLL register block (merge ≡
     // recompute bit-exactly, q55's register math)
     "q175_incremental_profile" -> ((s, dir) => operators.DataQuality.incrementalProfile(s, dir)),
+    // cluster-quality report from the trained k-means: per-cluster
+    // exact sums of own vs second-nearest squared distance (the two
+    // smallest packed keys from one sorted C-array per vector — no
+    // second pass); the re-bucketing go/no-go for a stored index
+    "q191_kmeans_silhouette" -> ((s, dir) => Similarity.kmeansSilhouette(s, dir)),
+    // per-source OOV rate under q155's induced vocab: which sources
+    // the tokenizer shreds into unknowns — one scan + a v-row
+    // broadcast membership join folded to the source grid
+    "q192_oov_rates" -> ((s, dir) => TextAnalysis.oovRates(s, dir)),
     // Zipf's-law fit over q155's vocabulary table: integer milli-unit
     // log moments, slope/r² as divisions of exact BIGINTs — a corpus-
     // level health check (natural text ≈ −1; boilerplate bends away)
@@ -2274,6 +2283,8 @@ object SparkEntry {
     // converged Complete-mode term counts equal the batch counts
     // (order-independent sums), so q155's oracle applies unchanged
     "q162_stream_vocab" -> TextAnalysis.vocabInductionSql(),
+    "q191_kmeans_silhouette" -> Similarity.kmeansSilhouetteSql(),
+    "q192_oov_rates" -> TextAnalysis.oovRatesSql(),
     "q184_zipf_fit" -> TextAnalysis.zipfFitSql(),
     "q189_heaps_fit" -> TextAnalysis.heapsFitSql(),
     "q185_l_diversity" -> operators.DataQuality.lDiversityAuditSql(),

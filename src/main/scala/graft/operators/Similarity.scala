@@ -2128,6 +2128,51 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"), col("dot"))
   }
 
+  /** q191: cluster-quality report from the trained model — per cluster,
+    * the exact BIGINT sums of each member's squared distance to its OWN
+    * centroid and to its SECOND-nearest (the simplified-silhouette
+    * margin; separation = Σd₂/Σd₁, one division). The two smallest of
+    * the C packed keys come from one C-element sorted array per vector
+    * — same corpus × broadcast(C) scan as assignment, one extra array
+    * slot, no window and no second pass. The go/no-go a pipeline
+    * checks before re-bucketing a 100 TB index on new centroids.
+    */
+  def kmeansSilhouette(s: SparkSession, dir: String): DataFrame = {
+    val cent = kmCentroids(s, dir)
+    val dist = aggregate(zip_with(col("xq"), col("c"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, d2) => acc + d2)
+    kmQuantized(s, dir).crossJoin(broadcast(cent))
+      .select(col("vec_id"), (dist * kmC + col("cid") - 1).as("key"))
+      .groupBy(col("vec_id")).agg(sort_array(collect_list(col("key"))).as("ks"))
+      .select(col("vec_id"),
+        (pmod(element_at(col("ks"), 1), lit(kmC.toLong)) + 1).as("cid"),
+        shiftright(element_at(col("ks"), 1), kmCBits).as("d1"),
+        shiftright(element_at(col("ks"), 2), kmCBits).as("d2"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_points"), sum(col("d1")).as("sum_own"),
+        sum(col("d2")).as("sum_second"))
+      .select(col("cid"), col("n_points"), col("sum_own"), col("sum_second"),
+        when(col("sum_own") > 0,
+          col("sum_second").cast("double") / col("sum_own").cast("double"))
+          .as("separation"))
+  }
+
+  def kmeansSilhouetteSql(): String = {
+    val d = "list_sum(list_transform(range(1, len(x.xq) + 1), i -> (x.xq[i] - c.c[i]) * (x.xq[i] - c.c[i])))::BIGINT"
+    s"""WITH $kmChainSql,
+        kk AS (SELECT x.vec_id, list_sort(list($d * $kmC + c.cid - 1)) AS ks
+               FROM x, c$kmIters c GROUP BY 1),
+        pt AS (SELECT vec_id, ks[1] % $kmC + 1 AS cid,
+                      ks[1] // $kmC AS d1, ks[2] // $kmC AS d2
+               FROM kk)
+        SELECT cid, count(*)::BIGINT AS n_points, sum(d1)::BIGINT AS sum_own,
+               sum(d2)::BIGINT AS sum_second,
+               CASE WHEN sum(d1) > 0
+                    THEN (sum(d2)::BIGINT)::DOUBLE / (sum(d1)::BIGINT)::DOUBLE
+               END AS separation
+        FROM pt GROUP BY 1"""
+  }
+
   def ivfKmeansTopKSql(k: Int = defaultK): String = {
     def distSql(xv: String, cv: String) =
       s"list_sum(list_transform(range(1, len($xv) + 1), i -> ($xv[i] - $cv[i]) * ($xv[i] - $cv[i])))::BIGINT"

@@ -1003,6 +1003,38 @@ object TextAnalysis {
           s"SELECT round, w1, w2, cnt, n_symbols_after FROM r$r")
           .mkString("\n        UNION ALL ")}"""
 
+  // ---- OOV-rate report under the induced vocabulary (q192) ----
+
+  /** Per-source out-of-vocabulary rate under q155's top-v vocabulary —
+    * the practical readout of the vocab-size/coverage trade-off: which
+    * ingest sources the tokenizer will shred into unknowns (code and
+    * non-English sources spike here long before global coverage
+    * moves). Composes the EXACT q155 table; the vocab is v rows by
+    * construction, so the membership join is a broadcast and the
+    * report is one corpus scan folded to the per-source grid.
+    */
+  def oovRates(s: SparkSession, dir: String, v: Int = 256): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .join(broadcast(vocabInduction(s, dir, v)
+        .select(col("term"), lit(1L).as("in_vocab"))), Seq("term"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_rate"))
+
+  def oovRatesSql(v: Int = 256): String =
+    s"""WITH base AS (${vocabInductionSql(v)}),
+        t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        j AS (SELECT t.source, (base.term IS NOT NULL) AS iv
+              FROM t LEFT JOIN base ON t.term = base.term)
+        SELECT source, count(*)::BIGINT AS n_tokens,
+               sum(CASE WHEN NOT iv THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+               (sum(CASE WHEN NOT iv THEN 1 ELSE 0 END)::BIGINT)::DOUBLE
+                 / (count(*)::BIGINT)::DOUBLE AS oov_rate
+        FROM j GROUP BY 1"""
+
   // ---- corpus power-law fits: Zipf (q184) and Heaps (q189) ----
 
   /** Least-squares line fit over integer milli-unit log points — the
