@@ -883,6 +883,24 @@ object SparkEntry {
     // carried as the max-mergeable HLL register block (merge ≡
     // recompute bit-exactly, q55's register math)
     "q175_incremental_profile" -> ((s, dir) => operators.DataQuality.incrementalProfile(s, dir)),
+    // word2vec noise table: unigram^(3/4) sampling weights + CDF over
+    // q155's vocab — the power as √(c·√c) (correctly-rounded IEEE
+    // sqrts, no library pow), micro-rounded once, BIGINT cumsums
+    "q193_negative_sampling" -> ((s, dir) => TextAnalysis.negativeSampling(s, dir)),
+    // sketch set algebra: union = per-bucket register max, intersection
+    // by inclusion-exclusion — set questions answered from stored
+    // m-register blocks, no re-scan of either log
+    "q194_hll_set_algebra" -> ((s, dir) => operators.Sketches.hllSetAlgebra(s, dir)),
+    // q185 live: exact distinct-per-class is not counter-sum state,
+    // but the (class, sensitive-value) PAIR grid is — maintained
+    // Complete-mode over the release feed; the fold re-derives the
+    // distinct as grid rows per class; q185's oracle unchanged
+    "q196_stream_l_diversity" -> ((s, dir) => {
+      val rel = operators.DataQuality.lDiversityReleased(s, dir)
+      val pairs = sketchMaintenanceStream(s, dir, "q196", rel)(
+        in => operators.DataQuality.lDiversityPairCounts(in)).localCheckpoint(true)
+      operators.DataQuality.lDiversityFold(pairs)
+    }),
     // cluster-quality report from the trained k-means: per-cluster
     // exact sums of own vs second-nearest squared distance (the two
     // smallest packed keys from one sorted C-array per vector — no
@@ -2283,6 +2301,11 @@ object SparkEntry {
     // converged Complete-mode term counts equal the batch counts
     // (order-independent sums), so q155's oracle applies unchanged
     "q162_stream_vocab" -> TextAnalysis.vocabInductionSql(),
+    "q193_negative_sampling" -> TextAnalysis.negativeSamplingSql(),
+    "q194_hll_set_algebra" -> operators.Sketches.hllSetAlgebraSql(),
+    // converged Complete-mode pair grid equals the batch grid, so the
+    // batch diversity oracle applies unchanged
+    "q196_stream_l_diversity" -> operators.DataQuality.lDiversityAuditSql(),
     "q191_kmeans_silhouette" -> Similarity.kmeansSilhouetteSql(),
     "q192_oov_rates" -> TextAnalysis.oovRatesSql(),
     "q184_zipf_fit" -> TextAnalysis.zipfFitSql(),

@@ -518,20 +518,42 @@ object DataQuality {
     * with an exact distinct (two-phase: the (class, value) dedup
     * combines map-side), then the bounded histogram fold.
     */
-  def lDiversityAudit(s: SparkSession, dir: String, l: Long = 3): DataFrame = {
+  /** The released rows whose diversity is audited: orders + the q168
+    * quasi-id key of the ordering customer. Shared by the batch audit
+    * (q185) and the live monitor (q196). */
+  def lDiversityReleased(s: SparkSession, dir: String): DataFrame = {
     val cust = graft.Tables.load(s, dir, "customer")
       .select(col("c_custkey") +: quasiIdCols: _*)
     graft.Tables.load(s, dir, "orders")
       .select(col("o_custkey"), col("o_orderpriority"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_mktsegment"), col("c_nationkey"), col("bal_bucket"))
-      .agg(count(lit(1)).as("n_rows_cls"),
-        countDistinct(col("o_orderpriority")).as("l_distinct"))
+      .select(col("c_mktsegment"), col("c_nationkey"), col("bal_bucket"),
+        col("o_orderpriority"))
+  }
+
+  /** The (class, sensitive value) COUNTER grid — the streamable form of
+    * the distinct: exact distinct-per-class is NOT counter-sum state,
+    * but this pair grid is (bounded by classes × sensitive-value
+    * cardinality), and the fold re-derives the distinct as the number
+    * of grid rows per class. q196 maintains exactly this aggregation
+    * Complete-mode and converges to the batch grid.
+    */
+  def lDiversityPairCounts(rel: DataFrame): DataFrame =
+    rel.groupBy(col("c_mktsegment"), col("c_nationkey"), col("bal_bucket"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Pair grid → diversity histogram (shared, q168's fold shape). */
+  def lDiversityFold(pairs: DataFrame, l: Long = 3): DataFrame =
+    pairs.groupBy(col("c_mktsegment"), col("c_nationkey"), col("bal_bucket"))
+      .agg(sum(col("n")).as("n_rows_cls"), count(lit(1)).as("l_distinct"))
       .groupBy(col("l_distinct"))
       .agg(count(lit(1)).as("n_classes"), sum(col("n_rows_cls")).as("n_rows"))
       .select(col("l_distinct"), col("n_classes"), col("n_rows"),
         (col("l_distinct") < l).as("violates_l"))
-  }
+
+  def lDiversityAudit(s: SparkSession, dir: String, l: Long = 3): DataFrame =
+    lDiversityFold(lDiversityPairCounts(lDiversityReleased(s, dir)), l)
 
   def lDiversityAuditSql(l: Long = 3): String =
     s"""WITH rel AS (

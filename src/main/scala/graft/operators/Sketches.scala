@@ -1009,4 +1009,79 @@ object Sketches {
         LEFT JOIN verdict v ON o.o_orderkey = v.o_orderkey
         LEFT JOIN truth t ON o.o_custkey = t.c_custkey"""
   }
+
+  // ---- HLL set algebra (q194) ----
+
+  /** Sketch SET OPERATIONS over q55's registers — the property that
+    * makes HLL an algebra, not just a counter: the union of two
+    * sketches is the per-bucket register MAX (exactly the sketch of
+    * the concatenated streams), and intersections fall out by
+    * inclusion-exclusion on the estimates. Answers "how many users
+    * both viewed and purchased" from two m-register blocks — no re-scan
+    * of either side, which at 100 TB is the difference between an
+    * O(m) merge of stored sketches and a distinct-join over raw logs.
+    *
+    * Exactness contract: the three register S-carries (`s_a`, `s_b`,
+    * `s_union`) are exact BIGINTs pinning the full register state
+    * through the oracle; each estimate is the q55 single division, and
+    * the intersection is the literal composition est_a + est_b −
+    * est_union (deterministic IEEE on identical operands — inclusion-
+    * exclusion is the standard HLL intersection, with its known error
+    * blow-up for small intersections; consumers read s_* when they
+    * need to re-derive).
+    */
+  def hllSetAlgebra(s: SparkSession, dir: String, p: Int = 5,
+      typeA: String = "view", typeB: String = "purchase"): DataFrame = {
+    val ev = graft.Tables.events(s, dir).filter(col("event_type").isin(typeA, typeB))
+    val regs = hllRegisters(ev, "event_type", col("user_id"), p)
+    val uni = regs.groupBy(col("bucket")).agg(max(col("mj")).as("mj"))
+      .select(lit("union").as("event_type"), col("bucket"), col("mj"))
+    hllSumsBy(regs.unionByName(uni), Seq("event_type"), p, "est")
+      .agg(
+        max(when(col("event_type") === typeA, col("hll_s"))).as("s_a"),
+        max(when(col("event_type") === typeB, col("hll_s"))).as("s_b"),
+        max(when(col("event_type") === "union", col("hll_s"))).as("s_union"),
+        max(when(col("event_type") === typeA, col("est"))).as("est_a"),
+        max(when(col("event_type") === typeB, col("est"))).as("est_b"),
+        max(when(col("event_type") === "union", col("est"))).as("est_union"))
+      .withColumn("est_intersection",
+        col("est_a") + col("est_b") - col("est_union"))
+  }
+
+  def hllSetAlgebraSql(p: Int = 5, typeA: String = "view",
+      typeB: String = "purchase"): String = {
+    val m = 1 << p
+    val wbits = 60 - p
+    s"""WITH h AS (SELECT event_type,
+                          ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+                   FROM events WHERE event_type IN ('$typeA', '$typeB')),
+        b AS (SELECT event_type, h % $m AS bucket, h // $m AS w FROM h),
+        r AS (SELECT event_type, bucket,
+                     CASE WHEN w = 0 THEN ${wbits + 1}
+                          ELSE ${wbits + 1} - length(bin(w)) END AS rho
+              FROM b),
+        regs AS (SELECT event_type, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+        au AS (SELECT event_type, bucket, mj FROM regs
+               UNION ALL
+               SELECT 'union' AS event_type, bucket, max(mj) AS mj
+               FROM regs GROUP BY 2),
+        sums AS (SELECT event_type,
+                        (sum((1::BIGINT << (${wbits + 1} - mj)))::BIGINT
+                          + ($m - count(*)) * (1::BIGINT << ${wbits + 1}))::BIGINT AS hll_s
+                 FROM au GROUP BY 1),
+        est AS (SELECT event_type, hll_s,
+                       ${hllNumerator(p)} / hll_s::DOUBLE AS est
+                FROM sums),
+        piv AS (SELECT
+                  max(CASE WHEN event_type = '$typeA' THEN hll_s END)::BIGINT AS s_a,
+                  max(CASE WHEN event_type = '$typeB' THEN hll_s END)::BIGINT AS s_b,
+                  max(CASE WHEN event_type = 'union' THEN hll_s END)::BIGINT AS s_union,
+                  max(CASE WHEN event_type = '$typeA' THEN est END) AS est_a,
+                  max(CASE WHEN event_type = '$typeB' THEN est END) AS est_b,
+                  max(CASE WHEN event_type = 'union' THEN est END) AS est_union
+                FROM est)
+        SELECT s_a, s_b, s_union, est_a, est_b, est_union,
+               est_a + est_b - est_union AS est_intersection
+        FROM piv"""
+  }
 }

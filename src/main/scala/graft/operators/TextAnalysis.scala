@@ -1003,6 +1003,47 @@ object TextAnalysis {
           s"SELECT round, w1, w2, cnt, n_symbols_after FROM r$r")
           .mkString("\n        UNION ALL ")}"""
 
+  // ---- word2vec negative-sampling table (q193) ----
+
+  /** The unigram^(3/4) noise distribution word2vec/SGNS samples
+    * negatives from, materialized over q155's vocabulary: per-term
+    * weight c^0.75 with the cumulative distribution a sampler
+    * binary-searches at train time. The power is computed WITHOUT
+    * exp/pow (library-dependent rounding): c^0.75 = √(c·√c) — two
+    * correctly-rounded IEEE sqrts and one multiply, identical on both
+    * engines — then micro-rounded ONCE; the CDF is cumulative BIGINT
+    * sums with the total from the same single window pass (the q181
+    * move), one division per row. Everything past the q155 count runs
+    * over ≤ v rows.
+    */
+  def negativeSampling(s: SparkSession, dir: String, v: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRaw = sqrt(col("cnt").cast("double") * sqrt(col("cnt").cast("double")))
+    val wd = Window.orderBy(col("rank"))
+    vocabInduction(s, dir, v).select(col("rank"), col("term"), col("cnt"))
+      .withColumn("w_micro", round(wRaw * lit(1000000.0)).cast("long"))
+      .withColumn("cum_w",
+        sum(col("w_micro")).over(wd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tot_w",
+        sum(col("w_micro")).over(wd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("rank"), col("term"), col("cnt"), col("w_micro"),
+        col("cum_w"), (col("cum_w").cast("double") / col("tot_w").cast("double")).as("cdf"))
+  }
+
+  def negativeSamplingSql(v: Int = 256): String =
+    s"""WITH base AS (${vocabInductionSql(v)}),
+        w AS (SELECT rank, term, cnt,
+                     round(sqrt(cnt::DOUBLE * sqrt(cnt::DOUBLE)) * 1000000.0)::BIGINT AS w_micro
+              FROM base),
+        c AS (SELECT rank, term, cnt, w_micro,
+                     (sum(w_micro) OVER (ORDER BY rank
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_w,
+                     (sum(w_micro) OVER ())::BIGINT AS tot_w
+              FROM w)
+        SELECT rank, term, cnt, w_micro, cum_w,
+               cum_w::DOUBLE / tot_w::DOUBLE AS cdf
+        FROM c"""
+
   // ---- OOV-rate report under the induced vocabulary (q192) ----
 
   /** Per-source out-of-vocabulary rate under q155's top-v vocabulary —
