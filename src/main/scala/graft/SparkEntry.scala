@@ -883,6 +883,11 @@ object SparkEntry {
     // carried as the max-mergeable HLL register block (merge ≡
     // recompute bit-exactly, q55's register math)
     "q175_incremental_profile" -> ((s, dir) => operators.DataQuality.incrementalProfile(s, dir)),
+    // similarity search × multimodal: phash radius retrieval from the
+    // STORED banded index (q83's discipline for images) — bounded
+    // probe broadcast, band equi-join, exact popcount radius (q144's
+    // threshold form); the images themselves stay cold
+    "q195_phash_search" -> ((s, dir) => Multimodal.phashSearch(s, dir)),
     // word2vec noise table: unigram^(3/4) sampling weights + CDF over
     // q155's vocab — the power as √(c·√c) (correctly-rounded IEEE
     // sqrts, no library pow), micro-rounded once, BIGINT cumsums
@@ -2301,6 +2306,7 @@ object SparkEntry {
     // converged Complete-mode term counts equal the batch counts
     // (order-independent sums), so q155's oracle applies unchanged
     "q162_stream_vocab" -> TextAnalysis.vocabInductionSql(),
+    "q195_phash_search" -> operators.Multimodal.phashSearchSql(),
     "q193_negative_sampling" -> TextAnalysis.negativeSamplingSql(),
     "q194_hll_set_algebra" -> operators.Sketches.hllSetAlgebraSql(),
     // converged Complete-mode pair grid equals the batch grid, so the

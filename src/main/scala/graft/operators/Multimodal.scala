@@ -231,13 +231,21 @@ object Multimodal {
     * One implementation so the two modalities' dedup joins cannot
     * drift; the SQL mirror is [[bandedPairsSql]].
     */
-  private def hammingBandPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+  private def hammingBandPairs(hashes: DataFrame, maxHamming: Int): DataFrame =
+    pairsFromBanded(bandedOf(hashes), maxHamming)
+
+  /** (doc_id, fp) → the 4×16-bit band rows — THE banded layout, shared
+    * by the pair joins and the stored retrieval index (q195). */
+  private def bandedOf(hashes: DataFrame): DataFrame = {
     val bandCols = array((0 until 4).map(b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("fp"), 16 * b).bitwiseAND(lit(65535L)).as("band_val"))): _*)
-    val banded = hashes.select(col("doc_id"), col("fp"), explode(bandCols).as("bd"))
+    hashes.select(col("doc_id"), col("fp"), explode(bandCols).as("bd"))
       .select(col("doc_id"), col("fp"),
         col("bd.band").as("band"), col("bd.band_val").as("band_val"))
+  }
+
+  private def pairsFromBanded(banded: DataFrame, maxHamming: Int): DataFrame = {
     val a = banded.select(col("band"), col("band_val"),
       col("doc_id").as("doc_a"), col("fp").as("ha"))
     val b = banded.select(col("band"), col("band_val"),
@@ -246,6 +254,44 @@ object Multimodal {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  private val phashIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The STORED banded phash index (the q83 stored-index discipline for
+    * the image modality): 4 band rows × 16 bytes per image, built once
+    * per corpus dir — dedup (q141) and retrieval (q195) both serve
+    * from it, and at 100 TB it is the only thing the similarity path
+    * ever reads (the images stay cold).
+    */
+  private def phashIndex(s: SparkSession, dir: String): DataFrame =
+    graft.ArtifactCache.cached(phashIndexCache, dir, s)(
+      bandedOf(perceptualHashes(s, dir).select(col("doc_id"), col("phash").as("fp"))))
+
+  /** q195: perceptual-hash radius retrieval from the stored index —
+    * "find catalog images within `maxHamming` bits of these query
+    * images": bounded probe batch (the ANN-family query discipline),
+    * band equi-join against the index with the probe side broadcast,
+    * exact popcount radius filter (the q144 threshold-not-ranking
+    * form), distinct across bands. Candidate IO is the probes' band
+    * buckets only — never a scan of the hash table, never the images.
+    */
+  def phashSearch(s: SparkSession, dir: String, maxHamming: Int = 10,
+      queryMod: Int = 100, maxBatch: Int = 1024): DataFrame = {
+    val index = phashIndex(s, dir)
+    val probes = bandedOf(perceptualHashes(s, dir)
+      .filter(col("doc_id") % queryMod === 0)
+      .orderBy(col("doc_id").asc).limit(maxBatch)
+      .select(col("doc_id"), col("phash").as("fp")))
+      .select(col("band"), col("band_val"),
+        col("doc_id").as("query_id"), col("fp").as("qfp"))
+    index.join(broadcast(probes), Seq("band", "band_val"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id").as("match_id"),
+        bit_count(col("fp").bitwiseXOR(col("qfp"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
@@ -270,8 +316,11 @@ object Multimodal {
     * bit_or (bit 63 as the min-long literal — DuckDB's `<<` range-
     * errors at 63), and replays the same banding + popcount filter.
     */
-  def imageNearDupSql(maxHamming: Int = 6): String =
-    bandedPairsSql(s"""px AS (
+  /** The px→p pixel→fingerprint CTE chain (the fully-relational dHash
+    * re-derivation) — shared by the dedup oracle (q141) and the
+    * retrieval oracle (q195). */
+  private def phashPCtes: String =
+    s"""px AS (
           SELECT d.doc_id, (d.doc_id // 4) AS g, (d.doc_id % 4) AS r, x.x AS x, y.y AS y
           FROM documents d, range(0, $phashW) x(x), range(0, $phashH) y(y)
         ),
@@ -292,7 +341,29 @@ object Multimodal {
           FROM s a JOIN s b ON a.doc_id = b.doc_id AND a.by = b.by AND b.bx = a.bx + 1
           WHERE a.bx < 8
         ),
-        p AS (SELECT doc_id, bit_or(bit)::BIGINT AS fp FROM bits GROUP BY 1)""", maxHamming)
+        p AS (SELECT doc_id, bit_or(bit)::BIGINT AS fp FROM bits GROUP BY 1)"""
+
+  def imageNearDupSql(maxHamming: Int = 6): String =
+    bandedPairsSql(phashPCtes, maxHamming)
+
+  def phashSearchSql(maxHamming: Int = 10, queryMod: Int = 100,
+      maxBatch: Int = 1024): String =
+    s"""WITH $phashPCtes,
+        banded AS (
+          SELECT doc_id, fp, b.b AS band, (fp >> (16*b.b)::INT) & 65535 AS band_val
+          FROM p, range(0, 4) b(b)
+        ),
+        q AS (SELECT doc_id AS query_id, fp AS qfp FROM p
+              WHERE doc_id % $queryMod = 0 ORDER BY doc_id LIMIT $maxBatch),
+        qb AS (
+          SELECT query_id, qfp, b.b AS band, (qfp >> (16*b.b)::INT) & 65535 AS band_val
+          FROM q, range(0, 4) b(b)
+        )
+        SELECT DISTINCT qb.query_id, banded.doc_id AS match_id,
+               bit_count(xor(banded.fp, qb.qfp))::INT AS hamming
+        FROM banded JOIN qb ON banded.band = qb.band AND banded.band_val = qb.band_val
+        WHERE banded.doc_id <> qb.query_id
+          AND bit_count(xor(banded.fp, qb.qfp)) <= $maxHamming"""
 
   // ---- audio-fingerprint near-dedup (q143) ----
 
@@ -385,6 +456,7 @@ object Multimodal {
           WHERE a.f < 64
         ),
         p AS (SELECT doc_id, bit_or(bit)::BIGINT AS fp FROM bits GROUP BY 1)""", maxHamming)
+
 
   // ---- video segment-level near-dedup (q153) ----
 
