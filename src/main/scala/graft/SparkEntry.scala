@@ -883,6 +883,10 @@ object SparkEntry {
     // carried as the max-mergeable HLL register block (merge ≡
     // recompute bit-exactly, q55's register math)
     "q175_incremental_profile" -> ((s, dir) => operators.DataQuality.incrementalProfile(s, dir)),
+    // asymmetric containment dedup: |A∩B|/|A| ≥ t — catches short docs
+    // EMBEDDED in long ones (low Jaccard, high containment); one-sided
+    // prefix filter (only the contained side can prune), exact verify
+    "q197_containment_dedup" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
     // similarity search × multimodal: phash radius retrieval from the
     // STORED banded index (q83's discipline for images) — bounded
     // probe broadcast, band equi-join, exact popcount radius (q144's
@@ -2306,6 +2310,7 @@ object SparkEntry {
     // converged Complete-mode term counts equal the batch counts
     // (order-independent sums), so q155's oracle applies unchanged
     "q162_stream_vocab" -> TextAnalysis.vocabInductionSql(),
+    "q197_containment_dedup" -> operators.Dedup.containmentPairsSql(),
     "q195_phash_search" -> operators.Multimodal.phashSearchSql(),
     "q193_negative_sampling" -> TextAnalysis.negativeSamplingSql(),
     "q194_hll_set_algebra" -> operators.Sketches.hllSetAlgebraSql(),
