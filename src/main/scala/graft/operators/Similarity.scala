@@ -1952,14 +1952,14 @@ object Similarity {
     * so squared distances are ≤ dims·4·10⁶-scale and per-cluster
     * coordinate sums stay exact through ~10¹² rows.
     */
-  private def kmQuantized(s: SparkSession, dir: String): DataFrame =
+  private[graft] def kmQuantized(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).filter(col("v").isNotNull)
       .select(col("vec_id"),
         transform(col("v"), e => round(e * lit(1000)).cast("long")).as("xq"))
 
   /** Deterministic init: the C lowest-id vectors, cid = 1..C by id
     * order (no RNG — both engines derive the same start). */
-  private def kmInit(x: DataFrame): DataFrame = {
+  private[graft] def kmInit(x: DataFrame): DataFrame = {
     val w = Window.orderBy(col("vec_id").asc)
     x.orderBy(col("vec_id").asc).limit(kmC)
       .select(row_number().over(w).cast("long").as("cid"), col("xq").as("c"))
@@ -1972,7 +1972,7 @@ object Similarity {
     * broadcast of C rows and one map-side-combinable aggregate per
     * vector, the canonical distributed k-means round.
     */
-  private def kmAssign(x: DataFrame, cent: DataFrame): DataFrame = {
+  private[graft] def kmAssign(x: DataFrame, cent: DataFrame): DataFrame = {
     val dist = aggregate(zip_with(col("xq"), col("c"), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, d2) => acc + d2)
     x.crossJoin(broadcast(cent))
@@ -1991,7 +1991,7 @@ object Similarity {
     * sums shuffle C·dims rows whatever the corpus size; empty
     * clusters keep their previous centroid (LEFT join + coalesce).
     */
-  private def kmUpdate(assigned: DataFrame, prev: DataFrame): DataFrame = {
+  private[graft] def kmUpdate(assigned: DataFrame, prev: DataFrame): DataFrame = {
     val means = assigned
       .select(col("cid"), posexplode(col("xq")).as(Seq("j", "xj")))
       .groupBy(col("cid"), col("j"))

@@ -712,6 +712,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q193/q194/q195: sampling table tops-v distributedly; registers combine map-side; phash probes equi-join") {
+    // q193: the only corpus-wide step is q155's top-v
+    // (TakeOrderedAndProject); everything after runs over ≤ v rows
+    val n = plan("q193_negative_sampling")
+    assert(n.contains("TakeOrderedAndProject"), n)
+    // q194: register maxima combine map-side before the exchange; the
+    // union-class branch aggregates the m-row register table only
+    val h = plan("q194_hll_set_algebra")
+    assert(h.contains("partial_max"), h)
+    assert(!h.contains("CartesianProduct"), h)
+    // q195: candidates come from a hash join on the (band, band_val)
+    // key with the bounded probe batch broadcast — never all-pairs
+    val p = plan("q195_phash_search")
+    assert(p.contains("BroadcastHashJoin [band"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q197: containment prefix stage carries no broadcast hint (the q23 rule)") {
+    // same 100 TB argument as q23: dfreq and the inverted index are
+    // corpus-sized — a forced broadcast is an executor OOM; AQE may
+    // still pick one at runtime from measured sizes (fine — the HINT
+    // is the bug)
+    val analyzed = graft.operators.Dedup.containmentPairs(spark, dir)
+      .queryExecution.analyzed
+    val hints = analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"unexpected broadcast hint(s): $hints")
+    val p = plan("q197_containment_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q190: calibration bins are one scan folded to the bin grid") {
     val p = plan("q190_calibration_bins")
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
