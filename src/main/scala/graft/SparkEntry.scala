@@ -883,6 +883,11 @@ object SparkEntry {
     // carried as the max-mergeable HLL register block (merge ≡
     // recompute bit-exactly, q55's register math)
     "q175_incremental_profile" -> ((s, dir) => operators.DataQuality.incrementalProfile(s, dir)),
+    // range-shard export planner: repartitionByRange's sample→cuts→
+    // route made explicit and auditable — bounded time-cell histogram,
+    // integer-div cut derivation, per-shard manifest with balance;
+    // rows never globally sort to get globally PLANNED
+    "q198_range_shard_plan" -> ((s, dir) => PipelineOps.rangeShardPlan(s, dir)),
     // asymmetric containment dedup: |A∩B|/|A| ≥ t — catches short docs
     // EMBEDDED in long ones (low Jaccard, high containment); one-sided
     // prefix filter (only the contained side can prune), exact verify
@@ -2310,6 +2315,7 @@ object SparkEntry {
     // converged Complete-mode term counts equal the batch counts
     // (order-independent sums), so q155's oracle applies unchanged
     "q162_stream_vocab" -> TextAnalysis.vocabInductionSql(),
+    "q198_range_shard_plan" -> PipelineOps.rangeShardPlanSql(),
     "q197_containment_dedup" -> operators.Dedup.containmentPairsSql(),
     "q195_phash_search" -> operators.Multimodal.phashSearchSql(),
     "q193_negative_sampling" -> TextAnalysis.negativeSamplingSql(),

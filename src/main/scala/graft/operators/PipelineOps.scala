@@ -1902,6 +1902,76 @@ object PipelineOps {
                     THEN (tp * 2)::DOUBLE / (tp * 2 + fp + fn)::DOUBLE END AS f1
         FROM cm"""
 
+  // ---- range-shard export planner (q198) ----
+
+  /** Plan a RANGE-partitioned export of the event log by event time —
+    * the layout a sorted/partitioned parquet or Iceberg export needs,
+    * and the thing `repartitionByRange` does internally (sample → cut
+    * points → route), made EXPLICIT and auditable: a bounded time-cell
+    * histogram, cumulative-count cut derivation (cells are the atomic
+    * routing unit), and the resulting per-shard manifest (row count,
+    * exact time bounds, balance ratio vs the ideal N/S). The manifest
+    * is how you SEE the skew a naive time-range split would ship
+    * before writing 100 TB into it.
+    *
+    * Exactness: cells and cumulative counts are BIGINT; cell and shard
+    * ids use integer `div` (both engines floor non-negative integer
+    * division identically; never IEEE `/` on ns longs — the
+    * Tables.events rule); balance is one final division of exact
+    * BIGINTs. Scale shape: bounds and the ≤`cells`-row histogram are
+    * two aggregate scans (a real deployment reads both from ANALYZE
+    * stats, q164/q175), the cell→shard map broadcasts, and routing is
+    * one map-side join — rows never sort globally to get PLANNED
+    * globally.
+    */
+  def rangeShardPlan(s: SparkSession, dir: String, shards: Int = 16,
+      cells: Int = 1024): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("ts_ns"))
+    val bounds = ev.agg(min(col("ts_ns")).as("mn"),
+      (max(col("ts_ns")) - min(col("ts_ns")) + 1).as("span"),
+      count(lit(1)).as("n_total"))
+    val withCell = ev.crossJoin(broadcast(bounds))
+      .withColumn("cell", expr(s"((ts_ns - mn) * $cells) div span"))
+    val w = Window.orderBy(col("cell"))
+    val cellShard = withCell.groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_excl",
+        coalesce(sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_total",
+        sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("shard",
+        least(expr(s"(cum_excl * $shards) div n_total"), lit(shards - 1L)))
+      .select(col("cell"), col("shard"))
+    withCell.join(broadcast(cellShard), Seq("cell"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"), min(col("ts_ns")).as("min_ts_ns"),
+        max(col("ts_ns")).as("max_ts_ns"), max(col("n_total")).as("n_total"))
+      .select(col("shard"), col("n_rows"), col("min_ts_ns"), col("max_ts_ns"),
+        ((col("n_rows") * shards).cast("double") / col("n_total").cast("double"))
+          .as("balance"))
+  }
+
+  def rangeShardPlanSql(shards: Int = 16, cells: Int = 1024): String =
+    s"""WITH ev AS (SELECT event_id, epoch_ns(ts)::BIGINT AS ts_ns FROM events),
+        bounds AS (SELECT min(ts_ns) AS mn, max(ts_ns) - min(ts_ns) + 1 AS span,
+                          count(*)::BIGINT AS n_total
+                   FROM ev),
+        wc AS (SELECT event_id, ts_ns, ((ts_ns - mn) * $cells) // span AS cell
+               FROM ev, bounds),
+        cs AS (SELECT cell, count(*)::BIGINT AS cnt FROM wc GROUP BY 1),
+        cx AS (SELECT cell,
+                      coalesce(sum(cnt) OVER (ORDER BY cell
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_excl,
+                      (sum(cnt) OVER ())::BIGINT AS n_total
+               FROM cs),
+        m AS (SELECT cell, least((cum_excl * $shards) // n_total, ${shards - 1}) AS shard,
+                     n_total
+              FROM cx)
+        SELECT shard, count(*)::BIGINT AS n_rows,
+               min(ts_ns)::BIGINT AS min_ts_ns, max(ts_ns)::BIGINT AS max_ts_ns,
+               ((count(*) * $shards)::BIGINT)::DOUBLE / (max(n_total)::BIGINT)::DOUBLE AS balance
+        FROM wc JOIN m USING (cell)
+        GROUP BY 1"""
+
   // ---- classifier evaluation: exact AUC + KS statistic (q181/q186) ----
 
   /** The per-token mean logit quantized ONCE to micro-units — the
