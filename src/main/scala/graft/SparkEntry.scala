@@ -883,6 +883,11 @@ object SparkEntry {
     // carried as the max-mergeable HLL register block (merge ≡
     // recompute bit-exactly, q55's register math)
     "q175_incremental_profile" -> ((s, dir) => operators.DataQuality.incrementalProfile(s, dir)),
+    // quantile-transform feature step: per-row mid-rank percentile
+    // read off the stored histogram grid (shared constants with
+    // q75/q100/q120) — broadcast grid + one map-side join, no global
+    // sort, one exact division per row
+    "q199_rank_normalize" -> ((s, dir) => operators.Sketches.rankNormalize(s, dir)),
     // range-shard export planner: repartitionByRange's sample→cuts→
     // route made explicit and auditable — bounded time-cell histogram,
     // integer-div cut derivation, per-shard manifest with balance;
@@ -2315,6 +2320,7 @@ object SparkEntry {
     // converged Complete-mode term counts equal the batch counts
     // (order-independent sums), so q155's oracle applies unchanged
     "q162_stream_vocab" -> TextAnalysis.vocabInductionSql(),
+    "q199_rank_normalize" -> operators.Sketches.rankNormalizeSql(),
     "q198_range_shard_plan" -> PipelineOps.rangeShardPlanSql(),
     "q197_containment_dedup" -> operators.Dedup.containmentPairsSql(),
     "q195_phash_search" -> operators.Multimodal.phashSearchSql(),

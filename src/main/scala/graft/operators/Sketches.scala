@@ -1010,6 +1010,59 @@ object Sketches {
         LEFT JOIN truth t ON o.o_custkey = t.c_custkey"""
   }
 
+  // ---- rank normalization from the stored histogram (q199) ----
+
+  /** Rank-normalize a feature at corpus scale WITHOUT sorting it: each
+    * event's value maps to its within-type mid-rank percentile read
+    * off the stored q75/q100 histogram grid — the classic
+    * quantile-transform feature step (and the remedy q119's skew
+    * report calls for), served the way a 100 TB pipeline must serve
+    * it: the grid (≤ groups×buckets rows, shared constants with
+    * q75/q100/q120 so the family cannot drift) broadcasts, and the
+    * transform is one map-side join over the scan — no global sort,
+    * no per-row quantile work. `pct = (2·cum_excl + cnt) / 2N` is the
+    * mid-rank of the value's bucket: a single division of exact
+    * BIGINTs, monotone in the bucket, and exactly 0.5 for a bucket
+    * holding the whole mass.
+    */
+  def rankNormalize(s: SparkSession, dir: String, width: Double = 8.0,
+      buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket").asc)
+    val grid = histGrid(ev, width, buckets)
+      .withColumn("cum_excl",
+        coalesce(sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_total",
+        sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    ev.withColumn("bucket", histBucket(col("value"), width, buckets))
+      .join(broadcast(grid), Seq("event_type", "bucket"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        ((col("cum_excl") * 2 + col("cnt")).cast("double")
+          / (col("n_total") * 2).cast("double")).as("pct"))
+  }
+
+  def rankNormalizeSql(width: Double = 8.0, buckets: Int = 64): String =
+    s"""WITH h AS (
+          SELECT event_type,
+                 greatest(0, least(floor(value / ($width)::DOUBLE)::BIGINT, ${buckets - 1})) AS bucket,
+                 count(*)::BIGINT AS cnt
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        c AS (SELECT event_type, bucket, cnt,
+                     coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_excl,
+                     (sum(cnt) OVER (PARTITION BY event_type))::BIGINT AS n_total
+              FROM h)
+        SELECT e.event_id, e.event_type, e.value,
+               ((c.cum_excl * 2 + c.cnt)::BIGINT)::DOUBLE
+                 / ((c.n_total * 2)::BIGINT)::DOUBLE AS pct
+        FROM events e JOIN c
+          ON e.event_type = c.event_type
+         AND greatest(0, least(floor(e.value / ($width)::DOUBLE)::BIGINT, ${buckets - 1})) = c.bucket
+        WHERE e.value IS NOT NULL"""
+
   // ---- HLL set algebra (q194) ----
 
   /** Sketch SET OPERATIONS over q55's registers — the property that
