@@ -883,6 +883,11 @@ object SparkEntry {
     // carried as the max-mergeable HLL register block (merge ≡
     // recompute bit-exactly, q55's register math)
     "q175_incremental_profile" -> ((s, dir) => operators.DataQuality.incrementalProfile(s, dir)),
+    // where the modalities DISAGREE about duplication: full-outer of
+    // q141's image pairs vs q23's text pairs — image_only = stolen
+    // image/re-caption, text_only = template re-skin; a join of two
+    // bounded pair tables, the corpus is not touched again
+    "q200_crossmodal_dup_audit" -> ((s, dir) => Multimodal.crossModalDupAudit(s, dir)),
     // quantile-transform feature step: per-row mid-rank percentile
     // read off the stored histogram grid (shared constants with
     // q75/q100/q120) — broadcast grid + one map-side join, no global
@@ -2320,6 +2325,7 @@ object SparkEntry {
     // converged Complete-mode term counts equal the batch counts
     // (order-independent sums), so q155's oracle applies unchanged
     "q162_stream_vocab" -> TextAnalysis.vocabInductionSql(),
+    "q200_crossmodal_dup_audit" -> operators.Multimodal.crossModalDupAuditSql(),
     "q199_rank_normalize" -> operators.Sketches.rankNormalizeSql(),
     "q198_range_shard_plan" -> PipelineOps.rangeShardPlanSql(),
     "q197_containment_dedup" -> operators.Dedup.containmentPairsSql(),

@@ -365,6 +365,48 @@ object Multimodal {
         WHERE banded.doc_id <> qb.query_id
           AND bit_count(xor(banded.fp, qb.qfp)) <= $maxHamming"""
 
+  // ---- cross-modal duplication audit (q200) ----
+
+  /** Where the modalities DISAGREE about duplication — the curation
+    * signal neither single-modality pass can produce: `image_only`
+    * pairs share near-identical images under different text (stolen
+    * image / re-caption), `text_only` pairs share near-identical text
+    * under different images (template spam / re-skin), `both` is
+    * ordinary rehosting. Full-outer of q141's phash pairs against
+    * q23's exact-Jaccard text pairs on the (a, b) key (both sides
+    * emit a < b, so the keys align); each side keeps its evidence
+    * column (hamming / jaccard) nullable. Scale: a join of two
+    * already-bounded PAIR tables — the corpus itself is not touched
+    * again.
+    */
+  def crossModalDupAudit(s: SparkSession, dir: String): DataFrame = {
+    val ip = imageNearDupPairs(s, dir)
+    val tp = Dedup.exactNearDuplicates(s, dir)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+    ip.join(tp, col("doc_a") === col("a_id") && col("doc_b") === col("b_id"),
+        "full_outer")
+      .select(
+        coalesce(col("doc_a"), col("a_id")).as("doc_a"),
+        coalesce(col("doc_b"), col("b_id")).as("doc_b"),
+        col("hamming"), col("jaccard"),
+        when(col("doc_a").isNotNull && col("a_id").isNotNull, lit("both"))
+          .when(col("doc_a").isNotNull, lit("image_only"))
+          .otherwise(lit("text_only")).as("dup_class"))
+  }
+
+  /** Composed oracle: both published pair oracles as derived tables
+    * (the q114 WITH-inside-derived-table move), full-outer joined. */
+  def crossModalDupAuditSql(): String =
+    s"""WITH ip AS (SELECT * FROM (${imageNearDupSql()}) t),
+        tp AS (SELECT * FROM (${Dedup.nearDuplicatesSql()}) t)
+        SELECT coalesce(ip.doc_a, tp.a_id) AS doc_a,
+               coalesce(ip.doc_b, tp.b_id) AS doc_b,
+               ip.hamming, tp.jaccard,
+               CASE WHEN ip.doc_a IS NOT NULL AND tp.a_id IS NOT NULL THEN 'both'
+                    WHEN ip.doc_a IS NOT NULL THEN 'image_only'
+                    ELSE 'text_only' END AS dup_class
+        FROM ip FULL JOIN tp ON ip.doc_a = tp.a_id AND ip.doc_b = tp.b_id"""
+
   // ---- audio-fingerprint near-dedup (q143) ----
 
   /** Synthetic PCM-WAV corpus, q141's design applied to audio: real
