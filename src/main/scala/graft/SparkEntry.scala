@@ -888,6 +888,22 @@ object SparkEntry {
     // image/re-caption, text_only = template re-skin; a join of two
     // bounded pair tables, the corpus is not touched again
     "q200_crossmodal_dup_audit" -> ((s, dir) => Multimodal.crossModalDupAudit(s, dir)),
+    // the privacy progression's third act: k-anonymity (q168) counts
+    // class sizes, l-diversity (q185) counts distinct values,
+    // t-closeness bounds the class-vs-global DISTRIBUTION gap (ordered
+    // EMD = windowed prefix sum, integer micro-units to the last div)
+    "q201_t_closeness" -> ((s, dir) => operators.DataQuality.tClosenessAudit(s, dir)),
+    // sequential-behavior baseline: first-order Markov matrix from ONE
+    // lead() pass over user-keyed sequences — bounded (types²) output,
+    // exact integer micro-unit probabilities
+    "q202_markov_transitions" -> ((s, dir) => operators.Analytics.markovTransitions(s, dir)),
+    // the scale move that makes q154's diff affordable: per-segment
+    // (count, XOR-of-row-digests) manifests compared first, row-diff
+    // only the dirty segments — IO ∝ change, not corpus
+    "q203_segment_fingerprint_diff" -> ((s, dir) => PipelineOps.segmentFingerprintDiff(s, dir)),
+    // three report granularities, ONE corpus scan: ROLLUP compiles to
+    // Expand + one hash aggregate — the 100 TB log is not read thrice
+    "q204_rollup_report" -> ((s, dir) => operators.Analytics.rollupTrafficReport(s, dir)),
     // quantile-transform feature step: per-row mid-rank percentile
     // read off the stored histogram grid (shared constants with
     // q75/q100/q120) — broadcast grid + one map-side join, no global
@@ -2326,6 +2342,10 @@ object SparkEntry {
     // (order-independent sums), so q155's oracle applies unchanged
     "q162_stream_vocab" -> TextAnalysis.vocabInductionSql(),
     "q200_crossmodal_dup_audit" -> operators.Multimodal.crossModalDupAuditSql(),
+    "q201_t_closeness" -> operators.DataQuality.tClosenessAuditSql(),
+    "q202_markov_transitions" -> operators.Analytics.markovTransitionsSql,
+    "q203_segment_fingerprint_diff" -> PipelineOps.segmentFingerprintDiffSql(),
+    "q204_rollup_report" -> operators.Analytics.rollupTrafficReportSql,
     "q199_rank_normalize" -> operators.Sketches.rankNormalizeSql(),
     "q198_range_shard_plan" -> PipelineOps.rangeShardPlanSql(),
     "q197_containment_dedup" -> operators.Dedup.containmentPairsSql(),

@@ -1111,4 +1111,97 @@ object Analytics {
               count(DISTINCT p_id)::BIGINT AS n_purchases,
               sum(credit_micro)::BIGINT AS credit_micro
        FROM c GROUP BY 1"""
+
+  // ---- first-order Markov transition matrix (q202) ----
+
+  /** The sequential-behavior summary the funnel (q132) and streak
+    * (q167) queries don't give: the first-order Markov transition
+    * matrix P(next = b | current = a) over each user's time-ordered
+    * event sequence — the stats a session-simulation or
+    * next-event-prediction baseline trains on, and the standard
+    * sanity check on synthetic-log generators (a uniform generator
+    * shows up instantly as a flat matrix).
+    *
+    * Shape at 100 TB: ONE window pass partitioned by user_id (high
+    * cardinality — perfectly distributable, no skew beyond a user's
+    * own history) computing `lead(event_type)`, then a groupBy on the
+    * (current, next) pair whose output is bounded by event-type
+    * cardinality squared (25 rows here) — partials combine map-side.
+    * No self-join: the lag/lead formulation touches each row once,
+    * where the join-on-rank formulation would shuffle the log twice.
+    * Ties broken by event_id so the sequence — and therefore the
+    * matrix — is deterministic under any partitioning. NULL users
+    * have no identity to sequence over and are excluded (count-the-
+    * key semantics, as q150). Probabilities ship as exact integer
+    * micro-units: `(n · 10^6) div n_current` — no IEEE division.
+    */
+  def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tr = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("cur"))
+      .withColumn("nxt", lead(col("cur"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+    val rowTot = tr.groupBy(col("cur").as("rt_cur"))
+      .agg(sum(col("n")).as("n_cur"))
+    tr.join(broadcast(rowTot), col("cur") === col("rt_cur"))
+      .select(col("cur"), col("nxt"), col("n"),
+        expr("(n * 1000000L) div n_cur").as("p_micro"))
+  }
+
+  def markovTransitionsSql: String =
+    """WITH seq AS (
+         SELECT event_type AS cur,
+                lead(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS nxt
+         FROM events WHERE user_id IS NOT NULL),
+       tr AS (SELECT cur, nxt, count(*)::BIGINT AS n FROM seq
+              WHERE nxt IS NOT NULL GROUP BY 1, 2),
+       rt AS (SELECT cur, sum(n)::BIGINT AS n_cur FROM tr GROUP BY 1)
+       SELECT t.cur, t.nxt, t.n,
+              ((t.n * 1000000) // r.n_cur)::BIGINT AS p_micro
+       FROM tr t JOIN rt r ON t.cur = r.cur"""
+
+  // ---- one-pass multi-granularity report: ROLLUP (q204) ----
+
+  /** The reporting query every pipeline dashboard runs at three
+    * granularities — per (day, type), per day, and grand total — done
+    * as ONE scan via ROLLUP instead of three scans + a UNION. Spark
+    * compiles this to an Expand node (each input row is replicated
+    * once per grouping set BEFORE the partial aggregate), so the
+    * corpus is read once and the three granularities' partials
+    * combine map-side in the same hash aggregate; the naive
+    * three-query form reads the 100 TB log three times for the same
+    * answer. `lvl` is the grouping id (day bit, type bit) so
+    * downstream consumers can split the levels without relying on the
+    * NULL-means-subtotal convention colliding with genuinely NULL
+    * group values.
+    *
+    * The exact-distinct per granularity is the expensive honest part
+    * (each grouping set needs its own dedup); the sketch alternative
+    * at extreme scale is q55's HLL registers per grouping set — this
+    * report keeps the exact form so the oracle is cell-exact. Sums in
+    * integer micro-units as everywhere.
+    */
+  def rollupTrafficReport(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("user_id"),
+        floor(col("value") * 1000000).cast("long").as("v_micro"))
+      .rollup(col("day"), col("event_type"))
+      .agg(grouping_id().cast("long").as("lvl"),
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("v_micro")).as("sum_value_micro"))
+
+  def rollupTrafficReportSql: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+              (grouping(day) * 2 + grouping(event_type))::BIGINT AS lvl,
+              count(*)::BIGINT AS n,
+              count(DISTINCT user_id)::BIGINT AS n_users,
+              sum(floor(value * 1000000)::BIGINT)::BIGINT AS sum_value_micro
+       FROM events GROUP BY ROLLUP (day, event_type)"""
 }

@@ -569,4 +569,111 @@ object DataQuality {
                sum(n_rows_cls)::BIGINT AS n_rows,
                (l_distinct < $l) AS violates_l
         FROM cls GROUP BY 1"""
+
+  // ---- t-closeness audit (q201) ----
+
+  /** t-closeness — the attack l-diversity (q185) misses: a class can
+    * span ≥ l distinct sensitive values and still leak if its value
+    * DISTRIBUTION differs sharply from the corpus-wide one (the
+    * skewness attack: 49 % cancer in a class vs 1 % globally tells
+    * the attacker plenty even though the class is "2-diverse"). Li,
+    * Li & Venkatasubramanian (ICDE 2007) require every class's
+    * sensitive distribution to sit within Earth-Mover's Distance t of
+    * the global distribution; for an ORDERED attribute with m values
+    * the EMD has the closed form
+    * `(1/(m-1)) * Σ_i |Σ_{j≤i} (p_j − q_j)|` — cumulative
+    * probability differences, which is exactly a windowed prefix sum.
+    *
+    * Same released table and quasi-id key as q185/q196 so the three
+    * privacy audits (k-anonymity → l-diversity → t-closeness) read as
+    * one progression over one release.
+    *
+    * Hash-exactness: probabilities are ratios, so the EMD is kept in
+    * INTEGER arithmetic to the last step — per (class, value) the
+    * scaled difference `ncv·N − Nv·nc` (both engines: exact BIGINTs),
+    * prefix-summed in value order, |·|-summed per class, then ONE
+    * integer division `(Σ·10^6) div ((m−1)·nc·N)` yields micro-EMD.
+    * No IEEE rounding anywhere, so the cross-engine hash cannot drift.
+    * (Magnitude bound: Σ ≤ m·nc·N; at 10^12 rows scale the 10^6
+    * factor would need DECIMAL(38) — noted, not needed at any test SF.)
+    *
+    * Scale shape: the pair grid is bounded by classes × m (m = 5
+    * here); densifying to the full m-slot grid is a broadcast cross
+    * join against the m-row global frame; the prefix sum shuffles on
+    * the CLASS key only (never a global sort); the totals ride a
+    * one-row broadcast. Output is the micro-EMD decile histogram —
+    * ≤ 10·2 rows whatever the corpus size.
+    */
+  def tClosenessAudit(s: SparkSession, dir: String,
+                      tMicro: Long = 200000): DataFrame = {
+    val pairs = lDiversityPairCounts(lDiversityReleased(s, dir))
+    val clsKey = Seq(col("c_mktsegment"), col("c_nationkey"), col("bal_bucket"))
+    val gv = pairs.groupBy(col("o_orderpriority")).agg(sum(col("n")).as("nv"))
+    val tot = gv.agg(sum(col("nv")).as("nn"), count(lit(1)).as("m"))
+    val cls = pairs.groupBy(clsKey: _*).agg(sum(col("n")).as("nc"))
+    val dense = cls.crossJoin(broadcast(gv))
+      .join(pairs,
+        Seq("c_mktsegment", "c_nationkey", "bal_bucket", "o_orderpriority"),
+        "left")
+      .withColumn("ncv", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(clsKey: _*).orderBy(col("o_orderpriority"))
+    val emd = dense
+      .withColumn("cumdiff",
+        sum(col("ncv") * col("nn") - col("nv") * col("nc")).over(w))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"), col("bal_bucket"),
+        col("nc"), col("nn"), col("m"))
+      .agg(sum(abs(col("cumdiff"))).as("sdiff"))
+      .withColumn("micro_emd",
+        expr("(sdiff * 1000000L) div ((m - 1L) * nc * nn)"))
+    emd.groupBy(expr("micro_emd div 100000L").as("emd_bucket"),
+        (col("micro_emd") >= tMicro).as("violates_t"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("nc")).as("n_rows"),
+        max(col("micro_emd")).as("max_micro_emd"))
+      .select(col("emd_bucket"), col("n_classes"), col("n_rows"),
+        col("max_micro_emd"), col("violates_t"))
+  }
+
+  def tClosenessAuditSql(tMicro: Long = 200000): String =
+    s"""WITH rel AS (
+          SELECT c_mktsegment, c_nationkey::BIGINT AS c_nationkey,
+                 floor(c_acctbal / 1000.0)::BIGINT AS bal_bucket,
+                 o_orderpriority
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        grid AS (SELECT c_mktsegment, c_nationkey, bal_bucket,
+                        o_orderpriority, count(*)::BIGINT AS n
+                 FROM rel GROUP BY 1, 2, 3, 4),
+        gvals AS (SELECT o_orderpriority, sum(n)::BIGINT AS nv
+                  FROM grid GROUP BY 1),
+        tot AS (SELECT sum(nv)::BIGINT AS nn, count(*)::BIGINT AS m
+                FROM gvals),
+        cls AS (SELECT c_mktsegment, c_nationkey, bal_bucket,
+                       sum(n)::BIGINT AS nc
+                FROM grid GROUP BY 1, 2, 3),
+        dense AS (
+          SELECT c.c_mktsegment, c.c_nationkey, c.bal_bucket, c.nc,
+                 g.o_orderpriority, g.nv, coalesce(gr.n, 0)::BIGINT AS ncv
+          FROM cls c CROSS JOIN gvals g
+          LEFT JOIN grid gr ON gr.c_mktsegment = c.c_mktsegment
+            AND gr.c_nationkey = c.c_nationkey
+            AND gr.bal_bucket = c.bal_bucket
+            AND gr.o_orderpriority = g.o_orderpriority),
+        cum AS (
+          SELECT c_mktsegment, c_nationkey, bal_bucket, nc,
+                 sum(ncv * (SELECT nn FROM tot) - nv * nc) OVER (
+                   PARTITION BY c_mktsegment, c_nationkey, bal_bucket
+                   ORDER BY o_orderpriority) AS cumdiff
+          FROM dense),
+        emd AS (
+          SELECT c_mktsegment, c_nationkey, bal_bucket, nc,
+                 ((sum(abs(cumdiff))::BIGINT * 1000000)
+                   // (((SELECT m FROM tot) - 1) * nc
+                       * (SELECT nn FROM tot)))::BIGINT AS micro_emd
+          FROM cum GROUP BY 1, 2, 3, 4)
+        SELECT (micro_emd // 100000)::BIGINT AS emd_bucket,
+               count(*)::BIGINT AS n_classes, sum(nc)::BIGINT AS n_rows,
+               max(micro_emd)::BIGINT AS max_micro_emd,
+               (micro_emd >= $tMicro) AS violates_t
+        FROM emd GROUP BY 1, 5"""
 }

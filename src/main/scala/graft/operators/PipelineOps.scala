@@ -666,6 +666,90 @@ object PipelineOps {
               CASE WHEN b = 2 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
        FROM b WHERE b <> 1"""
 
+  // ---- segment-fingerprint manifest diff (q203) ----
+
+  /** What makes [[snapshotDiff]] affordable at 100 TB: the diff's
+    * full-outer key join reads BOTH snapshots end to end every sync,
+    * even when nothing changed. A replication/versioning system
+    * (Iceberg manifests, rsync, Merkle sync) compares bounded
+    * per-segment FINGERPRINTS first and row-diffs only the dirty
+    * segments — IO proportional to the CHANGE, not the corpus. This
+    * operator is that first phase as a query: per key-range segment,
+    * each snapshot folds to `(row count, XOR of 60-bit row digests)`,
+    * the two manifests full-outer join on segment id (a few thousand
+    * rows however big the table), and the output is the dirty-segment
+    * work list with its classification.
+    *
+    * XOR is the right fold: commutative + associative (the partial
+    * aggregate combines map-side in any order), self-inverse (a
+    * segment's digest changes iff the multiset of row digests
+    * changes, up to 2^60 collision odds — production would widen to
+    * 128 bits, same plan). The row digest hashes the CANONICALIZED
+    * row (key + integer cents), so both engines hash identical bytes;
+    * `floor(price·100)` is the same IEEE multiply+floor on both sides.
+    *
+    * Cross-check contract: the dirty-segment set must be exactly the
+    * segments [[snapshotDiff]]'s row-level feed touches — the oracle
+    * re-derives the manifests independently in SQL, and q154's round
+    * trip already pins the row level, so the two layers are verified
+    * against each other.
+    */
+  def segmentFingerprintDiff(s: SparkSession, dir: String,
+                             segRows: Long = 4096): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (graft.functions.md5_long(col("o_orderkey")) % 20).as("b"))
+    def manifest(snap: DataFrame): DataFrame =
+      snap.select(expr(s"o_orderkey div ${segRows}L").as("seg"),
+          graft.functions.md5_long(concat(
+            col("o_orderkey").cast("string"), lit("|"),
+            floor(col("o_totalprice") * 100).cast("long").cast("string")))
+            .as("row_h"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(row_h)").as("digest"))
+    val oldM = manifest(o.filter(col("b") =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice")))
+      .select(col("seg").as("seg_old"), col("n").as("n_old"),
+        col("digest").as("digest_old"))
+    val newM = manifest(o.filter(col("b") =!= 1)
+        .select(col("o_orderkey"),
+          when(col("b") === 2, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")).as("o_totalprice")))
+      .select(col("seg").as("seg_new"), col("n").as("n_new"),
+        col("digest").as("digest_new"))
+    oldM.join(newM, col("seg_old") === col("seg_new"), "full_outer")
+      .filter(col("seg_old").isNull || col("seg_new").isNull ||
+        col("digest_old") =!= col("digest_new"))
+      .select(coalesce(col("seg_old"), col("seg_new")).as("seg"),
+        col("n_old"), col("n_new"), col("digest_old"), col("digest_new"),
+        when(col("seg_old").isNull, "added_seg")
+          .when(col("seg_new").isNull, "removed_seg")
+          .otherwise("dirty").as("change_type"))
+  }
+
+  def segmentFingerprintDiffSql(segRows: Long = 4096): String =
+    s"""WITH b AS (
+         SELECT o_orderkey, o_totalprice,
+                ('0x' || substring(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT % 20 AS b
+         FROM orders),
+       oldm AS (
+         SELECT o_orderkey // $segRows AS seg, count(*)::BIGINT AS n_old,
+                bit_xor(('0x' || substring(md5(o_orderkey::VARCHAR || '|' ||
+                  floor(o_totalprice * 100)::BIGINT::VARCHAR), 1, 15))::BIGINT)::BIGINT AS digest_old
+         FROM b WHERE b <> 0 GROUP BY 1),
+       newm AS (
+         SELECT o_orderkey // $segRows AS seg, count(*)::BIGINT AS n_new,
+                bit_xor(('0x' || substring(md5(o_orderkey::VARCHAR || '|' ||
+                  floor((CASE WHEN b = 2 THEN o_totalprice * 2 ELSE o_totalprice END) * 100)::BIGINT::VARCHAR), 1, 15))::BIGINT)::BIGINT AS digest_new
+         FROM b WHERE b <> 1 GROUP BY 1)
+       SELECT coalesce(o.seg, n.seg)::BIGINT AS seg, n_old, n_new,
+              digest_old, digest_new,
+              CASE WHEN o.seg IS NULL THEN 'added_seg'
+                   WHEN n.seg IS NULL THEN 'removed_seg'
+                   ELSE 'dirty' END AS change_type
+       FROM oldm o FULL OUTER JOIN newm n ON o.seg = n.seg
+       WHERE o.seg IS NULL OR n.seg IS NULL OR digest_old <> digest_new"""
+
   // ---- end-to-end curation (the capstone composition) ----
 
   /** The full training-data curation decision, composed from the
