@@ -904,6 +904,15 @@ object SparkEntry {
     // three report granularities, ONE corpus scan: ROLLUP compiles to
     // Expand + one hash aggregate — the 100 TB log is not read thrice
     "q204_rollup_report" -> ((s, dir) => operators.Analytics.rollupTrafficReport(s, dir)),
+    // zone-map pruning audit: per (layout × predicate) chunks/rows
+    // touched vs selected — measures the read amplification each
+    // physical layout costs a workload (the OPTIMIZE ZORDER rationale
+    // in numbers); value-range chunking, no global sort anywhere
+    "q205_layout_pruning" -> ((s, dir) => PipelineOps.layoutPruningReport(s, dir)),
+    // embedding-free recommendation: item-item cosine kNN over basket
+    // co-occurrence — pair work bounded by Σ basket² (the blocking
+    // discipline), per-item top-k via WindowGroupLimit
+    "q206_item_cooccurrence_knn" -> ((s, dir) => operators.Analytics.itemCooccurrenceKnn(s, dir)),
     // quantile-transform feature step: per-row mid-rank percentile
     // read off the stored histogram grid (shared constants with
     // q75/q100/q120) — broadcast grid + one map-side join, no global
@@ -2346,6 +2355,8 @@ object SparkEntry {
     "q202_markov_transitions" -> operators.Analytics.markovTransitionsSql,
     "q203_segment_fingerprint_diff" -> PipelineOps.segmentFingerprintDiffSql(),
     "q204_rollup_report" -> operators.Analytics.rollupTrafficReportSql,
+    "q205_layout_pruning" -> PipelineOps.layoutPruningReportSql(),
+    "q206_item_cooccurrence_knn" -> operators.Analytics.itemCooccurrenceKnnSql(),
     "q199_rank_normalize" -> operators.Sketches.rankNormalizeSql(),
     "q198_range_shard_plan" -> PipelineOps.rangeShardPlanSql(),
     "q197_containment_dedup" -> operators.Dedup.containmentPairsSql(),

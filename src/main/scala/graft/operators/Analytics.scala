@@ -1204,4 +1204,74 @@ object Analytics {
               count(DISTINCT user_id)::BIGINT AS n_users,
               sum(floor(value * 1000000)::BIGINT)::BIGINT AS sum_value_micro
        FROM events GROUP BY ROLLUP (day, event_type)"""
+
+  // ---- item-item co-occurrence kNN (q206) ----
+
+  /** The embedding-free recommender baseline ("customers who bought X
+    * also bought Y"): items co-occurring in the same basket, scored by
+    * cosine over the binary item-basket matrix — `co / √(n_a·n_b)` —
+    * and cut to each item's top-k neighbors. This is the co-occurrence
+    * counterpart of the ANN family (q25…): same serve shape (kNN graph
+    * keyed by item), different geometry (interaction space, no trained
+    * vectors anywhere).
+    *
+    * Scale shape: the pair generation is a self-join ON THE BASKET KEY
+    * — work is Σ basket², bounded by the max basket size (13 lines in
+    * TPC-H, capped in any real cart), never corpus²; the q136/q23
+    * blocking discipline. One groupBy on the (a, b) pair (map-side
+    * combined, a < b so each pair counts once), two broadcast-sized
+    * frequency joins, then the per-item top-k as row_number over an
+    * item-keyed window — WindowGroupLimit pushes the cut before the
+    * full sort materializes. Symmetrization (each pair serves both
+    * endpoints) doubles a bounded pair table, not the corpus.
+    *
+    * Exactness: cosine = floor(co·10^6 / √(n_a·n_b)) — exact BIGINTs
+    * into ONE IEEE sqrt + ONE division, bit-identical across engines;
+    * ties broken by neighbor id.
+    */
+  def itemCooccurrenceKnn(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val freq = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    val co = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("co"))
+    val sc = co
+      .join(freq.select(col("l_partkey").as("pa"), col("n").as("na")), "pa")
+      .join(freq.select(col("l_partkey").as("pb"), col("n").as("nb")), "pb")
+      .select(col("pa"), col("pb"), col("co"),
+        floor(col("co") * lit(1000000L) / sqrt(col("na") * col("nb")))
+          .cast("long").as("cos_micro"))
+    val sym = sc.select(col("pa").as("part"), col("pb").as("rec"),
+        col("co"), col("cos_micro"))
+      .unionByName(sc.select(col("pb").as("part"), col("pa").as("rec"),
+        col("co"), col("cos_micro")))
+    val w = Window.partitionBy(col("part"))
+      .orderBy(col("cos_micro").desc, col("rec"))
+    sym.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("part"), col("rec"), col("co"), col("cos_micro"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  def itemCooccurrenceKnnSql(k: Int = 5): String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       freq AS (SELECT l_partkey, count(*)::BIGINT AS n FROM li GROUP BY 1),
+       co AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                     count(*)::BIGINT AS co
+              FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2),
+       sc AS (SELECT pa, pb, co,
+                     floor(co * 1000000 / sqrt(fa.n * fb.n))::BIGINT AS cos_micro
+              FROM co JOIN freq fa ON fa.l_partkey = pa
+                      JOIN freq fb ON fb.l_partkey = pb),
+       sym AS (SELECT pa AS part, pb AS rec, co, cos_micro FROM sc
+               UNION ALL
+               SELECT pb, pa, co, cos_micro FROM sc),
+       rk AS (SELECT *, row_number() OVER (PARTITION BY part
+                ORDER BY cos_micro DESC, rec) AS rk FROM sym)
+       SELECT part, rec, co, cos_micro, rk::BIGINT AS rk
+       FROM rk WHERE rk <= $k"""
 }

@@ -574,6 +574,121 @@ object PipelineOps {
         FROM f"""
   }
 
+  // ---- zone-map layout-effectiveness report (q205) ----
+
+  /** Quantifies what q62's z-order key only CLAIMS: how much IO each
+    * physical layout actually saves a workload. Chunks stand in for
+    * parquet row groups — fixed-width key ranges of the layout column
+    * (natural/arrival = event_id ranges, single-column clustering =
+    * user_id ranges, z-order = zval ranges), each summarized by its
+    * zone map (min/max of BOTH predicate dimensions + row count); a
+    * predicate must read a chunk iff its range overlaps the chunk's
+    * min/max — exactly the parquet row-group skipping rule. The
+    * report: per (layout, predicate), chunks touched vs total and rows
+    * touched vs actually selected — `rows_touched / rows_selected` is
+    * the read amplification the layout costs that query shape.
+    *
+    * The expected (and measured) story: the arrival layout prunes the
+    * time predicate and reads EVERYTHING for the user predicate;
+    * user-sorted is the mirror image; z-order pays a modest factor on
+    * each but prunes BOTH — the reason OPTIMIZE ZORDER exists.
+    *
+    * Scale shape: chunk stats are one groupBy per layout over a
+    * three-column projection (map-side combined, no sort anywhere —
+    * value-range chunking needs no global row_number); the predicate
+    * table is a bounded literal broadcast; the overlap join is
+    * (bounded chunks) × (bounded predicates). Positive-domain note:
+    * hour = us div 3600e6 uses truncating division, identical across
+    * engines for the 2024-only event domain.
+    */
+  def layoutPruningReport(s: SparkSession, dir: String,
+                          bits: Int = 16): DataFrame = {
+    import s.implicits._
+    val m = 1L << bits
+    val base = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id").as("u"),
+        expr("unix_micros(ts) div 3600000000L").as("hr"))
+      .withColumn("a", col("u") % m).withColumn("b", col("hr") % m)
+      .withColumn("zval", expr(zExprSql("a", "b", bits)))
+    def chunks(tag: String, chunk: org.apache.spark.sql.Column): DataFrame =
+      base.groupBy(chunk.as("chunk"))
+        .agg(min(col("u")).as("min_u"), max(col("u")).as("max_u"),
+          min(col("hr")).as("min_hr"), max(col("hr")).as("max_hr"),
+          count(lit(1)).as("n"))
+        .withColumn("layout", lit(tag))
+    val ch = chunks("natural", expr("event_id div 256L"))
+      .unionByName(chunks("user_sorted", expr("u div 8L")))
+      .unionByName(chunks("zorder", expr("zval div 4096L")))
+    val preds = Seq(("user_3_5", "u", 3L, 5L),
+        ("hour_jan10", "h", 473568L, 473591L))
+      .toDF("pred", "dim", "lo", "hi")
+    val touched = (col("dim") === "u" && col("max_u") >= col("lo") &&
+        col("min_u") <= col("hi")) ||
+      (col("dim") === "h" && col("max_hr") >= col("lo") &&
+        col("min_hr") <= col("hi"))
+    val sel = base.agg(
+        sum(when(col("u").between(3L, 5L), 1L).otherwise(0L)).as("s_u"),
+        sum(when(col("hr").between(473568L, 473591L), 1L).otherwise(0L))
+          .as("s_h"))
+      .select(expr(
+        "stack(2, 'user_3_5', s_u, 'hour_jan10', s_h) as (pred, rows_selected)"))
+    ch.crossJoin(broadcast(preds))
+      .groupBy(col("layout"), col("pred"))
+      .agg(count(lit(1)).as("chunks_total"),
+        sum(when(touched, 1L).otherwise(0L)).as("chunks_touched"),
+        sum(col("n")).as("rows_total"),
+        sum(when(touched, col("n")).otherwise(0L)).as("rows_touched"))
+      .join(broadcast(sel), "pred")
+  }
+
+  def layoutPruningReportSql(bits: Int = 16): String = {
+    val m = 1L << bits
+    s"""WITH f AS (
+          SELECT event_id, user_id AS u,
+                 (epoch_us(ts)::BIGINT // 3600000000) AS hr
+          FROM events WHERE user_id IS NOT NULL),
+        z AS (SELECT event_id, u, hr, u % $m AS a, hr % $m AS b FROM f),
+        zz AS (SELECT event_id, u, hr,
+                      ${zExprSql("a", "b", bits)} AS zval FROM z),
+        ch AS (
+          SELECT 'natural' AS layout, event_id // 256 AS chunk,
+                 min(u) AS min_u, max(u) AS max_u, min(hr) AS min_hr,
+                 max(hr) AS max_hr, count(*)::BIGINT AS n
+          FROM zz GROUP BY 2
+          UNION ALL
+          SELECT 'user_sorted', u // 8, min(u), max(u), min(hr), max(hr),
+                 count(*)::BIGINT
+          FROM zz GROUP BY 2
+          UNION ALL
+          SELECT 'zorder', zval // 4096, min(u), max(u), min(hr), max(hr),
+                 count(*)::BIGINT
+          FROM zz GROUP BY 2),
+        preds(pred, dim, lo, hi) AS (
+          VALUES ('user_3_5', 'u', 3, 5),
+                 ('hour_jan10', 'h', 473568, 473591)),
+        sel AS (
+          SELECT 'user_3_5' AS pred,
+                 (count(*) FILTER (WHERE u BETWEEN 3 AND 5))::BIGINT
+                   AS rows_selected FROM f
+          UNION ALL
+          SELECT 'hour_jan10',
+                 (count(*) FILTER (WHERE hr BETWEEN 473568 AND 473591))::BIGINT
+          FROM f),
+        rep AS (
+          SELECT layout, pred, count(*)::BIGINT AS chunks_total,
+                 sum(CASE WHEN (dim = 'u' AND max_u >= lo AND min_u <= hi)
+                            OR (dim = 'h' AND max_hr >= lo AND min_hr <= hi)
+                     THEN 1 ELSE 0 END)::BIGINT AS chunks_touched,
+                 sum(n)::BIGINT AS rows_total,
+                 sum(CASE WHEN (dim = 'u' AND max_u >= lo AND min_u <= hi)
+                            OR (dim = 'h' AND max_hr >= lo AND min_hr <= hi)
+                     THEN n ELSE 0 END)::BIGINT AS rows_touched
+          FROM ch CROSS JOIN preds GROUP BY 1, 2)
+        SELECT r.pred, r.layout, r.chunks_total, r.chunks_touched,
+               r.rows_total, r.rows_touched, s.rows_selected
+        FROM rep r JOIN sel s ON r.pred = s.pred"""
+  }
+
   // ---- incremental snapshot diff (CDC derivation) ----
 
   /** Classify changes between two snapshots of a keyed table — the
