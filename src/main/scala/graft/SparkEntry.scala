@@ -913,6 +913,40 @@ object SparkEntry {
     // co-occurrence — pair work bounded by Σ basket² (the blocking
     // discipline), per-item top-k via WindowGroupLimit
     "q206_item_cooccurrence_knn" -> ((s, dir) => operators.Analytics.itemCooccurrenceKnn(s, dir)),
+    // q202 live: transition pairs emitted by the stateful per-key LAG
+    // (state = each user's LAST event, O(users) rows — the bounded
+    // production shape); the emitted multiset equals the batch lead()
+    // derivation under per-key in-order delivery (modeled by user-
+    // partitioned, time-sorted staging — the Kafka per-partition
+    // ordering contract the reference leans on), so q202's fold and
+    // oracle apply unchanged
+    "q207_stream_markov" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      val tmp = stagedOnce(dir, "events_userpart") { p =>
+        ev.repartition(16, col("user_id"))
+          .sortWithinPartitions(col("ts_ns"), col("event_id"))
+          .write.mode("overwrite").parquet(p)
+      }
+      val ckpt = stageDir("q207_ckpt")
+      val name = memorySinkName(s, "q207")
+      try {
+        val nFiles = new java.io.File(tmp).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        val input = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", math.max(1, nFiles / 4).toString)
+          .parquet(tmp)
+        withStatePartitions(s, 8) {
+          val q = graft.streaming.StreamSequence
+            .transitions(input.as[graft.streaming.StreamSequence.Ev])
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", ckpt).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      } finally rmTreeRetry(ckpt)
+      operators.Analytics.markovFold(s.table(name))
+    }),
     // quantile-transform feature step: per-row mid-rank percentile
     // read off the stored histogram grid (shared constants with
     // q75/q100/q120) — broadcast grid + one map-side join, no global
@@ -2357,6 +2391,9 @@ object SparkEntry {
     "q204_rollup_report" -> operators.Analytics.rollupTrafficReportSql,
     "q205_layout_pruning" -> PipelineOps.layoutPruningReportSql(),
     "q206_item_cooccurrence_knn" -> operators.Analytics.itemCooccurrenceKnnSql(),
+    // converged stateful-lag emission = the batch lead() pair multiset,
+    // so q202's oracle applies unchanged
+    "q207_stream_markov" -> operators.Analytics.markovTransitionsSql,
     "q199_rank_normalize" -> operators.Sketches.rankNormalizeSql(),
     "q198_range_shard_plan" -> PipelineOps.rangeShardPlanSql(),
     "q197_containment_dedup" -> operators.Dedup.containmentPairsSql(),

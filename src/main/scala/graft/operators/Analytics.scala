@@ -1135,21 +1135,28 @@ object Analytics {
     * key semantics, as q150). Probabilities ship as exact integer
     * micro-units: `(n · 10^6) div n_current` — no IEEE division.
     */
-  def markovTransitions(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val tr = Tables.events(s, dir)
-      .filter(col("user_id").isNotNull)
-      .select(col("user_id"), col("ts"), col("event_id"),
-        col("event_type").as("cur"))
-      .withColumn("nxt", lead(col("cur"), 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+  /** (cur, nxt) pair multiset → the probability matrix. Shared by the
+    * batch lead() derivation (q202) and the streamed stateful-lag form
+    * (q207) so the two reports cannot drift.
+    */
+  def markovFold(pairs: DataFrame): DataFrame = {
+    val tr = pairs.groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
     val rowTot = tr.groupBy(col("cur").as("rt_cur"))
       .agg(sum(col("n")).as("n_cur"))
     tr.join(broadcast(rowTot), col("cur") === col("rt_cur"))
       .select(col("cur"), col("nxt"), col("n"),
         expr("(n * 1000000L) div n_cur").as("p_micro"))
+  }
+
+  def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    markovFold(Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("cur"))
+      .withColumn("nxt", lead(col("cur"), 1).over(w))
+      .filter(col("nxt").isNotNull))
   }
 
   def markovTransitionsSql: String =

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** The stateful per-key LAG contract (q207's core): one state row per
+  * key carrying the last event, each arrival after the first emits
+  * exactly one (previous, current) pair — including ACROSS micro-batch
+  * boundaries, which is the part a batch lead() cannot give a stream
+  * and the whole reason the state exists.
+  */
+class StreamSequenceSpec extends SparkSpec {
+  import spark.implicits._
+  import StreamSequence._
+
+  private var n = 0
+  private def run(batches: Seq[Seq[Ev]]): Seq[Transition] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Ev]
+    n += 1
+    val name = s"seq_out_$n"
+    val q = transitions(input.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(name).as[Transition].collect().toSeq
+  }
+
+  test("chains across batch boundaries: state carries the last event") {
+    val got = run(Seq(
+      Seq(Ev(1L, 10L, 1L, "view"), Ev(1L, 20L, 2L, "click")),
+      Seq(Ev(1L, 30L, 3L, "purchase")), // chains from batch-1's click
+      Seq(Ev(1L, 40L, 4L, "view"))))
+    assert(got.sortBy(_.nxt) == Seq(
+      Transition(1L, "view", "click"), Transition(1L, "click", "purchase"),
+      Transition(1L, "purchase", "view")).sortBy(_.nxt))
+  }
+
+  test("intra-batch arrival order is irrelevant (sorted by ts, event_id)") {
+    val shuffled = run(Seq(Seq(
+      Ev(7L, 30L, 3L, "c"), Ev(7L, 10L, 1L, "a"), Ev(7L, 20L, 2L, "b"))))
+    assert(shuffled == Seq(Transition(7L, "a", "b"), Transition(7L, "b", "c")))
+  }
+
+  test("keys are independent; a single-event key emits nothing") {
+    val got = run(Seq(
+      Seq(Ev(1L, 10L, 1L, "x"), Ev(2L, 10L, 2L, "y")),
+      Seq(Ev(1L, 20L, 3L, "z"))))
+    assert(got == Seq(Transition(1L, "x", "z")))
+  }
+
+  test("ties on ts break by event_id deterministically") {
+    val got = run(Seq(Seq(
+      Ev(5L, 10L, 2L, "late"), Ev(5L, 10L, 1L, "early"))))
+    assert(got == Seq(Transition(5L, "early", "late")))
+  }
+}
