@@ -61,6 +61,23 @@ object SparkEntry {
       tmp
     })
 
+  /** The per-key ORDERED event staging shared by the stateful-LAG
+    * consumers (q207 Markov, q208 live SCD2): user-hash partitioned and
+    * time-sorted within files so each key's records arrive in event
+    * order across micro-batches — the Kafka per-partition delivery
+    * contract, modeled on the file source. One firehose copy, five
+    * columns; each consumer declares its narrower read schema.
+    */
+  private[graft] def stagedUserPartEvents(s: SparkSession, dir: String): String =
+    stagedOnce(dir, "events_userpart") { p =>
+      Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          col("event_type"), col("value"))
+        .repartition(16, col("user_id"))
+        .sortWithinPartitions(col("ts_ns"), col("event_id"))
+        .write.mode("overwrite").parquet(p)
+    }
+
   /** The plain-projection streaming consumers (q58/q60/q72/q78) used to
     * stage four separate filtered/projected copies of the event log —
     * four repartition+write passes over the same table per JVM, with
@@ -924,11 +941,7 @@ object SparkEntry {
       import s.implicits._
       val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
         .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
-      val tmp = stagedOnce(dir, "events_userpart") { p =>
-        ev.repartition(16, col("user_id"))
-          .sortWithinPartitions(col("ts_ns"), col("event_id"))
-          .write.mode("overwrite").parquet(p)
-      }
+      val tmp = stagedUserPartEvents(s, dir) // q207 prunes to its 4 columns
       val ckpt = stageDir("q207_ckpt")
       val name = memorySinkName(s, "q207")
       try {
@@ -946,6 +959,35 @@ object SparkEntry {
         }
       } finally rmTreeRetry(ckpt)
       operators.Analytics.markovFold(s.table(name))
+    }),
+    // the LAG state's second product: live SCD2 dimension building —
+    // each arrival CLOSES the key's previous version (emitted with its
+    // validity interval) and becomes the open one; Append ships only
+    // FINALIZED history (batch q133's non-NULL valid_to rows — the
+    // oracle is exactly that subset), the open version lives in state
+    "q208_stream_scd2" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          col("event_type"), col("value"))
+      val tmp = stagedUserPartEvents(s, dir)
+      val ckpt = stageDir("q208_ckpt")
+      val name = memorySinkName(s, "q208")
+      try {
+        val nFiles = new java.io.File(tmp).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        val input = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", math.max(1, nFiles / 4).toString)
+          .parquet(tmp)
+        withStatePartitions(s, 8) {
+          val q = graft.streaming.StreamSequence
+            .closedVersions(input.as[graft.streaming.StreamSequence.EvV])
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", ckpt).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      } finally rmTreeRetry(ckpt)
+      s.table(name)
     }),
     // quantile-transform feature step: per-row mid-rank percentile
     // read off the stored histogram grid (shared constants with
@@ -2394,6 +2436,7 @@ object SparkEntry {
     // converged stateful-lag emission = the batch lead() pair multiset,
     // so q202's oracle applies unchanged
     "q207_stream_markov" -> operators.Analytics.markovTransitionsSql,
+    "q208_stream_scd2" -> operators.Analytics.scd2ClosedSql,
     "q199_rank_normalize" -> operators.Sketches.rankNormalizeSql(),
     "q198_range_shard_plan" -> PipelineOps.rangeShardPlanSql(),
     "q197_containment_dedup" -> operators.Dedup.containmentPairsSql(),

@@ -631,6 +631,19 @@ object Analytics {
        FROM events
        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"""
 
+  /** q208's oracle: the CLOSED subset of the q133 history — a live
+    * Append stream can only ship versions whose closing event has
+    * arrived; the open row is state, not output. NULL users carry no
+    * key to sequence over (the stream filter mirrored here).
+    */
+  def scd2ClosedSql: String =
+    """SELECT user_id, event_id, event_type, value,
+              epoch_us(ts)::BIGINT AS valid_from_us,
+              epoch_us(lead(ts, 1) OVER w)::BIGINT AS valid_to_us
+       FROM events WHERE user_id IS NOT NULL
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+       QUALIFY lead(ts, 1) OVER w IS NOT NULL"""
+
   // ---- retention cohort analysis (q165) ----
 
   /** Weekly retention cohorts — the canonical product-analytics

@@ -50,4 +50,45 @@ object StreamSequence {
           out.result().iterator
       }
   }
+
+  // ---- the same LAG state building SCD2 live (q208) ----
+
+  /** `value` boxed: the events column is nullable and a primitive
+    * Double would silently conflate NULL with 0.0 in the encoder. */
+  case class EvV(user_id: Long, ts_ns: Long, event_id: Long,
+                 event_type: String, value: java.lang.Double)
+  case class ClosedVersion(user_id: Long, event_id: Long, event_type: String,
+                           value: java.lang.Double,
+                           valid_from_us: Long, valid_to_us: Long)
+
+  /** Live SCD Type 2: the second product of the per-key LAG state —
+    * each arrival CLOSES the key's previous version (emitting it with
+    * `[valid_from, valid_to)` bounds) and becomes the new open one.
+    * Append mode can only ship FINALIZED facts, and "the current open
+    * version" is by definition not final until the next arrival — so
+    * the stream emits exactly the CLOSED history (the batch q133 rows
+    * with a non-NULL valid_to); the open row lives in state, queryable
+    * as the upsert view (O8) if served. Same ordering contract and
+    * O(keys) state bound as [[transitions]].
+    */
+  def closedVersions(ev: Dataset[EvV]): Dataset[ClosedVersion] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EvV, ClosedVersion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EvV], state: GroupState[EvV]) =>
+          val sorted = rows.toArray.sortBy(e => (e.ts_ns, e.event_id))
+          val out = Array.newBuilder[ClosedVersion]
+          var prev = state.getOption
+          for (e <- sorted) {
+            prev.foreach { p =>
+              out += ClosedVersion(uid, p.event_id, p.event_type, p.value,
+                p.ts_ns / 1000L, e.ts_ns / 1000L)
+            }
+            prev = Some(e)
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }

@@ -54,4 +54,24 @@ class StreamSequenceSpec extends SparkSpec {
       Ev(5L, 10L, 2L, "late"), Ev(5L, 10L, 1L, "early"))))
     assert(got == Seq(Transition(5L, "early", "late")))
   }
+
+  test("closedVersions: arrivals close the previous version across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EvV]
+    val q = closedVersions(input.toDS())
+      .writeStream.format("memory").queryName("scd2_out").outputMode("append").start()
+    try {
+      input.addData(Seq(EvV(1L, 10000L, 1L, "a", 1.5),
+        EvV(1L, 20000L, 2L, "b", null)))
+      q.processAllAvailable()
+      input.addData(Seq(EvV(1L, 30000L, 3L, "c", 2.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("scd2_out").as[ClosedVersion].collect().sortBy(_.valid_from_us)
+    // version "b" closes at batch-2's arrival — the cross-batch case;
+    // "c" stays open (in state), never emitted; NULL value survives boxing
+    assert(got.toSeq == Seq(
+      ClosedVersion(1L, 1L, "a", 1.5, 10L, 20L),
+      ClosedVersion(1L, 2L, "b", null, 20L, 30L)))
+  }
 }
