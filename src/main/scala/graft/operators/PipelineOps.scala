@@ -1081,7 +1081,7 @@ object PipelineOps {
     sys.addShutdownHook { bucketedDirs.forEach(p => graft.Fs.rmTree(p)) }
   }
 
-  private def bucketedTables(s: SparkSession, dir: String, buckets: Int): (String, String) =
+  private[graft] def bucketedTables(s: SparkSession, dir: String, buckets: Int = 16): (String, String) =
     bucketedCache.computeIfAbsent((dir, buckets), { _ =>
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$dir|$buckets".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString

@@ -750,4 +750,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
     assert(!p.contains("Window"), p) // pure grid fold — no ranking state
   }
+
+  test("q201: t-closeness windows on the CLASS key and never cross-joins data-sized frames") {
+    val p = plan("q201_t_closeness")
+    // the EMD prefix sum must be keyed by the equivalence class (a
+    // data-sized window with a partition key), and the only cross
+    // joins are against the m-row value frame / one-row totals —
+    // both explicit broadcasts
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q206: item kNN hash-joins on the basket key; the top-k is a group limit, not a global sort") {
+    val p = plan("q206_item_cooccurrence_knn")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // per-item top-k must plan as WindowGroupLimit (rank pushed below
+    // the full window sort), never TakeOrderedAndProject over all pairs
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q204: ROLLUP is ONE scan through Expand — not three scans unioned") {
+    val p = plan("q204_rollup_report")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Union"), p)
+  }
+
+  test("q205: layout audit derives chunk stats map-side with no global sort") {
+    val p = plan("q205_layout_pruning")
+    assert(p.contains("partial_count") || p.contains("partial_min"), p)
+    assert(!p.contains("Sort "), p) // value-range chunking needs no ordering
+  }
 }
