@@ -926,6 +926,11 @@ object SparkEntry {
     // physical layout costs a workload (the OPTIMIZE ZORDER rationale
     // in numbers); value-range chunking, no global sort anywhere
     "q205_layout_pruning" -> ((s, dir) => PipelineOps.layoutPruningReport(s, dir)),
+    // exactly-k weighted sampling WITHOUT replacement per source
+    // (Efraimidis–Spirakis A-ES keys = the distributed weighted
+    // reservoir): what q68's Bernoulli draw can't give — fixed sample
+    // size; per-row key map + WindowGroupLimit top-k, no driver state
+    "q209_weighted_reservoir" -> ((s, dir) => PipelineOps.weightedReservoir(s, dir)),
     // embedding-free recommendation: item-item cosine kNN over basket
     // co-occurrence — pair work bounded by Σ basket² (the blocking
     // discipline), per-item top-k via WindowGroupLimit
@@ -2437,6 +2442,7 @@ object SparkEntry {
     // so q202's oracle applies unchanged
     "q207_stream_markov" -> operators.Analytics.markovTransitionsSql,
     "q208_stream_scd2" -> operators.Analytics.scd2ClosedSql,
+    "q209_weighted_reservoir" -> PipelineOps.weightedReservoirSql(),
     "q199_rank_normalize" -> operators.Sketches.rankNormalizeSql(),
     "q198_range_shard_plan" -> PipelineOps.rangeShardPlanSql(),
     "q197_containment_dedup" -> operators.Dedup.containmentPairsSql(),

@@ -100,6 +100,56 @@ object PipelineOps {
       .withColumn("keep_p", greatest(col("quality"), lit(floorP)))
       .withColumn("kept", (col("draw") < col("keep_p")).cast("int"))
 
+  /** Exactly-k weighted sampling WITHOUT replacement, per source —
+    * what q68's Bernoulli draw can't give (its sample SIZE is itself
+    * random): Efraimidis–Spirakis A-ES keys, `u^(1/w)` ranked
+    * descending, equivalently `ln(u)/w` (monotone, one ln + one IEEE
+    * division — the cross-engine-identical form), with u the same
+    * deterministic md5 uniform as q68 shifted into (0, 1] so the log
+    * is finite. The top-k per stratum IS a weighted reservoir: any
+    * prefix of the stream yields the same selection as the batch rank,
+    * which is why this exact construction is the distributed/streaming
+    * reservoir-sampling algorithm (Efraimidis & Spirakis 2006, the
+    * A-Res/A-ES family).
+    *
+    * Scale shape: the key is a pure per-row map; the per-source top-k
+    * plans as WindowGroupLimit (rank pushed below the sort) on the
+    * source-keyed shuffle — never a global sort, never a driver
+    * reservoir. Weight floored at 0.05 (no zero weights → no ±inf
+    * keys); ranking compares identical IEEE doubles on both engines,
+    * so the selected SET is cell-exact.
+    */
+  def weightedReservoir(s: SparkSession, dir: String, k: Int = 20,
+                        wFloor: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(s, dir, "documents")
+    val base = docs.select(col("doc_id"), col("source"))
+      .join(TextAnalysis.qualityScores(docs, col("text"))
+        .select(col("doc_id"), col("quality")), "doc_id")
+      .withColumn("w", greatest(col("quality"), lit(wFloor)))
+      .withColumn("u",
+        ((graft.functions.md5_long(col("doc_id")) + lit(1L)).cast("double")
+          / lit(math.pow(2, 60))))
+      .withColumn("es_key", log(col("u")) / col("w"))
+    val win = Window.partitionBy(col("source"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+    base.withColumn("rk", row_number().over(win)).filter(col("rk") <= k)
+      .select(col("source"), col("doc_id"), col("quality"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  def weightedReservoirSql(k: Int = 20, wFloor: Double = 0.05): String = {
+    val u = "(('0x' || substring(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT + 1)::DOUBLE / (1152921504606846976)::DOUBLE"
+    s"""WITH q AS (SELECT doc_id, quality FROM (${TextAnalysis.qualityScoresSql}) qq),
+        keyed AS (SELECT d.doc_id, d.source, q.quality,
+                         ln($u) / greatest(q.quality, $wFloor) AS es_key
+                  FROM documents d JOIN q ON d.doc_id = q.doc_id),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY source
+                 ORDER BY es_key DESC, doc_id) AS rk FROM keyed)
+        SELECT source, doc_id, quality, rk::BIGINT AS rk
+        FROM rk WHERE rk <= $k"""
+  }
+
   def importanceSampleSql(floorP: Double = 0.1): String = {
     val draw = "('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE / (1152921504606846976)::DOUBLE"
     s"""WITH q AS (${TextAnalysis.qualityScoresSql})
