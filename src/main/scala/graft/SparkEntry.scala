@@ -931,6 +931,12 @@ object SparkEntry {
     // reservoir): what q68's Bernoulli draw can't give — fixed sample
     // size; per-row key map + WindowGroupLimit top-k, no driver state
     "q209_weighted_reservoir" -> ((s, dir) => PipelineOps.weightedReservoir(s, dir)),
+    // monitoring with a SEASONAL baseline (q120's global fences miss
+    // the hour-of-day cycle): each (type, calendar-hour) count judged
+    // against ITS hour-of-day's distribution — the 3-sigma verdict in
+    // pure integer arithmetic, (x*n - S)^2 > 9*(n*SS - S^2), so the
+    // cross-engine verdict cannot drift by a ULP
+    "q210_seasonal_anomaly" -> ((s, dir) => operators.DataQuality.seasonalAnomaly(s, dir)),
     // embedding-free recommendation: item-item cosine kNN over basket
     // co-occurrence — pair work bounded by Σ basket² (the blocking
     // discipline), per-item top-k via WindowGroupLimit
@@ -2443,6 +2449,7 @@ object SparkEntry {
     "q207_stream_markov" -> operators.Analytics.markovTransitionsSql,
     "q208_stream_scd2" -> operators.Analytics.scd2ClosedSql,
     "q209_weighted_reservoir" -> PipelineOps.weightedReservoirSql(),
+    "q210_seasonal_anomaly" -> operators.DataQuality.seasonalAnomalySql,
     "q199_rank_normalize" -> operators.Sketches.rankNormalizeSql(),
     "q198_range_shard_plan" -> PipelineOps.rangeShardPlanSql(),
     "q197_containment_dedup" -> operators.Dedup.containmentPairsSql(),

@@ -570,6 +570,73 @@ object DataQuality {
                (l_distinct < $l) AS violates_l
         FROM cls GROUP BY 1"""
 
+  // ---- seasonal-baseline anomaly detection (q210) ----
+
+  /** Traffic anomaly detection with a SEASONAL baseline — the monitor
+    * q120's global Tukey fences can't be: hourly traffic has a strong
+    * hour-of-day cycle, so a global fence either misses a 3 a.m. spike
+    * (small absolute count) or false-alarms every noon peak. Here each
+    * (event type, calendar-hour) cell's count is judged against the
+    * distribution of THE SAME hour-of-day across the log — the
+    * classic seasonal-decomposition monitor, reduced to its exact
+    * relational core.
+    *
+    * The 3σ verdict is computed in PURE INTEGER arithmetic: with
+    * baseline n, Σx, Σx² per (type, hour-of-day),
+    * `(x−μ)² > 9σ²  ⟺  (x·n − Σx)² > 9·(n·Σx² − (Σx)²)` — both sides
+    * exact BIGINTs, so the cross-engine verdict cannot drift by a ULP
+    * (the float z-score every monitoring vendor computes cannot cross
+    * engines losslessly; this form can). Population variance over the
+    * observed cells; absent cells (zero-count hours) are not imputed —
+    * documented choice, mirrored in the oracle.
+    *
+    * Scale shape: one corpus scan folds to the (type, day, hour) cell
+    * grid (map-side combined); the baseline is a second fold of that
+    * grid, bounded by types × 24 — a broadcast; the verdict join
+    * touches only grid rows. At 100 TB the grid is still
+    * types × days × 24.
+    */
+  def seasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .select(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        hour(col("ts")).cast("long").as("hod"))
+      .groupBy(col("event_type"), col("day"), col("hod"))
+      .agg(count(lit(1)).as("x"))
+    val base = cells.groupBy(col("event_type").as("b_type"), col("hod").as("b_hod"))
+      .agg(count(lit(1)).as("base_n"), sum(col("x")).as("base_sum"),
+        sum(col("x") * col("x")).as("base_sumsq"))
+    cells.join(broadcast(base),
+        col("event_type") === col("b_type") && col("hod") === col("b_hod"))
+      .select(col("event_type"), col("day"), col("hod"), col("x"),
+        col("base_n"), col("base_sum"),
+        ((col("x") * col("base_n") - col("base_sum")) *
+          (col("x") * col("base_n") - col("base_sum"))).as("dev2"),
+        (lit(9L) * (col("base_n") * col("base_sumsq")
+          - col("base_sum") * col("base_sum"))).as("thr"))
+      .withColumn("is_anomaly", col("dev2") > col("thr"))
+  }
+
+  def seasonalAnomalySql: String =
+    """WITH cells AS (
+         SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                extract(hour FROM ts)::BIGINT AS hod, count(*)::BIGINT AS x
+         FROM events GROUP BY 1, 2, 3),
+       base AS (
+         SELECT event_type, hod, count(*)::BIGINT AS base_n,
+                sum(x)::BIGINT AS base_sum, sum(x * x)::BIGINT AS base_sumsq
+         FROM cells GROUP BY 1, 2)
+       SELECT c.event_type, c.day, c.hod, c.x, b.base_n, b.base_sum,
+              ((c.x * b.base_n - b.base_sum)
+                 * (c.x * b.base_n - b.base_sum))::BIGINT AS dev2,
+              (9 * (b.base_n * b.base_sumsq
+                 - b.base_sum * b.base_sum))::BIGINT AS thr,
+              ((c.x * b.base_n - b.base_sum) * (c.x * b.base_n - b.base_sum)
+                 > 9 * (b.base_n * b.base_sumsq - b.base_sum * b.base_sum))
+                AS is_anomaly
+       FROM cells c JOIN base b ON c.event_type = b.event_type
+         AND c.hod = b.hod"""
+
   // ---- t-closeness audit (q201) ----
 
   /** t-closeness — the attack l-diversity (q185) misses: a class can

@@ -784,4 +784,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_min"), p)
     assert(!p.contains("Sort "), p) // value-range chunking needs no ordering
   }
+
+  test("q209: weighted reservoir is a per-row key map + per-stratum group limit") {
+    val p = plan("q209_weighted_reservoir")
+    // the A-ES construction must never plan a driver-side or global
+    // structure: the top-k is WindowGroupLimit on the source-keyed
+    // shuffle, and no cross/nested-loop join appears anywhere
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
