@@ -937,6 +937,28 @@ object SparkEntry {
     // pure integer arithmetic, (x*n - S)^2 > 9*(n*SS - S^2), so the
     // cross-engine verdict cannot drift by a ULP
     "q210_seasonal_anomaly" -> ((s, dir) => operators.DataQuality.seasonalAnomaly(s, dir)),
+    // q209 LIVE — the construction's original purpose (Efraimidis-
+    // Spirakis 2006 is a RESERVOIR paper): state = exactly k items per
+    // stratum, an exact weighted without-replacement sample over an
+    // unbounded stream; top-k is order-independent, so the converged
+    // state equals the batch rank under ANY arrival order — q209's
+    // oracle unchanged; serving read = the O8 compaction of the
+    // Update-mode snapshots
+    "q211_stream_weighted_reservoir" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val st = sketchMaintenanceStream(s, dir, "q211", docs, mode = "update")(
+        in => graft.streaming.StreamReservoir.reservoirTopK(
+          PipelineOps.reservoirKeyed(in)
+            .as[graft.streaming.StreamReservoir.DocKeyed], 20))
+      st.groupBy(col("source"))
+        .agg(max_by(col("items"), col("rev")).as("items"))
+        .select(col("source"), posexplode(col("items")))
+        .select(col("source"), col("col.doc_id").as("doc_id"),
+          col("col.quality").as("quality"),
+          (col("pos") + 1).cast("long").as("rk"))
+    }),
     // embedding-free recommendation: item-item cosine kNN over basket
     // co-occurrence — pair work bounded by Σ basket² (the blocking
     // discipline), per-item top-k via WindowGroupLimit
@@ -2450,6 +2472,9 @@ object SparkEntry {
     "q208_stream_scd2" -> operators.Analytics.scd2ClosedSql,
     "q209_weighted_reservoir" -> PipelineOps.weightedReservoirSql(),
     "q210_seasonal_anomaly" -> operators.DataQuality.seasonalAnomalySql,
+    // converged reservoir state = the batch A-ES rank (order-independent
+    // top-k), so q209's oracle applies unchanged
+    "q211_stream_weighted_reservoir" -> PipelineOps.weightedReservoirSql(),
     "q199_rank_normalize" -> operators.Sketches.rankNormalizeSql(),
     "q198_range_shard_plan" -> PipelineOps.rangeShardPlanSql(),
     "q197_containment_dedup" -> operators.Dedup.containmentPairsSql(),

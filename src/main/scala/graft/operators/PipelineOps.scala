@@ -119,21 +119,26 @@ object PipelineOps {
     * keys); ranking compares identical IEEE doubles on both engines,
     * so the selected SET is cell-exact.
     */
+  /** The A-ES key projection shared by the batch reservoir (q209) and
+    * the live one (q211) — one definition, so the two samplers cannot
+    * select different sets. Pure per-row map over (doc_id, source,
+    * text).
+    */
+  def reservoirKeyed(docs: DataFrame, wFloor: Double = 0.05): DataFrame =
+    docs.select(col("source"), col("doc_id"),
+        TextAnalysis.qualityCol(col("text")).as("quality"))
+      .withColumn("es_key",
+        log((graft.functions.md5_long(col("doc_id")) + lit(1L)).cast("double")
+          / lit(math.pow(2, 60)))
+          / greatest(col("quality"), lit(wFloor)))
+
   def weightedReservoir(s: SparkSession, dir: String, k: Int = 20,
                         wFloor: Double = 0.05): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.load(s, dir, "documents")
-    val base = docs.select(col("doc_id"), col("source"))
-      .join(TextAnalysis.qualityScores(docs, col("text"))
-        .select(col("doc_id"), col("quality")), "doc_id")
-      .withColumn("w", greatest(col("quality"), lit(wFloor)))
-      .withColumn("u",
-        ((graft.functions.md5_long(col("doc_id")) + lit(1L)).cast("double")
-          / lit(math.pow(2, 60))))
-      .withColumn("es_key", log(col("u")) / col("w"))
     val win = Window.partitionBy(col("source"))
       .orderBy(col("es_key").desc, col("doc_id"))
-    base.withColumn("rk", row_number().over(win)).filter(col("rk") <= k)
+    reservoirKeyed(Tables.load(s, dir, "documents"), wFloor)
+      .withColumn("rk", row_number().over(win)).filter(col("rk") <= k)
       .select(col("source"), col("doc_id"), col("quality"),
         col("rk").cast("long").as("rk"))
   }
