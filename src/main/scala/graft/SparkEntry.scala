@@ -937,6 +937,11 @@ object SparkEntry {
     // pure integer arithmetic, (x*n - S)^2 > 9*(n*SS - S^2), so the
     // cross-engine verdict cannot drift by a ULP
     "q210_seasonal_anomaly" -> ((s, dir) => operators.DataQuality.seasonalAnomaly(s, dir)),
+    // the drift q210's pointwise test can't see: CUSUM (Page 1954)
+    // accumulates sub-threshold shifts; the recursion's closed form is
+    // cumsum minus running-min — two window passes, integer-exact, the
+    // 5-sigma alarm compares squares (the q210 trick, sequentially)
+    "q212_cusum_drift" -> ((s, dir) => operators.DataQuality.cusumDrift(s, dir)),
     // q209 LIVE — the construction's original purpose (Efraimidis-
     // Spirakis 2006 is a RESERVOIR paper): state = exactly k items per
     // stratum, an exact weighted without-replacement sample over an
@@ -2472,6 +2477,7 @@ object SparkEntry {
     "q208_stream_scd2" -> operators.Analytics.scd2ClosedSql,
     "q209_weighted_reservoir" -> PipelineOps.weightedReservoirSql(),
     "q210_seasonal_anomaly" -> operators.DataQuality.seasonalAnomalySql,
+    "q212_cusum_drift" -> operators.DataQuality.cusumDriftSql,
     // converged reservoir state = the batch A-ES rank (order-independent
     // top-k), so q209's oracle applies unchanged
     "q211_stream_weighted_reservoir" -> PipelineOps.weightedReservoirSql(),

@@ -637,6 +637,74 @@ object DataQuality {
        FROM cells c JOIN base b ON c.event_type = b.event_type
          AND c.hod = b.hod"""
 
+  // ---- CUSUM change-point drift detection (q212) ----
+
+  /** Sequential drift detection — the monitor class q210's pointwise
+    * 3σ test can't cover: a shift too small to flag any single cell
+    * (say +0.5σ every day after a silent ingestion change) accumulates
+    * evidence until CUSUM (Page 1954) alarms. The recursive
+    * `S_t = max(0, S_{t−1} + (x_t − μ))` looks non-relational, but
+    * has the classic closed form `S_t = cum_t − min(0, min_{j≤t}
+    * cum_j)` — a windowed CUMSUM minus a windowed RUNNING MIN, both
+    * keyed by the monitored series. No recursion, no UDAF, no driver
+    * loop.
+    *
+    * Exactness: residuals are scaled by n — `r_d = x_d·n − Σx` (exact
+    * BIGINTs summing to zero), so cum/runmin/cusum stay integers, and
+    * the 5σ alarm compares squares: `cusum² > 25·(n·Σx² − (Σx)²)`
+    * (both sides exact — the q210 trick applied to the sequential
+    * statistic). One scan to daily cells, one bounded per-type window
+    * pass; at 100 TB the grid is still types × days.
+    */
+  def cusumDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.events(s, dir)
+      .select(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
+    val base = cells.groupBy(col("event_type").as("b_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val wAll = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(broadcast(base), col("event_type") === col("b_type"))
+      .withColumn("r", col("x") * col("n") - col("sx"))
+      .withColumn("cum", sum(col("r")).over(wAll))
+      .withColumn("runmin", least(lit(0L), min(col("cum")).over(wAll)))
+      .withColumn("cusum", col("cum") - col("runmin"))
+      .select(col("event_type"), col("day"), col("x"), col("cusum"),
+        (lit(25L) * (col("n") * col("sxx") - col("sx") * col("sx"))).as("thr2"),
+        (col("cusum") * col("cusum") >
+          lit(25L) * (col("n") * col("sxx") - col("sx") * col("sx")))
+          .as("is_drift"))
+  }
+
+  def cusumDriftSql: String =
+    """WITH cells AS (
+         SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                count(*)::BIGINT AS x
+         FROM events GROUP BY 1, 2),
+       base AS (
+         SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                sum(x * x)::BIGINT AS sxx
+         FROM cells GROUP BY 1),
+       seq AS (
+         SELECT c.event_type, c.day, c.x, b.n, b.sx, b.sxx,
+                (sum(c.x * b.n - b.sx) OVER w)::BIGINT AS cum
+         FROM cells c JOIN base b USING (event_type)
+         WINDOW w AS (PARTITION BY c.event_type ORDER BY c.day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       cs AS (
+         SELECT event_type, day, x, n, sx, sxx,
+                (cum - least(0, min(cum) OVER (PARTITION BY event_type
+                   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)))::BIGINT AS cusum
+         FROM seq)
+       SELECT event_type, day, x, cusum,
+              (25 * (n * sxx - sx * sx))::BIGINT AS thr2,
+              (cusum * cusum > 25 * (n * sxx - sx * sx)) AS is_drift
+       FROM cs"""
+
   // ---- t-closeness audit (q201) ----
 
   /** t-closeness — the attack l-diversity (q185) misses: a class can
