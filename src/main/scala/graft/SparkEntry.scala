@@ -942,6 +942,12 @@ object SparkEntry {
     // cumsum minus running-min — two window passes, integer-exact, the
     // 5-sigma alarm compares squares (the q210 trick, sequentially)
     "q212_cusum_drift" -> ((s, dir) => operators.DataQuality.cusumDrift(s, dir)),
+    // graph-based RELEVANCE (vs q130's global importance): teleport
+    // mass concentrated on a seed set; the rank frame is SPARSE — it
+    // grows one hop per round, so 3 rounds touch only the seeds'
+    // 3-hop neighborhood however large the graph (why PPR serves
+    // per-query when global PageRank is a batch job)
+    "q213_personalized_pagerank" -> ((s, dir) => operators.Analytics.personalizedPageRank(s, dir)),
     // q209 LIVE — the construction's original purpose (Efraimidis-
     // Spirakis 2006 is a RESERVOIR paper): state = exactly k items per
     // stratum, an exact weighted without-replacement sample over an
@@ -2478,6 +2484,7 @@ object SparkEntry {
     "q209_weighted_reservoir" -> PipelineOps.weightedReservoirSql(),
     "q210_seasonal_anomaly" -> operators.DataQuality.seasonalAnomalySql,
     "q212_cusum_drift" -> operators.DataQuality.cusumDriftSql,
+    "q213_personalized_pagerank" -> operators.Analytics.personalizedPageRankSql(),
     // converged reservoir state = the batch A-ES rank (order-independent
     // top-k), so q209's oracle applies unchanged
     "q211_stream_weighted_reservoir" -> PipelineOps.weightedReservoirSql(),

@@ -916,6 +916,77 @@ object Analytics {
         FROM r$iterations"""
   }
 
+  // ---- personalized PageRank: seed-based relevance (q213) ----
+
+  /** Personalized PageRank — q130's recurrence with the teleport mass
+    * concentrated on a SEED SET instead of spread uniformly: the
+    * graph-based relevance primitive (related-entity retrieval,
+    * seed-expansion labeling, graph RAG) rather than global
+    * importance. Same integer micro-unit arithmetic and
+    * division-before-sum pinning as q130, so the oracle unrolls the
+    * identical recurrence.
+    *
+    * The scale property q130 doesn't have: the rank frame is SPARSE —
+    * it starts as |seeds| rows and grows by one hop per round, so
+    * three rounds touch only the seeds' 3-hop neighborhood however
+    * large the full graph is (the reason PPR is servable per-query
+    * when global PageRank is a batch job). Seeds with no edges keep
+    * receiving their teleport and push nothing — dangling mass
+    * vanishes identically on both engines. Ranks that floor to zero
+    * are dropped on both sides (the frontier stays tight).
+    */
+  def personalizedPageRank(s: SparkSession, dir: String,
+      iterations: Int = 3): DataFrame = {
+    val adj = adjacency(s, dir) // (src, dst, outdeg)
+    val seeds = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") % 100 === 0)
+      .select((col("c_custkey") * 2).cast("long").as("node")).distinct()
+    var ranks = seeds.select(col("node"), lit(1000000L).as("rank"))
+    for (_ <- 1 to iterations) {
+      val pushed = adj.join(ranks, adj("src") === ranks("node"))
+        .select(col("dst"), expr("(rank * 85) div (outdeg * 100)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+        .select(col("dst").as("node"), col("m"))
+      ranks = pushed
+        .join(seeds.withColumn("t", lit(150000L)), Seq("node"), "full_outer")
+        .select(col("node"),
+          (coalesce(col("m"), lit(0L)) + coalesce(col("t"), lit(0L))).as("rank"))
+        .filter(col("rank") > 0)
+    }
+    ranks.select(
+      when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+        .as("entity"),
+      expr("node div 2").as("entity_id"),
+      col("rank"))
+  }
+
+  def personalizedPageRankSql(iterations: Int = 3): String = {
+    val base = """eraw AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        e AS (SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw),
+        deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY 1),
+        seeds AS (SELECT DISTINCT c_custkey * 2 AS node FROM customer
+                  WHERE c_custkey % 100 = 0),
+        r0 AS (SELECT node, 1000000::BIGINT AS rank FROM seeds)"""
+    val steps = (1 to iterations).map { i =>
+      s"""r$i AS (SELECT coalesce(p.node, s.node) AS node,
+                 (coalesce(p.m, 0) + coalesce(s.t, 0))::BIGINT AS rank
+           FROM (SELECT e.dst AS node,
+                        sum((85 * r${i - 1}.rank) // (100 * deg.outdeg))::BIGINT AS m
+                 FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+                        JOIN deg ON e.src = deg.src
+                 GROUP BY 1) p
+           FULL OUTER JOIN (SELECT node, 150000 AS t FROM seeds) s
+             ON p.node = s.node
+           WHERE coalesce(p.m, 0) + coalesce(s.t, 0) > 0)"""
+    }.mkString(",\n        ")
+    s"""WITH $base,
+        $steps
+        SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
+               (node // 2)::BIGINT AS entity_id, rank
+        FROM r$iterations"""
+  }
+
   // ---- graph structure: triangle census / clustering coefficient (q166) ----
 
   /** The user-interaction graph both [[triangleCensus]] and its spec

@@ -785,6 +785,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort "), p) // value-range chunking needs no ordering
   }
 
+  test("q213: personalized PageRank joins on the node key every round — no cross product") {
+    val p = plan("q213_personalized_pagerank")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q209: weighted reservoir is a per-row key map + per-stratum group limit") {
     val p = plan("q209_weighted_reservoir")
     // the A-ES construction must never plan a driver-side or global
