@@ -948,6 +948,27 @@ object SparkEntry {
     // 3-hop neighborhood however large the graph (why PPR serves
     // per-query when global PageRank is a batch job)
     "q213_personalized_pagerank" -> ((s, dir) => operators.Analytics.personalizedPageRank(s, dir)),
+    // q210 live: the (type, day, hour) cell grid is counter-sum state
+    // (types x days x 24 bounded — the streamable class), maintained
+    // Complete-mode over the event ingest; converged grid = batch
+    // grid, shared fold, q210's oracle unchanged — the seasonal
+    // monitor tracks traffic as it arrives
+    "q214_stream_seasonal_anomaly" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("ts"))
+      val cells = sketchMaintenanceStream(s, dir, "q214", ev)(
+        in => operators.DataQuality.seasonalCells(in)).localCheckpoint(true)
+      operators.DataQuality.seasonalFold(cells)
+    }),
+    // q212 live: the daily counter grid is the STATE (Complete-mode,
+    // types x days bounded), the CUSUM statistic is the VIEW —
+    // recomputed from the bounded grid at read time (how a dashboard
+    // serves a sequential statistic); shared fold, q212's oracle
+    "q215_stream_cusum" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("ts"))
+      val cells = sketchMaintenanceStream(s, dir, "q215", ev)(
+        in => operators.DataQuality.dailyCells(in)).localCheckpoint(true)
+      operators.DataQuality.cusumFold(cells)
+    }),
     // q209 LIVE — the construction's original purpose (Efraimidis-
     // Spirakis 2006 is a RESERVOIR paper): state = exactly k items per
     // stratum, an exact weighted without-replacement sample over an
@@ -2485,6 +2506,10 @@ object SparkEntry {
     "q210_seasonal_anomaly" -> operators.DataQuality.seasonalAnomalySql,
     "q212_cusum_drift" -> operators.DataQuality.cusumDriftSql,
     "q213_personalized_pagerank" -> operators.Analytics.personalizedPageRankSql(),
+    // converged Complete-mode cell grid equals the batch grid
+    // (order-independent counts), so q210's oracle applies unchanged
+    "q214_stream_seasonal_anomaly" -> operators.DataQuality.seasonalAnomalySql,
+    "q215_stream_cusum" -> operators.DataQuality.cusumDriftSql,
     // converged reservoir state = the batch A-ES rank (order-independent
     // top-k), so q209's oracle applies unchanged
     "q211_stream_weighted_reservoir" -> PipelineOps.weightedReservoirSql(),

@@ -596,13 +596,20 @@ object DataQuality {
     * touches only grid rows. At 100 TB the grid is still
     * types × days × 24.
     */
-  def seasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.events(s, dir)
-      .select(col("event_type"),
+  /** The (type, day, hour) cell COUNTER grid — plain counter-sum state
+    * bounded by types × days × 24 (the streamable class: q214
+    * maintains exactly this aggregation Complete-mode over the event
+    * ingest and converges to the batch grid). */
+  def seasonalCells(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
         date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
         hour(col("ts")).cast("long").as("hod"))
       .groupBy(col("event_type"), col("day"), col("hod"))
       .agg(count(lit(1)).as("x"))
+
+  /** Cell grid → baseline → verdict. Shared by the batch audit (q210)
+    * and the live monitor (q214) so the two reports cannot drift. */
+  def seasonalFold(cells: DataFrame): DataFrame = {
     val base = cells.groupBy(col("event_type").as("b_type"), col("hod").as("b_hod"))
       .agg(count(lit(1)).as("base_n"), sum(col("x")).as("base_sum"),
         sum(col("x") * col("x")).as("base_sumsq"))
@@ -616,6 +623,9 @@ object DataQuality {
           - col("base_sum") * col("base_sum"))).as("thr"))
       .withColumn("is_anomaly", col("dev2") > col("thr"))
   }
+
+  def seasonalAnomaly(s: SparkSession, dir: String): DataFrame =
+    seasonalFold(seasonalCells(Tables.events(s, dir)))
 
   def seasonalAnomalySql: String =
     """WITH cells AS (
@@ -656,12 +666,20 @@ object DataQuality {
     * statistic). One scan to daily cells, one bounded per-type window
     * pass; at 100 TB the grid is still types × days.
     */
-  def cusumDrift(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cells = Tables.events(s, dir)
-      .select(col("event_type"),
+  /** The (type, day) daily COUNTER grid — counter-sum state bounded by
+    * types × days (q215 maintains it Complete-mode live). */
+  def dailyCells(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
         date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
       .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
+
+  /** Daily grid → CUSUM statistic. Shared by the batch detector (q212)
+    * and the live monitor (q215): the grid is the STATE, the statistic
+    * is the VIEW — recomputed from the bounded grid at read time,
+    * which is exactly how a dashboard serves a sequential statistic
+    * over counter state. */
+  def cusumFold(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val base = cells.groupBy(col("event_type").as("b_type"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("x") * col("x")).as("sxx"))
@@ -678,6 +696,9 @@ object DataQuality {
           lit(25L) * (col("n") * col("sxx") - col("sx") * col("sx")))
           .as("is_drift"))
   }
+
+  def cusumDrift(s: SparkSession, dir: String): DataFrame =
+    cusumFold(dailyCells(Tables.events(s, dir)))
 
   def cusumDriftSql: String =
     """WITH cells AS (
