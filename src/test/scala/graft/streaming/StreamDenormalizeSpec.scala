@@ -220,3 +220,38 @@ class FileSourceStreamSpec extends SparkSpec {
     assert(emissions.length == emissions.distinct.length, "duplicate emissions")
   }
 }
+
+/** Multi-hop (q216/q217): a middle-table update must re-emit through
+  * BOTH chained joins — the v2 fan-out from hop 1 changes hop 2's
+  * join key, so the final row's nation is only right if the update
+  * propagated end-to-end (hop 1's prefix-scan re-emission riding
+  * through hop 2's point lookup).
+  */
+class MultiHopStreamSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("middle-table update wave re-emits through both hops; streamed == batch") {
+    import spark.implicits._
+    val got = graft.SparkEntry.multiHopStreamDenorm(spark, dir).collect()
+    // exactly one final row per event — the compacted output topic
+    assert(got.map(_.get(0)).distinct.length == got.length)
+    val batch = graft.SparkEntry.multiHopDenorm(spark, dir).collect()
+    assert(got.toSet == batch.toSet)
+    // every moved customer's event shows the UPDATED segment AND the
+    // moved-to nation's NAME — v2 propagated through hop 2, not just hop 1
+    val nation = graft.Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name")).as[(Int, String)].collect().toMap
+    val origNat = graft.Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey")).as[(Long, Int)].collect().toMap
+    val moved = got.filter(r => !r.isNullAt(1) && r.getLong(1) % 10 == 0)
+    assert(moved.nonEmpty, "fixture has no moved-customer events")
+    for (r <- moved) {
+      val uid = r.getLong(1); val nk = r.getInt(4)
+      assert(r.getString(5) == "MOVED")
+      assert(nk == (origNat(uid) + 7) % 25, s"user $uid nationkey not moved")
+      assert(r.getString(6) == nation(nk), s"user $uid nation name stale")
+    }
+  }
+}
