@@ -1160,6 +1160,20 @@ object SparkEntry {
     // streamed form
     "q216_denorm_multihop" -> ((s, dir) => multiHopDenorm(s, dir)),
     "q217_stream_denorm_multihop" -> ((s, dir) => multiHopStreamDenorm(s, dir)),
+    // q183 live: the adjacent-pair counter grid is Complete-mode state
+    // (the q160 PMI class, vocab²-bounded); the fold re-derives the
+    // current top candidate merges at read time — the tokenizer drift
+    // monitor (rank 1 = the merge BPE would learn first on data so far)
+    "q218_stream_bpe_drift" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val cells = sketchMaintenanceStream(s, dir, "q218", docs)(
+        in => TextAnalysis.bpeLivePairCells(in)).localCheckpoint(true)
+      TextAnalysis.bpeDriftFold(cells)
+    }),
+    // the ANALYZE consumer: join strategy chosen FROM the stored table
+    // stats (broadcast under budget, explicit shuffle over it); the
+    // stats change the plan, never the answer — PlanSpec pins the flip
+    "q219_stats_join_planning" -> ((s, dir) => PipelineOps.statsDrivenDenorm(s, dir)),
     // q210 live: the (type, day, hour) cell grid is counter-sum state
     // (types x days x 24 bounded — the streamable class), maintained
     // Complete-mode over the event ingest; converged grid = batch
@@ -2726,6 +2740,10 @@ object SparkEntry {
     // drop (a null event_id never enters the stateful join; a null
     // user_id is already dropped by the inner join on both sides)
     "q217_stream_denorm_multihop" -> multiHopOracle(streamed = true),
+    // converged Complete-mode pair grid = the batch pair counts, so
+    // the oracle is the bpeChainSql pc1 derivation with the ranking
+    "q218_stream_bpe_drift" -> TextAnalysis.bpeDriftSql(),
+    "q219_stats_join_planning" -> PipelineOps.statsDrivenDenormSql(),
     // converged Complete-mode cell grid equals the batch grid
     // (order-independent counts), so q210's oracle applies unchanged
     "q214_stream_seasonal_anomaly" -> operators.DataQuality.seasonalAnomalySql,

@@ -2395,4 +2395,61 @@ object PipelineOps {
                sum_s_micro::DOUBLE / n::DOUBLE AS mean_s_micro
         FROM g"""
   }
+
+  // ---- stats-driven join planning (q219): the ANALYZE consumer ----
+
+  /** Once-per-(dir, table) stored table profile — the ANALYZE artifact
+    * a cost-based planner consults: exact row count plus an in-memory
+    * size estimate (rows × the schema's fixed-width default sizes, the
+    * same estimator Spark's own statistics fall back to). One count
+    * scan per table per JVM; at 100 TB this is the catalog read that
+    * replaces it (the table's stats live in the metastore — q164/q175
+    * are the jobs that WRITE them; this is the planner that reads).
+    */
+  private val tableStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Long)]()
+
+  private[operators] def tableStats(s: SparkSession, dir: String,
+      table: String): (Long, Long) =
+    tableStatsCache.computeIfAbsent((dir, table), { _ =>
+      val df = Tables.load(s, dir, table)
+      val rows = df.count()
+      val rowBytes = df.schema.map(_.dataType.defaultSize).sum
+      (rows, rows * rowBytes)
+    })
+
+  /** q219: a join whose PHYSICAL strategy is chosen from the stored
+    * stats — the consumer that closes the ANALYZE loop (q164 collects
+    * the profile, q175 maintains it incrementally, q138 estimates join
+    * sizes; this query USES the numbers). Under `budgetBytes` the
+    * dimension gets an explicit broadcast hint; over it, an explicit
+    * shuffle (sort-merge) hint — overriding Spark's file-size
+    * heuristic in BOTH directions, which is exactly what external
+    * stats are for (a 100 TB lake's compressed parquet routinely
+    * under-reports the in-memory size of a "small-looking" dimension,
+    * and a driver OOM from a bad auto-broadcast is an outage, not a
+    * slow query). The decision can never change the ANSWER — only the
+    * plan — so the oracle is the plain join; PlanSpec pins that the
+    * strategy FLIPS with the stats (fixture profile → broadcast;
+    * 1-byte budget → sort-merge).
+    */
+  def statsDrivenDenorm(s: SparkSession, dir: String,
+      budgetBytes: Long = 64L << 20): DataFrame = {
+    val (_, dimBytes) = tableStats(s, dir, "customer")
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"))
+    val dim = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val dimHinted = if (dimBytes <= budgetBytes) broadcast(dim) else dim.hint("merge")
+    orders.join(dimHinted, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 1e6).cast("long")).as("revenue_micro"))
+  }
+
+  def statsDrivenDenormSql(): String =
+    """SELECT c_nationkey, count(*)::BIGINT AS n_orders,
+              sum(floor(o_totalprice * 1000000)::BIGINT)::BIGINT AS revenue_micro
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       GROUP BY 1"""
 }

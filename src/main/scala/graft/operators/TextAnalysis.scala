@@ -1003,6 +1003,50 @@ object TextAnalysis {
           s"SELECT round, w1, w2, cnt, n_symbols_after FROM r$r")
           .mkString("\n        UNION ALL ")}"""
 
+  // ---- live BPE / vocabulary drift monitor (q218) ----
+
+  /** The adjacent-pair counter grid as STREAM STATE (the q160 PMI
+    * class): per-(w1, w2) counts over the document ingest, maintained
+    * Complete-mode — counter sums are order-independent, so the
+    * converged grid equals the batch pair counts whatever the
+    * batching. State is bounded by the distinct-adjacent-pair grid
+    * (≤ vocab², in practice far sparser), never by corpus size.
+    */
+  def bpeLivePairCells(docs: DataFrame): DataFrame =
+    bpePairCounts(docs.select(col("doc_id"), tokens(col("text")).as("syms")))
+
+  /** The read-time fold: the top-10 CANDIDATE MERGES from the live
+    * grid (cnt desc, pair asc — exactly [[bpeBest]]'s order widened to
+    * a ranking). This is the tokenizer drift monitor: rank 1 is the
+    * merge BPE would learn FIRST on the data seen so far — when it
+    * diverges from the trained table's round-1 rule (q183), the
+    * vocabulary has drifted and retraining is due. TakeOrderedAndProject
+    * top-N over the bounded grid; the 10-row window is post-limit.
+    */
+  def bpeDriftFold(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(col("cnt").desc, col("w1").asc, col("w2").asc)
+    val w = Window.orderBy(ord: _*)
+    cells.orderBy(ord: _*).limit(10)
+      .select(col("w1"), col("w2"), col("cnt"),
+        row_number().over(w).cast("long").as("rank"))
+  }
+
+  /** Oracle: the same pair-count derivation as [[bpeChainSql]]'s first
+    * round (`pc1`) with the ranking applied — the converged live grid
+    * IS the batch grid.
+    */
+  def bpeDriftSql(): String =
+    s"""WITH s0 AS (SELECT doc_id, string_split(lower(text), ' ') AS syms FROM documents),
+        pc AS (SELECT u.w1 AS w1, u.w2 AS w2, count(*)::BIGINT AS cnt
+               FROM (SELECT unnest(list_transform(range(1, len(syms)),
+                       i -> {'w1': syms[i], 'w2': syms[i + 1]})) AS u
+                     FROM s0)
+               GROUP BY 1, 2)
+        SELECT w1, w2, cnt,
+               row_number() OVER (ORDER BY cnt DESC, w1 ASC, w2 ASC)::BIGINT AS rank
+        FROM pc QUALIFY rank <= 10"""
+
   // ---- word2vec negative-sampling table (q193) ----
 
   /** The unigram^(3/4) noise distribution word2vec/SGNS samples

@@ -802,4 +802,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q219: the join strategy FLIPS with the stored stats — stats drive the plan") {
+    // fixture profile: customer is far under the default budget → the
+    // stats decision is an explicit broadcast
+    val small = operators.PipelineOps.statsDrivenDenorm(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(small.contains("BroadcastHashJoin"), small)
+    // the same query under a 1-byte budget: the stats decision must
+    // OVERRIDE Spark's own file-size heuristic (which would happily
+    // auto-broadcast this dimension) and plan a shuffle join
+    val big = operators.PipelineOps.statsDrivenDenorm(spark, dir, budgetBytes = 1L)
+      .queryExecution.executedPlan.toString
+    assert(!big.contains("BroadcastHashJoin"), big)
+    assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"), big)
+  }
+
+  test("q216: multi-hop denorm plans two key joins, nation broadcast, no cross product") {
+    val p = plan("q216_denorm_multihop")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // hop 2's dimension (25 rows) must come in as a broadcast, not a
+    // third shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q218: the live pair grid folds through a bounded top-N, not a global sort") {
+    // the fold runs on the CONVERGED grid (a bounded batch frame here,
+    // exactly what the query registry does post-stream)
+    val cells = operators.TextAnalysis.bpeLivePairCells(
+      Tables.load(spark, dir, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")))
+    val p = operators.TextAnalysis.bpeDriftFold(cells)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
