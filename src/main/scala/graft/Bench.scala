@@ -49,6 +49,8 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] prestage denorm: ${e.getMessage}") }
     try operators.Dedup.prestageIngest(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prestage ingest: ${e.getMessage}") }
+    try SparkEntry.stagedSourceDocs(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] prestage docs: ${e.getMessage}") }
     // fixed name order: the Map's hash order shuffles between rounds,
     // silently reassigning which query absorbs residual first-touch
     // cost — sorted order makes cross-round per-query comparison stable

@@ -78,6 +78,20 @@ object SparkEntry {
         .write.mode("overwrite").parquet(p)
     }
 
+  /** Per-source ORDERED doc staging for the live sequence packer
+    * (q221): source-hash partitioned, doc_id-sorted within files — the
+    * same per-key in-order delivery contract as
+    * [[stagedUserPartEvents]] (a Kafka source keyed by dataset name
+    * gives exactly this).
+    */
+  private[graft] def stagedSourceDocs(s: SparkSession, dir: String): String =
+    stagedOnce(dir, "docs_sourcepart") { p =>
+      operators.PipelineOps.packInput(s, dir)
+        .repartition(8, col("source"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite").parquet(p)
+    }
+
   /** The plain-projection streaming consumers (q58/q60/q72/q78) used to
     * stage four separate filtered/projected copies of the event log —
     * four repartition+write passes over the same table per JVM, with
@@ -1174,6 +1188,36 @@ object SparkEntry {
     // stats (broadcast under budget, explicit shuffle over it); the
     // stats change the plan, never the answer — PlanSpec pins the flip
     "q219_stats_join_planning" -> ((s, dir) => PipelineOps.statsDrivenDenorm(s, dir)),
+    // GPT-style sequence packing: concat each source's docs in ingest
+    // order, cut every packSeqLen tokens — ONE window cumsum per
+    // source plus integer arithmetic
+    "q220_sequence_packing" -> ((s, dir) => PipelineOps.sequencePacking(s, dir)),
+    // the live packer: per-source running-token CURSOR state (one long
+    // per source, O(sources)); arrival IS assignment — each doc emits
+    // its interval start once, derived columns shared with q220, whose
+    // oracle applies unchanged to the converged emissions
+    "q221_stream_sequence_packing" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = stagedSourceDocs(s, dir)
+      val sch = operators.PipelineOps.packInput(s, dir).schema
+      val ckpt = stageDir("q221_ckpt")
+      val name = memorySinkName(s, "q221")
+      try {
+        val nFiles = new java.io.File(tmp).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        val input = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", math.max(1, nFiles / 4).toString)
+          .parquet(tmp)
+        withStatePartitions(s, 8) {
+          val q = graft.streaming.StreamSequence
+            .packed(input.as[graft.streaming.StreamSequence.Doc])
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", ckpt).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      } finally rmTreeRetry(ckpt)
+      operators.PipelineOps.packDerived(s.table(name))
+    }),
     // q210 live: the (type, day, hour) cell grid is counter-sum state
     // (types x days x 24 bounded — the streamable class), maintained
     // Complete-mode over the event ingest; converged grid = batch
@@ -2744,6 +2788,10 @@ object SparkEntry {
     // the oracle is the bpeChainSql pc1 derivation with the ranking
     "q218_stream_bpe_drift" -> TextAnalysis.bpeDriftSql(),
     "q219_stats_join_planning" -> PipelineOps.statsDrivenDenormSql(),
+    "q220_sequence_packing" -> PipelineOps.sequencePackingSql(),
+    // live emissions converge to the batch cumsum (integer sums +
+    // per-source in-order delivery) — q220's oracle unchanged
+    "q221_stream_sequence_packing" -> PipelineOps.sequencePackingSql(),
     // converged Complete-mode cell grid equals the batch grid
     // (order-independent counts), so q210's oracle applies unchanged
     "q214_stream_seasonal_anomaly" -> operators.DataQuality.seasonalAnomalySql,

@@ -2452,4 +2452,69 @@ object PipelineOps {
               sum(floor(o_totalprice * 1000000)::BIGINT)::BIGINT AS revenue_micro
        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
        GROUP BY 1"""
+
+  // ---- sequence packing (q220 batch / q221 live) ----
+
+  /** Training-sequence length for the GPT-style concat-and-cut packer. */
+  val packSeqLen = 2048L
+
+  /** The tokenized doc stream the packer consumes, in packing order
+    * (per-source, doc_id ascending — the ingest order).
+    */
+  private[graft] def packInput(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+
+  /** The per-doc packed assignment derived from (start, n_tok) — pure
+    * integer arithmetic, shared by the batch and live forms so the two
+    * can never drift: seq ids are `div`, offsets `mod`, span counts a
+    * difference of divs. No floats anywhere.
+    */
+  private[graft] def packDerived(rows: DataFrame): DataFrame =
+    rows.select(col("source"), col("doc_id"), col("n_tok"), col("start"),
+      expr(s"start div $packSeqLen").as("seq_first"),
+      expr(s"(start + n_tok - 1) div $packSeqLen").as("seq_last"),
+      expr(s"start % $packSeqLen").as("offset_in_seq"),
+      expr(s"(start + n_tok - 1) div $packSeqLen - start div $packSeqLen + 1")
+        .as("n_seqs"))
+
+  /** q220: GPT-style sequence packing — concatenate each source's
+    * documents in ingest order and cut every `packSeqLen` tokens; each
+    * doc's assignment is (first/last sequence index, offset, span
+    * count). The whole packer is ONE window cumsum per source (running
+    * token total, rows-preceding frame) plus arithmetic: no join, no
+    * second pass, no driver state — the 100 TB shape (a trillion-token
+    * corpus packs in one source-keyed shuffle). Docs longer than L
+    * legitimately span sequences (n_seqs > 1) — the packer reports the
+    * split instead of hiding it, exactly what an attention-mask builder
+    * needs downstream.
+    */
+  def sequencePacking(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    packDerived(packInput(s, dir)
+      .withColumn("start", coalesce(sum(col("n_tok")).over(w), lit(0L))))
+  }
+
+  /** Shared oracle for q220/q221 (the live emissions converge to the
+    * batch cumsum — integer sums are order-independent and the per-key
+    * delivery contract fixes the order).
+    */
+  def sequencePackingSql(): String =
+    s"""WITH t AS (SELECT source, doc_id,
+                          len(string_split(lower(text), ' '))::BIGINT AS n_tok
+                   FROM documents WHERE text IS NOT NULL),
+        c AS (SELECT source, doc_id, n_tok,
+                     coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+              FROM t)
+        SELECT source, doc_id, n_tok, start,
+               start // $packSeqLen AS seq_first,
+               (start + n_tok - 1) // $packSeqLen AS seq_last,
+               start % $packSeqLen AS offset_in_seq,
+               ((start + n_tok - 1) // $packSeqLen - start // $packSeqLen + 1) AS n_seqs
+        FROM c"""
 }

@@ -91,4 +91,39 @@ object StreamSequence {
           out.result().iterator
       }
   }
+
+  // ---- live sequence packing (q221): per-key RUNNING SUM state ----
+
+  case class Doc(source: String, doc_id: Long, n_tok: Long)
+  case class PackCursor(cum: Long)
+  case class PackedDoc(source: String, doc_id: Long, n_tok: Long, start: Long)
+
+  /** The third product of the per-key state family — a running-counter
+    * cursor: each source's packed-token total rides in state (ONE long
+    * per source, O(sources) whatever the corpus), and each arriving
+    * document emits its global token interval start exactly once. This
+    * is live GPT-style sequence packing: the concat-and-cut assignment
+    * (seq = start div L, offset = start mod L) is pure arithmetic on
+    * the emitted row, so the packer never re-reads packed history —
+    * arrival IS assignment. Same per-key in-order delivery contract as
+    * [[transitions]] (the transport delivers each source's docs in
+    * doc_id order; intra-batch order is sorted away here).
+    */
+  def packed(docs: Dataset[Doc]): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[PackCursor, PackedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[Doc], state: GroupState[PackCursor]) =>
+          val sorted = rows.toArray.sortBy(_.doc_id)
+          val out = Array.newBuilder[PackedDoc]
+          var cum = state.getOption.fold(0L)(_.cum)
+          for (d <- sorted) {
+            out += PackedDoc(src, d.doc_id, d.n_tok, cum)
+            cum += d.n_tok
+          }
+          state.update(PackCursor(cum))
+          out.result().iterator
+      }
+  }
 }

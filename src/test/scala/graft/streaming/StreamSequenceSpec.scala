@@ -55,6 +55,27 @@ class StreamSequenceSpec extends SparkSpec {
     assert(got == Seq(Transition(5L, "early", "late")))
   }
 
+  test("packed: the cursor carries the running token total across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = packed(input.toDS())
+      .writeStream.format("memory").queryName("pack_out").outputMode("append").start()
+    try {
+      // batch 1: two sources interleaved (and out of order within the
+      // batch — the sort must fix it)
+      input.addData(Seq(Doc("b", 4L, 10L), Doc("a", 1L, 5L), Doc("a", 2L, 7L)))
+      q.processAllAvailable()
+      // batch 2: continuations of both sources — starts must resume
+      // from the carried cursor, not from zero
+      input.addData(Seq(Doc("a", 3L, 2L), Doc("b", 5L, 1L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("pack_out").as[PackedDoc].collect()
+      .map(p => (p.source, p.doc_id) -> p.start).toMap
+    assert(got == Map(("a", 1L) -> 0L, ("a", 2L) -> 5L, ("a", 3L) -> 12L,
+      ("b", 4L) -> 0L, ("b", 5L) -> 10L))
+  }
+
   test("closedVersions: arrivals close the previous version across batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[EvV]
