@@ -1188,6 +1188,17 @@ object SparkEntry {
     // stats (broadcast under budget, explicit shuffle over it); the
     // stats change the plan, never the answer — PlanSpec pins the flip
     "q219_stats_join_planning" -> ((s, dir) => PipelineOps.statsDrivenDenorm(s, dir)),
+    // the CMS consumer: skew salting decided from the stored sketch's
+    // hottest-key bound — plan-only, the salted and plain joins share
+    // one oracle; PlanSpec pins the flip
+    "q222_skew_aware_join" -> ((s, dir) => PipelineOps.skewAwareDenorm(s, dir)),
+    // sequence-level contamination: pack the training subset, taint
+    // every sequence containing a q66-contaminated doc — the blast
+    // radius report (one leaked doc taints its whole attention window)
+    "q223_packed_contamination" -> ((s, dir) => PipelineOps.packedContamination(s, dir)),
+    // referential-integrity audit across the star schema's three
+    // fact->dimension edges: row/non-null/orphan counts per edge
+    "q224_fk_integrity_audit" -> ((s, dir) => operators.DataQuality.fkIntegrityAudit(s, dir)),
     // GPT-style sequence packing: concat each source's docs in ingest
     // order, cut every packSeqLen tokens — ONE window cumsum per
     // source plus integer arithmetic
@@ -2789,6 +2800,9 @@ object SparkEntry {
     "q218_stream_bpe_drift" -> TextAnalysis.bpeDriftSql(),
     "q219_stats_join_planning" -> PipelineOps.statsDrivenDenormSql(),
     "q220_sequence_packing" -> PipelineOps.sequencePackingSql(),
+    "q222_skew_aware_join" -> PipelineOps.skewAwareDenormSql(),
+    "q223_packed_contamination" -> PipelineOps.packedContaminationSql(),
+    "q224_fk_integrity_audit" -> operators.DataQuality.fkIntegrityAuditSql,
     // live emissions converge to the batch cumsum (integer sums +
     // per-source in-order delivery) — q220's oracle unchanged
     "q221_stream_sequence_packing" -> PipelineOps.sequencePackingSql(),

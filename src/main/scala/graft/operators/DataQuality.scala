@@ -832,4 +832,62 @@ object DataQuality {
                max(micro_emd)::BIGINT AS max_micro_emd,
                (micro_emd >= $tMicro) AS violates_t
         FROM emd GROUP BY 1, 5"""
+
+  // ---- referential-integrity audit (q224) ----
+
+  /** q224: FK integrity across the star schema's three fact→dimension
+    * edges — per edge: row count, non-null FK count, and ORPHANS (a
+    * non-null FK with no dimension row — the join-loss a silent
+    * upstream delete or a partial load introduces; an inner-join
+    * pipeline silently DROPS these rows, which is exactly why the
+    * audit exists). Shape per edge: one distinct-project of the
+    * dimension key, one left join (AQE broadcasts dimension key sets),
+    * one aggregate — no edge ever scans more than fact + dim once.
+    */
+  def fkIntegrityAudit(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, fact: DataFrame, fk: String,
+        dim: DataFrame, key: String): DataFrame =
+      fact.select(col(fk).as("__fk"))
+        .join(dim.select(col(key).as("__k")).distinct(),
+          col("__fk") === col("__k"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("__fk")).as("n_nonnull_fk"),
+          sum(when(col("__fk").isNotNull && col("__k").isNull, 1L)
+            .otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("edge"), col("n_rows"), col("n_nonnull_fk"),
+          col("n_orphans"),
+          when(col("n_nonnull_fk") > 0,
+            col("n_orphans").cast("double") / col("n_nonnull_fk").cast("double"))
+            .as("orphan_frac"))
+    edge("lineitem.l_orderkey->orders",
+        Tables.load(s, dir, "lineitem"), "l_orderkey",
+        Tables.load(s, dir, "orders"), "o_orderkey")
+      .unionAll(edge("orders.o_custkey->customer",
+        Tables.load(s, dir, "orders"), "o_custkey",
+        Tables.load(s, dir, "customer"), "c_custkey"))
+      .unionAll(edge("events.user_id->customer",
+        Tables.events(s, dir), "user_id",
+        Tables.load(s, dir, "customer"), "c_custkey"))
+  }
+
+  def fkIntegrityAuditSql: String = {
+    def edge(name: String, fact: String, fk: String,
+        dim: String, key: String): String =
+      s"""SELECT '$name' AS edge, count(*)::BIGINT AS n_rows,
+                 count($fk)::BIGINT AS n_nonnull_fk,
+                 sum(CASE WHEN $fk IS NOT NULL AND k.__k IS NULL
+                          THEN 1 ELSE 0 END)::BIGINT AS n_orphans,
+                 CASE WHEN count($fk) > 0 THEN
+                   sum(CASE WHEN $fk IS NOT NULL AND k.__k IS NULL
+                            THEN 1 ELSE 0 END)::DOUBLE / count($fk)::DOUBLE
+                 END AS orphan_frac
+          FROM $fact f LEFT JOIN
+               (SELECT DISTINCT $key AS __k FROM $dim) k ON f.$fk = k.__k"""
+    Seq(edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      edge("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      edge("events.user_id->customer", "events", "user_id",
+        "customer", "c_custkey")).mkString("\nUNION ALL ")
+  }
 }

@@ -2453,6 +2453,43 @@ object PipelineOps {
        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
        GROUP BY 1"""
 
+  // ---- skew-aware join planning (q222): the CMS consumer ----
+
+  /** q222: the SECOND stats consumer — where q219 sizes the dimension,
+    * this one sizes the HOTTEST KEY: the stored CMS's max-cell bound
+    * ([[Sketches.cmsHottestKeyBound]]) decides whether the fact-side
+    * join gets skew salting (hot key fans across 8 reducers) or stays
+    * a plain hash join (salting replicates the dimension ×8 — pure
+    * waste on uniform keys). The decision is plan-only: salting never
+    * changes join semantics ([[Denormalize.withSkewSalting]]'s
+    * contract, q43), so the oracle is the plain aggregate; PlanSpec
+    * pins that the salt column appears in the join keys exactly when
+    * the stats cross the threshold. At 100 TB this is the guard that
+    * stops one viral user from turning a shuffle join into a
+    * single-straggler stage — decided from a d×w sketch, not a scan.
+    */
+  def skewAwareDenorm(s: SparkSession, dir: String,
+      hotThreshold: Long = 1L << 20): DataFrame = {
+    val hotBound = Sketches.cmsHottestKeyBound(s, dir)
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val dim = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val base = Denormalize.builder(ev, dim, rightKey = "c_custkey")
+      .joinOn(_("user_id"))
+    val planned = if (hotBound > hotThreshold) base.withSkewSalting(8) else base
+    planned.inner
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1e6).cast("long")).as("value_micro"))
+  }
+
+  def skewAwareDenormSql(): String =
+    """SELECT c_mktsegment, count(*)::BIGINT AS n_events,
+              sum(floor(value * 1000000)::BIGINT)::BIGINT AS value_micro
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY 1"""
+
   // ---- sequence packing (q220 batch / q221 live) ----
 
   /** Training-sequence length for the GPT-style concat-and-cut packer. */
@@ -2498,6 +2535,60 @@ object PipelineOps {
     packDerived(packInput(s, dir)
       .withColumn("start", coalesce(sum(col("n_tok")).over(w), lit(0L))))
   }
+
+  /** q223: sequence-level contamination audit — the composition a
+    * training pipeline actually ships: pack the TRAINING subset
+    * (benchmark/reference docs, `doc_id % 10 = 0`, never enter the
+    * packer), then taint every packed sequence that contains ≥1
+    * contaminated doc (q66's 13-gram verdicts). Attention windows see
+    * whole sequences, so contamination is a SEQUENCE property, not a
+    * doc property — one leaked doc taints up to `n_seqs` training
+    * windows around it, and this report prices that blast radius per
+    * source. Shapes: the packer's window cumsum, a bounded per-doc
+    * span explode (n_tok/L + 1 rows), one hash join to the verdicts,
+    * two map-side-combinable aggregates.
+    */
+  def packedContamination(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val packedTrain = packDerived(
+      packInput(s, dir).filter(col("doc_id") % 10 =!= 0)
+        .withColumn("start", coalesce(sum(col("n_tok")).over(w), lit(0L))))
+    val spans = packedTrain.select(col("source"), col("doc_id"),
+      explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))
+    val verdicts = Dedup.decontaminate(s, dir)
+      .select(col("doc_id"), col("is_contaminated"))
+    spans.join(verdicts, Seq("doc_id"))
+      .groupBy(col("source"), col("seq"))
+      .agg(max(col("is_contaminated")).as("tainted"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("tainted")).cast("long").as("n_tainted_seqs"))
+      .withColumn("tainted_frac",
+        col("n_tainted_seqs").cast("double") / col("n_seqs").cast("double"))
+  }
+
+  def packedContaminationSql(): String =
+    s"""WITH verd AS (SELECT doc_id, is_contaminated
+                      FROM (${Dedup.decontaminateSql()}) v),
+        t AS (SELECT source, doc_id,
+                     len(string_split(lower(text), ' '))::BIGINT AS n_tok
+              FROM documents WHERE text IS NOT NULL AND doc_id % 10 <> 0),
+        c AS (SELECT source, doc_id, n_tok,
+                     coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+              FROM t),
+        spans AS (SELECT source, doc_id,
+                         unnest(range(start // $packSeqLen,
+                                      (start + n_tok - 1) // $packSeqLen + 1)) AS seq
+                  FROM c),
+        sq AS (SELECT source, seq, max(is_contaminated) AS tainted
+               FROM spans JOIN verd USING (doc_id) GROUP BY 1, 2)
+        SELECT source, count(*)::BIGINT AS n_seqs,
+               sum(tainted)::BIGINT AS n_tainted_seqs,
+               sum(tainted)::DOUBLE / count(*)::DOUBLE AS tainted_frac
+        FROM sq GROUP BY 1"""
 
   /** Shared oracle for q220/q221 (the live emissions converge to the
     * batch cumsum — integer sums are order-independent and the per-key

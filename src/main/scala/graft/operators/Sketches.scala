@@ -964,6 +964,24 @@ object Sketches {
         .as("overestimate"))
   }
 
+  /** CMS read for the HOTTEST key's frequency upper bound: per row the
+    * max cell is ≥ every key's count, so the min across rows is a
+    * valid (one-sided) bound on the hottest key — the skew statistic
+    * q222's join planner consults. Bounded: the grid is d×w whatever
+    * the table size; one collect of ONE long, cached per dir.
+    */
+  private val hottestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def cmsHottestKeyBound(s: SparkSession, dir: String,
+      d: Int = 4, w: Int = 512): Long =
+    hottestCache.computeIfAbsent(dir, { _ =>
+      cmsGrid(Tables.events(s, dir).select(col("user_id")), d, w)
+        .groupBy(col("i")).agg(max(col("c")).as("m"))
+        .agg(min(col("m")).as("bound"))
+        .head().getLong(0)
+    })
+
   def cmsJoinSizeEstimateSql(d: Int = 4, w: Int = 512): String = {
     val is = (0 until d).map(_.toString).mkString(", ")
     s"""WITH ks AS (SELECT unnest([$is]) AS i),

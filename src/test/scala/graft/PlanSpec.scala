@@ -818,6 +818,19 @@ class PlanSpec extends SparkSpec {
     assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"), big)
   }
 
+  test("q222: skew salting FLIPS with the stored CMS hottest-key bound") {
+    // fixture bound is far under the default threshold → plain hash
+    // join, no salt column anywhere in the plan
+    val plain = operators.PipelineOps.skewAwareDenorm(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plain.contains("__salt"), plain)
+    // zero threshold: the sketch says "hot" → the join keys must carry
+    // the salt (and the answer is pinned identical by the shared oracle)
+    val salted = operators.PipelineOps.skewAwareDenorm(spark, dir, hotThreshold = 0L)
+      .queryExecution.executedPlan.toString
+    assert(salted.contains("__salt"), salted)
+  }
+
   test("q216: multi-hop denorm plans two key joins, nation broadcast, no cross product") {
     val p = plan("q216_denorm_multihop")
     assert(!p.contains("CartesianProduct"), p)
