@@ -1199,6 +1199,20 @@ object SparkEntry {
     // referential-integrity audit across the star schema's three
     // fact->dimension edges: row/non-null/orphan counts per edge
     "q224_fk_integrity_audit" -> ((s, dir) => operators.DataQuality.fkIntegrityAudit(s, dir)),
+    // q224 live: per-type orphan counters as Complete-mode state over
+    // the event ingest against the static dimension key set — a
+    // partial dimension load is visible within one micro-batch
+    "q225_stream_orphan_monitor" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("event_type"))
+      val keys = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("__k")).distinct().localCheckpoint(true)
+      val cells = sketchMaintenanceStream(s, dir, "q225", ev)(
+        in => operators.DataQuality.orphanCells(in, keys)).localCheckpoint(true)
+      operators.DataQuality.orphanFold(cells)
+    }),
+    // the L-tuning report: split-doc and tail-waste accounting per
+    // candidate sequence length from ONE shared cumsum
+    "q226_packing_efficiency" -> ((s, dir) => PipelineOps.packingEfficiency(s, dir)),
     // GPT-style sequence packing: concat each source's docs in ingest
     // order, cut every packSeqLen tokens — ONE window cumsum per
     // source plus integer arithmetic
@@ -2801,6 +2815,10 @@ object SparkEntry {
     "q219_stats_join_planning" -> PipelineOps.statsDrivenDenormSql(),
     "q220_sequence_packing" -> PipelineOps.sequencePackingSql(),
     "q222_skew_aware_join" -> PipelineOps.skewAwareDenormSql(),
+    // converged Complete-mode counters = the batch audit (counter sums
+    // are order-independent; the dimension side is static)
+    "q225_stream_orphan_monitor" -> operators.DataQuality.orphanMonitorSql,
+    "q226_packing_efficiency" -> PipelineOps.packingEfficiencySql(),
     "q223_packed_contamination" -> PipelineOps.packedContaminationSql(),
     "q224_fk_integrity_audit" -> operators.DataQuality.fkIntegrityAuditSql,
     // live emissions converge to the batch cumsum (integer sums +

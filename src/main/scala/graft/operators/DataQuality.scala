@@ -890,4 +890,44 @@ object DataQuality {
       edge("events.user_id->customer", "events", "user_id",
         "customer", "c_custkey")).mkString("\nUNION ALL ")
   }
+
+  // ---- live referential-integrity monitor (q225) ----
+
+  /** The per-type orphan counter cells as STREAM STATE: each arriving
+    * event left-joins the (static, broadcast) dimension key set and
+    * lands in its type's (rows, non-null, orphans) counters —
+    * Complete-mode counter-sum state bounded by the TYPE cardinality,
+    * the q214 class. The ingest-time version of q224's third edge: a
+    * partial dimension load shows up as a rising orphan counter within
+    * one micro-batch of the bad data, not at the next nightly audit.
+    */
+  def orphanCells(ev: DataFrame, custKeys: DataFrame): DataFrame =
+    ev.join(custKeys, ev("user_id") === custKeys("__k"), "left")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("user_id")).as("n_nonnull_fk"),
+        sum(when(col("user_id").isNotNull && col("__k").isNull, 1L)
+          .otherwise(0L)).as("n_orphans"))
+
+  /** Read-time fold shared with the oracle: the audit ratio. */
+  def orphanFold(cells: DataFrame): DataFrame =
+    cells.select(col("event_type"), col("n_rows"), col("n_nonnull_fk"),
+      col("n_orphans"),
+      when(col("n_nonnull_fk") > 0,
+        col("n_orphans").cast("double") / col("n_nonnull_fk").cast("double"))
+        .as("orphan_frac"))
+
+  def orphanMonitorSql: String =
+    """SELECT event_type, count(*)::BIGINT AS n_rows,
+              count(user_id)::BIGINT AS n_nonnull_fk,
+              sum(CASE WHEN user_id IS NOT NULL AND c.__k IS NULL
+                       THEN 1 ELSE 0 END)::BIGINT AS n_orphans,
+              CASE WHEN count(user_id) > 0 THEN
+                sum(CASE WHEN user_id IS NOT NULL AND c.__k IS NULL
+                         THEN 1 ELSE 0 END)::DOUBLE / count(user_id)::DOUBLE
+              END AS orphan_frac
+       FROM events e LEFT JOIN
+            (SELECT DISTINCT c_custkey AS __k FROM customer) c
+         ON e.user_id = c.__k
+       GROUP BY 1"""
 }

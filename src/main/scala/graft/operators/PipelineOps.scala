@@ -2590,6 +2590,56 @@ object PipelineOps {
                sum(tainted)::DOUBLE / count(*)::DOUBLE AS tainted_frac
         FROM sq GROUP BY 1"""
 
+  /** q226: packing-efficiency sweep — the tuning report behind the
+    * choice of sequence length: per (source, L) for the three
+    * candidate lengths, how many docs a boundary SPLITS (an attention
+    * window break mid-document — a training-quality cost that rises as
+    * L shrinks) and how much tail padding the last sequence wastes (a
+    * compute cost that rises as L grows). One window cumsum (shared
+    * shape with q220 — start is L-independent) exploded across the
+    * candidate lengths, then integer arithmetic; no per-L rescan.
+    */
+  val packSweepLens = Seq(512L, 2048L, 8192L)
+
+  def packingEfficiency(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    packInput(s, dir)
+      .withColumn("start", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("L", explode(typedLit(packSweepLens)))
+      .groupBy(col("source"), col("L"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(expr("start div L") =!= expr("(start + n_tok - 1) div L"), 1L)
+          .otherwise(0L)).as("n_split_docs"),
+        max(col("start") + col("n_tok")).as("total_tokens"))
+      .select(col("source"), col("L"), col("n_docs"), col("n_split_docs"),
+        col("total_tokens"),
+        expr("(total_tokens + L - 1) div L").as("n_seqs"),
+        (expr("(total_tokens + L - 1) div L") * col("L") - col("total_tokens"))
+          .as("tail_waste"))
+  }
+
+  def packingEfficiencySql(): String =
+    s"""WITH t AS (SELECT source, doc_id,
+                          len(string_split(lower(text), ' '))::BIGINT AS n_tok
+                   FROM documents WHERE text IS NOT NULL),
+        c AS (SELECT source, doc_id, n_tok,
+                     coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+              FROM t),
+        x AS (SELECT c.*, L FROM c,
+                     (SELECT unnest([${packSweepLens.mkString(", ")}])::BIGINT AS L)),
+        g AS (SELECT source, L, count(*)::BIGINT AS n_docs,
+                     sum(CASE WHEN start // L <> (start + n_tok - 1) // L
+                              THEN 1 ELSE 0 END)::BIGINT AS n_split_docs,
+                     max(start + n_tok)::BIGINT AS total_tokens
+              FROM x GROUP BY 1, 2)
+        SELECT source, L, n_docs, n_split_docs, total_tokens,
+               (total_tokens + L - 1) // L AS n_seqs,
+               ((total_tokens + L - 1) // L) * L - total_tokens AS tail_waste
+        FROM g"""
+
   /** Shared oracle for q220/q221 (the live emissions converge to the
     * batch cumsum — integer sums are order-independent and the per-key
     * delivery contract fixes the order).
