@@ -1213,6 +1213,12 @@ object SparkEntry {
     // the L-tuning report: split-doc and tail-waste accounting per
     // candidate sequence length from ONE shared cumsum
     "q226_packing_efficiency" -> ((s, dir) => PipelineOps.packingEfficiency(s, dir)),
+    // the RELEASE step q168 audits: minimal generalization level
+    // reaching k, all levels from one scan via explode
+    "q227_k_anon_generalize" -> ((s, dir) => operators.DataQuality.kAnonGeneralize(s, dir)),
+    // the serde ERROR path (O17's missing half): schema-on-read decode
+    // gate quarantining malformed payloads, per-type health report
+    "q228_json_quarantine" -> ((s, dir) => operators.DataQuality.jsonQuarantine(s, dir)),
     // GPT-style sequence packing: concat each source's docs in ingest
     // order, cut every packSeqLen tokens — ONE window cumsum per
     // source plus integer arithmetic
@@ -2819,6 +2825,8 @@ object SparkEntry {
     // are order-independent; the dimension side is static)
     "q225_stream_orphan_monitor" -> operators.DataQuality.orphanMonitorSql,
     "q226_packing_efficiency" -> PipelineOps.packingEfficiencySql(),
+    "q227_k_anon_generalize" -> operators.DataQuality.kAnonGeneralizeSql(),
+    "q228_json_quarantine" -> operators.DataQuality.jsonQuarantineSql,
     "q223_packed_contamination" -> PipelineOps.packedContaminationSql(),
     "q224_fk_integrity_audit" -> operators.DataQuality.fkIntegrityAuditSql,
     // live emissions converge to the batch cumsum (integer sums +

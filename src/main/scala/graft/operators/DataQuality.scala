@@ -891,6 +891,136 @@ object DataQuality {
         "customer", "c_custkey")).mkString("\nUNION ALL ")
   }
 
+  // ---- k-anonymity generalization ladder (q227) ----
+
+  /** q227: the RELEASE step q168 only audits — pick the minimal
+    * generalization level whose every equivalence class reaches k.
+    * The ladder coarsens the quasi-identifiers stepwise (balance
+    * bucket 1000→5000, then nationkey→'*', then balance→'*'); each
+    * level's class table is one groupBy, all four levels derive from
+    * ONE scan via an explode (no per-level rescan), and the chosen
+    * level is the first satisfying row — the anonymization loop
+    * ("generalize until k-anonymous") solved as a bounded relational
+    * sweep instead of an iterate-and-recheck driver loop.
+    */
+  def kAnonGeneralize(s: SparkSession, dir: String, k: Long = 5): DataFrame = {
+    val cust = graft.Tables.load(s, dir, "customer")
+      .select(col("c_mktsegment").as("seg"),
+        col("c_nationkey").cast("string").as("nat"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("b1"))
+    val lad = cust.withColumn("level", explode(typedLit(Seq(0, 1, 2, 3))))
+      .select(col("level"), col("seg"),
+        when(col("level") <= 1, col("nat")).otherwise(lit("*")).as("g_nat"),
+        when(col("level") === 0, col("b1").cast("string"))
+          .when(col("level").isin(1, 2), expr("b1 div 5").cast("string"))
+          .otherwise(lit("*")).as("g_bal"))
+    val perLevel = lad.groupBy(col("level"), col("seg"), col("g_nat"), col("g_bal"))
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_classes"), min(col("class_size")).as("min_class_size"))
+      .withColumn("satisfies_k", col("min_class_size") >= k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("level")).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // chosen = satisfying with NO satisfying level before it (the
+    // 4-row frame makes the unpartitioned window free)
+    perLevel
+      .withColumn("is_chosen", col("satisfies_k") &&
+        coalesce(max(col("satisfies_k").cast("int")).over(w), lit(0)) === 0)
+      .select(col("level").cast("long").as("level"), col("n_classes"),
+        col("min_class_size"), col("satisfies_k"), col("is_chosen"))
+  }
+
+  def kAnonGeneralizeSql(k: Long = 5): String =
+    s"""WITH base AS (SELECT c_mktsegment AS seg, c_nationkey::VARCHAR AS nat,
+                             floor(c_acctbal / 1000.0)::BIGINT AS b1
+                      FROM customer),
+        lad AS (SELECT level, seg,
+                       CASE WHEN level <= 1 THEN nat ELSE '*' END AS g_nat,
+                       CASE WHEN level = 0 THEN b1::VARCHAR
+                            WHEN level IN (1, 2) THEN (b1 // 5)::VARCHAR
+                            ELSE '*' END AS g_bal
+                FROM base, (SELECT unnest([0, 1, 2, 3]) AS level)),
+        cls AS (SELECT level, seg, g_nat, g_bal, count(*)::BIGINT AS class_size
+                FROM lad GROUP BY 1, 2, 3, 4),
+        lv AS (SELECT level, count(*)::BIGINT AS n_classes,
+                      min(class_size)::BIGINT AS min_class_size,
+                      min(class_size) >= $k AS satisfies_k
+               FROM cls GROUP BY 1)
+        SELECT level::BIGINT AS level, n_classes, min_class_size, satisfies_k,
+               satisfies_k AND coalesce(max(satisfies_k::INT) OVER (ORDER BY level
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 0 AS is_chosen
+        FROM lv"""
+
+  // ---- JSON serde error quarantine (q228) ----
+
+  /** q228: the serde ERROR PATH the Kafka wiring's happy path (O17)
+    * never exercises — a decode gate that quarantines malformed
+    * payloads instead of crashing or silently nulling the batch. The
+    * payload is constructed by string concatenation (both engines
+    * derive the identical bytes — no to_json formatting divergence in
+    * the contract), a deterministic corruption truncates every
+    * `% 7 = 0` message, and the gate is schema-on-read: parse under
+    * PERMISSIVE semantics, a null parse = quarantine. Per-type report:
+    * messages, quarantined count, and the SUM of a parsed field —
+    * proving extraction ran on exactly the valid subset. At scale this
+    * is a map-only gate in front of every consumer; the quarantined
+    * fraction is the topic's health metric.
+    */
+  def jsonQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+      .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val payload0 = concat(lit("{\"id\": "), col("event_id"),
+      lit(", \"user\": "), col("user_id"),
+      lit(", \"type\": \""), col("event_type"), lit("\"}"))
+    val payload = when(col("event_id") % 7 === 0,
+      expr("substring(payload0, 1, length(payload0) - 1)"))
+      .otherwise(col("payload0"))
+    // PERMISSIVE + columnNameOfCorruptRecord: a malformed record sets
+    // the corrupt column (and NULLs every data field — no salvage
+    // leaks into the aggregates), the Spark-native analog of DuckDB's
+    // json_valid gate
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt",
+        org.apache.spark.sql.types.StringType)))
+    ev.withColumn("payload0", payload0)
+      .withColumn("payload", payload)
+      .withColumn("parsed", from_json(col("payload"), sch,
+        java.util.Map.of("columnNameOfCorruptRecord", "_corrupt")))
+      .withColumn("bad", col("parsed._corrupt").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_msgs"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_quarantined"),
+        sum(when(!col("bad"), col("parsed.id"))).as("sum_parsed_id"))
+  }
+
+  def jsonQuarantineSql: String =
+    """WITH p AS (
+         SELECT event_type,
+                '{"id": ' || event_id || ', "user": ' || user_id ||
+                  ', "type": "' || event_type || '"}' AS payload0,
+                event_id
+         FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+       g AS (SELECT event_type,
+                    CASE WHEN event_id % 7 = 0
+                         THEN substring(payload0, 1, length(payload0) - 1)
+                         ELSE payload0 END AS payload
+             FROM p)
+       SELECT event_type, count(*)::BIGINT AS n_msgs,
+              sum(CASE WHEN json_valid(payload) THEN 0 ELSE 1 END)::BIGINT
+                AS n_quarantined,
+              sum(CASE WHEN json_valid(payload)
+                       THEN json_extract(payload, '$.id')::BIGINT END)::BIGINT
+                AS sum_parsed_id
+       FROM g GROUP BY 1"""
+
   // ---- live referential-integrity monitor (q225) ----
 
   /** The per-type orphan counter cells as STREAM STATE: each arriving
