@@ -1219,6 +1219,19 @@ object SparkEntry {
     // the serde ERROR path (O17's missing half): schema-on-read decode
     // gate quarantining malformed payloads, per-type health report
     "q228_json_quarantine" -> ((s, dir) => operators.DataQuality.jsonQuarantine(s, dir)),
+    // exact shard-leveling move plan: cumulative excess/deficit
+    // interval intersection on shard METADATA (the q104 water-fill
+    // technique pointed at storage ops)
+    "q229_shard_rebalance" -> ((s, dir) => PipelineOps.shardRebalancePlan(s, dir)),
+    // q228 live: the decode-gate counters as Complete-mode state —
+    // the topic's health metric maintained at ingest, shared cells,
+    // q228's oracle unchanged
+    "q230_stream_json_quarantine" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      sketchMaintenanceStream(s, dir, "q230", ev)(
+        in => operators.DataQuality.jsonGateCells(in))
+    }),
     // GPT-style sequence packing: concat each source's docs in ingest
     // order, cut every packSeqLen tokens — ONE window cumsum per
     // source plus integer arithmetic
@@ -2827,6 +2840,8 @@ object SparkEntry {
     "q226_packing_efficiency" -> PipelineOps.packingEfficiencySql(),
     "q227_k_anon_generalize" -> operators.DataQuality.kAnonGeneralizeSql(),
     "q228_json_quarantine" -> operators.DataQuality.jsonQuarantineSql,
+    "q229_shard_rebalance" -> PipelineOps.shardRebalancePlanSql(),
+    "q230_stream_json_quarantine" -> operators.DataQuality.jsonQuarantineSql,
     "q223_packed_contamination" -> PipelineOps.packedContaminationSql(),
     "q224_fk_integrity_audit" -> operators.DataQuality.fkIntegrityAuditSql,
     // live emissions converge to the batch cumsum (integer sums +

@@ -967,10 +967,11 @@ object DataQuality {
     * is a map-only gate in front of every consumer; the quarantined
     * fraction is the topic's health metric.
     */
-  def jsonQuarantine(s: SparkSession, dir: String): DataFrame = {
-    val ev = graft.Tables.events(s, dir)
-      .filter(col("event_type").isNotNull && col("user_id").isNotNull)
-      .select(col("event_id"), col("user_id"), col("event_type"))
+  /** The decode-gate counter cells, shared by the batch report (q228)
+    * and the live monitor (q230) — per-type counter sums, the
+    * streamable class. Expects (event_id, user_id, event_type).
+    */
+  def jsonGateCells(ev: DataFrame): DataFrame = {
     val payload0 = concat(lit("{\"id\": "), col("event_id"),
       lit(", \"user\": "), col("user_id"),
       lit(", \"type\": \""), col("event_type"), lit("\"}"))
@@ -990,7 +991,9 @@ object DataQuality {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("_corrupt",
         org.apache.spark.sql.types.StringType)))
-    ev.withColumn("payload0", payload0)
+    ev.filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .withColumn("payload0", payload0)
       .withColumn("payload", payload)
       .withColumn("parsed", from_json(col("payload"), sch,
         java.util.Map.of("columnNameOfCorruptRecord", "_corrupt")))
@@ -1000,6 +1003,10 @@ object DataQuality {
         sum(when(col("bad"), 1L).otherwise(0L)).as("n_quarantined"),
         sum(when(!col("bad"), col("parsed.id"))).as("sum_parsed_id"))
   }
+
+  def jsonQuarantine(s: SparkSession, dir: String): DataFrame =
+    jsonGateCells(graft.Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type")))
 
   def jsonQuarantineSql: String =
     """WITH p AS (

@@ -2590,6 +2590,75 @@ object PipelineOps {
                sum(tainted)::DOUBLE / count(*)::DOUBLE AS tainted_frac
         FROM sq GROUP BY 1"""
 
+  /** q229: shard rebalance MOVE PLAN — given day-sharded storage whose
+    * row counts drifted, the exact sequential-greedy plan that levels
+    * every shard to its integer target (total div n, remainder to the
+    * earliest days): donors and receivers each get cumulative
+    * excess/deficit intervals, and every (donor → receiver, rows)
+    * move is the INTERSECTION of one donor interval with one receiver
+    * interval — the water-fill-between-two-cumsums construction
+    * (q104's technique pointed at storage ops). Everything runs on
+    * SHARD METADATA (n ≈ days rows, never data-sized): the per-shard
+    * counts are one map-side-combined aggregate over the data, and
+    * the interval join is bounded by donors × receivers ≤ n² tiny
+    * rows — a plan a 100 TB table's catalog computes in milliseconds.
+    */
+  def shardRebalancePlan(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byDay = Tables.events(s, dir).filter(col("ts").isNotNull)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    // the frames below are shard-count-sized (≈31 rows) — the
+    // unpartitioned windows and the broadcast totals are free
+    val wRk = W.orderBy(col("day"))
+    val t = byDay
+      .withColumn("rk", row_number().over(wRk))
+      .crossJoin(broadcast(byDay.agg(sum(col("cnt")).as("tot"),
+        count(lit(1)).as("n"))))
+      .withColumn("target", expr("tot div n") +
+        when(col("rk") <= expr("tot % n"), 1L).otherwise(0L))
+    val wCum = W.orderBy(col("day"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val donors = t.filter(col("cnt") > col("target"))
+      .withColumn("ex", col("cnt") - col("target"))
+      .withColumn("st", coalesce(sum(col("ex")).over(wCum), lit(0L)))
+      .select(col("day").as("from_day"), col("ex"), col("st").as("dst"))
+    val receivers = t.filter(col("target") > col("cnt"))
+      .withColumn("de", col("target") - col("cnt"))
+      .withColumn("st", coalesce(sum(col("de")).over(wCum), lit(0L)))
+      .select(col("day").as("to_day"), col("de"), col("st").as("rst"))
+    donors.join(receivers,
+        col("dst") < col("rst") + col("de") && col("rst") < col("dst") + col("ex"))
+      .select(col("from_day"), col("to_day"),
+        (least(col("dst") + col("ex"), col("rst") + col("de")) -
+          greatest(col("dst"), col("rst"))).as("n_rows_moved"))
+  }
+
+  def shardRebalancePlanSql(): String =
+    """WITH d AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                         count(*)::BIGINT AS cnt
+                  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+       t AS (SELECT day, cnt, row_number() OVER (ORDER BY day) AS rk,
+                    (SELECT sum(cnt) FROM d)::BIGINT AS tot,
+                    (SELECT count(*) FROM d)::BIGINT AS n
+             FROM d),
+       g AS (SELECT day, cnt,
+                    tot // n + CASE WHEN rk <= tot % n THEN 1 ELSE 0 END AS target
+             FROM t),
+       don AS (SELECT day, cnt - target AS ex,
+                      coalesce(sum(cnt - target) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS st
+               FROM g WHERE cnt > target),
+       rec AS (SELECT day, target - cnt AS de,
+                      coalesce(sum(target - cnt) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS st
+               FROM g WHERE target > cnt)
+       SELECT don.day AS from_day, rec.day AS to_day,
+              (least(don.st + don.ex, rec.st + rec.de)
+                - greatest(don.st, rec.st))::BIGINT AS n_rows_moved
+       FROM don JOIN rec
+         ON don.st < rec.st + rec.de AND rec.st < don.st + don.ex"""
+
   /** q226: packing-efficiency sweep — the tuning report behind the
     * choice of sequence length: per (source, L) for the three
     * candidate lengths, how many docs a boundary SPLITS (an attention
