@@ -1223,6 +1223,14 @@ object SparkEntry {
     // interval intersection on shard METADATA (the q104 water-fill
     // technique pointed at storage ops)
     "q229_shard_rebalance" -> ((s, dir) => PipelineOps.shardRebalancePlan(s, dir)),
+    // DSIR: keep the raw-pool docs a target LM prefers over the source
+    // LM — importance weights in integer micro-nats, top-k selection
+    "q231_dsir_selection" -> ((s, dir) => PipelineOps.dsirSelection(s, dir)),
+    // RLHF/DPO data prep: per-source chosen/rejected pairs by rank
+    "q232_preference_pairs" -> ((s, dir) => PipelineOps.preferencePairs(s, dir)),
+    // the dataset-similarity map: pairwise smoothed-unigram KL on the
+    // dense sources x vocab grid, integer micro-nats
+    "q233_source_divergence" -> ((s, dir) => PipelineOps.sourceDivergence(s, dir)),
     // q228 live: the decode-gate counters as Complete-mode state —
     // the topic's health metric maintained at ingest, shared cells,
     // q228's oracle unchanged
@@ -2841,6 +2849,9 @@ object SparkEntry {
     "q227_k_anon_generalize" -> operators.DataQuality.kAnonGeneralizeSql(),
     "q228_json_quarantine" -> operators.DataQuality.jsonQuarantineSql,
     "q229_shard_rebalance" -> PipelineOps.shardRebalancePlanSql(),
+    "q231_dsir_selection" -> PipelineOps.dsirSelectionSql(),
+    "q232_preference_pairs" -> PipelineOps.preferencePairsSql(),
+    "q233_source_divergence" -> PipelineOps.sourceDivergenceSql(),
     "q230_stream_json_quarantine" -> operators.DataQuality.jsonQuarantineSql,
     "q223_packed_contamination" -> PipelineOps.packedContaminationSql(),
     "q224_fk_integrity_audit" -> operators.DataQuality.fkIntegrityAuditSql,

@@ -1767,6 +1767,210 @@ object PipelineOps {
                (sum_lp_micro > n_bigrams * ($thresholdMicro)) AS kept
         FROM doc"""
 
+  // ---- preference-pair assembly (q232) ----
+
+  /** q232: chosen/rejected preference pairs — the RLHF/DPO data-prep
+    * step: per source, pair the m best-scoring documents with the m
+    * worst (by the q109 classifier's per-token mean, rank r best with
+    * rank r worst). Ranking is per-source WindowGroupLimit (never a
+    * global sort); the mean is the single-IEEE-division of exact
+    * BIGINTs both engines compute identically; the pairing is one
+    * (source, rank) equi-join of two m-row-per-source frames.
+    */
+  def preferencePairs(s: SparkSession, dir: String, m: Int = 5,
+      d: Long = 1024L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = split(lower(col("text")), " ")
+    val scored = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tokens"),
+        hashedLogitMicro(col("text"), d).as("logit_micro"))
+      .withColumn("mean_logit",
+        col("logit_micro").cast("double") / lit(1000000.0) / col("n_tokens").cast("double"))
+    val wBest = W.partitionBy(col("source"))
+      .orderBy(col("mean_logit").desc, col("doc_id").asc)
+    val wWorst = W.partitionBy(col("source"))
+      .orderBy(col("mean_logit").asc, col("doc_id").asc)
+    val best = scored.withColumn("pair_rank", row_number().over(wBest))
+      .filter(col("pair_rank") <= m)
+      .select(col("source"), col("pair_rank").cast("long").as("pair_rank"),
+        col("doc_id").as("chosen_doc"), col("mean_logit").as("chosen_mean"))
+    val worst = scored.withColumn("pair_rank", row_number().over(wWorst))
+      .filter(col("pair_rank") <= m)
+      .select(col("source"), col("pair_rank").cast("long").as("pair_rank"),
+        col("doc_id").as("rejected_doc"), col("mean_logit").as("rejected_mean"))
+    best.join(worst, Seq("source", "pair_rank"))
+      .filter(col("chosen_doc") =!= col("rejected_doc"))
+  }
+
+  def preferencePairsSql(m: Int = 5, d: Long = 1024L): String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                      FROM documents WHERE text IS NOT NULL),
+        scored AS (
+          SELECT t.doc_id, dd.source, count(*)::BIGINT AS n_tokens,
+                 sum((((('0x' || substring(md5(term), 1, 15))::BIGINT % $d) + 1) * 2654435761) % 2000001 - 1000000)::BIGINT AS logit_micro
+          FROM toks t JOIN documents dd ON t.doc_id = dd.doc_id
+          GROUP BY 1, 2),
+        sc AS (SELECT doc_id, source,
+                      logit_micro::DOUBLE / 1000000.0 / n_tokens::DOUBLE AS mean_logit
+               FROM scored),
+        best AS (SELECT source,
+                        row_number() OVER (PARTITION BY source
+                          ORDER BY mean_logit DESC, doc_id ASC)::BIGINT AS pair_rank,
+                        doc_id AS chosen_doc, mean_logit AS chosen_mean
+                 FROM sc QUALIFY pair_rank <= $m),
+        worst AS (SELECT source,
+                         row_number() OVER (PARTITION BY source
+                           ORDER BY mean_logit ASC, doc_id ASC)::BIGINT AS pair_rank,
+                         doc_id AS rejected_doc, mean_logit AS rejected_mean
+                  FROM sc QUALIFY pair_rank <= $m)
+        SELECT source, pair_rank, chosen_doc, chosen_mean,
+               rejected_doc, rejected_mean
+        FROM best JOIN worst USING (source, pair_rank)
+        WHERE chosen_doc <> rejected_doc"""
+
+  // ---- pairwise source divergence matrix (q233) ----
+
+  /** q233: the dataset-similarity map — for every ordered source pair
+    * (a, b), the KL divergence of a's add-one-smoothed unigram
+    * distribution from b's, scaled to integers:
+    * KL·(N_a+V) = Σ_t (c_a(t)+1)·(ln p_a(t) − ln p_b(t)), with one
+    * `ln` per (source, term) cell rounded once to micro-nats (the
+    * q96 ledger) and everything after pure BIGINT. The grid is DENSE
+    * over the joint vocabulary (absent terms contribute their
+    * smoothed mass — dropping them biases KL), but its size is
+    * sources×V — sources are tens, so the pair join is
+    * sources²×V cells of INTEGER arithmetic, never corpus-sized. The
+    * report curation reads before mixing: which sources are
+    * near-duplicates of each other, which are genuinely novel.
+    */
+  def sourceDivergence(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("term"))
+    val counts = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    val srcs = counts.select(col("source")).distinct()
+    val terms = counts.select(col("term")).distinct()
+    val vocabN = terms.agg(count(lit(1)).as("v"))
+    val dense = srcs.crossJoin(terms)
+      .join(counts, Seq("source", "term"), "left")
+      .select(col("source"), col("term"), coalesce(col("c"), lit(0L)).as("c"))
+    val totals = dense.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val lp = dense.join(totals, "source").crossJoin(broadcast(vocabN))
+      .select(col("source"), col("term"), col("c"), (col("n") + col("v")).as("denom"),
+        round(log((col("c") + 1).cast("double") /
+          (col("n") + col("v")).cast("double")) * 1e6).cast("long").as("lp_micro"))
+    val a = lp.select(col("source").as("src_a"), col("term"),
+      col("c").as("ca"), col("denom").as("den_a"), col("lp_micro").as("lpa"))
+    val b = lp.select(col("source").as("src_b"), col("term"),
+      col("lp_micro").as("lpb"))
+    a.join(b, Seq("term")).filter(col("src_a") =!= col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(min(col("den_a")).as("den_a"), // constant per src_a; min = deterministic read
+        sum((col("ca") + 1) * (col("lpa") - col("lpb"))).as("kl_num_micro"))
+      .withColumn("kl_nats",
+        col("kl_num_micro").cast("double") / lit(1000000.0) / col("den_a").cast("double"))
+  }
+
+  def sourceDivergenceSql(): String =
+    """WITH toks AS (SELECT source, unnest(string_split(lower(text), ' ')) AS term
+                     FROM documents WHERE text IS NOT NULL),
+       counts AS (SELECT source, term, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+       vocab AS (SELECT count(DISTINCT term)::BIGINT AS v FROM counts),
+       dense AS (SELECT s.source, t.term, coalesce(c.c, 0)::BIGINT AS c
+                 FROM (SELECT DISTINCT source FROM counts) s
+                 CROSS JOIN (SELECT DISTINCT term FROM counts) t
+                 LEFT JOIN counts c ON c.source = s.source AND c.term = t.term),
+       tot AS (SELECT source, sum(c)::BIGINT AS n FROM dense GROUP BY 1),
+       lp AS (SELECT d.source, d.term, d.c, (t.n + v.v)::BIGINT AS denom,
+                     round(ln((d.c + 1)::DOUBLE / (t.n + v.v)::DOUBLE) * 1000000)::BIGINT AS lp_micro
+              FROM dense d JOIN tot t ON d.source = t.source CROSS JOIN vocab v)
+       SELECT a.source AS src_a, b.source AS src_b,
+              min(a.denom)::BIGINT AS den_a,
+              sum((a.c + 1) * (a.lp_micro - b.lp_micro))::BIGINT AS kl_num_micro,
+              sum((a.c + 1) * (a.lp_micro - b.lp_micro))::BIGINT::DOUBLE / 1000000.0
+                / min(a.denom)::DOUBLE AS kl_nats
+       FROM lp a JOIN lp b ON a.term = b.term AND a.source <> b.source
+       GROUP BY 1, 2"""
+
+  // ---- DSIR-style importance selection (q231) ----
+
+  /** q231: data selection via importance resampling (the DSIR recipe):
+    * score every raw-pool document by how much more likely a TARGET
+    * language model finds it than the SOURCE model —
+    * Σ_w tf·(ln p_t(w) − ln p_s(w)) — and keep the top k. Target =
+    * the `% 10 = 0` reference docs (the distribution we want more
+    * of, q66's split convention); both unigram models are add-one
+    * smoothed over the JOINT vocabulary so unseen terms are defined
+    * on both sides. Exactness: one `ln` per distinct term PER MODEL,
+    * each rounded once to micro-nats (the q96/q110 contract), then
+    * pure BIGINT sums; the top-k is TakeOrderedAndProject (never a
+    * data-sized global sort) with the rank window over k rows.
+    * Scale shape: two vocabulary-sized count tables (map-side
+    * combined), one full-outer vocab join, per-doc tf shuffles on
+    * (doc, term) — Heaps-sublinear everywhere the data is big.
+    */
+  def dsirSelection(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val toksCol = split(lower(col("text")), " ")
+    val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), explode(toksCol).as("term"))
+    val ct = docs.filter(col("doc_id") % 10 === 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("ctgt"))
+    val cs = docs.filter(col("doc_id") % 10 =!= 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("csrc"))
+    val vocab = ct.join(cs, Seq("term"), "full_outer")
+      .select(col("term"), coalesce(col("ctgt"), lit(0L)).as("ctgt"),
+        coalesce(col("csrc"), lit(0L)).as("csrc"))
+    val tots = vocab.agg(sum(col("ctgt")).as("nt"), sum(col("csrc")).as("ns"),
+      count(lit(1)).as("v"))
+    val lr = vocab.crossJoin(broadcast(tots))
+      .withColumn("lpt_micro", round(log((col("ctgt") + 1).cast("double") /
+        (col("nt") + col("v")).cast("double")) * 1e6).cast("long"))
+      .withColumn("lps_micro", round(log((col("csrc") + 1).cast("double") /
+        (col("ns") + col("v")).cast("double")) * 1e6).cast("long"))
+      .select(col("term"), (col("lpt_micro") - col("lps_micro")).as("lr_micro"))
+    val tf = docs.filter(col("doc_id") % 10 =!= 0)
+      .groupBy(col("doc_id"), col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf.join(lr, Seq("term"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("tf")).as("n_toks"),
+        sum(col("tf") * col("lr_micro")).as("weight_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("weight_micro").desc, col("doc_id").asc)
+    scored.orderBy(col("weight_micro").desc, col("doc_id").asc).limit(k)
+      .select(col("doc_id"), col("source"), col("n_toks"), col("weight_micro"),
+        row_number().over(w).cast("long").as("rank"))
+  }
+
+  def dsirSelectionSql(k: Int = 100): String =
+    s"""WITH d AS (SELECT doc_id, source, string_split(lower(text), ' ') AS l
+                   FROM documents WHERE text IS NOT NULL),
+        toks AS (SELECT doc_id, source, unnest(l) AS term FROM d),
+        ct AS (SELECT term, count(*)::BIGINT AS ctgt FROM toks
+               WHERE doc_id % 10 = 0 GROUP BY 1),
+        cs AS (SELECT term, count(*)::BIGINT AS csrc FROM toks
+               WHERE doc_id % 10 <> 0 GROUP BY 1),
+        vocab AS (SELECT coalesce(ct.term, cs.term) AS term,
+                         coalesce(ctgt, 0)::BIGINT AS ctgt,
+                         coalesce(csrc, 0)::BIGINT AS csrc
+                  FROM ct FULL JOIN cs ON ct.term = cs.term),
+        tots AS (SELECT sum(ctgt)::BIGINT AS nt, sum(csrc)::BIGINT AS ns,
+                        count(*)::BIGINT AS v
+                 FROM vocab),
+        lr AS (SELECT term,
+                      round(ln((ctgt + 1)::DOUBLE / (nt + v)::DOUBLE) * 1000000)::BIGINT
+                        - round(ln((csrc + 1)::DOUBLE / (ns + v)::DOUBLE) * 1000000)::BIGINT
+                        AS lr_micro
+               FROM vocab, tots),
+        tf AS (SELECT doc_id, source, term, count(*)::BIGINT AS tf FROM toks
+               WHERE doc_id % 10 <> 0 GROUP BY 1, 2, 3),
+        sc AS (SELECT doc_id, source, sum(tf)::BIGINT AS n_toks,
+                      sum(tf * lr_micro)::BIGINT AS weight_micro
+               FROM tf JOIN lr USING (term) GROUP BY 1, 2)
+        SELECT doc_id, source, n_toks, weight_micro,
+               row_number() OVER (ORDER BY weight_micro DESC, doc_id ASC)::BIGINT AS rank
+        FROM sc QUALIFY rank <= $k"""
+
   // ---- model-based curation cascade (q114) ----
 
   /** The second curation pass a production pipeline runs AFTER q48's
