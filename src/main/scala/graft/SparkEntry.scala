@@ -1240,15 +1240,16 @@ object SparkEntry {
       sketchMaintenanceStream(s, dir, "q230", ev)(
         in => operators.DataQuality.jsonGateCells(in))
     }),
-    // GPT-style sequence packing: concat each source's docs in ingest
-    // order, cut every packSeqLen tokens — ONE window cumsum per
-    // source plus integer arithmetic
-    "q220_sequence_packing" -> ((s, dir) => PipelineOps.sequencePacking(s, dir)),
+    // the per-SOURCE packing manifest (q53 shards by hash for
+    // parallelism; this keys by source for provenance and reports
+    // full spans) — ONE window cumsum per source plus integer
+    // arithmetic
+    "q220_source_packing" -> ((s, dir) => PipelineOps.sourcePackingManifest(s, dir)),
     // the live packer: per-source running-token CURSOR state (one long
     // per source, O(sources)); arrival IS assignment — each doc emits
     // its interval start once, derived columns shared with q220, whose
     // oracle applies unchanged to the converged emissions
-    "q221_stream_sequence_packing" -> ((s, dir) => {
+    "q221_stream_source_packing" -> ((s, dir) => {
       import s.implicits._
       val tmp = stagedSourceDocs(s, dir)
       val sch = operators.PipelineOps.packInput(s, dir).schema
@@ -2840,7 +2841,7 @@ object SparkEntry {
     // the oracle is the bpeChainSql pc1 derivation with the ranking
     "q218_stream_bpe_drift" -> TextAnalysis.bpeDriftSql(),
     "q219_stats_join_planning" -> PipelineOps.statsDrivenDenormSql(),
-    "q220_sequence_packing" -> PipelineOps.sequencePackingSql(),
+    "q220_source_packing" -> PipelineOps.sourcePackingManifestSql(),
     "q222_skew_aware_join" -> PipelineOps.skewAwareDenormSql(),
     // converged Complete-mode counters = the batch audit (counter sums
     // are order-independent; the dimension side is static)
@@ -2857,7 +2858,7 @@ object SparkEntry {
     "q224_fk_integrity_audit" -> operators.DataQuality.fkIntegrityAuditSql,
     // live emissions converge to the batch cumsum (integer sums +
     // per-source in-order delivery) — q220's oracle unchanged
-    "q221_stream_sequence_packing" -> PipelineOps.sequencePackingSql(),
+    "q221_stream_source_packing" -> PipelineOps.sourcePackingManifestSql(),
     // converged Complete-mode cell grid equals the batch grid
     // (order-independent counts), so q210's oracle applies unchanged
     "q214_stream_seasonal_anomaly" -> operators.DataQuality.seasonalAnomalySql,

@@ -2721,18 +2721,19 @@ object PipelineOps {
       expr(s"(start + n_tok - 1) div $packSeqLen - start div $packSeqLen + 1")
         .as("n_seqs"))
 
-  /** q220: GPT-style sequence packing — concatenate each source's
-    * documents in ingest order and cut every `packSeqLen` tokens; each
-    * doc's assignment is (first/last sequence index, offset, span
-    * count). The whole packer is ONE window cumsum per source (running
-    * token total, rows-preceding frame) plus arithmetic: no join, no
-    * second pass, no driver state — the 100 TB shape (a trillion-token
-    * corpus packs in one source-keyed shuffle). Docs longer than L
-    * legitimately span sequences (n_seqs > 1) — the packer reports the
-    * split instead of hiding it, exactly what an attention-mask builder
-    * needs downstream.
+  /** q220: the per-SOURCE packing manifest — q53 packs for
+    * PARALLELISM (hash-bucket shards); this form packs for PROVENANCE
+    * (each source = one contiguous token stream, the layout dataset
+    * cards and per-dataset ablations need) and reports each doc's full
+    * SPAN (first/last sequence, offset, span count — what an
+    * attention-mask builder consumes; q53 reports only the start).
+    * One window cumsum per source plus integer arithmetic: no join,
+    * no second pass, no driver state — a trillion-token corpus packs
+    * in one source-keyed shuffle. The live form (q221), the L-sweep
+    * (q226), and the contamination audit (q223) all build on this
+    * manifest.
     */
-  def sequencePacking(s: SparkSession, dir: String): DataFrame = {
+  def sourcePackingManifest(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -2917,7 +2918,7 @@ object PipelineOps {
     * batch cumsum — integer sums are order-independent and the per-key
     * delivery contract fixes the order).
     */
-  def sequencePackingSql(): String =
+  def sourcePackingManifestSql(): String =
     s"""WITH t AS (SELECT source, doc_id,
                           len(string_split(lower(text), ' '))::BIGINT AS n_tok
                    FROM documents WHERE text IS NOT NULL),
