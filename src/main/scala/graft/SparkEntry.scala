@@ -1231,6 +1231,18 @@ object SparkEntry {
     // the dataset-similarity map: pairwise smoothed-unigram KL on the
     // dense sources x vocab grid, integer micro-nats
     "q233_source_divergence" -> ((s, dir) => PipelineOps.sourceDivergence(s, dir)),
+    // index acceptance gate: per-query recall@k of the IVF index vs
+    // brute force, evaluation itself oracled (composes q25+q26 SQL)
+    "q234_ann_recall_eval" -> ((s, dir) => Similarity.annRecallEval(s, dir)),
+    // the production drift score: PSI between month halves per
+    // event-type bin, exact-integer numerators (one ln per cell)
+    "q235_psi_drift" -> ((s, dir) => operators.DataQuality.psiDrift(s, dir)),
+    // data-constrained scaling: repeat best sources up to the epoch
+    // cap under a derived budget — greedy fill as one window cumsum
+    "q236_epoch_allocator" -> ((s, dir) => PipelineOps.epochAllocator(s, dir)),
+    // vocab-size tuning curve: corpus coverage of the top-V terms per
+    // candidate size, from one count aggregate + one vocab rank
+    "q237_vocab_coverage" -> ((s, dir) => PipelineOps.vocabCoverage(s, dir)),
     // q228 live: the decode-gate counters as Complete-mode state —
     // the topic's health metric maintained at ingest, shared cells,
     // q228's oracle unchanged
@@ -2853,6 +2865,10 @@ object SparkEntry {
     "q231_dsir_selection" -> PipelineOps.dsirSelectionSql(),
     "q232_preference_pairs" -> PipelineOps.preferencePairsSql(),
     "q233_source_divergence" -> PipelineOps.sourceDivergenceSql(),
+    "q234_ann_recall_eval" -> Similarity.annRecallEvalSql(),
+    "q235_psi_drift" -> operators.DataQuality.psiDriftSql,
+    "q236_epoch_allocator" -> PipelineOps.epochAllocatorSql(),
+    "q237_vocab_coverage" -> PipelineOps.vocabCoverageSql(),
     "q230_stream_json_quarantine" -> operators.DataQuality.jsonQuarantineSql,
     "q223_packed_contamination" -> PipelineOps.packedContaminationSql(),
     "q224_fk_integrity_audit" -> operators.DataQuality.fkIntegrityAuditSql,

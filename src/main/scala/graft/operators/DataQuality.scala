@@ -891,6 +891,65 @@ object DataQuality {
         "customer", "c_custkey")).mkString("\nUNION ALL ")
   }
 
+  // ---- population stability index (q235) ----
+
+  /** q235: PSI — the standard production drift score between a
+    * reference window and the current one, here the first vs second
+    * half of the month (day-of-month ≤ 15). Per event-type bin, the
+    * contribution is (p₂ − p₁)·(ln p₂ − ln p₁) over add-one-smoothed
+    * shares; multiplied through by (N₁+T)(N₂+T) it is EXACT BIGINT —
+    * one ln per (bin, window) rounded once to micro-nats (the q96
+    * ledger), every comparison-grade quantity integer, the final
+    * PSI a single fixed division sequence. Bins are the event-type
+    * cardinality, so the whole statistic folds a 100 TB log into a
+    * T-row grid in one scan.
+    */
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir).filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        (dayofmonth(col("ts")) <= 15).as("first_half"))
+    val cells = ev.groupBy(col("event_type"))
+      .agg(sum(when(col("first_half"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("first_half"), 1L).otherwise(0L)).as("c2"))
+    val tots = cells.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+      count(lit(1)).as("t"))
+    cells.crossJoin(broadcast(tots))
+      .withColumn("l1_micro", round(log((col("c1") + 1).cast("double") /
+        (col("n1") + col("t")).cast("double")) * 1e6).cast("long"))
+      .withColumn("l2_micro", round(log((col("c2") + 1).cast("double") /
+        (col("n2") + col("t")).cast("double")) * 1e6).cast("long"))
+      .withColumn("pdiff_num", (col("c2") + 1) * (col("n1") + col("t")) -
+        (col("c1") + 1) * (col("n2") + col("t")))
+      .withColumn("ldiff_micro", col("l2_micro") - col("l1_micro"))
+      .withColumn("psi_num", col("pdiff_num") * col("ldiff_micro"))
+      .withColumn("psi_contrib",
+        col("psi_num").cast("double") /
+          ((col("n1") + col("t")) * (col("n2") + col("t"))).cast("double") /
+          lit(1000000.0))
+      .select(col("event_type"), col("c1"), col("c2"), col("ldiff_micro"),
+        col("psi_num"), col("psi_contrib"))
+  }
+
+  def psiDriftSql: String =
+    """WITH ev AS (SELECT event_type, (day(ts) <= 15) AS first_half
+                   FROM events WHERE ts IS NOT NULL),
+       cells AS (SELECT event_type,
+                        sum(CASE WHEN first_half THEN 1 ELSE 0 END)::BIGINT AS c1,
+                        sum(CASE WHEN NOT first_half THEN 1 ELSE 0 END)::BIGINT AS c2
+                 FROM ev GROUP BY 1),
+       tots AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2,
+                       count(*)::BIGINT AS t
+                FROM cells),
+       lp AS (SELECT event_type, c1, c2, n1, n2, t,
+                     round(ln((c1 + 1)::DOUBLE / (n1 + t)::DOUBLE) * 1000000)::BIGINT AS l1,
+                     round(ln((c2 + 1)::DOUBLE / (n2 + t)::DOUBLE) * 1000000)::BIGINT AS l2
+              FROM cells, tots)
+       SELECT event_type, c1, c2, (l2 - l1)::BIGINT AS ldiff_micro,
+              (((c2 + 1) * (n1 + t) - (c1 + 1) * (n2 + t)) * (l2 - l1))::BIGINT AS psi_num,
+              (((c2 + 1) * (n1 + t) - (c1 + 1) * (n2 + t)) * (l2 - l1))::BIGINT::DOUBLE
+                / ((n1 + t) * (n2 + t))::DOUBLE / 1000000.0 AS psi_contrib
+       FROM lp"""
+
   // ---- k-anonymity generalization ladder (q227) ----
 
   /** q227: the RELEASE step q168 only audits — pick the minimal

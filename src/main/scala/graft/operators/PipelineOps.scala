@@ -1767,6 +1767,121 @@ object PipelineOps {
                (sum_lp_micro > n_bigrams * ($thresholdMicro)) AS kept
         FROM doc"""
 
+  // ---- epoch repetition allocator (q236) ----
+
+  /** q236: the data-constrained-scaling allocator — under a token
+    * budget of TWO average epochs (B = 2·Σsize, derived from the
+    * corpus on both engines, no literal), repeat each source up to
+    * `epochCap` epochs, HIGHEST-QUALITY sources first (per-token mean
+    * classifier logit, the single-IEEE-division ratio): each source's
+    * allocation is `clamp(B − capacity-before, 0, size·cap)` — the
+    * greedy fill as one window cumsum over the SOURCES frame (tens of
+    * rows), everything integer except the ordering key. The recipe
+    * behind "repeat good data up to 4 epochs before touching worse
+    * data" — priced exactly, per source.
+    */
+  def epochAllocator(s: SparkSession, dir: String, epochCap: Long = 4L,
+      d: Long = 1024L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = split(lower(col("text")), " ")
+    val perSrc = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("source"),
+        size(toks).cast("long").as("n_tok"),
+        hashedLogitMicro(col("text"), d).as("logit_micro"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("size_tok"), sum(col("logit_micro")).as("logit_sum"))
+      .withColumn("quality",
+        col("logit_sum").cast("double") / col("size_tok").cast("double"))
+    val wCum = W.orderBy(col("quality").desc, col("source").asc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val wRk = W.orderBy(col("quality").desc, col("source").asc)
+    perSrc
+      .crossJoin(broadcast(perSrc.agg((sum(col("size_tok")) * 2).as("budget"))))
+      .withColumn("rank", row_number().over(wRk).cast("long"))
+      .withColumn("capacity", col("size_tok") * epochCap)
+      .withColumn("cap_before", coalesce(sum(col("capacity")).over(wCum), lit(0L)))
+      .withColumn("alloc_tok", greatest(lit(0L),
+        least(col("budget") - col("cap_before"), col("capacity"))))
+      .select(col("source"), col("rank"), col("quality"), col("size_tok"),
+        col("capacity"), col("alloc_tok"),
+        expr("alloc_tok div size_tok").as("epochs_full"),
+        (col("alloc_tok") % col("size_tok")).as("partial_tokens"))
+  }
+
+  def epochAllocatorSql(epochCap: Long = 4L, d: Long = 1024L): String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                      FROM documents WHERE text IS NOT NULL),
+        sc AS (SELECT t.doc_id, dd.source, count(*)::BIGINT AS n_tok,
+                      sum((((('0x' || substring(md5(term), 1, 15))::BIGINT % $d) + 1) * 2654435761) % 2000001 - 1000000)::BIGINT AS logit_micro
+               FROM toks t JOIN documents dd ON t.doc_id = dd.doc_id
+               GROUP BY 1, 2),
+        src AS (SELECT source, sum(n_tok)::BIGINT AS size_tok,
+                       sum(logit_micro)::BIGINT AS logit_sum
+                FROM sc GROUP BY 1),
+        q AS (SELECT *, logit_sum::DOUBLE / size_tok::DOUBLE AS quality,
+                     (SELECT sum(size_tok) * 2 FROM src)::BIGINT AS budget
+              FROM src),
+        c AS (SELECT *, row_number() OVER (ORDER BY quality DESC, source ASC)::BIGINT AS rank,
+                     (size_tok * $epochCap)::BIGINT AS capacity,
+                     coalesce(sum(size_tok * $epochCap) OVER (ORDER BY quality DESC, source ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cap_before
+              FROM q)
+        SELECT source, rank, quality, size_tok, capacity,
+               greatest(0, least(budget - cap_before, capacity))::BIGINT AS alloc_tok,
+               greatest(0, least(budget - cap_before, capacity)) // size_tok AS epochs_full,
+               greatest(0, least(budget - cap_before, capacity)) % size_tok AS partial_tokens
+        FROM c"""
+
+  // ---- vocabulary coverage curve (q237) ----
+
+  /** q237: the vocab-size tuning curve — for each candidate vocabulary
+    * size V, the fraction of corpus tokens covered by the V most
+    * frequent terms (frequency desc, term asc ties). One vocabulary
+    * count aggregate (map-side combined, Heaps-sublinear output), one
+    * rank window over the VOCAB frame, then a bounded explode across
+    * the candidate sizes — the report that decides whether 16k or 32k
+    * buys anything before training a tokenizer.
+    */
+  val vocabSweep = Seq(256L, 1024L, 4096L, 16384L)
+
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val counts = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val wRk = W.orderBy(col("c").desc, col("term").asc)
+    val ranked = counts.withColumn("rk", row_number().over(wRk).cast("long"))
+    ranked
+      .crossJoin(broadcast(ranked.agg(sum(col("c")).as("n_total"),
+        count(lit(1)).as("n_distinct"))))
+      .withColumn("v", explode(typedLit(vocabSweep)))
+      .filter(col("rk") <= col("v"))
+      .groupBy(col("v"))
+      .agg(min(col("n_total")).as("n_total"), min(col("n_distinct")).as("n_distinct"),
+        count(lit(1)).as("n_terms_used"), sum(col("c")).as("covered_tokens"))
+      .withColumn("coverage",
+        col("covered_tokens").cast("double") / col("n_total").cast("double"))
+  }
+
+  def vocabCoverageSql(): String =
+    s"""WITH counts AS (SELECT term, count(*)::BIGINT AS c
+                        FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+                              FROM documents WHERE text IS NOT NULL)
+                        GROUP BY 1),
+        r AS (SELECT term, c, row_number() OVER (ORDER BY c DESC, term ASC)::BIGINT AS rk,
+                     (SELECT sum(c) FROM counts)::BIGINT AS n_total,
+                     (SELECT count(*) FROM counts)::BIGINT AS n_distinct
+              FROM counts),
+        x AS (SELECT r.*, v FROM r,
+                     (SELECT unnest([${vocabSweep.mkString(", ")}])::BIGINT AS v)
+              WHERE rk <= v)
+        SELECT v, min(n_total)::BIGINT AS n_total,
+               min(n_distinct)::BIGINT AS n_distinct,
+               count(*)::BIGINT AS n_terms_used,
+               sum(c)::BIGINT AS covered_tokens,
+               sum(c)::BIGINT::DOUBLE / min(n_total)::DOUBLE AS coverage
+        FROM x GROUP BY 1"""
+
   // ---- preference-pair assembly (q232) ----
 
   /** q232: chosen/rejected preference pairs — the RLHF/DPO data-prep

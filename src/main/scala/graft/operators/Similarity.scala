@@ -1161,6 +1161,39 @@ object Similarity {
       .sortBy(_._1)
   }
 
+  /** q234: in-engine ANN index-quality evaluation — per-query
+    * recall@k of the IVF index (q26) against brute force (q25), the
+    * acceptance gate every vector deployment runs before switching
+    * serving to an index. One equi-join of the two k-row-per-query
+    * result sets on (query, neighbor), one count per query; the
+    * whole evaluation is query-batch-sized (≤ maxQueryBatch·k rows a
+    * side) whatever the corpus. The oracle composes q25's and q26's
+    * SQL verbatim — the evaluation itself is cross-checked, not just
+    * the inputs.
+    */
+  def annRecallEval(s: SparkSession, dir: String, k: Int = defaultK): DataFrame = {
+    val bf = bruteForceTopK(s, dir, k).select(col("query_id"), col("neighbor_id"))
+    val ivf = ivfTopK(s, dir, k).select(col("query_id"), col("neighbor_id"))
+    val hits = bf.join(ivf, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    bf.groupBy(col("query_id")).agg(count(lit(1)).as("n_ref"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_ref"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_ref").cast("double"))
+  }
+
+  def annRecallEvalSql(k: Int = defaultK): String =
+    s"""WITH bf AS (SELECT query_id, neighbor_id FROM (${bruteForceTopKSql(k)}) b),
+        iv AS (SELECT query_id, neighbor_id FROM (${ivfTopKSql(k)}) i),
+        h AS (SELECT bf.query_id, count(*)::BIGINT AS n_hits
+              FROM bf JOIN iv USING (query_id, neighbor_id) GROUP BY 1),
+        r AS (SELECT query_id, count(*)::BIGINT AS n_ref FROM bf GROUP BY 1)
+        SELECT r.query_id, r.n_ref, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+               coalesce(h.n_hits, 0)::DOUBLE / r.n_ref::DOUBLE AS recall
+        FROM r LEFT JOIN h ON r.query_id = h.query_id"""
+
   /** Random-hyperplane LSH near-dup: the 100 TB candidate generator.
     * Each vector gets a `bits`-bit signature (sign of dot product with
     * `bits` fixed pseudo-random hyperplanes, built deterministically
