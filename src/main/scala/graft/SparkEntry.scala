@@ -1243,6 +1243,17 @@ object SparkEntry {
     // vocab-size tuning curve: corpus coverage of the top-V terms per
     // candidate size, from one count aggregate + one vocab rank
     "q237_vocab_coverage" -> ((s, dir) => PipelineOps.vocabCoverage(s, dir)),
+    // dup FLOW between corpora: q21's verified pairs rolled up to the
+    // (source, source) matrix — "dataset X is a scrape of dataset Y"
+    "q238_source_overlap" -> ((s, dir) => Dedup.sourceOverlapMatrix(s, dir)),
+    // q235 live: both windows' counters as Complete-mode state, the
+    // PSI recomputed at read time — q235's oracle unchanged
+    "q239_stream_psi_monitor" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("ts"))
+      val cells = sketchMaintenanceStream(s, dir, "q239", ev)(
+        in => operators.DataQuality.psiCells(in)).localCheckpoint(true)
+      operators.DataQuality.psiFold(cells)
+    }),
     // q228 live: the decode-gate counters as Complete-mode state —
     // the topic's health metric maintained at ingest, shared cells,
     // q228's oracle unchanged
@@ -2869,6 +2880,8 @@ object SparkEntry {
     "q235_psi_drift" -> operators.DataQuality.psiDriftSql,
     "q236_epoch_allocator" -> PipelineOps.epochAllocatorSql(),
     "q237_vocab_coverage" -> PipelineOps.vocabCoverageSql(),
+    "q238_source_overlap" -> Dedup.sourceOverlapMatrixSql(),
+    "q239_stream_psi_monitor" -> operators.DataQuality.psiDriftSql,
     "q230_stream_json_quarantine" -> operators.DataQuality.jsonQuarantineSql,
     "q223_packed_contamination" -> PipelineOps.packedContaminationSql(),
     "q224_fk_integrity_audit" -> operators.DataQuality.fkIntegrityAuditSql,

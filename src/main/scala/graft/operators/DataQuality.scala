@@ -904,13 +904,22 @@ object DataQuality {
     * cardinality, so the whole statistic folds a 100 TB log into a
     * T-row grid in one scan.
     */
-  def psiDrift(s: SparkSession, dir: String): DataFrame = {
-    val ev = graft.Tables.events(s, dir).filter(col("ts").isNotNull)
-      .select(col("event_type"),
-        (dayofmonth(col("ts")) <= 15).as("first_half"))
-    val cells = ev.groupBy(col("event_type"))
+  /** The per-type two-window counter cells, shared by the batch score
+    * (q235) and the live monitor (q239) — counter sums, the
+    * streamable class; the reference window is part of the SAME
+    * bounded state (a dashboard keeps both windows' counters hot).
+    */
+  def psiCells(ev: DataFrame): DataFrame =
+    ev.filter(col("ts").isNotNull)
+      .select(col("event_type"), (dayofmonth(col("ts")) <= 15).as("first_half"))
+      .groupBy(col("event_type"))
       .agg(sum(when(col("first_half"), 1L).otherwise(0L)).as("c1"),
         sum(when(!col("first_half"), 1L).otherwise(0L)).as("c2"))
+
+  /** Read-time fold shared with the oracle: smoothed shares, one ln
+    * per cell, exact-integer contribution numerators.
+    */
+  def psiFold(cells: DataFrame): DataFrame = {
     val tots = cells.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
       count(lit(1)).as("t"))
     cells.crossJoin(broadcast(tots))
@@ -929,6 +938,10 @@ object DataQuality {
       .select(col("event_type"), col("c1"), col("c2"), col("ldiff_micro"),
         col("psi_num"), col("psi_contrib"))
   }
+
+  def psiDrift(s: SparkSession, dir: String): DataFrame =
+    psiFold(psiCells(graft.Tables.events(s, dir)
+      .select(col("event_type"), col("ts"))))
 
   def psiDriftSql: String =
     """WITH ev AS (SELECT event_type, (day(ts) <= 15) AS first_half
