@@ -1246,6 +1246,10 @@ object SparkEntry {
     // dup FLOW between corpora: q21's verified pairs rolled up to the
     // (source, source) matrix — "dataset X is a scrape of dataset Y"
     "q238_source_overlap" -> ((s, dir) => Dedup.sourceOverlapMatrix(s, dir)),
+    // incremental k-means: the IVM step for the trainer — delta folds
+    // into the stored per-cluster integer partials, never a base
+    // rescan; shift_sq is the retrain trigger an index maintainer reads
+    "q240_kmeans_incremental" -> ((s, dir) => Similarity.kmeansIncremental(s, dir)),
     // q235 live: both windows' counters as Complete-mode state, the
     // PSI recomputed at read time — q235's oracle unchanged
     "q239_stream_psi_monitor" -> ((s, dir) => {
@@ -2882,6 +2886,7 @@ object SparkEntry {
     "q237_vocab_coverage" -> PipelineOps.vocabCoverageSql(),
     "q238_source_overlap" -> Dedup.sourceOverlapMatrixSql(),
     "q239_stream_psi_monitor" -> operators.DataQuality.psiDriftSql,
+    "q240_kmeans_incremental" -> Similarity.kmeansIncrementalSql(),
     "q230_stream_json_quarantine" -> operators.DataQuality.jsonQuarantineSql,
     "q223_packed_contamination" -> PipelineOps.packedContaminationSql(),
     "q224_fk_integrity_audit" -> operators.DataQuality.fkIntegrityAuditSql,

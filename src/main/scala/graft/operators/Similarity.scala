@@ -2084,7 +2084,13 @@ object Similarity {
     * the SQL re-derivation of [[kmCentroids]] (init, `kmIters` rounds
     * of assign+update), NOT a literal dump of it.
     */
-  private def kmChainSql: String = {
+  private def kmChainSql: String = kmChainSqlWhere("")
+
+  /** `whereExtra` restricts the TRAINING corpus (`x`) — the q240
+    * incremental form trains on the base subset and folds the delta
+    * in afterwards; every other oracle uses the full corpus.
+    */
+  private def kmChainSqlWhere(whereExtra: String): String = {
     def distSql(xv: String, cv: String) =
       s"list_sum(list_transform(range(1, len($xv) + 1), i -> ($xv[i] - $cv[i]) * ($xv[i] - $cv[i])))::BIGINT"
     def assignCte(prevC: String) =
@@ -2106,7 +2112,7 @@ object Similarity {
     }.mkString(",\n        ")
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql),
         x AS (SELECT vec_id, list_transform(v, e -> round(e * 1000)::BIGINT) AS xq
-              FROM e WHERE v IS NOT NULL),
+              FROM e WHERE v IS NOT NULL $whereExtra),
         c0 AS (SELECT (row_number() OVER (ORDER BY vec_id))::BIGINT AS cid, xq AS c
                FROM (SELECT vec_id, xq FROM x ORDER BY vec_id LIMIT $kmC)),
         $rounds,
@@ -2239,5 +2245,105 @@ object Similarity {
                  ORDER BY dot::DOUBLE / sqrt((n2 * qn2)::DOUBLE) DESC, neighbor_id ASC) AS rank,
                dot::DOUBLE / sqrt((n2 * qn2)::DOUBLE) AS cos, dot
         FROM cand QUALIFY rank <= $k"""
+  }
+
+  // ---- incremental k-means maintenance (q240) ----
+
+  /** The base/delta split for the incremental trainer: every `% 17`
+    * vec_id is the late-arriving delta batch. */
+  private val kmDeltaMod = 17
+
+  /** q240: INCREMENTAL k-means — the IVM move (q175's merge ≡
+    * recompute discipline) applied to the trainer: the base corpus
+    * trains the usual `kmIters` relational rounds; when the delta
+    * batch arrives, the update touches ONLY the stored per-cluster
+    * (coordinate-sum, count) partials plus the delta's assignment —
+    * `c'ⱼ = round((S_base,ⱼ + S_delta,ⱼ)/(n_base + n_delta))` — never
+    * a base rescan. Integer milli-unit sums make the partials
+    * mergeable exactly (the whole reason the q182 grid exists);
+    * empty-delta clusters keep their trained centroid by the same
+    * coalesce rule as a training round. Output pins the updated
+    * coordinates (norm²) and how far each centroid moved (shift² —
+    * the retrain-trigger statistic an index maintainer watches).
+    * At 100 TB: the delta batch is a day's crawl; this is the
+    * difference between re-clustering the corpus and one
+    * assignment pass over the day.
+    */
+  def kmeansIncremental(s: SparkSession, dir: String): DataFrame = {
+    val all = kmQuantized(s, dir)
+    val base = all.filter(col("vec_id") % kmDeltaMod =!= 0)
+    val delta = all.filter(col("vec_id") % kmDeltaMod === 0)
+    var cent = kmInit(base)
+    for (_ <- 1 to kmIters)
+      cent = graft.ArtifactCache.isolated(kmUpdate(kmAssign(base, cent), cent))
+    def partials(assigned: DataFrame): DataFrame = assigned
+      .select(col("cid"), posexplode(col("xq")).as(Seq("j", "xj")))
+      .groupBy(col("cid"), col("j"))
+      .agg(sum(col("xj")).as("sj"), count(lit(1)).as("n"))
+    val pb = partials(kmAssign(base, cent))
+      .withColumnRenamed("sj", "sb").withColumnRenamed("n", "nb")
+    val pd = partials(kmAssign(delta, cent))
+      .withColumnRenamed("sj", "sd").withColumnRenamed("n", "nd")
+    val merged = pb.join(pd, Seq("cid", "j"), "full_outer")
+      .select(col("cid"), col("j"),
+        coalesce(col("sb"), lit(0L)).as("sb"), coalesce(col("nb"), lit(0L)).as("nb"),
+        coalesce(col("sd"), lit(0L)).as("sd"), coalesce(col("nd"), lit(0L)).as("nd"))
+      .withColumn("cj", round((col("sb") + col("sd")).cast("double") /
+        (col("nb") + col("nd")).cast("double")).cast("long"))
+    val updated = merged.groupBy(col("cid"))
+      .agg(min(col("nb") + col("nd")).as("n_points"),
+        min(col("nb")).as("n_base"), min(col("nd")).as("n_delta"),
+        sort_array(collect_list(struct(col("j"), col("cj")))).as("p"))
+      .select(col("cid"), col("n_base"), col("n_delta"), col("n_points"),
+        transform(col("p"), e => e.getField("cj")).as("cnew"))
+    cent.select(col("cid"), col("c").as("cold"))
+      .join(updated, Seq("cid"), "left")
+      .select(col("cid"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        coalesce(aggregate(transform(col("cnew"), z => z * z), lit(0L),
+          (a, b) => a + b),
+          aggregate(transform(col("cold"), z => z * z), lit(0L),
+            (a, b) => a + b)).as("new_norm2"),
+        coalesce(aggregate(zip_with(col("cnew"), col("cold"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (a, b) => a + b),
+          lit(0L)).as("shift_sq"))
+  }
+
+  def kmeansIncrementalSql(): String = {
+    def distSql(xv: String, cv: String) =
+      s"list_sum(list_transform(range(1, len($xv) + 1), i -> ($xv[i] - $cv[i]) * ($xv[i] - $cv[i])))::BIGINT"
+    s"""WITH ${kmChainSqlWhere(s"AND vec_id % $kmDeltaMod <> 0")},
+        xd AS (SELECT vec_id, list_transform(v, e -> round(e * 1000)::BIGINT) AS xq
+               FROM e WHERE v IS NOT NULL AND vec_id % $kmDeltaMod = 0),
+        ad AS (SELECT xd.vec_id, min(${distSql("xd.xq", "c.c")} * $kmC + c.cid - 1) AS key
+               FROM xd, c$kmIters c GROUP BY 1),
+        pb AS (SELECT a.key % $kmC + 1 AS cid, u.j AS j,
+                      sum(u.xj)::BIGINT AS sb, count(*)::BIGINT AS nb
+               FROM (SELECT a.key, unnest(list_transform(range(1, len(x.xq) + 1),
+                       i -> {'j': i, 'xj': x.xq[i]})) AS u
+                     FROM af a JOIN x USING (vec_id)) a
+               GROUP BY 1, 2),
+        pd AS (SELECT a.key % $kmC + 1 AS cid, u.j AS j,
+                      sum(u.xj)::BIGINT AS sd, count(*)::BIGINT AS nd
+               FROM (SELECT a.key, unnest(list_transform(range(1, len(xd.xq) + 1),
+                       i -> {'j': i, 'xj': xd.xq[i]})) AS u
+                     FROM ad a JOIN xd USING (vec_id)) a
+               GROUP BY 1, 2),
+        mg AS (SELECT coalesce(pb.cid, pd.cid) AS cid, coalesce(pb.j, pd.j) AS j,
+                      coalesce(sb, 0)::BIGINT AS sb, coalesce(nb, 0)::BIGINT AS nb,
+                      coalesce(sd, 0)::BIGINT AS sd, coalesce(nd, 0)::BIGINT AS nd
+               FROM pb FULL JOIN pd ON pb.cid = pd.cid AND pb.j = pd.j),
+        up AS (SELECT cid, min(nb)::BIGINT AS n_base, min(nd)::BIGINT AS n_delta,
+                      list(round((sb + sd)::DOUBLE / (nb + nd)::DOUBLE)::BIGINT
+                        ORDER BY j) AS cnew
+               FROM mg GROUP BY 1)
+        SELECT c.cid, coalesce(u.n_base, 0)::BIGINT AS n_base,
+               coalesce(u.n_delta, 0)::BIGINT AS n_delta,
+               coalesce(list_sum(list_transform(u.cnew, z -> z * z)),
+                        list_sum(list_transform(c.c, z -> z * z)))::BIGINT AS new_norm2,
+               coalesce(list_sum(list_transform(range(1, len(u.cnew) + 1),
+                          i -> (u.cnew[i] - c.c[i]) * (u.cnew[i] - c.c[i]))), 0)::BIGINT AS shift_sq
+        FROM c$kmIters c LEFT JOIN up u ON c.cid = u.cid"""
   }
 }
