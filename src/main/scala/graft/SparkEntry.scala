@@ -1250,6 +1250,35 @@ object SparkEntry {
     // into the stored per-cluster integer partials, never a base
     // rescan; shift_sq is the retrain trigger an index maintainer reads
     "q240_kmeans_incremental" -> ((s, dir) => Similarity.kmeansIncremental(s, dir)),
+    // live as-of enrichment: label arrivals join the FINALIZED SCD2
+    // dimension snapshot on the validity interval — a stream-static
+    // interval join, STATELESS per batch (the CDC-consumer enrichment
+    // shape); emitted set = q151's batch as-of join, oracle unchanged
+    "q241_stream_asof_enrich" -> ((s, dir) => {
+      val dim = operators.Analytics.scd2History(s, dir)
+        .select(col("user_id").as("d_user"), col("event_id").as("feat_event_id"),
+          col("event_type").as("feat_type"), col("value").as("feat_value"),
+          col("valid_from_us"), col("valid_to_us"))
+        .localCheckpoint(true)
+      val horizonUs = 3600L * 1000000
+      val labels = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      sketchMaintenanceStream(s, dir, "q241", labels, mode = "append")(in =>
+        in.select(col("event_id").as("label_id"), col("user_id"),
+            unix_micros(col("ts")).as("label_us"))
+          .withColumn("asof_us", col("label_us") - horizonUs)
+          .join(dim,
+            col("user_id") === col("d_user") &&
+              col("asof_us") >= col("valid_from_us") &&
+              (col("valid_to_us").isNull || col("asof_us") < col("valid_to_us")),
+            "left")
+          .select(col("label_id"), col("user_id"), col("label_us"), col("asof_us"),
+            col("feat_event_id"), col("feat_type"), col("feat_value")))
+    }),
+    // distribution-shape drift between sources: exact two-sample KS on
+    // doc-length distributions over the joint support grid
+    "q242_length_ks_matrix" -> ((s, dir) => PipelineOps.lengthKsMatrix(s, dir)),
     // q235 live: both windows' counters as Complete-mode state, the
     // PSI recomputed at read time — q235's oracle unchanged
     "q239_stream_psi_monitor" -> ((s, dir) => {
@@ -2887,6 +2916,10 @@ object SparkEntry {
     "q238_source_overlap" -> Dedup.sourceOverlapMatrixSql(),
     "q239_stream_psi_monitor" -> operators.DataQuality.psiDriftSql,
     "q240_kmeans_incremental" -> Similarity.kmeansIncrementalSql(),
+    // emitted set = the batch as-of join (stateless stream-static
+    // enrichment; each label emits exactly once)
+    "q241_stream_asof_enrich" -> operators.Analytics.pointInTimeJoinSql(),
+    "q242_length_ks_matrix" -> PipelineOps.lengthKsMatrixSql(),
     "q230_stream_json_quarantine" -> operators.DataQuality.jsonQuarantineSql,
     "q223_packed_contamination" -> PipelineOps.packedContaminationSql(),
     "q224_fk_integrity_audit" -> operators.DataQuality.fkIntegrityAuditSql,

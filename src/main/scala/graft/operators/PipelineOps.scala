@@ -1767,6 +1767,68 @@ object PipelineOps {
                (sum_lp_micro > n_bigrams * ($thresholdMicro)) AS kept
         FROM doc"""
 
+  // ---- two-sample KS matrix on length distributions (q242) ----
+
+  /** q242: distribution-SHAPE drift between sources — the exact
+    * two-sample Kolmogorov–Smirnov statistic on document-length
+    * distributions, for every unordered source pair: D = max over the
+    * joint support of |F_a − F_b|, computed as the INTEGER
+    * `max |cum_a·N_b − cum_b·N_a|` with one final division (q233's
+    * vocab-KL sees token MIX; this sees length SHAPE — two sources
+    * with identical vocabularies and wildly different doc lengths are
+    * invisible there, glaring here). The dense sources×support grid
+    * is bounded by distinct lengths; cumulative counts are one window
+    * per source; the pair join is grid², never corpus-sized.
+    */
+  def lengthKsMatrix(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val counts = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("source"),
+        size(split(lower(col("text")), " ")).cast("long").as("len"))
+      .groupBy(col("source"), col("len")).agg(count(lit(1)).as("c"))
+    val dense = counts.select(col("source")).distinct()
+      .crossJoin(counts.select(col("len")).distinct())
+      .join(counts, Seq("source", "len"), "left")
+      .select(col("source"), col("len"), coalesce(col("c"), lit(0L)).as("c"))
+    val wCum = W.partitionBy(col("source")).orderBy(col("len"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val cum = dense.withColumn("cumc", sum(col("c")).over(wCum))
+    val tot = cum.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val g = cum.join(tot, "source")
+    val a = g.select(col("source").as("src_a"), col("len"),
+      col("cumc").as("ca"), col("n").as("na"))
+    val b = g.select(col("source").as("src_b"), col("len"),
+      col("cumc").as("cb"), col("n").as("nb"))
+    a.join(b, Seq("len")).filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
+        max(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("ks_num"))
+      .withColumn("ks",
+        col("ks_num").cast("double") / (col("n_a") * col("n_b")).cast("double"))
+  }
+
+  def lengthKsMatrixSql(): String =
+    """WITH lens AS (SELECT source, len(string_split(lower(text), ' '))::BIGINT AS len
+                     FROM documents WHERE text IS NOT NULL),
+       counts AS (SELECT source, len, count(*)::BIGINT AS c FROM lens GROUP BY 1, 2),
+       dense AS (SELECT s.source, l.len, coalesce(c.c, 0)::BIGINT AS c
+                 FROM (SELECT DISTINCT source FROM counts) s
+                 CROSS JOIN (SELECT DISTINCT len FROM counts) l
+                 LEFT JOIN counts c ON c.source = s.source AND c.len = l.len),
+       cum AS (SELECT source, len, c,
+                      sum(c) OVER (PARTITION BY source ORDER BY len
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cumc
+               FROM dense),
+       tot AS (SELECT source, sum(c)::BIGINT AS n FROM cum GROUP BY 1),
+       g AS (SELECT cum.source, len, cumc, n FROM cum JOIN tot USING (source))
+       SELECT a.source AS src_a, b.source AS src_b,
+              min(a.n)::BIGINT AS n_a, min(b.n)::BIGINT AS n_b,
+              max(abs(a.cumc * b.n - b.cumc * a.n))::BIGINT AS ks_num,
+              max(abs(a.cumc * b.n - b.cumc * a.n))::BIGINT::DOUBLE
+                / (min(a.n) * min(b.n))::DOUBLE AS ks
+       FROM g a JOIN g b ON a.len = b.len AND a.source < b.source
+       GROUP BY 1, 2"""
+
   // ---- epoch repetition allocator (q236) ----
 
   /** q236: the data-constrained-scaling allocator — under a token
