@@ -1279,6 +1279,12 @@ object SparkEntry {
     // distribution-shape drift between sources: exact two-sample KS on
     // doc-length distributions over the joint support grid
     "q242_length_ks_matrix" -> ((s, dir) => PipelineOps.lengthKsMatrix(s, dir)),
+    // rendezvous-hash placement + the reshard-cost proof (only the
+    // removed node's docs move — measured, not assumed)
+    "q243_rendezvous_sharding" -> ((s, dir) => PipelineOps.rendezvousSharding(s, dir)),
+    // persistence separates standing bots from one-day bursts: users
+    // heavy on >= minDays days, with their heavy-day footprint
+    "q244_persistent_heavy_hitters" -> ((s, dir) => PipelineOps.persistentHeavyHitters(s, dir)),
     // q235 live: both windows' counters as Complete-mode state, the
     // PSI recomputed at read time — q235's oracle unchanged
     "q239_stream_psi_monitor" -> ((s, dir) => {
@@ -2920,6 +2926,8 @@ object SparkEntry {
     // enrichment; each label emits exactly once)
     "q241_stream_asof_enrich" -> operators.Analytics.pointInTimeJoinSql(),
     "q242_length_ks_matrix" -> PipelineOps.lengthKsMatrixSql(),
+    "q243_rendezvous_sharding" -> PipelineOps.rendezvousShardingSql(),
+    "q244_persistent_heavy_hitters" -> PipelineOps.persistentHeavyHittersSql(),
     "q230_stream_json_quarantine" -> operators.DataQuality.jsonQuarantineSql,
     "q223_packed_contamination" -> PipelineOps.packedContaminationSql(),
     "q224_fk_integrity_audit" -> operators.DataQuality.fkIntegrityAuditSql,

@@ -1767,6 +1767,86 @@ object PipelineOps {
                (sum_lp_micro > n_bigrams * ($thresholdMicro)) AS kept
         FROM doc"""
 
+  // ---- rendezvous-hash placement audit (q243) ----
+
+  /** q243: rendezvous (highest-random-weight) shard placement and its
+    * RESHARD COST — every doc goes to the node maximizing
+    * md5(doc_id:node), and the audit reruns the argmax with one node
+    * removed: rendezvous guarantees only the removed node's docs move
+    * (≈ 1/N of the corpus), and this REPORT proves it from the data —
+    * per (node_before, node_after) movement counts, the thing to
+    * check before trusting a placement scheme with a 100 TB reshard.
+    * Map-only per doc (2·N hash evaluations in-row via the argmax over
+    * an exploded node list — N is 8), one bounded aggregate.
+    */
+  val rendezvousNodes = 8
+
+  def rendezvousSharding(s: SparkSession, dir: String): DataFrame = {
+    def place(n: Int): Column = {
+      // argmax over the N packed (hash, node) pairs — max key then
+      // decode, the kmAssign packing trick with the hash as major
+      val packed = (0 until n).map { node =>
+        struct(graft.functions.md5_long(
+          concat(col("doc_id").cast("string"), lit(s":$node"))).as("h"),
+          lit(node.toLong).as("node"))
+      }
+      greatest(packed: _*).getField("node")
+    }
+    Tables.load(s, dir, "documents").select(col("doc_id"))
+      .withColumn("node_before", place(rendezvousNodes))
+      .withColumn("node_after", place(rendezvousNodes - 1))
+      .groupBy(col("node_before"), col("node_after"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("moved", col("node_before") =!= col("node_after"))
+  }
+
+  def rendezvousShardingSql(): String = {
+    def hs(node: Int) =
+      s"('0x' || substring(md5(doc_id::VARCHAR || ':$node'), 1, 15))::BIGINT"
+    def placeSql(n: Int) = {
+      val pairs = (0 until n).map(node => s"{'h': ${hs(node)}, 'node': ${node}::BIGINT}")
+      s"list_max([${pairs.mkString(", ")}]).node"
+    }
+    s"""WITH p AS (SELECT doc_id, ${placeSql(rendezvousNodes)} AS node_before,
+                          ${placeSql(rendezvousNodes - 1)} AS node_after
+                   FROM documents)
+        SELECT node_before, node_after, count(*)::BIGINT AS n_docs,
+               (node_before <> node_after) AS moved
+        FROM p GROUP BY 1, 2"""
+  }
+
+  // ---- persistent heavy hitters (q244) ----
+
+  /** q244: users heavy on MANY days — persistence separates the
+    * standing bot from the one-day burst (a per-window heavy-hitter
+    * list flags both; the persistent set is what abuse review reads).
+    * Per-(user, day) counts (map-side combined), a daily-threshold
+    * gate, then the persistence count with the qualifying subset —
+    * two keyed aggregates, output bounded by the heavy set.
+    */
+  def persistentHeavyHitters(s: SparkSession, dir: String,
+      dailyMin: Long = 5L, minDays: Long = 3L): DataFrame = {
+    Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= dailyMin)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_heavy_days"), sum(col("c")).as("n_heavy_events"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      .filter(col("n_heavy_days") >= minDays)
+  }
+
+  def persistentHeavyHittersSql(dailyMin: Long = 5L, minDays: Long = 3L): String =
+    s"""WITH d AS (SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                          count(*)::BIGINT AS c
+                   FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                   GROUP BY 1, 2 HAVING count(*) >= $dailyMin)
+        SELECT user_id, count(*)::BIGINT AS n_heavy_days,
+               sum(c)::BIGINT AS n_heavy_events,
+               min(day) AS first_day, max(day) AS last_day
+        FROM d GROUP BY 1 HAVING count(*) >= $minDays"""
+
   // ---- two-sample KS matrix on length distributions (q242) ----
 
   /** q242: distribution-SHAPE drift between sources — the exact
