@@ -1285,6 +1285,10 @@ object SparkEntry {
     // persistence separates standing bots from one-day bursts: users
     // heavy on >= minDays days, with their heavy-day footprint
     "q244_persistent_heavy_hitters" -> ((s, dir) => PipelineOps.persistentHeavyHitters(s, dir)),
+    // eval holdout MATCHED on length: k docs per (source, len-bucket)
+    // cell in deterministic hash order — cross-source eval deltas stay
+    // attributable to the source, not its length mix
+    "q245_matched_holdout" -> ((s, dir) => PipelineOps.matchedHoldout(s, dir)),
     // q235 live: both windows' counters as Complete-mode state, the
     // PSI recomputed at read time — q235's oracle unchanged
     "q239_stream_psi_monitor" -> ((s, dir) => {
@@ -2928,6 +2932,7 @@ object SparkEntry {
     "q242_length_ks_matrix" -> PipelineOps.lengthKsMatrixSql(),
     "q243_rendezvous_sharding" -> PipelineOps.rendezvousShardingSql(),
     "q244_persistent_heavy_hitters" -> PipelineOps.persistentHeavyHittersSql(),
+    "q245_matched_holdout" -> PipelineOps.matchedHoldoutSql(),
     "q230_stream_json_quarantine" -> operators.DataQuality.jsonQuarantineSql,
     "q223_packed_contamination" -> PipelineOps.packedContaminationSql(),
     "q224_fk_integrity_audit" -> operators.DataQuality.fkIntegrityAuditSql,

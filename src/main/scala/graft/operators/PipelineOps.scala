@@ -1767,6 +1767,42 @@ object PipelineOps {
                (sum_lp_micro > n_bigrams * ($thresholdMicro)) AS kept
         FROM doc"""
 
+  // ---- matched eval-holdout sampler (q245) ----
+
+  /** q245: a holdout MATCHED on the nuisance variable — k docs per
+    * (source, length-bucket) cell, picked by the deterministic md5
+    * order (the q39 hash-split discipline). An eval set drawn
+    * uniformly would confound source quality with length mix; quota
+    * matching per cell makes cross-source eval deltas attributable.
+    * Per-cell pick is WindowGroupLimit on the (source, bucket)-keyed
+    * shuffle — the rank never sorts more than a cell.
+    */
+  def matchedHoldout(s: SparkSession, dir: String, k: Int = 2): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val base = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(split(lower(col("text")), " ")).cast("long").as("len"))
+      .withColumn("len_bucket", least(expr("len div 100"), lit(5L)))
+      .withColumn("h", graft.functions.md5_long(col("doc_id").cast("string")))
+    val w = W.partitionBy(col("source"), col("len_bucket"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    base.withColumn("pick_rank", row_number().over(w).cast("long"))
+      .filter(col("pick_rank") <= k)
+      .select(col("doc_id"), col("source"), col("len_bucket"),
+        col("len"), col("pick_rank"))
+  }
+
+  def matchedHoldoutSql(k: Int = 2): String =
+    s"""WITH b AS (SELECT doc_id, source,
+                          len(string_split(lower(text), ' '))::BIGINT AS len,
+                          least(len(string_split(lower(text), ' '))::BIGINT // 100, 5) AS len_bucket,
+                          ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+                   FROM documents WHERE text IS NOT NULL)
+        SELECT doc_id, source, len_bucket, len,
+               row_number() OVER (PARTITION BY source, len_bucket
+                 ORDER BY h ASC, doc_id ASC)::BIGINT AS pick_rank
+        FROM b QUALIFY pick_rank <= $k"""
+
   // ---- rendezvous-hash placement audit (q243) ----
 
   /** q243: rendezvous (highest-random-weight) shard placement and its
