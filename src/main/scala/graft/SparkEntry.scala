@@ -436,8 +436,13 @@ object SparkEntry {
     * middle table. The streamed form filters null event_ids (the
     * indexStream null-PRIMARY-key drop, exactly as in q82/q88/q90).
     */
-  private def multiHopOracle(streamed: Boolean): String = {
+  private def multiHopOracle(streamed: Boolean,
+      outerThinnedNation: Boolean = false): String = {
     val evWhere = if (streamed) "WHERE event_id IS NOT NULL" else ""
+    val natJoin =
+      if (!outerThinnedNation) "JOIN nation n ON c.c_nationkey = n.n_nationkey"
+      else """LEFT JOIN (SELECT * FROM nation WHERE n_nationkey % 5 <> 0) n
+                ON c.c_nationkey = n.n_nationkey"""
     s"""WITH cust AS (
           SELECT c_custkey, c_nationkey, c_mktsegment, 1 AS ver FROM customer
           UNION ALL
@@ -451,7 +456,7 @@ object SparkEntry {
                c.c_nationkey, c.c_mktsegment, n.n_name
         FROM (SELECT * FROM events $evWhere) e
         JOIN latest c ON e.user_id = c.c_custkey
-        JOIN nation n ON c.c_nationkey = n.n_nationkey"""
+        $natJoin"""
   }
 
   /** q216 (batch): two chained [[Denormalize]] cores — hop 1 upserts
@@ -492,7 +497,25 @@ object SparkEntry {
     * batch three-way join over the upserted middle table (q216's, with
     * indexStream's null-key drops mirrored).
     */
-  def multiHopStreamDenorm(s: SparkSession, dir: String): DataFrame = {
+  def multiHopStreamDenorm(s: SparkSession, dir: String): DataFrame =
+    multiHopStream(s, dir, jt2 = "inner", natFilter = None, tag = "multihop")
+
+  /** q246: the chain with a LEFT-OUTER second hop over a THINNED
+    * nation — the middle-table update wave now flips events between
+    * the matched and null arms of hop 2 (a moved customer can land on
+    * a missing nation), so convergence exercises the outer emission
+    * path THROUGH the chain, not just value updates. Hop 1 stays
+    * inner: a left-outer first hop would emit null-customer records
+    * whose hop-2 FK is null, and indexStream's null-FK drop (Kafka
+    * Streams parity) erases them — the outer-ness belongs on the hop
+    * whose FK survives.
+    */
+  def multiHopStreamOuter(s: SparkSession, dir: String): DataFrame =
+    multiHopStream(s, dir, jt2 = "left_outer",
+      natFilter = Some(col("n_nationkey") % 5 =!= 0), tag = "multihop_outer")
+
+  private def multiHopStream(s: SparkSession, dir: String, jt2: String,
+      natFilter: Option[org.apache.spark.sql.Column], tag: String): DataFrame = {
     import s.implicits._
     import graft.streaming._
     val ev = Tables.events(s, dir)
@@ -523,12 +546,12 @@ object SparkEntry {
     val idxSchema = org.apache.spark.sql.Encoders.product[IndexRecord].schema
     val midDir = graft.Fs.tmpDir("graft_multihop_mid")
     val idx2Dir = graft.Fs.tmpDir("graft_multihop_idx2")
-    val ckpt1 = stageDir("multihop1_ckpt")
-    val ckpt2 = stageDir("multihop2_ckpt")
+    val ckpt1 = stageDir(s"${tag}1_ckpt")
+    val ckpt2 = stageDir(s"${tag}2_ckpt")
     try {
       withStatePartitions(s, 8) {
         // ---- hop 1 ----
-        val name1 = memorySinkName(s, "multihop1")
+        val name1 = memorySinkName(s, s"${tag}1")
         val in1 = s.readStream.schema(idxSchema)
           .option("maxFilesPerTrigger", stagedBatchFiles.get(tmp1).toString)
           .parquet(tmp1).as[IndexRecord]
@@ -548,14 +571,15 @@ object SparkEntry {
           .repartition(8).write.mode("overwrite").parquet(midDir)
         val mid = s.read.parquet(midDir)
         // ---- hop 2: emissions are lefts, nation the rights ----
-        val nat = Tables.load(s, dir, "nation")
+        val nat0 = Tables.load(s, dir, "nation")
+        val nat = natFilter.fold(nat0)(nat0.filter)
         StreamDenormalize.indexStream(
             mid, col("event_id"), col("c_nationkey"), col("seq"),
             nat, col("n_nationkey"), lit(-25L) + col("n_nationkey"))
           .write.mode("overwrite").parquet(idx2Dir)
-        val name2 = memorySinkName(s, "multihop2")
+        val name2 = memorySinkName(s, s"${tag}2")
         val in2 = s.readStream.schema(idxSchema).parquet(idx2Dir).as[IndexRecord]
-        val q2 = StreamDenormalize.joined(in2, "inner")
+        val q2 = StreamDenormalize.joined(in2, jt2)
           .writeStream.format("memory").queryName(name2).outputMode("append")
           .option("checkpointLocation", ckpt2).start()
         try q2.processAllAvailable() finally q2.stop()
@@ -1289,6 +1313,13 @@ object SparkEntry {
     // cell in deterministic hash order — cross-source eval deltas stay
     // attributable to the source, not its length mix
     "q245_matched_holdout" -> ((s, dir) => PipelineOps.matchedHoldout(s, dir)),
+    // the multi-hop chain with a LEFT-OUTER second hop over a thinned
+    // nation: the update wave flips events between the matched and
+    // null arms of hop 2 — outer emission exercised THROUGH the chain
+    "q246_stream_multihop_outer" -> ((s, dir) => multiHopStreamOuter(s, dir)),
+    // the pipeline's spine in ONE oracled query: curate (quality +
+    // lang + dedup + PII) then pack the survivors per source
+    "q247_curated_pack" -> ((s, dir) => PipelineOps.curatedPackManifest(s, dir)),
     // q235 live: both windows' counters as Complete-mode state, the
     // PSI recomputed at read time — q235's oracle unchanged
     "q239_stream_psi_monitor" -> ((s, dir) => {
@@ -2933,6 +2964,9 @@ object SparkEntry {
     "q243_rendezvous_sharding" -> PipelineOps.rendezvousShardingSql(),
     "q244_persistent_heavy_hitters" -> PipelineOps.persistentHeavyHittersSql(),
     "q245_matched_holdout" -> PipelineOps.matchedHoldoutSql(),
+    "q246_stream_multihop_outer" ->
+      multiHopOracle(streamed = true, outerThinnedNation = true),
+    "q247_curated_pack" -> PipelineOps.curatedPackManifestSql(),
     "q230_stream_json_quarantine" -> operators.DataQuality.jsonQuarantineSql,
     "q223_packed_contamination" -> PipelineOps.packedContaminationSql(),
     "q224_fk_integrity_audit" -> operators.DataQuality.fkIntegrityAuditSql,

@@ -1767,6 +1767,46 @@ object PipelineOps {
                (sum_lp_micro > n_bigrams * ($thresholdMicro)) AS kept
         FROM doc"""
 
+  // ---- curated pack manifest (q247): the end-to-end composition ----
+
+  /** q247: what the pipeline actually SHIPS — the packing manifest
+    * over the CURATED corpus: q48's full keep verdict (quality gates,
+    * language, exact dedup, near-dup clusters, PII) filters the
+    * documents, and the survivors pack per source (q220's manifest).
+    * One composition query = the dedup → curate → pack spine of a
+    * training-data build, end-to-end under one oracle (the curation
+    * chain and the pack chain composed verbatim in SQL). The
+    * survivors' cumsum is over the FILTERED stream, so every
+    * downstream seq id reflects post-curation reality — packing
+    * before curation and masking later wastes the dropped tokens'
+    * positions.
+    */
+  def curatedPackManifest(s: SparkSession, dir: String): DataFrame = {
+    val kept = curation(s, dir).filter(col("keep") === 1).select(col("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    packDerived(packInput(s, dir).join(kept, "doc_id")
+      .withColumn("start", coalesce(sum(col("n_tok")).over(w), lit(0L))))
+  }
+
+  def curatedPackManifestSql(): String =
+    s"""WITH kept AS (SELECT doc_id FROM (${curationSql()}) cu WHERE keep = 1),
+        t AS (SELECT d.source, d.doc_id,
+                     len(string_split(lower(d.text), ' '))::BIGINT AS n_tok
+              FROM documents d JOIN kept USING (doc_id)
+              WHERE d.text IS NOT NULL),
+        c AS (SELECT source, doc_id, n_tok,
+                     coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+              FROM t)
+        SELECT source, doc_id, n_tok, start,
+               start // $packSeqLen AS seq_first,
+               (start + n_tok - 1) // $packSeqLen AS seq_last,
+               start % $packSeqLen AS offset_in_seq,
+               ((start + n_tok - 1) // $packSeqLen - start // $packSeqLen + 1) AS n_seqs
+        FROM c"""
+
   // ---- matched eval-holdout sampler (q245) ----
 
   /** q245: a holdout MATCHED on the nuisance variable — k docs per
