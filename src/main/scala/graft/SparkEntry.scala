@@ -1320,6 +1320,42 @@ object SparkEntry {
     // the pipeline's spine in ONE oracled query: curate (quality +
     // lang + dedup + PII) then pack the survivors per source
     "q247_curated_pack" -> ((s, dir) => PipelineOps.curatedPackManifest(s, dir)),
+    // is this labeling learnable: per-label within/between scatter on
+    // the integer milli grid (the Fisher ratio's ingredients, exact)
+    "q248_label_separability" -> ((s, dir) => Similarity.labelSeparability(s, dir)),
+    // threshold tuning WITHOUT re-running dedup: one candidate pass,
+    // pair counts at every cut from a bounded explode
+    "q249_dedup_threshold_sweep" -> ((s, dir) => Dedup.dedupThresholdSweep(s, dir)),
+    // q247 LIVE: the doc stream filters through the broadcast curation
+    // keep-set (stateless stream-static join) into the per-source
+    // cursor state — the shipped pipeline's packer running at ingest;
+    // q247's oracle unchanged on the converged emissions
+    "q250_stream_curated_pack" -> ((s, dir) => {
+      import s.implicits._
+      val kept = PipelineOps.curation(s, dir).filter(col("keep") === 1)
+        .select(col("doc_id")).localCheckpoint(true)
+      val tmp = stagedSourceDocs(s, dir)
+      val sch = operators.PipelineOps.packInput(s, dir).schema
+      val ckpt = stageDir("q250_ckpt")
+      val name = memorySinkName(s, "q250")
+      try {
+        val nFiles = new java.io.File(tmp).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        val input = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", math.max(1, nFiles / 4).toString)
+          .parquet(tmp)
+        withStatePartitions(s, 8) {
+          val q = graft.streaming.StreamSequence
+            .packed(input.join(kept, "doc_id")
+              .select(col("source"), col("doc_id"), col("n_tok"))
+              .as[graft.streaming.StreamSequence.Doc])
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", ckpt).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      } finally rmTreeRetry(ckpt)
+      operators.PipelineOps.packDerived(s.table(name))
+    }),
     // q235 live: both windows' counters as Complete-mode state, the
     // PSI recomputed at read time — q235's oracle unchanged
     "q239_stream_psi_monitor" -> ((s, dir) => {
@@ -2967,6 +3003,11 @@ object SparkEntry {
     "q246_stream_multihop_outer" ->
       multiHopOracle(streamed = true, outerThinnedNation = true),
     "q247_curated_pack" -> PipelineOps.curatedPackManifestSql(),
+    "q248_label_separability" -> Similarity.labelSeparabilitySql(),
+    "q249_dedup_threshold_sweep" -> Dedup.dedupThresholdSweepSql(),
+    // live emissions converge to the curated batch manifest (the
+    // per-source cursor + in-order delivery, the q221 argument)
+    "q250_stream_curated_pack" -> PipelineOps.curatedPackManifestSql(),
     "q230_stream_json_quarantine" -> operators.DataQuality.jsonQuarantineSql,
     "q223_packed_contamination" -> PipelineOps.packedContaminationSql(),
     "q224_fk_integrity_audit" -> operators.DataQuality.fkIntegrityAuditSql,

@@ -2247,6 +2247,76 @@ object Similarity {
         FROM cand QUALIFY rank <= $k"""
   }
 
+  // ---- label separability report (q248) ----
+
+  /** q248: is this labeling LEARNABLE — per label, the within-class
+    * scatter (Σ‖x − c_label‖²) against the label's between-class
+    * contribution (n·‖c_label − c_global‖²), the Fisher/LDA ratio's
+    * two ingredients on the integer milli grid: label and global
+    * centroids round once per coordinate (the kmUpdate rule), every
+    * scatter term is an exact BIGINT, the ratio one final division.
+    * The check a team runs BEFORE spending a training run on a
+    * weak-label dataset. Shapes: two kmUpdate-style coordinate-sum
+    * shuffles (labels·dims and dims rows) and one broadcast join back
+    * — never a pairwise anything.
+    */
+  def labelSeparability(s: SparkSession, dir: String): DataFrame = {
+    val x = withDenseV(Tables.load(s, dir, "embeddings"), col("label"))
+      .filter(col("v").isNotNull && col("label").isNotNull)
+      .select(col("label"),
+        transform(col("v"), e => round(e * lit(1000)).cast("long")).as("xq"))
+    def centroid(df: DataFrame, keys: Seq[Column]): DataFrame = df
+      .select((keys :+ posexplode(col("xq")).as(Seq("j", "xj"))): _*)
+      .groupBy((keys :+ col("j")): _*)
+      .agg(round(sum(col("xj")).cast("double") / count(lit(1)).cast("double"))
+        .cast("long").as("cj"))
+      .groupBy(keys: _*)
+      .agg(sort_array(collect_list(struct(col("j"), col("cj")))).as("p"))
+      .select((keys :+ transform(col("p"), e => e.getField("cj")).as("c")): _*)
+    val cl = centroid(x, Seq(col("label")))
+    val cg = centroid(x.select(lit(1).as("one"), col("xq")), Seq(col("one")))
+      .select(col("c").as("cg"))
+    val dist = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (p, q) => (p - q) * (p - q)), lit(0L), (acc, d) => acc + d)
+    val within = x.join(broadcast(cl), "label")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(dist(col("xq"), col("c"))).as("within_sq"))
+    within.join(cl, "label").crossJoin(broadcast(cg))
+      .select(col("label"), col("n"), col("within_sq"),
+        (col("n") * dist(col("c"), col("cg"))).as("between_sq"))
+      .withColumn("separation",
+        when(col("within_sq") > 0,
+          col("between_sq").cast("double") / col("within_sq").cast("double")))
+  }
+
+  def labelSeparabilitySql(): String = {
+    def distSql(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))::BIGINT"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings $denseWhereSql),
+        x AS (SELECT label, list_transform(v, e -> round(e * 1000)::BIGINT) AS xq
+              FROM e WHERE v IS NOT NULL AND label IS NOT NULL),
+        u AS (SELECT label, un.j AS j, un.xj AS xj
+              FROM (SELECT label, unnest(list_transform(range(1, len(xq) + 1),
+                      i -> {'j': i, 'xj': xq[i]})) AS un
+                    FROM x)),
+        ml AS (SELECT label, j, round(sum(xj)::DOUBLE / count(*)::DOUBLE)::BIGINT AS cj
+               FROM u GROUP BY 1, 2),
+        cl AS (SELECT label, list(cj ORDER BY j) AS c FROM ml GROUP BY 1),
+        mg AS (SELECT j, round(sum(xj)::DOUBLE / count(*)::DOUBLE)::BIGINT AS gj
+               FROM u GROUP BY 1),
+        cg AS (SELECT list(gj ORDER BY j) AS g FROM mg),
+        wi AS (SELECT x.label, count(*)::BIGINT AS n,
+                      sum(${distSql("x.xq", "cl.c")})::BIGINT AS within_sq
+               FROM x JOIN cl USING (label) GROUP BY 1)
+        SELECT wi.label, wi.n, wi.within_sq,
+               (wi.n * ${distSql("cl.c", "cg.g")})::BIGINT AS between_sq,
+               CASE WHEN wi.within_sq > 0 THEN
+                 (wi.n * ${distSql("cl.c", "cg.g")})::BIGINT::DOUBLE
+                   / wi.within_sq::DOUBLE
+               END AS separation
+        FROM wi JOIN cl USING (label), cg"""
+  }
+
   // ---- incremental k-means maintenance (q240) ----
 
   /** The base/delta split for the incremental trainer: every `% 17`
