@@ -831,6 +831,33 @@ class PlanSpec extends SparkSpec {
     assert(salted.contains("__salt"), salted)
   }
 
+  test("q231: DSIR's top-k is TakeOrderedAndProject, never a data-sized global sort") {
+    val p = plan("q231_dsir_selection")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q245: the matched holdout picks per cell via WindowGroupLimit") {
+    val p = plan("q245_matched_holdout")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p) // no global sort
+  }
+
+  test("q242/q233: the pairwise drift matrices never plan a data-sized cross product") {
+    for (q <- Seq("q242_length_ks_matrix", "q233_source_divergence")) {
+      val p = plan(q)
+      // the dense-grid build is a bounded-frame BNLJ by design; a
+      // CartesianProduct (both sides unpartitioned-large) must not appear
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+    }
+  }
+
+  test("q247: the curated pack composes hash joins + one cumsum window, no cross product") {
+    val p = plan("q247_curated_pack")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("q216: multi-hop denorm plans two key joins, nation broadcast, no cross product") {
     val p = plan("q216_denorm_multihop")
     assert(!p.contains("CartesianProduct"), p)
