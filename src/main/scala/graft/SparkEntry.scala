@@ -1326,6 +1326,18 @@ object SparkEntry {
     // threshold tuning WITHOUT re-running dedup: one candidate pass,
     // pair counts at every cut from a bounded explode
     "q249_dedup_threshold_sweep" -> ((s, dir) => Dedup.dedupThresholdSweep(s, dir)),
+    // per-domain quality cuts calibrated to a target keep-rate — the
+    // k-th best per-token mean per source IS the cut; ties reported
+    "q251_threshold_calibration" -> ((s, dir) => PipelineOps.thresholdCalibration(s, dir)),
+    // q242 live: the (source, length) counter grid as Complete-mode
+    // state, the KS matrix recomputed at read time — length-shape
+    // drift monitored at ingest, q242's oracle unchanged
+    "q252_stream_length_ks" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select(col("source"), col("text"))
+      val cells = sketchMaintenanceStream(s, dir, "q252", docs)(
+        in => PipelineOps.lengthCells(in)).localCheckpoint(true)
+      PipelineOps.lengthKsFold(cells)
+    }),
     // q247 LIVE: the doc stream filters through the broadcast curation
     // keep-set (stateless stream-static join) into the per-source
     // cursor state — the shipped pipeline's packer running at ingest;
@@ -3008,6 +3020,8 @@ object SparkEntry {
     // live emissions converge to the curated batch manifest (the
     // per-source cursor + in-order delivery, the q221 argument)
     "q250_stream_curated_pack" -> PipelineOps.curatedPackManifestSql(),
+    "q251_threshold_calibration" -> PipelineOps.thresholdCalibrationSql(),
+    "q252_stream_length_ks" -> PipelineOps.lengthKsMatrixSql(),
     "q230_stream_json_quarantine" -> operators.DataQuality.jsonQuarantineSql,
     "q223_packed_contamination" -> PipelineOps.packedContaminationSql(),
     "q224_fk_integrity_audit" -> operators.DataQuality.fkIntegrityAuditSql,

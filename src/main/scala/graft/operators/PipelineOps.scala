@@ -1936,12 +1936,18 @@ object PipelineOps {
     * is bounded by distinct lengths; cumulative counts are one window
     * per source; the pair join is grid², never corpus-sized.
     */
-  def lengthKsMatrix(s: SparkSession, dir: String): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    val counts = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+  /** The (source, length) counter cells — q242's batch input and
+    * q252's Complete-mode stream state (counter sums, support-bounded).
+    */
+  def lengthCells(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
       .select(col("source"),
         size(split(lower(col("text")), " ")).cast("long").as("len"))
       .groupBy(col("source"), col("len")).agg(count(lit(1)).as("c"))
+
+  /** The KS fold over the converged cells — shared by q242/q252. */
+  def lengthKsFold(counts: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
     val dense = counts.select(col("source")).distinct()
       .crossJoin(counts.select(col("len")).distinct())
       .join(counts, Seq("source", "len"), "left")
@@ -1962,6 +1968,70 @@ object PipelineOps {
       .withColumn("ks",
         col("ks_num").cast("double") / (col("n_a") * col("n_b")).cast("double"))
   }
+
+  def lengthKsMatrix(s: SparkSession, dir: String): DataFrame =
+    lengthKsFold(lengthCells(
+      Tables.load(s, dir, "documents").select(col("source"), col("text"))))
+
+  // ---- per-source threshold calibration (q251) ----
+
+  /** q251: per-DOMAIN quality cuts — a single global threshold keeps
+    * whatever mix the score distributions dictate; production filters
+    * calibrate a cut PER SOURCE to a target keep-rate. For each
+    * source: the k-th best per-token classifier mean (k = ⌈n/2⌉) IS
+    * the cut; `n_kept` reports the ties-inclusive count at-or-above
+    * it (the calibration caveat made visible instead of hidden). One
+    * rank window per source, one broadcast join back for the tie
+    * count — never a global sort.
+    */
+  def thresholdCalibration(s: SparkSession, dir: String,
+      d: Long = 1024L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = split(lower(col("text")), " ")
+    val scored = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tokens"),
+        hashedLogitMicro(col("text"), d).as("logit_micro"))
+      .withColumn("mean_logit",
+        col("logit_micro").cast("double") / lit(1000000.0) / col("n_tokens").cast("double"))
+    val wRk = W.partitionBy(col("source"))
+      .orderBy(col("mean_logit").desc, col("doc_id").asc)
+    val nBy = scored.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("k_target", expr("(n_docs + 1) div 2"))
+    val cut = scored.withColumn("rk", row_number().over(wRk).cast("long"))
+      .join(broadcast(nBy), "source")
+      .filter(col("rk") === col("k_target"))
+      .select(col("source"), col("n_docs"), col("k_target"),
+        col("mean_logit").as("cut_mean"))
+    scored.join(broadcast(cut), "source")
+      .filter(col("mean_logit") >= col("cut_mean"))
+      .groupBy(col("source"))
+      .agg(min(col("n_docs")).as("n_docs"), min(col("k_target")).as("k_target"),
+        min(col("cut_mean")).as("cut_mean"), count(lit(1)).as("n_kept"))
+  }
+
+  def thresholdCalibrationSql(d: Long = 1024L): String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                      FROM documents WHERE text IS NOT NULL),
+        sc AS (SELECT t.doc_id, dd.source,
+                      sum((((('0x' || substring(md5(term), 1, 15))::BIGINT % $d) + 1) * 2654435761) % 2000001 - 1000000)::BIGINT::DOUBLE
+                        / 1000000.0 / count(*)::DOUBLE AS mean_logit
+               FROM toks t JOIN documents dd ON t.doc_id = dd.doc_id
+               GROUP BY 1, 2),
+        nby AS (SELECT source, count(*)::BIGINT AS n_docs,
+                       (count(*) + 1) // 2 AS k_target
+                FROM sc GROUP BY 1),
+        rk AS (SELECT sc.*, row_number() OVER (PARTITION BY sc.source
+                 ORDER BY mean_logit DESC, doc_id ASC)::BIGINT AS rk
+               FROM sc),
+        cut AS (SELECT rk.source, n_docs, k_target, mean_logit AS cut_mean
+                FROM rk JOIN nby USING (source) WHERE rk = k_target)
+        SELECT sc.source, min(n_docs)::BIGINT AS n_docs,
+               min(k_target)::BIGINT AS k_target,
+               min(cut_mean) AS cut_mean, count(*)::BIGINT AS n_kept
+        FROM sc JOIN cut ON sc.source = cut.source
+        WHERE sc.mean_logit >= cut.cut_mean
+        GROUP BY 1"""
 
   def lengthKsMatrixSql(): String =
     """WITH lens AS (SELECT source, len(string_split(lower(text), ' '))::BIGINT AS len
