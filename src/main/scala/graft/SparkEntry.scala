@@ -1329,6 +1329,32 @@ object SparkEntry {
     // per-domain quality cuts calibrated to a target keep-rate — the
     // k-th best per-token mean per source IS the cut; ties reported
     "q251_threshold_calibration" -> ((s, dir) => PipelineOps.thresholdCalibration(s, dir)),
+    // the live conversion dashboard: q132's funnel as a per-user
+    // FINITE-STATE MACHINE (stage + its µs time — two fields per
+    // user); stage-reached emissions fold to the exact batch report
+    "q253_stream_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      val tmp = stagedUserPartEvents(s, dir) // prunes to the 4 columns
+      val ckpt = stageDir("q253_ckpt")
+      val name = memorySinkName(s, "q253")
+      try {
+        val nFiles = new java.io.File(tmp).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        val input = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", math.max(1, nFiles / 4).toString)
+          .parquet(tmp)
+        withStatePartitions(s, 8) {
+          val q = graft.streaming.StreamSequence
+            .funnelStages(input.as[graft.streaming.StreamSequence.Ev])
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", ckpt).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      } finally rmTreeRetry(ckpt)
+      operators.Analytics.funnelFold(s.table(name))
+    }),
     // q242 live: the (source, length) counter grid as Complete-mode
     // state, the KS matrix recomputed at read time — length-shape
     // drift monitored at ingest, q242's oracle unchanged
@@ -3021,6 +3047,7 @@ object SparkEntry {
     // per-source cursor + in-order delivery, the q221 argument)
     "q250_stream_curated_pack" -> PipelineOps.curatedPackManifestSql(),
     "q251_threshold_calibration" -> PipelineOps.thresholdCalibrationSql(),
+    "q253_stream_funnel" -> operators.Analytics.funnelNullFreeSql,
     "q252_stream_length_ks" -> PipelineOps.lengthKsMatrixSql(),
     "q230_stream_json_quarantine" -> operators.DataQuality.jsonQuarantineSql,
     "q223_packed_contamination" -> PipelineOps.packedContaminationSql(),

@@ -580,6 +580,56 @@ object Analytics {
         ratio(col("n3"), col("n2")).as("conv")))
   }
 
+  /** q253's read-time fold: the stage-reached emissions (one row per
+    * (user, stage)) collapse to the funnel report — q132's exact
+    * output shape, ratios as single divisions with zero-denominator
+    * guards. The emission multiset is bounded by 4·users.
+    */
+  def funnelFold(st: DataFrame): DataFrame = {
+    val c = st.agg(
+      sum(when(col("stage") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("stage") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("stage") === 2, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("stage") === 3, 1L).otherwise(0L)).as("n3"))
+    def ratio(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den === 0, lit(null)).otherwise(num.cast("double") / den.cast("double"))
+    c.select(lit("1_view").as("step"), col("n1").as("n_users"),
+        ratio(col("n1"), col("n0")).as("conv"))
+      .unionAll(c.select(lit("2_click").as("step"), col("n2").as("n_users"),
+        ratio(col("n2"), col("n1")).as("conv")))
+      .unionAll(c.select(lit("3_purchase").as("step"), col("n3").as("n_users"),
+        ratio(col("n3"), col("n2")).as("conv")))
+  }
+
+  /** Oracle for the LIVE funnel: q132's derivation with NULL users
+    * excluded everywhere (the stream keys by user_id — a null key
+    * never enters the state machine; q132's batch form counts the
+    * null GROUP in s1/n0, which a keyed stream cannot represent).
+    */
+  def funnelNullFreeSql: String =
+    """WITH e AS (SELECT user_id, event_type, ts FROM events
+                  WHERE user_id IS NOT NULL),
+        s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
+               JOIN s1 ON e.user_id = s1.user_id
+               WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
+               JOIN s2 ON e.user_id = s2.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        n AS (SELECT (SELECT count(DISTINCT user_id) FROM e)::BIGINT AS n0,
+                     (SELECT count(*) FROM s1)::BIGINT AS n1,
+                     (SELECT count(*) FROM s2)::BIGINT AS n2,
+                     (SELECT count(*) FROM s3)::BIGINT AS n3)
+        SELECT '1_view' AS step, n1 AS n_users,
+               CASE WHEN n0 = 0 THEN NULL ELSE n1::DOUBLE / n0::DOUBLE END AS conv FROM n
+        UNION ALL
+        SELECT '2_click', n2,
+               CASE WHEN n1 = 0 THEN NULL ELSE n2::DOUBLE / n1::DOUBLE END FROM n
+        UNION ALL
+        SELECT '3_purchase', n3,
+               CASE WHEN n2 = 0 THEN NULL ELSE n3::DOUBLE / n2::DOUBLE END FROM n"""
+
   def funnelSql: String =
     """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
                    WHERE event_type = 'view' GROUP BY 1),

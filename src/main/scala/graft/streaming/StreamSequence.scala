@@ -92,6 +92,47 @@ object StreamSequence {
       }
   }
 
+  // ---- live funnel (q253): per-key FINITE-STATE-MACHINE state ----
+
+  case class FunnelState(stage: Int, tStageUs: Long)
+  case class StageReached(user_id: Long, stage: Int)
+
+  /** The fourth per-key state shape: a monotone STAGE MACHINE — each
+    * user's state is (current stage, the stage's µs timestamp), and an
+    * arrival advances it only when it is the NEXT stage's event type
+    * strictly after the current stage's time (the q132 batch funnel's
+    * exact predicate, `ts > t_prev` at µs precision — comparisons run
+    * on `ts_ns div 1000` so the engine can never advance on a
+    * sub-µs difference the oracle's TIMESTAMP comparison cannot see).
+    * Emission: one row per (user, stage) the moment the stage is
+    * reached — stage 0 marks first-seen, so the fold recovers every
+    * funnel denominator. State is TWO fields per user, O(users);
+    * the live conversion dashboard over an unbounded log.
+    */
+  def funnelStages(ev: Dataset[Ev]): Dataset[StageReached] = {
+    import ev.sparkSession.implicits._
+    val want = Map(0 -> "view", 1 -> "click", 2 -> "purchase")
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageReached](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[FunnelState]) =>
+          val sorted = rows.toArray.sortBy(e => (e.ts_ns, e.event_id))
+          val out = Array.newBuilder[StageReached]
+          var st = state.getOption.getOrElse(FunnelState(-1, 0L))
+          for (e <- sorted) {
+            if (st.stage < 0) { st = FunnelState(0, 0L); out += StageReached(uid, 0) }
+            val tUs = e.ts_ns / 1000L
+            if (st.stage < 3 && e.event_type == want(st.stage) &&
+                (st.stage == 0 || tUs > st.tStageUs)) {
+              st = FunnelState(st.stage + 1, tUs)
+              out += StageReached(uid, st.stage)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   // ---- live sequence packing (q221): per-key RUNNING SUM state ----
 
   case class Doc(source: String, doc_id: Long, n_tok: Long)

@@ -76,6 +76,31 @@ class StreamSequenceSpec extends SparkSpec {
       ("b", 4L) -> 0L, ("b", 5L) -> 10L))
   }
 
+  test("funnelStages: the stage machine advances across batches and ignores out-of-order stages") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = funnelStages(input.toDS())
+      .writeStream.format("memory").queryName("funnel_out").outputMode("append").start()
+    try {
+      // user 1: view in batch 1; user 2: click FIRST (no view yet — must
+      // not advance past first-seen); user 3: view+click same µs (click
+      // not strictly later — stays at stage 1)
+      input.addData(Seq(Ev(1L, 1000L, 1L, "view"), Ev(2L, 1000L, 2L, "click"),
+        Ev(3L, 5000L, 3L, "view"), Ev(3L, 5000L, 4L, "click")))
+      q.processAllAvailable()
+      // batch 2: user 1 clicks later then purchases later — full funnel
+      // ACROSS batches; user 2 finally views (stage 1 only)
+      input.addData(Seq(Ev(1L, 2000L, 5L, "click"), Ev(1L, 3000L, 6L, "purchase"),
+        Ev(2L, 9000L, 7L, "view")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("funnel_out").as[StageReached].collect()
+      .groupBy(_.user_id).view.mapValues(_.map(_.stage).toSet).toMap
+    assert(got(1L) == Set(0, 1, 2, 3))
+    assert(got(2L) == Set(0, 1)) // click-before-view never advanced it
+    assert(got(3L) == Set(0, 1)) // same-µs click is not strictly later
+  }
+
   test("closedVersions: arrivals close the previous version across batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[EvV]
