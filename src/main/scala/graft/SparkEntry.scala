@@ -1270,6 +1270,10 @@ object SparkEntry {
     // dup FLOW between corpora: q21's verified pairs rolled up to the
     // (source, source) matrix — "dataset X is a scrape of dataset Y"
     "q238_source_overlap" -> ((s, dir) => Dedup.sourceOverlapMatrix(s, dir)),
+    // the matrix's IVM delta: today's batch probes the STORED band
+    // index (IO proportional to the delta), new pairs roll up to the
+    // same cells — the daily new-overlap report
+    "q254_source_overlap_delta" -> ((s, dir) => Dedup.sourceOverlapDelta(s, dir)),
     // incremental k-means: the IVM step for the trainer — delta folds
     // into the stored per-cluster integer partials, never a base
     // rescan; shift_sq is the retrain trigger an index maintainer reads
@@ -3029,6 +3033,7 @@ object SparkEntry {
     "q236_epoch_allocator" -> PipelineOps.epochAllocatorSql(),
     "q237_vocab_coverage" -> PipelineOps.vocabCoverageSql(),
     "q238_source_overlap" -> Dedup.sourceOverlapMatrixSql(),
+    "q254_source_overlap_delta" -> Dedup.sourceOverlapDeltaSql(),
     "q239_stream_psi_monitor" -> operators.DataQuality.psiDriftSql,
     "q240_kmeans_incremental" -> Similarity.kmeansIncrementalSql(),
     // emitted set = the batch as-of join (stateless stream-static
