@@ -1063,7 +1063,13 @@ object DataQuality {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("_corrupt",
         org.apache.spark.sql.types.StringType)))
-    ev.filter(col("event_type").isNotNull && col("user_id").isNotNull)
+    // event_id IS NOT NULL too: a null id makes concat yield a NULL
+    // payload, which from_json maps to a null struct (bad=false) while
+    // DuckDB's json_valid(NULL) is NULL — the one input class where
+    // the two engines would classify differently, so exclude it on
+    // BOTH sides of the oracle
+    ev.filter(col("event_type").isNotNull && col("user_id").isNotNull &&
+        col("event_id").isNotNull)
       .select(col("event_id"), col("user_id"), col("event_type"))
       .withColumn("payload0", payload0)
       .withColumn("payload", payload)
@@ -1086,7 +1092,8 @@ object DataQuality {
                 '{"id": ' || event_id || ', "user": ' || user_id ||
                   ', "type": "' || event_type || '"}' AS payload0,
                 event_id
-         FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+         FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+           AND event_id IS NOT NULL),
        g AS (SELECT event_type,
                     CASE WHEN event_id % 7 = 0
                          THEN substring(payload0, 1, length(payload0) - 1)

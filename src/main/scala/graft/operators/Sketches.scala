@@ -971,11 +971,11 @@ object Sketches {
     * the table size; one collect of ONE long, cached per dir.
     */
   private val hottestCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), java.lang.Long]()
 
   def cmsHottestKeyBound(s: SparkSession, dir: String,
       d: Int = 4, w: Int = 512): Long =
-    hottestCache.computeIfAbsent(dir, { _ =>
+    hottestCache.computeIfAbsent((dir, d, w), { _ =>
       cmsGrid(Tables.events(s, dir).select(col("user_id")), d, w)
         .groupBy(col("i")).agg(max(col("c")).as("m"))
         .agg(min(col("m")).as("bound"))
