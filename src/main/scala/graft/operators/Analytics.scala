@@ -601,6 +601,53 @@ object Analytics {
         ratio(col("n3"), col("n2")).as("conv")))
   }
 
+  /** q256's read-time fold: identical emission-count collapse, but
+    * the unit is (user, session) — the denominators are SESSIONS
+    * within the eviction horizon, the only funnel an engine that
+    * reclaims idle-user state can (and should) report.
+    */
+  def sessionFunnelFold(st: DataFrame): DataFrame =
+    funnelFold(st).withColumnRenamed("n_users", "n_sessions")
+
+  /** Oracle for the EVICTING funnel (q256): sessionize each user's
+    * event sequence by gap > horizon, then run q132's min-time
+    * cascade per (user, session). This is exactly what the TTL'd
+    * state machine computes: a gap past the horizon — whether it was
+    * seen by the in-function reset or by physical eviction plus
+    * fresh re-arrival — starts a new session.
+    */
+  def sessionFunnelSql(horizonNs: Long): String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t, event_id
+                   FROM events WHERE user_id IS NOT NULL),
+        b AS (SELECT *, CASE WHEN t - lag(t) OVER
+                 (PARTITION BY user_id ORDER BY t, event_id) > $horizonNs
+               THEN 1 ELSE 0 END AS brk FROM e),
+        sess AS (SELECT user_id, event_type, t,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                 FROM b),
+        s1 AS (SELECT user_id, sid, min(t) AS t1 FROM sess
+               WHERE event_type = 'view' GROUP BY 1, 2),
+        s2 AS (SELECT s.user_id, s.sid, min(s.t) AS t2 FROM sess s
+               JOIN s1 ON s.user_id = s1.user_id AND s.sid = s1.sid
+               WHERE s.event_type = 'click' AND s.t > s1.t1 GROUP BY 1, 2),
+        s3 AS (SELECT s.user_id, s.sid, min(s.t) AS t3 FROM sess s
+               JOIN s2 ON s.user_id = s2.user_id AND s.sid = s2.sid
+               WHERE s.event_type = 'purchase' AND s.t > s2.t2 GROUP BY 1, 2),
+        n AS (SELECT (SELECT count(*) FROM
+                        (SELECT DISTINCT user_id, sid FROM sess) q)::BIGINT AS n0,
+                     (SELECT count(*) FROM s1)::BIGINT AS n1,
+                     (SELECT count(*) FROM s2)::BIGINT AS n2,
+                     (SELECT count(*) FROM s3)::BIGINT AS n3)
+        SELECT '1_view' AS step, n1 AS n_sessions,
+               CASE WHEN n0 = 0 THEN NULL ELSE n1::DOUBLE / n0::DOUBLE END AS conv FROM n
+        UNION ALL
+        SELECT '2_click', n2,
+               CASE WHEN n1 = 0 THEN NULL ELSE n2::DOUBLE / n1::DOUBLE END FROM n
+        UNION ALL
+        SELECT '3_purchase', n3,
+               CASE WHEN n2 = 0 THEN NULL ELSE n3::DOUBLE / n2::DOUBLE END FROM n"""
+
   /** Oracle for the LIVE funnel: q132's derivation with NULL users
     * excluded everywhere (the stream keys by user_id — a null key
     * never enters the state machine; q132's batch form counts the

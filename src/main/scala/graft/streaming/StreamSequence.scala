@@ -106,8 +106,13 @@ object StreamSequence {
     * sub-µs difference the oracle's TIMESTAMP comparison cannot see).
     * Emission: one row per (user, stage) the moment the stage is
     * reached — stage 0 marks first-seen, so the fold recovers every
-    * funnel denominator. State is TWO fields per user, O(users);
-    * the live conversion dashboard over an unbounded log.
+    * funnel denominator. State is TWO fields per user but O(users
+    * ever seen) under NoTimeout — the reference's own archival TODO
+    * (`HackerNewsPipeline.java:35-36`); [[funnelStagesEvicting]] is
+    * the bounded-state variant (session-gap semantics + TTL).
+    * Hot-key bound: as in [[packed]], `rows.toArray` holds one
+    * user's micro-batch slice in one task — bounded by the trigger
+    * size, never by state or corpus.
     */
   def funnelStages(ev: Dataset[Ev]): Dataset[StageReached] = {
     import ev.sparkSession.implicits._
@@ -133,6 +138,74 @@ object StreamSequence {
       }
   }
 
+  // ---- evicting funnel (q256): session-gap FSM + event-time TTL ----
+
+  case class EvW(user_id: Long, ts_ns: Long, event_id: Long,
+      event_type: String, ts: java.sql.Timestamp)
+  case class SessFunnelState(stage: Int, tStageNs: Long, lastNs: Long)
+
+  /** [[funnelStages]] with BOUNDED per-user state — the NoTimeout
+    * funnel holds O(ever-seen users) forever (the reference's own
+    * archival TODO, `HackerNewsPipeline.java:35-36`); this variant
+    * applies the q80 TTL discipline. Two mechanisms that agree by
+    * construction:
+    *
+    *  - an in-function SESSION-GAP reset: an arrival more than
+    *    `horizonNs` past the user's previous event starts a fresh
+    *    funnel (a new session). This is the deterministic semantic —
+    *    pure sessionization by gap, independent of when the state
+    *    store physically reclaims anything, so the batch oracle is a
+    *    per-(user, session) funnel cascade;
+    *  - EventTimeTimeout EVICTION: each update arms a timeout at
+    *    (last event time + horizon); once the watermark passes it the
+    *    state is REMOVED — numRowsTotal is O(users active within the
+    *    horizon), not O(users ever seen).
+    *
+    * Under time-ordered delivery (the staged time-bucket layout — a
+    * log's append order), eviction can only fire when the watermark
+    * has passed last+horizon, and any later re-arrival necessarily
+    * has gap > horizon — so the fresh-state path and the gap-reset
+    * path produce the SAME new-session emission and output is
+    * invariant to when eviction physically happens. The evicted-key
+    * re-arrival contract is pinned in StreamSequenceSpec.
+    */
+  def funnelStagesEvicting(ev: Dataset[EvW], horizonNs: Long): Dataset[StageReached] = {
+    import ev.sparkSession.implicits._
+    val want = Map(0 -> "view", 1 -> "click", 2 -> "purchase")
+    ev.withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessFunnelState, StageReached](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[EvW], state: GroupState[SessFunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toArray.sortBy(e => (e.ts_ns, e.event_id))
+            val out = Array.newBuilder[StageReached]
+            var st = state.getOption.getOrElse(SessFunnelState(-1, 0L, 0L))
+            for (e <- sorted) {
+              if (st.stage < 0 || e.ts_ns - st.lastNs > horizonNs) {
+                st = SessFunnelState(0, 0L, e.ts_ns)
+                out += StageReached(uid, 0)
+              }
+              if (st.stage < 3 && e.event_type == want(st.stage) &&
+                  (st.stage == 0 || e.ts_ns > st.tStageNs)) {
+                st = SessFunnelState(st.stage + 1, e.ts_ns, e.ts_ns)
+                out += StageReached(uid, st.stage)
+              }
+              st = st.copy(lastNs = e.ts_ns)
+            }
+            state.update(st)
+            // the physical TTL: must be strictly past the current
+            // watermark (Spark's contract) — pushing it later only
+            // delays reclamation, never changes output
+            state.setTimeoutTimestamp(math.max(
+              sorted.last.ts_ns / 1000000L + horizonNs / 1000000L,
+              state.getCurrentWatermarkMs() + 1L))
+            out.result().iterator
+          }
+      }
+  }
+
   // ---- live sequence packing (q221): per-key RUNNING SUM state ----
 
   case class Doc(source: String, doc_id: Long, n_tok: Long)
@@ -149,6 +222,14 @@ object StreamSequence {
     * arrival IS assignment. Same per-key in-order delivery contract as
     * [[transitions]] (the transport delivers each source's docs in
     * doc_id order; intra-batch order is sorted away here).
+    *
+    * Hot-key bound: `rows.toArray` materializes ONE key's micro-batch
+    * slice in one task — memory is proportional to the hottest
+    * source's share of a batch, never to the corpus or to state. A
+    * single source carrying ~an entire batch therefore concentrates
+    * that batch (and only that batch) in one task; cap the trigger
+    * size (maxFilesPerTrigger / maxOffsetsPerTrigger) to bound it.
+    * Pinned in StreamSequenceSpec's skew-guard test.
     */
   def packed(docs: Dataset[Doc]): Dataset[PackedDoc] = {
     import docs.sparkSession.implicits._

@@ -101,6 +101,86 @@ class StreamSequenceSpec extends SparkSpec {
     assert(got(3L) == Set(0, 1)) // same-µs click is not strictly later
   }
 
+  private def evw(uid: Long, tNs: Long, id: Long, typ: String): EvW =
+    EvW(uid, tNs, id, typ, new java.sql.Timestamp(tNs / 1000000L))
+
+  test("funnelStagesEvicting: session-gap reset, physical eviction, and the " +
+      "evicted-key re-arrival contract") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val H = 1000000000L // 1 s horizon
+    val input = MemoryStream[EvW]
+    val q = funnelStagesEvicting(input.toDS(), H)
+      .writeStream.format("memory").queryName("funnel_evict_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 completes view+click; user 2 views
+      input.addData(Seq(evw(1L, 100000000L, 1L, "view"),
+        evw(1L, 200000000L, 2L, "click"), evw(2L, 200000000L, 3L, "view")))
+      q.processAllAvailable()
+      // batch 2 at t=5 s: watermark jumps past user 1's TTL (0.2+1 s)
+      // → user 1's state is physically REMOVED; user 2's own arrival
+      // has gap 4.8 s > 1 s → in-function reset, a second session
+      input.addData(Seq(evw(2L, 5000000000L, 4L, "view")))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 1L,
+        "user 1 idle past the horizon must be evicted from the store")
+      // batch 3: the EVICTED user re-arrives — fresh state must open a
+      // new session and run the full cascade (the re-arrival contract:
+      // identical emissions to what the gap reset would have produced)
+      input.addData(Seq(evw(1L, 6000000000L, 5L, "view"),
+        evw(1L, 6100000000L, 6L, "click"), evw(1L, 6200000000L, 7L, "purchase")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("funnel_evict_out").as[StageReached].collect()
+      .groupBy(_.user_id).view
+      .mapValues(_.groupBy(_.stage).view.mapValues(_.length).toMap).toMap
+    // user 1: session 1 = {0,1,2}, session 2 (post-eviction) = {0,1,2,3}
+    assert(got(1L) == Map(0 -> 2, 1 -> 2, 2 -> 2, 3 -> 1))
+    // user 2: two sessions, each reaching the view stage only
+    assert(got(2L) == Map(0 -> 2, 1 -> 2))
+  }
+
+  test("funnelStagesEvicting: an intra-batch gap resets the session without " +
+      "any eviction involved (the deterministic semantic)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val H = 1000000000L
+    val input = MemoryStream[EvW]
+    val q = funnelStagesEvicting(input.toDS(), H)
+      .writeStream.format("memory").queryName("funnel_gap_out")
+      .outputMode("append").start()
+    try {
+      // t starts at 10 s, NOT 0: a 0-ms event time sits exactly on the
+      // stream's initial watermark and is dropped as late before the
+      // state function ever sees it
+      input.addData(Seq(evw(9L, 10000000000L, 1L, "view"),
+        evw(9L, 12000000000L, 2L, "view"),   // gap 2 s > 1 s → new session
+        evw(9L, 12500000000L, 3L, "click"))) // same session, strictly later
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("funnel_gap_out").as[StageReached].collect()
+      .filter(_.user_id == 9L).map(_.stage).sorted.toSeq
+    assert(got == Seq(0, 0, 1, 1, 2))
+  }
+
+  test("skew guard: one source carrying ~the whole batch still packs " +
+      "correctly (hot-key slice materializes, output unchanged)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val hot = (0 until 10000).map(i => Doc("hot", i.toLong, (i % 7 + 1).toLong))
+    val cold = Seq(Doc("cold", 0L, 5L))
+    val input = MemoryStream[Doc]
+    val q = packed(input.toDS())
+      .writeStream.format("memory").queryName("packed_skew_out")
+      .outputMode("append").start()
+    try { input.addData(hot ++ cold); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("packed_skew_out").as[PackedDoc].collect()
+    assert(got.length == 10001)
+    // the cursor law holds on the hot key: start(i) = sum of n_tok before i
+    val hotGot = got.filter(_.source == "hot").sortBy(_.doc_id)
+    var cum = 0L
+    for (d <- hotGot) { assert(d.start == cum, s"doc ${d.doc_id}"); cum += d.n_tok }
+    assert(got.find(_.source == "cold").get.start == 0L)
+  }
+
   test("closedVersions: arrivals close the previous version across batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[EvV]
