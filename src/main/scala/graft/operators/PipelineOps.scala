@@ -995,6 +995,142 @@ object PipelineOps {
         JOIN pii ON q.doc_id = pii.doc_id
         LEFT JOIN clusters c ON q.doc_id = c.doc_id"""
 
+  // ---- curriculum phase allocator (q258) ----
+
+  /** q258: CURRICULUM schedule — assign every document to one of four
+    * training phases whose source mix ANNEALS from uniform to
+    * quality-weighted (the data-curriculum move: warm up on everything,
+    * finish on the best sources). Integer-exact construction:
+    *  - sources get a quality rank (mean chars per doc as the proxy,
+    *    integer division, source-name tiebreak — a bounded ~sources-row
+    *    grid);
+    *  - each source's `n_s` documents are split across phases by
+    *    largest-remainder on the annealed weight
+    *    `w(p) = (3−p)·1000 + p·100·qrank` (phase 0 uniform, phase 3
+    *    proportional to rank), so per-source quotas sum to exactly
+    *    `n_s` — no transportation problem, no unassigned tail;
+    *  - within a source, docs are ranked by the md5 shuffle draw and
+    *    phase = the quota interval containing the rank.
+    * Scale shape: the grid is sources×4 (bounded); the only data-sized
+    * work is the per-source rank window (the q220 per-source-cumsum
+    * discipline) and a broadcast interval join (4 rows per source).
+    */
+  def curriculumPhases(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val srcs = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_s"), sum(col("n_chars")).as("chars"))
+      .withColumn("qrank",
+        row_number().over(Window.orderBy(expr("chars div n_s"), col("source"))))
+    val grid = srcs
+      .select(col("source"), col("n_s"), col("qrank"),
+        explode(expr("sequence(0L, 3L)")).as("phase"))
+      .withColumn("w", expr("(3L - phase) * 1000L + phase * 100L * qrank"))
+      .withColumn("sw", sum(col("w")).over(Window.partitionBy("source")))
+      .withColumn("base", expr("n_s * w div sw"))
+      .withColumn("rem", expr("(n_s * w) % sw"))
+      .withColumn("give",
+        col("n_s") - sum(col("base")).over(Window.partitionBy("source")))
+      .withColumn("rrank", row_number().over(
+        Window.partitionBy("source").orderBy(col("rem").desc, col("phase").asc)))
+      .withColumn("quota",
+        col("base") + when(col("rrank") <= col("give"), 1L).otherwise(0L))
+      .withColumn("cum", sum(col("quota")).over(
+        Window.partitionBy("source").orderBy("phase")))
+      .select(col("source").as("g_source"), col("phase"),
+        (col("cum") - col("quota")).as("lo"), col("cum").as("hi"))
+    val ranked = docs.select(col("doc_id"), col("source"),
+      row_number().over(Window.partitionBy("source")
+        .orderBy(graft.functions.md5_long(col("doc_id")), col("doc_id")))
+        .cast("long").as("r"))
+    ranked.join(broadcast(grid), ranked("source") === grid("g_source") &&
+        col("r") > col("lo") && col("r") <= col("hi"))
+      .select(col("doc_id"), col("source"), col("phase"))
+  }
+
+  def curriculumPhasesSql: String =
+    """WITH srcs AS (SELECT source, count(*)::BIGINT AS n_s,
+                            sum(n_chars)::BIGINT AS chars
+                     FROM documents GROUP BY 1),
+        rk AS (SELECT source, n_s,
+                      row_number() OVER (ORDER BY chars // n_s, source) AS qrank
+               FROM srcs),
+        grid0 AS (SELECT source, n_s, qrank, u.p AS phase,
+                         (3 - u.p) * 1000 + u.p * 100 * qrank AS w
+                  FROM rk, UNNEST(range(4)) AS u(p)),
+        grid1 AS (SELECT *, sum(w) OVER (PARTITION BY source) AS sw FROM grid0),
+        grid2 AS (SELECT *, n_s * w // sw AS base, (n_s * w) % sw AS rem
+                  FROM grid1),
+        grid3 AS (SELECT *,
+                         n_s - sum(base) OVER (PARTITION BY source) AS give,
+                         row_number() OVER (PARTITION BY source
+                           ORDER BY rem DESC, phase ASC) AS rrank
+                  FROM grid2),
+        grid4 AS (SELECT source, phase,
+                         base + CASE WHEN rrank <= give THEN 1 ELSE 0 END AS quota
+                  FROM grid3),
+        grid AS (SELECT source, phase,
+                        sum(quota) OVER (PARTITION BY source ORDER BY phase)
+                          - quota AS lo,
+                        sum(quota) OVER (PARTITION BY source ORDER BY phase) AS hi
+                 FROM grid4),
+        ranked AS (SELECT doc_id, source,
+                          row_number() OVER (PARTITION BY source
+                            ORDER BY ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+                                     doc_id) AS r
+                   FROM documents)
+        SELECT ranked.doc_id, ranked.source, grid.phase
+        FROM ranked JOIN grid ON ranked.source = grid.source
+          AND ranked.r > grid.lo AND ranked.r <= grid.hi"""
+
+  // ---- classifier agreement: Cohen's kappa (q260) ----
+
+  /** q260: inter-classifier AGREEMENT — Cohen's kappa between the
+    * full curation classifier (q48's keep verdict) and a cheap
+    * length-gate heuristic (n_chars ≥ 300, ~the corpus median). The
+    * quality-team question behind it: is the expensive classifier
+    * actually adding signal over the trivial baseline, or are they
+    * measuring the same thing? Exactness recipe: every count is an
+    * exact BIGINT cell of the 2×2 table; kappa = (N·agree − pe_num) /
+    * (N² − pe_num) with pe_num = a1·b1 + a0·b0 — ONE IEEE division of
+    * exact integers, so the oracle matches bit-for-bit. One scan +
+    * one all-to-one agg at any scale.
+    */
+  def classifierAgreement(s: SparkSession, dir: String): DataFrame = {
+    val a = curation(s, dir).select(col("doc_id"), col("keep").as("a"))
+    val b = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), (col("n_chars") >= 300).cast("int").as("b"))
+    val g = a.join(b, "doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_agree"),
+        sum(col("a").cast("long")).as("a_keep"),
+        sum(col("b").cast("long")).as("b_keep"))
+    val peNum = col("a_keep") * col("b_keep") +
+      (col("n") - col("a_keep")) * (col("n") - col("b_keep"))
+    val den = col("n") * col("n") - peNum
+    g.select(col("n"), col("n_agree"), col("a_keep"), col("b_keep"),
+      when(den === 0, lit(null))
+        .otherwise((col("n") * col("n_agree") - peNum).cast("double") /
+          den.cast("double"))
+        .as("kappa"))
+  }
+
+  def classifierAgreementSql: String =
+    s"""WITH cur AS (SELECT * FROM (${curationSql()}) t),
+        ab AS (SELECT c.doc_id, c.keep AS a, (d.n_chars >= 300)::INT AS b
+               FROM cur c JOIN documents d ON c.doc_id = d.doc_id),
+        g AS (SELECT count(*)::BIGINT AS n,
+                     sum((a = b)::INT)::BIGINT AS n_agree,
+                     sum(a)::BIGINT AS a_keep, sum(b)::BIGINT AS b_keep
+              FROM ab)
+        SELECT n, n_agree, a_keep, b_keep,
+               CASE WHEN n*n - (a_keep*b_keep + (n-a_keep)*(n-b_keep)) = 0
+                    THEN NULL
+                    ELSE (n*n_agree - (a_keep*b_keep + (n-a_keep)*(n-b_keep)))::DOUBLE
+                         / (n*n - (a_keep*b_keep + (n-a_keep)*(n-b_keep)))::DOUBLE
+               END AS kappa
+        FROM g"""
+
   // ---- TF-IDF keyword extraction ----
 
   /** Top-k terms per document by TF-IDF (idf as the raw N/df ratio —

@@ -866,6 +866,123 @@ object Similarity {
         SELECT vec_id, bucket, list_sum(v) AS vsum FROM assigned"""
     }
 
+  // ---- IVF bucket rebalance plan (q257) ----
+
+  /** q257: INDEX-MAINTENANCE planner — from the stored IVF index's
+    * bucket occupancy, the split/merge plan that keeps per-probe cost
+    * flat as the corpus drifts. target = total div C; a bucket holding
+    * more than 2× target SPLITS into ceil(n/target) children (the
+    * local re-train a maintenance job would run); a bucket under half
+    * the target MERGES into its most-similar OTHER centroid (cosine
+    * DESC, cent_id ASC tiebreak — the family's assignment metric), so
+    * its residents land where a fresh assignment would most likely put
+    * them; trained-but-empty buckets merge too. IO: one skinny scan of
+    * the stored index (counts only) + a C×C bounded centroid grid —
+    * the plan is O(C) rows whatever the corpus size, the same
+    * bounded-planner class as the storage compaction planners.
+    */
+  def ivfRebalancePlan(s: SparkSession, dir: String): DataFrame = {
+    val cents = centsDF(s, dir)
+    val idx = s.read.parquet(ivfIndexPath(s, dir, cents))
+    rebalanceFromCounts(s, dir,
+      idx.groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_vecs")))
+  }
+
+  /** The plan rules over ANY (bucket, n_vecs) occupancy relation —
+    * shared by the stored-index planner (q257) and the live
+    * occupancy monitor's read-time fold (q261).
+    */
+  private def rebalanceFromCounts(s: SparkSession, dir: String,
+      counts: DataFrame): DataFrame = {
+    val cents = centsDF(s, dir)
+    val a = cents.select(col("cent_id").as("bucket"), col("cv").as("ca"))
+    val b = cents.select(col("cent_id").as("other"), col("cv").as("cb"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("sim").desc, col("other").asc)
+    val nearest = a.join(broadcast(b), col("bucket") =!= col("other"))
+      .select(col("bucket"), col("other"),
+        cosine_sim(col("ca"), col("cb")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("bucket"), col("other").as("nearest"))
+    val tot = counts.agg(sum(col("n_vecs")).as("total"))
+    val nb = cents.agg(count(lit(1)).as("n_buckets"))
+    cents.select(col("cent_id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .withColumn("n_vecs", coalesce(col("n_vecs"), lit(0L)))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(nb))
+      .withColumn("target", expr("greatest(1L, total div n_buckets)"))
+      .join(broadcast(nearest), Seq("bucket"), "left")
+      .select(col("bucket"), col("n_vecs"),
+        when(col("n_vecs") > col("target") * 2, lit("split"))
+          .when(col("n_vecs") * 2 < col("target"), lit("merge"))
+          .otherwise(lit("keep")).as("action"),
+        when(col("n_vecs") > col("target") * 2,
+          expr("(n_vecs + target - 1) div target")).as("n_children"),
+        when(col("n_vecs") * 2 < col("target"), col("nearest")).as("merge_into"))
+  }
+
+  /** q261: the LIVE form of q257 — per-bucket occupancy maintained as
+    * Complete-mode streaming state over the embedding firehose.
+    * Assignment is the map-only frozen-centroid expression
+    * ([[ivfAssignMapOnly]] — per-row, no join, no exchange), so each
+    * micro-batch is scan → project → sketch-sized count update; the
+    * rebalance rules are applied at READ time over the converged
+    * counters, which equal the batch occupancy cell-for-cell
+    * (deterministic assignment + order-independent counts), so the
+    * oracle is [[ivfRebalancePlanSql]] unchanged. This closes the
+    * index-maintenance loop live: the monitor watches occupancy at
+    * ingest and emits the same split/merge plan q257 derives offline.
+    */
+  private[graft] def embStream(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"), col("v"))
+
+  private[graft] def ivfOccupancyCells(s: SparkSession, dir: String,
+      in: DataFrame): DataFrame =
+    ivfAssignMapOnly(in, trainedArr(s, dir))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"))
+
+  private[graft] def ivfRebalanceLiveFold(s: SparkSession, dir: String,
+      cells: DataFrame): DataFrame =
+    rebalanceFromCounts(s, dir,
+      cells.select(col("bucket").cast("long").as("bucket"), col("n_vecs")))
+
+  /** Oracle for [[ivfRebalancePlan]], trained-literal gated: bucket
+    * occupancy re-derived from the `assigned` CTE, the same C×C
+    * cosine grid over the literal centroids, the same integer rules.
+    */
+  def ivfRebalancePlanSql(): Option[String] =
+    trainedRowsSql().map { rows =>
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql),
+        c AS (SELECT * FROM (VALUES $rows) AS vt(cent_id, cv)),
+        assigned AS ($assignedCteSql),
+        counts AS (SELECT bucket, count(*)::BIGINT AS n_vecs FROM assigned GROUP BY 1),
+        occ AS (SELECT c.cent_id AS bucket, coalesce(n.n_vecs, 0)::BIGINT AS n_vecs
+                FROM c LEFT JOIN counts n ON c.cent_id = n.bucket),
+        tot AS (SELECT sum(n_vecs)::BIGINT AS total,
+                       count(*)::BIGINT AS n_buckets FROM occ),
+        near AS (SELECT bucket, other FROM (
+                   SELECT a.cent_id AS bucket, b.cent_id AS other,
+                          row_number() OVER (PARTITION BY a.cent_id
+                            ORDER BY ${cosSqlOn("a.cv", "b.cv")} DESC,
+                                     b.cent_id ASC) AS rn
+                   FROM c a JOIN c b ON a.cent_id <> b.cent_id) WHERE rn = 1),
+        t AS (SELECT o.bucket, o.n_vecs,
+                     greatest(1, total // n_buckets) AS target, near.other
+              FROM occ o CROSS JOIN tot
+              LEFT JOIN near ON o.bucket = near.bucket)
+        SELECT bucket, n_vecs,
+               CASE WHEN n_vecs > target * 2 THEN 'split'
+                    WHEN n_vecs * 2 < target THEN 'merge'
+                    ELSE 'keep' END AS action,
+               CASE WHEN n_vecs > target * 2
+                    THEN (n_vecs + target - 1) // target END AS n_children,
+               CASE WHEN n_vecs * 2 < target THEN other END AS merge_into
+        FROM t"""
+    }
+
   /** Epsilon-ball semantic dedup (SemDeDup's dedup step, completing the
     * cluster → dedup → diversity-sample pipeline with q81): within each
     * trained cluster, a vector is DROPPED when some other member with

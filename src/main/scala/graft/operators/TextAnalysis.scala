@@ -347,6 +347,55 @@ object TextAnalysis {
                md5(array_to_string(toks[chunk_idx * $st + 1 : chunk_idx * $st + $cw], ' ')) AS chunk_hash
         FROM e"""
 
+  // ---- span-corruption plan (q259) ----
+
+  /** q259: T5-style span-corruption PLAN — for each document long
+    * enough to mask, a deterministic set of NON-OVERLAPPING mask
+    * spans (~15% of tokens in length-3 spans: one span per 20
+    * tokens). Construction is pure integer arithmetic, so the plan is
+    * reproducible across engines and runs with no RNG state: the
+    * token range is cut into `n_spans` strides (stride ≥ 20 by
+    * construction) and span k starts at a multiplicative-hash offset
+    * within stride k — overlap is impossible by construction, not by
+    * rejection sampling, so the operator is one projection + one
+    * bounded explode (output ≈ corpus_tokens/20 rows), embarrassingly
+    * parallel at any scale. This is the deterministic-synthetic-target
+    * class of a denoising-objective training pipeline: the PLAN is
+    * data, the masking itself is a map-side join downstream.
+    */
+  def spanCorruptionPlan(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+      .withColumn("n_spans", expr("n div 20"))
+      .filter(col("n_spans") > 0)
+      .withColumn("stride", expr("n div n_spans"))
+      .select(col("doc_id"), col("stride"),
+        explode(expr("sequence(0L, n_spans - 1L)")).as("span_id"))
+      .withColumn("h", expr(
+        "((doc_id % 1000000007L) * 2654435761L + span_id * 40503L) % 1000000007L"))
+      .select(col("doc_id"), col("span_id"),
+        (col("span_id") * col("stride") + expr("h % (stride - 2)")).as("start_tok"),
+        lit(3).as("span_len"))
+  }
+
+  /** Oracle: the identical integer construction over DuckDB's
+    * string_split token count — same hash, same strides, same
+    * modulus, cell-exact.
+    */
+  def spanCorruptionPlanSql: String =
+    """WITH t AS (SELECT doc_id,
+                    len(string_split(lower(text), ' '))::BIGINT AS n
+                  FROM documents),
+        s AS (SELECT doc_id, n, n // 20 AS n_spans FROM t WHERE n // 20 > 0),
+        sp AS (SELECT doc_id, u.k AS span_id, n // n_spans AS stride,
+                 ((doc_id % 1000000007) * 2654435761
+                   + u.k * 40503) % 1000000007 AS h
+               FROM s, UNNEST(range(s.n_spans)) AS u(k))
+        SELECT doc_id, span_id,
+               span_id * stride + (h % (stride - 2)) AS start_tok,
+               3 AS span_len
+        FROM sp"""
+
   // ---- content-defined chunking + chunk-level dedup (q161) ----
 
   /** Content-defined chunking — the rolling-hash boundary rule backup
