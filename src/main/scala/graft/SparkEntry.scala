@@ -1011,6 +1011,10 @@ object SparkEntry {
     "q65_substring_dedup" -> ((s, dir) => Dedup.substringDedup(s, dir)),
     // benchmark decontamination: 13-gram overlap vs a held-out set
     "q66_decontaminate" -> ((s, dir) => Dedup.decontaminate(s, dir)),
+    // Wilson-bound contamination rate per source over q66's verdicts
+    "q263_contamination_bounds" -> ((s, dir) => Dedup.contaminationBySource(s, dir)),
+    // novelty scoring served incrementally from the stored gram index
+    "q262_novelty_ivm_delta" -> ((s, dir) => Dedup.noveltyIvmDelta(s, dir)),
     "q21_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashNearDuplicates(s, dir)),
     "q22_dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "q23_dedup_ngram_exact" -> ((s, dir) => Dedup.exactNearDuplicates(s, dir)),
@@ -3093,6 +3097,8 @@ object SparkEntry {
     "q20_dedup_exact" -> Dedup.exactCanonicalSql,
     "q65_substring_dedup" -> Dedup.substringDedupSql(),
     "q66_decontaminate" -> Dedup.decontaminateSql(),
+    "q263_contamination_bounds" -> Dedup.contaminationBySourceSql(),
+    "q262_novelty_ivm_delta" -> Dedup.noveltyIvmDeltaSql(),
     "q21_dedup_minhash_lsh" -> Dedup.nearDuplicatesSql(),
     "q22_dedup_simhash" -> Dedup.simhashSql,
     "q23_dedup_ngram_exact" -> Dedup.nearDuplicatesSql(),

@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Scaling-exponent audit (round-15 verdict item 6).
+
+Runs the audit set (the most expensive streaming + batch queries from
+the r14 cross-run minima) through graft.Bench at sf0.001/0.01/0.1 —
+Bench itself takes min-of-2 (3 for streaming) per query — then fits
+the growth exponent between the two largest SFs:
+
+    alpha = log10(t(sf0.1) / t(sf0.01))
+
+data grows 10x between those SFs, so alpha ~ 1.0 is linear, < 1.0 is
+overhead-dominated/sublinear, and alpha > ~1.3 is the accidental
+all-pairs / unpruned-scan class the per-SF correctness sweep cannot
+catch. sf0.001 is recorded as a fixed-overhead floor reference, not
+used in the fit. Usage:
+
+    python3 tools/scale_audit.py run    # 3 sbt invocations, ~15 min
+    python3 tools/scale_audit.py report # prints the table, writes
+                                        # tools/SCALE_AUDIT_r15.md
+"""
+import json, os, subprocess, sys, math
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = "/tmp/scale_audit"
+SFS = ["0.001", "0.01", "0.1"]
+
+# top streaming + top batch by BENCH_LOCAL_r14 cross-run minima,
+# plus the round-15 additions (q255/q256) so their scale shape is
+# recorded from birth
+AUDIT = [
+    "q246_stream_multihop_outer", "q217_stream_denorm_multihop",
+    "q146_stream_windowed_cms_evicting", "q93_stream_ingest_neardup",
+    "q123_stream_trending", "q129_stream_interval_join_outer",
+    "q252_stream_length_ks", "q117_stream_timeseries_similarity",
+    "q253_stream_funnel", "q124_stream_trending_evicting",
+    "q160_stream_pmi", "q127_stream_quality_monitor_evicting",
+    "q90_stream_denorm_full_outer", "q102_stream_bloom_maintenance",
+    "q139_stream_windowed_hll_evicting",
+    "q240_kmeans_incremental", "q206_item_cooccurrence_knn",
+    "q12_revenue_by_nation", "q166_triangle_census",
+    "q110_bigram_perplexity", "q197_containment_dedup",
+    "q223_packed_contamination", "q65_substring_dedup",
+    "q251_threshold_calibration", "q200_crossmodal_dup_audit",
+    "q09_agg_pricing", "q130_pagerank", "q153_video_segment_dedup",
+    "q213_personalized_pagerank", "q156_pmi_cooccurrence",
+    "q255_stream_multihop_outer_hop1", "q256_stream_funnel_evicting",
+]
+
+
+def run():
+    os.makedirs(OUT, exist_ok=True)
+    only = ",".join(AUDIT)
+    for sf in SFS:
+        log = f"{OUT}/sf{sf}.log"
+        env = dict(os.environ,
+                   SPARK_GRAFT_SF_DIR=f"/root/testdata/sf{sf}",
+                   SPARK_GRAFT_CPUS="32",
+                   SPARK_GRAFT_BENCH_ONLY=only)
+        print(f"[scale_audit] sf{sf} -> {log}", flush=True)
+        with open(log, "w") as f:
+            subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                           cwd=REPO, env=env, stdout=f, stderr=subprocess.STDOUT)
+
+
+def parse(sf):
+    for line in open(f"{OUT}/sf{sf}.log"):
+        if '"metric":"total"' in line and '"queries"' in line:
+            return json.loads(line[line.index('{'):])["queries"]
+    raise SystemExit(f"no bench line for sf{sf}")
+
+
+def report():
+    qs = {sf: parse(sf) for sf in SFS}
+    rows = []
+    for name in AUDIT:
+        t = [qs[sf].get(name, [-1])[0] for sf in SFS]
+        if min(t) < 0:
+            rows.append((name, t, None))
+            continue
+        alpha = math.log10(t[2] / t[1]) if t[1] > 0 else None
+        rows.append((name, t, alpha))
+    rows.sort(key=lambda r: -(r[2] if r[2] is not None else 9))
+    lines = ["# Scaling-exponent audit (round 15)", "",
+             "alpha = log10(t(sf0.1)/t(sf0.01)); data grows 10x, so",
+             "1.0 = linear, <1 = overhead-dominated, >1.3 = flagged.", "",
+             "| query | sf0.001 | sf0.01 | sf0.1 | alpha |",
+             "|---|---|---|---|---|"]
+    for name, t, a in rows:
+        ts = " | ".join("-" if x < 0 else f"{x:.3f}" for x in t)
+        astr = "-" if a is None else f"{a:+.2f}"
+        flag = " **FLAG**" if a is not None and a > 1.3 else ""
+        lines.append(f"| {name} | {ts} | {astr}{flag} |")
+    text = "\n".join(lines) + "\n"
+    print(text)
+    with open(f"{REPO}/tools/SCALE_AUDIT_r15.md", "w") as f:
+        f.write(text)
+
+
+if __name__ == "__main__":
+    {"run": run, "report": report}[sys.argv[1]]()
