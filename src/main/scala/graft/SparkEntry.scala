@@ -1015,6 +1015,8 @@ object SparkEntry {
     "q263_contamination_bounds" -> ((s, dir) => Dedup.contaminationBySource(s, dir)),
     // novelty scoring served incrementally from the stored gram index
     "q262_novelty_ivm_delta" -> ((s, dir) => Dedup.noveltyIvmDelta(s, dir)),
+    // Rand index between the 0.8 and 0.7 threshold clusterings
+    "q265_cluster_stability" -> ((s, dir) => Dedup.clusterStability(s, dir)),
     "q21_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashNearDuplicates(s, dir)),
     "q22_dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "q23_dedup_ngram_exact" -> ((s, dir) => Dedup.exactNearDuplicates(s, dir)),
@@ -1374,6 +1376,8 @@ object SparkEntry {
     // index acceptance gate: per-query recall@k of the IVF index vs
     // brute force, evaluation itself oracled (composes q25+q26 SQL)
     "q234_ann_recall_eval" -> ((s, dir) => Similarity.annRecallEval(s, dir)),
+    // the serving decision q234 feeds: smallest nprobe meeting recall
+    "q264_nprobe_planner" -> ((s, dir) => Similarity.nprobePlanner(s, dir)),
     // the production drift score: PSI between month halves per
     // event-type bin, exact-integer numerators (one ln per cell)
     "q235_psi_drift" -> ((s, dir) => operators.DataQuality.psiDrift(s, dir)),
@@ -3099,6 +3103,7 @@ object SparkEntry {
     "q66_decontaminate" -> Dedup.decontaminateSql(),
     "q263_contamination_bounds" -> Dedup.contaminationBySourceSql(),
     "q262_novelty_ivm_delta" -> Dedup.noveltyIvmDeltaSql(),
+    "q265_cluster_stability" -> Dedup.clusterStabilitySql(),
     "q21_dedup_minhash_lsh" -> Dedup.nearDuplicatesSql(),
     "q22_dedup_simhash" -> Dedup.simhashSql,
     "q23_dedup_ngram_exact" -> Dedup.nearDuplicatesSql(),
@@ -3196,6 +3201,7 @@ object SparkEntry {
     "q232_preference_pairs" -> PipelineOps.preferencePairsSql(),
     "q233_source_divergence" -> PipelineOps.sourceDivergenceSql(),
     "q234_ann_recall_eval" -> Similarity.annRecallEvalSql(),
+    "q264_nprobe_planner" -> Similarity.nprobePlannerSql(),
     "q235_psi_drift" -> operators.DataQuality.psiDriftSql,
     "q236_epoch_allocator" -> PipelineOps.epochAllocatorSql(),
     "q237_vocab_coverage" -> PipelineOps.vocabCoverageSql(),

@@ -1180,6 +1180,102 @@ object Similarity {
         WHERE a.vec_id <> p.query_id AND ${cosSqlOn("p.qv", "a.v")} >= $minCos"""
     }
 
+  // ---- nprobe serving-config planner (q264) ----
+
+  /** q264: the SERVING-CONFIG decision q234's recall eval feeds — for
+    * each candidate probe count (1, 2, 4, 8, 16 of the C=16 static
+    * buckets — 16 probes everything, so recall 1.0 anchors the ladder
+    * and the chosen row always exists), the pooled recall@k vs brute force, and the CHOSEN row:
+    * the smallest nprobe whose recall meets the target (0.95). This is
+    * the knob a deployment actually turns: probe cost is linear in
+    * nprobe, so the planner finds the cheapest config that clears the
+    * quality bar (the q227 generalization-ladder idiom, applied to
+    * index serving). Cost: the probe ranking is computed ONCE
+    * (rank ≤ max candidate), each sweep row reuses the same assigned
+    * corpus and query batch — bounded by queries×C, never corpus².
+    * Pooled (micro) recall keeps every cell an exact BIGINT; the one
+    * float compare (`n_hits ≥ target·n_ref`) is the same two-double
+    * expression on both engines.
+    */
+  def nprobePlanner(s: SparkSession, dir: String, k: Int = defaultK,
+      target: Double = 0.95): DataFrame = {
+    val corpus = emb(s, dir)
+    val cents = corpus.filter(col("vec_id") < numCentroids).limit(numCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val assigned = ivfAssign(corpus, cents)
+    val queries = queryBatch(corpus)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("cent_id").asc)
+    val pranked = queries.join(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cent_id"),
+        cosine_sim(col("qv"), col("cv")).as("qcos"))
+      .withColumn("prank", row_number().over(wProbe))
+    val bf = bruteForceTopK(s, dir, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val nRef = bf.agg(count(lit(1)).as("n_ref"))
+    val perP = Seq(1, 2, 4, 8, 16).map { p =>
+      val probes = pranked.filter(col("prank") <= p)
+        .select(col("query_id"), col("qv"), col("cent_id").as("bucket"))
+      val ivf = ivfScore(assigned, probes, k)
+        .select(col("query_id"), col("neighbor_id"))
+      bf.join(ivf, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(p).as("nprobe"), col("n_hits"))
+    }.reduce(_ unionAll _)
+    val wLadder = Window.orderBy(col("nprobe"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perP.crossJoin(broadcast(nRef))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_ref").cast("double"))
+      .withColumn("meets",
+        (col("n_hits").cast("double") >= lit(target) * col("n_ref").cast("double"))
+          .cast("int"))
+      .withColumn("is_chosen",
+        (col("meets") === 1 &&
+          coalesce(max(col("meets")).over(wLadder), lit(0)) === 0).cast("int"))
+      .select(col("nprobe"), col("n_ref"), col("n_hits"), col("recall"),
+        col("meets"), col("is_chosen"))
+  }
+
+  def nprobePlannerSql(k: Int = defaultK, target: Double = 0.95): String = {
+    val perP = Seq(1, 2, 4, 8, 16).map { p =>
+      s"""SELECT $p AS nprobe, count(*)::BIGINT AS n_hits FROM (
+            SELECT query_id, neighbor_id FROM (
+              SELECT s.query_id, s.neighbor_id,
+                     row_number() OVER (PARTITION BY s.query_id
+                       ORDER BY s.cos DESC, s.neighbor_id ASC) AS rank
+              FROM (SELECT pr.query_id, a.vec_id AS neighbor_id,
+                           ${cosSqlOn("pr.qv", "a.v")} AS cos
+                    FROM assigned a
+                    JOIN pranked pr ON a.bucket = pr.bucket AND pr.prank <= $p
+                    WHERE a.vec_id <> pr.query_id) s) t WHERE rank <= $k) iv
+          JOIN bf USING (query_id, neighbor_id)"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql),
+        c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $numCentroids),
+        assigned AS ($assignedCteSql),
+        q AS ($querySql),
+        pranked AS (SELECT query_id, qv, cent_id AS bucket, prank FROM (
+          SELECT q.query_id, q.qv, c.cent_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${cosSqlOn("q.qv", "c.cv")} DESC, c.cent_id ASC) AS prank
+          FROM q, c) t),
+        bf AS (SELECT query_id, neighbor_id FROM (${bruteForceTopKSql(k)}) b),
+        nref AS (SELECT count(*)::BIGINT AS n_ref FROM bf),
+        per AS ($perP),
+        g AS (SELECT per.nprobe, nref.n_ref, per.n_hits
+              FROM per CROSS JOIN nref)
+        SELECT nprobe, n_ref, n_hits, recall, meets,
+               (meets = 1 AND coalesce(max(meets) OVER (ORDER BY nprobe
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 0)::INT
+                 AS is_chosen
+        FROM (SELECT nprobe, n_ref, n_hits,
+                     n_hits::DOUBLE / n_ref::DOUBLE AS recall,
+                     (n_hits::DOUBLE >= $target * n_ref::DOUBLE)::INT AS meets
+              FROM g) t2"""
+  }
+
   private def ivfSqlWith(cCte: String, k: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql),
         c AS ($cCte),
