@@ -59,6 +59,9 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] prestage timebk: ${e.getMessage}") }
     try operators.Dedup.prestageIngest(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prestage ingest: ${e.getMessage}") }
+    // q266's doc_id-ordered batch staging (four coalesce(1) writes)
+    try operators.Dedup.noveltyStagedDocs(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] prestage novelty: ${e.getMessage}") }
     try SparkEntry.stagedSourceDocs(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prestage docs: ${e.getMessage}") }
     // fixed name order: the Map's hash order shuffles between rounds,

@@ -1015,6 +1015,8 @@ object SparkEntry {
     "q263_contamination_bounds" -> ((s, dir) => Dedup.contaminationBySource(s, dir)),
     // novelty scoring served incrementally from the stored gram index
     "q262_novelty_ivm_delta" -> ((s, dir) => Dedup.noveltyIvmDelta(s, dir)),
+    // novelty AT INGEST: claim-on-arrival gram index, q148's oracle
+    "q266_stream_novelty" -> ((s, dir) => Dedup.streamNovelty(s, dir)),
     // Rand index between the 0.8 and 0.7 threshold clusterings
     "q265_cluster_stability" -> ((s, dir) => Dedup.clusterStability(s, dir)),
     "q21_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashNearDuplicates(s, dir)),
@@ -3103,6 +3105,8 @@ object SparkEntry {
     "q66_decontaminate" -> Dedup.decontaminateSql(),
     "q263_contamination_bounds" -> Dedup.contaminationBySourceSql(),
     "q262_novelty_ivm_delta" -> Dedup.noveltyIvmDeltaSql(),
+    // converged ingest emissions = the batch first-seen derivation
+    "q266_stream_novelty" -> Dedup.noveltyScoresSql,
     "q265_cluster_stability" -> Dedup.clusterStabilitySql(),
     "q21_dedup_minhash_lsh" -> Dedup.nearDuplicatesSql(),
     "q22_dedup_simhash" -> Dedup.simhashSql,
