@@ -1466,6 +1466,8 @@ object SparkEntry {
     // annealed uniform→quality source mix across 4 phases
     "q258_curriculum_phases" ->
       ((s, dir) => PipelineOps.curriculumPhases(s, dir)),
+    // per-source top-k leaderboard maintained from stored top-k + delta
+    "q267_topk_ivm_delta" -> ((s, dir) => PipelineOps.topkIvmDelta(s, dir)),
     // the live conversion dashboard: q132's funnel as a per-user
     // FINITE-STATE MACHINE (stage + its µs time — two fields per
     // user); stage-reached emissions fold to the exact batch report
@@ -3256,6 +3258,7 @@ object SparkEntry {
     "q259_span_corruption_plan" -> operators.TextAnalysis.spanCorruptionPlanSql,
     "q260_classifier_agreement" -> PipelineOps.classifierAgreementSql,
     "q258_curriculum_phases" -> PipelineOps.curriculumPhasesSql,
+    "q267_topk_ivm_delta" -> PipelineOps.topkIvmDeltaSql(),
     "q253_stream_funnel" -> operators.Analytics.funnelNullFreeSql,
     "q256_stream_funnel_evicting" ->
       operators.Analytics.sessionFunnelSql(funnelHorizonNs),

@@ -995,6 +995,48 @@ object PipelineOps {
         JOIN pii ON q.doc_id = pii.doc_id
         LEFT JOIN clusters c ON q.doc_id = c.doc_id"""
 
+  // ---- per-source top-k IVM (q267) ----
+
+  private val topkCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), org.apache.spark.sql.DataFrame]()
+
+  private def topkOf(df: DataFrame, k: Int): DataFrame =
+    df.withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .filter(col("rk") <= k)
+
+  /** q267: per-source top-k LEADERBOARD maintained incrementally —
+    * the shortlist a curation pipeline keeps per corpus (longest/
+    * best-k docs), served without rescanning the base. The stored
+    * artifact is the base corpus's top-k per source (k·sources rows);
+    * an insert-only delta can only DISPLACE, never resurrect, so
+    * re-ranking `stored ∪ delta` is provably identical to the
+    * full-corpus window (full top-k ⊆ base top-k ∪ delta — the
+    * merge ≡ recompute law, pinned in Round15OpsSpec). IO: the delta
+    * plus k·sources stored rows; the oracle is the plain batch
+    * window over everything.
+    */
+  def topkIvmDelta(s: SparkSession, dir: String, k: Int = 5,
+      deltaMod: Int = 10): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val isDelta = col("doc_id") % deltaMod === deltaMod - 1
+    val stored = graft.ArtifactCache.cached(topkCache, (dir, k, deltaMod), s) {
+      topkOf(docs.filter(!isDelta), k)
+    }
+    topkOf(stored.drop("rk").unionByName(docs.filter(isDelta)), k)
+      .select(col("source"), col("doc_id"), col("n_chars"), col("rk"))
+  }
+
+  def topkIvmDeltaSql(k: Int = 5): String =
+    s"""SELECT source, doc_id, n_chars, rk FROM (
+          SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id ASC) AS rk
+          FROM documents) t
+        WHERE rk <= $k"""
+
   // ---- curriculum phase allocator (q258) ----
 
   /** q258: CURRICULUM schedule — assign every document to one of four

@@ -109,6 +109,22 @@ class Round15OpsSpec extends SparkSpec {
     assert(same.getDouble(5) == 1.0)
   }
 
+  test("q267 IVM ≡ batch: stored top-k + delta re-rank equals the full-corpus window") {
+    import org.apache.spark.sql.expressions.Window
+    val ivm = PipelineOps.topkIvmDelta(spark, dir).collect().toSet
+    val full = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("doc_id"), col("n_chars"), col("rk"))
+      .collect().toSet
+    assert(ivm == full)
+    // the delta actually displaced something (non-vacuous)
+    assert(full.exists(_.getLong(1) % 10 == 9),
+      "no delta doc made any leaderboard — fixture signal lost")
+  }
+
   test("q257/q261: plan conservation — every bucket appears once with a lawful action") {
     val plan = Similarity.ivfRebalancePlan(spark, dir)
       .select(col("bucket"), col("n_vecs"), col("action"))
