@@ -67,6 +67,8 @@ object Bench {
     // q266's doc_id-ordered batch staging (four coalesce(1) writes)
     try operators.Dedup.noveltyStagedDocs(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prestage novelty: ${e.getMessage}") }
+    try SparkEntry.stagedTopkDocs(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] prestage topk: ${e.getMessage}") }
     try SparkEntry.stagedSourceDocs(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prestage docs: ${e.getMessage}") }
     // fixed name order: the Map's hash order shuffles between rounds,

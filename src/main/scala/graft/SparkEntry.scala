@@ -123,6 +123,18 @@ object SparkEntry {
         .write.mode("overwrite").parquet(p)
     }
 
+  /** q268's input staging: the skinny (source, doc_id, n_chars)
+    * projection as 8 files so maxFilesPerTrigger=2 yields four
+    * micro-batches; batch membership is irrelevant (top-k merging is
+    * order-insensitive), so no ordering layout is needed.
+    */
+  private[graft] def stagedTopkDocs(s: SparkSession, dir: String): String =
+    stagedOnce(dir, "docs_topk") { p =>
+      Tables.load(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .repartition(8).write.mode("overwrite").parquet(p)
+    }
+
   /** The plain-projection streaming consumers (q58/q60/q72/q78) used to
     * stage four separate filtered/projected copies of the event log —
     * four repartition+write passes over the same table per JVM, with
@@ -1468,6 +1480,36 @@ object SparkEntry {
       ((s, dir) => PipelineOps.curriculumPhases(s, dir)),
     // per-source top-k leaderboard maintained from stored top-k + delta
     "q267_topk_ivm_delta" -> ((s, dir) => PipelineOps.topkIvmDelta(s, dir)),
+    // q268: the LIVE leaderboard — per-source order-statistic state,
+    // versioned emissions compacted latest-per-source, q267's oracle
+    "q268_stream_topk" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = stagedTopkDocs(s, dir)
+      val ckpt = stageDir("q268_ckpt")
+      val name = memorySinkName(s, "q268")
+      try {
+        val sch = Tables.load(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars")).schema
+        val input = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "2").parquet(tmp)
+          .as[graft.streaming.StreamSequence.SrcDoc]
+        withStatePartitions(s, 8) {
+          val q = graft.streaming.StreamSequence.topkLeaderboard(input, 5)
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", ckpt).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      } finally rmTreeRetry(ckpt)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("ver").desc)
+      s.table(name)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("source"),
+          posexplode(arrays_zip(col("ids"), col("ncs"))).as(Seq("pos", "z")))
+        .select(col("source"), col("z.ids").as("doc_id"),
+          col("z.ncs").as("n_chars"), (col("pos") + 1).cast("int").as("rk"))
+        .localCheckpoint(true)
+    }),
     // the live conversion dashboard: q132's funnel as a per-user
     // FINITE-STATE MACHINE (stage + its µs time — two fields per
     // user); stage-reached emissions fold to the exact batch report
@@ -3259,6 +3301,8 @@ object SparkEntry {
     "q260_classifier_agreement" -> PipelineOps.classifierAgreementSql,
     "q258_curriculum_phases" -> PipelineOps.curriculumPhasesSql,
     "q267_topk_ivm_delta" -> PipelineOps.topkIvmDeltaSql(),
+    // converged leaderboard state = the batch window (q267's oracle)
+    "q268_stream_topk" -> PipelineOps.topkIvmDeltaSql(),
     "q253_stream_funnel" -> operators.Analytics.funnelNullFreeSql,
     "q256_stream_funnel_evicting" ->
       operators.Analytics.sessionFunnelSql(funnelHorizonNs),

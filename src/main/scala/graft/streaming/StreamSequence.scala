@@ -206,6 +206,41 @@ object StreamSequence {
       }
   }
 
+  // ---- live top-k leaderboard (q268): per-key ORDER-STATISTIC state ----
+
+  case class SrcDoc(source: String, doc_id: Long, n_chars: Long)
+  case class TopkState(ids: Array[Long], ncs: Array[Long], ver: Long)
+  case class TopkEmit(source: String, ver: Long, ids: Array[Long], ncs: Array[Long])
+
+  /** The fifth per-key state shape: a bounded ORDER STATISTIC — each
+    * source's state is its current top-k (two k-length arrays + a
+    * version), an arriving batch merges into it and truncates, and
+    * every update emits the whole (tiny) leaderboard under a
+    * monotonically increasing version so the output topic compacts to
+    * latest-per-source (the q05 upsert discipline). Insert-only
+    * arrivals can only displace, never resurrect (the q267 law), so
+    * the converged leaderboard equals the batch window whatever the
+    * batch split — top-k merging is order-insensitive. State is
+    * 2k longs + 1 per source: O(sources), bounded like the packing
+    * cursor; the hot-key bound of [[packed]] applies to the per-batch
+    * slice.
+    */
+  def topkLeaderboard(docs: Dataset[SrcDoc], k: Int): Dataset[TopkEmit] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[TopkState, TopkEmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[SrcDoc], state: GroupState[TopkState]) =>
+          val st = state.getOption.getOrElse(TopkState(Array.empty, Array.empty, 0L))
+          val merged = (st.ncs.zip(st.ids) ++ rows.map(d => (d.n_chars, d.doc_id)))
+            .sortBy { case (n, i) => (-n, i) }
+            .take(k)
+          val ns = TopkState(merged.map(_._2), merged.map(_._1), st.ver + 1)
+          state.update(ns)
+          Iterator.single(TopkEmit(src, ns.ver, ns.ids, ns.ncs))
+      }
+  }
+
   // ---- live sequence packing (q221): per-key RUNNING SUM state ----
 
   case class Doc(source: String, doc_id: Long, n_tok: Long)

@@ -181,6 +181,28 @@ class StreamSequenceSpec extends SparkSpec {
     assert(got.find(_.source == "cold").get.start == 0L)
   }
 
+  test("topkLeaderboard: cross-batch displacement with versioned emissions") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[SrcDoc]
+    val q = topkLeaderboard(input.toDS(), 2)
+      .writeStream.format("memory").queryName("topk_out").outputMode("append").start()
+    try {
+      input.addData(Seq(SrcDoc("a", 1L, 10L), SrcDoc("a", 2L, 20L), SrcDoc("a", 3L, 5L)))
+      q.processAllAvailable()
+      input.addData(Seq(SrcDoc("a", 4L, 15L))) // displaces doc 1
+      q.processAllAvailable()
+      input.addData(Seq(SrcDoc("a", 5L, 1L)))  // too small — board unchanged
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("topk_out").as[TopkEmit].collect().sortBy(_.ver)
+    assert(got.map(_.ver).toSeq == Seq(1L, 2L, 3L))
+    assert(got(0).ids.toSeq == Seq(2L, 1L) && got(0).ncs.toSeq == Seq(20L, 10L))
+    assert(got(1).ids.toSeq == Seq(2L, 4L) && got(1).ncs.toSeq == Seq(20L, 15L))
+    // a displaced doc never resurrects; the compacted (max-ver) board
+    // is the batch top-2 over everything seen
+    assert(got(2).ids.toSeq == Seq(2L, 4L))
+  }
+
   test("closedVersions: arrivals close the previous version across batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[EvV]
