@@ -1392,6 +1392,8 @@ object SparkEntry {
     "q234_ann_recall_eval" -> ((s, dir) => Similarity.annRecallEval(s, dir)),
     // the serving decision q234 feeds: smallest nprobe meeting recall
     "q264_nprobe_planner" -> ((s, dir) => Similarity.nprobePlanner(s, dir)),
+    // right-to-erasure: dirty-bucket-only delete from the stored index
+    "q269_ivf_index_delete" -> ((s, dir) => Similarity.ivfIndexDeleted(s, dir)),
     // the production drift score: PSI between month halves per
     // event-type bin, exact-integer numerators (one ln per cell)
     "q235_psi_drift" -> ((s, dir) => operators.DataQuality.psiDrift(s, dir)),
@@ -3577,5 +3579,7 @@ object SparkEntry {
     // and the C×C centroid grid from the same literals; q261's
     // converged live counters equal that occupancy cell-for-cell
     Similarity.ivfRebalancePlanSql().map("q257_ivf_rebalance_plan" -> _) ++
-    Similarity.ivfRebalancePlanSql().map("q261_stream_ivf_occupancy" -> _)
+    Similarity.ivfRebalancePlanSql().map("q261_stream_ivf_occupancy" -> _) ++
+    // q269's post-delete index = the surviving vectors' assignment
+    Similarity.ivfIndexDeletedSql().map("q269_ivf_index_delete" -> _)
 }

@@ -1180,6 +1180,80 @@ object Similarity {
         WHERE a.vec_id <> p.query_id AND ${cosSqlOn("p.qv", "a.v")} >= $minCos"""
     }
 
+  // ---- deletion from the stored index (q269) ----
+
+  private val delIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q269: DELETE from the stored IVF index — the right-to-erasure /
+    * retention path that completes the index lifecycle (append q87,
+    * re-embed compaction q91, rebalance q257/q261, delete here). The
+    * shared served index is never mutated: a fresh copy takes the
+    * deletion, and the delete itself is the q91 dirty-bucket
+    * discipline inverted — the buckets CONTAINING deleted vectors are
+    * the only ones re-read and dynamically overwritten (clean buckets'
+    * files are never opened, pinned by Round15OpsSpec on file
+    * identity), a bucket left empty loses its directory. Rewrite IO =
+    * Σ|dirty bucket|; the driver-side collect is the dirty bucket ID
+    * list (≤ C). Oracle: the assignment of the surviving vectors —
+    * trained-literal gated like the rest of the family.
+    */
+  def ivfIndexDeleted(s: SparkSession, dir: String, delMod: Int = 17): DataFrame = {
+    val cents = centsDF(s, dir)
+    val src = ivfIndexPath(s, dir, cents)
+    val p = delIdxCache.computeIfAbsent(dir, { _ =>
+      val out = graft.Fs.tmpDir("graft_ivf_del")
+      streamIdxRuns.track(out)
+      try {
+        s.read.parquet(src)
+          .withColumn("bucket", col("bucket").cast("int"))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(out)
+        deleteFromIndex(s, out, col("vec_id") % delMod === 0)
+      } catch { case e: Throwable => graft.Fs.rmTree(out); throw e }
+      out
+    })
+    s.read.parquet(p)
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
+        aggregate(col("v"), lit(0.0), (acc, x) => acc + x).as("vsum"))
+  }
+
+  /** The partition-pruned delete: only buckets holding a matching row
+    * are re-read and overwritten (dynamic partition overwrite); a
+    * dirty bucket left with no survivors loses its directory.
+    */
+  private[operators] def deleteFromIndex(s: SparkSession, path: String,
+      pred: Column): Unit = {
+    import s.implicits._
+    val idx = s.read.parquet(path)
+    val dirtyIds = idx.filter(pred).select(col("bucket")).distinct().as[Int].collect()
+    if (dirtyIds.nonEmpty) {
+      val keep = idx.filter(col("bucket").isin(dirtyIds.map(Integer.valueOf): _*) && !pred)
+        .localCheckpoint()
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try keep.write.mode("overwrite").partitionBy("bucket").parquet(path)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      val written = keep.select(col("bucket")).distinct().as[Int].collect().toSet
+      dirtyIds.filterNot(written).foreach(b => graft.Fs.rmTree(s"$path/bucket=$b"))
+    }
+  }
+
+  /** Oracle for [[ivfIndexDeleted]]: the assignment of the SURVIVING
+    * vectors, trained-literal gated.
+    */
+  def ivfIndexDeletedSql(delMod: Int = 17): Option[String] =
+    trainedRowsSql().map { rows =>
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql),
+        c AS (SELECT * FROM (VALUES $rows) AS vt(cent_id, cv)),
+        assigned AS ($assignedCteSql)
+        SELECT vec_id, bucket, list_sum(v) AS vsum FROM assigned
+        WHERE vec_id % $delMod <> 0"""
+    }
+
   // ---- nprobe serving-config planner (q264) ----
 
   /** q264: the SERVING-CONFIG decision q234's recall eval feeds — for

@@ -125,6 +125,30 @@ class Round15OpsSpec extends SparkSpec {
       "no delta doc made any leaderboard — fixture signal lost")
   }
 
+  test("q269: deletion rewrites ONLY dirty buckets — clean buckets' files untouched") {
+    val df = Seq((1L, Seq(1.0), 0), (2L, Seq(2.0), 0), (17L, Seq(3.0), 1),
+      (18L, Seq(5.0), 1), (34L, Seq(4.0), 2))
+      .toDF("vec_id", "v", "bucket")
+    val path = graft.Fs.tmpDir("graft_del_spec")
+    try {
+      df.repartition(col("bucket")).write.mode("overwrite")
+        .partitionBy("bucket").parquet(path)
+      def files(b: Int) = Option(new java.io.File(s"$path/bucket=$b").listFiles())
+        .map(_.filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified())).toSet)
+      val clean0 = files(0)
+      Similarity.deleteFromIndex(spark, path, col("vec_id") % 17 === 0)
+      // bucket 0 holds no deleted rows: its files are untouched —
+      // byte-identical names and mtimes (the IO ∝ dirty proof)
+      assert(files(0) == clean0)
+      // bucket 1 rewritten without vec 17; bucket 2 left empty → dir gone
+      val left = spark.read.parquet(path)
+        .select(col("vec_id")).as[Long].collect().sorted.toSeq
+      assert(left == Seq(1L, 2L, 18L))
+      assert(!new java.io.File(s"$path/bucket=2").exists())
+    } finally graft.Fs.rmTree(path)
+  }
+
   test("q257/q261: plan conservation — every bucket appears once with a lawful action") {
     val plan = Similarity.ivfRebalancePlan(spark, dir)
       .select(col("bucket"), col("n_vecs"), col("action"))
