@@ -1029,6 +1029,9 @@ object SparkEntry {
     "q262_novelty_ivm_delta" -> ((s, dir) => Dedup.noveltyIvmDelta(s, dir)),
     // novelty AT INGEST: claim-on-arrival gram index, q148's oracle
     "q266_stream_novelty" -> ((s, dir) => Dedup.streamNovelty(s, dir)),
+    // decontamination AT INGEST: stream-static probe of the eval-suite
+    // gram set, per-doc verdicts appended — q66's oracle unchanged
+    "q270_stream_decontaminate" -> ((s, dir) => Dedup.streamDecontaminate(s, dir)),
     // Rand index between the 0.8 and 0.7 threshold clusterings
     "q265_cluster_stability" -> ((s, dir) => Dedup.clusterStability(s, dir)),
     "q21_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashNearDuplicates(s, dir)),
@@ -3153,6 +3156,7 @@ object SparkEntry {
     "q262_novelty_ivm_delta" -> Dedup.noveltyIvmDeltaSql(),
     // converged ingest emissions = the batch first-seen derivation
     "q266_stream_novelty" -> Dedup.noveltyScoresSql,
+    "q270_stream_decontaminate" -> Dedup.decontaminateSql(),
     "q265_cluster_stability" -> Dedup.clusterStabilitySql(),
     "q21_dedup_minhash_lsh" -> Dedup.nearDuplicatesSql(),
     "q22_dedup_simhash" -> Dedup.simhashSql,
