@@ -1032,6 +1032,9 @@ object SparkEntry {
     // decontamination AT INGEST: stream-static probe of the eval-suite
     // gram set, per-doc verdicts appended — q66's oracle unchanged
     "q270_stream_decontaminate" -> ((s, dir) => Dedup.streamDecontaminate(s, dir)),
+    // the live gate's emission topic rolled up to the release dashboard
+    "q271_stream_contamination_bounds" ->
+      ((s, dir) => Dedup.streamContaminationBounds(s, dir)),
     // Rand index between the 0.8 and 0.7 threshold clusterings
     "q265_cluster_stability" -> ((s, dir) => Dedup.clusterStability(s, dir)),
     "q21_dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashNearDuplicates(s, dir)),
@@ -3157,6 +3160,7 @@ object SparkEntry {
     // converged ingest emissions = the batch first-seen derivation
     "q266_stream_novelty" -> Dedup.noveltyScoresSql,
     "q270_stream_decontaminate" -> Dedup.decontaminateSql(),
+    "q271_stream_contamination_bounds" -> Dedup.contaminationBySourceSql(),
     "q265_cluster_stability" -> Dedup.clusterStabilitySql(),
     "q21_dedup_minhash_lsh" -> Dedup.nearDuplicatesSql(),
     "q22_dedup_simhash" -> Dedup.simhashSql,

@@ -878,4 +878,22 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q267: the top-k IVM plans as WindowGroupLimit over stored + delta, no cross product") {
+    val p = plan("q267_topk_ivm_delta")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q258: the curriculum's interval join broadcasts the bounded grid") {
+    val p = plan("q258_curriculum_phases")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q259: the span plan is one projection + explode — zero exchanges") {
+    val p = plan("q259_span_corruption_plan")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate"), p) // the bounded explode
+  }
 }
