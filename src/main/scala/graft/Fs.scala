@@ -60,8 +60,22 @@ object Fs {
       s"mtime stamp failed (wanted $mtime, have ${f.lastModified()}): ${f.getPath}")
   }
 
-  def tmpDir(tag: String): String = java.nio.file.Files.createTempDirectory(
-    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), tag).toString
+  /** Prefers tmpfs (/dev/shm) over java.io.tmpdir: /tmp is disk-backed
+    * here, and the streaming harnesses funnel every checkpoint write
+    * (offset log, commit log, state-store deltas — all fsync'd by
+    * Spark) through this helper. A Kafka/cloud deployment would equally
+    * not pay local-disk fsyncs on the driver for stream bookkeeping,
+    * and disk /tmp is also the surface co-tenant IO contention hits
+    * (tools/BENCH_SMEAR_r15.md) — tmpfs takes the fsync path out of
+    * both stories.
+    */
+  def tmpDir(tag: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, tag).toString
+  }
 
   /** Per-invocation output-dir lifecycle shared by the streaming
     * harnesses that append into fresh dirs each run (q87's index

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import scala.collection.mutable
+
+/** Diagnostic main for the streaming serving floor (r15 verdict item 1:
+  * 62 live queries ≈ 1.7 s each of micro-batch machinery = 60% of the
+  * bench board). Runs a set of registered streaming queries with a
+  * [[StreamingQueryListener]] attached and itemizes, per invocation:
+  *
+  *   - wall-clock of the whole invocation (what Bench times)
+  *   - per-batch `durationMs` from the progress events — addBatch
+  *     (actual work), queryPlanning (per-batch re-plan), getBatch /
+  *     latestOffset (source), walCommit / commitOffsets (checkpoint
+  *     fsyncs), triggerExecution (the whole trigger)
+  *   - the residual = wall − Σ triggerExecution: stream start/stop,
+  *     fixture staging, result materialization — everything outside
+  *     the trigger loop.
+  *
+  * Output: one JSON line per (query, run), then one aggregate line.
+  * Usage: `sbt "runMain graft.ProfileStreaming [q08_stream_denorm ...]"`
+  * (default: a representative spread of the streaming classes).
+  */
+object ProfileStreaming {
+
+  private final case class BatchRow(batchId: Long, inputRows: Long,
+      durations: Map[String, Long], stateMs: Long)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_PROFILE_RUNS", "3").toInt
+    val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val names: Seq[String] =
+      if (args.nonEmpty) args.toSeq
+      else Seq(
+        // one per streaming family: fMGWS join, foreachBatch gate,
+        // windowed agg, per-key FSM, complete-mode sketch, live IVM
+        "q08_stream_denorm", "q93_stream_ingest_neardup",
+        "q107_stream_quality_monitor", "q253_stream_funnel",
+        "q100_stream_quantile_maintenance", "q254_stream_overlap_delta",
+        "q266_stream_novelty", "q270_stream_decontaminate")
+
+    // prestage everything Bench prestages, so profiled runs measure
+    // serving, not fixture staging
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    Seq[() => Any](
+      () => SparkEntry.stagedEventsShared(spark, sfDir),
+      () => operators.Similarity.prestageStreamed(spark, sfDir),
+      () => SparkEntry.stagedUserPartEvents(spark, sfDir),
+      () => SparkEntry.prestageStreamDenorm(spark, sfDir),
+      () => SparkEntry.stagedMultiHopIdx1(spark, sfDir),
+      () => SparkEntry.stagedTimeBucketEvents(spark, sfDir),
+      () => operators.Dedup.prestageIngest(spark, sfDir),
+      () => operators.Dedup.noveltyStagedDocs(spark, sfDir),
+      () => operators.Dedup.stagedDeconVerdicts(spark, sfDir),
+      () => SparkEntry.stagedTopkDocs(spark, sfDir),
+      () => SparkEntry.stagedSourceDocs(spark, sfDir)
+    ).foreach(f => try f() catch { case e: Throwable =>
+      System.err.println(s"[profile] prestage: ${e.getMessage}") })
+
+    val batches = mutable.ArrayBuffer.empty[BatchRow]
+    val starts = mutable.ArrayBuffer.empty[Long] // nanoTime at onQueryStarted
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit =
+        starts.synchronized { starts += System.nanoTime() }
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        val dur = p.durationMs
+        val m = dur.keySet().toArray(Array.empty[String])
+          .map(k => k -> dur.get(k).longValue()).toMap
+        val st = p.stateOperators.map(s => s.commitTimeMs).sum
+        batches.synchronized {
+          batches += BatchRow(p.batchId, p.numInputRows, m, st)
+        }
+      }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+
+    val keys = Seq("triggerExecution", "addBatch", "queryPlanning",
+      "getBatch", "latestOffset", "walCommit", "commitOffsets")
+
+    val agg = mutable.LinkedHashMap.empty[String, Array[Double]]
+    for (name <- names; run <- 1 to runs) {
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name"))
+      batches.synchronized { batches.clear() }
+      starts.synchronized { starts.clear() }
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val wallMs = (System.nanoTime() - t0) / 1e6
+      // listener events are async; progress for AvailableNow streams is
+      // flushed before awaitTermination returns, but give the bus a beat
+      Thread.sleep(200)
+      val (rows, nStreams) = batches.synchronized {
+        (batches.toVector, starts.synchronized(starts.size))
+      }
+      val sums = keys.map(k =>
+        k -> rows.map(_.durations.getOrElse(k, 0L)).sum.toDouble).toMap
+      val stateMs = rows.map(_.stateMs).sum
+      val trig = sums("triggerExecution")
+      val residual = wallMs - trig
+      val line = Seq(
+        s""""query":${Json.quote(name)}""",
+        s""""run":$run""",
+        s""""wall_ms":${f"$wallMs%.1f"}""",
+        s""""n_streams":$nStreams""",
+        s""""n_batches":${rows.size}""",
+        s""""state_commit_ms":$stateMs""",
+        s""""residual_ms":${f"$residual%.1f"}""") ++
+        keys.map(k => s""""${k}_ms":${sums(k)}""")
+      println(line.mkString("{", ",", "}"))
+      val cur = agg.getOrElseUpdate(name,
+        Array.fill(keys.size + 2)(Double.MaxValue))
+      // keep the MIN run per query (the reproducible steady state)
+      if (wallMs < cur(0)) {
+        cur(0) = wallMs; cur(1) = residual
+        keys.zipWithIndex.foreach { case (k, i) => cur(i + 2) = sums(k) }
+      }
+    }
+    val totW = agg.values.map(_(0)).sum
+    val totR = agg.values.map(_(1)).sum
+    val totK = keys.zipWithIndex.map { case (k, i) =>
+      s""""${k}_ms":${agg.values.map(_(i + 2)).sum}""" }
+    println((Seq(
+      s""""metric":"profile_min_sums"""",
+      s""""queries":${agg.size}""",
+      s""""wall_ms":${f"$totW%.1f"}""",
+      s""""residual_ms":${f"$totR%.1f"}""") ++ totK).mkString("{", ",", "}"))
+    spark.stop()
+  }
+}

@@ -21,13 +21,7 @@ object SparkEntry {
     * Kafka/cloud deployment would equally not pay local-disk fsyncs on
     * the driver for it.
     */
-  private def stageDir(tag: String): String = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val base =
-      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    java.nio.file.Files.createTempDirectory(base, s"graft_$tag").toString
-  }
+  private def stageDir(tag: String): String = Fs.tmpDir(s"graft_$tag")
 
   // tree deletion lives in the hook-safe [[Fs]] (see its scaladoc);
   // these forwarders keep the existing call sites and tests stable
@@ -88,8 +82,12 @@ object SparkEntry {
     */
   private[graft] def stagedTimeBucketEvents(s: SparkSession, dir: String): String =
     stagedOnce(dir, "events_timebk") { p =>
+      // superset projection (value rides along for the q273 consumer;
+      // q256/q272 declare narrower read schemas — the parquet source
+      // prunes to the declared columns)
       val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
-        .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          col("event_type"), col("value"))
         .localCheckpoint(true)
       val mm = ev.agg(min(col("ts_ns")), max(col("ts_ns"))).head()
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
@@ -1546,6 +1544,61 @@ object SparkEntry {
         }
       } finally rmTreeRetry(ckpt)
       operators.Analytics.sessionFunnelFold(s.table(name))
+    }),
+    // q272: the evicting live Markov — q207's LAG state bounded by the
+    // q256 mechanism pair (in-function horizon guard + EventTimeTimeout
+    // eviction) over time-bucketed (log-append-order) delivery; the
+    // matrix counts only within-horizon transitions, state is O(users
+    // active within the horizon)
+    "q272_stream_markov_evicting" -> ((s, dir) => {
+      import s.implicits._
+      val evSch = Tables.events(s, dir)
+        .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+        .schema
+      val tmp = stagedTimeBucketEvents(s, dir)
+      val ckpt = stageDir("q272_ckpt")
+      val name = memorySinkName(s, "q272")
+      try {
+        val input = s.readStream.schema(evSch)
+          .option("maxFilesPerTrigger", "2").parquet(tmp)
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+        withStatePartitions(s, 8) {
+          val q = graft.streaming.StreamSequence
+            .transitionsEvicting(
+              input.as[graft.streaming.StreamSequence.EvW], funnelHorizonNs)
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", ckpt).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      } finally rmTreeRetry(ckpt)
+      operators.Analytics.markovFold(s.table(name))
+    }),
+    // q273: the evicting live SCD2 — a version is closed only by a
+    // successor within the horizon; idle versions stay in (bounded)
+    // state until evicted, queryable as the upsert view at archival
+    "q273_stream_scd2_evicting" -> ((s, dir) => {
+      import s.implicits._
+      val evSch = Tables.events(s, dir)
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          col("event_type"), col("value"))
+        .schema
+      val tmp = stagedTimeBucketEvents(s, dir)
+      val ckpt = stageDir("q273_ckpt")
+      val name = memorySinkName(s, "q273")
+      try {
+        val input = s.readStream.schema(evSch)
+          .option("maxFilesPerTrigger", "2").parquet(tmp)
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+        withStatePartitions(s, 8) {
+          val q = graft.streaming.StreamSequence
+            .closedVersionsEvicting(
+              input.as[graft.streaming.StreamSequence.EvVW], funnelHorizonNs)
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", ckpt).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      } finally rmTreeRetry(ckpt)
+      s.table(name)
     }),
     "q253_stream_funnel" -> ((s, dir) => {
       import s.implicits._
@@ -3316,6 +3369,10 @@ object SparkEntry {
     "q253_stream_funnel" -> operators.Analytics.funnelNullFreeSql,
     "q256_stream_funnel_evicting" ->
       operators.Analytics.sessionFunnelSql(funnelHorizonNs),
+    "q272_stream_markov_evicting" ->
+      operators.Analytics.markovTransitionsEvictingSql(funnelHorizonNs),
+    "q273_stream_scd2_evicting" ->
+      operators.Analytics.scd2ClosedEvictingSql(funnelHorizonNs),
     "q252_stream_length_ks" -> PipelineOps.lengthKsMatrixSql(),
     "q230_stream_json_quarantine" -> operators.DataQuality.jsonQuarantineSql,
     "q223_packed_contamination" -> PipelineOps.packedContaminationSql(),

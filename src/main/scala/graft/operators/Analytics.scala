@@ -741,6 +741,45 @@ object Analytics {
        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
        QUALIFY lead(ts, 1) OVER w IS NOT NULL"""
 
+  /** Oracle for the EVICTING live Markov (q272): q207's matrix
+    * restricted to the horizon — a pair whose intra-user gap exceeds
+    * `horizonNs` is a session break, not a transition. This is exactly
+    * what the TTL'd LAG state computes: a cross-horizon successor finds
+    * either evicted state or a stale row the in-function horizon guard
+    * discards — both paths emit nothing (the q256 agreement argument).
+    * Denominators shift with the numerators (n_cur sums the KEPT pairs),
+    * so p_micro is the within-horizon conditional.
+    */
+  def markovTransitionsEvictingSql(horizonNs: Long): String =
+    s"""WITH seq AS (
+         SELECT event_type AS cur,
+                lead(event_type) OVER w AS nxt,
+                epoch_ns(lead(ts, 1) OVER w) - epoch_ns(ts) AS gap
+         FROM events WHERE user_id IS NOT NULL
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       tr AS (SELECT cur, nxt, count(*)::BIGINT AS n FROM seq
+              WHERE nxt IS NOT NULL AND gap <= $horizonNs GROUP BY 1, 2),
+       rt AS (SELECT cur, sum(n)::BIGINT AS n_cur FROM tr GROUP BY 1)
+       SELECT t.cur, t.nxt, t.n,
+              ((t.n * 1000000) // r.n_cur)::BIGINT AS p_micro
+       FROM tr t JOIN rt r ON t.cur = r.cur"""
+
+  /** Oracle for the EVICTING live SCD2 (q273): q208's closed history
+    * restricted to the horizon — a version is closed (final, emittable
+    * under Append) only by a successor arriving within `horizonNs`; a
+    * version whose user went idle past the horizon is not closed by the
+    * stream (it is the upsert view's latest row at archival time — the
+    * reference's own archival TODO is the policy for it).
+    */
+  def scd2ClosedEvictingSql(horizonNs: Long): String =
+    s"""SELECT user_id, event_id, event_type, value,
+              epoch_us(ts)::BIGINT AS valid_from_us,
+              epoch_us(lead(ts, 1) OVER w)::BIGINT AS valid_to_us
+       FROM events WHERE user_id IS NOT NULL
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+       QUALIFY lead(ts, 1) OVER w IS NOT NULL
+         AND epoch_ns(lead(ts, 1) OVER w) - epoch_ns(ts) <= $horizonNs"""
+
   // ---- retention cohort analysis (q165) ----
 
   /** Weekly retention cohorts — the canonical product-analytics

@@ -1183,7 +1183,7 @@ object Similarity {
   // ---- deletion from the stored index (q269) ----
 
   private val delIdxCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
 
   /** q269: DELETE from the stored IVF index — the right-to-erasure /
     * retention path that completes the index lifecycle (append q87,
@@ -1201,7 +1201,7 @@ object Similarity {
   def ivfIndexDeleted(s: SparkSession, dir: String, delMod: Int = 17): DataFrame = {
     val cents = centsDF(s, dir)
     val src = ivfIndexPath(s, dir, cents)
-    val p = delIdxCache.computeIfAbsent(dir, { _ =>
+    val p = delIdxCache.computeIfAbsent((dir, delMod), { _ =>
       val out = graft.Fs.tmpDir("graft_ivf_del")
       streamIdxRuns.track(out)
       try {

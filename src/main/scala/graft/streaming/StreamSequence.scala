@@ -206,6 +206,102 @@ object StreamSequence {
       }
   }
 
+  // ---- evicting LAG family (q272/q273): the q256 TTL discipline ----
+
+  /** [[transitions]] with BOUNDED per-user state — the r15 verdict's
+    * remaining NoTimeout per-user shape, closed with the exact q256
+    * mechanism pair:
+    *
+    *  - in-function HORIZON GUARD: a pair whose gap exceeds
+    *    `horizonNs` is not a transition — the user's chain restarts at
+    *    the new arrival (session semantics: next-event prediction
+    *    across a multi-day absence is a different modeling problem,
+    *    and the Markov matrix should not count it);
+    *  - EventTimeTimeout EVICTION: each update arms a timer at
+    *    (last event time + horizon); once the watermark passes it the
+    *    user's LAG row is removed — state is O(users active within
+    *    the horizon), never O(users ever seen).
+    *
+    * Agreement (the q256 proof, verbatim): eviction fires only when
+    * the watermark exceeds last + horizon; under time-ordered
+    * (log-append-order) delivery any later re-arrival has
+    * gap > horizon, so the fresh-state path and the horizon-guard
+    * path produce the same (no) emission — output is invariant to
+    * when the state store physically reclaims. Pinned in
+    * StreamSequenceSpec alongside q256's.
+    */
+  def transitionsEvicting(ev: Dataset[EvW], horizonNs: Long): Dataset[Transition] = {
+    import ev.sparkSession.implicits._
+    ev.withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEv, Transition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[EvW], state: GroupState[LastEv]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toArray.sortBy(e => (e.ts_ns, e.event_id))
+            val out = Array.newBuilder[Transition]
+            var prev = state.getOption
+            for (e <- sorted) {
+              prev.foreach { p =>
+                if (e.ts_ns - p.ts_ns <= horizonNs)
+                  out += Transition(uid, p.event_type, e.event_type)
+              }
+              prev = Some(LastEv(e.ts_ns, e.event_id, e.event_type))
+            }
+            prev.foreach(state.update)
+            state.setTimeoutTimestamp(math.max(
+              sorted.last.ts_ns / 1000000L + horizonNs / 1000000L,
+              state.getCurrentWatermarkMs() + 1L))
+            out.result().iterator
+          }
+      }
+  }
+
+  /** [[closedVersions]] with BOUNDED per-user state — same mechanism
+    * pair as [[transitionsEvicting]]. A version is CLOSED (emitted)
+    * only by a successor arriving within the horizon; an arrival past
+    * the horizon finds either evicted state or a stale open version
+    * the horizon guard discards — both paths open a fresh version and
+    * emit nothing, so output is eviction-timing-invariant. The
+    * discarded open version is not lost data in a served deployment:
+    * it is the upsert view's latest row (O8) at archival time — the
+    * reference's own archival TODO (`HackerNewsPipeline.java:35-36`)
+    * is exactly the policy decision of what to do with it.
+    */
+  def closedVersionsEvicting(ev: Dataset[EvVW], horizonNs: Long): Dataset[ClosedVersion] = {
+    import ev.sparkSession.implicits._
+    ev.withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EvV, ClosedVersion](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[EvVW], state: GroupState[EvV]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toArray.sortBy(e => (e.ts_ns, e.event_id))
+            val out = Array.newBuilder[ClosedVersion]
+            var prev = state.getOption
+            for (e <- sorted) {
+              prev.foreach { p =>
+                if (e.ts_ns - p.ts_ns <= horizonNs)
+                  out += ClosedVersion(uid, p.event_id, p.event_type, p.value,
+                    p.ts_ns / 1000L, e.ts_ns / 1000L)
+              }
+              prev = Some(EvV(uid, e.ts_ns, e.event_id, e.event_type, e.value))
+            }
+            prev.foreach(state.update)
+            state.setTimeoutTimestamp(math.max(
+              sorted.last.ts_ns / 1000000L + horizonNs / 1000000L,
+              state.getCurrentWatermarkMs() + 1L))
+            out.result().iterator
+          }
+      }
+  }
+
+  /** [[EvV]] plus the proper-TIMESTAMP column the watermark needs. */
+  case class EvVW(user_id: Long, ts_ns: Long, event_id: Long,
+      event_type: String, value: java.lang.Double, ts: java.sql.Timestamp)
+
   // ---- live top-k leaderboard (q268): per-key ORDER-STATISTIC state ----
 
   case class SrcDoc(source: String, doc_id: Long, n_chars: Long)

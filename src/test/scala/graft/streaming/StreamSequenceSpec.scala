@@ -203,6 +203,92 @@ class StreamSequenceSpec extends SparkSpec {
     assert(got(2).ids.toSeq == Seq(2L, 4L))
   }
 
+  test("transitionsEvicting: horizon guard, physical eviction, and the " +
+      "evicted-key re-arrival contract (q272)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val H = 1000000000L // 1 s horizon
+    val input = MemoryStream[EvW]
+    val q = transitionsEvicting(input.toDS(), H)
+      .writeStream.format("memory").queryName("trans_evict_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 chains a→b (gap 0.1 s); user 2 seeds one event
+      input.addData(Seq(evw(1L, 100000000L, 1L, "a"),
+        evw(1L, 200000000L, 2L, "b"), evw(2L, 200000000L, 3L, "x")))
+      q.processAllAvailable()
+      // batch 2 at t=5 s: watermark passes user 1's TTL (0.2+1 s) →
+      // state evicted; user 2's own arrival has gap 4.8 s > 1 s → the
+      // horizon guard drops the would-be x→y pair (no cross-gap
+      // transition), state replaced in place
+      input.addData(Seq(evw(2L, 5000000000L, 4L, "y")))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 1L,
+        "user 1 idle past the horizon must be evicted from the store")
+      // batch 3: the EVICTED user re-arrives — fresh state emits
+      // nothing for the first event (exactly what the horizon guard
+      // would have produced had the state survived), then chains
+      input.addData(Seq(evw(1L, 6000000000L, 5L, "c"),
+        evw(1L, 6100000000L, 6L, "d")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("trans_evict_out").as[Transition].collect().toSet
+    assert(got == Set(Transition(1L, "a", "b"), Transition(1L, "c", "d")),
+      "no transition may span a gap > horizon, evicted or not")
+  }
+
+  test("transitionsEvicting: an intra-batch gap drops the pair without " +
+      "any eviction involved (the deterministic semantic)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val H = 1000000000L
+    val input = MemoryStream[EvW]
+    val q = transitionsEvicting(input.toDS(), H)
+      .writeStream.format("memory").queryName("trans_gap_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(evw(9L, 10000000000L, 1L, "a"),
+        evw(9L, 12000000000L, 2L, "b"),   // gap 2 s > 1 s → dropped
+        evw(9L, 12500000000L, 3L, "c"))) // gap 0.5 s → kept
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("trans_gap_out").as[Transition].collect().toSeq
+    assert(got == Seq(Transition(9L, "b", "c")))
+  }
+
+  private def evvw(uid: Long, tNs: Long, id: Long, typ: String,
+      v: java.lang.Double): EvVW =
+    EvVW(uid, tNs, id, typ, v, new java.sql.Timestamp(tNs / 1000000L))
+
+  test("closedVersionsEvicting: only within-horizon successors close a " +
+      "version; eviction and the gap guard agree (q273)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val H = 1000000000L
+    val input = MemoryStream[EvVW]
+    val q = closedVersionsEvicting(input.toDS(), H)
+      .writeStream.format("memory").queryName("scd2_evict_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(evvw(1L, 100000000L, 1L, "a", 1.5),
+        evvw(1L, 200000000L, 2L, "b", null), evvw(2L, 200000000L, 3L, "x", 9.0)))
+      q.processAllAvailable()
+      // t=5 s: user 1 evicted (its open "b" version is never emitted —
+      // it is the upsert view's latest row, archival policy's problem);
+      // user 2's stale "x" is discarded by the gap guard, same outcome
+      input.addData(Seq(evvw(2L, 5000000000L, 4L, "y", 2.0)))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 1L)
+      // the evicted user re-arrives: fresh chain, closes within-horizon
+      input.addData(Seq(evvw(1L, 6000000000L, 5L, "c", 3.0),
+        evvw(1L, 6100000000L, 6L, "d", 4.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("scd2_evict_out").as[ClosedVersion].collect()
+      .sortBy(_.valid_from_us)
+    assert(got.toSeq == Seq(
+      ClosedVersion(1L, 1L, "a", 1.5, 100000L, 200000L),
+      ClosedVersion(1L, 5L, "c", 3.0, 6000000L, 6100000L)),
+      "cross-gap versions must not close; NULL value survives boxing")
+  }
+
   test("closedVersions: arrivals close the previous version across batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[EvV]
