@@ -33,6 +33,13 @@ object ProfileStreaming {
     val runs = sys.env.getOrElse("SPARK_GRAFT_PROFILE_RUNS", "3").toInt
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ad-hoc conf experiments: SPARK_GRAFT_PROFILE_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_PROFILE_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+      System.err.println(s"[profile] conf $k=$v")
+    })
+    val perBatch = sys.env.get("SPARK_GRAFT_PROFILE_BATCHES").contains("1")
 
     val names: Seq[String] =
       if (args.nonEmpty) args.toSeq
@@ -41,7 +48,7 @@ object ProfileStreaming {
         // windowed agg, per-key FSM, complete-mode sketch, live IVM
         "q08_stream_denorm", "q93_stream_ingest_neardup",
         "q107_stream_quality_monitor", "q253_stream_funnel",
-        "q100_stream_quantile_maintenance", "q254_stream_overlap_delta",
+        "q100_stream_quantile_maintenance",
         "q266_stream_novelty", "q270_stream_decontaminate")
 
     // prestage everything Bench prestages, so profiled runs measure
@@ -101,6 +108,12 @@ object ProfileStreaming {
       Thread.sleep(200)
       val (rows, nStreams) = batches.synchronized {
         (batches.toVector, starts.synchronized(starts.size))
+      }
+      if (perBatch) rows.foreach { r =>
+        val ds = r.durations.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+        println(s"""{"query":${Json.quote(name)},"run":$run,"batch":${r.batchId},""" +
+          s""""rows":${r.inputRows},"state_commit_ms":${r.stateMs},$ds}""")
       }
       val sums = keys.map(k =>
         k -> rows.map(_.durations.getOrElse(k, 0L)).sum.toDouble).toMap

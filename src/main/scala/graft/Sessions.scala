@@ -21,6 +21,21 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.ui.enabled", "false")
+      // Checkpoint IO path, profiled in tools/STREAM_FLOOR_r16.md: the
+      // Spark 4.1 default wraps a FileContext-based manager in
+      // ChecksumCheckpointFileManager, and on this host EVERY manager
+      // op (offset-log write, commit-log write, source-log append,
+      // per-partition state commit) costs ~35 ms through FileContext —
+      // even on tmpfs, so it is JVM/Hadoop-layer cost, not IO. The
+      // rename-based FileSystem manager does the same ops in ~8 ms,
+      // and POSIX rename gives the same atomic-visibility guarantee on
+      // a LOCAL filesystem. Deployment knob: on HDFS/cloud checkpoints
+      // revert to the default manager (FileContext semantics matter
+      // there) by overriding both keys.
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing." +
+          "FileSystemBasedCheckpointFileManager")
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
 
   /** Micro-batch conf scope for `foreachBatch` bodies whose frames are
     * batch-sized: AQE's stage-materialization sub-jobs and the

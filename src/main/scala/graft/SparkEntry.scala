@@ -850,9 +850,17 @@ object SparkEntry {
     * 4-partition index topic is the same decision); here the local
     * harness uses 8.
     */
+  /** Deployment override for the local harness's state-partition
+    * count (a real cluster sizes this to key cardinality; profiling
+    * wants to sweep it without recompiling).
+    */
+  private val statePartitionsOverride =
+    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt)
+
   private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    s.conf.set("spark.sql.shuffle.partitions",
+      statePartitionsOverride.getOrElse(n).toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 

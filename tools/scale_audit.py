@@ -1,10 +1,12 @@
 #!/usr/bin/env python3
-"""Scaling-exponent audit (round-15 verdict item 6).
+"""Scaling-exponent audit (r15 verdict item 6; extended to the r15/r16
+closing queries per r16 verdict item 2).
 
 Runs the audit set (the most expensive streaming + batch queries from
-the r14 cross-run minima) through graft.Bench at sf0.001/0.01/0.1 —
-Bench itself takes min-of-2 (3 for streaming) per query — then fits
-the growth exponent between the two largest SFs:
+the cross-run minima, plus every query added since commit 07e63e5)
+through graft.Bench at sf0.001/0.01/0.1 — Bench itself takes min-of-2
+(3 for streaming) per query — then fits the growth exponent between
+the two largest SFs:
 
     alpha = log10(t(sf0.1) / t(sf0.01))
 
@@ -16,17 +18,19 @@ used in the fit. Usage:
 
     python3 tools/scale_audit.py run    # 3 sbt invocations, ~15 min
     python3 tools/scale_audit.py report # prints the table, writes
-                                        # tools/SCALE_AUDIT_r15.md
+                                        # tools/SCALE_AUDIT_r16.md
 """
 import json, os, subprocess, sys, math
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = "/tmp/scale_audit"
+OUT = "/tmp/scale_audit_r16"
 SFS = ["0.001", "0.01", "0.1"]
+REPORT = "tools/SCALE_AUDIT_r16.md"
 
-# top streaming + top batch by BENCH_LOCAL_r14 cross-run minima,
-# plus the round-15 additions (q255/q256) so their scale shape is
-# recorded from birth
+# top streaming + top batch by cross-run minima, plus EVERY query that
+# did not exist at 07e63e5 (q257-q273 — the r15 closers and the r16
+# evicting-LAG pair), so the superlinearity check has seen the whole
+# recent surface
 AUDIT = [
     "q246_stream_multihop_outer", "q217_stream_denorm_multihop",
     "q146_stream_windowed_cms_evicting", "q93_stream_ingest_neardup",
@@ -44,6 +48,16 @@ AUDIT = [
     "q09_agg_pricing", "q130_pagerank", "q153_video_segment_dedup",
     "q213_personalized_pagerank", "q156_pmi_cooccurrence",
     "q255_stream_multihop_outer_hop1", "q256_stream_funnel_evicting",
+    # everything born after 07e63e5
+    "q257_ivf_rebalance_plan", "q258_curriculum_phases",
+    "q259_span_corruption_plan", "q260_classifier_agreement",
+    "q261_stream_ivf_occupancy", "q262_novelty_ivm_delta",
+    "q263_contamination_bounds", "q264_nprobe_planner",
+    "q265_cluster_stability", "q266_stream_novelty",
+    "q267_topk_ivm_delta", "q268_stream_topk",
+    "q269_ivf_index_delete", "q270_stream_decontaminate",
+    "q271_stream_contamination_bounds",
+    "q272_stream_markov_evicting", "q273_stream_scd2_evicting",
 ]
 
 
@@ -80,7 +94,7 @@ def report():
         alpha = math.log10(t[2] / t[1]) if t[1] > 0 else None
         rows.append((name, t, alpha))
     rows.sort(key=lambda r: -(r[2] if r[2] is not None else 9))
-    lines = ["# Scaling-exponent audit (round 15)", "",
+    lines = ["# Scaling-exponent audit (round 16)", "",
              "alpha = log10(t(sf0.1)/t(sf0.01)); data grows 10x, so",
              "1.0 = linear, <1 = overhead-dominated, >1.3 = flagged.", "",
              "| query | sf0.001 | sf0.01 | sf0.1 | alpha |",
@@ -92,7 +106,7 @@ def report():
         lines.append(f"| {name} | {ts} | {astr}{flag} |")
     text = "\n".join(lines) + "\n"
     print(text)
-    with open(f"{REPO}/tools/SCALE_AUDIT_r15.md", "w") as f:
+    with open(f"{REPO}/{REPORT}", "w") as f:
         f.write(text)
 
 
