@@ -1608,6 +1608,30 @@ object SparkEntry {
       } finally rmTreeRetry(ckpt)
       s.table(name)
     }),
+    // q274: sliding-window context-chunk plan (RAG/long-context layout)
+    // — map-only integer construction, one bounded explode, zero
+    // exchanges (the q259 discipline); fixture-adapted L=48/S=32
+    "q274_chunk_plan" -> ((s, dir) => PipelineOps.chunkPlan(s, dir)),
+    // q275: the chunker AT INGEST — stateless per-batch projection of
+    // the same integer construction; converged emissions = q274's plan
+    "q275_stream_chunker" -> ((s, dir) => {
+      val tmp = stagedSourceDocs(s, dir)
+      val ckpt = stageDir("q275_ckpt")
+      val name = memorySinkName(s, "q275")
+      try {
+        val sch = s.read.parquet(tmp).schema
+        val input = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "2").parquet(tmp)
+        withStatePartitions(s, 8) {
+          val q = PipelineOps
+            .chunkDerived(input, PipelineOps.chunkLen, PipelineOps.chunkStride)
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", ckpt).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      } finally rmTreeRetry(ckpt)
+      s.table(name)
+    }),
     "q253_stream_funnel" -> ((s, dir) => {
       import s.implicits._
       val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
@@ -3381,6 +3405,8 @@ object SparkEntry {
       operators.Analytics.markovTransitionsEvictingSql(funnelHorizonNs),
     "q273_stream_scd2_evicting" ->
       operators.Analytics.scd2ClosedEvictingSql(funnelHorizonNs),
+    "q274_chunk_plan" -> PipelineOps.chunkPlanSql(),
+    "q275_stream_chunker" -> PipelineOps.chunkPlanSql(),
     "q252_stream_length_ks" -> PipelineOps.lengthKsMatrixSql(),
     "q230_stream_json_quarantine" -> operators.DataQuality.jsonQuarantineSql,
     "q223_packed_contamination" -> PipelineOps.packedContaminationSql(),

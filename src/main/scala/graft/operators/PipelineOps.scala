@@ -3289,6 +3289,71 @@ object PipelineOps {
       .select(col("source"), col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
 
+  // ---- sliding-window context chunking (q274 batch / q275 live) ----
+
+  /** Fixture-adapted chunk geometry: production RAG/context chunking
+    * runs L=2048, stride 1536; the synthetic corpus tops out at ~100
+    * whitespace tokens (median 54–56 at all three SFs, measured with
+    * DuckDB before building — the q84-0.35 discipline), so the
+    * registered queries run L=48, S=32 (overlap 16), which spreads the
+    * corpus across 1–3 chunks per doc. Pure constants: the operator is
+    * parameterized.
+    */
+  val chunkLen = 48L
+  val chunkStride = 32L
+
+  /** The chunk-count + window arithmetic shared by the batch and live
+    * forms (one projection + one bounded explode, ZERO exchanges — the
+    * q259 span-plan discipline): a doc of n ≤ L tokens is one chunk;
+    * otherwise ceil((n−L)/S)+1 windows of length L at stride S, the
+    * last clipped at n. All integer `div`s on non-negatives, so Spark
+    * `div` ≡ DuckDB `//`.
+    */
+  private[graft] def chunkDerived(rows: DataFrame, L: Long, S: Long): DataFrame =
+    rows
+      .withColumn("n_chunks",
+        when(col("n_tok") <= L, lit(1L))
+          .otherwise(expr(s"(n_tok - $L + $S - 1) div $S + 1")))
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_idx"))
+      .select(col("source"), col("doc_id"), col("n_tok"), col("chunk_idx"),
+        expr(s"chunk_idx * $S").as("start_tok"),
+        least(expr(s"chunk_idx * $S + $L"), col("n_tok")).as("end_tok"))
+
+  /** q274: the sliding-window CONTEXT-CHUNK plan — the retrieval/RAG
+    * and long-context counterpart of q53's packing (which concatenates
+    * and cuts ACROSS documents) and q259's span corruption (which
+    * samples disjoint spans WITHIN one): every document becomes its
+    * overlapping L-token windows at stride S, the standard layout for
+    * embedding-index construction and context-window training data.
+    *
+    * Shape at 100 TB: map-only — token count from the stored column,
+    * chunk count by integer arithmetic, one explode bounded by
+    * ceil(n/S) per doc; no shuffle, no window, no join anywhere in the
+    * plan. Emission order is irrelevant (the chunk identity is its
+    * (doc_id, chunk_idx) key).
+    */
+  def chunkPlan(s: SparkSession, dir: String,
+      L: Long = chunkLen, S: Long = chunkStride): DataFrame =
+    chunkDerived(packInput(s, dir), L, S)
+
+  /** Oracle for [[chunkPlan]]: the same integer construction via
+    * DuckDB's lateral `UNNEST(range(n))` (the q259 idiom).
+    */
+  def chunkPlanSql(L: Long = chunkLen, S: Long = chunkStride): String =
+    s"""WITH d AS (
+          SELECT source, doc_id,
+                 len(string_split(lower(text), ' '))::BIGINT AS n_tok
+          FROM documents WHERE text IS NOT NULL),
+        c AS (
+          SELECT *, CASE WHEN n_tok <= $L THEN 1
+                         ELSE (n_tok - $L + $S - 1) // $S + 1 END AS n_chunks
+          FROM d)
+        SELECT source, doc_id, n_tok, u.k::BIGINT AS chunk_idx,
+               (u.k * $S)::BIGINT AS start_tok,
+               least(u.k * $S + $L, n_tok)::BIGINT AS end_tok
+        FROM c, UNNEST(range(n_chunks)) AS u(k)"""
+
   /** The per-doc packed assignment derived from (start, n_tok) — pure
     * integer arithmetic, shared by the batch and live forms so the two
     * can never drift: seq ids are `div`, offsets `mod`, span counts a

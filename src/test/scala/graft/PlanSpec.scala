@@ -896,4 +896,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
     assert(p.contains("Generate"), p) // the bounded explode
   }
+
+  test("q274: the chunk plan is one projection + explode — zero exchanges") {
+    val p = plan("q274_chunk_plan")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate"), p) // the bounded explode
+  }
 }
