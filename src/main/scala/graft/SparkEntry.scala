@@ -1612,6 +1612,17 @@ object SparkEntry {
     // — map-only integer construction, one bounded explode, zero
     // exchanges (the q259 discipline); fixture-adapted L=48/S=32
     "q274_chunk_plan" -> ((s, dir) => PipelineOps.chunkPlan(s, dir)),
+    // q276: padded-batch shape planner — padding waste vs truncation
+    // loss per ladder config, chosen = smallest max_len within the 5%
+    // truncation budget (the q264/q227 ladder idiom); 5-row grid
+    "q276_padding_plan" -> ((s, dir) => PipelineOps.paddingPlan(s, dir)),
+    // q277: chunk-utilization dashboard over q274 — per-source overlap
+    // duplication and window fill as exact integer micro-ratios
+    "q277_chunk_utilization" -> ((s, dir) => PipelineOps.chunkUtilization(s, dir)),
+    // q278: right-to-erasure VERIFICATION — per-bucket before/after
+    // counts from the ACTUAL stored files vs the oracle's structural
+    // zero survivors; closes q269's compliance loop
+    "q278_erasure_audit" -> ((s, dir) => Similarity.erasureAudit(s, dir)),
     // q275: the chunker AT INGEST — stateless per-batch projection of
     // the same integer construction; converged emissions = q274's plan
     "q275_stream_chunker" -> ((s, dir) => {
@@ -3407,6 +3418,8 @@ object SparkEntry {
       operators.Analytics.scd2ClosedEvictingSql(funnelHorizonNs),
     "q274_chunk_plan" -> PipelineOps.chunkPlanSql(),
     "q275_stream_chunker" -> PipelineOps.chunkPlanSql(),
+    "q276_padding_plan" -> PipelineOps.paddingPlanSql(),
+    "q277_chunk_utilization" -> PipelineOps.chunkUtilizationSql(),
     "q252_stream_length_ks" -> PipelineOps.lengthKsMatrixSql(),
     "q230_stream_json_quarantine" -> operators.DataQuality.jsonQuarantineSql,
     "q223_packed_contamination" -> PipelineOps.packedContaminationSql(),
@@ -3680,5 +3693,9 @@ object SparkEntry {
     Similarity.ivfRebalancePlanSql().map("q257_ivf_rebalance_plan" -> _) ++
     Similarity.ivfRebalancePlanSql().map("q261_stream_ivf_occupancy" -> _) ++
     // q269's post-delete index = the surviving vectors' assignment
-    Similarity.ivfIndexDeletedSql().map("q269_ivf_index_delete" -> _)
+    Similarity.ivfIndexDeletedSql().map("q269_ivf_index_delete" -> _) ++
+    // q278's audit counts re-derive from the same assignment; the
+    // engine's n_surviving comes from the post-delete FILES and must
+    // reproduce the oracle's structural zero
+    Similarity.erasureAuditSql().map("q278_erasure_audit" -> _)
 }

@@ -3354,6 +3354,120 @@ object PipelineOps {
                least(u.k * $S + $L, n_tok)::BIGINT AS end_tok
         FROM c, UNNEST(range(n_chunks)) AS u(k)"""
 
+  /** Fixture-adapted max-length ladder for [[paddingPlan]] (production:
+    * 512…8192; the corpus tops out at ~100 tokens).
+    */
+  val padLadderLens = Seq(16L, 32L, 64L, 96L, 128L)
+
+  /** q276: the PADDED-BATCH shape planner — inference and
+    * fixed-length-training batches pad every sequence to the config's
+    * max_len and truncate what exceeds it, so the serving decision is a
+    * two-sided trade: padding waste (capacity burned on pad tokens)
+    * vs truncation loss (real tokens dropped). One ladder row per
+    * candidate max_len with exact BIGINT token sums, waste/loss as
+    * integer micro-ratios, and the q264/q227 ladder idiom: chosen =
+    * smallest max_len whose truncation loss fits the 5% budget.
+    *
+    * Shape at 100 TB: docs × a 5-row broadcast grid → partial
+    * aggregates combine map-side into 5 rows; the chooser is a join
+    * against a 1-row aggregate. No data-sized sort, shuffle carries
+    * 5 rows per task.
+    */
+  def paddingPlan(s: SparkSession, dir: String,
+      lens: Seq[Long] = padLadderLens,
+      truncBudgetMicro: Long = 50000L): DataFrame = {
+    import s.implicits._
+    val d = packInput(s, dir).select(col("n_tok"))
+    val grid = lens.toDF("max_len")
+    val per = d.crossJoin(broadcast(grid))
+      .groupBy(col("max_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_tok") < col("max_len"), col("max_len") - col("n_tok"))
+          .otherwise(0L)).as("pad_tok"),
+        sum(when(col("n_tok") > col("max_len"), col("n_tok") - col("max_len"))
+          .otherwise(0L)).as("trunc_tok"),
+        sum(col("n_tok")).as("total_tok"))
+      .withColumn("waste_micro", expr("(pad_tok * 1000000L) div (n_docs * max_len)"))
+      .withColumn("trunc_micro", expr("(trunc_tok * 1000000L) div total_tok"))
+      .withColumn("meets", (col("trunc_micro") <= truncBudgetMicro).cast("int"))
+    val minMeet = per.filter(col("meets") === 1).agg(min(col("max_len")).as("ml"))
+    per.crossJoin(broadcast(minMeet))
+      .select(col("max_len"), col("n_docs"), col("pad_tok"), col("trunc_tok"),
+        col("waste_micro"), col("trunc_micro"), col("meets"),
+        (col("max_len") === coalesce(col("ml"), lit(-1L))).cast("int").as("is_chosen"))
+  }
+
+  /** Oracle for [[paddingPlan]] — same grid, sums, and single
+    * integer divisions.
+    */
+  def paddingPlanSql(lens: Seq[Long] = padLadderLens,
+      truncBudgetMicro: Long = 50000L): String = {
+    val vals = lens.map(l => s"($l)").mkString(",")
+    s"""WITH d AS (
+          SELECT len(string_split(lower(text), ' '))::BIGINT AS n
+          FROM documents WHERE text IS NOT NULL),
+        lad AS (SELECT max_len::BIGINT AS max_len
+                FROM (VALUES $vals) AS v(max_len)),
+        per AS (
+          SELECT max_len, count(*)::BIGINT AS n_docs,
+                 sum(CASE WHEN n < max_len THEN max_len - n ELSE 0 END)::BIGINT AS pad_tok,
+                 sum(CASE WHEN n > max_len THEN n - max_len ELSE 0 END)::BIGINT AS trunc_tok,
+                 sum(n)::BIGINT AS total_tok
+          FROM d, lad GROUP BY 1),
+        m AS (
+          SELECT max_len, n_docs, pad_tok, trunc_tok,
+                 (pad_tok * 1000000 // (n_docs * max_len))::BIGINT AS waste_micro,
+                 (trunc_tok * 1000000 // total_tok)::BIGINT AS trunc_micro
+          FROM per),
+        m2 AS (SELECT *, CASE WHEN trunc_micro <= $truncBudgetMicro
+                              THEN 1 ELSE 0 END AS meets FROM m),
+        ch AS (SELECT min(max_len) AS ml FROM m2 WHERE meets = 1)
+        SELECT max_len, n_docs, pad_tok, trunc_tok, waste_micro, trunc_micro,
+               meets,
+               CASE WHEN max_len = coalesce((SELECT ml FROM ch), -1)
+                    THEN 1 ELSE 0 END AS is_chosen
+        FROM m2"""
+  }
+
+  /** q277: context-chunk UTILIZATION — the dashboard over q274's plan a
+    * pipeline owner reads before fixing (L, S): per source, how much of
+    * the chunked token budget is stride-overlap duplication
+    * (dup_micro = (chunk_tok − doc_tok)/chunk_tok) and how full the
+    * average window is (fill_micro = chunk_tok/(n_chunks·L)). Exact
+    * BIGINT sums, one integer micro-division each; two bounded
+    * aggregates + a per-source join.
+    */
+  def chunkUtilization(s: SparkSession, dir: String,
+      L: Long = chunkLen, S: Long = chunkStride): DataFrame = {
+    val inp = packInput(s, dir)
+    val per = chunkDerived(inp, L, S).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("end_tok") - col("start_tok")).as("chunk_tok"))
+    val docs = inp.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("doc_tok"))
+    per.join(docs, "source")
+      .select(col("source"), col("n_docs"), col("n_chunks"),
+        col("doc_tok"), col("chunk_tok"),
+        expr("((chunk_tok - doc_tok) * 1000000L) div chunk_tok").as("dup_micro"),
+        expr(s"(chunk_tok * 1000000L) div (n_chunks * $L)").as("fill_micro"))
+  }
+
+  /** Oracle for [[chunkUtilization]] — [[chunkPlanSql]] nested as a
+    * derived table (the q114 WITH-inside-CTE idiom).
+    */
+  def chunkUtilizationSql(L: Long = chunkLen, S: Long = chunkStride): String =
+    s"""WITH ch AS (SELECT * FROM (${chunkPlanSql(L, S)}) t),
+        per AS (SELECT source, count(*)::BIGINT AS n_chunks,
+                       sum(end_tok - start_tok)::BIGINT AS chunk_tok
+                FROM ch GROUP BY 1),
+        d AS (SELECT source, count(*)::BIGINT AS n_docs,
+                     sum(len(string_split(lower(text), ' ')))::BIGINT AS doc_tok
+              FROM documents WHERE text IS NOT NULL GROUP BY 1)
+        SELECT per.source, n_docs, n_chunks, doc_tok, chunk_tok,
+               ((chunk_tok - doc_tok) * 1000000 // chunk_tok)::BIGINT AS dup_micro,
+               ((chunk_tok * 1000000) // (n_chunks * $L))::BIGINT AS fill_micro
+        FROM per JOIN d ON per.source = d.source"""
+
   /** The per-doc packed assignment derived from (start, n_tok) — pure
     * integer arithmetic, shared by the batch and live forms so the two
     * can never drift: seq ids are `div`, offsets `mod`, span counts a

@@ -1254,6 +1254,53 @@ object Similarity {
         WHERE vec_id % $delMod <> 0"""
     }
 
+  /** q278: right-to-erasure VERIFICATION — the audit that closes q269's
+    * compliance loop. Per bucket, compare the SERVED index against the
+    * post-delete copy: rows before, rows after, rows the policy marked
+    * (n_deleted), and — the point — `n_surviving`, counted from the
+    * post-delete store's ACTUAL FILES, not from the plan. A delete bug
+    * that leaves a matching vector behind surfaces as a non-zero cell
+    * against the oracle's structural zero; a delete that touched a
+    * clean bucket surfaces as an n_after ≠ n_before − n_deleted
+    * mismatch. Two bucket-grouped aggregates over stored (cached)
+    * indexes + one C-row join — audit IO is index metadata scale, the
+    * corpus is never re-read.
+    */
+  def erasureAudit(s: SparkSession, dir: String, delMod: Int = 17): DataFrame = {
+    val cents = centsDF(s, dir)
+    val pre = s.read.parquet(ivfIndexPath(s, dir, cents))
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"))
+    val post = ivfIndexDeleted(s, dir, delMod)
+      .select(col("vec_id"), col("bucket"))
+    val before = pre.groupBy(col("bucket")).agg(
+      count(lit(1)).as("n_before"),
+      sum((col("vec_id") % delMod === 0).cast("long")).as("n_deleted"))
+    val after = post.groupBy(col("bucket")).agg(
+      count(lit(1)).as("n_after"),
+      sum((col("vec_id") % delMod === 0).cast("long")).as("n_surviving"))
+    before.join(after, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        col("n_deleted"),
+        coalesce(col("n_surviving"), lit(0L)).as("n_surviving"))
+  }
+
+  /** Oracle for [[erasureAudit]]: the assignment's per-bucket counts,
+    * with `n_surviving` a structural 0 — the engine's file-derived
+    * count must reproduce it. Trained-literal gated like the family.
+    */
+  def erasureAuditSql(delMod: Int = 17): Option[String] =
+    trainedRowsSql().map { rows =>
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql),
+        c AS (SELECT * FROM (VALUES $rows) AS vt(cent_id, cv)),
+        assigned AS ($assignedCteSql)
+        SELECT bucket, count(*)::BIGINT AS n_before,
+               sum(CASE WHEN vec_id % $delMod <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_after,
+               sum(CASE WHEN vec_id % $delMod = 0 THEN 1 ELSE 0 END)::BIGINT AS n_deleted,
+               0::BIGINT AS n_surviving
+        FROM assigned GROUP BY bucket"""
+    }
+
   // ---- nprobe serving-config planner (q264) ----
 
   /** q264: the SERVING-CONFIG decision q234's recall eval feeds — for

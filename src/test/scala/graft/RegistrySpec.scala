@@ -24,7 +24,8 @@ class RegistrySpec extends AnyFunSuite {
     "q91_ivf_index_compact", "q99_semantic_decontaminate",
     "q108_ann_sq8", "q134_embedding_drift", "q137_stream_embedding_drift",
     "q144_ivf_range_search", "q257_ivf_rebalance_plan",
-    "q261_stream_ivf_occupancy", "q269_ivf_index_delete")
+    "q261_stream_ivf_occupancy", "q269_ivf_index_delete",
+    "q278_erasure_audit")
 
   test("every oracle key names a registered query (no orphan oracles)") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
