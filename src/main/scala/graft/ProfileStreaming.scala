@@ -94,8 +94,41 @@ object ProfileStreaming {
     val keys = Seq("triggerExecution", "addBatch", "queryPlanning",
       "getBatch", "latestOffset", "walCommit", "commitOffsets")
 
+    // "_null": the pure lifecycle floor — a trivial one-batch projection
+    // stream over an already-staged source into a memory sink, with
+    // nanoTime around each lifecycle call. Everything here is machinery;
+    // the gap between a real query's wall and this floor is its work.
+    if (names.contains("_null")) {
+      val tmp = SparkEntry.stagedTopkDocs(spark, sfDir)
+      val sch = spark.read.parquet(tmp).schema
+      for (run <- 1 to runs) {
+        val ckpt = Fs.tmpDir("graft_null_ckpt")
+        try {
+          val t0 = System.nanoTime()
+          val q = spark.readStream.schema(sch).parquet(tmp)
+            .select(org.apache.spark.sql.functions.col("doc_id"))
+            .writeStream.format("memory").queryName(s"null_sink_$run")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt).start()
+          val t1 = System.nanoTime()
+          q.processAllAvailable()
+          val t2 = System.nanoTime()
+          q.stop()
+          val t3 = System.nanoTime()
+          spark.table(s"null_sink_$run").write.format("noop")
+            .mode("overwrite").save()
+          val t4 = System.nanoTime()
+          spark.catalog.dropTempView(s"null_sink_$run")
+          println(s"""{"query":"_null","run":$run,""" +
+            s""""start_ms":${(t1 - t0) / 1e6},"drain_ms":${(t2 - t1) / 1e6},""" +
+            s""""stop_ms":${(t3 - t2) / 1e6},"read_ms":${(t4 - t3) / 1e6},""" +
+            s""""wall_ms":${(t4 - t0) / 1e6}}""")
+        } finally Fs.rmTreeRetry(ckpt)
+      }
+    }
+
     val agg = mutable.LinkedHashMap.empty[String, Array[Double]]
-    for (name <- names; run <- 1 to runs) {
+    for (name <- names.filterNot(_ == "_null"); run <- 1 to runs) {
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query $name"))
       batches.synchronized { batches.clear() }
