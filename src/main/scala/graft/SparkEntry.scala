@@ -1623,6 +1623,13 @@ object SparkEntry {
     // counts from the ACTUAL stored files vs the oracle's structural
     // zero survivors; closes q269's compliance loop
     "q278_erasure_audit" -> ((s, dir) => Similarity.erasureAudit(s, dir)),
+    // q279: stratified eval split — exactly N div 10 held out, quotas
+    // by largest remainder across (source × length-bucket) strata
+    // (sum EXACTLY to target), members by seedless md5 draw
+    "q279_stratified_split" -> ((s, dir) => PipelineOps.stratifiedSplit(s, dir)),
+    // q280: token-budget keep-list — per-source quality-prefix under a
+    // hard budget; the packing cursor pointed at selection
+    "q280_budget_keep_list" -> ((s, dir) => PipelineOps.budgetKeepList(s, dir)),
     // q275: the chunker AT INGEST — stateless per-batch projection of
     // the same integer construction; converged emissions = q274's plan
     "q275_stream_chunker" -> ((s, dir) => {
@@ -3420,6 +3427,8 @@ object SparkEntry {
     "q275_stream_chunker" -> PipelineOps.chunkPlanSql(),
     "q276_padding_plan" -> PipelineOps.paddingPlanSql(),
     "q277_chunk_utilization" -> PipelineOps.chunkUtilizationSql(),
+    "q279_stratified_split" -> PipelineOps.stratifiedSplitSql,
+    "q280_budget_keep_list" -> PipelineOps.budgetKeepListSql(),
     "q252_stream_length_ks" -> PipelineOps.lengthKsMatrixSql(),
     "q230_stream_json_quarantine" -> operators.DataQuality.jsonQuarantineSql,
     "q223_packed_contamination" -> PipelineOps.packedContaminationSql(),

@@ -3359,6 +3359,128 @@ object PipelineOps {
     */
   val padLadderLens = Seq(16L, 32L, 64L, 96L, 128L)
 
+  /** q279: stratified EVAL-SPLIT carving — hold out exactly N div 10
+    * documents, allocated across (source × length-bucket) strata by
+    * largest remainder (quotas sum EXACTLY to the target — the q258
+    * law pointed at eval carving; a per-stratum `floor(0.1·n)` leaves
+    * an unallocated tail and a per-stratum `round` over- or
+    * under-shoots), with the members drawn per stratum by md5 rank —
+    * deterministic, seedless, reproducible across runs and engines.
+    * Stratifying by length AND source keeps the eval set's length
+    * profile honest per source — a plain 10% uniform draw lets a
+    * heavy-tailed source's eval slice skew short.
+    *
+    * Shape at 100 TB: one per-stratum count aggregate (map-side
+    * combined, strata-bounded output), integer quota arithmetic +
+    * remainder ranking on the ~|sources|·|buckets| strata frame, one
+    * broadcast join back, and one per-stratum window rank on the md5
+    * draw. No global sort; the only data-sized pass is the rank
+    * within each stratum.
+    */
+  def stratifiedSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = packInput(s, dir)
+      .withColumn("len_bucket", expr("n_tok div 32"))
+    val strata = d.groupBy(col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_s"))
+    val tot = strata.agg(sum(col("n_s")).as("n_total")).head()
+    val nTotal = tot.getLong(0)
+    val target = nTotal / 10
+    // largest remainder: base = floor(n_s·T/N); the (T − Σ base)
+    // leftover units go to the strata with the largest integer
+    // remainder r_s = n_s·T mod N (ties broken by stratum id)
+    val withBase = strata
+      .withColumn("base", expr(s"(n_s * ${target}L) div ${nTotal}L"))
+      .withColumn("rem", expr(s"(n_s * ${target}L) % ${nTotal}L"))
+    val leftover = target - withBase.agg(sum(col("base"))).head().getLong(0)
+    val wRem = Window.orderBy(col("rem").desc, col("source"), col("len_bucket"))
+    val quotas = withBase
+      .withColumn("rrank", row_number().over(wRem))
+      .withColumn("quota",
+        col("base") + when(col("rrank") <= leftover, 1L).otherwise(0L))
+      .select(col("source"), col("len_bucket"), col("quota"))
+    val wDraw = Window.partitionBy(col("source"), col("len_bucket"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    d.join(broadcast(quotas), Seq("source", "len_bucket"))
+      .withColumn("draw_rank", row_number().over(wDraw))
+      .select(col("source"), col("len_bucket"), col("doc_id"), col("n_tok"),
+        (col("draw_rank") <= col("quota")).cast("int").as("is_eval"))
+  }
+
+  /** Oracle for [[stratifiedSplit]] — the identical integer
+    * construction (floor quotas, mod-N remainders, md5 draw ranks).
+    */
+  def stratifiedSplitSql: String =
+    """WITH d AS (
+         SELECT source, doc_id,
+                len(string_split(lower(text), ' '))::BIGINT AS n_tok,
+                len(string_split(lower(text), ' '))::BIGINT // 32 AS len_bucket
+         FROM documents WHERE text IS NOT NULL),
+       st AS (SELECT source, len_bucket, count(*)::BIGINT AS n_s
+              FROM d GROUP BY 1, 2),
+       tot AS (SELECT sum(n_s)::BIGINT AS n_total,
+                      (sum(n_s)::BIGINT // 10)::BIGINT AS target FROM st),
+       wb AS (SELECT st.*, (n_s * target // n_total)::BIGINT AS base,
+                     (n_s * target % n_total)::BIGINT AS rem
+              FROM st, tot),
+       lo AS (SELECT (SELECT target FROM tot) - sum(base)::BIGINT AS leftover
+              FROM wb),
+       q AS (SELECT source, len_bucket,
+                    base + CASE WHEN row_number() OVER
+                      (ORDER BY rem DESC, source, len_bucket)
+                      <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END AS quota
+             FROM wb),
+       r AS (SELECT d.source, d.len_bucket, d.doc_id, d.n_tok, q.quota,
+                    row_number() OVER (PARTITION BY d.source, d.len_bucket
+                      ORDER BY md5(d.doc_id::VARCHAR), d.doc_id) AS draw_rank
+             FROM d JOIN q ON d.source = q.source AND d.len_bucket = q.len_bucket)
+       SELECT source, len_bucket, doc_id, n_tok,
+              CASE WHEN draw_rank <= quota THEN 1 ELSE 0 END AS is_eval
+       FROM r"""
+
+  /** q280: token-budget KEEP-LIST — per-source quality-prefix
+    * selection under a hard token budget: order each source's docs by
+    * a deterministic quality proxy (chars per token in micro units —
+    * verbosity/substance, computable exactly from stored columns) and
+    * keep while the cumulative token count fits the budget. This is
+    * the within-source selection step downstream of q104's
+    * across-source budget allocation, and it is the packing cursor
+    * (q53/q221) pointed at SELECTION: one window cumsum per source,
+    * no join, no global sort.
+    */
+  def budgetKeepList(s: SparkSession, dir: String, budget: Long = 800L): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("quality_micro", expr("(n_chars * 1000000L) div n_tok"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_micro").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .select(col("source"), col("doc_id"), col("n_tok"), col("quality_micro"),
+        col("cum_tok"), (col("cum_tok") <= budget).cast("int").as("is_kept"))
+  }
+
+  /** Oracle for [[budgetKeepList]] — same order, same cumsum, same
+    * single integer division.
+    */
+  def budgetKeepListSql(budget: Long = 800L): String =
+    s"""WITH d AS (
+         SELECT source, doc_id, n_chars,
+                len(string_split(lower(text), ' '))::BIGINT AS n_tok
+         FROM documents WHERE text IS NOT NULL),
+       qd AS (SELECT *, (n_chars * 1000000 // n_tok)::BIGINT AS quality_micro
+              FROM d)
+       SELECT source, doc_id, n_tok, quality_micro,
+              sum(n_tok) OVER (PARTITION BY source
+                ORDER BY quality_micro DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tok,
+              CASE WHEN sum(n_tok) OVER (PARTITION BY source
+                ORDER BY quality_micro DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= $budget
+                THEN 1 ELSE 0 END AS is_kept
+       FROM qd"""
+
   /** q276: the PADDED-BATCH shape planner — inference and
     * fixed-length-training batches pad every sequence to the config's
     * max_len and truncate what exceeds it, so the serving decision is a

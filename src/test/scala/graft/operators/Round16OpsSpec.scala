@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-16 operator families that the cell-exact
+  * oracle cannot express as single-query checks: exact-quota
+  * conservation, chooser laws, coverage/overlap structure, and the
+  * erasure audit's structural zeros.
+  */
+class Round16OpsSpec extends SparkSpec {
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q279: the eval split holds out EXACTLY N div 10 documents, " +
+      "and every stratum's take is within 1 of its proportional share") {
+    val split = PipelineOps.stratifiedSplit(spark, dir).localCheckpoint(true)
+    val n = split.count()
+    val k = split.filter(col("is_eval") === 1).count()
+    assert(k == n / 10, s"largest remainder must hit the target exactly: $k vs ${n / 10}")
+    // per-stratum: quota ∈ {floor(n_s·T/N), floor+1}
+    val per = split.groupBy(col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_s"),
+        sum(col("is_eval").cast("long")).as("k_s"))
+      .as[(String, Long, Long, Long)].collect()
+    for ((src, lb, ns, ks) <- per) {
+      val base = ns * (n / 10) / n
+      assert(ks == base || ks == base + 1,
+        s"stratum ($src, $lb): took $ks, proportional base $base")
+    }
+  }
+
+  test("q280: the keep-list is a quality-prefix — no kept doc ranks " +
+      "below a dropped one within its source, and kept tokens fit the budget") {
+    val kl = PipelineOps.budgetKeepList(spark, dir).localCheckpoint(true)
+    val bySrc = kl.select(col("source"), col("quality_micro"), col("doc_id"),
+        col("n_tok"), col("is_kept"))
+      .as[(String, Long, Long, Long, Int)].collect().groupBy(_._1)
+    for ((_, rows) <- bySrc) {
+      val ordered = rows.sortBy(r => (-r._2, r._3)) // the selection order
+      val flags = ordered.map(_._5)
+      assert(!flags.sliding(2).filter(_.length == 2)
+        .exists { case Array(a, b) => a == 0 && b == 1 },
+        "a dropped doc may never be followed by a kept one in selection order")
+      assert(ordered.filter(_._5 == 1).map(_._4).sum <= 800L)
+    }
+  }
+
+  test("q276: exactly one ladder config is chosen and it is the " +
+      "smallest meeting one; waste falls as max_len tightens toward the corpus") {
+    val plan = PipelineOps.paddingPlan(spark, dir)
+      .orderBy(col("max_len"))
+      .select(col("max_len"), col("trunc_micro"), col("meets"), col("is_chosen"))
+      .as[(Long, Long, Long, Int)].collect()
+    assert(plan.count(_._4 == 1) == 1)
+    val chosen = plan.find(_._4 == 1).get
+    assert(plan.filter(_._3 == 1).map(_._1).min == chosen._1)
+    // truncation loss is monotone non-increasing in max_len
+    assert(plan.sliding(2).forall { case Array(a, b) => b._2 <= a._2 })
+  }
+
+  test("q274/q277: chunks cover every document exactly (first starts at 0, " +
+      "last ends at n_tok, consecutive starts step by the stride)") {
+    val ch = PipelineOps.chunkPlan(spark, dir)
+      .select(col("doc_id"), col("n_tok"), col("chunk_idx"),
+        col("start_tok"), col("end_tok"))
+      .as[(Long, Long, Long, Long, Long)].collect().groupBy(_._1)
+    for ((_, rows) <- ch) {
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.head._4 == 0L)
+      assert(sorted.last._5 == sorted.head._2, "last chunk must end at n_tok")
+      assert(sorted.sliding(2).filter(_.length == 2).forall { case Array(a, b) =>
+        b._4 - a._4 == PipelineOps.chunkStride }, "stride steps")
+      assert(sorted.forall(r => r._5 - r._4 <= PipelineOps.chunkLen))
+    }
+  }
+
+  test("q278: the audit's structural laws hold from the files — zero " +
+      "survivors everywhere and n_after + n_deleted = n_before") {
+    val audit = Similarity.erasureAudit(spark, dir)
+      .select(col("bucket"), col("n_before"), col("n_after"),
+        col("n_deleted"), col("n_surviving"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(audit.nonEmpty)
+    assert(audit.forall(_._5 == 0L), "a surviving match is a delete bug")
+    assert(audit.forall(r => r._2 == r._3 + r._4))
+  }
+}
