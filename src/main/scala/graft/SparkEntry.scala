@@ -1608,6 +1608,44 @@ object SparkEntry {
       } finally rmTreeRetry(ckpt)
       s.table(name)
     }),
+    // q281: the windowed EVICTING reservoir — the sixth per-key state
+    // shape (bounded per-(event_type, day) order statistic with a
+    // finite lifetime: EventTimeTimeout at the window END, state =
+    // O(types × open windows) × k, never O(windows ever seen)); the
+    // converged compacted output equals the batch per-window rank
+    "q281_stream_windowed_reservoir_evicting" -> ((s, dir) => {
+      import s.implicits._
+      val winNs = funnelHorizonNs
+      val evSch = Tables.events(s, dir)
+        .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+        .schema
+      val tmp = stagedTimeBucketEvents(s, dir)
+      val ckpt = stageDir("q281_ckpt")
+      val name = memorySinkName(s, "q281")
+      try {
+        val input = s.readStream.schema(evSch)
+          .option("maxFilesPerTrigger", "2").parquet(tmp)
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+          .withColumn("win", expr(s"ts_ns div ${winNs}L"))
+          .withColumn("draw", graft.functions.md5_long(col("event_id")))
+          .select(col("event_type"), col("win"), col("event_id"),
+            col("draw"), col("ts"))
+        withStatePartitions(s, 8) {
+          val q = graft.streaming.StreamReservoir
+            .windowedReservoirEvicting(
+              input.as[graft.streaming.StreamReservoir.EvDraw], 5, winNs)
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", ckpt).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      } finally rmTreeRetry(ckpt)
+      // serving read: the O8 compaction (latest rev per key) + rank
+      s.table(name).groupBy(col("event_type"), col("win"))
+        .agg(max_by(col("ids"), col("rev")).as("ids"))
+        .select(col("event_type"), col("win"), posexplode(col("ids")))
+        .select(col("event_type"), col("win"), col("col").as("event_id"),
+          (col("pos") + 1).cast("long").as("rk"))
+    }),
     // q274: sliding-window context-chunk plan (RAG/long-context layout)
     // — map-only integer construction, one bounded explode, zero
     // exchanges (the q259 discipline); fixture-adapted L=48/S=32
@@ -3423,6 +3461,11 @@ object SparkEntry {
       operators.Analytics.markovTransitionsEvictingSql(funnelHorizonNs),
     "q273_stream_scd2_evicting" ->
       operators.Analytics.scd2ClosedEvictingSql(funnelHorizonNs),
+    // converged compacted state = the batch per-window rank (window
+    // membership is time-determined, top-k order-independent, eviction
+    // fires only after the window can no longer receive members)
+    "q281_stream_windowed_reservoir_evicting" ->
+      PipelineOps.windowedReservoirEvictingSql(5, funnelHorizonNs),
     "q274_chunk_plan" -> PipelineOps.chunkPlanSql(),
     "q275_stream_chunker" -> PipelineOps.chunkPlanSql(),
     "q276_padding_plan" -> PipelineOps.paddingPlanSql(),

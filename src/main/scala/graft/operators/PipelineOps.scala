@@ -155,6 +155,28 @@ object PipelineOps {
         FROM rk WHERE rk <= $k"""
   }
 
+  /** Oracle for the windowed EVICTING reservoir (q281): the per-window
+    * batch rank — membership is time-determined (`win = ts_ns div
+    * winNs`), the draw is the same deterministic `md5_long(event_id)`
+    * both engines compute, so the converged compacted live state must
+    * equal this rank cell-exactly (top-k is order-independent within a
+    * window, and eviction only fires after the window can no longer
+    * receive members). Mirrors the staged delivery's `user_id IS NOT
+    * NULL` projection.
+    */
+  def windowedReservoirEvictingSql(k: Int, winNs: Long): String = {
+    val draw = "('0x' || substring(md5(event_id::VARCHAR), 1, 15))::BIGINT"
+    s"""WITH ev AS (SELECT event_id, event_type,
+                          epoch_ns(ts) // $winNs AS win, $draw AS draw
+                   FROM events WHERE user_id IS NOT NULL),
+       rk AS (SELECT event_type, win, event_id,
+                     row_number() OVER (PARTITION BY event_type, win
+                       ORDER BY draw DESC, event_id) AS rk
+              FROM ev)
+       SELECT event_type, win, event_id, rk::BIGINT AS rk
+       FROM rk WHERE rk <= $k"""
+  }
+
   def importanceSampleSql(floorP: Double = 0.1): String = {
     val draw = "('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE / (1152921504606846976)::DOUBLE"
     s"""WITH q AS (${TextAnalysis.qualityScoresSql})

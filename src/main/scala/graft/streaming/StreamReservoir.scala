@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** The STREAMING weighted reservoir — the reason the Efraimidis–
   * Spirakis key construction exists at all (their 2006 paper is about
@@ -36,6 +36,76 @@ object StreamReservoir {
           val snap = ResSnapshot(src, prev.map(_.rev).getOrElse(0L) + 1L, merged)
           state.update(snap)
           snap
+      }
+  }
+
+  // ---- windowed EVICTING reservoir (q281): the sixth state shape ----
+
+  /** One event with its uniform draw, pre-assigned to a time window
+    * (`win = ts_ns div winNs`); `ts` is the proper-TIMESTAMP column
+    * the watermark needs.
+    */
+  case class EvDraw(event_type: String, win: Long, event_id: Long,
+      draw: Long, ts: java.sql.Timestamp)
+  case class WinResState(ids: Array[Long], draws: Array[Long], rev: Long)
+  case class WinResEmit(event_type: String, win: Long, rev: Long,
+      ids: Array[Long], draws: Array[Long])
+
+  /** The SIXTH per-key state shape — a WINDOWED order statistic with a
+    * finite lifetime. [[reservoirTopK]]'s all-time sample is the one
+    * per-key state family that had no bounded variant (its NoTimeout
+    * state is O(strata) — already bounded — but a per-WINDOW sample,
+    * the debugging/inspection staple at log scale, would naively hold
+    * every window ever opened). Here the key is (event_type, window)
+    * and the two q256 mechanisms collapse into ONE, because the window
+    * boundary is both the semantic AND the eviction horizon:
+    *
+    *  - membership is time-determined: an event belongs to window w
+    *    iff `ts_ns div winNs == w` — no in-function guard is needed,
+    *    the grouping key IS the guard;
+    *  - EventTimeTimeout fires once the watermark passes the window's
+    *    END, after which (under time-ordered, log-append-order
+    *    delivery — the staged time-bucket layout) no event of that
+    *    window can still arrive, so removing the state cannot change
+    *    any future emission. State is O(event_types × OPEN windows)
+    *    × k, never O(windows ever seen).
+    *
+    * The sample itself is a uniform without-replacement top-k by a
+    * deterministic per-event draw (`md5_long(event_id)` — fixed at
+    * arrival, order-independent), so the converged compacted output
+    * equals the batch per-window rank under ANY batching — q209/q211's
+    * convergence argument, now per window. Emission: Append mode, one
+    * snapshot per (key, touching batch) with a monotone `rev`; the
+    * serving read is the O8 compaction (latest rev per key).
+    */
+  def windowedReservoirEvicting(ev: Dataset[EvDraw], k: Int,
+      winNs: Long): Dataset[WinResEmit] = {
+    import ev.sparkSession.implicits._
+    ev.withWatermark("ts", "0 seconds")
+      .groupByKey(e => (e.event_type, e.win))
+      .flatMapGroupsWithState[WinResState, WinResEmit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((etype, win), rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption
+              .getOrElse(WinResState(Array.empty, Array.empty, 0L))
+            val merged = (prev.draws.zip(prev.ids) ++
+                rows.map(e => (e.draw, e.event_id)))
+              .sortBy { case (d, id) => (-d, id) }.take(k)
+            val snap = WinResState(merged.map(_._2), merged.map(_._1),
+              prev.rev + 1L)
+            state.update(snap)
+            // evict at the window's END (ms): once the watermark passes
+            // it, no member event can still arrive under time-ordered
+            // delivery; must stay strictly past the current watermark
+            // (Spark's contract) — pushing later only delays reclaim
+            state.setTimeoutTimestamp(math.max(
+              (win + 1L) * (winNs / 1000000L),
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.single(WinResEmit(etype, win, snap.rev,
+              snap.ids, snap.draws))
+          }
       }
   }
 }

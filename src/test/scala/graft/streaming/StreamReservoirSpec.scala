@@ -54,4 +54,53 @@ class StreamReservoirSpec extends SparkSpec {
     val last = run(Seq(Seq(d(9, -1.0), d(4, -1.0), d(7, -1.0))), k = 2).maxBy(_.rev)
     assert(last.items.map(_.doc_id) == Seq(4L, 7L))
   }
+
+  // ---- windowed evicting reservoir (q281) ----
+
+  private val W = 1000000000L // 1 s windows
+  private def ed(typ: String, tNs: Long, id: Long, draw: Long): EvDraw =
+    EvDraw(typ, tNs / W, id, draw, new java.sql.Timestamp(tNs / 1000000L))
+
+  private def runWin(batches: Seq[Seq[EvDraw]], k: Int): (Seq[WinResEmit], Long) = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EvDraw]
+    n += 1
+    val name = s"winres_out_$n"
+    val q = windowedReservoirEvicting(input.toDS(), k, W)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val rows = try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      (spark.table(name).as[WinResEmit].collect().toSeq,
+        q.lastProgress.stateOperators(0).numRowsTotal)
+    } finally q.stop()
+    rows
+  }
+
+  test("windowed reservoir: per-window top-k, closed windows EVICTED, " +
+      "compacted output = batch per-window rank (q281)") {
+    // window 0 gets 3 events (k=2 keeps draws 90, 50); window 5 opens
+    // later — the watermark at t=5.5 s is past window 0's end, so its
+    // state must be physically gone while its emissions survive
+    val (emits, stateRows) = runWin(Seq(
+      Seq(ed("a", 100000000L, 1L, 50L), ed("a", 200000000L, 2L, 90L),
+        ed("a", 300000000L, 3L, 10L)),
+      Seq(ed("a", 5500000000L, 4L, 70L))), k = 2)
+    assert(stateRows == 1L,
+      "window 0 closed by the watermark must be evicted from the store")
+    val compacted = emits.groupBy(e => (e.event_type, e.win))
+      .map { case (key, v) => key -> v.maxBy(_.rev).ids.toSeq }
+    assert(compacted == Map(("a", 0L) -> Seq(2L, 1L), ("a", 5L) -> Seq(4L)),
+      "compacted (max-rev) snapshots must equal the batch per-window top-k")
+  }
+
+  test("windowed reservoir: (type, window) keys are independent and " +
+      "cross-batch merge keeps the largest draws") {
+    val (emits, _) = runWin(Seq(
+      Seq(ed("a", 100000000L, 1L, 30L), ed("b", 100000000L, 2L, 80L)),
+      Seq(ed("a", 200000000L, 3L, 60L), ed("a", 300000000L, 4L, 5L))), k = 1)
+    val compacted = emits.groupBy(e => (e.event_type, e.win))
+      .map { case (key, v) => key -> v.maxBy(_.rev).ids.toSeq }
+    assert(compacted == Map(("a", 0L) -> Seq(3L), ("b", 0L) -> Seq(2L)),
+      "doc 3's draw 60 must displace doc 1's 30 within (a, 0); b untouched")
+  }
 }

@@ -58,36 +58,71 @@ AUDIT = [
     "q269_ivf_index_delete", "q270_stream_decontaminate",
     "q271_stream_contamination_bounds",
     "q272_stream_markov_evicting", "q273_stream_scd2_evicting",
+    # the r16 closers (born after the first r16 audit run)
+    "q274_chunk_plan", "q275_stream_chunker", "q276_padding_plan",
+    "q277_chunk_utilization", "q278_erasure_audit",
+    "q279_stratified_split", "q280_budget_keep_list",
+    "q281_stream_windowed_reservoir_evicting",
 ]
 
 
-def run():
+def run(subset=None):
+    # subset: comma-joined query names -> incremental run appended as
+    # sf{sf}.more.log (parse() merges, later lines win); None -> full set
     os.makedirs(OUT, exist_ok=True)
-    only = ",".join(AUDIT)
+    only = subset if subset else ",".join(AUDIT)
+    suffix = ".more.log" if subset else ".log"
     for sf in SFS:
-        log = f"{OUT}/sf{sf}.log"
+        log = f"{OUT}/sf{sf}{suffix}"
         env = dict(os.environ,
                    SPARK_GRAFT_SF_DIR=f"/root/testdata/sf{sf}",
                    SPARK_GRAFT_CPUS="32",
                    SPARK_GRAFT_BENCH_ONLY=only)
         print(f"[scale_audit] sf{sf} -> {log}", flush=True)
-        with open(log, "w") as f:
+        with open(log, "a") as f:
             subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
                            cwd=REPO, env=env, stdout=f, stderr=subprocess.STDOUT)
 
 
 def parse(sf):
-    for line in open(f"{OUT}/sf{sf}.log"):
-        if '"metric":"total"' in line and '"queries"' in line:
-            return json.loads(line[line.index('{'):])["queries"]
-    raise SystemExit(f"no bench line for sf{sf}")
+    merged = {}
+    for suffix in (".log", ".more.log"):
+        path = f"{OUT}/sf{sf}{suffix}"
+        if not os.path.exists(path):
+            continue
+        for line in open(path):
+            if '"metric":"total"' in line and '"queries"' in line:
+                merged.update(json.loads(line[line.index('{'):])["queries"])
+    if not merged:
+        raise SystemExit(f"no bench line for sf{sf}")
+    return merged
+
+
+def prior_rows():
+    # rows from the checked-in report (fallback when the per-SF logs
+    # of an earlier incremental run are no longer on /tmp)
+    out = {}
+    path = f"{REPO}/{REPORT}"
+    if not os.path.exists(path):
+        return out
+    for line in open(path):
+        parts = [p.strip() for p in line.strip().strip("|").split("|")]
+        if len(parts) == 5 and parts[0].startswith("q"):
+            try:
+                out[parts[0]] = [float(x) for x in parts[1:4]]
+            except ValueError:
+                pass
+    return out
 
 
 def report():
     qs = {sf: parse(sf) for sf in SFS}
+    prior = prior_rows()
     rows = []
     for name in AUDIT:
         t = [qs[sf].get(name, [-1])[0] for sf in SFS]
+        if min(t) < 0 and name in prior:
+            t = prior[name]
         if min(t) < 0:
             rows.append((name, t, None))
             continue
@@ -111,4 +146,7 @@ def report():
 
 
 if __name__ == "__main__":
-    {"run": run, "report": report}[sys.argv[1]]()
+    if sys.argv[1] == "run":
+        run(sys.argv[2] if len(sys.argv) > 2 else None)
+    else:
+        report()
