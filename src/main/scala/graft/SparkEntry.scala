@@ -2285,6 +2285,29 @@ object SparkEntry {
     // and scoring as q49 → verifies against the SAME trained-literal
     // oracle.
     "q83_ann_ivf_indexed" -> ((s, dir) => Similarity.ivfIndexedTopK(s, dir)),
+    // q282: LIVE ANN SERVING — the query path of the IVF lifecycle
+    // (build q87 / compact q91 / rebalance q257 / occupancy q261 /
+    // delete q269 / audit q278 maintain the index; this serves it):
+    // query vectors arrive in micro-batches, each batch runs the q83
+    // plan stream-static (broadcast probe → DPP-pruned index join),
+    // zero cross-batch state, per-batch IO = Σ|probed buckets| —
+    // converged emissions equal q83's batch answer, same oracle
+    "q282_stream_ann_serving" -> ((s, dir) => Similarity.streamAnnServing(s, dir)),
+    // q283: embedding covariance grid on the milli grid — the
+    // decorrelation/whitening audit before subspace quantization
+    // (PQ's independence assumption, OPQ's fix): one map-side explode
+    // of D(D+1)/2 bounded structs + one partially-aggregated exchange,
+    // exact-integer sufficient statistics per dim pair
+    "q283_embedding_covariance" -> ((s, dir) => Similarity.embeddingCovariance(s, dir)),
+    // q284: the LIVE covariance grid — the q214/q215 discipline (a
+    // bounded Complete-mode cell grid as state: D(D+1)/2 rows of
+    // mergeable integer partials); converged grid = the batch grid
+    // (order-independent sums), so q283's oracle applies unchanged
+    "q284_stream_embedding_covariance" -> ((s, dir) => {
+      val ev = Similarity.kmQuantized(s, dir)
+      sketchMaintenanceStream(s, dir, "q284", ev)(
+        in => Similarity.covGrid(in))
+    }),
     // the index-maintenance planner over q83's stored index
     "q257_ivf_rebalance_plan" -> ((s, dir) => Similarity.ivfRebalancePlan(s, dir)),
     // radius query from the SAME persisted index: all neighbors with
@@ -3466,6 +3489,13 @@ object SparkEntry {
     // fires only after the window can no longer receive members)
     "q281_stream_windowed_reservoir_evicting" ->
       PipelineOps.windowedReservoirEvictingSql(5, funnelHorizonNs),
+    // exact-integer pair grid on the milli quantization; the oracle's
+    // a×b self-join is the covariance definition, the engine's
+    // map-side explode is the plan that avoids materializing it
+    "q283_embedding_covariance" -> Similarity.embeddingCovarianceSql(),
+    // converged Complete-mode cell grid equals the batch grid
+    // (order-independent integer sums) — q283's oracle unchanged
+    "q284_stream_embedding_covariance" -> Similarity.embeddingCovarianceSql(),
     "q274_chunk_plan" -> PipelineOps.chunkPlanSql(),
     "q275_stream_chunker" -> PipelineOps.chunkPlanSql(),
     "q276_padding_plan" -> PipelineOps.paddingPlanSql(),
@@ -3725,6 +3755,10 @@ object SparkEntry {
     // probe rule, and scoring as q49 (parquet round-trips doubles
     // exactly), so it verifies against the identical trained-literal SQL
     Similarity.ivfTopKTrainedSql().map("q83_ann_ivf_indexed" -> _) ++
+    // q282 streams the SAME bounded query batch through the q83 serving
+    // plan stream-static (zero cross-batch state, per-query answers are
+    // batching-invariant) — identical trained-literal oracle
+    Similarity.ivfTopKTrainedSql().map("q282_stream_ann_serving" -> _) ++
     Similarity.ivfRangeSearchSql().map("q144_ivf_range_search" -> _) ++
     // q84 shares the trained centroids too; its drop rule is a
     // self-join + LEFT JOIN mark over the same assigned CTE (DuckDB

@@ -658,6 +658,75 @@ object Similarity {
     ivfScore(index, probes, k)
   }
 
+  // ---- live ANN serving (q282): the query PATH of the IVF lifecycle ----
+
+  /** Once-per-(JVM, dir) staged copy of the bounded query batch as
+    * `nFiles` parquet files — the arriving query traffic the serving
+    * stream replays (`maxFilesPerTrigger=1` → one micro-batch per
+    * file).
+    */
+  private val queryStreamCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+  locally {
+    sys.addShutdownHook(queryStreamCache.values.forEach(p => graft.Fs.rmTree(p)))
+  }
+  private def stagedQueryStream(s: SparkSession, dir: String, nFiles: Int): String =
+    queryStreamCache.computeIfAbsent((dir, nFiles), { _ =>
+      val p = graft.Fs.tmpDir("graft_ann_queries")
+      try queryBatch(emb(s, dir))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        .repartition(nFiles).write.mode("overwrite").parquet(p)
+      catch { case e: Throwable => graft.Fs.rmTree(p); throw e }
+      p
+    })
+
+  /** LIVE ANN SERVING — the one leg of the IVF lifecycle that had no
+    * streaming form: build (q87), compact (q91), rebalance (q257),
+    * occupancy (q261), delete (q269), audit (q278) all maintain the
+    * index; this is the QUERY path. Query vectors arrive in
+    * micro-batches and each batch runs the exact q83 serving plan
+    * stream-static: broadcast-centroid probe selection, then a scoring
+    * join against the PERSISTED `partitionBy(bucket)` index in which
+    * the broadcast probe list feeds dynamic partition pruning — a
+    * batch's IO is Σ|probed buckets|, never the index. Zero cross-batch
+    * state (the q270 class): a query's answer depends only on its own
+    * vector and the static index, so the converged emissions over any
+    * batching equal q83's batch answer exactly — q282 verifies against
+    * the SAME trained-literal oracle.
+    *
+    * Emission: each micro-batch OVERWRITES its own `b<batchId>`
+    * directory (the at-least-once replay discipline — a retried batch
+    * replaces its partial emission instead of appending a duplicate).
+    */
+  def streamAnnServing(s: SparkSession, dir: String, k: Int = defaultK,
+      nFiles: Int = 4): DataFrame = {
+    val cents = centsDF(s, dir)
+    val index = s.read.parquet(ivfIndexPath(s, dir, cents))
+    val staged = stagedQueryStream(s, dir, nFiles)
+    val Seq(out) = streamIdxRuns.fresh((dir, "serve", k, nFiles), "graft_ann_serve")
+    val ckpt = graft.Fs.tmpDir("graft_ann_serve_ckpt")
+    try {
+      val sch = s.read.parquet(staged).schema
+      val q = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+        .writeStream
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          graft.Sessions.withMicroBatchConf(b.sparkSession) {
+            val probes = ivfProbes(b, cents)
+              .withColumn("bucket", col("bucket").cast("int"))
+            ivfScore(index, probes, k)
+              .write.mode("overwrite").parquet(s"$out/b$bid")
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally graft.Fs.rmTreeRetry(ckpt)
+    s.read.option("recursiveFileLookup", "true").parquet(out)
+  }
+
   /** Streaming IVF index maintenance: embeddings arrive in micro-batches
     * and `foreachBatch` appends each batch's nearest-centroid assignment
     * into the SAME `partitionBy(bucket)` parquet layout q83 serves from
@@ -2750,4 +2819,69 @@ object Similarity {
                           i -> (u.cnew[i] - c.c[i]) * (u.cnew[i] - c.c[i]))), 0)::BIGINT AS shift_sq
         FROM c$kmIters c LEFT JOIN up u ON c.cid = u.cid"""
   }
+
+  // ---- embedding covariance grid (q283/q284): the whitening audit ----
+
+  /** Embedding dimensionality (fixture contract; rows of any other
+    * width are excluded on both sides so a ragged row can never
+    * misalign the pair grid).
+    */
+  val covDims = 64
+
+  /** The covariance PAIR GRID over milli-quantized embeddings — the
+    * decorrelation/whitening audit run before subspace quantization:
+    * PQ (q77/q79) splits dimensions into independent sub-codebooks,
+    * which is only as good as the dims are decorrelated (the OPQ
+    * observation), and a near-duplicate or dead dimension wastes
+    * codebook bits. One aggregation produces, per (i ≤ j) pair, the
+    * exact integer sufficient statistics (n, Σxᵢxⱼ, Σxᵢ, Σxⱼ) and the
+    * integer covariance numerator n·Σxᵢxⱼ − Σxᵢ·Σxⱼ (= n² · cov):
+    * everything downstream — correlation, whitening rotation, dropped
+    * dims — is driver-side math on the D²-bounded grid.
+    *
+    * Scale shape: a map-side explode of D(D+1)/2 bounded structs per
+    * row feeding ONE partially-aggregated exchange of ≤ partitions ×
+    * D(D+1)/2 cells — never a data-sized shuffle, no self-join of the
+    * exploded table (the oracle's a×b form is the semantics, not the
+    * plan). Integer milli quantization (the q182 discipline) makes the
+    * sums order-independent and thus oracle-exact on any partitioning;
+    * |xq| ≤ ~10³-scale keeps n·Σxᵢxⱼ within BIGINT through ~10⁹ rows,
+    * and the stats are mergeable partials (per-shard grids sum), which
+    * is how a 100 TB run would shard it.
+    */
+  private[graft] def covGrid(x: DataFrame): DataFrame = {
+    val d = covDims
+    x.filter(size(col("xq")) === d)
+      .select(explode(flatten(transform(col("xq"), (_, i) =>
+        transform(slice(col("xq"), i + lit(1), lit(d) - i), (xj, kk) =>
+          struct((i + lit(1)).cast("long").as("i"),
+            (i + kk + lit(1)).cast("long").as("j"),
+            get(col("xq"), i).as("xi"), xj.as("xj")))))).as("pr"))
+      .groupBy(col("pr.i").as("i"), col("pr.j").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("pr.xi") * col("pr.xj")).as("s_ij"),
+        sum(col("pr.xi")).as("s_i"), sum(col("pr.xj")).as("s_j"))
+      .select(col("i"), col("j"), col("n"), col("s_ij"), col("s_i"), col("s_j"),
+        (col("n") * col("s_ij") - col("s_i") * col("s_j")).as("cov_num"))
+  }
+
+  def embeddingCovariance(s: SparkSession, dir: String): DataFrame =
+    covGrid(kmQuantized(s, dir))
+
+  /** Oracle: the same grid from first principles — DuckDB unnests the
+    * quantized vectors and self-joins per vec_id (its a×b form IS the
+    * covariance definition; the engine's map-side explode is the plan
+    * that avoids materializing it). Exact-integer everywhere.
+    */
+  def embeddingCovarianceSql(): String =
+    s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding::DOUBLE[], z -> round(z * 1000)::BIGINT) AS xq
+           FROM embeddings $denseWhereSql AND embedding IS NOT NULL),
+       ex AS (SELECT vec_id, generate_subscripts(xq, 1)::BIGINT AS i, unnest(xq) AS xi
+              FROM e WHERE len(xq) = $covDims),
+       pr AS (SELECT a.i AS i, b.i AS j, a.xi AS xi, b.xi AS xj
+              FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i)
+       SELECT i, j, count(*)::BIGINT AS n, sum(xi * xj)::BIGINT AS s_ij,
+              sum(xi)::BIGINT AS s_i, sum(xj)::BIGINT AS s_j,
+              (count(*) * sum(xi * xj) - sum(xi) * sum(xj))::BIGINT AS cov_num
+       FROM pr GROUP BY 1, 2"""
 }

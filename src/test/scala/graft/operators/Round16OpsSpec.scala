@@ -85,4 +85,41 @@ class Round16OpsSpec extends SparkSpec {
     assert(audit.forall(_._5 == 0L), "a surviving match is a delete bug")
     assert(audit.forall(r => r._2 == r._3 + r._4))
   }
+
+  test("q283: covariance grid laws — full upper triangle, non-negative " +
+      "variance numerators on the diagonal, hand-checked cell exactness") {
+    val grid = Similarity.embeddingCovariance(spark, dir)
+      .select(col("i"), col("j"), col("n"), col("s_ij"), col("s_i"),
+        col("s_j"), col("cov_num"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val d = Similarity.covDims.toLong
+    assert(grid.length == (d * (d + 1) / 2).toInt, "one row per i <= j pair")
+    assert(grid.forall(r => r._1 <= r._2))
+    // diagonal: cov_num = n·Σx² − (Σx)² = n²·var ≥ 0, and s_i == s_j
+    val diag = grid.filter(r => r._1 == r._2)
+    assert(diag.length == d.toInt)
+    assert(diag.forall(r => r._7 >= 0L), "a negative variance numerator is arithmetic breakage")
+    assert(diag.forall(r => r._5 == r._6))
+    assert(grid.map(_._3).distinct.length == 1, "every pair sees every dense row")
+  }
+
+  test("q283: the grid's sufficient statistics are MERGEABLE partials — " +
+      "grid(A ∪ B) = cellwise sum of grid(A) and grid(B) (the 100 TB sharding law)") {
+    val x = Similarity.kmQuantized(spark, dir).localCheckpoint(true)
+    val a = x.filter(col("vec_id") % 2 === 0).drop("vec_id")
+    val b = x.filter(col("vec_id") % 2 =!= 0).drop("vec_id")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Similarity.covGrid(df)
+        .select(col("i"), col("j"), col("n"), col("s_ij"), col("s_i"), col("s_j"))
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    val (ga, gb, gu) = (cells(a), cells(b), cells(x.drop("vec_id")))
+    assert(gu.keySet == ga.keySet.union(gb.keySet))
+    for ((k, (n, sij, si, sj)) <- gu) {
+      val (na, sija, sia, sja) = ga.getOrElse(k, (0L, 0L, 0L, 0L))
+      val (nb, sijb, sib, sjb) = gb.getOrElse(k, (0L, 0L, 0L, 0L))
+      assert((na + nb, sija + sijb, sia + sib, sja + sjb) == (n, sij, si, sj),
+        s"cell $k must merge exactly")
+    }
+  }
 }

@@ -63,6 +63,8 @@ AUDIT = [
     "q277_chunk_utilization", "q278_erasure_audit",
     "q279_stratified_split", "q280_budget_keep_list",
     "q281_stream_windowed_reservoir_evicting",
+    "q282_stream_ann_serving", "q283_embedding_covariance",
+    "q284_stream_embedding_covariance",
 ]
 
 
