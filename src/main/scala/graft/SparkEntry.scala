@@ -2299,6 +2299,11 @@ object SparkEntry {
     // of D(D+1)/2 bounded structs + one partially-aggregated exchange,
     // exact-integer sufficient statistics per dim pair
     "q283_embedding_covariance" -> ((s, dir) => Similarity.embeddingCovariance(s, dir)),
+    // q285: the ACTION on the q283 grid — per-dim strongest squared
+    // correlation (one bit-pinned IEEE op chain), flag counts, and the
+    // deterministic keep-lowest-index drop verdict; driver-scale math
+    // on the D²-bounded grid
+    "q285_decorrelation_plan" -> ((s, dir) => Similarity.decorrelationPlan(s, dir)),
     // q284: the LIVE covariance grid — the q214/q215 discipline (a
     // bounded Complete-mode cell grid as state: D(D+1)/2 rows of
     // mergeable integer partials); converged grid = the batch grid
@@ -3496,6 +3501,7 @@ object SparkEntry {
     // converged Complete-mode cell grid equals the batch grid
     // (order-independent integer sums) — q283's oracle unchanged
     "q284_stream_embedding_covariance" -> Similarity.embeddingCovarianceSql(),
+    "q285_decorrelation_plan" -> Similarity.decorrelationPlanSql(),
     "q274_chunk_plan" -> PipelineOps.chunkPlanSql(),
     "q275_stream_chunker" -> PipelineOps.chunkPlanSql(),
     "q276_padding_plan" -> PipelineOps.paddingPlanSql(),

@@ -2884,4 +2884,71 @@ object Similarity {
               sum(xi)::BIGINT AS s_i, sum(xj)::BIGINT AS s_j,
               (count(*) * sum(xi * xj) - sum(xi) * sum(xj))::BIGINT AS cov_num
        FROM pr GROUP BY 1, 2"""
+
+  /** The ACTION on the q283 grid (q285): which dimensions to drop
+    * before subspace quantization. Per dim: its variance numerator,
+    * the strongest squared correlation against any partner
+    * (`corr²·10⁶` — cov_num²·10⁶ / (var_i·var_j), the q260 "one IEEE
+    * op sequence" discipline: both engines run the identical
+    * double-multiply chain and floor once, so the micro value is
+    * bit-equal), how many partners exceed the threshold, and the drop
+    * verdict under the deterministic non-recursive rule "drop d iff
+    * some LOWER-indexed dim correlates with it above the threshold"
+    * (lower index survives — the keep-first tiebreak every planner in
+    * this repo uses). Everything here is driver-scale math on the
+    * D²-bounded grid; zero data passes beyond q283's one.
+    */
+  def decorrelationPlan(s: SparkSession, dir: String,
+      thrMicro: Long = 900000L): DataFrame =
+    decorrelationPlanOf(embeddingCovariance(s, dir), thrMicro)
+
+  private[graft] def decorrelationPlanOf(grid: DataFrame,
+      thrMicro: Long): DataFrame = {
+    val g = grid.localCheckpoint(true) // D(D+1)/2 rows — bounded
+    val diag = g.filter(col("i") === col("j"))
+      .select(col("i").as("d"), col("cov_num").as("var_num"))
+    // symmetrize the upper triangle so every dim sees all its partners
+    val off = g.filter(col("i") =!= col("j"))
+      .select(col("i"), col("j"), col("cov_num"))
+    val sym = off.unionAll(off.select(col("j").as("i"), col("i").as("j"), col("cov_num")))
+      .join(broadcast(diag.select(col("d").as("i"), col("var_num").as("var_i"))), "i")
+      .join(broadcast(diag.select(col("d").as("j"), col("var_num").as("var_j"))), "j")
+      .select(col("i"), col("j"),
+        when(col("var_i") === 0L || col("var_j") === 0L, lit(0L))
+          .otherwise(floor(
+            col("cov_num").cast("double") * col("cov_num").cast("double")
+              * lit(1000000.0)
+              / (col("var_i").cast("double") * col("var_j").cast("double")))
+            .cast("long")).as("corr2_micro"))
+    val per = sym.groupBy(col("i").as("d"))
+      .agg(max(col("corr2_micro")).as("max_corr2_micro"),
+        sum((col("corr2_micro") >= thrMicro).cast("long")).as("n_flagged"),
+        max(when(col("corr2_micro") >= thrMicro && col("j") < col("i"), 1L)
+          .otherwise(0L)).as("is_dropped"))
+    diag.join(per, "d")
+      .select(col("d"), col("var_num"), col("max_corr2_micro"),
+        col("n_flagged"), col("is_dropped"))
+  }
+
+  def decorrelationPlanSql(thrMicro: Long = 900000L): String =
+    s"""WITH g AS (${embeddingCovarianceSql()}),
+       diag AS (SELECT i AS d, cov_num AS var_num FROM g WHERE i = j),
+       sym AS (SELECT i, j, cov_num FROM g WHERE i <> j
+               UNION ALL
+               SELECT j AS i, i AS j, cov_num FROM g WHERE i <> j),
+       sc AS (SELECT s.i, s.j,
+                     CASE WHEN di.var_num = 0 OR dj.var_num = 0 THEN 0
+                          ELSE floor(s.cov_num::DOUBLE * s.cov_num::DOUBLE
+                                 * 1000000.0
+                                 / (di.var_num::DOUBLE * dj.var_num::DOUBLE))::BIGINT
+                     END AS corr2_micro
+              FROM sym s JOIN diag di ON s.i = di.d JOIN diag dj ON s.j = dj.d),
+       per AS (SELECT i AS d, max(corr2_micro)::BIGINT AS max_corr2_micro,
+                      sum((corr2_micro >= $thrMicro)::INT)::BIGINT AS n_flagged,
+                      max(CASE WHEN corr2_micro >= $thrMicro AND j < i
+                               THEN 1 ELSE 0 END)::BIGINT AS is_dropped
+               FROM sc GROUP BY 1)
+       SELECT diag.d, diag.var_num, per.max_corr2_micro, per.n_flagged,
+              per.is_dropped
+       FROM diag JOIN per ON diag.d = per.d"""
 }

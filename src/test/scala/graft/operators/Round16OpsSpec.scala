@@ -122,4 +122,33 @@ class Round16OpsSpec extends SparkSpec {
         s"cell $k must merge exactly")
     }
   }
+
+  test("q285: drop verdicts on a hand grid — a perfectly correlated pair " +
+      "drops exactly its HIGHER index, thresholds gate, micro values exact") {
+    // 3 dims over x1=[1,2,3], x2=2·x1, x3=[5,3,9]:
+    // var: 6, 24, 56; cov12=12 (corr²=1e6), cov13=12, cov23=24
+    // (both cross corr² = 144e6/336 = 576e6/1344 = 428571.42… → 428571)
+    val grid = Seq(
+      (1L, 1L, 3L, 14L, 6L, 6L, 6L), (2L, 2L, 3L, 56L, 12L, 12L, 24L),
+      (3L, 3L, 3L, 115L, 17L, 17L, 56L), (1L, 2L, 3L, 28L, 6L, 12L, 12L),
+      (1L, 3L, 3L, 38L, 6L, 17L, 12L), (2L, 3L, 3L, 76L, 12L, 17L, 24L))
+      .toDF("i", "j", "n", "s_ij", "s_i", "s_j", "cov_num")
+    val plan = Similarity.decorrelationPlanOf(grid, thrMicro = 900000L)
+      .select(col("d"), col("max_corr2_micro"), col("n_flagged"), col("is_dropped"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(plan.map(r => (r._1, r._2, r._3, r._4)).toSeq == Seq(
+      (1L, 1000000L, 1L, 0L),  // lowest index of the correlated pair survives
+      (2L, 1000000L, 1L, 1L),  // its higher-indexed twin is dropped
+      (3L, 428571L, 0L, 0L)))  // below threshold: kept, zero flags
+  }
+
+  test("q285: fixture-wide structural laws — every dim planned, verdicts " +
+      "are 0/1, positive variance everywhere") {
+    val plan = Similarity.decorrelationPlan(spark, dir)
+      .select(col("d"), col("var_num"), col("is_dropped"))
+      .as[(Long, Long, Long)].collect()
+    assert(plan.length == Similarity.covDims)
+    assert(plan.forall(r => r._3 == 0L || r._3 == 1L))
+    assert(plan.forall(_._2 > 0L), "a zero-variance fixture dim would be a generator bug")
+  }
 }

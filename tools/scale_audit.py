@@ -64,7 +64,7 @@ AUDIT = [
     "q279_stratified_split", "q280_budget_keep_list",
     "q281_stream_windowed_reservoir_evicting",
     "q282_stream_ann_serving", "q283_embedding_covariance",
-    "q284_stream_embedding_covariance",
+    "q284_stream_embedding_covariance", "q285_decorrelation_plan",
 ]
 
 
