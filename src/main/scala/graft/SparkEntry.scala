@@ -2310,8 +2310,9 @@ object SparkEntry {
     // (order-independent sums), so q283's oracle applies unchanged
     "q284_stream_embedding_covariance" -> ((s, dir) => {
       val ev = Similarity.kmQuantized(s, dir)
-      sketchMaintenanceStream(s, dir, "q284", ev)(
-        in => Similarity.covGrid(in))
+      val cells = sketchMaintenanceStream(s, dir, "q284", ev)(
+        in => Similarity.covCells(in))
+      Similarity.covAssemble(cells)
     }),
     // the index-maintenance planner over q83's stored index
     "q257_ivf_rebalance_plan" -> ((s, dir) => Similarity.ivfRebalancePlan(s, dir)),

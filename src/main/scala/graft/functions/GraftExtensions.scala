@@ -144,6 +144,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity(exprs(0), exprs(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_cov_pairs"),
+      new ExpressionInfo(classOf[CovPairs].getName, "graft_cov_pairs"),
+      (exprs: Seq[Expression]) => {
+        checkArity("graft_cov_pairs", exprs, Seq(1))
+        CovPairs(exprs.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash16"),
       (exprs: Seq[Expression]) => {

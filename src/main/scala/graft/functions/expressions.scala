@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, LongType, StringType}
 
 /** Analysis-time input check shared by graft's unary expressions: SQL
   * callers bypass the typed Column helpers, so without this a wrong
@@ -750,4 +750,52 @@ object WinnowKeys {
     */
   val hBits = 40
   val posBits = 20
+}
+
+/** Covariance sufficient-statistic kernel (q283/q284): for a quantized
+  * vector x of length n, the flat primitive array
+  *
+  *   [ x₀x₀, x₀x₁, …, x₀xₙ₋₁, x₁x₁, …, xₙ₋₁xₙ₋₁,  x₀, x₁, …, xₙ₋₁ ]
+  *
+  * — the n(n+1)/2 upper-triangle products in row-major (i, then j ≥ i)
+  * order, followed by the n raw values — so ONE posexplode + groupBy
+  * over the positions yields every pairwise Σxᵢxⱼ AND every linear Σxᵢ
+  * in a single aggregation. This replaces a nested higher-order-
+  * function chain building 4-field structs per pair (HOFs are
+  * CodegenFallback: interpreted, one GenericInternalRow allocation per
+  * pair ≈ 1 ms/row at D=64); here the whole triangle is one tight
+  * primitive long[] loop + one UnsafeArrayData (~µs/row), and the
+  * expression itself participates in whole-stage codegen via
+  * [[RefCodegen]]. Position mapping is fixed by the loop order and
+  * mirrored by the bounded driver-built map in Similarity.covAssemble.
+  */
+case class CovPairs(child: Expression)
+    extends UnaryExpression with RequiresInputType with RefCodegen {
+  override def requiredType: DataType = ArrayType(LongType)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val xs = arr.toLongArray() // upstream quantization never yields null elements
+    val out = new Array[Long](n * (n + 1) / 2 + n)
+    var p = 0
+    var i = 0
+    while (i < n) {
+      val xi = xs(i)
+      var j = i
+      while (j < n) { out(p) = xi * xs(j); p += 1; j += 1 }
+      i += 1
+    }
+    System.arraycopy(xs, 0, out, p, n)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): CovPairs =
+    copy(child = newChild)
+  override def prettyName: String = "cov_pairs"
 }

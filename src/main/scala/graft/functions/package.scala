@@ -45,6 +45,14 @@ package object functions {
   def simhash16(toks: Column): Column =
     call_function("graft_simhash16", toks)
 
+  /** Flat covariance sufficient statistics of a quantized array<long>
+    * column: n(n+1)/2 upper-triangle products then the n raw values —
+    * one primitive-loop kernel feeding a single posexplode + groupBy
+    * (fused, codegen'd equivalent of a nested-HOF struct explode).
+    */
+  def cov_pairs(xq: Column): Column =
+    call_function("graft_cov_pairs", xq)
+
   /** 16-slot MinHash signature (array<long>) of a shingle-array column —
     * map-side, no shuffle; NULL for empty arrays.
     */

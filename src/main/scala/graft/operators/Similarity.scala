@@ -2839,30 +2839,62 @@ object Similarity {
     * everything downstream — correlation, whitening rotation, dropped
     * dims — is driver-side math on the D²-bounded grid.
     *
-    * Scale shape: a map-side explode of D(D+1)/2 bounded structs per
-    * row feeding ONE partially-aggregated exchange of ≤ partitions ×
-    * D(D+1)/2 cells — never a data-sized shuffle, no self-join of the
-    * exploded table (the oracle's a×b form is the semantics, not the
-    * plan). Integer milli quantization (the q182 discipline) makes the
-    * sums order-independent and thus oracle-exact on any partitioning;
+    * Scale shape: the [[graft.functions.cov_pairs]] NATIVE KERNEL (one
+    * primitive long[] loop per row — a nested-HOF struct explode was
+    * measured ~1 ms/row here because HOFs are CodegenFallback) feeds
+    * one posexplode + ONE partially-aggregated exchange of ≤
+    * partitions × (D(D+1)/2 + D) cells — never a data-sized shuffle,
+    * no self-join of the exploded table (the oracle's a×b form is the
+    * semantics, not the plan; plan-pinned in PlanSpec). Integer milli
+    * quantization (the q182 discipline) makes the sums
+    * order-independent and thus oracle-exact on any partitioning;
     * |xq| ≤ ~10³-scale keeps n·Σxᵢxⱼ within BIGINT through ~10⁹ rows,
     * and the stats are mergeable partials (per-shard grids sum), which
     * is how a 100 TB run would shard it.
     */
-  private[graft] def covGrid(x: DataFrame): DataFrame = {
+  /** The streaming-compatible CELL pass: ONE posexplode of the
+    * [[graft.functions.cov_pairs]] kernel's flat primitive array (the
+    * triangle products then the linear tail) + ONE partially-aggregated
+    * groupBy(position) — the whole data pass, emitting
+    * D(D+1)/2 + D bounded cells. This is q284's Complete-mode core
+    * verbatim; [[covAssemble]] is the bounded fold both consumers
+    * share.
+    */
+  private[graft] def covCells(x: DataFrame): DataFrame =
+    x.filter(size(col("xq")) === covDims)
+      .select(posexplode(graft.functions.cov_pairs(col("xq"))).as(Seq("pid", "pv")))
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("n"), sum(col("pv")).as("s"))
+
+  /** Assemble the (i, j) grid from the cell pass: position → pair via a
+    * driver-built D(D+1)/2-row map (bounded by construction — D is a
+    * compile-time constant), linear sums from the tail positions, all
+    * joins broadcasts of those bounded frames. `localCheckpoint` pins
+    * the ≤ D(D+3)/2 cells so the three consumers share one result.
+    */
+  private[graft] def covAssemble(cells: DataFrame): DataFrame = {
     val d = covDims
-    x.filter(size(col("xq")) === d)
-      .select(explode(flatten(transform(col("xq"), (_, i) =>
-        transform(slice(col("xq"), i + lit(1), lit(d) - i), (xj, kk) =>
-          struct((i + lit(1)).cast("long").as("i"),
-            (i + kk + lit(1)).cast("long").as("j"),
-            get(col("xq"), i).as("xi"), xj.as("xj")))))).as("pr"))
-      .groupBy(col("pr.i").as("i"), col("pr.j").as("j"))
-      .agg(count(lit(1)).as("n"), sum(col("pr.xi") * col("pr.xj")).as("s_ij"),
-        sum(col("pr.xi")).as("s_i"), sum(col("pr.xj")).as("s_j"))
-      .select(col("i"), col("j"), col("n"), col("s_ij"), col("s_i"), col("s_j"),
-        (col("n") * col("s_ij") - col("s_i") * col("s_j")).as("cov_num"))
+    val tri = d * (d + 1) / 2
+    val c = cells.localCheckpoint(true)
+    val s = c.sparkSession
+    import s.implicits._
+    val posMap = (for (i <- 0 until d; j <- i until d)
+      yield (i.toLong, j.toLong)).zipWithIndex
+      .map { case ((i, j), p) => (p.toLong, i + 1L, j + 1L) }
+      .toDF("pid", "i", "j")
+    val dims = c.filter(col("pid") >= tri)
+      .select((col("pid") - tri + 1L).as("dm"), col("s").as("sd"))
+    c.filter(col("pid") < tri)
+      .join(broadcast(posMap), "pid")
+      .join(broadcast(dims.select(col("dm").as("i"), col("sd").as("s_i"))), "i")
+      .join(broadcast(dims.select(col("dm").as("j"), col("sd").as("s_j"))), "j")
+      .select(col("i"), col("j"), col("n"), col("s").as("s_ij"),
+        col("s_i"), col("s_j"),
+        (col("n") * col("s") - col("s_i") * col("s_j")).as("cov_num"))
   }
+
+  private[graft] def covGrid(x: DataFrame): DataFrame =
+    covAssemble(covCells(x))
 
   def embeddingCovariance(s: SparkSession, dir: String): DataFrame =
     covGrid(kmQuantized(s, dir))

@@ -902,4 +902,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
     assert(p.contains("Generate"), p) // the bounded explode
   }
+
+  test("q283: the covariance DATA PASS is the native kernel's explode + " +
+      "ONE partially-aggregated exchange — never a join or a data-sized shuffle") {
+    // the cell pass is the only stage that touches data; the (i, j)
+    // assembly runs over the ≤ D(D+3)/2 checkpointed cells
+    val cells = operators.Similarity.covCells(
+      operators.Similarity.kmQuantized(spark, dir))
+    val p = cells.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"the oracle's a×b self-join is the semantics, not the plan:\n$p")
+    assert(p.contains("cov_pairs"), s"the native kernel must be in the plan:\n$p")
+    assert(p.contains("Generate"), p) // its one bounded posexplode
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial"), s"map-side partial aggregation must precede the exchange:\n$p")
+  }
+
+  test("q283: the grid assembly joins only BOUNDED frames — every join " +
+      "is a broadcast, no sort-merge anywhere") {
+    val p = plan("q283_embedding_covariance")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

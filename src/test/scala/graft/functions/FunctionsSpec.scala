@@ -378,3 +378,24 @@ class RefCodegenSpec extends graft.SparkSpec {
     }
   }
 }
+
+class CovPairsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cov_pairs layout: row-major upper-triangle products then the " +
+      "linear tail, hand-checked") {
+    val got = Seq(Tuple1(Array(2L, 3L, 5L)))
+      .toDF("xq").select(graft.functions.cov_pairs(col("xq")))
+      .as[Array[Long]].head()
+    // pairs (0,0)(0,1)(0,2)(1,1)(1,2)(2,2) then x itself
+    assert(got.toSeq == Seq(4L, 6L, 10L, 9L, 15L, 25L, 2L, 3L, 5L))
+  }
+
+  test("cov_pairs sizes: n(n+1)/2 + n for any n; empty in, empty out") {
+    val sizes = Seq(Tuple1(Array.empty[Long]), Tuple1(Array(7L)),
+        Tuple1(Array.tabulate(64L.toInt)(_.toLong)))
+      .toDF("xq").select(graft.functions.cov_pairs(col("xq")))
+      .as[Array[Long]].collect().map(_.length).toSeq
+    assert(sizes == Seq(0, 2, 64 * 65 / 2 + 64))
+  }
+}
