@@ -42,6 +42,10 @@ object Bench {
     // class, same treatment as q114/q183/q86)
     try operators.Similarity.ivfIndexCompacted(spark, sfDir).count()
     catch { case e: Throwable => System.err.println(s"[bench] prestage compact: ${e.getMessage}") }
+    // q282's persisted index + staged query stream (it sorts before
+    // q83, so it would otherwise pay the one-time index write)
+    try operators.Similarity.prestageServing(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] prestage serving: ${e.getMessage}") }
     // the four streaming-denorm staged index topics (q08/q50 shared +
     // q82/q88/q90 variants) and q93's staged ingest arrivals: fixture
     // preparation — the topic exists before any consumer's clock starts

@@ -680,6 +680,18 @@ object Similarity {
       p
     })
 
+  /** q282's fixture preparation — the persisted index and the staged
+    * query stream, built untimed in Bench's warm-up (the q83/q91
+    * artifact discipline: the index exists before any serving clock
+    * starts; q282 sorts before q83 in bench order and would otherwise
+    * absorb the one-time index write in its first timed window).
+    */
+  def prestageServing(s: SparkSession, dir: String, nFiles: Int = 4): Unit = {
+    ivfIndexPath(s, dir, centsDF(s, dir))
+    stagedQueryStream(s, dir, nFiles)
+    ()
+  }
+
   /** LIVE ANN SERVING — the one leg of the IVF lifecycle that had no
     * streaming form: build (q87), compact (q91), rebalance (q257),
     * occupancy (q261), delete (q269), audit (q278) all maintain the
