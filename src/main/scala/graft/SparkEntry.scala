@@ -2304,6 +2304,16 @@ object SparkEntry {
     // deterministic keep-lowest-index drop verdict; driver-scale math
     // on the D²-bounded grid
     "q285_decorrelation_plan" -> ((s, dir) => Similarity.decorrelationPlan(s, dir)),
+    // q286: the grid maintained INCREMENTALLY — stored base cells +
+    // one delta-sized kernel pass, merged by the spec-pinned
+    // mergeability law (full-outer over two bounded cell frames); the
+    // base corpus is never rescanned, merged ≡ full grid → q283 oracle
+    "q286_covariance_ivm_delta" -> ((s, dir) => Similarity.covarianceIvmDelta(s, dir)),
+    // q287: LIVE ERASURE — deletion requests arrive as a stream, each
+    // micro-batch applies the q269 dirty-bucket rewrite to the served
+    // copy (request-driven GDPR, replay-idempotent by construction);
+    // converged survivors = q269's oracle shape at delMod 13
+    "q287_stream_index_deletes" -> ((s, dir) => Similarity.streamIndexDeletes(s, dir)),
     // q284: the LIVE covariance grid — the q214/q215 discipline (a
     // bounded Complete-mode cell grid as state: D(D+1)/2 rows of
     // mergeable integer partials); converged grid = the batch grid
@@ -3503,6 +3513,9 @@ object SparkEntry {
     // (order-independent integer sums) — q283's oracle unchanged
     "q284_stream_embedding_covariance" -> Similarity.embeddingCovarianceSql(),
     "q285_decorrelation_plan" -> Similarity.decorrelationPlanSql(),
+    // stored base cells + delta cells merge to the FULL grid exactly
+    // (the spec-pinned mergeability law) — q283's oracle unchanged
+    "q286_covariance_ivm_delta" -> Similarity.embeddingCovarianceSql(),
     "q274_chunk_plan" -> PipelineOps.chunkPlanSql(),
     "q275_stream_chunker" -> PipelineOps.chunkPlanSql(),
     "q276_padding_plan" -> PipelineOps.paddingPlanSql(),
@@ -3774,6 +3787,9 @@ object SparkEntry {
     Similarity.semanticDedupSql().map("q84_semantic_dedup" -> _) ++
     // q87's converged stream-appended index equals the batch assignment
     Similarity.ivfIndexStreamedSql().map("q87_stream_ivf_index" -> _) ++
+    // q287's converged survivors = q269's oracle shape at delMod 13
+    // (request-driven deletion over the same assignment)
+    Similarity.ivfIndexDeletedSql(13).map("q287_stream_index_deletes" -> _) ++
     // q91's compacted index equals the assignment of the EFFECTIVE
     // (post-re-embedding) vectors
     Similarity.ivfIndexCompactedSql().map("q91_ivf_index_compact" -> _) ++

@@ -1323,6 +1323,91 @@ object Similarity {
     }
   }
 
+  /** [[deleteFromIndex]] with the deletions given as an ID FRAME — the
+    * serving form for request-driven erasure (a predicate enumerating
+    * arbitrary request ids does not exist): dirty buckets come from a
+    * semi-join of the index with the request ids, survivors from the
+    * anti-join, and only dirty buckets are re-read and dynamically
+    * overwritten. Replay-idempotent by construction: re-deleting ids
+    * that are already gone finds no dirty buckets and does nothing.
+    */
+  private[operators] def deleteIdsFromIndex(s: SparkSession, path: String,
+      ids: DataFrame): Unit = {
+    import s.implicits._
+    val idx = s.read.parquet(path)
+    val dirtyIds = idx.join(broadcast(ids), "vec_id")
+      .select(col("bucket")).distinct().as[Int].collect()
+    if (dirtyIds.nonEmpty) {
+      val keep = idx
+        .filter(col("bucket").isin(dirtyIds.map(Integer.valueOf).toSeq: _*))
+        .join(broadcast(ids), Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try keep.write.mode("overwrite").partitionBy("bucket").parquet(path)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      val written = keep.select(col("bucket")).distinct().as[Int].collect().toSet
+      dirtyIds.filterNot(written).foreach(b => graft.Fs.rmTree(s"$path/bucket=$b"))
+    }
+  }
+
+  /** LIVE ERASURE (q287): deletion REQUESTS arrive as a stream and
+    * each micro-batch applies the q269 dirty-bucket discipline to the
+    * served index copy — the GDPR/retention pipeline as it actually
+    * runs (erasure is request-driven, not a batch job over a static
+    * predicate). Per-batch IO = Σ|buckets holding that batch's ids|;
+    * the request batch rides a broadcast (bounded by the trigger);
+    * replay after a partial rewrite is a no-op on the already-deleted
+    * ids (idempotence by construction — see [[deleteIdsFromIndex]]).
+    * Converged state = the survivors' assignment: q269's oracle shape
+    * at this query's own delMod.
+    */
+  private val delReqCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), String]()
+  def streamIndexDeletes(s: SparkSession, dir: String, delMod: Int = 13,
+      nBatches: Int = 4): DataFrame = {
+    val cents = centsDF(s, dir)
+    val src = ivfIndexPath(s, dir, cents)
+    val reqs = delReqCache.computeIfAbsent((dir, delMod, nBatches), { _ =>
+      val p = graft.Fs.tmpDir("graft_del_reqs")
+      streamIdxRuns.track(p)
+      try emb(s, dir).filter(col("vec_id") % delMod === 0)
+        .select(col("vec_id")).repartition(nBatches)
+        .write.mode("overwrite").parquet(p)
+      catch { case e: Throwable => graft.Fs.rmTree(p); throw e }
+      p
+    })
+    // fresh working copy per invocation (the served index is never
+    // mutated; bench repetitions must not re-delete a deleted copy)
+    val Seq(out) = streamIdxRuns.fresh((dir, "livedel", delMod), "graft_ivf_livedel")
+    s.read.parquet(src).withColumn("bucket", col("bucket").cast("int"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(out)
+    val ckpt = graft.Fs.tmpDir("graft_livedel_ckpt")
+    try {
+      val sch = s.read.parquet(reqs).schema
+      val q = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(reqs)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          graft.Sessions.withMicroBatchConf(b.sparkSession) {
+            deleteIdsFromIndex(b.sparkSession, out, b.localCheckpoint(true))
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally graft.Fs.rmTreeRetry(ckpt)
+    s.read.parquet(out)
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
+        aggregate(col("v"), lit(0.0), (acc, x) => acc + x).as("vsum"))
+  }
+
   /** Oracle for [[ivfIndexDeleted]]: the assignment of the SURVIVING
     * vectors, trained-literal gated.
     */
@@ -2945,6 +3030,39 @@ object Similarity {
   def decorrelationPlan(s: SparkSession, dir: String,
       thrMicro: Long = 900000L): DataFrame =
     decorrelationPlanOf(embeddingCovariance(s, dir), thrMicro)
+
+  /** Covariance IVM (q286): the grid maintained INCREMENTALLY — the
+    * base corpus's cell grid is a stored artifact (written once, like
+    * the dedup IVM's gram index), and an arriving delta contributes
+    * its own cell pass; the merge is the spec-pinned mergeability law
+    * as a full-outer join of two ≤ D(D+3)/2-row frames. The base
+    * corpus is NEVER rescanned: update cost = one delta-sized kernel
+    * pass + bounded-cell arithmetic, which is the whole point of
+    * sufficient statistics at 100 TB (re-deriving the grid from
+    * scratch is a full-corpus pass). Fixture split: base = vec_id %
+    * 10 ≠ 0, delta = the rest, so merged ≡ the full-corpus grid and
+    * q283's oracle applies unchanged.
+    */
+  private val covBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def covarianceIvmDelta(s: SparkSession, dir: String): DataFrame = {
+    val basePath = covBaseCache.computeIfAbsent(dir, { _ =>
+      val p = graft.Fs.tmpDir("graft_cov_base")
+      streamIdxRuns.track(p)
+      try covCells(kmQuantized(s, dir).filter(col("vec_id") % 10 =!= 0))
+        .write.mode("overwrite").parquet(p)
+      catch { case e: Throwable => graft.Fs.rmTree(p); throw e }
+      p
+    })
+    val base = s.read.parquet(basePath)
+      .select(col("pid"), col("n").as("nb"), col("s").as("sb"))
+    val delta = covCells(kmQuantized(s, dir).filter(col("vec_id") % 10 === 0))
+      .select(col("pid"), col("n").as("nd"), col("s").as("sd"))
+    covAssemble(base.join(delta, Seq("pid"), "full_outer")
+      .select(col("pid"),
+        (coalesce(col("nb"), lit(0L)) + coalesce(col("nd"), lit(0L))).as("n"),
+        (coalesce(col("sb"), lit(0L)) + coalesce(col("sd"), lit(0L))).as("s")))
+  }
 
   private[graft] def decorrelationPlanOf(grid: DataFrame,
       thrMicro: Long): DataFrame = {

@@ -142,6 +142,34 @@ class Round16OpsSpec extends SparkSpec {
       (3L, 428571L, 0L, 0L)))  // below threshold: kept, zero flags
   }
 
+  test("q286: the incrementally maintained grid equals the from-scratch " +
+      "grid cell-for-cell (base cells + delta cells, base never rescanned)") {
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("i"), col("j"), col("n"), col("s_ij"), col("s_i"),
+          col("s_j"), col("cov_num"))
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(cells(Similarity.covarianceIvmDelta(spark, dir)) ==
+      cells(Similarity.embeddingCovariance(spark, dir)))
+  }
+
+  test("q287: replaying an already-applied delete batch is a NO-OP — " +
+      "post-delete store file identity unchanged (at-least-once safety)") {
+    val files = Similarity.streamIndexDeletes(spark, dir)
+      .inputFiles // the working copy's bucket files
+    assert(files.nonEmpty)
+    val out = new java.io.File(new java.net.URI(files.head))
+      .getParentFile.getParent // strip file + bucket=N
+    def snap() = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).map(f => (f.getPath, f.length, f.lastModified)).toSet
+    val before = snap()
+    // the full original request set arrives again (a replayed topic)
+    val ids = Similarity.emb(spark, dir)
+      .filter(col("vec_id") % 13 === 0).select(col("vec_id"))
+    Similarity.deleteIdsFromIndex(spark, out, ids)
+    assert(snap() == before,
+      "re-deleting absent ids must not touch a single file")
+  }
+
   test("q285: fixture-wide structural laws — every dim planned, verdicts " +
       "are 0/1, positive variance everywhere") {
     val plan = Similarity.decorrelationPlan(spark, dir)
