@@ -2314,6 +2314,11 @@ object SparkEntry {
     // copy (request-driven GDPR, replay-idempotent by construction);
     // converged survivors = q269's oracle shape at delMod 13
     "q287_stream_index_deletes" -> ((s, dir) => Similarity.streamIndexDeletes(s, dir)),
+    // q288: POST-ERASURE SERVING — the q83 plan pointed at the
+    // post-delete store: erasure must reach the QUERY PATH, not just
+    // the files (q278 counts the store, this asks it a question);
+    // ranks re-close over survivors, oracle = survivor-filtered rank
+    "q288_post_erasure_serving" -> ((s, dir) => Similarity.postErasureServing(s, dir)),
     // q284: the LIVE covariance grid — the q214/q215 discipline (a
     // bounded Complete-mode cell grid as state: D(D+1)/2 rows of
     // mergeable integer partials); converged grid = the batch grid
@@ -3790,6 +3795,9 @@ object SparkEntry {
     // q287's converged survivors = q269's oracle shape at delMod 13
     // (request-driven deletion over the same assignment)
     Similarity.ivfIndexDeletedSql(13).map("q287_stream_index_deletes" -> _) ++
+    // q288: q49's serving SQL with the scored set restricted to
+    // survivors — the per-query rank recomputed over what remains
+    Similarity.postErasureServingSql().map("q288_post_erasure_serving" -> _) ++
     // q91's compacted index equals the assignment of the EFFECTIVE
     // (post-re-embedding) vectors
     Similarity.ivfIndexCompactedSql().map("q91_ivf_index_compact" -> _) ++

@@ -1279,10 +1279,21 @@ object Similarity {
     * list (≤ C). Oracle: the assignment of the surviving vectors —
     * trained-literal gated like the rest of the family.
     */
-  def ivfIndexDeleted(s: SparkSession, dir: String, delMod: Int = 17): DataFrame = {
+  def ivfIndexDeleted(s: SparkSession, dir: String, delMod: Int = 17): DataFrame =
+    s.read.parquet(deletedIndexPath(s, dir, delMod))
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
+        aggregate(col("v"), lit(0.0), (acc, x) => acc + x).as("vsum"))
+
+  /** The once-per-(JVM, dir, delMod) post-delete store q269 reports on
+    * and q288 SERVES from — one artifact, two consumers, which is the
+    * compliance point: the store the auditor counted is the store the
+    * query path reads.
+    */
+  private[operators] def deletedIndexPath(s: SparkSession, dir: String,
+      delMod: Int): String = {
     val cents = centsDF(s, dir)
     val src = ivfIndexPath(s, dir, cents)
-    val p = delIdxCache.computeIfAbsent((dir, delMod), { _ =>
+    delIdxCache.computeIfAbsent((dir, delMod), { _ =>
       val out = graft.Fs.tmpDir("graft_ivf_del")
       streamIdxRuns.track(out)
       try {
@@ -1294,10 +1305,38 @@ object Similarity {
       } catch { case e: Throwable => graft.Fs.rmTree(out); throw e }
       out
     })
-    s.read.parquet(p)
-      .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
-        aggregate(col("v"), lit(0.0), (acc, x) => acc + x).as("vsum"))
   }
+
+  /** POST-ERASURE SERVING (q288): the q83 serving plan pointed at the
+    * post-delete store — the audit that erasure reaches the QUERY
+    * PATH, not just the files (q278 counts the store; this asks the
+    * store a question). Same probe rule, same scoring; an erased
+    * vector can never be returned because it is not in any bucket the
+    * probe can open, and the ranks re-close over the survivors (a
+    * deleted near-neighbor promotes the next one — the oracle's
+    * survivor-filtered rank pins exactly that). The no-erased-neighbor
+    * law is additionally spec-pinned structurally.
+    */
+  def postErasureServing(s: SparkSession, dir: String, k: Int = defaultK,
+      delMod: Int = 17): DataFrame = {
+    val cents = centsDF(s, dir)
+    val index = s.read.parquet(deletedIndexPath(s, dir, delMod))
+    val queries = queryBatch(emb(s, dir))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probes = ivfProbes(queries, cents)
+      .withColumn("bucket", col("bucket").cast("int"))
+    ivfScore(index, probes, k)
+  }
+
+  /** Oracle for [[postErasureServing]]: q49's trained-literal SQL with
+    * the scored set restricted to survivors — the per-query rank
+    * recomputed over what remains.
+    */
+  def postErasureServingSql(k: Int = defaultK, delMod: Int = 17): Option[String] =
+    trainedRowsSql().map { rows =>
+      ivfSqlWith(s"SELECT * FROM (VALUES $rows) AS vt(cent_id, cv)", k,
+        s"AND a.vec_id % $delMod <> 0")
+    }
 
   /** The partition-pruned delete: only buckets holding a matching row
     * are re-read and overwritten (dynamic partition overwrite); a
@@ -1563,7 +1602,8 @@ object Similarity {
               FROM g) t2"""
   }
 
-  private def ivfSqlWith(cCte: String, k: Int): String =
+  private def ivfSqlWith(cCte: String, k: Int,
+      scoredPred: String = ""): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql),
         c AS ($cCte),
         assigned AS ($assignedCteSql),
@@ -1577,7 +1617,7 @@ object Similarity {
         scored AS (
           SELECT query_id, a.vec_id AS neighbor_id, ${cosSqlOn("p.qv", "a.v")} AS cos
           FROM assigned a JOIN probes p USING (bucket)
-          WHERE a.vec_id <> p.query_id)
+          WHERE a.vec_id <> p.query_id $scoredPred)
         SELECT query_id, neighbor_id,
                row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank,
                cos

@@ -170,6 +170,19 @@ class Round16OpsSpec extends SparkSpec {
       "re-deleting absent ids must not touch a single file")
   }
 
+  test("q288: no erased id is ever served, and each query's ranks " +
+      "re-close contiguously over the survivors") {
+    val got = Similarity.postErasureServing(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(!got.exists(_._2 % 17 == 0),
+      "an erased vector returned from serving is a compliance bug")
+    for ((_, rows) <- got.groupBy(_._1))
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        "ranks must re-close over survivors with no gaps")
+  }
+
   test("q285: fixture-wide structural laws — every dim planned, verdicts " +
       "are 0/1, positive variance everywhere") {
     val plan = Similarity.decorrelationPlan(spark, dir)
