@@ -1646,6 +1646,49 @@ object SparkEntry {
         .select(col("event_type"), col("win"), col("col").as("event_id"),
           (col("pos") + 1).cast("long").as("rk"))
     }),
+    // q289: the WEIGHTED windowed evicting reservoir — q281's window-
+    // lifetime state with q211's A-ES weighting (w = greatest(value,
+    // 0.05)): the production recency-weighted per-stratum sample. The
+    // es_key is micro-quantized through ONE pinned IEEE chain
+    // (ln(u)/w · 10⁶, floored — the q260/q285 discipline, bit-equal
+    // across engines), so the SAME long-draw kernel serves untouched
+    "q289_stream_weighted_window_reservoir" -> ((s, dir) => {
+      import s.implicits._
+      val winNs = funnelHorizonNs
+      val evSch = Tables.events(s, dir)
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          col("event_type"), col("value"))
+        .schema
+      val tmp = stagedTimeBucketEvents(s, dir)
+      val ckpt = stageDir("q289_ckpt")
+      val name = memorySinkName(s, "q289")
+      try {
+        val u = (graft.functions.md5_long(col("event_id")) + lit(1L))
+          .cast("double") / lit(math.pow(2, 60))
+        val input = s.readStream.schema(evSch)
+          .option("maxFilesPerTrigger", "2").parquet(tmp)
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+          .withColumn("win", expr(s"ts_ns div ${winNs}L"))
+          .withColumn("draw", floor(log(u)
+            / greatest(coalesce(col("value"), lit(0.0)), lit(0.05))
+            * lit(1000000.0)).cast("long"))
+          .select(col("event_type"), col("win"), col("event_id"),
+            col("draw"), col("ts"))
+        withStatePartitions(s, 8) {
+          val q = graft.streaming.StreamReservoir
+            .windowedReservoirEvicting(
+              input.as[graft.streaming.StreamReservoir.EvDraw], 5, winNs)
+            .writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", ckpt).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      } finally rmTreeRetry(ckpt)
+      s.table(name).groupBy(col("event_type"), col("win"))
+        .agg(max_by(col("ids"), col("rev")).as("ids"))
+        .select(col("event_type"), col("win"), posexplode(col("ids")))
+        .select(col("event_type"), col("win"), col("col").as("event_id"),
+          (col("pos") + 1).cast("long").as("rk"))
+    }),
     // q274: sliding-window context-chunk plan (RAG/long-context layout)
     // — map-only integer construction, one bounded explode, zero
     // exchanges (the q259 discipline); fixture-adapted L=48/S=32
@@ -3513,6 +3556,10 @@ object SparkEntry {
     // exact-integer pair grid on the milli quantization; the oracle's
     // a×b self-join is the covariance definition, the engine's
     // map-side explode is the plan that avoids materializing it
+    // q281's rank with the micro-quantized A-ES key (one pinned IEEE
+    // chain) — weighted membership, same window/eviction contract
+    "q289_stream_weighted_window_reservoir" ->
+      PipelineOps.weightedWindowReservoirSql(5, funnelHorizonNs),
     "q283_embedding_covariance" -> Similarity.embeddingCovarianceSql(),
     // converged Complete-mode cell grid equals the batch grid
     // (order-independent integer sums) — q283's oracle unchanged

@@ -177,6 +177,28 @@ object PipelineOps {
        FROM rk WHERE rk <= $k"""
   }
 
+  /** Oracle for the WEIGHTED windowed evicting reservoir (q289):
+    * q281's per-window rank with the uniform draw replaced by the
+    * micro-quantized A-ES key ln(u)/w · 10⁶ (w = greatest(value,
+    * 0.05); ONE pinned IEEE chain, floored once — bit-equal across
+    * engines, the q211/q260 disciplines composed).
+    */
+  def weightedWindowReservoirSql(k: Int, winNs: Long): String = {
+    val u = "(('0x' || substring(md5(event_id::VARCHAR), 1, 15))::BIGINT + 1)::DOUBLE / (1152921504606846976)::DOUBLE"
+    s"""WITH ev AS (SELECT event_id, event_type,
+                          epoch_ns(ts) // $winNs AS win,
+                          floor(ln($u)
+                            / greatest(coalesce(value, 0), 0.05)
+                            * 1000000.0)::BIGINT AS draw
+                   FROM events WHERE user_id IS NOT NULL),
+       rk AS (SELECT event_type, win, event_id,
+                     row_number() OVER (PARTITION BY event_type, win
+                       ORDER BY draw DESC, event_id) AS rk
+              FROM ev)
+       SELECT event_type, win, event_id, rk::BIGINT AS rk
+       FROM rk WHERE rk <= $k"""
+  }
+
   def importanceSampleSql(floorP: Double = 0.1): String = {
     val draw = "('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE / (1152921504606846976)::DOUBLE"
     s"""WITH q AS (${TextAnalysis.qualityScoresSql})

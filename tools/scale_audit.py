@@ -66,7 +66,7 @@ AUDIT = [
     "q282_stream_ann_serving", "q283_embedding_covariance",
     "q284_stream_embedding_covariance", "q285_decorrelation_plan",
     "q286_covariance_ivm_delta", "q287_stream_index_deletes",
-    "q288_post_erasure_serving",
+    "q288_post_erasure_serving", "q289_stream_weighted_window_reservoir",
 ]
 
 
