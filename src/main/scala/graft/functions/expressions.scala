@@ -778,10 +778,17 @@ case class CovPairs(child: Expression)
       s"$prettyName requires array<bigint> input, got $other")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // a null ELEMENT nulls the whole result (standard SQL null propagation)
+  // rather than crashing toLongArray with an opaque error — SQL callers
+  // of graft_cov_pairs can pass containsNull arrays; the result must
+  // therefore be nullable even when the child array itself is not
+  override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val n = arr.numElements()
-    val xs = arr.toLongArray() // upstream quantization never yields null elements
+    var e = 0
+    while (e < n) { if (arr.isNullAt(e)) return null; e += 1 }
+    val xs = arr.toLongArray()
     val out = new Array[Long](n * (n + 1) / 2 + n)
     var p = 0
     var i = 0

@@ -88,6 +88,25 @@ object StreamReservoir {
         case ((etype, win), rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
+            // time-ordered-delivery contract, enforced loudly: a group
+            // invocation with NO state whose window already ENDED at or
+            // before the current watermark is a member arriving after
+            // its window was (or would have been) evicted — under the
+            // documented in-order delivery this cannot happen, and
+            // silently accepting it would restart the window at rev 1,
+            // making the max_by(ids, rev) serving compaction prefer a
+            // fresh PARTIAL snapshot over the complete pre-eviction one.
+            // Watermark is batch-start-frozen, so same-batch arrivals
+            // that themselves advance the watermark never trip this —
+            // the guard fires exactly when eviction could have fired.
+            if (state.getOption.isEmpty &&
+                (win + 1L) * (winNs / 1000000L) <= state.getCurrentWatermarkMs())
+              throw new IllegalStateException(
+                s"windowedReservoirEvicting: late member for closed window " +
+                  s"$win of '$etype' (window end <= watermark " +
+                  s"${state.getCurrentWatermarkMs()} ms) — the time-ordered " +
+                  "delivery contract is violated; a silent restart would " +
+                  "corrupt the compacted serving read")
             val prev = state.getOption
               .getOrElse(WinResState(Array.empty, Array.empty, 0L))
             val merged = (prev.draws.zip(prev.ids) ++

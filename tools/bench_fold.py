@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Fold a tools/bench_run.sh output pair (<label>.log + <label>.env)
-into BENCH_LOCAL_r16.json as one run record with the contamination
+into BENCH_LOCAL_r17.json as one run record with the contamination
 metadata INLINE (r15 verdict item 6: steal%, PSI stall deltas, and
 timestamps live in the record itself, so adjudication is one file).
 
@@ -9,10 +9,10 @@ Usage: python3 tools/bench_fold.py <label> [outdir] [jsonpath]
 import json, re, sys, os
 
 label = sys.argv[1]
-outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/bench_r16"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/bench_r17"
 path = sys.argv[3] if len(sys.argv) > 3 else \
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 "BENCH_LOCAL_r16.json")
+                 "BENCH_LOCAL_r17.json")
 
 bench = None
 for line in open(f"{outdir}/{label}.log"):
@@ -43,11 +43,20 @@ psi = {f"{res}_{kind}": round((post[f"psi_{res}_{kind}"] -
        if f"psi_{res}_{kind}" in pre}
 
 doc = json.load(open(path)) if os.path.exists(path) else {"runs": []}
-doc["runs"].append({
+record = {
     "label": label, "started": pre["ts"], "ended": post["ts"],
     "steal_pct": steal_pct, "psi_stall_ms": psi,
-    "total": bench["value"], "queries": bench["queries"]})
-json.dump(doc, open(path, "w"), indent=1)
+    "total": bench["value"], "queries": bench["queries"]}
+# re-folding a label REPLACES its run (an accidental double fold must
+# not duplicate a record and skew the cross-run minima count)
+doc["runs"] = [r for r in doc["runs"] if r["label"] != label] + [record]
+# atomic publish: dump to a sibling temp file and rename over the
+# target, so a crash mid-dump can never truncate the accumulated
+# multi-run record
+tmp = path + ".tmp"
+with open(tmp, "w") as f:
+    json.dump(doc, f, indent=1)
+os.replace(tmp, path)
 
 mins = {}
 for r in doc["runs"]:
