@@ -14,8 +14,53 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * arriving after recovery is still suppressed by a key first seen
   * before the kill.
   */
+/** Top-level so Spark can derive its encoder (a method-local case class
+  * has no stable runtime name).
+  */
+case class RecoveryVec(vec_id: Long, xq: Array[Long])
+
 class RecoverySpec extends SparkSpec {
   import spark.implicits._
+
+  /** Stage `batches` as one mtime-ordered parquet file each under
+    * `staged` (the file-source batch order contract every recovery test
+    * uses), returning the staged dir's schema source frame.
+    */
+  private def stageBatches[T: org.apache.spark.sql.Encoder](
+      base: String, batches: Seq[Seq[T]]): Unit = {
+    val staged = s"$base/in"
+    new java.io.File(staged).mkdirs()
+    batches.zipWithIndex.foreach { case (rows, b) =>
+      val sub = s"$base/stage_$b"
+      rows.toDS().coalesce(1).write.mode("overwrite").parquet(sub)
+      val f = new java.io.File(sub).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(staged, f"batch-$b%02d.parquet")
+      java.nio.file.Files.move(f.toPath, dest.toPath)
+      graft.Fs.stampMtime(dest, (System.currentTimeMillis() / 60000L) * 60000L + b * 60000L)
+    }
+  }
+
+  /** Run 1 of the kill/restart pair: start the query, block until `n`
+    * batches with input have COMMITTED, stop it — the kill point every
+    * recovery pin uses (≥2 committed batches, so both offsets and state
+    * provably cross the restart).
+    */
+  private def runUntilBatches(n: Int)(
+      start: () => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val latch = new java.util.concurrent.CountDownLatch(n)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.numInputRows > 0) latch.countDown()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val q = start()
+    try assert(latch.await(120, java.util.concurrent.TimeUnit.SECONDS),
+      s"first run never committed $n batches")
+    finally { q.stop(); spark.streams.removeListener(listener) }
+  }
 
   test("kill + restart on the same checkpoint resumes exactly-once (state survives)") {
     val base = java.nio.file.Files.createTempDirectory("graft_recovery").toString
@@ -136,6 +181,261 @@ class RecoverySpec extends SparkSpec {
     for (((_, win), v) <- emits.groupBy(e => (e.event_type, e.win)))
       assert(v.map(_.rev).sorted == (1L to v.length).toSeq,
         s"window $win revs must be contiguous and duplicate-free: ${v.map(_.rev).sorted}")
+    graft.Fs.rmTree(base)
+  }
+
+  // ---- the flagship streaming denorm join (O8/O9/O10 under restart) ----
+
+  /** The denorm-join batches every backend's recovery pin shares: both
+    * state families must cross the restart — batch 2 (post-kill) can
+    * only fan out to c1/c2 if the LEFTS map survived, and batch 3's c3
+    * can only join s2v1 if the RIGHT value survived. This is the
+    * reference's core operational property (state restore from the
+    * compacted changelog, `StreamDenormalize.java:63`) on our analog.
+    */
+  private val denormBatches = Seq(
+    Seq(IndexRecord("s1", isLeft = true, "c1", "c1v1", 1),
+      IndexRecord("s1", isLeft = true, "c2", "c2v1", 2)),
+    Seq(IndexRecord("s2", isLeft = false, "s2", "s2v1", 3)),
+    Seq(IndexRecord("s1", isLeft = false, "s1", "s1v1", 4)),
+    Seq(IndexRecord("s2", isLeft = true, "c3", "c3v1", 5)))
+
+  private val denormExpected = Set(
+    JoinedRecord("c1", "c1v1", "s1v1", 4),
+    JoinedRecord("c2", "c2v1", "s1v1", 4),
+    JoinedRecord("c3", "c3v1", "s2v1", 5))
+
+  private def denormRecoveryRun(base: String,
+      core: org.apache.spark.sql.Dataset[IndexRecord] =>
+        org.apache.spark.sql.Dataset[JoinedRecord]): Unit = {
+    val staged = s"$base/in"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    stageBatches(base, denormBatches)
+    val schema = Seq.empty[IndexRecord].toDS().schema
+    def start() = core(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged).as[IndexRecord])
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    runUntilBatches(2)(() => start())
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out).as[JoinedRecord].collect().toSet
+    assert(got == denormExpected,
+      s"post-restart denorm output must prove both state families recovered: $got")
+  }
+
+  test("streaming denorm join (fMGWS, q08 core): kill + restart recovers " +
+      "both the lefts map and the right value — fan-out and point-lookup " +
+      "emissions cross the restart exactly once") {
+    val base = java.nio.file.Files.createTempDirectory("graft_recovery_denorm").toString
+    denormRecoveryRun(base, idx => StreamDenormalize.joined(idx, "inner"))
+    graft.Fs.rmTree(base)
+  }
+
+  test("streaming denorm join (transformWithState/RocksDB, q50 core): " +
+      "kill + restart recovers the ValueState right and the MapState lefts") {
+    val rocksdb =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", rocksdb)
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft_recovery_tws").toString
+      denormRecoveryRun(base, idx => TwsDenormalize.joined(idx, "inner"))
+      graft.Fs.rmTree(base)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  // ---- the evicting LAG family (q272) ----
+
+  test("evicting LAG (q272 core): kill + restart recovers each key's " +
+      "previous-row state — a pair straddling the restart still emits") {
+    import StreamSequence._
+    def ev(uid: Long, tSec: Long, id: Long, typ: String) =
+      EvW(uid, tSec * 1000000000L, id, typ, new java.sql.Timestamp(tSec * 1000L))
+    val horizonNs = 10L * 1000000000L // 10 s
+    val base = java.nio.file.Files.createTempDirectory("graft_recovery_lag").toString
+    val staged = s"$base/in"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    // u1's (click → purchase) pair STRADDLES the kill (state from batch
+    // 1 must cross the restart); u2's batch-2 arrival has gap 19 s >
+    // horizon (no transition — the guard, whether or not eviction
+    // physically fired), then a 1 s follow-up that must chain from the
+    // POST-restart state write
+    stageBatches(base, Seq(
+      Seq(ev(1L, 1L, 1L, "view"), ev(2L, 1L, 2L, "view")),
+      Seq(ev(1L, 2L, 3L, "click")),
+      Seq(ev(1L, 3L, 4L, "purchase"), ev(2L, 20L, 5L, "view")),
+      Seq(ev(2L, 21L, 6L, "click"))))
+    val schema = Seq.empty[EvW].toDS().schema
+    def start() = transitionsEvicting(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged).as[EvW], horizonNs)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    runUntilBatches(2)(() => start())
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out).as[Transition].collect().toSet
+    assert(got == Set(
+      Transition(1L, "view", "click"),
+      Transition(1L, "click", "purchase"),
+      Transition(2L, "view", "click")),
+      s"LAG state must cross the restart (and the horizon guard must hold): $got")
+    graft.Fs.rmTree(base)
+  }
+
+  test("evicting SCD2 (q273 core): kill + restart recovers the open " +
+      "version — the post-restart arrival closes a version opened pre-kill") {
+    import StreamSequence._
+    def ev(tSec: Long, id: Long, v: Double) =
+      EvVW(1L, tSec * 1000000000L, id, "upd", v, new java.sql.Timestamp(tSec * 1000L))
+    val horizonNs = 10L * 1000000000L
+    val base = java.nio.file.Files.createTempDirectory("graft_recovery_scd2").toString
+    val staged = s"$base/in"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    // version 2 (opened in batch 1, BEFORE the kill) is closed by batch
+    // 2's post-restart arrival: its emission requires the recovered open
+    // version — lost state would emit only version 1's closure
+    stageBatches(base, Seq(
+      Seq(ev(1L, 1L, 1.0)), Seq(ev(2L, 2L, 2.0)), Seq(ev(3L, 3L, 3.0))))
+    val schema = Seq.empty[EvVW].toDS().schema
+    def start() = closedVersionsEvicting(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged).as[EvVW], horizonNs)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    runUntilBatches(2)(() => start())
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out).as[ClosedVersion].collect().toSet
+    assert(got == Set(
+      ClosedVersion(1L, 1L, "upd", 1.0, 1000000L, 2000000L),
+      ClosedVersion(1L, 2L, "upd", 2.0, 2000000L, 3000000L)),
+      s"the open version must cross the restart: $got")
+    graft.Fs.rmTree(base)
+  }
+
+  // ---- the funnel FSM (q256) ----
+
+  test("evicting funnel FSM (q256 core): kill + restart recovers the " +
+      "stage machine — the post-restart purchase advances to stage 3") {
+    import StreamSequence._
+    def ev(uid: Long, tSec: Long, id: Long, typ: String) =
+      EvW(uid, tSec * 1000000000L, id, typ, new java.sql.Timestamp(tSec * 1000L))
+    val horizonNs = 100L * 1000000000L // no eviction in play: pure FSM recovery
+    val base = java.nio.file.Files.createTempDirectory("graft_recovery_funnel").toString
+    val staged = s"$base/in"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    // view → click before the kill, purchase after: stage 3 can only be
+    // reached from RECOVERED stage-2 state. Lost state would emit a
+    // duplicate stage 0 and never reach 3 (purchase ≠ want(0)).
+    stageBatches(base, Seq(
+      Seq(ev(1L, 1L, 1L, "view")),
+      Seq(ev(1L, 2L, 2L, "click")),
+      Seq(ev(1L, 3L, 3L, "purchase"))))
+    val schema = Seq.empty[EvW].toDS().schema
+    def start() = funnelStagesEvicting(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged).as[EvW], horizonNs)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    runUntilBatches(2)(() => start())
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out).as[StageReached].collect().toSeq
+      .sortBy(_.stage).map(_.stage)
+    assert(got == Seq(0, 1, 2, 3),
+      s"each stage exactly once, 3 reached only via recovered FSM state: $got")
+    graft.Fs.rmTree(base)
+  }
+
+  // ---- the top-k order statistic (q268) ----
+
+  test("top-k leaderboard (q268 core): kill + restart recovers the order " +
+      "statistic and its revision counter — the post-restart merge ranks " +
+      "pre-kill members") {
+    import StreamSequence._
+    val base = java.nio.file.Files.createTempDirectory("graft_recovery_topk").toString
+    val staged = s"$base/in"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    // rev 3's leaderboard [doc1 (100), doc4 (80)] requires the recovered
+    // state: lost state would emit rev 1 = [doc4] alone
+    stageBatches(base, Seq(
+      Seq(SrcDoc("a", 1L, 100L), SrcDoc("a", 2L, 50L)),
+      Seq(SrcDoc("a", 3L, 75L)),
+      Seq(SrcDoc("a", 4L, 80L))))
+    val schema = Seq.empty[SrcDoc].toDS().schema
+    def start() = topkLeaderboard(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged).as[SrcDoc], 2)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    runUntilBatches(2)(() => start())
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val emits = spark.read.parquet(out).as[TopkEmit].collect().toSeq
+    assert(emits.map(_.ver).sorted == Seq(1L, 2L, 3L),
+      s"revision continuity across the restart: ${emits.map(_.ver).sorted}")
+    val last = emits.maxBy(_.ver)
+    assert(last.ids.toSeq == Seq(1L, 4L) && last.ncs.toSeq == Seq(100L, 80L),
+      s"the compacted leaderboard must rank pre-kill members: " +
+        s"${last.ids.toSeq} / ${last.ncs.toSeq}")
+    graft.Fs.rmTree(base)
+  }
+
+  // ---- a Complete-mode counter grid (q284 core) ----
+
+  test("Complete-mode covariance cell grid (q284 core): kill + restart " +
+      "recovers the aggregation state — the converged grid equals the " +
+      "batch grid though the restarted run never re-sees early batches") {
+    val d = graft.operators.Similarity.covDims
+    def vec(id: Long): RecoveryVec =
+      RecoveryVec(id, Array.tabulate(d)(i => (id * 7 + i * 3) % 11 - 5))
+    val batches = Seq(Seq(vec(1L), vec(2L)), Seq(vec(3L)), Seq(vec(4L)))
+    val base = java.nio.file.Files.createTempDirectory("graft_recovery_cov").toString
+    val staged = s"$base/in"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    stageBatches(base, batches)
+    val schema = Seq.empty[RecoveryVec].toDS().schema
+    // Complete mode through foreachBatch: each trigger overwrites the
+    // sink with the FULL current grid, so the final write after the
+    // restart equals the converged state — provably including batches
+    // the restarted run never re-read
+    def start() = graft.operators.Similarity.covCells(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(out); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    runUntilBatches(2)(() => start())
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("cast(pid as long) pid", "n", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = cells(spark.read.parquet(out))
+    val want = cells(graft.operators.Similarity.covCells(
+      batches.flatten.toDS().toDF()))
+    assert(got == want,
+      "the post-restart Complete-mode grid must equal the batch grid")
     graft.Fs.rmTree(base)
   }
 }
