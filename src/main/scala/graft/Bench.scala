@@ -46,6 +46,13 @@ object Bench {
     // q83, so it would otherwise pay the one-time index write)
     try operators.Similarity.prestageServing(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prestage serving: ${e.getMessage}") }
+    // q287's working copies: each timed invocation needs a fresh index
+    // copy to delete from (the served index is never mutated) — built
+    // here untimed (one per bench attempt), so the timed runs measure
+    // the per-batch dirty-bucket deletes, not the harness's index copy
+    // (r16 verdict item 2; same artifact discipline as q282 above)
+    try operators.Similarity.prestageLiveDeleteCopies(spark, sfDir, n = 3)
+    catch { case e: Throwable => System.err.println(s"[bench] prestage livedel: ${e.getMessage}") }
     // the four streaming-denorm staged index topics (q08/q50 shared +
     // q82/q88/q90 variants) and q93's staged ingest arrivals: fixture
     // preparation — the topic exists before any consumer's clock starts

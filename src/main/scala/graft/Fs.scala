@@ -115,6 +115,19 @@ object Fs {
       */
     def track(p: String): Unit = dirs.add(p)
 
+    /** [[fresh]] for a dir built ELSEWHERE (a prestaged working copy
+      * adopted by an invocation): drop `key`'s previous dirs, register
+      * `paths` as its current run — same rotation discipline, no new
+      * temp dir.
+      */
+    def adopt(key: Any, paths: Seq[String]): Unit = {
+      Option(lastRun.remove(key)).foreach(_.foreach { p =>
+        dirs.remove(p); rmTree(p)
+      })
+      paths.foreach(dirs.add)
+      lastRun.put(key, paths)
+    }
+
     def cleanup(): Unit = dirs.forEach(p => rmTree(p))
   }
 

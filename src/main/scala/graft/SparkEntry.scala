@@ -2347,6 +2347,11 @@ object SparkEntry {
     // deterministic keep-lowest-index drop verdict; driver-scale math
     // on the D²-bounded grid
     "q285_decorrelation_plan" -> ((s, dir) => Similarity.decorrelationPlan(s, dir)),
+    // q290: the eigen step q285 was missing — top-2 eigenvectors +
+    // eigenvalues of the q283 grid by deflated power iteration, the
+    // whole chain exact-integer (floorDiv-only, unrolled-CTE oracle —
+    // the q182 kmIters idiom); driver-scale math on the D²-bounded grid
+    "q290_eigen_plan" -> ((s, dir) => Similarity.eigenPlan(s, dir)),
     // q286: the grid maintained INCREMENTALLY — stored base cells +
     // one delta-sized kernel pass, merged by the spec-pinned
     // mergeability law (full-outer over two bounded cell frames); the
@@ -3565,6 +3570,9 @@ object SparkEntry {
     // (order-independent integer sums) — q283's oracle unchanged
     "q284_stream_embedding_covariance" -> Similarity.embeddingCovarianceSql(),
     "q285_decorrelation_plan" -> Similarity.decorrelationPlanSql(),
+    // q290: identical truncating-division chain unrolled as CTEs
+    // (DuckDB `//` truncates toward zero, exactly Scala's Long./)
+    "q290_eigen_plan" -> Similarity.eigenPlanSql(),
     // stored base cells + delta cells merge to the FULL grid exactly
     // (the spec-pinned mergeability law) — q283's oracle unchanged
     "q286_covariance_ivm_delta" -> Similarity.embeddingCovarianceSql(),

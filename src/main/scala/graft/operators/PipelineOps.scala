@@ -182,6 +182,14 @@ object PipelineOps {
     * micro-quantized A-ES key ln(u)/w · 10⁶ (w = greatest(value,
     * 0.05); ONE pinned IEEE chain, floored once — bit-equal across
     * engines, the q211/q260 disciplines composed).
+    *
+    * Libm-agreement assumption, MEASURED not hoped (r16 advice 4): the
+    * chain's only non-IEEE-determined op is ln — java.lang.Math.log vs
+    * DuckDB's libm may differ in the last ulp. A k-ulp divergence can
+    * flip the single floor only if a draw sits within k ulps of an
+    * integer boundary; Round17OpsSpec pins a ≥10⁴-ulp margin for every
+    * draw at the oracle SF, so a platform/libm change surfaces as that
+    * test failing, never as a silent bench-time cell mismatch.
     */
   def weightedWindowReservoirSql(k: Int, winNs: Long): String = {
     val u = "(('0x' || substring(md5(event_id::VARCHAR), 1, 15))::BIGINT + 1)::DOUBLE / (1152921504606846976)::DOUBLE"

@@ -1406,11 +1406,9 @@ object Similarity {
     */
   private val delReqCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), String]()
-  def streamIndexDeletes(s: SparkSession, dir: String, delMod: Int = 13,
-      nBatches: Int = 4): DataFrame = {
-    val cents = centsDF(s, dir)
-    val src = ivfIndexPath(s, dir, cents)
-    val reqs = delReqCache.computeIfAbsent((dir, delMod, nBatches), { _ =>
+  private def stagedDeleteReqs(s: SparkSession, dir: String, delMod: Int,
+      nBatches: Int): String =
+    delReqCache.computeIfAbsent((dir, delMod, nBatches), { _ =>
       val p = graft.Fs.tmpDir("graft_del_reqs")
       streamIdxRuns.track(p)
       try emb(s, dir).filter(col("vec_id") % delMod === 0)
@@ -1419,12 +1417,47 @@ object Similarity {
       catch { case e: Throwable => graft.Fs.rmTree(p); throw e }
       p
     })
-    // fresh working copy per invocation (the served index is never
-    // mutated; bench repetitions must not re-delete a deleted copy)
-    val Seq(out) = streamIdxRuns.fresh((dir, "livedel", delMod), "graft_ivf_livedel")
+
+  /** One fresh working copy of the served index (the served index is
+    * never mutated; a delete run must not re-delete a deleted copy).
+    */
+  private def liveDeleteCopy(s: SparkSession, dir: String): String = {
+    val src = ivfIndexPath(s, dir, centsDF(s, dir))
+    val out = graft.Fs.tmpDir("graft_ivf_livedel")
+    streamIdxRuns.track(out)
     s.read.parquet(src).withColumn("bucket", col("bucket").cast("int"))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(out)
+    out
+  }
+
+  /** Prestaged q287 working copies (r16 verdict item 2): Bench builds
+    * `n` copies UNTIMED here (the q282 `prestageServing` artifact
+    * discipline), so the timed q287 runs measure the per-batch
+    * dirty-bucket deletes — the operator — not the harness's
+    * full-index working-copy write that each invocation otherwise
+    * needs. The request stream is staged here too (same reason).
+    */
+  private val livedelPool = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), java.util.concurrent.ConcurrentLinkedQueue[String]]()
+  def prestageLiveDeleteCopies(s: SparkSession, dir: String,
+      delMod: Int = 13, nBatches: Int = 4, n: Int = 3): Unit = {
+    stagedDeleteReqs(s, dir, delMod, nBatches)
+    val q = livedelPool.computeIfAbsent((dir, delMod),
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
+    (1 to n).foreach(_ => q.add(liveDeleteCopy(s, dir)))
+  }
+
+  def streamIndexDeletes(s: SparkSession, dir: String, delMod: Int = 13,
+      nBatches: Int = 4): DataFrame = {
+    val reqs = stagedDeleteReqs(s, dir, delMod, nBatches)
+    // adopt a prestaged working copy when one exists (Bench's untimed
+    // pool); fall back to building one inline — either way the previous
+    // invocation's used copy is rotated out
+    val out = Option(livedelPool.get((dir, delMod)))
+      .flatMap(p => Option(p.poll()))
+      .getOrElse(liveDeleteCopy(s, dir))
+    streamIdxRuns.adopt((dir, "livedel", delMod), Seq(out))
     val ckpt = graft.Fs.tmpDir("graft_livedel_ckpt")
     try {
       val sch = s.read.parquet(reqs).schema
@@ -3130,6 +3163,135 @@ object Similarity {
     diag.join(per, "d")
       .select(col("d"), col("var_num"), col("max_corr2_micro"),
         col("n_flagged"), col("is_dropped"))
+  }
+
+  // ---- the eigen step (q290): deflated power iteration on the grid ----
+
+  /** Number of pinned power-iteration rounds (the q130/q182 fixed-round
+    * discipline: exactness comes from both engines running the same
+    * integer chain, not from a convergence test).
+    */
+  val eigenIters = 8
+
+  /** q290: the ACTION a whitening/PCA pipeline takes on the q283 grid —
+    * the top-2 eigenvectors and eigenvalues by DEFLATED POWER ITERATION,
+    * run entirely in exact integer arithmetic on the D²-bounded grid
+    * (driver-scale math, the q285 precedent; zero data passes beyond
+    * q283's one). Every step is add/multiply/divide with a POSITIVE
+    * divisor and TRUNCATING division — DuckDB's `//` truncates toward
+    * zero (measured: -7 // 2 = -3), which is exactly Scala's `Long./`,
+    * NOT Math.floorDiv — so the unrolled-CTE oracle reproduces the
+    * chain cell-exactly (the q182 kmIters idiom):
+    *
+    *  - rescale: `a = cov_num / (max|cov_num| / 10⁶ + 1)` —
+    *    |a| ≤ 10⁶ bounds every later product within BIGINT;
+    *  - iterate ×[[eigenIters]]: `y = A·x`; `x ← y /
+    *    (max|y| / 10⁶ + 1)` (|x| ≤ 10⁶ — the integer analog of
+    *    norm normalization);
+    *  - eigenvalue: the Rayleigh quotient in a-units,
+    *    `lam = (Σ xᵢ·(zᵢ / 10⁶)) / (den / 10⁶ + 1)` with
+    *    `z = A·x`, `den = Σ xᵢ²`;
+    *  - deflate: `a₂ = a − (lam·xsᵢ·xsⱼ) / (den / 10⁶ + 1)`
+    *    with `xs = x / 10³` — the rank-1 subtraction
+    *    λ·x xᵀ/(xᵀx) in the same quantized units — then the same
+    *    iteration on a₂ gives component 2.
+    *
+    * The floors are quantization, not error: both engines run ONE
+    * identical chain (spec-pinned on a hand grid where the dominant
+    * eigenvector is known in closed form). Output: (comp, dm, loading,
+    * lam) — loading the ±10⁶-scaled eigenvector coordinate, lam the
+    * projected variance (eigenvalue) in a-units, the report the
+    * whitening decision reads.
+    */
+  def eigenPlan(s: SparkSession, dir: String): DataFrame =
+    eigenPlanOf(s, embeddingCovariance(s, dir))
+
+  private[graft] def eigenPlanOf(s: SparkSession, grid: DataFrame): DataFrame = {
+    import s.implicits._
+    val d = covDims
+    // the D(D+1)/2-row grid: bounded by construction (the q285 collect)
+    val cells = grid.select(col("i"), col("j"), col("cov_num"))
+      .collect().map(r => (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1, r.getLong(2)))
+    val m = cells.map(c => math.abs(c._3)).max
+    val sA = m / 1000000L + 1L
+    val a = Array.ofDim[Long](d, d)
+    for ((i, j, c) <- cells) {
+      val q = c / sA // truncating: DuckDB `//` truncates toward zero
+      a(i)(j) = q; a(j)(i) = q
+    }
+    def mul(mat: Array[Array[Long]], x: Array[Long]): Array[Long] =
+      Array.tabulate(d) { i =>
+        var acc = 0L; var j = 0
+        while (j < d) { acc += mat(i)(j) * x(j); j += 1 }
+        acc
+      }
+    def iterate(mat: Array[Array[Long]]): (Array[Long], Long, Long) = {
+      var x = Array.fill(d)(1000000L)
+      for (_ <- 1 to eigenIters) {
+        val y = mul(mat, x)
+        val sY = y.map(math.abs).max / 1000000L + 1L
+        x = y.map(_ / sY)
+      }
+      val z = mul(mat, x)
+      val den = x.map(v => v * v).sum
+      val num = x.zip(z).map { case (xi, zi) => xi * (zi / 1000000L) }.sum
+      val lam = num / (den / 1000000L + 1L)
+      (x, lam, den)
+    }
+    val (x1, lam1, den1) = iterate(a)
+    val xs = x1.map(_ / 1000L)
+    val dens = den1 / 1000000L + 1L
+    val a2 = Array.tabulate(d, d)((i, j) =>
+      a(i)(j) - lam1 * xs(i) * xs(j) / dens)
+    val (x2, lam2, _) = iterate(a2)
+    ((0 until d).map(i => (1L, (i + 1).toLong, x1(i), lam1)) ++
+      (0 until d).map(i => (2L, (i + 1).toLong, x2(i), lam2)))
+      .toDF("comp", "dm", "loading", "lam")
+  }
+
+  /** Oracle for [[eigenPlan]]: the identical integer chain as unrolled
+    * CTEs (the q182 kmIters idiom) — DuckDB's `//` truncates toward
+    * zero, exactly Scala's `Long./`. Every chain CTE is
+    * MATERIALIZED: each x_t references x_{t-1} more than once, so
+    * default inlining would expand the unrolled chain exponentially
+    * (observed as thousands of re-opened parquet scans).
+    */
+  def eigenPlanSql(): String = {
+    // one power-iteration chain on matrix CTE `mat`, producing xT/lam
+    def chain(tag: String, mat: String): String = {
+      val steps = (1 to eigenIters).map { t =>
+        val xp = if (t == 1) s"x${tag}0" else s"x$tag${t - 1}"
+        s"""y$tag$t AS MATERIALIZED (SELECT a.i AS dm, sum(a.a * p.x)::BIGINT AS y
+              FROM $mat a JOIN $xp p ON a.j = p.dm GROUP BY 1),
+           x$tag$t AS MATERIALIZED (SELECT dm,
+              y // ((SELECT max(abs(y)) FROM y$tag$t) // 1000000 + 1) AS x
+              FROM y$tag$t)"""
+      }.mkString(",\n")
+      s"""x${tag}0 AS MATERIALIZED (SELECT DISTINCT i AS dm, 1000000::BIGINT AS x FROM g),
+         $steps,
+         z$tag AS MATERIALIZED (SELECT a.i AS dm, sum(a.a * p.x)::BIGINT AS z
+            FROM $mat a JOIN x$tag$eigenIters p ON a.j = p.dm GROUP BY 1),
+         den$tag AS MATERIALIZED (SELECT sum(x * x)::BIGINT AS den FROM x$tag$eigenIters),
+         lam$tag AS MATERIALIZED (SELECT (SELECT sum(p.x * (z.z // 1000000))::BIGINT
+                        FROM x$tag$eigenIters p JOIN z$tag z USING (dm))
+                      // ((SELECT den FROM den$tag) // 1000000 + 1) AS lam)"""
+    }
+    s"""WITH g AS MATERIALIZED (${embeddingCovarianceSql()}),
+       sa AS MATERIALIZED (SELECT max(abs(cov_num)) // 1000000 + 1 AS s FROM g),
+       amat AS (SELECT i, j, cov_num FROM g
+                UNION ALL SELECT j AS i, i AS j, cov_num FROM g WHERE i <> j),
+       a AS MATERIALIZED (SELECT i, j, cov_num // (SELECT s FROM sa) AS a FROM amat),
+       ${chain("1", "a")},
+       xs AS MATERIALIZED (SELECT dm, x // 1000 AS xs FROM x1$eigenIters),
+       a2 AS MATERIALIZED (SELECT a.i, a.j,
+                     a.a - ((SELECT lam FROM lam1) * xi.xs * xj.xs)
+                       // ((SELECT den FROM den1) // 1000000 + 1) AS a
+              FROM a JOIN xs xi ON a.i = xi.dm JOIN xs xj ON a.j = xj.dm),
+       ${chain("2", "a2")}
+       SELECT 1::BIGINT AS comp, dm::BIGINT AS dm, x AS loading,
+              (SELECT lam FROM lam1) AS lam FROM x1$eigenIters
+       UNION ALL
+       SELECT 2::BIGINT, dm::BIGINT, x, (SELECT lam FROM lam2) FROM x2$eigenIters"""
   }
 
   def decorrelationPlanSql(thrMicro: Long = 900000L): String =
