@@ -182,6 +182,42 @@ class StreamDenormalizeSpec extends SparkSpec {
     for ((k, e) <- finalPerLeft)
       assert((e.left, e.right) == expected(k), s"key $k")
   }
+
+  test("hot-FK fan-out stress (O10 worst case, r16 verdict item 5): one " +
+      "right update re-emits an entire batch's worth of stored lefts " +
+      "exactly once, and state stays O(FK groups), not O(emissions)") {
+    // the reference's documented worst case (`JoinTransformer.java:168-186`,
+    // a right update prefix-scans ALL stored lefts): one FK holds 5,000
+    // lefts — a full micro-batch concentrated on one key — then a single
+    // right record triggers the amplification. Pins the three bounds the
+    // skew story rests on: exact fan-out (each left exactly once, the
+    // O14 in-batch dedup under maximal pressure), completion of the
+    // 1→5000 batch, and state CARDINALITY staying at the group count (2
+    // FKs) — the emissions are streamed out, never stored
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val n = 5000
+    val input = MemoryStream[IndexRecord]
+    val q = StreamDenormalize.joined(input.toDS(), "inner")
+      .writeStream.format("memory").queryName("sd_hot").outputMode("append").start()
+    val (fanoutMs, stateRows) = try {
+      input.addData((1 to n).map(i => L("hot", f"c$i%05d", s"v$i", i.toLong)) :+
+        L("cold", "x1", "xv", 900000L))
+      q.processAllAvailable()
+      input.addData(Seq(R("hot", "rv", 1000000L)))
+      q.processAllAvailable()
+      val p = q.recentProgress.filter(_.numInputRows == 1).last
+      (p.durationMs.get("triggerExecution").longValue(),
+        p.stateOperators.head.numRowsTotal)
+    } finally q.stop()
+    val out = spark.table("sd_hot").as[JoinedRecord].collect()
+    assert(out.length == n, s"exact fan-out: expected $n emissions, got ${out.length}")
+    assert(out.map(_.outKey).distinct.length == n, "each stored left exactly once")
+    assert(out.forall(r => r.right == "rv" && r.seq == 1000000L))
+    assert(stateRows == 2L,
+      s"state must hold one row per FK group (hot + cold), got $stateRows")
+    info(s"measured bound: 1 right -> $n emissions in one batch, " +
+      s"${fanoutMs} ms trigger, state rows = $stateRows")
+  }
 }
 
 /** The q08 harness shape at test scale: a FILE streaming source feeding
@@ -296,4 +332,5 @@ class MultiHopStreamSpec extends SparkSpec {
     assert(late.forall(r => !r.isNullAt(6)),
       "late customers must end matched — the null→matched flip rode both hops")
   }
+
 }
