@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Synthesize an sf1 scale point (r16 verdict item 7): a deterministic
+x10 key-shifted replication of /root/testdata/sf0.1 into /tmp/sf1_synth.
+
+The driver's generator produced sf{0.001,0.01,0.1} (read-only); a
+fourth decade catches scaling fits that only bend past sf0.1. This
+replication preserves:
+  - referential integrity: EVERY int64 id column shifts by the same
+    per-copy offset (1e12 * k), so any cross-table join key
+    relationship holds within each copy;
+  - per-copy density/distributions: values, time ranges, and dim
+    tables (region/nation, int32 keys) are untouched — the corpus
+    grows in entity space, not in time;
+  - row identity: text gets a per-copy prefix (n_chars recomputed) and
+    embeddings a per-copy dim-0 epsilon, so copies are not byte-equal.
+
+Documented caveat for reading the audit: replicas are NEAR-duplicates
+of each other by construction, so the dedup/similarity families see a
+denser-than-organic candidate structure at sf1 — those rows are upper
+bounds, not organic-corpus predictions.
+
+Usage: python3 tools/gen_sf1.py [outdir]
+"""
+import sys, os
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyarrow.compute as pc
+
+SRC = "/root/testdata/sf0.1"
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_synth"
+COPIES = 10
+OFF = 10**12  # per-copy id offset: far above any sf0.1 id, no overflow
+
+# int64 id columns per table (every other column replicates verbatim,
+# except the documented text / n_chars / embedding mutations)
+IDS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+VERBATIM = ["region", "nation"]  # fixed-size dims: do not replicate
+
+
+def shifted_copy(tbl: pa.Table, name: str, k: int) -> pa.Table:
+    cols = {}
+    for col in tbl.column_names:
+        arr = tbl.column(col)
+        if k > 0 and col in IDS.get(name, []):
+            # user_id is nullable in events: add_checked keeps nulls null
+            arr = pc.add_checked(arr, k * OFF)
+        elif name == "documents" and col == "text":
+            if k > 0:
+                arr = pc.binary_join_element_wise(
+                    pa.array([f"cp{k} "] * len(tbl), pa.string()),
+                    arr.combine_chunks(), "")
+        elif name == "documents" and col == "n_chars":
+            continue  # recomputed from the mutated text below
+        elif name == "embeddings" and col == "embedding" and k > 0:
+            flat = arr.combine_chunks()
+            values = flat.values.to_numpy(zero_copy_only=False).copy()
+            offsets = flat.offsets.to_numpy(zero_copy_only=False)
+            values[offsets[:-1]] += k * 1e-3  # dim-0 epsilon per copy
+            arr = pa.ListArray.from_arrays(flat.offsets,
+                                           pa.array(values, pa.float32()))
+        cols[col] = arr
+    if name == "documents":
+        cols["n_chars"] = pc.cast(pc.utf8_length(cols["text"]), pa.int64())
+        # preserve the source column order
+        cols = {c: cols[c] for c in tbl.column_names}
+    return pa.table(cols)
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    for name in VERBATIM:
+        tbl = pq.read_table(f"{SRC}/{name}.parquet")
+        pq.write_table(tbl, f"{OUT}/{name}.parquet", compression="snappy")
+        print(f"{name}: {len(tbl)} rows (verbatim)")
+    for name in IDS:
+        tbl = pq.read_table(f"{SRC}/{name}.parquet")
+        out = f"{OUT}/{name}.parquet"
+        writer = pq.ParquetWriter(out, shifted_copy(tbl, name, 0).schema,
+                                  compression="snappy")
+        for k in range(COPIES):
+            writer.write_table(shifted_copy(tbl, name, k))
+        writer.close()
+        print(f"{name}: {len(tbl)} -> {len(tbl) * COPIES} rows")
+
+
+if __name__ == "__main__":
+    main()

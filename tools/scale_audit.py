@@ -1,6 +1,8 @@
 #!/usr/bin/env python3
-"""Scaling-exponent audit (r15 verdict item 6; extended to the r15/r16
-closing queries per r16 verdict item 2).
+"""Scaling-exponent audit (r15 verdict item 6; r16 added the closing
+queries; r17 adds a FOURTH decade — a synthetic sf1 built by
+tools/gen_sf1.py — for the expensive set, catching fits that only
+bend past sf0.1).
 
 Runs the audit set (the most expensive streaming + batch queries from
 the cross-run minima, plus every query added since commit 07e63e5)
@@ -17,15 +19,17 @@ catch. sf0.001 is recorded as a fixed-overhead floor reference, not
 used in the fit. Usage:
 
     python3 tools/scale_audit.py run    # 3 sbt invocations, ~15 min
+    python3 tools/scale_audit.py sf1    # the sf1 decade (gen_sf1.py
+                                        # must have produced /tmp/sf1_synth)
     python3 tools/scale_audit.py report # prints the table, writes
-                                        # tools/SCALE_AUDIT_r16.md
+                                        # tools/SCALE_AUDIT_r17.md
 """
 import json, os, subprocess, sys, math
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = "/tmp/scale_audit_r16"
+OUT = "/tmp/scale_audit_r17"
 SFS = ["0.001", "0.01", "0.1"]
-REPORT = "tools/SCALE_AUDIT_r16.md"
+REPORT = "tools/SCALE_AUDIT_r17.md"
 
 # top streaming + top batch by cross-run minima, plus EVERY query that
 # did not exist at 07e63e5 (q257-q273 — the r15 closers and the r16
@@ -67,19 +71,42 @@ AUDIT = [
     "q284_stream_embedding_covariance", "q285_decorrelation_plan",
     "q286_covariance_ivm_delta", "q287_stream_index_deletes",
     "q288_post_erasure_serving", "q289_stream_weighted_window_reservoir",
+    # born in r17
+    "q290_eigen_plan",
+]
+
+# the fourth-decade set (r16 verdict item 7): the most expensive rows
+# of the r16 minima plus the one fit the verdict named to watch (q09)
+# and the r16/r17 closers — sf1 is 10x sf0.1, alpha10 reads the same way
+SF1 = [
+    "q09_agg_pricing", "q266_stream_novelty", "q255_stream_multihop_outer_hop1",
+    "q246_stream_multihop_outer", "q217_stream_denorm_multihop",
+    "q93_stream_ingest_neardup", "q146_stream_windowed_cms_evicting",
+    "q287_stream_index_deletes", "q282_stream_ann_serving",
+    "q123_stream_trending", "q129_stream_interval_join_outer",
+    "q12_revenue_by_nation", "q166_triangle_census", "q130_pagerank",
+    "q65_substring_dedup", "q110_bigram_perplexity",
+    "q213_personalized_pagerank", "q156_pmi_cooccurrence",
+    "q283_embedding_covariance", "q284_stream_embedding_covariance",
+    "q286_covariance_ivm_delta", "q290_eigen_plan",
+    "q253_stream_funnel", "q268_stream_topk", "q221_stream_source_packing",
 ]
 
 
-def run(subset=None):
+def sfdir(sf):
+    return "/tmp/sf1_synth" if sf == "1" else f"/root/testdata/sf{sf}"
+
+
+def run(subset=None, sfs=None):
     # subset: comma-joined query names -> incremental run appended as
     # sf{sf}.more.log (parse() merges, later lines win); None -> full set
     os.makedirs(OUT, exist_ok=True)
     only = subset if subset else ",".join(AUDIT)
     suffix = ".more.log" if subset else ".log"
-    for sf in SFS:
+    for sf in (sfs or SFS):
         log = f"{OUT}/sf{sf}{suffix}"
         env = dict(os.environ,
-                   SPARK_GRAFT_SF_DIR=f"/root/testdata/sf{sf}",
+                   SPARK_GRAFT_SF_DIR=sfdir(sf),
                    SPARK_GRAFT_CPUS="32",
                    SPARK_GRAFT_BENCH_ONLY=only)
         print(f"[scale_audit] sf{sf} -> {log}", flush=True)
@@ -121,28 +148,42 @@ def prior_rows():
 
 def report():
     qs = {sf: parse(sf) for sf in SFS}
+    try:
+        qs1 = parse("1")
+    except SystemExit:
+        qs1 = {}
     prior = prior_rows()
     rows = []
     for name in AUDIT:
         t = [qs[sf].get(name, [-1])[0] for sf in SFS]
         if min(t) < 0 and name in prior:
             t = prior[name]
+        t1 = qs1.get(name, [-1])[0]
         if min(t) < 0:
-            rows.append((name, t, None))
+            rows.append((name, t, t1, None, None))
             continue
         alpha = math.log10(t[2] / t[1]) if t[1] > 0 else None
-        rows.append((name, t, alpha))
-    rows.sort(key=lambda r: -(r[2] if r[2] is not None else 9))
-    lines = ["# Scaling-exponent audit (round 16)", "",
-             "alpha = log10(t(sf0.1)/t(sf0.01)); data grows 10x, so",
-             "1.0 = linear, <1 = overhead-dominated, >1.3 = flagged.", "",
-             "| query | sf0.001 | sf0.01 | sf0.1 | alpha |",
-             "|---|---|---|---|---|"]
-    for name, t, a in rows:
+        alpha10 = math.log10(t1 / t[2]) if t1 > 0 and t[2] > 0 else None
+        rows.append((name, t, t1, alpha, alpha10))
+    rows.sort(key=lambda r: -(max(x for x in (r[3], r[4]) if x is not None)
+                              if (r[3] is not None or r[4] is not None) else 9))
+    lines = ["# Scaling-exponent audit (round 17)", "",
+             "alpha = log10(t(sf0.1)/t(sf0.01)); alpha10 = log10(t(sf1)/",
+             "t(sf0.1)) over the synthetic x10 decade (tools/gen_sf1.py —",
+             "key-shifted replication; dedup/similarity rows there are",
+             "upper bounds, replicas being near-duplicates by construction).",
+             "Data grows 10x per step: 1.0 = linear, <1 = overhead-",
+             "dominated, >1.3 = flagged.", "",
+             "| query | sf0.001 | sf0.01 | sf0.1 | alpha | sf1 | alpha10 |",
+             "|---|---|---|---|---|---|---|"]
+    for name, t, t1, a, a10 in rows:
         ts = " | ".join("-" if x < 0 else f"{x:.3f}" for x in t)
         astr = "-" if a is None else f"{a:+.2f}"
-        flag = " **FLAG**" if a is not None and a > 1.3 else ""
-        lines.append(f"| {name} | {ts} | {astr}{flag} |")
+        t1s = "-" if t1 < 0 else f"{t1:.3f}"
+        a10s = "-" if a10 is None else f"{a10:+.2f}"
+        flag = " **FLAG**" if (a is not None and a > 1.3) or \
+            (a10 is not None and a10 > 1.3) else ""
+        lines.append(f"| {name} | {ts} | {astr} | {t1s} | {a10s}{flag} |")
     text = "\n".join(lines) + "\n"
     print(text)
     with open(f"{REPO}/{REPORT}", "w") as f:
@@ -152,5 +193,7 @@ def report():
 if __name__ == "__main__":
     if sys.argv[1] == "run":
         run(sys.argv[2] if len(sys.argv) > 2 else None)
+    elif sys.argv[1] == "sf1":
+        run(",".join(SF1), sfs=["1"])
     else:
         report()

@@ -5,7 +5,13 @@
 # PSI (pressure stall) totals for cpu/memory/io: steal sees hypervisor
 # CPU theft but is BLIND to co-tenant memory-bandwidth/LLC contention —
 # PSI's stall accounting is the witness the r15 smear report lacked for
-# its quiet-steal slow runs (tools/BENCH_SMEAR_r15.md). Usage:
+# its quiet-steal slow runs (tools/BENCH_SMEAR_r15.md). Each sample
+# additionally records SCHED: the summed /proc/<pid>/schedstat of every
+# java process (cputime_ns rundelay_ns timeslices) — rundelay is time
+# RUNNABLE-but-not-running, the scheduler-side witness for CPU
+# contention that shows neither as steal nor as PSI (r16 verdict item
+# 6: the quiet-steal slow-run class needs a counter that moves).
+# Usage:
 #   tools/steal_sampler.sh <outfile>   # runs until killed
 OUT="${1:?outfile}"
 psi() {
@@ -14,6 +20,16 @@ psi() {
       awk -v k="$f" '{print "PSI", k, $0}' "/proc/pressure/$f"
   done
 }
+sched() {
+  local cpu=0 delay=0 slices=0
+  for p in $(pgrep java 2>/dev/null); do
+    if [ -r "/proc/$p/schedstat" ]; then
+      read -r c d s < "/proc/$p/schedstat" 2>/dev/null || continue
+      cpu=$((cpu + c)); delay=$((delay + d)); slices=$((slices + s))
+    fi
+  done
+  echo "SCHED cputime_ns=$cpu rundelay_ns=$delay timeslices=$slices"
+}
 prev=$(head -1 /proc/stat)
 while true; do
   sleep 10
@@ -21,6 +37,7 @@ while true; do
   {
     echo "$(date +%s) PREV $prev CUR $cur"
     psi
+    sched
   } >> "$OUT"
   prev="$cur"
 done
