@@ -2352,6 +2352,11 @@ object SparkEntry {
     // whole chain exact-integer (floorDiv-only, unrolled-CTE oracle —
     // the q182 kmIters idiom); driver-scale math on the D²-bounded grid
     "q290_eigen_plan" -> ((s, dir) => Similarity.eigenPlan(s, dir)),
+    // q291: the q290 eigenvectors APPLIED — every embedding's exact-
+    // integer coordinates on the top-2 components: one map-only
+    // whole-stage-codegen pass (64-term literal dot products, no HOFs),
+    // the dimensionality-reduction step a PCA pipeline materializes
+    "q291_pca_projection" -> ((s, dir) => Similarity.pcaProjection(s, dir)),
     // q286: the grid maintained INCREMENTALLY — stored base cells +
     // one delta-sized kernel pass, merged by the spec-pinned
     // mergeability law (full-outer over two bounded cell frames); the
@@ -3573,6 +3578,8 @@ object SparkEntry {
     // q290: identical truncating-division chain unrolled as CTEs
     // (DuckDB `//` truncates toward zero, exactly Scala's Long./)
     "q290_eigen_plan" -> Similarity.eigenPlanSql(),
+    // q291: the eigen chain + one unnest-join-sum per component
+    "q291_pca_projection" -> Similarity.pcaProjectionSql(),
     // stored base cells + delta cells merge to the FULL grid exactly
     // (the spec-pinned mergeability law) — q283's oracle unchanged
     "q286_covariance_ivm_delta" -> Similarity.embeddingCovarianceSql(),

@@ -3208,6 +3208,18 @@ object Similarity {
 
   private[graft] def eigenPlanOf(s: SparkSession, grid: DataFrame): DataFrame = {
     import s.implicits._
+    val ((x1, lam1), (x2, lam2)) = eigenVectorsOf(grid)
+    val d = covDims
+    ((0 until d).map(i => (1L, (i + 1).toLong, x1(i), lam1)) ++
+      (0 until d).map(i => (2L, (i + 1).toLong, x2(i), lam2)))
+      .toDF("comp", "dm", "loading", "lam")
+  }
+
+  /** The integer chain itself: top-2 (loading vector, eigenvalue) pairs
+    * — shared by the q290 report and q291's projection pass.
+    */
+  private[graft] def eigenVectorsOf(
+      grid: DataFrame): ((Array[Long], Long), (Array[Long], Long)) = {
     val d = covDims
     // the D(D+1)/2-row grid: bounded by construction (the q285 collect)
     val cells = grid.select(col("i"), col("j"), col("cov_num"))
@@ -3244,10 +3256,50 @@ object Similarity {
     val a2 = Array.tabulate(d, d)((i, j) =>
       a(i)(j) - lam1 * xs(i) * xs(j) / dens)
     val (x2, lam2, _) = iterate(a2)
-    ((0 until d).map(i => (1L, (i + 1).toLong, x1(i), lam1)) ++
-      (0 until d).map(i => (2L, (i + 1).toLong, x2(i), lam2)))
-      .toDF("comp", "dm", "loading", "lam")
+    ((x1, lam1), (x2, lam2))
   }
+
+  /** q291: the PROJECTION pass — every embedding's coordinates on the
+    * q290 eigenvectors, i.e. the dimensionality-reduction step a PCA /
+    * visualization / coarse-indexing pipeline actually materializes.
+    * The eigen chain is a bounded driver artifact; the projection is
+    * ONE map-only data pass: each coordinate is an exact 64-term
+    * integer dot product built as a codegen'd literal sum (getItem ·
+    * constant — no higher-order functions, which are CodegenFallback;
+    * the q283 lesson), so the pass is whole-stage-codegen with zero
+    * exchanges beyond the scan. At 100 TB this is the embarrassingly
+    * parallel shape: broadcast 2·D longs, stream the corpus once.
+    */
+  def pcaProjection(s: SparkSession, dir: String): DataFrame = {
+    val ((x1, _), (x2, _)) = eigenVectorsOf(embeddingCovariance(s, dir))
+    def dot(xs: Array[Long]) = (0 until covDims)
+      .map(i => col("xq").getItem(i) * lit(xs(i)))
+      .reduce(_ + _)
+    kmQuantized(s, dir)
+      .filter(size(col("xq")) === covDims) // the q283 ragged-row guard
+      .select(col("vec_id"), dot(x1).as("p1"), dot(x2).as("p2"))
+  }
+
+  /** Oracle for [[pcaProjection]]: the eigen CTE chain plus one
+    * unnest-join-sum projection per component — the same exact-integer
+    * dot products.
+    */
+  def pcaProjectionSql(): String =
+    s"""${eigenChainSql()}
+       , ex2 AS (SELECT vec_id, generate_subscripts(xq, 1)::BIGINT AS dm,
+                        unnest(xq) AS xi
+                 FROM (SELECT vec_id,
+                         list_transform(embedding::DOUBLE[],
+                           z -> round(z * 1000)::BIGINT) AS xq
+                       FROM embeddings $denseWhereSql AND embedding IS NOT NULL)
+                 WHERE len(xq) = $covDims)
+       SELECT e.vec_id,
+              sum(e.xi * v1.x)::BIGINT AS p1,
+              sum(e.xi * v2.x)::BIGINT AS p2
+       FROM ex2 e
+       JOIN x1$eigenIters v1 ON e.dm = v1.dm
+       JOIN x2$eigenIters v2 ON e.dm = v2.dm
+       GROUP BY 1"""
 
   /** Oracle for [[eigenPlan]]: the identical integer chain as unrolled
     * CTEs (the q182 kmIters idiom) — DuckDB's `//` truncates toward
@@ -3256,7 +3308,17 @@ object Similarity {
     * default inlining would expand the unrolled chain exponentially
     * (observed as thousands of re-opened parquet scans).
     */
-  def eigenPlanSql(): String = {
+  def eigenPlanSql(): String =
+    s"""${eigenChainSql()}
+       SELECT 1::BIGINT AS comp, dm::BIGINT AS dm, x AS loading,
+              (SELECT lam FROM lam1) AS lam FROM x1$eigenIters
+       UNION ALL
+       SELECT 2::BIGINT, dm::BIGINT, x, (SELECT lam FROM lam2) FROM x2$eigenIters"""
+
+  /** The shared WITH-chain (grid -> rescale -> two deflated power
+    * iterations), composed by [[eigenPlanSql]] and [[pcaProjectionSql]].
+    */
+  private def eigenChainSql(): String = {
     // one power-iteration chain on matrix CTE `mat`, producing xT/lam
     def chain(tag: String, mat: String): String = {
       val steps = (1 to eigenIters).map { t =>
@@ -3287,11 +3349,7 @@ object Similarity {
                      a.a - ((SELECT lam FROM lam1) * xi.xs * xj.xs)
                        // ((SELECT den FROM den1) // 1000000 + 1) AS a
               FROM a JOIN xs xi ON a.i = xi.dm JOIN xs xj ON a.j = xj.dm),
-       ${chain("2", "a2")}
-       SELECT 1::BIGINT AS comp, dm::BIGINT AS dm, x AS loading,
-              (SELECT lam FROM lam1) AS lam FROM x1$eigenIters
-       UNION ALL
-       SELECT 2::BIGINT, dm::BIGINT, x, (SELECT lam FROM lam2) FROM x2$eigenIters"""
+       ${chain("2", "a2")}"""
   }
 
   def decorrelationPlanSql(thrMicro: Long = 900000L): String =

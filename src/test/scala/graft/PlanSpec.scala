@@ -350,6 +350,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"pqEncode must be map-only:\n$p")
   }
 
+  test("q291 PCA projection is a shuffle-free whole-stage-codegen map " +
+      "over the corpus (literal eigenvector dot products, no HOFs)") {
+    // the 100 TB contract for the dimensionality-reduction pass: the
+    // eigenvectors are a bounded driver artifact, so each coordinate is
+    // a 64-term literal sum inside one projection over the scan — any
+    // Exchange or CodegenFallback HOF here would be a plan defect
+    val df = graft.operators.Similarity.pcaProjection(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"pcaProjection must be map-only:\n$p")
+    // the dot-product Project must sit inside a codegen stage (the
+    // `*(n)` marker); the quantization transform below it is the known
+    // CodegenFallback HOF the whole kmQuantized family pays
+    assert("""\*\(\d+\) Project \[vec_id""".r.findFirstIn(p).isDefined,
+      s"the projection must codegen:\n$p")
+  }
+
   test("SQ8 encode (the stored code table) is a shuffle-free map over the corpus") {
     // q108's storage side: per-dimension stats are LITERAL arrays, so
     // quantization is one projection over the scan — no join, no window

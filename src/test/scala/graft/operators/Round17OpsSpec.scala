@@ -75,4 +75,32 @@ class Round17OpsSpec extends SparkSpec {
     assert(lam2 >= 333333L - 10L && lam2 <= 333333L + 10L,
       s"comp2 Rayleigh must sit at the second a-units variance: $lam2")
   }
+
+  test("q291 projection wiring: the literal-sum coordinates equal an " +
+      "independent driver-side dot product of the q290 loadings") {
+    // pins the 64-term getItem·literal expression construction (an
+    // off-by-one in the item index or a dropped term would corrupt all
+    // coordinates identically and could survive a smoke check): the
+    // engine's p1/p2 must equal dot products computed OUTSIDE Spark
+    // from the same loadings and the same quantized vectors
+    val dir = "/root/testdata/sf0.001"
+    val loadings = Similarity.eigenPlan(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val x1 = loadings.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val x2 = loadings.filter(_._1 == 2L).sortBy(_._2).map(_._3)
+    val got = Similarity.pcaProjection(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val vecs = graft.Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id",
+        "transform(cast(embedding as array<double>), z -> cast(round(z * 1000) as long)) xq")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .filter(_._2.length == Similarity.covDims)
+    assert(vecs.nonEmpty && got.size == vecs.length)
+    for ((id, xq) <- vecs.take(50)) {
+      val want = (xq.zip(x1).map { case (a, b) => a * b }.sum,
+        xq.zip(x2).map { case (a, b) => a * b }.sum)
+      assert(got(id) == want, s"vec $id: ${got(id)} != $want")
+    }
+  }
 }

@@ -72,7 +72,7 @@ AUDIT = [
     "q286_covariance_ivm_delta", "q287_stream_index_deletes",
     "q288_post_erasure_serving", "q289_stream_weighted_window_reservoir",
     # born in r17
-    "q290_eigen_plan",
+    "q290_eigen_plan", "q291_pca_projection",
 ]
 
 # the fourth-decade set (r16 verdict item 7): the most expensive rows
@@ -88,7 +88,7 @@ SF1 = [
     "q65_substring_dedup", "q110_bigram_perplexity",
     "q213_personalized_pagerank", "q156_pmi_cooccurrence",
     "q283_embedding_covariance", "q284_stream_embedding_covariance",
-    "q286_covariance_ivm_delta", "q290_eigen_plan",
+    "q286_covariance_ivm_delta", "q290_eigen_plan", "q291_pca_projection",
     "q253_stream_funnel", "q268_stream_topk", "q221_stream_source_packing",
 ]
 
