@@ -21,14 +21,19 @@ psi() {
   done
 }
 sched() {
-  local cpu=0 delay=0 slices=0
+  # per-TASK schedstat, not per-pid: /proc/<pid>/schedstat covers only
+  # the main thread, which in a JVM is idle while executor threads do
+  # the work — summing tasks captures the whole process tree's
+  # cputime/rundelay
+  local files=""
   for p in $(pgrep java 2>/dev/null); do
-    if [ -r "/proc/$p/schedstat" ]; then
-      read -r c d s < "/proc/$p/schedstat" 2>/dev/null || continue
-      cpu=$((cpu + c)); delay=$((delay + d)); slices=$((slices + s))
-    fi
+    files="$files /proc/$p/task/*/schedstat"
   done
-  echo "SCHED cputime_ns=$cpu rundelay_ns=$delay timeslices=$slices"
+  # shellcheck disable=SC2086
+  awk '{c+=$1; d+=$2; s+=$3}
+       END {printf "SCHED cputime_ns=%.0f rundelay_ns=%.0f timeslices=%.0f\n",
+            c, d, s}' $files 2>/dev/null \
+    || echo "SCHED cputime_ns=0 rundelay_ns=0 timeslices=0"
 }
 prev=$(head -1 /proc/stat)
 while true; do
