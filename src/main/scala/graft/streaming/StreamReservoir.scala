@@ -91,14 +91,19 @@ object StreamReservoir {
             // time-ordered-delivery contract, enforced loudly: a group
             // invocation with NO state whose window already ENDED at or
             // before the current watermark is a member arriving after
-            // its window was (or would have been) evicted — under the
-            // documented in-order delivery this cannot happen, and
-            // silently accepting it would restart the window at rev 1,
-            // making the max_by(ids, rev) serving compaction prefer a
-            // fresh PARTIAL snapshot over the complete pre-eviction one.
-            // Watermark is batch-start-frozen, so same-batch arrivals
-            // that themselves advance the watermark never trip this —
-            // the guard fires exactly when eviction could have fired.
+            // its window was (or would have been) evicted — silently
+            // accepting it would restart the window at rev 1, making
+            // the max_by(ids, rev) serving compaction prefer a fresh
+            // PARTIAL snapshot over the complete pre-eviction one.
+            // DEFENSE IN DEPTH: under EventTimeTimeout Spark's
+            // FlatMapGroupsWithStateExec already drops sub-watermark
+            // rows before this function (StreamReservoirSpec pins the
+            // scenario end-to-end — the late member is output-
+            // invisible), so this guard is the backstop for a future
+            // timeout-mode change, not the first line. Watermark is
+            // batch-start-frozen, so same-batch arrivals that advance
+            // it never trip this — the guard fires exactly when
+            // eviction could have fired.
             if (state.getOption.isEmpty &&
                 (win + 1L) * (winNs / 1000000L) <= state.getCurrentWatermarkMs())
               throw new IllegalStateException(

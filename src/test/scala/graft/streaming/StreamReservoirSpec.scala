@@ -93,6 +93,40 @@ class StreamReservoirSpec extends SparkSpec {
       "compacted (max-rev) snapshots must equal the batch per-window top-k")
   }
 
+  test("windowed reservoir: a late member of an EVICTED window can " +
+      "never restart the revision counter — Spark drops it before the " +
+      "state function (and the in-function guard backstops)") {
+    // the r16 advice-1 hazard, pinned at its actual first line of
+    // defense: with EventTimeTimeout, FlatMapGroupsWithStateExec
+    // filters rows older than the watermark BEFORE the state function,
+    // so a late window-0 member after eviction is dropped — no rev-1
+    // partial snapshot can ever reach the max_by(ids, rev) serving
+    // compaction. (The in-function watermark guard remains as a second
+    // line for any future timeout-mode change; this test proves the
+    // scenario is output-invisible end-to-end.)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EvDraw]
+    val q = windowedReservoirEvicting(input.toDS(), 2, W)
+      .writeStream.format("memory").queryName("winres_late")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(ed("a", 100000000L, 1L, 50L), ed("a", 5500000000L, 2L, 10L)))
+      q.processAllAvailable() // watermark -> 5.5 s
+      input.addData(Seq(ed("a", 5600000000L, 3L, 20L)))
+      q.processAllAvailable() // timeout sweep: window 0 evicted
+      input.addData(Seq(ed("a", 200000000L, 4L, 90L))) // late window-0 member
+      q.processAllAvailable()
+      val emits = spark.table("winres_late").as[WinResEmit].collect().toSeq
+      val win0 = emits.filter(_.win == 0L)
+      // exactly the pre-eviction snapshot: rev 1 with id 1 — the late
+      // id 4 never surfaces, and no post-eviction restart emits
+      assert(win0.map(_.rev) == Seq(1L) && win0.head.ids.toSeq == Seq(1L),
+        s"late member must be invisible to window 0's history: $win0")
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 1L,
+        "the evicted window must not be re-created by the late member")
+    } finally q.stop()
+  }
+
   test("windowed reservoir: (type, window) keys are independent and " +
       "cross-batch merge keeps the largest draws") {
     val (emits, _) = runWin(Seq(
