@@ -3018,9 +3018,21 @@ object Similarity {
     * semantics, not the plan; plan-pinned in PlanSpec). Integer milli
     * quantization (the q182 discipline) makes the sums
     * order-independent and thus oracle-exact on any partitioning;
-    * |xq| ≤ ~10³-scale keeps n·Σxᵢxⱼ within BIGINT through ~10⁹ rows,
-    * and the stats are mergeable partials (per-shard grids sum), which
+    * the stats are mergeable partials (per-shard grids sum), which
     * is how a 100 TB run would shard it.
+    *
+    * BIGINT bounds, stated honestly (a round-17 correction — an
+    * earlier draft claimed ~10⁹ rows for everything): the SUFFICIENT
+    * STATISTICS (n, Σxᵢxⱼ, Σxᵢ) at |xq| ≤ 10³ hold to n ≈ 9×10¹²
+    * rows (per-row product ≤ 10⁶); the DERIVED numerator
+    * cov_num = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ = n²·cov is n²-scaled, so it
+    * overflows past n ≈ 10⁶–10⁷ rows (n²·E[xᵢxⱼ] ≤ 9.2×10¹⁸). The
+    * 100 TB shape is therefore: shard and merge the RAW cells
+    * exactly as here (safe to 10¹² rows), and promote only the final
+    * D²-bounded cov_num arithmetic to DECIMAL(38,0) — exact to
+    * n ≈ 10¹⁶ — at the grid-assembly boundary; the data pass and the
+    * mergeability law are unchanged. At the test SFs (≤ 2×10⁵ rows
+    * incl. the synthetic sf1) the BIGINT form is exact as-is.
     */
   /** The streaming-compatible CELL pass: ONE posexplode of the
     * [[graft.functions.cov_pairs]] kernel's flat primitive array (the
@@ -3042,7 +3054,15 @@ object Similarity {
     * joins broadcasts of those bounded frames. `localCheckpoint` pins
     * the ≤ D(D+3)/2 cells so the three consumers share one result.
     */
-  private[graft] def covAssemble(cells: DataFrame): DataFrame = {
+  /** `decimalNum = true` is the 100 TB form: the n²-scaled numerator
+    * computed in DECIMAL(38,0) (exact to n ≈ 10¹⁶ rows) instead of
+    * BIGINT (overflows past n ≈ 10⁶–10⁷ — see the bound note above).
+    * Only this final D²-bounded arithmetic changes; the data pass,
+    * the raw cells, and the mergeability law are identical.
+    * Round17OpsSpec pins the two forms equal at test scale.
+    */
+  private[graft] def covAssemble(cells: DataFrame,
+      decimalNum: Boolean = false): DataFrame = {
     val d = covDims
     val tri = d * (d + 1) / 2
     val c = cells.localCheckpoint(true)
@@ -3054,13 +3074,16 @@ object Similarity {
       .toDF("pid", "i", "j")
     val dims = c.filter(col("pid") >= tri)
       .select((col("pid") - tri + 1L).as("dm"), col("s").as("sd"))
+    def dec(cl: Column) = cl.cast("decimal(38,0)")
+    val num =
+      if (decimalNum) dec(col("n")) * dec(col("s")) - dec(col("s_i")) * dec(col("s_j"))
+      else col("n") * col("s") - col("s_i") * col("s_j")
     c.filter(col("pid") < tri)
       .join(broadcast(posMap), "pid")
       .join(broadcast(dims.select(col("dm").as("i"), col("sd").as("s_i"))), "i")
       .join(broadcast(dims.select(col("dm").as("j"), col("sd").as("s_j"))), "j")
       .select(col("i"), col("j"), col("n"), col("s").as("s_ij"),
-        col("s_i"), col("s_j"),
-        (col("n") * col("s") - col("s_i") * col("s_j")).as("cov_num"))
+        col("s_i"), col("s_j"), num.as("cov_num"))
   }
 
   private[graft] def covGrid(x: DataFrame): DataFrame =

@@ -76,6 +76,22 @@ class Round17OpsSpec extends SparkSpec {
       s"comp2 Rayleigh must sit at the second a-units variance: $lam2")
   }
 
+  test("covariance grid: the DECIMAL(38,0) numerator form (the 100 TB " +
+      "path) equals the BIGINT form cell-for-cell at test scale") {
+    // only the final D²-bounded cov_num arithmetic differs — the raw
+    // cells and the mergeability law are shared — so wherever BIGINT
+    // is exact (n below ~10⁶-10⁷ rows) the two forms must agree
+    // exactly; past that bound a deployment promotes to the decimal
+    // form with zero change to the data pass
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.01"
+    val cells = Similarity.covCells(Similarity.kmQuantized(spark, dir))
+    def grid(dec: Boolean) = Similarity.covAssemble(cells, decimalNum = dec)
+      .select(col("i"), col("j"), col("cov_num").cast("long").as("cn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(grid(dec = false) == grid(dec = true))
+  }
+
   test("q291 projection wiring: the literal-sum coordinates equal an " +
       "independent driver-side dot product of the q290 loadings") {
     // pins the 64-term getItem·literal expression construction (an
