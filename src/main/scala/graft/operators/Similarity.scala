@@ -3247,7 +3247,9 @@ object Similarity {
     // the D(D+1)/2-row grid: bounded by construction (the q285 collect)
     val cells = grid.select(col("i"), col("j"), col("cov_num"))
       .collect().map(r => (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1, r.getLong(2)))
-    val m = cells.map(c => math.abs(c._3)).max
+    require(cells.nonEmpty,
+      "eigenVectorsOf: empty covariance grid (no fixed-width embeddings)")
+    val m = math.max(cells.map(c => math.abs(c._3)).max, 1L)
     val sA = m / 1000000L + 1L
     val a = Array.ofDim[Long](d, d)
     for ((i, j, c) <- cells) {
