@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -106,19 +107,31 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // per-attempt wall-clock windows (epoch ms), emitted as their own
+    // JSON line: the 10 s steal/PSI/rundelay sampler series joins
+    // against these so a contaminated interval indicts the specific
+    // query attempts it overlapped, not the whole run (r17 verdict 3)
+    val windows = mutable.LinkedHashMap.empty[String, Vector[(Long, Long)]]
     val results = ordered.map { case (name, fn) =>
       // a failed query records -1 (visible in the JSON), never a
       // plausible-looking duration
       def once(): Double = {
+        val w0 = System.currentTimeMillis()
         val t0 = System.nanoTime()
         try {
           // noop write, NOT count(): under count() the optimizer prunes
           // every computed column, so a map-only query would be timed as
           // a bare row-count scan instead of its actual work
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          val d = (System.nanoTime() - t0) / 1e9
+          windows(name) = windows.getOrElse(name, Vector.empty) :+
+            (w0, System.currentTimeMillis())
+          d
         } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          windows(name) = windows.getOrElse(name, Vector.empty) :+
+            (w0, System.currentTimeMillis())
+          -1.0
         }
       }
       // min of two runs: a single cold run charges whichever query the
@@ -148,6 +161,14 @@ object Bench {
     val qs = results.map { case (k, lo, hi) => Json.quote(k) + s":[$lo,$hi]" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, lo, _) if lo >= 0 => lo }.sum
+    // per-attempt windows FIRST (it's the biggest line and strictly
+    // diagnostic); total/total_tail keep their positions so existing
+    // consumers are unaffected
+    val ws = windows.map { case (k, vs) =>
+      Json.quote(k) + ":" + vs.map { case (s, e) => s"[$s,$e]" }
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"windows","windows":$ws}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.quote(sfDir)}}""")
     // the per-query line above is one giant JSON object and the last
     // lines of output are what survives tail capture — repeat the

@@ -2357,6 +2357,11 @@ object SparkEntry {
     // whole-stage-codegen pass (64-term literal dot products, no HOFs),
     // the dimensionality-reduction step a PCA pipeline materializes
     "q291_pca_projection" -> ((s, dir) => Similarity.pcaProjection(s, dir)),
+    // q292: q290 generalized to top-k — k components by repeated
+    // deflation + per-component residual variance (the deflated
+    // matrix's trace), the series that sizes a whitening pipeline's
+    // output dimension; same grid, same integer-exact chain
+    "q292_eigen_topk" -> ((s, dir) => Similarity.eigenTopKPlan(s, dir)),
     // q286: the grid maintained INCREMENTALLY — stored base cells +
     // one delta-sized kernel pass, merged by the spec-pinned
     // mergeability law (full-outer over two bounded cell frames); the
@@ -3580,6 +3585,9 @@ object SparkEntry {
     "q290_eigen_plan" -> Similarity.eigenPlanSql(),
     // q291: the eigen chain + one unnest-join-sum per component
     "q291_pca_projection" -> Similarity.pcaProjectionSql(),
+    // q292: the k-level unrolled CTE chain (lam + residual trace per
+    // component) — same truncating-division contract as q290
+    "q292_eigen_topk" -> Similarity.eigenTopKSql(),
     // stored base cells + delta cells merge to the FULL grid exactly
     // (the spec-pinned mergeability law) — q283's oracle unchanged
     "q286_covariance_ivm_delta" -> Similarity.embeddingCovarianceSql(),

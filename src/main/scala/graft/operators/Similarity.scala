@@ -1370,7 +1370,7 @@ object Similarity {
     * overwritten. Replay-idempotent by construction: re-deleting ids
     * that are already gone finds no dirty buckets and does nothing.
     */
-  private[operators] def deleteIdsFromIndex(s: SparkSession, path: String,
+  private[graft] def deleteIdsFromIndex(s: SparkSession, path: String,
       ids: DataFrame): Unit = {
     import s.implicits._
     val idx = s.read.parquet(path)
@@ -3054,15 +3054,34 @@ object Similarity {
     * joins broadcasts of those bounded frames. `localCheckpoint` pins
     * the ≤ D(D+3)/2 cells so the three consumers share one result.
     */
-  /** `decimalNum = true` is the 100 TB form: the n²-scaled numerator
-    * computed in DECIMAL(38,0) (exact to n ≈ 10¹⁶ rows) instead of
-    * BIGINT (overflows past n ≈ 10⁶–10⁷ — see the bound note above).
+  /** The largest per-pair row count n for which the BIGINT numerator
+    * is PROVABLY exact from the fixture's value bound alone: with
+    * |xq| ≤ 10³, |s| ≤ n·10⁶, so |n·s| and |s_i·s_j| are each
+    * ≤ n²·10⁶ and |cov_num| ≤ 2·n²·10⁶; n ≤ 2×10⁶ keeps that under
+    * 2⁶³−1 (8×10¹⁸ < 9.22×10¹⁸). Past this, [[covAssemble]]
+    * auto-promotes the numerator to DECIMAL(38,0).
+    */
+  val covNumSafeN = 2000000L
+
+  /** `decimalNum` selects the numerator arithmetic: `Some(false)` the
+    * BIGINT form (exact only below [[covNumSafeN]] rows per pair),
+    * `Some(true)` the 100 TB form — DECIMAL(38,0), exact to
+    * n ≈ 10¹⁶ rows — and `None` (the SHIPPED default) the n-GATED
+    * AUTOMATIC: one bounded max(n) probe of the checkpointed
+    * ≤ D(D+3)/2-cell frame picks BIGINT iff every pair's n is within
+    * the proven-exact bound, DECIMAL(38,0) otherwise. The registered
+    * queries (q283/q284/q286) therefore run an overflow-safe path at
+    * EVERY scale: below the gate the BIGINT output is exact (and the
+    * DuckDB BIGINT oracle applies verbatim); above it the promotion
+    * is automatic (DuckDB analog: HUGEINT/DECIMAL arithmetic).
     * Only this final D²-bounded arithmetic changes; the data pass,
     * the raw cells, and the mergeability law are identical.
-    * Round17OpsSpec pins the two forms equal at test scale.
+    * Round17OpsSpec pins the two forms equal at test scale;
+    * Round18OpsSpec pins the gate's boundary behavior (schema flip +
+    * exactness where BIGINT math would have wrapped).
     */
   private[graft] def covAssemble(cells: DataFrame,
-      decimalNum: Boolean = false): DataFrame = {
+      decimalNum: Option[Boolean] = None): DataFrame = {
     val d = covDims
     val tri = d * (d + 1) / 2
     val c = cells.localCheckpoint(true)
@@ -3075,8 +3094,13 @@ object Similarity {
     val dims = c.filter(col("pid") >= tri)
       .select((col("pid") - tri + 1L).as("dm"), col("s").as("sd"))
     def dec(cl: Column) = cl.cast("decimal(38,0)")
+    val useDecimal = decimalNum.getOrElse {
+      // bounded by construction: c is the checkpointed cell grid
+      Option(c.agg(max(col("n"))).head.get(0))
+        .exists(_.asInstanceOf[Long] > covNumSafeN)
+    }
     val num =
-      if (decimalNum) dec(col("n")) * dec(col("s")) - dec(col("s_i")) * dec(col("s_j"))
+      if (useDecimal) dec(col("n")) * dec(col("s")) - dec(col("s_i")) * dec(col("s_j"))
       else col("n") * col("s") - col("s_i") * col("s_j")
     c.filter(col("pid") < tri)
       .join(broadcast(posMap), "pid")
@@ -3239,21 +3263,54 @@ object Similarity {
   }
 
   /** The integer chain itself: top-2 (loading vector, eigenvalue) pairs
-    * — shared by the q290 report and q291's projection pass.
+    * — shared by the q290 report and q291's projection pass. A thin
+    * view over [[eigenTopK]] (k = 2), kept so the q290/q291 chain is
+    * bit-for-bit the round-17 one.
     */
   private[graft] def eigenVectorsOf(
       grid: DataFrame): ((Array[Long], Long), (Array[Long], Long)) = {
+    val Seq(c1, c2) = eigenTopK(grid, 2)
+    ((c1._1, c1._2), (c2._1, c2._2))
+  }
+
+  /** The GENERALIZED chain (q292): top-k components by REPEATED
+    * deflation — the same fixed-round integer power iteration, applied
+    * k times with the identical rank-1 subtraction between components
+    * (k − 1 was the q290 special case). Per component it also reports
+    * the RESIDUAL VARIANCE — the trace of the deflated matrix after
+    * removing that component, in the same a-units as `lam` — which is
+    * the number a whitening/PCA pipeline reads to size its output
+    * dimension ("keep components until the residual is ε of the
+    * total"). Everything stays driver-scale math on the D²-bounded
+    * grid; the floors are quantization shared exactly with the
+    * unrolled-CTE oracle (DuckDB `//` ≡ Scala `Long./` ≡ BigInt `/`,
+    * all truncating toward zero).
+    */
+  private[graft] def eigenTopK(grid: DataFrame,
+      k: Int): Seq[(Array[Long], Long, Long)] = {
     val d = covDims
-    // the D(D+1)/2-row grid: bounded by construction (the q285 collect)
+    // the D(D+1)/2-row grid: bounded by construction (the q285 collect).
+    // cov_num arrives as BIGINT below covAssemble's n-gate and as
+    // DECIMAL(38,0) above it — read either into BigInt and rescale
+    // there, so this step never wraps regardless of which form the
+    // gate picked (BigInt `/` truncates toward zero, exactly DuckDB's
+    // `//` and Scala's `Long./` — the chain is unchanged cell-for-cell
+    // wherever BIGINT was exact).
     val cells = grid.select(col("i"), col("j"), col("cov_num"))
-      .collect().map(r => (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1, r.getLong(2)))
+      .collect().map { r =>
+        val cn = r.get(2) match {
+          case l: java.lang.Long => BigInt(l.longValue)
+          case bd: java.math.BigDecimal => BigInt(bd.toBigIntegerExact)
+        }
+        (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1, cn)
+      }
     require(cells.nonEmpty,
       "eigenVectorsOf: empty covariance grid (no fixed-width embeddings)")
-    val m = math.max(cells.map(c => math.abs(c._3)).max, 1L)
+    val m = cells.map(c => c._3.abs).max.max(BigInt(1))
     val sA = m / 1000000L + 1L
     val a = Array.ofDim[Long](d, d)
     for ((i, j, c) <- cells) {
-      val q = c / sA // truncating: DuckDB `//` truncates toward zero
+      val q = (c / sA).toLong // |q| ≤ 10⁶ by the rescale; exact
       a(i)(j) = q; a(j)(i) = q
     }
     def mul(mat: Array[Array[Long]], x: Array[Long]): Array[Long] =
@@ -3275,13 +3332,17 @@ object Similarity {
       val lam = num / (den / 1000000L + 1L)
       (x, lam, den)
     }
-    val (x1, lam1, den1) = iterate(a)
-    val xs = x1.map(_ / 1000L)
-    val dens = den1 / 1000000L + 1L
-    val a2 = Array.tabulate(d, d)((i, j) =>
-      a(i)(j) - lam1 * xs(i) * xs(j) / dens)
-    val (x2, lam2, _) = iterate(a2)
-    ((x1, lam1), (x2, lam2))
+    var cur = a
+    (1 to k).map { _ =>
+      val (x, lam, den) = iterate(cur)
+      val xs = x.map(_ / 1000L)
+      val dens = den / 1000000L + 1L
+      val prev = cur
+      cur = Array.tabulate(d, d)((i, j) =>
+        prev(i)(j) - lam * xs(i) * xs(j) / dens)
+      val resid = { var t = 0L; var i = 0; while (i < d) { t += cur(i)(i); i += 1 }; t }
+      (x, lam, resid)
+    }
   }
 
   /** q291: the PROJECTION pass — every embedding's coordinates on the
@@ -3340,10 +3401,52 @@ object Similarity {
        UNION ALL
        SELECT 2::BIGINT, dm::BIGINT, x, (SELECT lam FROM lam2) FROM x2$eigenIters"""
 
-  /** The shared WITH-chain (grid -> rescale -> two deflated power
-    * iterations), composed by [[eigenPlanSql]] and [[pcaProjectionSql]].
+  /** Default component count for [[eigenTopKPlan]] — deep enough to
+    * exercise repeated deflation (k − 1 = 2 rank-1 subtractions,
+    * where q290's single deflation was the special case), small enough
+    * that the unrolled oracle stays readable. The chain itself accepts
+    * any k ≤ D.
     */
-  private def eigenChainSql(): String = {
+  val eigenTopKDefault = 3
+
+  /** q292: the q290 eigen step GENERALIZED to top-k — k components by
+    * repeated deflation plus, per component, the residual variance
+    * (trace of the deflated matrix, same a-units as `lam`): the
+    * monotone "variance left after m components" series a whitening
+    * pipeline reads to size its output dimension. Same D²-bounded
+    * driver-scale arithmetic, same single data pass (q283's), same
+    * truncating-division exactness contract as q290.
+    */
+  def eigenTopKPlan(s: SparkSession, dir: String,
+      k: Int = eigenTopKDefault): DataFrame = {
+    import s.implicits._
+    val comps = eigenTopK(embeddingCovariance(s, dir), k)
+    comps.zipWithIndex.flatMap { case ((x, lam, resid), m) =>
+      (0 until covDims).map(i =>
+        ((m + 1).toLong, (i + 1).toLong, x(i), lam, resid))
+    }.toDF("comp", "dm", "loading", "lam", "resid_var")
+  }
+
+  /** Oracle for [[eigenTopKPlan]]: the k-level unrolled CTE chain; each
+    * component row carries its lam and the post-deflation trace.
+    */
+  def eigenTopKSql(k: Int = eigenTopKDefault): String =
+    s"""${eigenChainSql(k)}
+       ${(1 to k).map { m =>
+      s"""SELECT $m::BIGINT AS comp, dm::BIGINT AS dm, x AS loading,
+              (SELECT lam FROM lam$m) AS lam,
+              (SELECT tr FROM tr$m) AS resid_var FROM x$m$eigenIters"""
+    }.mkString("\n       UNION ALL\n       ")}"""
+
+  /** The shared WITH-chain (grid -> rescale -> k deflated power
+    * iterations), composed by [[eigenPlanSql]], [[pcaProjectionSql]]
+    * and [[eigenTopKSql]]. Level m's matrix CTE is `a{m}` (`a1` the
+    * rescaled grid), its chain tag is `{m}` (so `x{m}T`, `lam{m}`,
+    * `den{m}`), its deflation `a{m+1}` and its post-deflation residual
+    * trace `tr{m}` — for k = 2 the chain is the round-17 one verbatim
+    * modulo CTE names.
+    */
+  private def eigenChainSql(k: Int = 2): String = {
     // one power-iteration chain on matrix CTE `mat`, producing xT/lam
     def chain(tag: String, mat: String): String = {
       val steps = (1 to eigenIters).map { t =>
@@ -3363,18 +3466,21 @@ object Similarity {
                         FROM x$tag$eigenIters p JOIN z$tag z USING (dm))
                       // ((SELECT den FROM den$tag) // 1000000 + 1) AS lam)"""
     }
+    val levels = (1 to k).map { m =>
+      s"""${chain(s"$m", s"a$m")},
+         xs$m AS MATERIALIZED (SELECT dm, x // 1000 AS xs FROM x$m$eigenIters),
+         a${m + 1} AS MATERIALIZED (SELECT a.i, a.j,
+                       a.a - ((SELECT lam FROM lam$m) * xi.xs * xj.xs)
+                         // ((SELECT den FROM den$m) // 1000000 + 1) AS a
+                FROM a$m a JOIN xs$m xi ON a.i = xi.dm JOIN xs$m xj ON a.j = xj.dm),
+         tr$m AS MATERIALIZED (SELECT sum(a)::BIGINT AS tr FROM a${m + 1} WHERE i = j)"""
+    }.mkString(",\n")
     s"""WITH g AS MATERIALIZED (${embeddingCovarianceSql()}),
        sa AS MATERIALIZED (SELECT max(abs(cov_num)) // 1000000 + 1 AS s FROM g),
        amat AS (SELECT i, j, cov_num FROM g
                 UNION ALL SELECT j AS i, i AS j, cov_num FROM g WHERE i <> j),
-       a AS MATERIALIZED (SELECT i, j, cov_num // (SELECT s FROM sa) AS a FROM amat),
-       ${chain("1", "a")},
-       xs AS MATERIALIZED (SELECT dm, x // 1000 AS xs FROM x1$eigenIters),
-       a2 AS MATERIALIZED (SELECT a.i, a.j,
-                     a.a - ((SELECT lam FROM lam1) * xi.xs * xj.xs)
-                       // ((SELECT den FROM den1) // 1000000 + 1) AS a
-              FROM a JOIN xs xi ON a.i = xi.dm JOIN xs xj ON a.j = xj.dm),
-       ${chain("2", "a2")}"""
+       a1 AS MATERIALIZED (SELECT i, j, cov_num // (SELECT s FROM sa) AS a FROM amat),
+       $levels"""
   }
 
   def decorrelationPlanSql(thrMicro: Long = 900000L): String =

@@ -81,6 +81,12 @@ object StreamReservoir {
   def windowedReservoirEvicting(ev: Dataset[EvDraw], k: Int,
       winNs: Long): Dataset[WinResEmit] = {
     import ev.sparkSession.implicits._
+    // the window's end as the smallest ms timestamp ≥ its ns end —
+    // ceiling, NOT truncation: a truncated end fires the guard (and
+    // the timeout) one ms early for non-ms-aligned winNs, and for
+    // winNs < 10⁶ ns truncation gives end = 0, which would throw on
+    // every first arrival (r17 advice)
+    def winEndMs(win: Long): Long = ((win + 1L) * winNs + 999999L) / 1000000L
     ev.withWatermark("ts", "0 seconds")
       .groupByKey(e => (e.event_type, e.win))
       .flatMapGroupsWithState[WinResState, WinResEmit](
@@ -105,7 +111,7 @@ object StreamReservoir {
             // it never trip this — the guard fires exactly when
             // eviction could have fired.
             if (state.getOption.isEmpty &&
-                (win + 1L) * (winNs / 1000000L) <= state.getCurrentWatermarkMs())
+                winEndMs(win) <= state.getCurrentWatermarkMs())
               throw new IllegalStateException(
                 s"windowedReservoirEvicting: late member for closed window " +
                   s"$win of '$etype' (window end <= watermark " +
@@ -125,7 +131,7 @@ object StreamReservoir {
             // delivery; must stay strictly past the current watermark
             // (Spark's contract) — pushing later only delays reclaim
             state.setTimeoutTimestamp(math.max(
-              (win + 1L) * (winNs / 1000000L),
+              winEndMs(win),
               state.getCurrentWatermarkMs() + 1L))
             Iterator.single(WinResEmit(etype, win, snap.rev,
               snap.ids, snap.draws))

@@ -86,7 +86,7 @@ class Round17OpsSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.01"
     val cells = Similarity.covCells(Similarity.kmQuantized(spark, dir))
-    def grid(dec: Boolean) = Similarity.covAssemble(cells, decimalNum = dec)
+    def grid(dec: Boolean) = Similarity.covAssemble(cells, decimalNum = Some(dec))
       .select(col("i"), col("j"), col("cov_num").cast("long").as("cn"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(grid(dec = false) == grid(dec = true))

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQueryListener
 
 /** Checkpoint-recovery contract: a stateful streaming query killed
@@ -18,6 +19,9 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * has no stable runtime name).
   */
 case class RecoveryVec(vec_id: Long, xq: Array[Long])
+
+/** Top-level for the same encoder reason: a staged erasure request. */
+case class DelReq(vec_id: Long)
 
 class RecoverySpec extends SparkSpec {
   import spark.implicits._
@@ -436,6 +440,134 @@ class RecoverySpec extends SparkSpec {
       batches.flatten.toDS().toDF()))
     assert(got == want,
       "the post-restart Complete-mode grid must equal the batch grid")
+    graft.Fs.rmTree(base)
+  }
+
+  // ---- MID-BATCH kills: offset log written, commit log not ----
+  //
+  // Every pin above stops AFTER a committed batch. The other restart
+  // path — the one where at-least-once side effects and state
+  // idempotency actually bite — is a crash in the window between the
+  // offset-log write (start of batch N) and the commit-log write (end
+  // of batch N): Spark must re-execute batch N from the WAL offsets
+  // against state version N−1. These pins reproduce that window's
+  // exact on-disk state deterministically: run until the batch has
+  // fully committed, then remove its commit-log entry — the checkpoint
+  // is now byte-identical to a kill landing just before the commit
+  // write (with the sink/side effects of attempt 1 already applied,
+  // the hardest sub-case).
+
+  /** Remove the checkpoint's LAST commit-log entry (and its Hadoop
+    * checksum shadow), returning the batch id Spark will replay.
+    */
+  private def removeLastCommit(ckpt: String): Long = {
+    val dir = new java.io.File(s"$ckpt/commits")
+    val entries = dir.listFiles().filter(_.getName.forall(_.isDigit))
+    assert(entries.nonEmpty, s"no commit-log entries under $dir")
+    val last = entries.maxBy(_.getName.toLong)
+    val id = last.getName.toLong
+    assert(last.delete(), s"could not remove commit entry $last")
+    val crc = new java.io.File(dir, s".$id.crc")
+    if (crc.exists()) crc.delete()
+    id
+  }
+
+  test("MID-BATCH kill (offset log written, commit log not): the denorm " +
+      "join replays the uncommitted batch from the WAL and the file " +
+      "sink's own commit log still delivers every row exactly once") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_recovery_midbatch").toString
+    val staged = s"$base/in"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    stageBatches(base, denormBatches)
+    val schema = Seq.empty[IndexRecord].toDS().schema
+    def start() = StreamDenormalize.joined(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged).as[IndexRecord],
+      "inner")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // ≥3 committed batches, so the replayed one (the last commit) is
+    // always an EMITTING batch — batch 2's 2-row fan-out or batch 3's
+    // point-lookup — and a replay duplicate would be output-visible
+    runUntilBatches(3)(() => start())
+    val replayed = removeLastCommit(ckpt)
+    assert(replayed >= 2L, s"kill point must land on an emitting batch: $replayed")
+
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // collect as a Seq, not a Set: the failure mode under test is the
+    // replayed batch's emissions surfacing TWICE
+    val got = spark.read.parquet(out).as[JoinedRecord].collect().toSeq
+    assert(got.size == denormExpected.size && got.toSet == denormExpected,
+      s"WAL replay of batch $replayed must be exactly-once in the sink: $got")
+    graft.Fs.rmTree(base)
+  }
+
+  test("MID-BATCH kill with foreachBatch side effects (q287 core): the " +
+      "replayed erasure batch re-executes (at-least-once) but is a " +
+      "FILE-IDENTITY no-op on the index — exactly-once net effect") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_recovery_livedel").toString
+    val staged = s"$base/in"; val ckpt = s"$base/ckpt"; val idx = s"$base/idx"
+    // a synthetic served-index working copy: bucket = vec_id % 10
+    (1L to 100L).toDF("vec_id")
+      .withColumn("bucket", (col("vec_id") % 10).cast("int"))
+      .withColumn("payload", col("vec_id") * 7L)
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(idx)
+    // request batches hit DISJOINT buckets (1,2 | 3,4 | 5,6 | 7,8), so
+    // "the replayed batch's buckets were rewritten again" is separable
+    // from later batches' legitimate rewrites; buckets 0/9 never dirty
+    val reqBatches = Seq(Seq(1L, 2L), Seq(13L, 14L), Seq(25L, 26L), Seq(37L, 38L))
+    stageBatches(base, reqBatches.map(_.map(DelReq)))
+    val schema = Seq.empty[DelReq].toDS().schema
+    def start() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.Sessions.withMicroBatchConf(b.sparkSession) {
+          graft.operators.Similarity.deleteIdsFromIndex(
+            b.sparkSession, idx, b.localCheckpoint(true))
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    runUntilBatches(2)(() => start())
+    val replayed = removeLastCommit(ckpt).toInt
+
+    def snapshot(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(idx))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = snapshot()
+
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // net effect exactly-once: every requested id gone, others intact
+    val survivors = spark.read.parquet(idx)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(survivors == (1L to 100L).toSet -- reqBatches.flatten.toSet,
+      s"survivors after WAL replay of delete batch $replayed: $survivors")
+    // the replay found its ids already deleted → zero dirty buckets →
+    // it must not have rewritten a single file (q287's no-op-replay
+    // claim under an actual restart, not same-session re-invocation);
+    // dynamic partition overwrite renames files, so identical
+    // (path, size, mtime) proves no rewrite
+    val after = snapshot()
+    val replayBuckets = reqBatches(replayed).map(_ % 10).toSet ++ Seq(0L, 9L)
+    for ((f, sig) <- before
+        if replayBuckets.exists(b => f.contains(s"bucket=$b/")))
+      assert(after.get(f).contains(sig),
+        s"replayed batch $replayed must be a file-identity no-op: $f")
     graft.Fs.rmTree(base)
   }
 }

@@ -65,8 +65,15 @@ def shifted_copy(tbl: pa.Table, name: str, k: int) -> pa.Table:
             values = flat.values.to_numpy(zero_copy_only=False).copy()
             offsets = flat.offsets.to_numpy(zero_copy_only=False)
             values[offsets[:-1]] += k * 1e-3  # dim-0 epsilon per copy
+            # carry the validity bitmap through: without the mask a
+            # NULL embedding row becomes an EMPTY LIST in shifted
+            # copies, so replicas would not be distribution-identical
+            # (r17 advice)
+            null_mask = (pc.is_null(flat).to_numpy(zero_copy_only=False)
+                         if flat.null_count else None)
             arr = pa.ListArray.from_arrays(flat.offsets,
-                                           pa.array(values, pa.float32()))
+                                           pa.array(values, pa.float32()),
+                                           mask=null_mask)
         cols[col] = arr
     if name == "documents":
         cols["n_chars"] = pc.cast(pc.utf8_length(cols["text"]), pa.int64())

@@ -44,12 +44,12 @@ shares = sorted(r["rundelay_share"] for r in with_sched)
 steals = sorted(r["steal"] for r in rows)
 med = shares[len(shares) // 2]
 print(f"{path}: {len(rows)} intervals ({len(with_sched)} with schedstat)")
-print(f"  steal%%        median {steals[len(steals)//2]:.3f}  max {steals[-1]:.3f}")
-print(f"  rundelay%%     median {med:.2f}  p90 {shares[int(len(shares)*0.9)]:.2f}  max {shares[-1]:.2f}")
+print(f"  steal%        median {steals[len(steals)//2]:.3f}  max {steals[-1]:.3f}")
+print(f"  rundelay%     median {med:.2f}  p90 {shares[int(len(shares)*0.9)]:.2f}  max {shares[-1]:.2f}")
 hot = [r for r in with_sched if r["rundelay_share"] > 2 * max(med, 1.0)]
 try:
     for r in hot[:10]:
-        print(f"  hot interval ts={r['ts']} rundelay={r['rundelay_share']:.1f}%% "
-              f"steal={r['steal']:.3f}%% cpu={r.get('cpu_s', 0):.0f}s")
+        print(f"  hot interval ts={r['ts']} rundelay={r['rundelay_share']:.1f}% "
+              f"steal={r['steal']:.3f}% cpu={r.get('cpu_s', 0):.0f}s")
 except BrokenPipeError:  # downstream `| head` closed the pipe
     pass

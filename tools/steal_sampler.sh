@@ -29,6 +29,12 @@ sched() {
   for p in $(pgrep java 2>/dev/null); do
     files="$files /proc/$p/task/*/schedstat"
   done
+  # no java → no files: emit zeros instead of letting awk fall back to
+  # reading stdin, which blocks the sampler loop forever (r17 advice)
+  if [ -z "$files" ]; then
+    echo "SCHED cputime_ns=0 rundelay_ns=0 timeslices=0"
+    return
+  fi
   # shellcheck disable=SC2086
   awk '{c+=$1; d+=$2; s+=$3}
        END {printf "SCHED cputime_ns=%.0f rundelay_ns=%.0f timeslices=%.0f\n",
