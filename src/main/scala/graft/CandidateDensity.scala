@@ -32,10 +32,10 @@ object CandidateDensity {
       val buckets = bd.groupBy(col("band"), col("bh")).count()
         .localCheckpoint(true)
       val a = buckets.agg(
-        sum(col("count") * (col("count") - lit(1L)) / lit(2L)).as("m"),
+        sum(col("count") * (col("count") - lit(1L))).as("m2"),
         sum(col("count")).as("rows"),
         max(col("count")).as("mx")).head()
-      val multi = a.getLong(0); val rows = a.getLong(1); val mx = a.getLong(2)
+      val multi = a.getLong(0) / 2; val rows = a.getLong(1); val mx = a.getLong(2)
       // distinct candidate pairs: the band-bucket self-join, deduped —
       // only run when the multiplicity bound says it fits comfortably
       val pairs =

@@ -2362,6 +2362,10 @@ object SparkEntry {
     // matrix's trace), the series that sizes a whitening pipeline's
     // output dimension; same grid, same integer-exact chain
     "q292_eigen_topk" -> ((s, dir) => Similarity.eigenTopKPlan(s, dir)),
+    // q293: the SIZING DECISION on q292's residual series — keep
+    // components while the remaining variance exceeds the threshold;
+    // n_keep is the whitening pipeline's chosen output dimension
+    "q293_whitening_plan" -> ((s, dir) => Similarity.whiteningPlan(s, dir)),
     // q286: the grid maintained INCREMENTALLY — stored base cells +
     // one delta-sized kernel pass, merged by the spec-pinned
     // mergeability law (full-outer over two bounded cell frames); the
@@ -3588,6 +3592,8 @@ object SparkEntry {
     // q292: the k-level unrolled CTE chain (lam + residual trace per
     // component) — same truncating-division contract as q290
     "q292_eigen_topk" -> Similarity.eigenTopKSql(),
+    // q293: the chain + total-trace CTE, identical truncating micro math
+    "q293_whitening_plan" -> Similarity.whiteningPlanSql(),
     // stored base cells + delta cells merge to the FULL grid exactly
     // (the spec-pinned mergeability law) — q283's oracle unchanged
     "q286_covariance_ivm_delta" -> Similarity.embeddingCovarianceSql(),

@@ -3287,7 +3287,14 @@ object Similarity {
     * all truncating toward zero).
     */
   private[graft] def eigenTopK(grid: DataFrame,
-      k: Int): Seq[(Array[Long], Long, Long)] = {
+      k: Int): Seq[(Array[Long], Long, Long)] =
+    eigenTopKWithTotal(grid, k)._1
+
+  /** [[eigenTopK]] plus the TOTAL trace of the rescaled matrix (a₁'s
+    * diagonal sum, the denominator of q293's residual fractions).
+    */
+  private[graft] def eigenTopKWithTotal(grid: DataFrame,
+      k: Int): (Seq[(Array[Long], Long, Long)], Long) = {
     val d = covDims
     // the D(D+1)/2-row grid: bounded by construction (the q285 collect).
     // cov_num arrives as BIGINT below covAssemble's n-gate and as
@@ -3332,8 +3339,9 @@ object Similarity {
       val lam = num / (den / 1000000L + 1L)
       (x, lam, den)
     }
+    val total = { var t = 0L; var i = 0; while (i < d) { t += a(i)(i); i += 1 }; t }
     var cur = a
-    (1 to k).map { _ =>
+    val comps = (1 to k).map { _ =>
       val (x, lam, den) = iterate(cur)
       val xs = x.map(_ / 1000L)
       val dens = den / 1000000L + 1L
@@ -3343,6 +3351,7 @@ object Similarity {
       val resid = { var t = 0L; var i = 0; while (i < d) { t += cur(i)(i); i += 1 }; t }
       (x, lam, resid)
     }
+    (comps, total)
   }
 
   /** q291: the PROJECTION pass — every embedding's coordinates on the
@@ -3437,6 +3446,66 @@ object Similarity {
               (SELECT lam FROM lam$m) AS lam,
               (SELECT tr FROM tr$m) AS resid_var FROM x$m$eigenIters"""
     }.mkString("\n       UNION ALL\n       ")}"""
+
+  /** Residual-fraction threshold for [[whiteningPlan]], in micro units
+    * (parts per 10⁶ of the total variance): keep adding components
+    * while the variance REMAINING before the component exceeds this.
+    */
+  val whitenThrMicro = 200000L
+
+  /** q293: the SIZING DECISION on q292's residual series — the action
+    * a whitening/PCA pipeline actually takes ("how many components do
+    * I keep before subspace quantization?"). Per component m ≤ k: its
+    * eigenvalue, the residual variance after removing it, that
+    * residual as an integer micro-fraction of the total trace
+    * (`resid·10⁶ / (total + 1)` — the +1 makes the divisor positive on
+    * a degenerate all-constant grid, identically on both engines), the
+    * keep verdict (kept iff the variance remaining BEFORE it still
+    * exceeds [[whitenThrMicro]]), and `n_keep`, the chosen output
+    * dimension. Driver-scale math on the D²-bounded grid; exact: every
+    * division truncates identically in Scala and DuckDB.
+    */
+  def whiteningPlan(s: SparkSession, dir: String,
+      k: Int = eigenTopKDefault,
+      thrMicro: Long = whitenThrMicro): DataFrame =
+    whiteningPlanOf(s, embeddingCovariance(s, dir), k, thrMicro)
+
+  private[graft] def whiteningPlanOf(s: SparkSession, grid: DataFrame,
+      k: Int, thrMicro: Long): DataFrame = {
+    import s.implicits._
+    val (comps, total) = eigenTopKWithTotal(grid, k)
+    val micro = (r: Long) => r * 1000000L / (total + 1L)
+    val rows = comps.zipWithIndex.map { case ((_, lam, resid), i) =>
+      val prev = if (i == 0) total else comps(i - 1)._3
+      ((i + 1).toLong, lam, resid, micro(resid),
+        if (micro(prev) > thrMicro) 1L else 0L)
+    }
+    val nKeep = rows.map(_._5).sum
+    rows.map { case (c, lam, rv, rm, kept) => (c, lam, rv, rm, kept, nKeep) }
+      .toDF("comp", "lam", "resid_var", "resid_micro", "is_kept", "n_keep")
+  }
+
+  /** Oracle for [[whiteningPlan]]: the same k-level chain plus the
+    * total-trace CTE and the identical truncating micro arithmetic.
+    */
+  def whiteningPlanSql(k: Int = eigenTopKDefault,
+      thrMicro: Long = whitenThrMicro): String = {
+    val comps = (1 to k).map { m =>
+      val prevTr = if (m == 1) "tr0" else s"tr${m - 1}"
+      s"""SELECT $m AS comp, (SELECT lam FROM lam$m) AS lam,
+            (SELECT tr FROM tr$m) AS resid,
+            (SELECT tr FROM tr$m) * 1000000 // ((SELECT tr FROM tr0) + 1) AS resid_micro,
+            (SELECT tr FROM $prevTr) * 1000000 // ((SELECT tr FROM tr0) + 1) AS prev_micro"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""${eigenChainSql(k)},
+       tr0 AS MATERIALIZED (SELECT sum(a)::BIGINT AS tr FROM a1 WHERE i = j),
+       comps AS MATERIALIZED ($comps)
+       SELECT comp::BIGINT AS comp, lam, resid AS resid_var,
+              resid_micro::BIGINT AS resid_micro,
+              (prev_micro > $thrMicro)::BIGINT AS is_kept,
+              (SELECT sum((prev_micro > $thrMicro)::INT) FROM comps)::BIGINT AS n_keep
+       FROM comps"""
+  }
 
   /** The shared WITH-chain (grid -> rescale -> k deflated power
     * iterations), composed by [[eigenPlanSql]], [[pcaProjectionSql]]

@@ -106,6 +106,25 @@ class Round18OpsSpec extends SparkSpec {
     assert(math.abs(r3) <= 3000L, s"r3 must be the floor noise: $r3")
   }
 
+  test("q293 whitening plan: hand-grid sizing law — on the three-variance " +
+      "diagonal grid with a 20% threshold the plan keeps exactly the two " +
+      "components whose preceding residual still exceeds it") {
+    import spark.implicits._
+    // total a-units trace = 833333+333333+166666 = 1333332; residual
+    // micro fractions: before comp1 ≈ 999999, before comp2 ≈ 375k,
+    // before comp3 ≈ 125k — so thr 200000 keeps comps 1-2 and sizes
+    // the whitened output at n_keep = 2
+    val grid = Seq(
+      (1L, 1L, 5000000L), (2L, 2L, 2000000L), (3L, 3L, 1000000L))
+      .toDF("i", "j", "cov_num")
+    val rows = Similarity.whiteningPlanOf(spark, grid, 3, 200000L)
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(rows.map(_._2).toSeq == Seq(1L, 1L, 0L),
+      s"keep verdicts must be (1,1,0): $rows")
+    assert(rows.forall(_._3 == 2L), s"n_keep must be 2 on every row: $rows")
+  }
+
   test("q292 consistency: components 1–2 of the top-k chain are " +
       "bit-identical to the q290 top-2 chain on the real fixture") {
     val dir = "/root/testdata/sf0.001"

@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Fold a tools/bench_run.sh output pair (<label>.log + <label>.env)
-into BENCH_LOCAL_r17.json as one run record with the contamination
+into BENCH_LOCAL_r18.json as one run record with the contamination
 metadata INLINE (r15 verdict item 6: steal%, PSI stall deltas, and
 timestamps live in the record itself, so adjudication is one file).
 
@@ -9,10 +9,10 @@ Usage: python3 tools/bench_fold.py <label> [outdir] [jsonpath]
 import json, re, sys, os
 
 label = sys.argv[1]
-outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/bench_r17"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/bench_r18"
 path = sys.argv[3] if len(sys.argv) > 3 else \
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 "BENCH_LOCAL_r17.json")
+                 "BENCH_LOCAL_r18.json")
 
 bench = None
 windows = None

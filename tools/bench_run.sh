@@ -9,7 +9,7 @@
 #   tools/bench_run.sh <label> [outdir] [repodir]
 set -u
 LABEL="${1:?label}"
-OUT="${2:-/tmp/bench_r17}"
+OUT="${2:-/tmp/bench_r18}"
 REPO="${3:-/root/repo}"
 mkdir -p "$OUT"
 envsnap() {

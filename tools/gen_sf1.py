@@ -55,16 +55,43 @@ def shifted_copy(tbl: pa.Table, name: str, k: int) -> pa.Table:
             arr = pc.add_checked(arr, k * OFF)
         elif name == "documents" and col == "text":
             if k > 0:
-                arr = pc.binary_join_element_wise(
-                    pa.array([f"cp{k} "] * len(tbl), pa.string()),
-                    arr.combine_chunks(), "")
+                # per-copy TOKEN BIJECTION (r17 verdict item 4): suffix
+                # every whitespace token with the copy id. Jaccard over
+                # shingles is invariant under a token renaming, so each
+                # copy's INTERNAL near-dup structure is preserved
+                # exactly, while cross-copy shingle overlap drops to
+                # zero — the old "cp{k} " prefix left replicas as
+                # near-duplicates of each other and inflated the LSH
+                # band-candidate density 9x past the organic growth fit
+                # (CandidateDensity, SCALE_AUDIT_r18.md).
+                arr = pc.replace_substring_regex(
+                    arr.combine_chunks(), pattern=r"(\S+)",
+                    replacement=rf"\1x{k}q")
         elif name == "documents" and col == "n_chars":
             continue  # recomputed from the mutated text below
         elif name == "embeddings" and col == "embedding" and k > 0:
             flat = arr.combine_chunks()
             values = flat.values.to_numpy(zero_copy_only=False).copy()
             offsets = flat.offsets.to_numpy(zero_copy_only=False)
-            values[offsets[:-1]] += k * 1e-3  # dim-0 epsilon per copy
+            # per-copy RANDOM ROTATION (the embedding analog of the
+            # token bijection): an orthogonal map preserves norms and
+            # all within-copy cosines exactly, so each copy keeps the
+            # original neighborhood structure, while cross-copy
+            # similarities fall to the random-pair distribution —
+            # replacing the old dim-0 epsilon that left replicas as
+            # exact near-duplicates of each other. Fixed-width rows
+            # only; ragged rows pass through unrotated (the engine
+            # excludes them from every dense-vector family anyway).
+            import numpy as np
+            widths = offsets[1:] - offsets[:-1]
+            if len(widths) and (w := int(np.bincount(widths).argmax())) > 0:
+                rng = np.random.default_rng(1234 + k)
+                q, _ = np.linalg.qr(rng.standard_normal((w, w)))
+                dense = np.flatnonzero(widths == w)
+                starts = offsets[dense]
+                idx = (starts[:, None] + np.arange(w)[None, :]).ravel()
+                rot = (values[idx].reshape(-1, w) @ q.astype(np.float32))
+                values[idx] = rot.ravel()
             # carry the validity bitmap through: without the mask a
             # NULL embedding row becomes an EMPTY LIST in shifted
             # copies, so replicas would not be distribution-identical

@@ -27,9 +27,9 @@ used in the fit. Usage:
 import json, os, subprocess, sys, math
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = "/tmp/scale_audit_r17"
+OUT = "/tmp/scale_audit_r18"
 SFS = ["0.001", "0.01", "0.1"]
-REPORT = "tools/SCALE_AUDIT_r17.md"
+REPORT = "tools/SCALE_AUDIT_r18.md"
 
 # top streaming + top batch by cross-run minima, plus EVERY query that
 # did not exist at 07e63e5 (q257-q273 — the r15 closers and the r16
@@ -73,6 +73,10 @@ AUDIT = [
     "q288_post_erasure_serving", "q289_stream_weighted_window_reservoir",
     # born in r17
     "q290_eigen_plan", "q291_pca_projection",
+    # born in r18
+    "q292_eigen_topk",
+    # dedup/similarity rows added for the salted-sf1 check
+    "q21_dedup_minhash_lsh", "q27_embed_neardup", "q64_embed_neardup_lsh",
 ]
 
 # the fourth-decade set (r16 verdict item 7): the most expensive rows
@@ -90,6 +94,12 @@ SF1 = [
     "q283_embedding_covariance", "q284_stream_embedding_covariance",
     "q286_covariance_ivm_delta", "q290_eigen_plan", "q291_pca_projection",
     "q253_stream_funnel", "q268_stream_topk", "q221_stream_source_packing",
+    "q292_eigen_topk",
+    # dedup/similarity rows whose sf1 numbers the r18 salted corpus
+    # makes meaningful (token-bijection + rotation replication: linear
+    # candidate growth, see the report header)
+    "q21_dedup_minhash_lsh", "q93_stream_ingest_neardup",
+    "q27_embed_neardup", "q64_embed_neardup_lsh",
 ]
 
 
@@ -167,11 +177,20 @@ def report():
         rows.append((name, t, t1, alpha, alpha10))
     rows.sort(key=lambda r: -(max(x for x in (r[3], r[4]) if x is not None)
                               if (r[3] is not None or r[4] is not None) else 9))
-    lines = ["# Scaling-exponent audit (round 17)", "",
+    lines = ["# Scaling-exponent audit (round 18)", "",
              "alpha = log10(t(sf0.1)/t(sf0.01)); alpha10 = log10(t(sf1)/",
-             "t(sf0.1)) over the synthetic x10 decade (tools/gen_sf1.py —",
-             "key-shifted replication; dedup/similarity rows there are",
-             "upper bounds, replicas being near-duplicates by construction).",
+             "t(sf0.1)) over the synthetic x10 decade (tools/gen_sf1.py).",
+             "r18: replicas are SALTED (per-copy token bijection on text,",
+             "per-copy random rotation on embeddings), which preserves each",
+             "copy's internal dup/neighborhood structure exactly and zeroes",
+             "cross-copy similarity — measured LSH candidate density at sf1",
+             "is 12,831 pairs = 10.2x sf0.1's 1,255 (exactly linear",
+             "replication; the unsalted r17 corpus measured 346,136 = 9x",
+             "ABOVE the organic one-decade fit of x30.6, max bucket 118 vs",
+             "16). Dedup-family alpha10 therefore reads as a mild LOWER",
+             "bound (organic pair growth was x30.6 for the one observable",
+             "decade; linear replication gives x10), no longer a 9x upper",
+             "blowup. CandidateDensity is the measuring main.",
              "Data grows 10x per step: 1.0 = linear, <1 = overhead-",
              "dominated, >1.3 = flagged.", "",
              "| query | sf0.001 | sf0.01 | sf0.1 | alpha | sf1 | alpha10 |",
@@ -192,7 +211,9 @@ def report():
 
 if __name__ == "__main__":
     if sys.argv[1] == "run":
-        run(sys.argv[2] if len(sys.argv) > 2 else None)
+        subset = sys.argv[2] if len(sys.argv) > 2 and sys.argv[2] != "-" else None
+        sfs = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+        run(subset, sfs=sfs)
     elif sys.argv[1] == "sf1":
         run(",".join(SF1), sfs=["1"])
     else:
