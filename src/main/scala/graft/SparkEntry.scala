@@ -1053,13 +1053,15 @@ object SparkEntry {
     "q26_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "q27_embed_neardup" -> ((s, dir) => Similarity.embeddingNearDup(s, dir)),
     // the 100 TB embedding-dedup path: random-hyperplane LSH candidate
-    // generation (O(n·tables), no all-pairs join) + exact-cosine verify.
-    // Short signatures (4 bits × 8 tables) because the corpus' closest
-    // pairs sit near cos ≈ 0.5-0.6; the oracle replays the whole
-    // algorithm (planes inlined as literals), so correctness is checked
-    // cell-exact independent of recall (contract-tested separately).
+    // generation + exact-cosine verify. Signature width is OCCUPANCY-
+    // SIZED (bits = -4 → ceil(log2(n/125)), floor 4): a fixed width is
+    // n²/2^bits — the r18 salted-sf1 audit measured the fixed-4-bit
+    // form at alpha10 = +1.73. At the sweep SFs (n ≤ 2000) the sizing
+    // lands exactly on 4 bits, so the inlined-plane oracle replays
+    // unchanged; short signatures there because the corpus' closest
+    // pairs sit near cos ≈ 0.5-0.6 (recall contract-tested separately).
     "q64_embed_neardup_lsh" -> ((s, dir) =>
-      Similarity.embeddingNearDupLsh(s, dir, threshold = 0.5, bits = 4, tables = 8)),
+      Similarity.embeddingNearDupLsh(s, dir, threshold = 0.5, bits = -4, tables = 8)),
     // contrastive-pair mining: hardest positive (same label, lowest
     // cos) + hardest negative (different label, highest cos) per query
     "q76_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(s, dir)),

@@ -1792,14 +1792,36 @@ object Similarity {
   private[graft] def lshPlanes(bits: Int, tables: Int, dim: Int): Array[Array[Array[Double]]] =
     graft.functions.HyperplaneSigs.planes(bits, tables, dim)
 
+  /** Signature width sized to the corpus — the standard LSH occupancy
+    * rule: 2^bits buckets per table tracks n / targetOccupancy, so the
+    * per-table candidate work stays ~n·occupancy instead of the
+    * n² / 2^bits a FIXED width degrades to (measured: the r18 salted
+    * sf1 decade flagged the fixed-4-bit q64 at alpha10 = +1.73 —
+    * 16 buckets per table over 20k vectors is a quadratic join). The
+    * floor is the sweep SFs' width (n ≤ 2000 there sizes to exactly 4,
+    * so the inlined-plane oracle replays unchanged); a production
+    * deployment re-tunes `tables` jointly with the grown width for its
+    * recall target — q234 is the measuring operator.
+    */
+  private[graft] def lshBitsFor(n: Long, floor: Int = 4,
+      targetOccupancy: Long = 125L): Int = {
+    val want = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, (n - 1L) / targetOccupancy)) // = ceil(log2(n/occ))
+    math.max(floor, want)
+  }
+
   def embeddingNearDupLsh(s: SparkSession, dir: String, threshold: Double = 0.9,
       bits: Int = 12, tables: Int = 6, dim: Int = 64): DataFrame = {
     val e = emb(s, dir)
+    // bits < 0 → occupancy-sized from the corpus count with floor
+    // |bits| (one cheap count job; at 100 TB this is table-stats
+    // metadata)
+    val width = if (bits >= 0) bits else lshBitsFor(e.count(), -bits)
     // all signatures in ONE native pass (map-side, no shuffle): the
     // equivalent tables×bits×dim Column tree blows the codegen method
     // budget and interprets at ~1000× the cost (see HyperplaneSigs)
     val signed = e.select(col("vec_id"),
-      graft.functions.hyperplane_sigs(col("v"), bits, tables, dim).as("sigs"))
+      graft.functions.hyperplane_sigs(col("v"), width, tables, dim).as("sigs"))
     // the banded rows and the self-join are SKINNY — (vec_id, t, sig)
     // only. Dragging the dim-wide vector through the explode and both
     // join sides multiplies the shuffle by ~2·dim; instead candidates

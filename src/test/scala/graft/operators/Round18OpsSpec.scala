@@ -125,6 +125,25 @@ class Round18OpsSpec extends SparkSpec {
     assert(rows.forall(_._3 == 2L), s"n_keep must be 2 on every row: $rows")
   }
 
+  test("q64 LSH occupancy sizing: the width grows with log(n), floors at " +
+      "the sweep SFs' literal 4, and the auto-sized query equals the " +
+      "fixed-width one where they coincide") {
+    // the sizing law: 2^bits tracks n/125, so candidate work stays
+    // ~n·occupancy (fixed width measured alpha10 = +1.73 at sf1)
+    assert(Similarity.lshBitsFor(500) == 4)
+    assert(Similarity.lshBitsFor(2000) == 4)
+    assert(Similarity.lshBitsFor(20000) == 8)
+    assert(Similarity.lshBitsFor(2000000) == 14)
+    val dir = "/root/testdata/sf0.001"
+    def rows(bits: Int) =
+      Similarity.embeddingNearDupLsh(spark, dir, threshold = 0.5,
+        bits = bits, tables = 8)
+        .select(col("a_id"), col("b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(-4) == rows(4),
+      "auto sizing must reproduce the literal width below the floor")
+  }
+
   test("q292 consistency: components 1–2 of the top-k chain are " +
       "bit-identical to the q290 top-2 chain on the real fixture") {
     val dir = "/root/testdata/sf0.001"

@@ -103,6 +103,14 @@ SF1 = [
 ]
 
 
+# rows whose superlinearity is the documented DESIGN (the operator IS
+# the quadratic baseline; its scale path is a separate query): annotate
+# instead of flagging
+EXPECTED_QUADRATIC = {
+    "q27_embed_neardup": "by-design brute-force baseline; scale path = q64",
+}
+
+
 def sfdir(sf):
     return "/tmp/sf1_synth" if sf == "1" else f"/root/testdata/sf{sf}"
 
@@ -200,8 +208,12 @@ def report():
         astr = "-" if a is None else f"{a:+.2f}"
         t1s = "-" if t1 < 0 else f"{t1:.3f}"
         a10s = "-" if a10 is None else f"{a10:+.2f}"
-        flag = " **FLAG**" if (a is not None and a > 1.3) or \
-            (a10 is not None and a10 > 1.3) else ""
+        over = (a is not None and a > 1.3) or (a10 is not None and a10 > 1.3)
+        flag = ""
+        if over and name in EXPECTED_QUADRATIC:
+            flag = f" (expected: {EXPECTED_QUADRATIC[name]})"
+        elif over:
+            flag = " **FLAG**"
         lines.append(f"| {name} | {ts} | {astr} | {t1s} | {a10s}{flag} |")
     text = "\n".join(lines) + "\n"
     print(text)
