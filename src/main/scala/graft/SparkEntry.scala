@@ -2368,6 +2368,10 @@ object SparkEntry {
     // components while the remaining variance exceeds the threshold;
     // n_keep is the whitening pipeline's chosen output dimension
     "q293_whitening_plan" -> ((s, dir) => Similarity.whiteningPlan(s, dir)),
+    // q294: the whitened output MATERIALIZED — coordinates on exactly
+    // the components q293 keeps (q291 = the fixed top-2 special case);
+    // one map-only corpus pass, long-form (vec_id, comp, coord)
+    "q294_whitened_projection" -> ((s, dir) => Similarity.whitenedProjection(s, dir)),
     // q286: the grid maintained INCREMENTALLY — stored base cells +
     // one delta-sized kernel pass, merged by the spec-pinned
     // mergeability law (full-outer over two bounded cell frames); the
@@ -3596,6 +3600,8 @@ object SparkEntry {
     "q292_eigen_topk" -> Similarity.eigenTopKSql(),
     // q293: the chain + total-trace CTE, identical truncating micro math
     "q293_whitening_plan" -> Similarity.whiteningPlanSql(),
+    // q294: q293's gate over one projection arm per component
+    "q294_whitened_projection" -> Similarity.whitenedProjectionSql(),
     // stored base cells + delta cells merge to the FULL grid exactly
     // (the spec-pinned mergeability law) — q283's oracle unchanged
     "q286_covariance_ivm_delta" -> Similarity.embeddingCovarianceSql(),

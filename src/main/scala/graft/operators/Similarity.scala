@@ -3397,6 +3397,65 @@ object Similarity {
       .select(col("vec_id"), dot(x1).as("p1"), dot(x2).as("p2"))
   }
 
+  /** q294: the WHITENED OUTPUT materialized — every embedding's
+    * exact-integer coordinates on the components q293's sizing rule
+    * KEEPS (q291 was the fixed top-2 special case). The keep mask is
+    * driver-known (the D²-bounded q293 arithmetic), so the corpus pass
+    * stays the q291 shape: per kept component one 64-term literal dot
+    * product, stacked long-form (vec_id, comp, coord) through one
+    * bounded explode — whole-stage codegen, ZERO exchanges beyond the
+    * scan (plan-pinned). At 100 TB: broadcast ≤ k·D longs, stream the
+    * corpus once; the output is what the downstream trainer/indexer
+    * actually reads.
+    */
+  def whitenedProjection(s: SparkSession, dir: String,
+      k: Int = eigenTopKDefault,
+      thrMicro: Long = whitenThrMicro): DataFrame = {
+    val (comps, total) = eigenTopKWithTotal(embeddingCovariance(s, dir), k)
+    val micro = (r: Long) => r * 1000000L / (total + 1L)
+    val kept = comps.zipWithIndex.filter { case (_, i) =>
+      micro(if (i == 0) total else comps(i - 1)._3) > thrMicro
+    }
+    def dot(xs: Array[Long]) = (0 until covDims)
+      .map(i => col("xq").getItem(i) * lit(xs(i)))
+      .reduce(_ + _)
+    val arms = kept.map { case ((x, _, _), i) =>
+      struct(lit((i + 1).toLong).as("comp"), dot(x).as("coord"))
+    }
+    kmQuantized(s, dir)
+      .filter(size(col("xq")) === covDims)
+      .select(col("vec_id"), explode(array(arms: _*)).as("pc"))
+      .select(col("vec_id"), col("pc.comp").as("comp"), col("pc.coord").as("coord"))
+  }
+
+  /** Oracle for [[whitenedProjection]]: q293's comps CTE gates one
+    * unnest-join-sum projection arm per component — an arm whose
+    * preceding residual fails the threshold contributes zero rows,
+    * exactly the driver-side keep mask.
+    */
+  def whitenedProjectionSql(k: Int = eigenTopKDefault,
+      thrMicro: Long = whitenThrMicro): String = {
+    val arms = (1 to k).map { m =>
+      val prevTr = if (m == 1) "tr0" else s"tr${m - 1}"
+      s"""SELECT e.vec_id, $m::BIGINT AS comp,
+              sum(e.xi * v.x)::BIGINT AS coord
+           FROM ex2 e JOIN x$m$eigenIters v ON e.dm = v.dm
+           WHERE (SELECT tr FROM $prevTr) * 1000000
+                   // ((SELECT tr FROM tr0) + 1) > $thrMicro
+           GROUP BY 1"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""${eigenChainSql(k)},
+       tr0 AS MATERIALIZED (SELECT sum(a)::BIGINT AS tr FROM a1 WHERE i = j),
+       ex2 AS (SELECT vec_id, generate_subscripts(xq, 1)::BIGINT AS dm,
+                      unnest(xq) AS xi
+               FROM (SELECT vec_id,
+                       list_transform(embedding::DOUBLE[],
+                         z -> round(z * 1000)::BIGINT) AS xq
+                     FROM embeddings $denseWhereSql AND embedding IS NOT NULL)
+               WHERE len(xq) = $covDims)
+       $arms"""
+  }
+
   /** Oracle for [[pcaProjection]]: the eigen CTE chain plus one
     * unnest-join-sum projection per component — the same exact-integer
     * dot products.

@@ -144,6 +144,37 @@ class Round18OpsSpec extends SparkSpec {
       "auto sizing must reproduce the literal width below the floor")
   }
 
+  test("q294 whitened projection: coordinates equal independent dot " +
+      "products on exactly the q293-kept components, via a zero-exchange " +
+      "map-only plan") {
+    val dir = "/root/testdata/sf0.001"
+    val kept = Similarity.whiteningPlan(spark, dir).collect()
+      .filter(_.getLong(4) == 1L).map(_.getLong(0)).toSet
+    assert(kept.nonEmpty, "component 1 is always kept at a sane threshold")
+    val proj = Similarity.whitenedProjection(spark, dir)
+    val p = proj.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"the whitened pass must be one map-only corpus scan:\n$p")
+    val got = proj.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keys.map(_._2).toSet == kept,
+      s"emitted components ${got.keys.map(_._2).toSet} != kept $kept")
+    val loadings = Similarity.eigenTopKPlan(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val vecs = graft.Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id",
+        "transform(cast(embedding as array<double>), z -> cast(round(z * 1000) as long)) xq")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .filter(_._2.length == Similarity.covDims)
+    assert(vecs.nonEmpty)
+    for ((id, xq) <- vecs.take(30); c <- kept) {
+      val want = xq.zip(loadings(c)).map { case (a, b) => a * b }.sum
+      assert(got((id, c)) == want, s"vec $id comp $c: ${got((id, c))} != $want")
+    }
+  }
+
   test("q292 consistency: components 1–2 of the top-k chain are " +
       "bit-identical to the q290 top-2 chain on the real fixture") {
     val dir = "/root/testdata/sf0.001"
