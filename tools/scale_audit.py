@@ -77,6 +77,7 @@ AUDIT = [
     "q292_eigen_topk",
     # dedup/similarity rows added for the salted-sf1 check
     "q21_dedup_minhash_lsh", "q27_embed_neardup", "q64_embed_neardup_lsh",
+    "q293_whitening_plan", "q294_whitened_projection",
 ]
 
 # the fourth-decade set (r16 verdict item 7): the most expensive rows
@@ -94,7 +95,7 @@ SF1 = [
     "q283_embedding_covariance", "q284_stream_embedding_covariance",
     "q286_covariance_ivm_delta", "q290_eigen_plan", "q291_pca_projection",
     "q253_stream_funnel", "q268_stream_topk", "q221_stream_source_packing",
-    "q292_eigen_topk",
+    "q292_eigen_topk", "q293_whitening_plan", "q294_whitened_projection",
     # dedup/similarity rows whose sf1 numbers the r18 salted corpus
     # makes meaningful (token-bijection + rotation replication: linear
     # candidate growth, see the report header)
