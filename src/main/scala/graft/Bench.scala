@@ -111,7 +111,13 @@ object Bench {
     // JSON line: the 10 s steal/PSI/rundelay sampler series joins
     // against these so a contaminated interval indicts the specific
     // query attempts it overlapped, not the whole run (r17 verdict 3)
-    val windows = mutable.LinkedHashMap.empty[String, Vector[(Long, Long)]]
+    // each window also carries the attempt's NANOTIME duration (the
+    // exact number the per-query min is computed from), so the
+    // contamination join can key "which attempt is the min" off it
+    // instead of re-deriving it from wall-clock ms — two attempts
+    // within a millisecond used to let the wrong attempt's window be
+    // flagged/cleared (r18 ADVICE)
+    val windows = mutable.LinkedHashMap.empty[String, Vector[(Long, Long, Double)]]
     val results = ordered.map { case (name, fn) =>
       // a failed query records -1 (visible in the JSON), never a
       // plausible-looking duration
@@ -125,12 +131,12 @@ object Bench {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val d = (System.nanoTime() - t0) / 1e9
           windows(name) = windows.getOrElse(name, Vector.empty) :+
-            (w0, System.currentTimeMillis())
+            ((w0, System.currentTimeMillis(), d))
           d
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           windows(name) = windows.getOrElse(name, Vector.empty) :+
-            (w0, System.currentTimeMillis())
+            ((w0, System.currentTimeMillis(), -1.0))
           -1.0
         }
       }
@@ -165,7 +171,7 @@ object Bench {
     // diagnostic); total/total_tail keep their positions so existing
     // consumers are unaffected
     val ws = windows.map { case (k, vs) =>
-      Json.quote(k) + ":" + vs.map { case (s, e) => s"[$s,$e]" }
+      Json.quote(k) + ":" + vs.map { case (s, e, d) => s"[$s,$e,$d]" }
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     println(s"""{"metric":"windows","windows":$ws}""")

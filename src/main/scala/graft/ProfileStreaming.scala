@@ -127,7 +127,10 @@ object ProfileStreaming {
       }
       override def onTaskEnd(
           t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val b = stageToBatch.get(t.stageId)
+        // java.lang.Long keeps the absent-key null observable: a
+        // scala.Long binding would auto-unbox null to 0L and silently
+        // attribute unmarked jobs' tasks to batch 0
+        val b: java.lang.Long = stageToBatch.get(t.stageId)
         if (b != null && t.taskMetrics != null) {
           val a = taskAgg.computeIfAbsent(b, _ => new TaskAgg)
           a.synchronized {

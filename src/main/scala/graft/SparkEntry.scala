@@ -2368,10 +2368,24 @@ object SparkEntry {
     // components while the remaining variance exceeds the threshold;
     // n_keep is the whitening pipeline's chosen output dimension
     "q293_whitening_plan" -> ((s, dir) => Similarity.whiteningPlan(s, dir)),
-    // q294: the whitened output MATERIALIZED — coordinates on exactly
-    // the components q293 keeps (q291 = the fixed top-2 special case);
-    // one map-only corpus pass, long-form (vec_id, comp, coord)
-    "q294_whitened_projection" -> ((s, dir) => Similarity.whitenedProjection(s, dir)),
+    // q294: the kept-basis output MATERIALIZED — un-normalized
+    // coordinates on exactly the components q293 keeps (q291 = the
+    // fixed top-2 special case); one map-only corpus pass, long-form
+    // (vec_id, comp, coord). q295 is the variance-normalized form.
+    "q294_kept_basis_projection" -> ((s, dir) => Similarity.keptBasisProjection(s, dir)),
+    // q295: the WHITENED output — q294 rescaled per component by the
+    // exact-integer 1/√λ micro-rescale (isqrt + the +1-divisor
+    // truncating discipline), so each kept component's output variance
+    // is ~unit; same map-only zero-exchange corpus pass
+    "q295_whitened_projection" -> ((s, dir) => Similarity.whitenedProjection(s, dir)),
+    // q296: the decorrelation loop CLOSED with a consumer measurement —
+    // q234's recall eval over both arms (raw-vector IVF vs IVF on the
+    // q293-kept basis) against the same brute-force ground truth
+    "q296_basis_recall_eval" -> ((s, dir) => Similarity.basisRecallEval(s, dir)),
+    // q297: the LIVE projection — basis frozen per session (q282's
+    // stream-static discipline), arrivals projected map-only at
+    // ingest; stateless, converged emissions ≡ q294's batch output
+    "q297_stream_kept_projection" -> ((s, dir) => Similarity.streamKeptBasisProjection(s, dir)),
     // q286: the grid maintained INCREMENTALLY — stored base cells +
     // one delta-sized kernel pass, merged by the spec-pinned
     // mergeability law (full-outer over two bounded cell frames); the
@@ -3601,7 +3615,17 @@ object SparkEntry {
     // q293: the chain + total-trace CTE, identical truncating micro math
     "q293_whitening_plan" -> Similarity.whiteningPlanSql(),
     // q294: q293's gate over one projection arm per component
-    "q294_whitened_projection" -> Similarity.whitenedProjectionSql(),
+    "q294_kept_basis_projection" -> Similarity.keptBasisProjectionSql(),
+    // q295: the gated arms with the per-component isqrt(λ) rescale
+    // (exact integer sqrt via double seed + one-step CASE adjust)
+    "q295_whitened_projection" -> Similarity.whitenedProjectionSql(),
+    // q296: q25/q26 compose verbatim; the kept arm re-derives the
+    // projected corpus from the eigen chain and runs the same
+    // assign/probe/score CTEs in projected space
+    "q296_basis_recall_eval" -> Similarity.basisRecallEvalSql(),
+    // q297: stateless stream-static projection — converged emissions
+    // equal the q294 batch output, so its oracle applies unchanged
+    "q297_stream_kept_projection" -> Similarity.keptBasisProjectionSql(),
     // stored base cells + delta cells merge to the FULL grid exactly
     // (the spec-pinned mergeability law) — q283's oracle unchanged
     "q286_covariance_ivm_delta" -> Similarity.embeddingCovarianceSql(),

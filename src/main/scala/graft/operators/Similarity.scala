@@ -2587,7 +2587,13 @@ object Similarity {
     * coordinate sums stay exact through ~10¹² rows.
     */
   private[graft] def kmQuantized(s: SparkSession, dir: String): DataFrame =
-    emb(s, dir).filter(col("v").isNotNull)
+    kmQuantizeDf(Tables.load(s, dir, "embeddings"))
+
+  /** The quantize pass on an arbitrary embeddings-shaped frame — the
+    * batch table and the q297 micro-batches share ONE transform, so
+    * the live projection cannot drift from the oracled batch one. */
+  private[graft] def kmQuantizeDf(raw: DataFrame): DataFrame =
+    withDenseV(raw).filter(col("v").isNotNull)
       .select(col("vec_id"),
         transform(col("v"), e => round(e * lit(1000)).cast("long")).as("xq"))
 
@@ -3088,10 +3094,13 @@ object Similarity {
   /** `decimalNum` selects the numerator arithmetic: `Some(false)` the
     * BIGINT form (exact only below [[covNumSafeN]] rows per pair),
     * `Some(true)` the 100 TB form — DECIMAL(38,0), exact to
-    * n ≈ 10¹⁶ rows — and `None` (the SHIPPED default) the n-GATED
-    * AUTOMATIC: one bounded max(n) probe of the checkpointed
+    * n ≈ 10¹⁶ rows — and `None` (the SHIPPED default) the GATED
+    * AUTOMATIC: one bounded (max(n), max|s|) probe of the checkpointed
     * ≤ D(D+3)/2-cell frame picks BIGINT iff every pair's n is within
-    * the proven-exact bound, DECIMAL(38,0) otherwise. The registered
+    * the proven-exact bound AND the actual operand magnitudes keep
+    * both numerator products inside Long.MaxValue/2 (the row-count
+    * bound alone is proven only under the fixture's |xq| ≤ 10³ value
+    * bound), DECIMAL(38,0) otherwise. The registered
     * queries (q283/q284/q286) therefore run an overflow-safe path at
     * EVERY scale: below the gate the BIGINT output is exact (and the
     * DuckDB BIGINT oracle applies verbatim); above it the promotion
@@ -3117,9 +3126,20 @@ object Similarity {
       .select((col("pid") - tri + 1L).as("dm"), col("s").as("sd"))
     def dec(cl: Column) = cl.cast("decimal(38,0)")
     val useDecimal = decimalNum.getOrElse {
-      // bounded by construction: c is the checkpointed cell grid
-      Option(c.agg(max(col("n"))).head.get(0))
-        .exists(_.asInstanceOf[Long] > covNumSafeN)
+      // bounded by construction: c is the checkpointed cell grid.
+      // Gate on the ACTUAL OPERANDS, not just n: the covNumSafeN row
+      // bound is proven only under the fixture's |xq| ≤ 10³ value
+      // bound, so an input with larger quantized magnitudes could
+      // wrap BIGINT below it. BIGINT is provably safe iff both
+      // products n·max|s| and max|s|² stay within Long.MaxValue/2
+      // (then |n·s − s_i·s_j| ≤ 2·(Long.MaxValue/2) never wraps).
+      val r = c.agg(max(col("n")), max(abs(col("s")))).head
+      val maxN = Option(r.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val maxS = Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val half = BigInt(Long.MaxValue) / 2
+      maxN > covNumSafeN ||
+        BigInt(maxN) * BigInt(maxS) > half ||
+        BigInt(maxS) * BigInt(maxS) > half
     }
     val num =
       if (useDecimal) dec(col("n")) * dec(col("s")) - dec(col("s_i")) * dec(col("s_j"))
@@ -3397,43 +3417,179 @@ object Similarity {
       .select(col("vec_id"), dot(x1).as("p1"), dot(x2).as("p2"))
   }
 
-  /** q294: the WHITENED OUTPUT materialized — every embedding's
-    * exact-integer coordinates on the components q293's sizing rule
-    * KEEPS (q291 was the fixed top-2 special case). The keep mask is
-    * driver-known (the D²-bounded q293 arithmetic), so the corpus pass
-    * stays the q291 shape: per kept component one 64-term literal dot
-    * product, stacked long-form (vec_id, comp, coord) through one
+  /** The driver-known KEEP MASK q293 decides and every kept-basis
+    * consumer (q294/q295/q296/q297) shares: the kept components as
+    * (loadings, eigenvalue, 1-based comp index). D²-bounded driver
+    * arithmetic — component m is kept iff the variance remaining
+    * BEFORE it still exceeds `thrMicro` of the total (q293's rule,
+    * verbatim).
+    */
+  private[graft] def keptBasis(s: SparkSession, dir: String,
+      k: Int = eigenTopKDefault,
+      thrMicro: Long = whitenThrMicro): Seq[(Array[Long], Long, Int)] =
+    keptBasisOf(embeddingCovariance(s, dir), k, thrMicro)
+
+  /** The grid-level form — spec-drivable on a hand grid. */
+  private[graft] def keptBasisOf(grid: DataFrame, k: Int,
+      thrMicro: Long): Seq[(Array[Long], Long, Int)] = {
+    val (comps, total) = eigenTopKWithTotal(grid, k)
+    val micro = (r: Long) => r * 1000000L / (total + 1L)
+    comps.zipWithIndex.filter { case (_, i) =>
+      micro(if (i == 0) total else comps(i - 1)._3) > thrMicro
+    }.map { case ((x, lam, _), i) => (x, lam, i + 1) }
+  }
+
+  /** One kept-component literal dot product — the 64-term codegen'd
+    * sum (getItem · constant) the projection family shares. */
+  private def keptDot(xs: Array[Long]): Column =
+    (0 until covDims).map(i => col("xq").getItem(i) * lit(xs(i))).reduce(_ + _)
+
+  /** The shared corpus pass core: quantized `raw` rows → long-form
+    * (vec_id, comp, coord) on the kept components, via one bounded
+    * explode of ≤ k literal-dot arms — whole-stage codegen, ZERO
+    * exchanges beyond the scan (plan-pinned). An EMPTY keep mask
+    * (degenerate zero-trace grid, which [[whiteningPlan]] tolerates by
+    * construction) short-circuits to an empty correctly-typed frame
+    * instead of an unanalyzable zero-arm `array()`.
+    */
+  private[graft] def keptProjectOn(raw: DataFrame,
+      kept: Seq[(Array[Long], Long, Int)]): DataFrame = {
+    val corpus = kmQuantizeDf(raw).filter(size(col("xq")) === covDims)
+    if (kept.isEmpty)
+      corpus.select(col("vec_id"), lit(0L).as("comp"), lit(0L).as("coord"))
+        .filter(lit(false))
+    else {
+      val arms = kept.map { case (x, _, c) =>
+        struct(lit(c.toLong).as("comp"), keptDot(x).as("coord"))
+      }
+      corpus.select(col("vec_id"), explode(array(arms: _*)).as("pc"))
+        .select(col("vec_id"), col("pc.comp").as("comp"),
+          col("pc.coord").as("coord"))
+    }
+  }
+
+  /** q294: the KEPT-BASIS OUTPUT materialized — every embedding's
+    * exact-integer (un-normalized) coordinates on the components
+    * q293's sizing rule KEEPS (q291 was the fixed top-2 special case):
+    * a truncated PCA projection, NOT yet whitened — q295 is the
+    * variance-normalized form ([[whitenedProjection]]). The keep mask
+    * is driver-known (the D²-bounded q293 arithmetic), so the corpus
+    * pass stays the q291 shape: per kept component one 64-term literal
+    * dot product, stacked long-form (vec_id, comp, coord) through one
     * bounded explode — whole-stage codegen, ZERO exchanges beyond the
     * scan (plan-pinned). At 100 TB: broadcast ≤ k·D longs, stream the
-    * corpus once; the output is what the downstream trainer/indexer
-    * actually reads.
+    * corpus once.
+    */
+  def keptBasisProjection(s: SparkSession, dir: String,
+      k: Int = eigenTopKDefault,
+      thrMicro: Long = whitenThrMicro): DataFrame =
+    keptProjectOn(Tables.load(s, dir, "embeddings"),
+      keptBasis(s, dir, k, thrMicro))
+
+  /** Exact integer square root: the largest s ≥ 0 with s² ≤ n. The
+    * double seed is within one of the true root for any n < 2⁶³ (53-bit
+    * mantissa), so the correction loops run at most once — mirrored in
+    * SQL by the one-step CASE adjust in [[whitenedProjectionSql]]'s
+    * `isq` CTEs.
+    */
+  private[graft] def isqrt(n: Long): Long = {
+    require(n >= 0, s"isqrt of negative $n")
+    // isqrt(Long.MaxValue): the cap keeps every square below exactly
+    // this bound — without it (s0+1)² wraps negative near the ceiling
+    // and the correction loop spins forever
+    val cap = 3037000499L
+    var s0 = math.min(cap, math.sqrt(n.toDouble).toLong)
+    while (s0 > 0 && s0 * s0 > n) s0 -= 1
+    while (s0 < cap && (s0 + 1) * (s0 + 1) <= n) s0 += 1
+    s0
+  }
+
+  /** q295: the WHITENED output — q294's kept-basis coordinates
+    * variance-NORMALIZED per component: `coord_w = coord·10³ div
+    * (isqrt(max(λ, 0)) + 1)`, the exact-integer micro-rescale by 1/√λ
+    * that makes each kept component's output variance ~unit (in the
+    * shared milli fixed point) — what "whitened" actually means and
+    * what a trainer consuming decorrelated features reads. λ is
+    * driver-known (the q292 chain), isqrt is exact integer arithmetic
+    * ([[isqrt]]), the +1 keeps the divisor positive on a degenerate
+    * λ = 0 component (the family's divisor discipline), and the
+    * division truncates toward zero identically on both engines
+    * (DuckDB `//` ≡ Scala `Long div`). The corpus pass is q294's
+    * verbatim — per kept component one literal dot, one bounded
+    * explode, zero exchanges — with the per-arm constant rescale
+    * folded in.
     */
   def whitenedProjection(s: SparkSession, dir: String,
       k: Int = eigenTopKDefault,
-      thrMicro: Long = whitenThrMicro): DataFrame = {
-    val (comps, total) = eigenTopKWithTotal(embeddingCovariance(s, dir), k)
-    val micro = (r: Long) => r * 1000000L / (total + 1L)
-    val kept = comps.zipWithIndex.filter { case (_, i) =>
-      micro(if (i == 0) total else comps(i - 1)._3) > thrMicro
+      thrMicro: Long = whitenThrMicro): DataFrame =
+    whitenedProjectOn(Tables.load(s, dir, "embeddings"),
+      keptBasis(s, dir, k, thrMicro))
+
+  /** The frame-level form — spec-drivable on a synthetic corpus. */
+  private[graft] def whitenedProjectOn(raw: DataFrame,
+      kept: Seq[(Array[Long], Long, Int)]): DataFrame = {
+    val corpus = kmQuantizeDf(raw).filter(size(col("xq")) === covDims)
+    if (kept.isEmpty)
+      corpus.select(col("vec_id"), lit(0L).as("comp"), lit(0L).as("coord_w"))
+        .filter(lit(false))
+    else {
+      val arms = kept.map { case (x, lam, c) =>
+        struct(lit(c.toLong).as("comp"),
+          (keptDot(x) * lit(1000L)).as("num"),
+          lit(isqrt(math.max(lam, 0L)) + 1L).as("den"))
+      }
+      corpus.select(col("vec_id"), explode(array(arms: _*)).as("pc"))
+        .select(col("vec_id"), col("pc.comp").as("comp"),
+          expr("pc.num div pc.den").as("coord_w"))
     }
-    def dot(xs: Array[Long]) = (0 until covDims)
-      .map(i => col("xq").getItem(i) * lit(xs(i)))
-      .reduce(_ + _)
-    val arms = kept.map { case ((x, _, _), i) =>
-      struct(lit((i + 1).toLong).as("comp"), dot(x).as("coord"))
-    }
-    kmQuantized(s, dir)
-      .filter(size(col("xq")) === covDims)
-      .select(col("vec_id"), explode(array(arms: _*)).as("pc"))
-      .select(col("vec_id"), col("pc.comp").as("comp"), col("pc.coord").as("coord"))
   }
 
-  /** Oracle for [[whitenedProjection]]: q293's comps CTE gates one
+  /** Oracle for [[whitenedProjection]]: [[keptBasisProjectionSql]]'s
+    * gated arms with the per-component 1/√λ micro-rescale — each
+    * `isq$m` CTE derives the exact integer sqrt of λ_m from the chain
+    * (double seed + one-step CASE adjust, exact for λ < 2⁵³), and the
+    * arm divides with DuckDB's truncating `//`.
+    */
+  def whitenedProjectionSql(k: Int = eigenTopKDefault,
+      thrMicro: Long = whitenThrMicro): String = {
+    val isqs = (1 to k).map { m =>
+      s"""isq$m AS MATERIALIZED (SELECT CASE
+             WHEN s0 * s0 > l THEN s0 - 1
+             WHEN (s0 + 1) * (s0 + 1) <= l THEN s0 + 1
+             ELSE s0 END AS s
+           FROM (SELECT greatest(lam, 0) AS l,
+                        floor(sqrt(greatest(lam, 0)::DOUBLE))::BIGINT AS s0
+                 FROM lam$m))"""
+    }.mkString(",\n       ")
+    val arms = (1 to k).map { m =>
+      val prevTr = if (m == 1) "tr0" else s"tr${m - 1}"
+      s"""SELECT e.vec_id, $m::BIGINT AS comp,
+              sum(e.xi * v.x)::BIGINT * 1000
+                // ((SELECT s FROM isq$m) + 1) AS coord_w
+           FROM ex2 e JOIN x$m$eigenIters v ON e.dm = v.dm
+           WHERE (SELECT tr FROM $prevTr) * 1000000
+                   // ((SELECT tr FROM tr0) + 1) > $thrMicro
+           GROUP BY 1"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""${eigenChainSql(k)},
+       tr0 AS MATERIALIZED (SELECT sum(a)::BIGINT AS tr FROM a1 WHERE i = j),
+       $isqs,
+       ex2 AS (SELECT vec_id, generate_subscripts(xq, 1)::BIGINT AS dm,
+                      unnest(xq) AS xi
+               FROM (SELECT vec_id,
+                       list_transform(embedding::DOUBLE[],
+                         z -> round(z * 1000)::BIGINT) AS xq
+                     FROM embeddings $denseWhereSql AND embedding IS NOT NULL)
+               WHERE len(xq) = $covDims)
+       $arms"""
+  }
+
+  /** Oracle for [[keptBasisProjection]]: q293's comps CTE gates one
     * unnest-join-sum projection arm per component — an arm whose
     * preceding residual fails the threshold contributes zero rows,
     * exactly the driver-side keep mask.
     */
-  def whitenedProjectionSql(k: Int = eigenTopKDefault,
+  def keptBasisProjectionSql(k: Int = eigenTopKDefault,
       thrMicro: Long = whitenThrMicro): String = {
     val arms = (1 to k).map { m =>
       val prevTr = if (m == 1) "tr0" else s"tr${m - 1}"
@@ -3454,6 +3610,167 @@ object Similarity {
                      FROM embeddings $denseWhereSql AND embedding IS NOT NULL)
                WHERE len(xq) = $covDims)
        $arms"""
+  }
+
+  /** q296: the decorrelation PAYOFF measured — the report a platform
+    * team reads before adopting the q283→q294 rotation: q234's recall
+    * evaluation run over BOTH retrieval arms against the SAME raw-space
+    * brute-force ground truth (q25). Arm "raw" is the raw-vector IVF
+    * (q26, q234's subject verbatim); arm "kept" is an IVF built on the
+    * q293-KEPT basis coordinates (the q294 projection, as dense
+    * vectors) — assignment, probing, and scoring all in the projected
+    * space, so the recall delta isolates exactly what the truncated
+    * rotation costs/buys the index. Scale shape: the projected corpus
+    * is one extra map-only pass (the q291 literal-dot discipline);
+    * everything downstream is the existing query-batch-bounded IVF
+    * machinery. All cosine inputs are exact integers cast to double,
+    * so both engines derive identical doubles (the family's pinned
+    * cosine arithmetic) and every recall cell is exact.
+    */
+  def basisRecallEval(s: SparkSession, dir: String, k: Int = defaultK,
+      kComps: Int = eigenTopKDefault,
+      thrMicro: Long = whitenThrMicro): DataFrame = {
+    val kept = keptBasis(s, dir, kComps, thrMicro)
+    require(kept.nonEmpty,
+      "basisRecallEval: empty keep mask (degenerate zero-trace grid)")
+    val bf = bruteForceTopK(s, dir, k).select(col("query_id"), col("neighbor_id"))
+    val raw = ivfTopK(s, dir, k).select(col("query_id"), col("neighbor_id"))
+    val dots = kept.map { case (x, _, _) => keptDot(x).cast("double") }
+    val pcorpus = kmQuantized(s, dir).filter(size(col("xq")) === covDims)
+      .select(col("vec_id"), array(dots: _*).as("v"))
+    // the filter caps this at numCentroids rows; the limit makes the
+    // bound structural (PlanSpec's every-broadcast-carries-a-limit)
+    val cents = pcorpus.filter(col("vec_id") < numCentroids)
+      .limit(numCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val kb = ivfSearch(pcorpus, cents, k)
+      .select(col("query_id"), col("neighbor_id"))
+    def hits(arm: DataFrame, nm: String) =
+      bf.join(arm, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as(nm))
+    bf.groupBy(col("query_id")).agg(count(lit(1)).as("n_ref"))
+      .join(hits(raw, "h_raw"), Seq("query_id"), "left")
+      .join(hits(kb, "h_kept"), Seq("query_id"), "left")
+      .select(col("query_id"), col("n_ref"),
+        coalesce(col("h_raw"), lit(0L)).as("hits_raw"),
+        coalesce(col("h_kept"), lit(0L)).as("hits_kept"))
+      .withColumn("recall_raw",
+        col("hits_raw").cast("double") / col("n_ref").cast("double"))
+      .withColumn("recall_kept",
+        col("hits_kept").cast("double") / col("n_ref").cast("double"))
+  }
+
+  /** Oracle for [[basisRecallEval]]: q25's and q26's SQL compose
+    * verbatim (q234's shape); the kept arm re-derives the projected
+    * corpus from the eigen chain — per component one gated
+    * single-element list, concatenated, so a dropped component
+    * contributes no coordinate, exactly the driver keep mask — and
+    * runs the same assign/probe/score CTEs in projected space.
+    */
+  def basisRecallEvalSql(k: Int = defaultK, kComps: Int = eigenTopKDefault,
+      thrMicro: Long = whitenThrMicro): String = {
+    val keptCase = (1 to kComps).map { m =>
+      val prevTr = if (m == 1) "tr0" else s"tr${m - 1}"
+      s"""(CASE WHEN (SELECT tr FROM $prevTr) * 1000000
+                  // ((SELECT tr FROM tr0) + 1) > $thrMicro
+             THEN [c$m::DOUBLE] ELSE []::DOUBLE[] END)"""
+    }.mkString("\n               || ")
+    val cSums = (1 to kComps).map(m =>
+      s"sum(e.xi * v$m.x)::BIGINT AS c$m").mkString(",\n                   ")
+    val cJoins = (1 to kComps).map(m =>
+      s"JOIN x$m$eigenIters v$m ON e.dm = v$m.dm").mkString(" ")
+    s"""WITH bf AS (SELECT query_id, neighbor_id FROM (${bruteForceTopKSql(k)}) b),
+        ivr AS (SELECT query_id, neighbor_id FROM (${ivfTopKSql(k)}) i),
+        pe AS (${eigenChainSql(kComps)},
+          tr0 AS MATERIALIZED (SELECT sum(a)::BIGINT AS tr FROM a1 WHERE i = j),
+          ex2 AS (SELECT vec_id, generate_subscripts(xq, 1)::BIGINT AS dm,
+                         unnest(xq) AS xi
+                  FROM (SELECT vec_id,
+                          list_transform(embedding::DOUBLE[],
+                            z -> round(z * 1000)::BIGINT) AS xq
+                        FROM embeddings $denseWhereSql AND embedding IS NOT NULL)
+                  WHERE len(xq) = $covDims),
+          pcx AS (SELECT e.vec_id, $cSums
+                  FROM ex2 e $cJoins GROUP BY 1)
+          SELECT vec_id, $keptCase AS v FROM pcx),
+        cp AS (SELECT vec_id AS cent_id, v AS cv FROM pe
+               WHERE vec_id < $numCentroids),
+        ap AS (SELECT vec_id, v, cent_id AS bucket FROM (
+                 SELECT pe.vec_id, pe.v, cp.cent_id,
+                        row_number() OVER (PARTITION BY pe.vec_id
+                          ORDER BY ${cosSqlOn("pe.v", "cp.cv")} DESC, cp.cent_id ASC) AS crank
+                 FROM pe, cp WHERE pe.v IS NOT NULL) WHERE crank = 1),
+        qp AS (SELECT vec_id AS query_id, v AS qv FROM pe
+               WHERE vec_id % $queryMod = 0 ORDER BY vec_id LIMIT $maxQueryBatch),
+        pp AS (SELECT query_id, qv, cent_id AS bucket FROM (
+                 SELECT q.query_id, q.qv, cp.cent_id,
+                        row_number() OVER (PARTITION BY q.query_id
+                          ORDER BY ${cosSqlOn("q.qv", "cp.cv")} DESC, cp.cent_id ASC) AS prank
+                 FROM qp q, cp) WHERE prank <= $nprobe),
+        sk AS (SELECT query_id, a.vec_id AS neighbor_id,
+                      ${cosSqlOn("p.qv", "a.v")} AS cos
+               FROM ap a JOIN pp p USING (bucket)
+               WHERE a.vec_id <> p.query_id),
+        ivk AS (SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rank
+                 FROM sk) WHERE rank <= $k),
+        r AS (SELECT query_id, count(*)::BIGINT AS n_ref FROM bf GROUP BY 1),
+        hr AS (SELECT bf.query_id, count(*)::BIGINT AS h
+               FROM bf JOIN ivr USING (query_id, neighbor_id) GROUP BY 1),
+        hk AS (SELECT bf.query_id, count(*)::BIGINT AS h
+               FROM bf JOIN ivk USING (query_id, neighbor_id) GROUP BY 1)
+        SELECT r.query_id, r.n_ref,
+               coalesce(hr.h, 0)::BIGINT AS hits_raw,
+               coalesce(hk.h, 0)::BIGINT AS hits_kept,
+               coalesce(hr.h, 0)::DOUBLE / r.n_ref::DOUBLE AS recall_raw,
+               coalesce(hk.h, 0)::DOUBLE / r.n_ref::DOUBLE AS recall_kept
+        FROM r LEFT JOIN hr ON r.query_id = hr.query_id
+               LEFT JOIN hk ON r.query_id = hk.query_id"""
+  }
+
+  /** q297: the LIVE form of the projection chain — the q282
+    * stream-static discipline applied to q294: the kept basis is
+    * FROZEN per session (driver-computed ONCE from the batch grid, the
+    * trained-literal idiom), and each arriving embeddings micro-batch
+    * is projected MAP-ONLY at ingest ([[keptProjectOn]], byte-for-byte
+    * the batch transform) and appended. STATELESS by construction — no
+    * state store, no watermark, nothing to replay beyond the sink's
+    * own file commit (RecoverySpec-exempt) — so the converged
+    * emissions equal [[keptBasisProjection]] row-for-row and q294's
+    * oracle applies UNCHANGED. Per-batch plan: scan → project →
+    * bounded explode, ZERO exchanges (plan-pinned on keptProjectOn).
+    * At 100 TB this is the ingest-time projection a feature pipeline
+    * runs: broadcast ≤ k·D longs once, each batch streams through
+    * map-only.
+    */
+  def streamKeptBasisProjection(s: SparkSession, dir: String,
+      nFiles: Int = 4, k: Int = eigenTopKDefault,
+      thrMicro: Long = whitenThrMicro): DataFrame = {
+    val kept = keptBasis(s, dir, k, thrMicro)
+    val staged = stagedStreamEmb(s, dir, nFiles)
+    val Seq(out) = streamIdxRuns.fresh((dir, "keptproj", nFiles, k, thrMicro),
+      "graft_kept_proj")
+    val ckpt = graft.Fs.tmpDir("graft_kept_proj_ckpt")
+    try {
+      val sch = s.read.parquet(staged).schema
+      val q = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+        .writeStream
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          graft.Sessions.withMicroBatchConf(b.sparkSession) {
+            keptProjectOn(b, kept)
+              .write.mode("overwrite").parquet(s"$out/b$bid")
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally graft.Fs.rmTreeRetry(ckpt)
+    s.read.option("recursiveFileLookup", "true").parquet(out)
   }
 
   /** Oracle for [[pcaProjection]]: the eigen CTE chain plus one

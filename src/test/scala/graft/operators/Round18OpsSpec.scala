@@ -144,14 +144,14 @@ class Round18OpsSpec extends SparkSpec {
       "auto sizing must reproduce the literal width below the floor")
   }
 
-  test("q294 whitened projection: coordinates equal independent dot " +
+  test("q294 kept-basis projection: coordinates equal independent dot " +
       "products on exactly the q293-kept components, via a zero-exchange " +
       "map-only plan") {
     val dir = "/root/testdata/sf0.001"
     val kept = Similarity.whiteningPlan(spark, dir).collect()
       .filter(_.getLong(4) == 1L).map(_.getLong(0)).toSet
     assert(kept.nonEmpty, "component 1 is always kept at a sane threshold")
-    val proj = Similarity.whitenedProjection(spark, dir)
+    val proj = Similarity.keptBasisProjection(spark, dir)
     val p = proj.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"),
       s"the whitened pass must be one map-only corpus scan:\n$p")

@@ -570,4 +570,106 @@ class RecoverySpec extends SparkSpec {
         s"replayed batch $replayed must be a file-identity no-op: $f")
     graft.Fs.rmTree(base)
   }
+
+  test("MID-BATCH kill through the CHAINED topology (q217/q246/q255 " +
+      "shape): hop 1's replayed emissions re-enter hop 2's topic as " +
+      "at-least-once duplicates, hop 2 is itself killed mid-batch, and " +
+      "the final compacted topic still equals the batch three-way join") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_recovery_chain").toString
+    val staged = s"$base/in"; val mid = s"$base/mid"
+    val ckpt1 = s"$base/ckpt1"; val ckpt2 = s"$base/ckpt2"
+    val out2 = s"$base/out2"
+    stageBatches(base, denormBatches)
+    new java.io.File(mid).mkdirs()
+
+    // hop 2's RIGHTS (the nation-like dim), pre-seeded on the
+    // intermediate topic with seqs below every left and mtimes in the
+    // past — the rights-first load the chain stages in production
+    val dims = Seq(
+      IndexRecord("n1", isLeft = false, "n1", "N1", -2L),
+      IndexRecord("n2", isLeft = false, "n2", "N2", -1L))
+    dims.toDS().coalesce(1).write.mode("overwrite").parquet(s"$base/dim_stage")
+    locally {
+      val f = new java.io.File(s"$base/dim_stage").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(mid, "dims.parquet")
+      java.nio.file.Files.move(f.toPath, dest.toPath)
+      graft.Fs.stampMtime(dest, System.currentTimeMillis() - 3600000L)
+    }
+
+    // ---- hop 1: denorm join, emissions APPENDED to the mid topic via
+    // foreachBatch — deliberately at-least-once (the Kafka-producer
+    // analogy: no sink commit log), so a WAL replay genuinely lands
+    // duplicate records on hop 2's input, the interplay under test
+    val schema = Seq.empty[IndexRecord].toDS().schema
+    def startHop1() = StreamDenormalize.joined(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged).as[IndexRecord],
+      "inner")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[JoinedRecord], _: Long) =>
+        graft.Sessions.withMicroBatchConf(b.sparkSession) {
+          // re-key for hop 2: the hop-1 right value determines the
+          // outer dim's FK (the c_nationkey-from-customer analogy)
+          b.toDF().select(
+            org.apache.spark.sql.functions.when(col("right") === "s1v1", "n1")
+              .otherwise("n2").as("fk"),
+            org.apache.spark.sql.functions.lit(true).as("isLeft"),
+            col("outKey").as("key"),
+            org.apache.spark.sql.functions
+              .concat_ws("|", col("left"), col("right")).as("value"),
+            col("seq"),
+            org.apache.spark.sql.functions.lit(0L).as("tie"))
+            .coalesce(1).write.mode("append").parquet(mid)
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt1)
+      .outputMode("append").start()
+
+    runUntilBatches(3)(() => startHop1())
+    val replayed1 = removeLastCommit(ckpt1)
+    // batches 2 (s1-right fan-out) and 3 (c3 point-lookup) both emit,
+    // so whichever the kill lands on, the replay duplicates rows on mid
+    assert(replayed1 >= 2L, s"kill must land on an emitting batch: $replayed1")
+    val h1b = startHop1()
+    try h1b.processAllAvailable() finally h1b.stop()
+
+    // the replay REALLY duplicated hop-1 emissions on the mid topic
+    // (at-least-once proven, not assumed)
+    val midLefts = spark.read.parquet(mid).filter(col("isLeft"))
+      .select(col("key"), col("seq")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(midLefts.size > midLefts.distinct.size,
+      s"hop-1 replay must have appended duplicate emissions: $midLefts")
+
+    // ---- hop 2: the duplicated topic joined to the dim, with its own
+    // mid-batch kill — upserts must stay idempotent through BOTH joins
+    def startHop2() = StreamDenormalize.joined(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(mid).as[IndexRecord],
+      "inner")
+      .writeStream.format("parquet")
+      .option("path", out2).option("checkpointLocation", ckpt2)
+      .outputMode("append").start()
+
+    runUntilBatches(2)(() => startHop2())
+    removeLastCommit(ckpt2)
+    val h2b = startHop2()
+    try h2b.processAllAvailable() finally h2b.stop()
+
+    // final topic compaction (latest emission per key) == the batch
+    // three-way join — duplicates collapse because a re-upserted left
+    // re-emits the SAME (key, value, seq) record
+    val got = spark.read.parquet(out2).as[JoinedRecord].collect()
+      .groupBy(_.outKey).map { case (_, rs) => rs.maxBy(_.seq) }.toSet
+    val want = Set(
+      JoinedRecord("c1", "c1v1|s1v1", "N1", 4L),
+      JoinedRecord("c2", "c2v1|s1v1", "N1", 4L),
+      JoinedRecord("c3", "c3v1|s2v1", "N2", 5L))
+    assert(got == want,
+      s"compacted chain output after both kills must equal the batch join: $got")
+    graft.Fs.rmTree(base)
+  }
 }

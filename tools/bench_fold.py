@@ -113,7 +113,14 @@ if windows:
     intervals = sampler_intervals(f"{outdir}/{label}.steal")
     if intervals:
         for q, ws in windows.items():
-            durs = [(e - s, (s, e)) for s, e in ws]
+            # windows carry [start_ms, end_ms, dur_sec] since r19: the
+            # third element is the NANOTIME duration Bench's min is
+            # actually computed from, so the min attempt is keyed off
+            # it (wall-clock ms ties used to let the wrong attempt's
+            # window be flagged/cleared — r18 ADVICE). Two-element
+            # windows (pre-r19 files) fall back to the ms length.
+            durs = [((w[2] if len(w) > 2 and w[2] >= 0 else w[1] - w[0]),
+                     (w[0], w[1])) for w in ws]
             if not durs:
                 continue
             _, wmin = min(durs)

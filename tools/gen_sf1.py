@@ -19,7 +19,19 @@ of each other by construction, so the dedup/similarity families see a
 denser-than-organic candidate structure at sf1 — those rows are upper
 bounds, not organic-corpus predictions.
 
-Usage: python3 tools/gen_sf1.py [outdir]
+r19 generalizations:
+  - COPIES is an argument: copies=100 synthesizes the FIFTH decade
+    (sf10, ~x100 sf0.1) the r18 verdict asked for.
+  - --unsalted-frac F leaves a deterministic fraction F of each copy's
+    documents UN-bijected (original tokens), injecting cross-copy
+    near-duplicates at a measured rate — the density-bracketing corpus
+    (r18 verdict item 5): salted = exactly-linear candidate growth
+    (lower bound), F calibrated so CandidateDensity lands on the
+    organic one-decade fit (x30.6). The selection keys on the BASE
+    doc_id (id % round(1/F) == 0), so the same documents stay unsalted
+    in every copy — required for them to actually collide cross-copy.
+
+Usage: python3 tools/gen_sf1.py [outdir] [copies] [--unsalted-frac F]
 """
 import sys, os
 import pyarrow as pa
@@ -27,8 +39,16 @@ import pyarrow.parquet as pq
 import pyarrow.compute as pc
 
 SRC = "/root/testdata/sf0.1"
-OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_synth"
-COPIES = 10
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+OUT = args[0] if len(args) > 0 else "/tmp/sf1_synth"
+COPIES = int(args[1]) if len(args) > 1 else 10
+UNSALTED_FRAC = 0.0
+for a in sys.argv[1:]:
+    if a.startswith("--unsalted-frac"):
+        UNSALTED_FRAC = float(a.split("=", 1)[1] if "=" in a
+                              else sys.argv[sys.argv.index(a) + 1])
+# id % UNSALTED_MOD == 0 -> keep original tokens in every copy
+UNSALTED_MOD = round(1.0 / UNSALTED_FRAC) if UNSALTED_FRAC > 0 else 0
 OFF = 10**12  # per-copy id offset: far above any sf0.1 id, no overflow
 
 # int64 id columns per table (every other column replicates verbatim,
@@ -64,9 +84,20 @@ def shifted_copy(tbl: pa.Table, name: str, k: int) -> pa.Table:
                 # near-duplicates of each other and inflated the LSH
                 # band-candidate density 9x past the organic growth fit
                 # (CandidateDensity, SCALE_AUDIT_r18.md).
+                orig = arr.combine_chunks()
                 arr = pc.replace_substring_regex(
-                    arr.combine_chunks(), pattern=r"(\S+)",
+                    orig, pattern=r"(\S+)",
                     replacement=rf"\1x{k}q")
+                if UNSALTED_MOD:
+                    # density bracketing: the same base docs stay
+                    # un-bijected in EVERY copy, so they are genuine
+                    # cross-copy near-duplicates at rate 1/UNSALTED_MOD
+                    # (numpy modulo: this pyarrow build has no mod kernel)
+                    import numpy as np
+                    ids = tbl.column("doc_id").combine_chunks() \
+                        .to_numpy(zero_copy_only=False)
+                    keep = pa.array(ids % UNSALTED_MOD == 0)
+                    arr = pc.if_else(keep, orig, arr)
         elif name == "documents" and col == "n_chars":
             continue  # recomputed from the mutated text below
         elif name == "embeddings" and col == "embedding" and k > 0:
@@ -88,6 +119,13 @@ def shifted_copy(tbl: pa.Table, name: str, k: int) -> pa.Table:
                 rng = np.random.default_rng(1234 + k)
                 q, _ = np.linalg.qr(rng.standard_normal((w, w)))
                 dense = np.flatnonzero(widths == w)
+                if UNSALTED_MOD:
+                    # density bracketing, embedding side: the same base
+                    # vectors stay UNROTATED in every copy — genuine
+                    # cross-copy near-duplicates at rate 1/UNSALTED_MOD
+                    vids = tbl.column("vec_id").combine_chunks() \
+                        .to_numpy(zero_copy_only=False)
+                    dense = dense[vids[dense] % UNSALTED_MOD != 0]
                 starts = offsets[dense]
                 idx = (starts[:, None] + np.arange(w)[None, :]).ravel()
                 rot = (values[idx].reshape(-1, w) @ q.astype(np.float32))

@@ -27,9 +27,9 @@ used in the fit. Usage:
 import json, os, subprocess, sys, math
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = "/tmp/scale_audit_r18"
+OUT = "/tmp/scale_audit_r19"
 SFS = ["0.001", "0.01", "0.1"]
-REPORT = "tools/SCALE_AUDIT_r18.md"
+REPORT = "tools/SCALE_AUDIT_r19.md"
 
 # top streaming + top batch by cross-run minima, plus EVERY query that
 # did not exist at 07e63e5 (q257-q273 — the r15 closers and the r16
@@ -77,7 +77,7 @@ AUDIT = [
     "q292_eigen_topk",
     # dedup/similarity rows added for the salted-sf1 check
     "q21_dedup_minhash_lsh", "q27_embed_neardup", "q64_embed_neardup_lsh",
-    "q293_whitening_plan", "q294_whitened_projection",
+    "q293_whitening_plan", "q294_kept_basis_projection",
 ]
 
 # the fourth-decade set (r16 verdict item 7): the most expensive rows
@@ -95,12 +95,48 @@ SF1 = [
     "q283_embedding_covariance", "q284_stream_embedding_covariance",
     "q286_covariance_ivm_delta", "q290_eigen_plan", "q291_pca_projection",
     "q253_stream_funnel", "q268_stream_topk", "q221_stream_source_packing",
-    "q292_eigen_topk", "q293_whitening_plan", "q294_whitened_projection",
+    "q292_eigen_topk", "q293_whitening_plan", "q294_kept_basis_projection",
     # dedup/similarity rows whose sf1 numbers the r18 salted corpus
     # makes meaningful (token-bijection + rotation replication: linear
     # candidate growth, see the report header)
     "q21_dedup_minhash_lsh", "q93_stream_ingest_neardup",
     "q27_embed_neardup", "q64_embed_neardup_lsh",
+    # the r19 closers
+    "q295_whitened_projection", "q296_basis_recall_eval",
+    "q297_stream_kept_projection",
+]
+
+# the FIFTH decade (r18 verdict item 1): synthetic sf10 = 100 key-
+# shifted copies of sf0.1 (gen_sf1.py with copies=100, ~2-4 GB). The
+# 15 most expensive rows of the r18 cross-run minima + the dedup/ANN
+# family + the eigen/projection chain incl. the r19 closers. q27 is
+# EXCLUDED by design: the documented brute-force control measures
+# ~21 s at sf1 and its promised quadratic puts sf10 at ~2000 s — the
+# +1.48 annotation already states what sf10 would re-state.
+SF10 = [
+    "q266_stream_novelty", "q255_stream_multihop_outer_hop1",
+    "q246_stream_multihop_outer", "q217_stream_denorm_multihop",
+    "q93_stream_ingest_neardup", "q146_stream_windowed_cms_evicting",
+    "q123_stream_trending", "q129_stream_interval_join_outer",
+    "q287_stream_index_deletes", "q282_stream_ann_serving",
+    "q09_agg_pricing", "q12_revenue_by_nation", "q166_triangle_census",
+    "q130_pagerank", "q65_substring_dedup", "q110_bigram_perplexity",
+    "q213_personalized_pagerank", "q156_pmi_cooccurrence",
+    "q21_dedup_minhash_lsh", "q64_embed_neardup_lsh",
+    "q283_embedding_covariance", "q284_stream_embedding_covariance",
+    "q286_covariance_ivm_delta", "q290_eigen_plan", "q291_pca_projection",
+    "q292_eigen_topk", "q293_whitening_plan", "q294_kept_basis_projection",
+    "q295_whitened_projection", "q296_basis_recall_eval",
+    "q297_stream_kept_projection", "q253_stream_funnel", "q268_stream_topk",
+]
+
+# density-bracketing rows (r18 verdict item 5): re-run the dedup
+# family against the DENSE sf1 variant (gen_sf1.py --unsalted-frac F,
+# F calibrated so CandidateDensity lands on the organic x30.6 fit)
+DENSE = [
+    "q21_dedup_minhash_lsh", "q64_embed_neardup_lsh",
+    "q93_stream_ingest_neardup", "q65_substring_dedup",
+    "q197_containment_dedup",
 ]
 
 
@@ -113,7 +149,13 @@ EXPECTED_QUADRATIC = {
 
 
 def sfdir(sf):
-    return "/tmp/sf1_synth" if sf == "1" else f"/root/testdata/sf{sf}"
+    if sf == "1":
+        return "/tmp/sf1_synth"
+    if sf == "10":
+        return "/tmp/sf10_synth"
+    if sf == "1dense":
+        return "/tmp/sf1_dense"
+    return f"/root/testdata/sf{sf}"
 
 
 def run(subset=None, sfs=None):
@@ -167,10 +209,12 @@ def prior_rows():
 
 def report():
     qs = {sf: parse(sf) for sf in SFS}
-    try:
-        qs1 = parse("1")
-    except SystemExit:
-        qs1 = {}
+    def opt(sf):
+        try:
+            return parse(sf)
+        except SystemExit:
+            return {}
+    qs1, qs10, qsd = opt("1"), opt("10"), opt("1dense")
     prior = prior_rows()
     rows = []
     for name in AUDIT:
@@ -178,44 +222,70 @@ def report():
         if min(t) < 0 and name in prior:
             t = prior[name]
         t1 = qs1.get(name, [-1])[0]
+        t10 = qs10.get(name, [-1])[0]
         if min(t) < 0:
-            rows.append((name, t, t1, None, None))
+            rows.append((name, t, t1, t10, None, None, None))
             continue
         alpha = math.log10(t[2] / t[1]) if t[1] > 0 else None
         alpha10 = math.log10(t1 / t[2]) if t1 > 0 and t[2] > 0 else None
-        rows.append((name, t, t1, alpha, alpha10))
-    rows.sort(key=lambda r: -(max(x for x in (r[3], r[4]) if x is not None)
-                              if (r[3] is not None or r[4] is not None) else 9))
-    lines = ["# Scaling-exponent audit (round 18)", "",
+        alpha100 = math.log10(t10 / t1) if t10 > 0 and t1 > 0 else None
+        rows.append((name, t, t1, t10, alpha, alpha10, alpha100))
+    rows.sort(key=lambda r: -(max(x for x in r[4:] if x is not None)
+                              if any(x is not None for x in r[4:]) else 9))
+    lines = ["# Scaling-exponent audit (round 19)", "",
              "alpha = log10(t(sf0.1)/t(sf0.01)); alpha10 = log10(t(sf1)/",
-             "t(sf0.1)) over the synthetic x10 decade (tools/gen_sf1.py).",
-             "r18: replicas are SALTED (per-copy token bijection on text,",
-             "per-copy random rotation on embeddings), which preserves each",
-             "copy's internal dup/neighborhood structure exactly and zeroes",
-             "cross-copy similarity — measured LSH candidate density at sf1",
-             "is 12,831 pairs = 10.2x sf0.1's 1,255 (exactly linear",
-             "replication; the unsalted r17 corpus measured 346,136 = 9x",
-             "ABOVE the organic one-decade fit of x30.6, max bucket 118 vs",
-             "16). Dedup-family alpha10 therefore reads as a mild LOWER",
-             "bound (organic pair growth was x30.6 for the one observable",
-             "decade; linear replication gives x10), no longer a 9x upper",
-             "blowup. CandidateDensity is the measuring main.",
+             "t(sf0.1)); alpha100 = log10(t(sf10)/t(sf1)) — FIVE decades,",
+             "the last two synthetic (tools/gen_sf1.py: sf1 = 10 salted",
+             "key-shifted copies of sf0.1, sf10 = 100). Salting (per-copy",
+             "token bijection + orthogonal embedding rotation) preserves",
+             "each copy's internal dup/neighborhood structure exactly and",
+             "zeroes cross-copy similarity, so replicated candidate growth",
+             "is exactly linear (the dedup-family LOWER bound; the organic",
+             "one-decade pair fit is x30.6 — see the dense-bracket section",
+             "below). CandidateDensity is the measuring main.",
              "Data grows 10x per step: 1.0 = linear, <1 = overhead-",
              "dominated, >1.3 = flagged.", "",
-             "| query | sf0.001 | sf0.01 | sf0.1 | alpha | sf1 | alpha10 |",
-             "|---|---|---|---|---|---|---|"]
-    for name, t, t1, a, a10 in rows:
+             "| query | sf0.001 | sf0.01 | sf0.1 | alpha | sf1 | alpha10 | sf10 | alpha100 |",
+             "|---|---|---|---|---|---|---|---|---|"]
+    for name, t, t1, t10, a, a10, a100 in rows:
         ts = " | ".join("-" if x < 0 else f"{x:.3f}" for x in t)
         astr = "-" if a is None else f"{a:+.2f}"
         t1s = "-" if t1 < 0 else f"{t1:.3f}"
         a10s = "-" if a10 is None else f"{a10:+.2f}"
-        over = (a is not None and a > 1.3) or (a10 is not None and a10 > 1.3)
+        t10s = "-" if t10 < 0 else f"{t10:.3f}"
+        a100s = "-" if a100 is None else f"{a100:+.2f}"
+        over = any(x is not None and x > 1.3 for x in (a, a10, a100))
         flag = ""
         if over and name in EXPECTED_QUADRATIC:
             flag = f" (expected: {EXPECTED_QUADRATIC[name]})"
         elif over:
             flag = " **FLAG**"
-        lines.append(f"| {name} | {ts} | {astr} | {t1s} | {a10s}{flag} |")
+        lines.append(
+            f"| {name} | {ts} | {astr} | {t1s} | {a10s} | {t10s} | {a100s}{flag} |")
+    # density bracket: the dedup rows at the dense sf1 (organic-matched
+    # candidate density) vs the salted sf1 (exactly-linear lower bound)
+    dense_rows = []
+    for name in DENSE:
+        t1 = qs1.get(name, [-1])[0]
+        td = qsd.get(name, [-1])[0]
+        if t1 > 0 or td > 0:
+            dense_rows.append((name, t1, td))
+    if dense_rows:
+        lines += ["", "## Dedup density bracket (r18 verdict item 5)", "",
+                  "sf1_dense = gen_sf1.py --unsalted-frac F: a deterministic",
+                  "fraction of base docs keeps its original tokens in every",
+                  "copy, injecting cross-copy near-duplicates so the LSH",
+                  "candidate density lands on the organic one-decade fit",
+                  "instead of the salted linear floor. alpha10 for the dedup",
+                  "family therefore BRACKETS [salted, dense]. Candidate",
+                  "counts: see the CandidateDensity lines in the notes.", "",
+                  "| query | sf1 salted | sf1 dense | dense/salted |",
+                  "|---|---|---|---|"]
+        for name, t1, td in dense_rows:
+            r = f"{td / t1:.2f}x" if t1 > 0 and td > 0 else "-"
+            t1s = "-" if t1 < 0 else f"{t1:.3f}"
+            tds = "-" if td < 0 else f"{td:.3f}"
+            lines.append(f"| {name} | {t1s} | {tds} | {r} |")
     text = "\n".join(lines) + "\n"
     print(text)
     with open(f"{REPO}/{REPORT}", "w") as f:
@@ -229,5 +299,9 @@ if __name__ == "__main__":
         run(subset, sfs=sfs)
     elif sys.argv[1] == "sf1":
         run(",".join(SF1), sfs=["1"])
+    elif sys.argv[1] == "sf10":
+        run(",".join(SF10), sfs=["10"])
+    elif sys.argv[1] == "dense":
+        run(",".join(DENSE), sfs=["1dense"])
     else:
         report()
