@@ -11,19 +11,36 @@ object Bench {
     // so the first timed query isn't charged session startup
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
+    // SPARK_GRAFT_BENCH_ONLY=q49,q81 restricts to a comma-separated
+    // prefix list for local regression adjudication (driver never sets
+    // it). Parsed BEFORE the prestage block so artifact builds can be
+    // skipped when no selected query consumes them — the r19 sf10
+    // audit subset spent its disk on q265's 0.05-threshold PPJoin
+    // prestage (a near-all-pairs spill over 500k docs) with q265 not
+    // even selected.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // a prestage is wanted iff ANY selected query name contains one of
+    // its consumer tokens; a full run (no subset) prestages everything.
+    // Over-inclusion is only a time cost — tokens err broad.
+    def want(tokens: String*): Boolean =
+      only.forall(qs => qs.exists(q => tokens.exists(q.contains)))
     // pre-stage the shared event-log copy (q58/q60/q72/q78's one
     // firehose staging write): fixture preparation, not query work —
     // the Kafka topic exists before any consumer's clock starts. The
     // first staging consumer used to absorb a full repartition+write
     // of events into its own timed window (q72 hit 14.5 s max in
     // BENCH_r11 from exactly this).
+    if (want("q58", "q60", "q72", "q78", "q129"))
     try SparkEntry.stagedEventsShared(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prestage: ${e.getMessage}") }
     // same treatment for q87's once-per-JVM embeddings split + trained
     // centroids (its r11 max was first-invocation staging, not the plan)
+    if (want("q87"))
     try operators.Similarity.prestageStreamed(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prestage emb: ${e.getMessage}") }
     // and for the stateful-LAG consumers' ordered staging (q207/q208)
+    if (want("q207", "q208", "q253"))
     try SparkEntry.stagedUserPartEvents(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prestage seq: ${e.getMessage}") }
     // session-artifact builders whose FIRST run otherwise lands in one
@@ -31,20 +48,25 @@ object Bench {
     // preparation, the timed runs measure SERVING): q114's curation
     // verdict table (r13 max 5.5 s), q183's BPE merge chain (3.5 s),
     // q86's bucketed-table staging write (3.8 s)
+    if (want("curation", "curated"))
     try operators.PipelineOps.modelCurationCached(spark, sfDir).count()
     catch { case e: Throwable => System.err.println(s"[bench] prestage curation: ${e.getMessage}") }
+    if (want("bpe"))
     try operators.TextAnalysis.bpeMerges(spark, sfDir).count()
     catch { case e: Throwable => System.err.println(s"[bench] prestage bpe: ${e.getMessage}") }
+    if (want("q86"))
     try operators.PipelineOps.bucketedTables(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prestage buckets: ${e.getMessage}") }
     // q91's first invocation otherwise builds + compacts the persisted
     // IVF index inside its own timed window (r13 driver max 13.85 s vs
     // a 0.11 s steady-state min — the artifact-inside-bench-window
     // class, same treatment as q114/q183/q86)
+    if (want("q91"))
     try operators.Similarity.ivfIndexCompacted(spark, sfDir).count()
     catch { case e: Throwable => System.err.println(s"[bench] prestage compact: ${e.getMessage}") }
     // q282's persisted index + staged query stream (it sorts before
     // q83, so it would otherwise pay the one-time index write)
+    if (want("q282", "q83", "q84", "q99", "q144", "q288"))
     try operators.Similarity.prestageServing(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prestage serving: ${e.getMessage}") }
     // q287's working copies: each timed invocation needs a fresh index
@@ -52,31 +74,39 @@ object Bench {
     // here untimed (one per bench attempt), so the timed runs measure
     // the per-batch dirty-bucket deletes, not the harness's index copy
     // (r16 verdict item 2; same artifact discipline as q282 above)
+    if (want("q287"))
     try operators.Similarity.prestageLiveDeleteCopies(spark, sfDir, n = 3)
     catch { case e: Throwable => System.err.println(s"[bench] prestage livedel: ${e.getMessage}") }
     // the four streaming-denorm staged index topics (q08/q50 shared +
     // q82/q88/q90 variants) and q93's staged ingest arrivals: fixture
     // preparation — the topic exists before any consumer's clock starts
+    if (want("denorm", "q93", "q115", "q116"))
     try SparkEntry.prestageStreamDenorm(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prestage denorm: ${e.getMessage}") }
     // the multi-hop chain's shared hop-1 index topic (q217/q246 — the
     // two most expensive queries on the r14 board carried this staging
     // write inside their first timed window)
+    if (want("multihop"))
     try SparkEntry.stagedMultiHopIdx1(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prestage multihop: ${e.getMessage}") }
+    if (want("hop1"))
     try SparkEntry.stagedMultiHopIdx1Late(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prestage multihop late: ${e.getMessage}") }
     // q256's time-bucketed staging (eight sequential mtime-stamped writes)
+    if (want("q256"))
     try SparkEntry.stagedTimeBucketEvents(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prestage timebk: ${e.getMessage}") }
     // q265's loosened clustering: the 0.05-threshold PPJoin + closure
     // is a once-per-JVM artifact (clusterCache); built untimed here so
     // q265's timed runs measure the Rand fold, not the build
+    if (want("q265"))
     try operators.Dedup.dedupClusters(spark, sfDir, 0.05).count()
     catch { case e: Throwable => System.err.println(s"[bench] prestage loose clusters: ${e.getMessage}") }
+    if (want("q93"))
     try operators.Dedup.prestageIngest(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prestage ingest: ${e.getMessage}") }
     // q266's doc_id-ordered batch staging (four coalesce(1) writes)
+    if (want("q266"))
     try operators.Dedup.noveltyStagedDocs(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prestage novelty: ${e.getMessage}") }
     // q271's emission topic: the q270 gate is the PUBLISHER and runs
@@ -84,19 +114,18 @@ object Bench {
     // consumer (join + Wilson rollup), not a fresh gate stream each
     // invocation (r15 verdict: the 2.84 s bench number overstated the
     // consumer's cost by a full q270 re-run)
+    if (want("q271"))
     try operators.Dedup.stagedDeconVerdicts(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prestage decon topic: ${e.getMessage}") }
+    if (want("q268"))
     try SparkEntry.stagedTopkDocs(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prestage topk: ${e.getMessage}") }
+    if (want("q221", "q250", "q275"))
     try SparkEntry.stagedSourceDocs(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prestage docs: ${e.getMessage}") }
     // fixed name order: the Map's hash order shuffles between rounds,
     // silently reassigning which query absorbs residual first-touch
     // cost — sorted order makes cross-round per-query comparison stable
-    // SPARK_GRAFT_BENCH_ONLY=q49,q81 restricts to a comma-separated
-    // prefix list for local regression adjudication (driver never sets it)
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     // the synthetic warm-ups above don't cover the join/window/exchange

@@ -49,6 +49,24 @@ object CandidateDensity {
       println(s"""{"dir":${Json.quote(dir)},"docs":$nDocs,""" +
         s""""band_rows":$rows,"cand_multi":$multi,""" +
         s""""cand_pairs":$pairs,"max_bucket":$mx}""")
+
+      // the EMBEDDING arm (q64's hyperplane LSH at the occupancy-sized
+      // width): same bucket arithmetic over the (table, sig) groups —
+      // the number that decomposes a q64 wall-time fit into candidate
+      // growth (the sizing law's n·occupancy) vs everything else
+      val e = operators.Similarity.embFor(spark, dir)
+      val nVec = e.count()
+      val bits = operators.Similarity.lshBitsFor(nVec)
+      val sigs = e.select(col("vec_id"),
+        posexplode(functions.hyperplane_sigs(col("v"), bits, 8, 64))
+          .as(Seq("t", "sig")))
+        .groupBy(col("t"), col("sig")).count().localCheckpoint(true)
+      val ea = sigs.agg(
+        sum(col("count") * (col("count") - lit(1L))).as("m2"),
+        max(col("count")).as("mx")).head()
+      println(s"""{"dir":${Json.quote(dir)},"vecs":$nVec,"bits":$bits,""" +
+        s""""emb_cand_multi":${ea.getLong(0) / 2},""" +
+        s""""emb_max_bucket":${ea.getLong(1)}}""")
     }
     spark.stop()
   }

@@ -20,6 +20,13 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "snappy")
+      // the memory-sink HARNESS collects each converged streaming
+      // fixture to the driver (the staged-topic stand-in); at the
+      // synthetic sf10 decade one q123 batch serializes ~1 GB and
+      // trips the 1g default. Harness accommodation only — a real
+      // deployment writes streaming output to a real sink. local[*]
+      // shares one JVM anyway, so this moves no memory boundary.
+      .config("spark.driver.maxResultSize", "4g")
       .config("spark.ui.enabled", "false")
       // Checkpoint IO path, profiled in tools/STREAM_FLOOR_r16.md: the
       // Spark 4.1 default wraps a FileContext-based manager in

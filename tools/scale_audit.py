@@ -169,7 +169,13 @@ def run(subset=None, sfs=None):
         env = dict(os.environ,
                    SPARK_GRAFT_SF_DIR=sfdir(sf),
                    SPARK_GRAFT_CPUS="32",
-                   SPARK_GRAFT_BENCH_ONLY=only)
+                   SPARK_GRAFT_BENCH_ONLY=only,
+                   # the 8g default OOMs the single JVM at the sf10
+                   # decade (10M events / 500k docs in one local[32]
+                   # heap); smaller SFs keep the default so their
+                   # timings stay comparable with prior rounds
+                   SPARK_DRIVER_MEM="32g" if sf == "10" else
+                   os.environ.get("SPARK_DRIVER_MEM", "8g"))
         print(f"[scale_audit] sf{sf} -> {log}", flush=True)
         with open(log, "a") as f:
             subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
