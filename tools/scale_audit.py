@@ -78,6 +78,9 @@ AUDIT = [
     # dedup/similarity rows added for the salted-sf1 check
     "q21_dedup_minhash_lsh", "q27_embed_neardup", "q64_embed_neardup_lsh",
     "q293_whitening_plan", "q294_kept_basis_projection",
+    # born in r19
+    "q295_whitened_projection", "q296_basis_recall_eval",
+    "q297_stream_kept_projection",
 ]
 
 # the fourth-decade set (r16 verdict item 7): the most expensive rows
@@ -145,6 +148,18 @@ DENSE = [
 # instead of flagging
 EXPECTED_QUADRATIC = {
     "q27_embed_neardup": "by-design brute-force baseline; scale path = q64",
+}
+
+# measured decompositions for flagged rows that are NOT design
+# quadratics: the flag stands, the note states what the fit is made of
+# (filled per round from the CandidateDensity lines)
+MEASURED_NOTES = {
+    "q64_embed_neardup_lsh":
+        "measured candidates x14.6 (7.42M->108.2M, CandidateDensity "
+        "emb arm, occupancy-sized bits 8->11) = intrinsic alpha100 "
+        "+1.16; the remaining x3.4 is the verify join spilling one "
+        "32-thread JVM — on a cluster that join's shuffle stays "
+        "candidates-proportional",
 }
 
 
@@ -264,6 +279,8 @@ def report():
         flag = ""
         if over and name in EXPECTED_QUADRATIC:
             flag = f" (expected: {EXPECTED_QUADRATIC[name]})"
+        elif over and name in MEASURED_NOTES:
+            flag = f" **FLAG** ({MEASURED_NOTES[name]})"
         elif over:
             flag = " **FLAG**"
         lines.append(
