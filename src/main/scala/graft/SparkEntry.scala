@@ -2386,6 +2386,22 @@ object SparkEntry {
     // stream-static discipline), arrivals projected map-only at
     // ingest; stateless, converged emissions ≡ q294's batch output
     "q297_stream_kept_projection" -> ((s, dir) => Similarity.streamKeptBasisProjection(s, dir)),
+    // q298: SemDeDup (Abbas et al. 2023) — cluster-then-prune semantic
+    // dedup: k-means at an OCCUPANCY-SIZED C (the q64 law applied to
+    // cluster geometry — C ∝ n keeps E|cluster| ≈ 125, so the
+    // within-cluster verify is ~n·occ/2, linear), pairs admitted by
+    // the exact integer rational-cosine test, greedy-min-id keeps.
+    // The corpus-scale path between q64's banded LSH and q27's brute
+    // force; the driver sweep exercises the dynamic law at TWO widths
+    // (C=8 at sf0.001/0.01, C=16 at sf0.1)
+    "q298_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),
+    // q299: the LIVE form — the q282 stream-static discipline applied
+    // to the q298 lifecycle: reference corpus (vec_id % 5 != 0)
+    // clustered + deduped ONCE per session and frozen, arrivals gated
+    // per micro-batch against the kept set (broadcast-C assignment +
+    // one stream-static join on cid); stateless, converged emissions
+    // ≡ the batch gate
+    "q299_stream_semdedup_gate" -> ((s, dir) => Similarity.streamSemDedupGate(s, dir)),
     // q286: the grid maintained INCREMENTALLY — stored base cells +
     // one delta-sized kernel pass, merged by the spec-pinned
     // mergeability law (full-outer over two bounded cell frames); the
@@ -3626,6 +3642,15 @@ object SparkEntry {
     // q297: stateless stream-static projection — converged emissions
     // equal the q294 batch output, so its oracle applies unchanged
     "q297_stream_kept_projection" -> Similarity.keptBasisProjectionSql(),
+    // q298: full-algorithm oracle — DuckDB re-derives the occupancy
+    // law (float-log2 mirror of the bit trick), the whole dynamic-C
+    // training fixpoint, the assignment, and the integer-rational
+    // pair admission
+    "q298_semdedup" -> Similarity.semDedupSql(),
+    // q299: the batch form of the gate — same dynamic-C chain on the
+    // reference subset, kept = members minus greedy drops, arrivals
+    // scored against kept members of their assigned cluster
+    "q299_stream_semdedup_gate" -> Similarity.semDedupGateSql(),
     // stored base cells + delta cells merge to the FULL grid exactly
     // (the spec-pinned mergeability law) — q283's oracle unchanged
     "q286_covariance_ivm_delta" -> Similarity.embeddingCovarianceSql(),

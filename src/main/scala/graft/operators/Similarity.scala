@@ -2603,9 +2603,13 @@ object Similarity {
 
   /** Deterministic init: the C lowest-id vectors, cid = 1..C by id
     * order (no RNG — both engines derive the same start). */
-  private[graft] def kmInit(x: DataFrame): DataFrame = {
+  private[graft] def kmInit(x: DataFrame): DataFrame = kmInitC(x, kmC)
+
+  /** [[kmInit]] at an arbitrary cluster count — the q298 dynamic-C
+    * path shares the q182 discipline verbatim. */
+  private[graft] def kmInitC(x: DataFrame, c: Int): DataFrame = {
     val w = Window.orderBy(col("vec_id").asc)
-    x.orderBy(col("vec_id").asc).limit(kmC)
+    x.orderBy(col("vec_id").asc).limit(c)
       .select(row_number().over(w).cast("long").as("cid"), col("xq").as("c"))
   }
 
@@ -2616,16 +2620,23 @@ object Similarity {
     * broadcast of C rows and one map-side-combinable aggregate per
     * vector, the canonical distributed k-means round.
     */
-  private[graft] def kmAssign(x: DataFrame, cent: DataFrame): DataFrame = {
+  private[graft] def kmAssign(x: DataFrame, cent: DataFrame): DataFrame =
+    kmAssignC(x, cent, kmC)
+
+  /** [[kmAssign]] at an arbitrary POWER-OF-TWO cluster count (the
+    * decode stays shift/mask). Packed-key headroom at the q298 sizes:
+    * dist ≤ dims·(2·10³)² ≈ 2.6×10⁸, ×C ≤ 2¹⁶ keeps the key ≪ 2⁶³. */
+  private[graft] def kmAssignC(x: DataFrame, cent: DataFrame, c: Int): DataFrame = {
+    val cBits = Integer.numberOfTrailingZeros(c)
     val dist = aggregate(zip_with(col("xq"), col("c"), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, d2) => acc + d2)
     x.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("xq"), (dist * kmC + col("cid") - 1).as("key"))
+      .select(col("vec_id"), col("xq"), (dist * c + col("cid") - 1).as("key"))
       .groupBy(col("vec_id"))
       .agg(min(col("key")).as("key"), first(col("xq")).as("xq"))
       .select(col("vec_id"), col("xq"),
-        (pmod(col("key"), lit(kmC.toLong)) + 1).as("cid"),
-        shiftright(col("key"), kmCBits).as("dist"))
+        (pmod(col("key"), lit(c.toLong)) + 1).as("cid"),
+        shiftright(col("key"), cBits).as("dist"))
   }
 
   /** Centroid update on the milli-unit GRID: `c[j] = round(Σxq[j]/n)`
@@ -2661,12 +2672,18 @@ object Similarity {
     */
   private[operators] def kmCentroids(s: SparkSession, dir: String): DataFrame =
     graft.ArtifactCache.cached(kmCentCache, dir, s) {
-      val x = kmQuantized(s, dir)
-      var cent = kmInit(x)
-      for (_ <- 1 to kmIters)
-        cent = graft.ArtifactCache.isolated(kmUpdate(kmAssign(x, cent), cent))
-      cent
+      trainCentroids(kmQuantized(s, dir), kmC)
     }
+
+  /** The kmIters-round training fixpoint on an arbitrary quantized
+    * corpus frame at an arbitrary C — shared by the q182 constant-C
+    * chain and the q298/q299 dynamic-C one. */
+  private def trainCentroids(x: DataFrame, c: Int): DataFrame = {
+    var cent = kmInitC(x, c)
+    for (_ <- 1 to kmIters)
+      cent = graft.ArtifactCache.isolated(kmUpdate(kmAssignC(x, cent, c), cent))
+    cent
+  }
 
   /** q182: the training report — per-cluster population, exact BIGINT
     * inertia (Σ min squared distance), and the centroid's squared norm
@@ -3020,6 +3037,314 @@ object Similarity {
                coalesce(list_sum(list_transform(range(1, len(u.cnew) + 1),
                           i -> (u.cnew[i] - c.c[i]) * (u.cnew[i] - c.c[i]))), 0)::BIGINT AS shift_sq
         FROM c$kmIters c LEFT JOIN up u ON c.cid = u.cid"""
+  }
+
+  // ---- SemDeDup (q298) + live ingest gate (q299): cluster-then-prune ----
+
+  /** Cluster count sized to the corpus — the q64 occupancy law applied
+    * to SemDeDup's cluster geometry: `C = 2^max(floor, ceil(log2(n/occ)))`
+    * keeps the expected cluster population near `occ`, so the
+    * within-cluster pair verify is ~n·occ/2 work — LINEAR in n because
+    * C grows with n — instead of the n²/C a fixed C degrades to (the
+    * q27/q64 lesson; the r18 salted decade measured the fixed-width
+    * form at alpha10 = +1.73). Integer-exact bit trick on this side;
+    * the oracle mirrors it as `floor(log2(k)) + 1` on DOUBLE (exact in
+    * IEEE: log2 of 2^m is exactly m, and k < 2⁵³ keeps the mantissa
+    * exact — the agreement is spec-pinned across the range).
+    */
+  private[graft] def semdedupClusters(n: Long, floor: Int = 3,
+      targetOccupancy: Long = 125L): Int = {
+    val want = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, (n - 1L) / targetOccupancy))
+    1 << math.max(floor, want)
+  }
+
+  /** `cos(a,b) ≥ num/den` as an EXACT integer predicate on quantized
+    * vectors: `dot ≥ 0 ∧ den²·dot² ≥ num²·‖a‖²·‖b‖²` — no float, no
+    * sqrt, no division. Headroom at milli scale: |xq| ≤ ~10³ keeps
+    * dot ≤ dims·10⁶ ≈ 6.4×10⁷, so den²·dot² ≤ 25·4.1×10¹⁵ ≈ 10¹⁷ and
+    * num²·n2a·n2b ≤ 4·(6.4×10⁷)² ≈ 1.6×10¹⁶, both ≪ 2⁶³. */
+  private def cosAtLeast(dot: Column, n2a: Column, n2b: Column,
+      num: Int, den: Int): Column =
+    dot >= 0 && lit(den.toLong * den) * dot * dot >=
+      lit(num.toLong * num) * n2a * n2b
+
+  /** Cluster members with their norms — the frame both the q298 pair
+    * stage and the q299 kept-set derive from. Zero-norm vectors have
+    * no cosine and are excluded here (always kept / never a hit),
+    * mirrored by the oracle's `n2 > 0` gate. */
+  private def semMembers(x: DataFrame, cent: DataFrame, c: Int): DataFrame = {
+    val n2 = aggregate(transform(col("xq"), z => z * z), lit(0L), (a, b) => a + b)
+    kmAssignC(x, cent, c)
+      .select(col("cid"), col("vec_id"), col("xq"), n2.as("n2"))
+      .filter(col("n2") > 0)
+  }
+
+  /** Within-cluster admitted dup pairs (a_id < b_id) — the join
+    * shuffles on cid ONLY (AQE splits skewed clusters); with C sized
+    * by [[semdedupClusters]] the pair count is ~n·occ/2, never n². */
+  private def semDupPairs(m: DataFrame, num: Int, den: Int): DataFrame = {
+    val dot = aggregate(zip_with(col("xa"), col("xb"), (p, q) => p * q),
+      lit(0L), (a, b) => a + b)
+    m.select(col("cid"), col("vec_id").as("a_id"),
+        col("xq").as("xa"), col("n2").as("n2a"))
+      .join(m.select(col("cid"), col("vec_id").as("b_id"),
+        col("xq").as("xb"), col("n2").as("n2b")), "cid")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("cid"), col("a_id"), col("b_id"),
+        dot.as("dot"), col("n2a"), col("n2b"))
+      .filter(cosAtLeast(col("dot"), col("n2a"), col("n2b"), num, den))
+  }
+
+  /** q298: SemDeDup — cluster-then-prune semantic dedup (Abbas et al.
+    * 2023, arXiv:2303.09540), the standard way to run embedding
+    * near-dedup at corpus scale WITHOUT a global pair join: k-means
+    * the corpus (the q182 integer-grid chain; C occupancy-sized by
+    * [[semdedupClusters]] so E|cluster| ≈ 125 at ANY n), then admit
+    * pairs ONLY within a cluster. Work = Σ|cluster|²/2 ≈ n·occ/2 —
+    * linear with C ∝ n — vs q64's banded LSH (recall-tuned candidate
+    * generation) and q27's brute force (the documented quadratic
+    * control). Pair admission is the exact integer rational-cosine
+    * test ([[cosAtLeast]], default 2/5 — this corpus' near-dup band);
+    * keep policy is greedy-min-id (the q15/q21 first-seen discipline —
+    * the paper keeps the member farthest from its centroid; same
+    * one-per-group cardinality, deterministic relational form).
+    * Output: one row per non-empty cluster — members, admitted dup
+    * pairs, dropped, kept. 100 TB: assignment is a broadcast-C map
+    * pass, the pair join shuffles on cid only, and the report is
+    * C-bounded; nothing is ever all-pairs or data-sized on the driver.
+    */
+  def semDedup(s: SparkSession, dir: String,
+      cosNum: Int = 2, cosDen: Int = 5): DataFrame = {
+    val x = kmQuantized(s, dir)
+    // one cheap count job sizes C (table-stats metadata at 100 TB)
+    val c = semdedupClusters(x.count())
+    // when the law lands on the q182 constant the artifact is shared
+    val cent =
+      if (c == kmC) kmCentroids(s, dir)
+      else graft.ArtifactCache.cached(kmCentCache, s"$dir#C=$c", s) {
+        trainCentroids(x, c)
+      }
+    val m = semMembers(x, cent, c)
+    val drops = semDupPairs(m, cosNum, cosDen).groupBy("cid").agg(
+      count(lit(1)).as("n_dup_pairs"),
+      countDistinct(col("b_id")).as("n_dropped"))
+    m.groupBy("cid").agg(count(lit(1)).as("n_members"))
+      .join(drops, Seq("cid"), "left")
+      .select(col("cid"), col("n_members"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_members") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+  }
+
+  /** Default arrival split for the q299 gate: `vec_id % 5 == 0`
+    * arrives, the rest is the reference corpus (the queryMod
+    * discipline applied to ingest). */
+  val semGateMod = 5
+
+  private val semGateCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Int, DataFrame, DataFrame)]()
+
+  /** The frozen serving state of the q298 lifecycle (once per session,
+    * the q282 trained-artifact discipline): the REFERENCE corpus
+    * (arrival ids excluded) clustered at its own occupancy-sized C,
+    * deduped greedy-min-id, reduced to the KEPT members. The kept set
+    * is corpus-sized — a static checkpointed TABLE the live gate
+    * stream-static-joins on cid, NOT a driver literal. */
+  private[operators] def semGateState(s: SparkSession, dir: String, mod: Int,
+      cosNum: Int, cosDen: Int): (Int, DataFrame, DataFrame) =
+    semGateCache.compute(s"$dir#m$mod#$cosNum/$cosDen", (_, hit) =>
+      if (hit != null && (hit._2.sparkSession eq s) && !s.sparkContext.isStopped) hit
+      else {
+        val refX = kmQuantized(s, dir)
+          .filter(pmod(col("vec_id"), lit(mod.toLong)) =!= 0)
+        val c = semdedupClusters(refX.count())
+        val cent = graft.ArtifactCache.isolated(trainCentroids(refX, c))
+        val m = semMembers(refX, cent, c)
+        val dropped = semDupPairs(m, cosNum, cosDen)
+          .select(col("b_id").as("vec_id")).distinct()
+        val kept = graft.ArtifactCache.isolated(
+          m.join(dropped, Seq("vec_id"), "left_anti"))
+        (c, cent, kept)
+      })
+
+  /** One gate pass over an embeddings-shaped batch — byte-for-byte the
+    * semantics the oracle re-derives: arrivals (`vec_id % mod == 0`)
+    * assign to the frozen reference centroids (broadcast-C map pass),
+    * then count KEPT reference members of the assigned cluster passing
+    * the cosine test (stream-static join on cid). `admitted = 1` iff
+    * no hit; zero-norm arrivals have no cosine and are admitted. */
+  private def semGateOn(batch: DataFrame, c: Int, cent: DataFrame,
+      kept: DataFrame, mod: Int, cosNum: Int, cosDen: Int): DataFrame = {
+    val n2 = aggregate(transform(col("xq"), z => z * z), lit(0L), (a, b) => a + b)
+    val arr = kmQuantizeDf(batch)
+      .filter(pmod(col("vec_id"), lit(mod.toLong)) === 0)
+    val ag = kmAssignC(arr, cent, c)
+      .select(col("vec_id"), col("cid"), col("xq").as("xa"), n2.as("n2a"))
+    val dot = aggregate(zip_with(col("xa"), col("xb"), (p, q) => p * q),
+      lit(0L), (a, b) => a + b)
+    val hits = ag.filter(col("n2a") > 0)
+      .join(kept.select(col("cid"), col("xq").as("xb"), col("n2").as("n2b")), "cid")
+      .select(col("vec_id"), dot.as("dot"), col("n2a"), col("n2b"))
+      .filter(cosAtLeast(col("dot"), col("n2a"), col("n2b"), cosNum, cosDen))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_dup_hits"))
+    ag.join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("n_dup_hits"), lit(0L)).as("n_dup_hits"),
+        when(coalesce(col("n_dup_hits"), lit(0L)) === 0, lit(1L))
+          .otherwise(lit(0L)).as("admitted"))
+  }
+
+  /** q299: the LIVE form of the q298 lifecycle — the q282
+    * stream-static discipline applied to ingest dedup: the reference
+    * corpus is clustered + deduped ONCE per session ([[semGateState]])
+    * and FROZEN; arrivals stream in and each micro-batch is gated
+    * against the kept set ([[semGateOn]] — a broadcast-C assignment
+    * map pass plus one stream-static hash join on cid). STATELESS
+    * across batches (a verdict depends only on the arrival's own
+    * vector and the frozen state), so the converged emissions equal
+    * the batch gate row-for-row and the oracle is the batch
+    * derivation. This is the production shape of "check new documents
+    * against the deduplicated index before admitting them" — per-batch
+    * IO ∝ batch × occupancy, never the corpus.
+    */
+  def streamSemDedupGate(s: SparkSession, dir: String, nFiles: Int = 4,
+      mod: Int = semGateMod, cosNum: Int = 2, cosDen: Int = 5): DataFrame = {
+    val (c, cent, kept) = semGateState(s, dir, mod, cosNum, cosDen)
+    val staged = stagedStreamEmb(s, dir, nFiles)
+    val Seq(out) = streamIdxRuns.fresh((dir, "semgate", nFiles, mod, cosNum, cosDen),
+      "graft_semgate")
+    val ckpt = graft.Fs.tmpDir("graft_semgate_ckpt")
+    try {
+      val sch = s.read.parquet(staged).schema
+      val q = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+        .writeStream
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          graft.Sessions.withMicroBatchConf(b.sparkSession) {
+            semGateOn(b, c, cent, kept, mod, cosNum, cosDen)
+              .write.mode("overwrite").parquet(s"$out/b$bid")
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally graft.Fs.rmTreeRetry(ckpt)
+    s.read.option("recursiveFileLookup", "true").parquet(out)
+  }
+
+  /** The [[kmChainSqlWhere]] chain with the cluster count COMPUTED by
+    * the oracle itself from the corpus (the [[semdedupClusters]] law
+    * in SQL — float-log2 mirror of the integer bit trick): a one-row
+    * `p(cval)` CTE every round cross-joins. `xall` is the unfiltered
+    * quantized corpus (the q299 oracle reads arrivals from it); `x`
+    * is the training corpus after `whereExtra`. The `pv` alias (not
+    * `p`) in the update CTE keeps the param CTE unshadowed. */
+  private def kmChainSqlDyn(floor: Int, occ: Long,
+      whereExtra: String = ""): String = {
+    def distSql(xv: String, cv: String) =
+      s"list_sum(list_transform(range(1, len($xv) + 1), i -> ($xv[i] - $cv[i]) * ($xv[i] - $cv[i])))::BIGINT"
+    def assignCte(prevC: String) =
+      s"""SELECT x.vec_id, min(${distSql("x.xq", "c.c")} * p.cval + c.cid - 1) AS key
+          FROM x, $prevC c, p GROUP BY 1"""
+    val rounds = (1 to kmIters).map { r =>
+      s"""a$r AS (${assignCte(s"c${r - 1}")}),
+        m$r AS (SELECT cid, j, round(sum(xj)::DOUBLE / count(*)::DOUBLE)::BIGINT AS cj
+                FROM (SELECT cid, u.j AS j, u.xj AS xj
+                      FROM (SELECT a.key % p.cval + 1 AS cid,
+                                   unnest(list_transform(range(1, len(x.xq) + 1),
+                                     i -> {'j': i, 'xj': x.xq[i]})) AS u
+                            FROM a$r a JOIN x USING (vec_id), p))
+                GROUP BY 1, 2),
+        c$r AS (SELECT pv.cid, coalesce(n.c, pv.c) AS c
+                FROM c${r - 1} pv LEFT JOIN
+                     (SELECT cid, list(cj ORDER BY j) AS c FROM m$r GROUP BY 1) n
+                     USING (cid))"""
+    }.mkString(",\n        ")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql),
+        xall AS (SELECT vec_id, list_transform(v, e -> round(e * 1000)::BIGINT) AS xq
+              FROM e WHERE v IS NOT NULL),
+        x AS (SELECT * FROM xall $whereExtra),
+        p AS (SELECT power(2, greatest($floor,
+                floor(log2(greatest(1, (count(*) - 1) // $occ))) + 1))::BIGINT AS cval
+              FROM x),
+        c0 AS (SELECT rn::BIGINT AS cid, xq AS c
+               FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, xq FROM x), p
+               WHERE rn <= p.cval),
+        $rounds,
+        af AS (${assignCte(s"c$kmIters")})"""
+  }
+
+  private def cosTestSql(dot: String, n2a: String, n2b: String,
+      num: Int, den: Int): String =
+    s"$dot >= 0 AND ${den.toLong * den} * $dot * $dot >= ${num.toLong * num} * $n2a * $n2b"
+
+  private val dotSql =
+    "list_sum(list_transform(range(1, len(a.xq) + 1), i -> a.xq[i] * b.xq[i]))::BIGINT"
+
+  /** Full-algorithm oracle for [[semDedup]]: DuckDB re-derives the
+    * occupancy law, the whole dynamic-C training fixpoint, the final
+    * assignment, and the integer-rational pair admission. */
+  def semDedupSql(cosNum: Int = 2, cosDen: Int = 5): String =
+    s"""WITH ${kmChainSqlDyn(3, 125L)},
+        mem AS (SELECT a.key % p.cval + 1 AS cid, x.vec_id, x.xq,
+                       list_sum(list_transform(x.xq, z -> z * z))::BIGINT AS n2
+                FROM af a JOIN x USING (vec_id), p),
+        m AS (SELECT * FROM mem WHERE n2 > 0),
+        pr AS (SELECT a.cid AS cid, a.vec_id AS a_id, b.vec_id AS b_id,
+                      $dotSql AS dot, a.n2 AS n2a, b.n2 AS n2b
+               FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        dup AS (SELECT cid, b_id FROM pr
+                WHERE ${cosTestSql("dot", "n2a", "n2b", cosNum, cosDen)}),
+        drops AS (SELECT cid, count(*)::BIGINT AS n_dup_pairs,
+                         count(DISTINCT b_id)::BIGINT AS n_dropped
+                  FROM dup GROUP BY 1),
+        memc AS (SELECT cid, count(*)::BIGINT AS n_members FROM m GROUP BY 1)
+        SELECT memc.cid, memc.n_members,
+               coalesce(d.n_dup_pairs, 0)::BIGINT AS n_dup_pairs,
+               coalesce(d.n_dropped, 0)::BIGINT AS n_dropped,
+               (memc.n_members - coalesce(d.n_dropped, 0))::BIGINT AS n_kept
+        FROM memc LEFT JOIN drops d USING (cid)"""
+
+  /** Batch-form oracle for [[streamSemDedupGate]]: the dynamic-C chain
+    * on the reference subset, kept = members minus greedy drops,
+    * arrivals re-assigned against the converged centroids and scored
+    * against kept members of their cluster. */
+  def semDedupGateSql(mod: Int = semGateMod,
+      cosNum: Int = 2, cosDen: Int = 5): String = {
+    def distSql(xv: String, cv: String) =
+      s"list_sum(list_transform(range(1, len($xv) + 1), i -> ($xv[i] - $cv[i]) * ($xv[i] - $cv[i])))::BIGINT"
+    val gdotSql =
+      "list_sum(list_transform(range(1, len(g.xq) + 1), i -> g.xq[i] * k.xq[i]))::BIGINT"
+    s"""WITH ${kmChainSqlDyn(3, 125L, s"WHERE vec_id % $mod != 0")},
+        mem AS (SELECT a.key % p.cval + 1 AS cid, x.vec_id, x.xq,
+                       list_sum(list_transform(x.xq, z -> z * z))::BIGINT AS n2
+                FROM af a JOIN x USING (vec_id), p),
+        m AS (SELECT * FROM mem WHERE n2 > 0),
+        dup AS (SELECT DISTINCT b.vec_id AS d_id
+                FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+                WHERE ${cosTestSql(dotSql, "a.n2", "b.n2", cosNum, cosDen)}),
+        kept AS (SELECT m.* FROM m LEFT JOIN dup ON m.vec_id = dup.d_id
+                 WHERE dup.d_id IS NULL),
+        arr AS (SELECT vec_id, xq,
+                       list_sum(list_transform(xq, z -> z * z))::BIGINT AS n2
+                FROM xall WHERE vec_id % $mod = 0),
+        aa AS (SELECT arr.vec_id,
+                      min(${distSql("arr.xq", "c.c")} * p.cval + c.cid - 1) AS key
+               FROM arr, c$kmIters c, p GROUP BY 1),
+        ag AS (SELECT a.vec_id, a.key % p.cval + 1 AS cid, arr.xq, arr.n2
+               FROM aa a JOIN arr USING (vec_id), p),
+        hits AS (SELECT g.vec_id, count(*)::BIGINT AS n_dup_hits
+                 FROM ag g JOIN kept k ON g.cid = k.cid AND g.n2 > 0
+                 WHERE ${cosTestSql(gdotSql, "g.n2", "k.n2", cosNum, cosDen)}
+                 GROUP BY 1)
+        SELECT g.vec_id, g.cid,
+               coalesce(h.n_dup_hits, 0)::BIGINT AS n_dup_hits,
+               (CASE WHEN coalesce(h.n_dup_hits, 0) = 0 THEN 1 ELSE 0 END)::BIGINT
+                 AS admitted
+        FROM ag g LEFT JOIN hits h USING (vec_id)"""
   }
 
   // ---- embedding covariance grid (q283/q284): the whitening audit ----

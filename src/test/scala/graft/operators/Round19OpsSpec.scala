@@ -191,4 +191,160 @@ class Round19OpsSpec extends SparkSpec {
     assert(!p.contains("Exchange"),
       s"the per-batch projection must be map-only:\n$p")
   }
+
+  // ---- SemDeDup (q298/q299): occupancy law + full-pipeline referee ----
+
+  test("semdedupClusters: the occupancy law at boundaries, and the oracle's " +
+      "float-log2 mirror agrees with the integer bit trick across the range") {
+    assert(Similarity.semdedupClusters(0) == 8)
+    assert(Similarity.semdedupClusters(1) == 8)
+    assert(Similarity.semdedupClusters(125) == 8)
+    assert(Similarity.semdedupClusters(1000) == 8)
+    assert(Similarity.semdedupClusters(1001) == 16) // first jump: 125·2³+1
+    assert(Similarity.semdedupClusters(2000) == 16)
+    assert(Similarity.semdedupClusters(2001) == 32)
+    assert(Similarity.semdedupClusters(16000) == 128)
+    assert(Similarity.semdedupClusters(16001) == 256)
+    // the SQL mirror (floor(log2(k)) + 1 on DOUBLE) must agree with the
+    // integer bit trick everywhere, including at exact powers of two —
+    // evaluated through Spark's log2 (the same IEEE contract DuckDB's
+    // rides), sampled densely across five decades
+    val rows = spark.range(1L, 3000000L, 71L).toDF("n")
+      .withColumn("sqlC", pow(lit(2.0), greatest(lit(3.0),
+        floor(log2(greatest(lit(1L), (col("n") - 1) / lit(125L)))) + 1))
+        .cast("long"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == Similarity.semdedupClusters(r.getLong(0)).toLong,
+        s"law mismatch at n=${r.getLong(0)}")
+    }
+  }
+
+  /** Deterministic fixture: 1300 dense dim-8 vectors (the law sizes C
+    * to 16 — the dynamic-C path, NOT the q182 constant), with planted
+    * exact duplicates (i % 40 == 1 copies i−1) and zero-norm rows
+    * (i % 97 == 96). Values ≤ 0.6 keep |xq| ≤ 600, inside every
+    * overflow bound [[Similarity.cosAtLeast]] states.
+    */
+  private def semFixture: Seq[(Long, Seq[Double])] = {
+    val rnd = new scala.util.Random(43)
+    val base = (0 until 1300).map { _ => Seq.fill(8)(rnd.nextDouble() * 1.2 - 0.6) }
+    (0 until 1300).map { i =>
+      val v =
+        if (i % 97 == 96) Seq.fill(8)(0.0)
+        else if (i % 40 == 1) base(i - 1)
+        else base(i)
+      (i.toLong, v)
+    }
+  }
+
+  /** Driver-side referee for the WHOLE dynamic-C pipeline: HALF_UP
+    * milli quantize, C lowest-id init, kmIters exact assign/update
+    * rounds, final assignment, integer-rational pair admission —
+    * plain Scala Longs, no Spark. Returns (C, converged centroids,
+    * members (id, cid, xq, n2) with zero-norms excluded, dup pairs
+    * (cid, aId, bId)).
+    */
+  private def refSemState(vecs: Seq[(Long, Seq[Double])], num: Int, den: Int)
+      : (Int, Seq[(Long, Array[Long])],
+         Seq[(Long, Long, Array[Long], Long)], Seq[(Long, Long, Long)]) = {
+    def quant(v: Double): Long = new java.math.BigDecimal(v * 1000)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val x = vecs.map { case (id, v) => id -> v.map(quant).toArray }.sortBy(_._1)
+    val c = Similarity.semdedupClusters(x.size.toLong)
+    def assign(cents: Seq[(Long, Array[Long])],
+        pts: Seq[(Long, Array[Long])]): Map[Long, Long] =
+      pts.map { case (id, xv) =>
+        id -> cents.map { case (cid, cv) =>
+          xv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum * c + cid - 1
+        }.min
+      }.toMap
+    var cent: Seq[(Long, Array[Long])] =
+      x.take(c).zipWithIndex.map { case ((_, xv), i) => ((i + 1).toLong, xv.clone) }
+    for (_ <- 1 to Similarity.kmIters) {
+      val a = assign(cent, x)
+      cent = cent.map { case (cid, prev) =>
+        val mem = x.filter(p => a(p._1) % c + 1 == cid).map(_._2)
+        if (mem.isEmpty) (cid, prev)
+        else (cid, Array.tabulate(prev.length) { j =>
+          new java.math.BigDecimal(mem.map(_(j)).sum.toDouble / mem.size)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+        })
+      }
+    }
+    val fin = assign(cent, x)
+    val members = x.map { case (id, xv) =>
+      (id, fin(id) % c + 1, xv, xv.map(z => z * z).sum) }
+      .filter(_._4 > 0L)
+    val dup = for {
+      (aId, ac, av, an2) <- members
+      (bId, bc, bv, bn2) <- members
+      if ac == bc && aId < bId
+      dot = av.zip(bv).map { case (p, q) => p * q }.sum
+      if dot >= 0 && den.toLong * den * dot * dot >= num.toLong * num * an2 * bn2
+    } yield (ac, aId, bId)
+    (c, cent, members, dup)
+  }
+
+  test("q298 semDedup: engine equals the driver referee on the dynamic-C " +
+      "fixture (C = 16), including planted exact dups and zero-norm rows") {
+    import spark.implicits._
+    val tmp = graft.Fs.tmpDir("graft_semdedup_fix")
+    semFixture.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val (c, _, members, dup) = refSemState(semFixture, 2, 5)
+    assert(c == 16)
+    assert(dup.nonEmpty) // the fixture must actually exercise admission
+    val expected = members.groupBy(_._2).map { case (cid, mem) =>
+      val pd = dup.filter(_._1 == cid)
+      val dropped = pd.map(_._3).distinct.size.toLong
+      (cid, mem.size.toLong, pd.size.toLong, dropped, mem.size - dropped)
+    }.toSeq.sorted
+    val got = Similarity.semDedup(spark, tmp)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got == expected)
+    // every planted exact-dup pair was admitted (cos = 1 ≥ 2/5)
+    assert(expected.map(_._4).sum >= semFixture.count(f =>
+      f._1 % 40 == 1 && f._1 % 97 != 96 && (f._1 - 1) % 97 != 96) / 2)
+  }
+
+  test("q299 stream gate: converged emissions equal the batch gate referee; " +
+      "zero-norm arrivals are admitted") {
+    import spark.implicits._
+    val tmp = graft.Fs.tmpDir("graft_semgate_fix")
+    semFixture.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    def quant(v: Double): Long = new java.math.BigDecimal(v * 1000)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val refSide = semFixture.filter(_._1 % Similarity.semGateMod != 0)
+    val (c, cent, refMembers, refDup) = refSemState(refSide, 2, 5)
+    val droppedIds = refDup.map(_._3).toSet
+    val kept = refMembers.filterNot(m => droppedIds.contains(m._1))
+    val expected = semFixture.filter(_._1 % Similarity.semGateMod == 0)
+      .map { case (id, v) =>
+        val xv = v.map(quant).toArray
+        val n2 = xv.map(z => z * z).sum
+        val cid = cent.map { case (cc, cv) =>
+          xv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum * c + cc - 1
+        }.min % c + 1
+        val hits =
+          if (n2 == 0L) 0L
+          else kept.count { case (_, kc, kv, kn2) =>
+            val dot = xv.zip(kv).map { case (p, q) => p * q }.sum
+            kc == cid && dot >= 0 && 25L * dot * dot >= 4L * n2 * kn2
+          }.toLong
+        (id, cid, hits, if (hits == 0L) 1L else 0L)
+      }.sorted
+    val got = Similarity.streamSemDedupGate(spark, tmp)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got == expected)
+    // the gate must both reject and admit on this fixture, and every
+    // zero-norm arrival is admitted with zero hits
+    assert(expected.exists(_._4 == 0L) && expected.exists(_._4 == 1L))
+    val zeroArrivals = semFixture.filter(f =>
+      f._1 % 97 == 96 && f._1 % Similarity.semGateMod == 0).map(_._1).toSet
+    assert(zeroArrivals.nonEmpty)
+    assert(got.filter(r => zeroArrivals.contains(r._1))
+      .forall(r => r._3 == 0L && r._4 == 1L))
+  }
 }

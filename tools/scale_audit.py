@@ -80,7 +80,8 @@ AUDIT = [
     "q293_whitening_plan", "q294_kept_basis_projection",
     # born in r19
     "q295_whitened_projection", "q296_basis_recall_eval",
-    "q297_stream_kept_projection",
+    "q297_stream_kept_projection", "q298_semdedup",
+    "q299_stream_semdedup_gate",
 ]
 
 # the fourth-decade set (r16 verdict item 7): the most expensive rows
@@ -106,7 +107,8 @@ SF1 = [
     "q27_embed_neardup", "q64_embed_neardup_lsh",
     # the r19 closers
     "q295_whitened_projection", "q296_basis_recall_eval",
-    "q297_stream_kept_projection",
+    "q297_stream_kept_projection", "q298_semdedup",
+    "q299_stream_semdedup_gate",
 ]
 
 # the FIFTH decade (r18 verdict item 1): synthetic sf10 = 100 key-
@@ -131,6 +133,7 @@ SF10 = [
     "q292_eigen_topk", "q293_whitening_plan", "q294_kept_basis_projection",
     "q295_whitened_projection", "q296_basis_recall_eval",
     "q297_stream_kept_projection", "q253_stream_funnel", "q268_stream_topk",
+    "q298_semdedup", "q299_stream_semdedup_gate",
 ]
 
 # density-bracketing rows (r18 verdict item 5): re-run the dedup
@@ -139,7 +142,7 @@ SF10 = [
 DENSE = [
     "q21_dedup_minhash_lsh", "q64_embed_neardup_lsh",
     "q93_stream_ingest_neardup", "q65_substring_dedup",
-    "q197_containment_dedup",
+    "q197_containment_dedup", "q298_semdedup",
 ]
 
 
