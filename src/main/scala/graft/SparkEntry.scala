@@ -2387,18 +2387,20 @@ object SparkEntry {
     // ingest; stateless, converged emissions ≡ q294's batch output
     "q297_stream_kept_projection" -> ((s, dir) => Similarity.streamKeptBasisProjection(s, dir)),
     // q298: SemDeDup (Abbas et al. 2023) — cluster-then-prune semantic
-    // dedup: k-means at an OCCUPANCY-SIZED C (the q64 law applied to
-    // cluster geometry — C ∝ n keeps E|cluster| ≈ 125, so the
-    // within-cluster verify is ~n·occ/2, linear), pairs admitted by
-    // the exact integer rational-cosine test, greedy-min-id keeps.
-    // The corpus-scale path between q64's banded LSH and q27's brute
-    // force; the driver sweep exercises the dynamic law at TWO widths
-    // (C=8 at sf0.001/0.01, C=16 at sf0.1)
+    // dedup: TWO-LEVEL k-means at an OCCUPANCY-SIZED total width (the
+    // q64 law applied to cluster geometry — C ∝ n keeps E|cluster| ≈
+    // 125, so the within-cluster verify is ~n·occ/2; the hierarchy
+    // keeps assignment at ~4·n·√C after the r19 audit measured the
+    // flat form's n·C as the dominant growth), pairs admitted by the
+    // exact integer rational-cosine test, greedy-min-id keeps. q64 is
+    // the engine's LINEAR embedding-dedup path, q27 the brute control,
+    // q84 the fixed-C epsilon-ball form; the driver sweep exercises
+    // the dynamic law at TWO shapes (4·2 at sf0.001/0.01, 4·4 at sf0.1)
     "q298_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),
     // q299: the LIVE form — the q282 stream-static discipline applied
     // to the q298 lifecycle: reference corpus (vec_id % 5 != 0)
     // clustered + deduped ONCE per session and frozen, arrivals gated
-    // per micro-batch against the kept set (broadcast-C assignment +
+    // per micro-batch against the kept set (two-level assignment +
     // one stream-static join on cid); stateless, converged emissions
     // ≡ the batch gate
     "q299_stream_semdedup_gate" -> ((s, dir) => Similarity.streamSemDedupGate(s, dir)),
@@ -3643,9 +3645,9 @@ object SparkEntry {
     // equal the q294 batch output, so its oracle applies unchanged
     "q297_stream_kept_projection" -> Similarity.keptBasisProjectionSql(),
     // q298: full-algorithm oracle — DuckDB re-derives the occupancy
-    // law (float-log2 mirror of the bit trick), the whole dynamic-C
-    // training fixpoint, the assignment, and the integer-rational
-    // pair admission
+    // law (float-log2 mirror of the bit trick), the hierarchy split,
+    // BOTH training fixpoints, the two-level assignment, and the
+    // integer-rational pair admission
     "q298_semdedup" -> Similarity.semDedupSql(),
     // q299: the batch form of the gate — same dynamic-C chain on the
     // reference subset, kept = members minus greedy drops, arrivals

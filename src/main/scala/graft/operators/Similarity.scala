@@ -3059,6 +3059,23 @@ object Similarity {
     1 << math.max(floor, want)
   }
 
+  /** The HIERARCHY split of the total width: coarse C₁ = 2^⌈b/2⌉,
+    * per-cell fine C₂ = 2^⌊b/2⌋ (C₁·C₂ = C). Flat assignment is n·C
+    * kernel work — with C ∝ n that is QUADRATIC, and the r19 audit
+    * measured it (flat q298 alpha10 = +1.11 at sf1, the sf10 leg
+    * unfinished after 20 min of one JVM at C = 2048). Two levels cut
+    * assignment to n·(C₁ + (kmIters+1)·C₂) ≈ 4·n·√C — the flat-index
+    * floor (faiss's nlist ≈ √n regime): Θ(n^1.5/√occ) when C ∝ n,
+    * the intrinsic cost of EXACT nearest-centroid SemDeDup on a
+    * relational engine. The engine's LINEAR embedding-dedup path
+    * remains q64 (LSH bucket partition — map-only signatures); the
+    * paper's own regime is a FIXED C served by ANN hardware. */
+  private[graft] def semdedupBitsSplit(n: Long): (Int, Int) = {
+    val b = Integer.numberOfTrailingZeros(semdedupClusters(n))
+    val b1 = (b + 1) / 2
+    (b1, b - b1)
+  }
+
   /** `cos(a,b) ≥ num/den` as an EXACT integer predicate on quantized
     * vectors: `dot ≥ 0 ∧ den²·dot² ≥ num²·‖a‖²·‖b‖²` — no float, no
     * sqrt, no division. Headroom at milli scale: |xq| ≤ ~10³ keeps
@@ -3069,14 +3086,83 @@ object Similarity {
     dot >= 0 && lit(den.toLong * den) * dot * dot >=
       lit(num.toLong * num) * n2a * n2b
 
+  /** Per-cell fine init: the C₂ lowest-id members of EACH coarse cell
+    * (the kmInit discipline, partitioned — distributed, no global
+    * window). `members` is (g, vec_id, xq). */
+  private def fineInit(members: DataFrame, c2: Int): DataFrame = {
+    val wg = Window.partitionBy(col("g")).orderBy(col("vec_id").asc)
+    members.withColumn("sub", row_number().over(wg).cast("long"))
+      .filter(col("sub") <= c2)
+      .select(col("g"), col("sub"), col("xq").as("c"))
+  }
+
+  /** One fine assignment pass WITHIN each coarse cell: the packed-key
+    * argmin joined on `g` only — per-vector work is |its cell's subs|
+    * ≤ C₂, never C. LEFT join + coalesce(sub, 1): a vector (a q299
+    * arrival) routed to a coarse cell the reference corpus left empty
+    * has no fine centroids to compare — it takes sub 1 by convention
+    * (mirrored in the oracle); corpus members never hit this (their
+    * own cell holds at least themselves, so init is non-empty). */
+  private def fineAssignSub(members: DataFrame, fine: DataFrame, c2: Int): DataFrame = {
+    val dist = aggregate(zip_with(col("xq"), col("c"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, d2) => acc + d2)
+    members.join(broadcast(fine), Seq("g"), "left")
+      .select(col("g"), col("vec_id"), col("xq"),
+        when(col("c").isNotNull, dist * c2 + col("sub") - 1).as("key"))
+      .groupBy(col("g"), col("vec_id"))
+      .agg(min(col("key")).as("key"), first(col("xq")).as("xq"))
+      .select(col("g"), col("vec_id"), col("xq"),
+        coalesce(pmod(col("key"), lit(c2.toLong)) + 1, lit(1L)).as("sub"))
+  }
+
+  /** Fine centroid update — [[kmUpdate]] with the coarse cell as an
+    * extra grouping key; empty (g, sub) pairs carry their previous
+    * centroid. */
+  private def fineUpdate(assigned: DataFrame, prev: DataFrame): DataFrame = {
+    val means = assigned
+      .select(col("g"), col("sub"), posexplode(col("xq")).as(Seq("j", "xj")))
+      .groupBy(col("g"), col("sub"), col("j"))
+      .agg(round(sum(col("xj")).cast("double") / count(lit(1)).cast("double"))
+        .cast("long").as("cj"))
+    val next = means.groupBy(col("g"), col("sub"))
+      .agg(sort_array(collect_list(struct(col("j"), col("cj")))).as("p"))
+      .select(col("g"), col("sub"), transform(col("p"), e => e.getField("cj")).as("c"))
+    prev.select(col("g"), col("sub"), col("c").as("c_prev"))
+      .join(next, Seq("g", "sub"), "left")
+      .select(col("g"), col("sub"), coalesce(col("c"), col("c_prev")).as("c"))
+  }
+
+  /** Two-level hierarchical training on a quantized corpus: the flat
+    * q182 chain at C₁ over the corpus, each vector FROZEN into its
+    * coarse cell, then the same chain per cell at C₂ (all cells train
+    * simultaneously — one grouped job per round, never a per-cell
+    * loop). Returns (coarse centroids (cid, c), members (g, vec_id,
+    * xq), fine centroids (g, sub, c)). */
+  private def hierTrain(x: DataFrame, c1: Int, c2: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val coarse = trainCentroids(x, c1)
+    val members = graft.ArtifactCache.isolated(
+      kmAssignC(x, coarse, c1)
+        .select(col("cid").as("g"), col("vec_id"), col("xq")))
+    var fine = fineInit(members, c2)
+    for (_ <- 1 to kmIters)
+      fine = graft.ArtifactCache.isolated(
+        fineUpdate(fineAssignSub(members, fine, c2), fine))
+    (coarse, members, fine)
+  }
+
+  /** Final flat cluster id from the hierarchy: cid = (g−1)·C₂ + sub. */
+  private def hierCid(c2: Int): Column =
+    (col("g") - 1) * c2 + col("sub")
+
   /** Cluster members with their norms — the frame both the q298 pair
     * stage and the q299 kept-set derive from. Zero-norm vectors have
     * no cosine and are excluded here (always kept / never a hit),
     * mirrored by the oracle's `n2 > 0` gate. */
-  private def semMembers(x: DataFrame, cent: DataFrame, c: Int): DataFrame = {
+  private def semMembers(members: DataFrame, fine: DataFrame, c2: Int): DataFrame = {
     val n2 = aggregate(transform(col("xq"), z => z * z), lit(0L), (a, b) => a + b)
-    kmAssignC(x, cent, c)
-      .select(col("cid"), col("vec_id"), col("xq"), n2.as("n2"))
+    fineAssignSub(members, fine, c2)
+      .select(hierCid(c2).as("cid"), col("vec_id"), col("xq"), n2.as("n2"))
       .filter(col("n2") > 0)
   }
 
@@ -3097,35 +3183,52 @@ object Similarity {
   }
 
   /** q298: SemDeDup — cluster-then-prune semantic dedup (Abbas et al.
-    * 2023, arXiv:2303.09540), the standard way to run embedding
-    * near-dedup at corpus scale WITHOUT a global pair join: k-means
-    * the corpus (the q182 integer-grid chain; C occupancy-sized by
-    * [[semdedupClusters]] so E|cluster| ≈ 125 at ANY n), then admit
-    * pairs ONLY within a cluster. Work = Σ|cluster|²/2 ≈ n·occ/2 —
-    * linear with C ∝ n — vs q64's banded LSH (recall-tuned candidate
-    * generation) and q27's brute force (the documented quadratic
-    * control). Pair admission is the exact integer rational-cosine
-    * test ([[cosAtLeast]], default 2/5 — this corpus' near-dup band);
-    * keep policy is greedy-min-id (the q15/q21 first-seen discipline —
-    * the paper keeps the member farthest from its centroid; same
+    * 2023, arXiv:2303.09540): k-means the corpus on the q182 integer
+    * grid, C occupancy-sized by [[semdedupClusters]] so E|cluster| ≈
+    * 125 at ANY n, then admit pairs ONLY within a cluster — the pair
+    * stage is Σ|cluster|²/2 ≈ n·occ/2, linear. Clustering is
+    * TWO-LEVEL ([[semdedupBitsSplit]], [[hierTrain]]): the r19 audit
+    * measured the flat form's n·C assignment as the dominant growth
+    * (alpha10 = +1.11 at sf1; the sf10 leg did not finish), and the
+    * hierarchy cuts it to ≈ 4·n·√C — Θ(n^1.5/√occ) with C ∝ n, the
+    * intrinsic flat-index floor of EXACT nearest-centroid SemDeDup
+    * (faiss's nlist ≈ √n regime; the paper itself runs a FIXED C on
+    * ANN hardware). The engine's LINEAR embedding-dedup path is q64
+    * (LSH bucket partition); q27 is the brute-force control; q84 is
+    * the fixed-C epsilon-ball form over the stored trained index.
+    * Pair admission is the exact integer rational-cosine test
+    * ([[cosAtLeast]], default 2/5 — this corpus' near-dup band); keep
+    * policy is greedy-min-id (the q15/q21 first-seen discipline — the
+    * paper keeps the member farthest from its centroid; same
     * one-per-group cardinality, deterministic relational form).
     * Output: one row per non-empty cluster — members, admitted dup
-    * pairs, dropped, kept. 100 TB: assignment is a broadcast-C map
-    * pass, the pair join shuffles on cid only, and the report is
+    * pairs, dropped, kept. 100 TB: both assignment levels are grouped
+    * map passes (coarse is a broadcast of C₁ rows; fine joins on the
+    * cell id), the pair join shuffles on cid only, and the report is
     * C-bounded; nothing is ever all-pairs or data-sized on the driver.
     */
+  private val hierCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Int, Int, DataFrame, DataFrame, DataFrame)]()
+
+  /** Once-per-session hierarchical state for a corpus: (C₁, C₂,
+    * coarse centroids, members (g, vec_id, xq), fine centroids). */
+  private def hierStateFor(s: SparkSession, key: String, x: => DataFrame)
+      : (Int, Int, DataFrame, DataFrame, DataFrame) =
+    hierCache.compute(key, (_, hit) =>
+      if (hit != null && (hit._3.sparkSession eq s) && !s.sparkContext.isStopped) hit
+      else {
+        val xv = x
+        // one cheap count job sizes the hierarchy (table stats at 100 TB)
+        val (b1, b2) = semdedupBitsSplit(xv.count())
+        val (coarse, members, fine) = hierTrain(xv, 1 << b1, 1 << b2)
+        (1 << b1, 1 << b2, coarse, members, fine)
+      })
+
   def semDedup(s: SparkSession, dir: String,
       cosNum: Int = 2, cosDen: Int = 5): DataFrame = {
-    val x = kmQuantized(s, dir)
-    // one cheap count job sizes C (table-stats metadata at 100 TB)
-    val c = semdedupClusters(x.count())
-    // when the law lands on the q182 constant the artifact is shared
-    val cent =
-      if (c == kmC) kmCentroids(s, dir)
-      else graft.ArtifactCache.cached(kmCentCache, s"$dir#C=$c", s) {
-        trainCentroids(x, c)
-      }
-    val m = semMembers(x, cent, c)
+    val (_, c2, _, members, fine) = hierStateFor(s, s"$dir#hier",
+      kmQuantized(s, dir))
+    val m = semMembers(members, fine, c2)
     val drops = semDupPairs(m, cosNum, cosDen).groupBy("cid").agg(
       count(lit(1)).as("n_dup_pairs"),
       countDistinct(col("b_id")).as("n_dropped"))
@@ -3143,44 +3246,51 @@ object Similarity {
   val semGateMod = 5
 
   private val semGateCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Int, DataFrame, DataFrame)]()
+    String, (Int, Int, DataFrame, DataFrame, DataFrame)]()
 
   /** The frozen serving state of the q298 lifecycle (once per session,
     * the q282 trained-artifact discipline): the REFERENCE corpus
-    * (arrival ids excluded) clustered at its own occupancy-sized C,
-    * deduped greedy-min-id, reduced to the KEPT members. The kept set
-    * is corpus-sized — a static checkpointed TABLE the live gate
-    * stream-static-joins on cid, NOT a driver literal. */
+    * (arrival ids excluded) hierarchically clustered at its own
+    * occupancy-sized width, deduped greedy-min-id, reduced to the
+    * KEPT members. The kept set is corpus-sized — a static
+    * checkpointed TABLE the live gate stream-static-joins on cid,
+    * NOT a driver literal. Returns (C₁, C₂, coarse, fine, kept). */
   private[operators] def semGateState(s: SparkSession, dir: String, mod: Int,
-      cosNum: Int, cosDen: Int): (Int, DataFrame, DataFrame) =
+      cosNum: Int, cosDen: Int): (Int, Int, DataFrame, DataFrame, DataFrame) =
     semGateCache.compute(s"$dir#m$mod#$cosNum/$cosDen", (_, hit) =>
-      if (hit != null && (hit._2.sparkSession eq s) && !s.sparkContext.isStopped) hit
+      if (hit != null && (hit._3.sparkSession eq s) && !s.sparkContext.isStopped) hit
       else {
-        val refX = kmQuantized(s, dir)
-          .filter(pmod(col("vec_id"), lit(mod.toLong)) =!= 0)
-        val c = semdedupClusters(refX.count())
-        val cent = graft.ArtifactCache.isolated(trainCentroids(refX, c))
-        val m = semMembers(refX, cent, c)
+        val (c1, c2, coarse, members, fine) = hierStateFor(s, s"$dir#gate$mod",
+          kmQuantized(s, dir)
+            .filter(pmod(col("vec_id"), lit(mod.toLong)) =!= 0))
+        val m = semMembers(members, fine, c2)
         val dropped = semDupPairs(m, cosNum, cosDen)
           .select(col("b_id").as("vec_id")).distinct()
         val kept = graft.ArtifactCache.isolated(
           m.join(dropped, Seq("vec_id"), "left_anti"))
-        (c, cent, kept)
+        (c1, c2, coarse, fine, kept)
       })
 
   /** One gate pass over an embeddings-shaped batch — byte-for-byte the
     * semantics the oracle re-derives: arrivals (`vec_id % mod == 0`)
-    * assign to the frozen reference centroids (broadcast-C map pass),
-    * then count KEPT reference members of the assigned cluster passing
-    * the cosine test (stream-static join on cid). `admitted = 1` iff
-    * no hit; zero-norm arrivals have no cosine and are admitted. */
-  private def semGateOn(batch: DataFrame, c: Int, cent: DataFrame,
-      kept: DataFrame, mod: Int, cosNum: Int, cosDen: Int): DataFrame = {
+    * route through the frozen two-level hierarchy (coarse broadcast-C₁
+    * pass, then the fine argmin within the cell — an arrival landing
+    * in a cell the reference corpus left empty takes sub 1 by the
+    * [[fineAssignSub]] convention), then count KEPT reference members
+    * of the assigned cluster passing the cosine test (stream-static
+    * join on cid). `admitted = 1` iff no hit; zero-norm arrivals have
+    * no cosine and are admitted. */
+  private def semGateOn(batch: DataFrame, c1: Int, c2: Int, coarse: DataFrame,
+      fine: DataFrame, kept: DataFrame, mod: Int,
+      cosNum: Int, cosDen: Int): DataFrame = {
     val n2 = aggregate(transform(col("xq"), z => z * z), lit(0L), (a, b) => a + b)
     val arr = kmQuantizeDf(batch)
       .filter(pmod(col("vec_id"), lit(mod.toLong)) === 0)
-    val ag = kmAssignC(arr, cent, c)
-      .select(col("vec_id"), col("cid"), col("xq").as("xa"), n2.as("n2a"))
+    val garr = kmAssignC(arr, coarse, c1)
+      .select(col("cid").as("g"), col("vec_id"), col("xq"))
+    val ag = fineAssignSub(garr, fine, c2)
+      .select(col("vec_id"), hierCid(c2).as("cid"),
+        col("xq").as("xa"), n2.as("n2a"))
     val dot = aggregate(zip_with(col("xa"), col("xb"), (p, q) => p * q),
       lit(0L), (a, b) => a + b)
     val hits = ag.filter(col("n2a") > 0)
@@ -3210,7 +3320,7 @@ object Similarity {
     */
   def streamSemDedupGate(s: SparkSession, dir: String, nFiles: Int = 4,
       mod: Int = semGateMod, cosNum: Int = 2, cosDen: Int = 5): DataFrame = {
-    val (c, cent, kept) = semGateState(s, dir, mod, cosNum, cosDen)
+    val (c1, c2, coarse, fine, kept) = semGateState(s, dir, mod, cosNum, cosDen)
     val staged = stagedStreamEmb(s, dir, nFiles)
     val Seq(out) = streamIdxRuns.fresh((dir, "semgate", nFiles, mod, cosNum, cosDen),
       "graft_semgate")
@@ -3222,7 +3332,7 @@ object Similarity {
         .writeStream
         .foreachBatch { (b: DataFrame, bid: Long) =>
           graft.Sessions.withMicroBatchConf(b.sparkSession) {
-            semGateOn(b, c, cent, kept, mod, cosNum, cosDen)
+            semGateOn(b, c1, c2, coarse, fine, kept, mod, cosNum, cosDen)
               .write.mode("overwrite").parquet(s"$out/b$bid")
           }
           ()
@@ -3235,25 +3345,29 @@ object Similarity {
     s.read.option("recursiveFileLookup", "true").parquet(out)
   }
 
-  /** The [[kmChainSqlWhere]] chain with the cluster count COMPUTED by
-    * the oracle itself from the corpus (the [[semdedupClusters]] law
-    * in SQL — float-log2 mirror of the integer bit trick): a one-row
-    * `p(cval)` CTE every round cross-joins. `xall` is the unfiltered
-    * quantized corpus (the q299 oracle reads arrivals from it); `x`
-    * is the training corpus after `whereExtra`. The `pv` alias (not
-    * `p`) in the update CTE keeps the param CTE unshadowed. */
-  private def kmChainSqlDyn(floor: Int, occ: Long,
+  private def kmDistSql(xv: String, cv: String) =
+    s"list_sum(list_transform(range(1, len($xv) + 1), i -> ($xv[i] - $cv[i]) * ($xv[i] - $cv[i])))::BIGINT"
+
+  /** The TWO-LEVEL [[hierTrain]] chain with the hierarchy COMPUTED by
+    * the oracle itself from the corpus ([[semdedupClusters]] +
+    * [[semdedupBitsSplit]] in SQL — float-log2 mirror of the integer
+    * bit trick): a one-row `p(c1val, c2val)` CTE every round
+    * cross-joins. `xall` is the unfiltered quantized corpus (the q299
+    * oracle reads arrivals from it); `x` is the training corpus after
+    * `whereExtra`. Exposes: the coarse fixpoint `c0..cK`, the frozen
+    * coarse assignment `afg`, members `mb(g, vec_id, xq)`, and the
+    * per-cell fine fixpoint `f0..fK`. The `pv` alias (not `p`) in the
+    * carry CTEs keeps the param CTE unshadowed. */
+  private def hierChainSqlDyn(floor: Int, occ: Long,
       whereExtra: String = ""): String = {
-    def distSql(xv: String, cv: String) =
-      s"list_sum(list_transform(range(1, len($xv) + 1), i -> ($xv[i] - $cv[i]) * ($xv[i] - $cv[i])))::BIGINT"
-    def assignCte(prevC: String) =
-      s"""SELECT x.vec_id, min(${distSql("x.xq", "c.c")} * p.cval + c.cid - 1) AS key
+    def coarseAssign(prevC: String) =
+      s"""SELECT x.vec_id, min(${kmDistSql("x.xq", "c.c")} * p.c1val + c.cid - 1) AS gkey
           FROM x, $prevC c, p GROUP BY 1"""
-    val rounds = (1 to kmIters).map { r =>
-      s"""a$r AS (${assignCte(s"c${r - 1}")}),
+    val coarseRounds = (1 to kmIters).map { r =>
+      s"""a$r AS (${coarseAssign(s"c${r - 1}")}),
         m$r AS (SELECT cid, j, round(sum(xj)::DOUBLE / count(*)::DOUBLE)::BIGINT AS cj
                 FROM (SELECT cid, u.j AS j, u.xj AS xj
-                      FROM (SELECT a.key % p.cval + 1 AS cid,
+                      FROM (SELECT a.gkey % p.c1val + 1 AS cid,
                                    unnest(list_transform(range(1, len(x.xq) + 1),
                                      i -> {'j': i, 'xj': x.xq[i]})) AS u
                             FROM a$r a JOIN x USING (vec_id), p))
@@ -3263,18 +3377,46 @@ object Similarity {
                      (SELECT cid, list(cj ORDER BY j) AS c FROM m$r GROUP BY 1) n
                      USING (cid))"""
     }.mkString(",\n        ")
+    def fineAssign(prevF: String) =
+      s"""SELECT m.vec_id, m.g,
+                 min(${kmDistSql("m.xq", "f.c")} * p.c2val + f.sub - 1) AS skey
+          FROM mb m JOIN $prevF f ON m.g = f.g, p GROUP BY 1, 2"""
+    val fineRounds = (1 to kmIters).map { r =>
+      s"""fa$r AS (${fineAssign(s"f${r - 1}")}),
+        fm$r AS (SELECT g, sub, j, round(sum(xj)::DOUBLE / count(*)::DOUBLE)::BIGINT AS cj
+                FROM (SELECT g, sub, u.j AS j, u.xj AS xj
+                      FROM (SELECT a.g AS g, a.skey % p.c2val + 1 AS sub,
+                                   unnest(list_transform(range(1, len(m.xq) + 1),
+                                     i -> {'j': i, 'xj': m.xq[i]})) AS u
+                            FROM fa$r a JOIN mb m USING (vec_id), p))
+                GROUP BY 1, 2, 3),
+        f$r AS (SELECT pv.g, pv.sub, coalesce(n.c, pv.c) AS c
+                FROM f${r - 1} pv LEFT JOIN
+                     (SELECT g, sub, list(cj ORDER BY j) AS c FROM fm$r GROUP BY 1, 2) n
+                     USING (g, sub))"""
+    }.mkString(",\n        ")
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $denseWhereSql),
         xall AS (SELECT vec_id, list_transform(v, e -> round(e * 1000)::BIGINT) AS xq
               FROM e WHERE v IS NOT NULL),
         x AS (SELECT * FROM xall $whereExtra),
-        p AS (SELECT power(2, greatest($floor,
-                floor(log2(greatest(1, (count(*) - 1) // $occ))) + 1))::BIGINT AS cval
-              FROM x),
+        p AS (SELECT power(2, (b + 1) // 2)::BIGINT AS c1val,
+                     power(2, b - (b + 1) // 2)::BIGINT AS c2val
+              FROM (SELECT greatest($floor,
+                      floor(log2(greatest(1, (count(*) - 1) // $occ))) + 1)::BIGINT AS b
+                    FROM x)),
         c0 AS (SELECT rn::BIGINT AS cid, xq AS c
                FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, xq FROM x), p
-               WHERE rn <= p.cval),
-        $rounds,
-        af AS (${assignCte(s"c$kmIters")})"""
+               WHERE rn <= p.c1val),
+        $coarseRounds,
+        afg AS (${coarseAssign(s"c$kmIters")}),
+        mb AS (SELECT a.gkey % p.c1val + 1 AS g, x.vec_id, x.xq
+               FROM afg a JOIN x USING (vec_id), p),
+        f0 AS (SELECT g, rn::BIGINT AS sub, xq AS c
+               FROM (SELECT g, xq, row_number() OVER
+                       (PARTITION BY g ORDER BY vec_id) AS rn FROM mb), p
+               WHERE rn <= p.c2val),
+        $fineRounds,
+        faf AS (${fineAssign(s"f$kmIters")})"""
   }
 
   private def cosTestSql(dot: String, n2a: String, n2b: String,
@@ -3285,13 +3427,14 @@ object Similarity {
     "list_sum(list_transform(range(1, len(a.xq) + 1), i -> a.xq[i] * b.xq[i]))::BIGINT"
 
   /** Full-algorithm oracle for [[semDedup]]: DuckDB re-derives the
-    * occupancy law, the whole dynamic-C training fixpoint, the final
-    * assignment, and the integer-rational pair admission. */
+    * occupancy law, the hierarchy split, BOTH training fixpoints, the
+    * two-level assignment, and the integer-rational pair admission. */
   def semDedupSql(cosNum: Int = 2, cosDen: Int = 5): String =
-    s"""WITH ${kmChainSqlDyn(3, 125L)},
-        mem AS (SELECT a.key % p.cval + 1 AS cid, x.vec_id, x.xq,
-                       list_sum(list_transform(x.xq, z -> z * z))::BIGINT AS n2
-                FROM af a JOIN x USING (vec_id), p),
+    s"""WITH ${hierChainSqlDyn(3, 125L)},
+        mem AS (SELECT (m.g - 1) * p.c2val + (a.skey % p.c2val + 1) AS cid,
+                       m.vec_id, m.xq,
+                       list_sum(list_transform(m.xq, z -> z * z))::BIGINT AS n2
+                FROM faf a JOIN mb m USING (vec_id), p),
         m AS (SELECT * FROM mem WHERE n2 > 0),
         pr AS (SELECT a.cid AS cid, a.vec_id AS a_id, b.vec_id AS b_id,
                       $dotSql AS dot, a.n2 AS n2a, b.n2 AS n2b
@@ -3318,10 +3461,11 @@ object Similarity {
       s"list_sum(list_transform(range(1, len($xv) + 1), i -> ($xv[i] - $cv[i]) * ($xv[i] - $cv[i])))::BIGINT"
     val gdotSql =
       "list_sum(list_transform(range(1, len(g.xq) + 1), i -> g.xq[i] * k.xq[i]))::BIGINT"
-    s"""WITH ${kmChainSqlDyn(3, 125L, s"WHERE vec_id % $mod != 0")},
-        mem AS (SELECT a.key % p.cval + 1 AS cid, x.vec_id, x.xq,
-                       list_sum(list_transform(x.xq, z -> z * z))::BIGINT AS n2
-                FROM af a JOIN x USING (vec_id), p),
+    s"""WITH ${hierChainSqlDyn(3, 125L, s"WHERE vec_id % $mod != 0")},
+        mem AS (SELECT (m.g - 1) * p.c2val + (a.skey % p.c2val + 1) AS cid,
+                       m.vec_id, m.xq,
+                       list_sum(list_transform(m.xq, z -> z * z))::BIGINT AS n2
+                FROM faf a JOIN mb m USING (vec_id), p),
         m AS (SELECT * FROM mem WHERE n2 > 0),
         dup AS (SELECT DISTINCT b.vec_id AS d_id
                 FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -3331,11 +3475,18 @@ object Similarity {
         arr AS (SELECT vec_id, xq,
                        list_sum(list_transform(xq, z -> z * z))::BIGINT AS n2
                 FROM xall WHERE vec_id % $mod = 0),
-        aa AS (SELECT arr.vec_id,
-                      min(${distSql("arr.xq", "c.c")} * p.cval + c.cid - 1) AS key
+        ga AS (SELECT arr.vec_id,
+                      min(${distSql("arr.xq", "c.c")} * p.c1val + c.cid - 1) AS gkey
                FROM arr, c$kmIters c, p GROUP BY 1),
-        ag AS (SELECT a.vec_id, a.key % p.cval + 1 AS cid, arr.xq, arr.n2
-               FROM aa a JOIN arr USING (vec_id), p),
+        ag0 AS (SELECT a.vec_id, a.gkey % p.c1val + 1 AS g, arr.xq, arr.n2
+                FROM ga a JOIN arr USING (vec_id), p),
+        fs AS (SELECT a.vec_id,
+                      min(${distSql("a.xq", "f.c")} * p.c2val + f.sub - 1) AS skey
+               FROM ag0 a LEFT JOIN f$kmIters f ON a.g = f.g, p GROUP BY 1),
+        ag AS (SELECT a0.vec_id,
+                      (a0.g - 1) * p.c2val + coalesce(s.skey % p.c2val + 1, 1) AS cid,
+                      a0.xq, a0.n2
+               FROM ag0 a0 JOIN fs s USING (vec_id), p),
         hits AS (SELECT g.vec_id, count(*)::BIGINT AS n_dup_hits
                  FROM ag g JOIN kept k ON g.cid = k.cid AND g.n2 > 0
                  WHERE ${cosTestSql(gdotSql, "g.n2", "k.n2", cosNum, cosDen)}

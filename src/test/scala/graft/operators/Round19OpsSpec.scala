@@ -205,6 +205,11 @@ class Round19OpsSpec extends SparkSpec {
     assert(Similarity.semdedupClusters(2001) == 32)
     assert(Similarity.semdedupClusters(16000) == 128)
     assert(Similarity.semdedupClusters(16001) == 256)
+    // the hierarchy split: C₁ = 2^⌈b/2⌉, C₂ = 2^⌊b/2⌋, C₁·C₂ = C
+    assert(Similarity.semdedupBitsSplit(500) == ((2, 1)))   // C 8  = 4·2
+    assert(Similarity.semdedupBitsSplit(2000) == ((2, 2)))  // C 16 = 4·4
+    assert(Similarity.semdedupBitsSplit(20000) == ((4, 4))) // C 256
+    assert(Similarity.semdedupBitsSplit(200000) == ((6, 5))) // C 2048 = 64·32
     // the SQL mirror (floor(log2(k)) + 1 on DOUBLE) must agree with the
     // integer bit trick everywhere, including at exact powers of two —
     // evaluated through Spark's log2 (the same IEEE contract DuckDB's
@@ -238,44 +243,73 @@ class Round19OpsSpec extends SparkSpec {
     }
   }
 
-  /** Driver-side referee for the WHOLE dynamic-C pipeline: HALF_UP
-    * milli quantize, C lowest-id init, kmIters exact assign/update
-    * rounds, final assignment, integer-rational pair admission —
-    * plain Scala Longs, no Spark. Returns (C, converged centroids,
-    * members (id, cid, xq, n2) with zero-norms excluded, dup pairs
-    * (cid, aId, bId)).
+  /** Driver-side referee for the WHOLE two-level pipeline: HALF_UP
+    * milli quantize, the bits split, the coarse fixpoint (C₁ lowest-id
+    * init, kmIters exact assign/update rounds), the frozen coarse
+    * assignment, the per-cell fine fixpoint at C₂, the final fine
+    * assignment, integer-rational pair admission — plain Scala Longs,
+    * no Spark. Returns (c1, c2, coarse centroids, fine centroids per
+    * (g, sub), members (id, cid, xq, n2) with zero-norms excluded,
+    * dup pairs (cid, aId, bId)).
     */
   private def refSemState(vecs: Seq[(Long, Seq[Double])], num: Int, den: Int)
-      : (Int, Seq[(Long, Array[Long])],
+      : (Int, Int, Seq[(Long, Array[Long])], Map[(Long, Long), Array[Long]],
          Seq[(Long, Long, Array[Long], Long)], Seq[(Long, Long, Long)]) = {
     def quant(v: Double): Long = new java.math.BigDecimal(v * 1000)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    def mean(vs: Seq[Array[Long]], j: Int): Long =
+      new java.math.BigDecimal(vs.map(_(j)).sum.toDouble / vs.size)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
     val x = vecs.map { case (id, v) => id -> v.map(quant).toArray }.sortBy(_._1)
-    val c = Similarity.semdedupClusters(x.size.toLong)
-    def assign(cents: Seq[(Long, Array[Long])],
-        pts: Seq[(Long, Array[Long])]): Map[Long, Long] =
-      pts.map { case (id, xv) =>
-        id -> cents.map { case (cid, cv) =>
-          xv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum * c + cid - 1
-        }.min
-      }.toMap
-    var cent: Seq[(Long, Array[Long])] =
-      x.take(c).zipWithIndex.map { case ((_, xv), i) => ((i + 1).toLong, xv.clone) }
+    val (b1, b2) = Similarity.semdedupBitsSplit(x.size.toLong)
+    val (c1, c2) = (1 << b1, 1 << b2)
+    // level 1: the flat fixpoint at c1
+    def coarseKey(cents: Seq[(Long, Array[Long])], xv: Array[Long]): Long =
+      cents.map { case (cid, cv) =>
+        xv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum * c1 + cid - 1
+      }.min
+    var coarse: Seq[(Long, Array[Long])] =
+      x.take(c1).zipWithIndex.map { case ((_, xv), i) => ((i + 1).toLong, xv.clone) }
     for (_ <- 1 to Similarity.kmIters) {
-      val a = assign(cent, x)
-      cent = cent.map { case (cid, prev) =>
-        val mem = x.filter(p => a(p._1) % c + 1 == cid).map(_._2)
+      val a = x.map { case (id, xv) => id -> (coarseKey(coarse, xv) % c1 + 1) }.toMap
+      coarse = coarse.map { case (cid, prev) =>
+        val mem = x.filter(p => a(p._1) == cid).map(_._2)
         if (mem.isEmpty) (cid, prev)
-        else (cid, Array.tabulate(prev.length) { j =>
-          new java.math.BigDecimal(mem.map(_(j)).sum.toDouble / mem.size)
-            .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
-        })
+        else (cid, Array.tabulate(prev.length)(j => mean(mem, j)))
       }
     }
-    val fin = assign(cent, x)
+    // frozen coarse cells
+    val gOf = x.map { case (id, xv) => id -> (coarseKey(coarse, xv) % c1 + 1) }.toMap
+    val cells = x.groupBy(p => gOf(p._1))
+    // level 2: the per-cell fixpoint at c2 (cells train independently)
+    def fineKey(subs: Seq[(Long, Array[Long])], xv: Array[Long]): Long =
+      subs.map { case (sub, cv) =>
+        xv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum * c2 + sub - 1
+      }.min
+    var fine: Map[(Long, Long), Array[Long]] = cells.flatMap { case (g, mem) =>
+      mem.sortBy(_._1).take(c2).zipWithIndex.map { case ((_, xv), i) =>
+        (g, (i + 1).toLong) -> xv.clone }
+    }
+    for (_ <- 1 to Similarity.kmIters) {
+      val next = for ((g, mem) <- cells) yield {
+        val subs = fine.collect { case ((gg, sub), cv) if gg == g => (sub, cv) }
+          .toSeq.sortBy(_._1)
+        val a = mem.map { case (id, xv) => id -> (fineKey(subs, xv) % c2 + 1) }.toMap
+        subs.map { case (sub, prev) =>
+          val sm = mem.filter(p => a(p._1) == sub).map(_._2)
+          (g, sub) -> (if (sm.isEmpty) prev
+                       else Array.tabulate(prev.length)(j => mean(sm, j)))
+        }
+      }
+      fine = next.flatten.toMap
+    }
     val members = x.map { case (id, xv) =>
-      (id, fin(id) % c + 1, xv, xv.map(z => z * z).sum) }
-      .filter(_._4 > 0L)
+      val g = gOf(id)
+      val subs = fine.collect { case ((gg, sub), cv) if gg == g => (sub, cv) }
+        .toSeq.sortBy(_._1)
+      val sub = fineKey(subs, xv) % c2 + 1
+      (id, (g - 1) * c2 + sub, xv, xv.map(z => z * z).sum)
+    }.filter(_._4 > 0L)
     val dup = for {
       (aId, ac, av, an2) <- members
       (bId, bc, bv, bn2) <- members
@@ -283,7 +317,7 @@ class Round19OpsSpec extends SparkSpec {
       dot = av.zip(bv).map { case (p, q) => p * q }.sum
       if dot >= 0 && den.toLong * den * dot * dot >= num.toLong * num * an2 * bn2
     } yield (ac, aId, bId)
-    (c, cent, members, dup)
+    (c1, c2, coarse, fine, members, dup)
   }
 
   test("q298 semDedup: engine equals the driver referee on the dynamic-C " +
@@ -292,8 +326,8 @@ class Round19OpsSpec extends SparkSpec {
     val tmp = graft.Fs.tmpDir("graft_semdedup_fix")
     semFixture.toDF("vec_id", "embedding").write.mode("overwrite")
       .parquet(s"$tmp/embeddings.parquet")
-    val (c, _, members, dup) = refSemState(semFixture, 2, 5)
-    assert(c == 16)
+    val (c1, c2, _, _, members, dup) = refSemState(semFixture, 2, 5)
+    assert(c1 == 4 && c2 == 4) // n = 1300 → b = 4, split 2/2 — C = 16
     assert(dup.nonEmpty) // the fixture must actually exercise admission
     val expected = members.groupBy(_._2).map { case (cid, mem) =>
       val pd = dup.filter(_._1 == cid)
@@ -317,16 +351,27 @@ class Round19OpsSpec extends SparkSpec {
     def quant(v: Double): Long = new java.math.BigDecimal(v * 1000)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
     val refSide = semFixture.filter(_._1 % Similarity.semGateMod != 0)
-    val (c, cent, refMembers, refDup) = refSemState(refSide, 2, 5)
+    val (c1, c2, coarse, fine, refMembers, refDup) = refSemState(refSide, 2, 5)
     val droppedIds = refDup.map(_._3).toSet
     val kept = refMembers.filterNot(m => droppedIds.contains(m._1))
+    // arrivals route through the frozen two-level hierarchy exactly as
+    // the engine does: coarse argmin, then fine within the cell (an
+    // empty cell yields sub 1 by convention)
     val expected = semFixture.filter(_._1 % Similarity.semGateMod == 0)
       .map { case (id, v) =>
         val xv = v.map(quant).toArray
         val n2 = xv.map(z => z * z).sum
-        val cid = cent.map { case (cc, cv) =>
-          xv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum * c + cc - 1
-        }.min % c + 1
+        val g = coarse.map { case (cc, cv) =>
+          xv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum * c1 + cc - 1
+        }.min % c1 + 1
+        val subs = fine.collect { case ((gg, sub), cv) if gg == g => (sub, cv) }
+          .toSeq.sortBy(_._1)
+        val sub =
+          if (subs.isEmpty) 1L
+          else subs.map { case (ss, cv) =>
+            xv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum * c2 + ss - 1
+          }.min % c2 + 1
+        val cid = (g - 1) * c2 + sub
         val hits =
           if (n2 == 0L) 0L
           else kept.count { case (_, kc, kv, kn2) =>
