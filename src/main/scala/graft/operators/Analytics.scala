@@ -58,22 +58,40 @@ object Analytics {
 
   /** Multiway star join: revenue by nation. Dimension chain
     * (region→nation→customer) broadcasts; only the fact tables shuffle.
+    *
+    * The fact side is PRE-AGGREGATED to order grain before any join
+    * (guide §2.3 "aggregate before you shuffle"): per-order revenue is
+    * one map-side-combinable decimal sum keyed by l_orderkey, so the
+    * orders join shuffles one row per order instead of one per line
+    * item (~4× fewer rows/bytes through BOTH fact exchanges), and —
+    * because each surviving row now carries a unique o_orderkey —
+    * `countDistinct(o_orderkey)` degenerates to `count(*)`, deleting
+    * the distinct-aggregate Expand from the final nation rollup.
+    * Exactness: decimal sums regroup associatively (decimal(37,4)
+    * line products, far from the 38-digit cap at any tested SF), so
+    * revenue is bit-identical to the line-grain sum.
     */
   def revenueByNation(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
     val o = Tables.load(s, dir, "orders")
     val c = Tables.load(s, dir, "customer")
     val n = Tables.load(s, dir, "nation")
+    val perOrder = li
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast(money) *
+          (lit(1).cast(money) - col("l_discount").cast(money))).as("line_rev"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("line_rev")).as("order_rev"))
     // broadcast only the bounded dimension (nation: 25 rows at every SF);
     // customer grows with SF, so the planner/AQE decides for it — an
     // unconditional hint would OOM instead of degrading to a shuffle join
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        sum(col("l_extendedprice").cast(money) * (lit(1).cast(money) - col("l_discount").cast(money))).cast("double").as("revenue"),
-        countDistinct(col("o_orderkey")).as("n_orders"))
+        sum(col("order_rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
   }
 
   /** Selective filter + projection — Catalyst pushes both into the
@@ -1136,7 +1154,7 @@ object Analytics {
     * 100 TB the bucket count grows with retention while each bucket
     * stays event-rate-sized.
     */
-  private def interactionEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def interactionEdges(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type"), col("h"))
       .orderBy(col("ts").asc, col("event_id").asc)
     Tables.events(s, dir)
@@ -1174,11 +1192,21 @@ object Analytics {
     * arithmetic.
     */
   def triangleCensus(s: SparkSession, dir: String): DataFrame = {
-    val edges = interactionEdges(s, dir)
-    val deg = edges.select(col("a").as("node"))
-      .unionAll(edges.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val oriented = edges
+    // The edge list feeds FOUR consumers (deg, the wedge self-join, the
+    // closing semi-join, n_edges) and `oriented` two (both self-join
+    // sides); without a materialization boundary each consumer re-runs
+    // the events scan → window → distinct pipeline (the before plan
+    // held 4 independent copies of that subtree, zero ReusedExchange).
+    // One eager localCheckpoint per frame computes each pipeline once
+    // (guide §2.4 "remove shuffles outright" / §5 lineage truncation);
+    // deg and oriented are edge-bounded, edges is the distinct
+    // adjacency — all far smaller than the raw event input.
+    val edges = graft.ArtifactCache.isolated(interactionEdges(s, dir))
+    val deg = graft.ArtifactCache.isolated(
+      edges.select(col("a").as("node"))
+        .unionAll(edges.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg")))
+    val oriented = graft.ArtifactCache.isolated(edges
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
       .select(
@@ -1187,7 +1215,7 @@ object Analytics {
           .otherwise(col("b")).as("src"),
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")), col("b"))
-          .otherwise(col("a")).as("dst"))
+          .otherwise(col("a")).as("dst")))
     val tri = oriented.as("e1").join(oriented.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
       .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
@@ -1457,13 +1485,28 @@ object Analytics {
     * ties broken by neighbor id.
     */
   def itemCooccurrenceKnn(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val freq = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
-    val co = li.as("a")
-      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    // Pair generation via per-basket item sets, not a distinct +
+    // self-join: `collect_set` dedups within the basket during ONE
+    // map-side-combinable aggregation keyed by l_orderkey, and the
+    // (pa < pb) pairs explode in-row from the sorted set — work is
+    // still Σ basket² but the plan drops the separate distinct
+    // exchange AND the basket-key join exchange (before: scan →
+    // Exchange(orderkey,partkey) → distinct → Exchange(orderkey) →
+    // SortMergeJoin; after: scan → Exchange(orderkey) → sets →
+    // generate). The basket frequency table re-derives from the same
+    // materialized sets (no second base-table pass). Guide §2.3/§2.4.
+    val sets = graft.ArtifactCache.isolated(
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps")))
+    val freq = sets.select(explode(col("ps")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    val co = sets
+      .select(explode(col("ps")).as("pa"), col("ps"))
+      .select(col("pa"), explode(col("ps")).as("pb"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("co"))
     val sc = co
       .join(freq.select(col("l_partkey").as("pa"), col("n").as("na")), "pa")

@@ -1577,6 +1577,14 @@ object Similarity {
     val bf = bruteForceTopK(s, dir, k)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
     val nRef = bf.agg(count(lit(1)).as("n_ref"))
+    // MEASURED AND KEPT AS-IS (r19 optimization round): a rewrite that
+    // scored all C probe tiers once into a |Q|·C·k-bounded checkpoint
+    // and rebuilt the five arms from it measured 3.18 s vs 3.01 s for
+    // this form (isolated min, sf0.1/local[32]) — AQE's runtime stage
+    // reuse already dedups the five arms' identical assignment/scoring
+    // exchanges inside the one unioned plan, so the checkpoint only
+    // added a materialization barrier. Guide §1.1: empirical beats
+    // first-principles when they disagree.
     val perP = Seq(1, 2, 4, 8, 16).map { p =>
       val probes = pranked.filter(col("prank") <= p)
         .select(col("query_id"), col("qv"), col("cent_id").as("bucket"))
@@ -4157,11 +4165,20 @@ object Similarity {
     val kept = keptBasis(s, dir, kComps, thrMicro)
     require(kept.nonEmpty,
       "basisRecallEval: empty keep mask (degenerate zero-trace grid)")
-    val bf = bruteForceTopK(s, dir, k).select(col("query_id"), col("neighbor_id"))
+    // bf feeds THREE branches (n_ref, hits_raw, hits_kept) — without a
+    // boundary each branch re-ran the full |Q|×N brute-force scoring
+    // pass (the before plan held three copies of that subtree, zero
+    // ReusedExchange). The checkpoint is ≤ |Q|·k rows. pcorpus feeds
+    // the centroid slice, the assignment, and the query batch of the
+    // kept-space IVF — one materialized projection pass instead of
+    // three kmQuantized scans. Guide §2.4 / §5.
+    val bf = graft.ArtifactCache.isolated(
+      bruteForceTopK(s, dir, k).select(col("query_id"), col("neighbor_id")))
     val raw = ivfTopK(s, dir, k).select(col("query_id"), col("neighbor_id"))
     val dots = kept.map { case (x, _, _) => keptDot(x).cast("double") }
-    val pcorpus = kmQuantized(s, dir).filter(size(col("xq")) === covDims)
-      .select(col("vec_id"), array(dots: _*).as("v"))
+    val pcorpus = graft.ArtifactCache.isolated(
+      kmQuantized(s, dir).filter(size(col("xq")) === covDims)
+        .select(col("vec_id"), array(dots: _*).as("v")))
     // the filter caps this at numCentroids rows; the limit makes the
     // bound structural (PlanSpec's every-broadcast-carries-a-limit)
     val cents = pcorpus.filter(col("vec_id") < numCentroids)

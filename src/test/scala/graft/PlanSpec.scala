@@ -623,8 +623,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
     // the edge window distributes by (event_type, hour) — the 1-row
     // summary aggregates may collapse to SinglePartition, the
-    // event-sequence sort must not
-    assert(p.contains("hashpartitioning(event_type"), p)
+    // event-sequence sort must not. Since the r19 optimization round
+    // the edge pipeline runs ONCE behind a localCheckpoint boundary
+    // (it used to re-run per consumer), so the partitioning pin moves
+    // to the edge subplan itself; the final plan must read the
+    // checkpointed RDD instead of re-deriving edges.
+    val ep = operators.Analytics.interactionEdges(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(ep.contains("hashpartitioning(event_type"), ep)
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"), p)
   }
 
   test("q177: time-decay attribution equi-joins on the entity key — horizon is a filter") {
