@@ -1946,6 +1946,13 @@ object PipelineOps {
     val pairs = arrays_zip(
       slice(toksCol, lit(1), size(toksCol) - 1).as("w1"),
       slice(toksCol, lit(2), size(toksCol) - 1).as("w2"))
+    // MEASURED AND KEPT AS-IS (r19 optimization round): materializing
+    // tf2/cnt1 behind localCheckpoints (the q156 move) measured 1.69 s
+    // vs 1.52 s for this form in a same-window A/B — tf2 is
+    // doc×bigram-grained (near stream-sized, unlike q156's
+    // vocab²-bounded grid), so the checkpoint write costs more than
+    // AQE's runtime exchange reuse already saves across the two
+    // consumers. Guide §1.1: empirical beats first-principles.
     val tf2 = docs.select(col("doc_id"), explode(pairs).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))

@@ -2970,7 +2970,12 @@ object Similarity {
     * assignment pass over the day.
     */
   def kmeansIncremental(s: SparkSession, dir: String): DataFrame = {
-    val all = kmQuantized(s, dir)
+    // The quantized corpus feeds FOUR passes (two training-round
+    // assignments, the base partials, the delta partials); without a
+    // boundary each re-runs the parquet scan + dense-gate + quantize
+    // projection. One eager materialization, four cheap re-reads
+    // (guide §2.4; the q296 pcorpus discipline).
+    val all = graft.ArtifactCache.isolated(kmQuantized(s, dir))
     val base = all.filter(col("vec_id") % kmDeltaMod =!= 0)
     val delta = all.filter(col("vec_id") % kmDeltaMod === 0)
     var cent = kmInit(base)

@@ -783,8 +783,16 @@ object TextAnalysis {
 
   def pmiPairs(s: SparkSession, dir: String, vocab: Int = 256,
       topPairs: Int = 100): DataFrame = {
-    val vt = vocabInduction(s, dir, vocab).select(col("term"))
-    pmiFold(pmiPairCounts(Tables.load(s, dir, "documents"), vt), topPairs)
+    // vt feeds two broadcast filters (w1, w2) and cab feeds FOUR fold
+    // consumers (ca, cb, tot, scored) — without boundaries the full
+    // tokenize+explode pipeline re-ran once per consumer (the before
+    // plan re-derived the documents scan ~12×). Both frames are
+    // bounded (vocab and vocab² rows), so the checkpoints cost nothing
+    // at any scale. q160's streamed form already does exactly this.
+    val vt = graft.ArtifactCache.isolated(
+      vocabInduction(s, dir, vocab).select(col("term")))
+    pmiFold(graft.ArtifactCache.isolated(
+      pmiPairCounts(Tables.load(s, dir, "documents"), vt)), topPairs)
   }
 
   def pmiPairsSql(vocab: Int = 256, topPairs: Int = 100): String =
