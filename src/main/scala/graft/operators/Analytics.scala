@@ -496,6 +496,12 @@ object Analytics {
 
   def tsSimilarityTopK(s: SparkSession, dir: String, k: Int = 5,
       queryMod: Int = 50): DataFrame =
+    // MEASURED AND KEPT AS-IS (r19 optimization round): checkpointing
+    // the grid before the fold (the q117 streamed form's move) measured
+    // 1.53 vs 1.02 s for this form in a same-window A/B — the fold's
+    // three grid consumers are already served by AQE stage reuse here,
+    // and q117 checkpoints for a DIFFERENT reason (the MemoryPlan view
+    // can't dedup attributes across self-join branches).
     tsSimilarityFold(tsDailyGrid(
       Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))), k, queryMod)
 
@@ -584,6 +590,12 @@ object Analytics {
     val n1 = step1.agg(count(lit(1)).as("n1"))
     val n2 = step2.agg(count(lit(1)).as("n2"))
     val n3 = step3.agg(count(lit(1)).as("n3"))
+    // MEASURED AND KEPT AS-IS (r19 optimization round): materializing
+    // the four counts as one checkpointed 1-row frame (the plan text
+    // shows the step chains duplicated 7×) measured 1.77 s vs 1.16 s
+    // for this form in a same-window A/B at sf0.1/local[32] — AQE's
+    // runtime stage reuse already dedups the duplicated subtrees, and
+    // the checkpoint barrier serializes what was one parallel DAG.
     def ratio(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
       when(den === 0, lit(null)).otherwise(
         num.cast("double") / den.cast("double"))

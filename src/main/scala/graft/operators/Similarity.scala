@@ -1757,6 +1757,12 @@ object Similarity {
     * the inputs.
     */
   def annRecallEval(s: SparkSession, dir: String, k: Int = defaultK): DataFrame = {
+    // MEASURED AND KEPT AS-IS (r19 optimization round): checkpointing
+    // bf (the q296 move) measured 2.51 vs 1.33 s for this form in a
+    // same-window A/B — bf's two consumers share one window exchange
+    // that AQE stage reuse already dedups; q296 wins because its bf
+    // feeds THREE branches of a much larger plan where the barrier
+    // amortizes. Guide §1.1: empirical beats first-principles.
     val bf = bruteForceTopK(s, dir, k).select(col("query_id"), col("neighbor_id"))
     val ivf = ivfTopK(s, dir, k).select(col("query_id"), col("neighbor_id"))
     val hits = bf.join(ivf, Seq("query_id", "neighbor_id"))
