@@ -202,24 +202,33 @@ object Bench {
       val hi = if (runs.isEmpty) -1.0 else runs.max
       (name, lo, hi)
     }
-    val qs = results.map { case (k, lo, hi) => Json.quote(k) + s":[$lo,$hi]" }
+    // the driver contract wants SCALAR seconds per query; the min is
+    // the methodology's representative value (steady-state cost, see
+    // the attempts comment above). The [min,max] band the r18/r19
+    // rounds printed here moved to its own diagnostic line below —
+    // PERF_r19.json proved the array-valued map was unparseable to the
+    // driver's comparator (n_common = 0, per_query = {}), so round 20
+    // restores the contract shape while keeping the old numbers.
+    val qs = results.map { case (k, lo, _) => Json.quote(k) + s":$lo" }
+      .mkString("{", ",", "}")
+    val qsBand = results.map { case (k, lo, hi) => Json.quote(k) + s":[$lo,$hi]" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, lo, _) if lo >= 0 => lo }.sum
-    // per-attempt windows FIRST (it's the biggest line and strictly
-    // diagnostic); total/total_tail keep their positions so existing
-    // consumers are unaffected
+    // diagnostics FIRST (windows, min/max band, compact headline);
+    // the contract line is LAST because every BENCH_rNN.json back to
+    // r10 shows the driver parsing the final JSON line on stdout
     val ws = windows.map { case (k, vs) =>
       Json.quote(k) + ":" + vs.map { case (s, e, d) => s"[$s,$e,$d]" }
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     println(s"""{"metric":"windows","windows":$ws}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.quote(sfDir)}}""")
-    // the per-query line above is one giant JSON object and the last
-    // lines of output are what survives tail capture — repeat the
-    // headline as its own compact line LAST so a clipped tail still
-    // parses the total. Named total_tail, NOT total: a consumer that
-    // greps-and-sums "metric":"total" lines must not double-count.
+    println(s"""{"metric":"attempts_minmax","queries":$qsBand}""")
+    // compact headline kept for grep-and-sum consumers; named
+    // total_tail, NOT total, so they never double-count, and printed
+    // BEFORE the contract line so the final JSON line carries the
+    // per-query map the driver's PERF comparator reads
     println(s"""{"metric":"total_tail","value":$total,"unit":"sec","queries_run":${results.count(_._2 >= 0.0)},"sf":${Json.quote(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.quote(sfDir)}}""")
     spark.stop()
   }
 }

@@ -208,7 +208,11 @@ def parse(sf):
             continue
         for line in open(path):
             if '"metric":"total"' in line and '"queries"' in line:
-                merged.update(json.loads(line[line.index('{'):])["queries"])
+                qs = json.loads(line[line.index('{'):])["queries"]
+                # r20: the contract line carries SCALAR seconds; the
+                # pre-r20 [min,max] band shape is still accepted
+                merged.update({k: (v if isinstance(v, list) else [v])
+                               for k, v in qs.items()})
     if not merged:
         raise SystemExit(f"no bench line for sf{sf}")
     return merged
