@@ -222,7 +222,10 @@ object Bench {
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     println(s"""{"metric":"windows","windows":$ws}""")
-    println(s"""{"metric":"attempts_minmax","queries":$qsBand}""")
+    // keyed "minmax", NOT "queries": the contract line below must be
+    // the only line a '"queries"' grep can hit, whatever shape the
+    // driver's parser takes
+    println(s"""{"metric":"attempts_minmax","minmax":$qsBand}""")
     // compact headline kept for grep-and-sum consumers; named
     // total_tail, NOT total, so they never double-count, and printed
     // BEFORE the contract line so the final JSON line carries the

@@ -258,6 +258,17 @@ object DataQuality {
     * the hash contract for no optimizer value.
     */
   def columnProfile(s: SparkSession, dir: String): DataFrame = {
+    // MEASURED AND KEPT AS-IS (r20 optimization round): a one-pass-per-
+    // table rewrite (all audited columns in a single multi-distinct
+    // aggregate + bounded explode to per-column rows, 7 scans → 3)
+    // measured 1.38/1.51 s vs 1.14/1.16 s for this form (isolated
+    // min-of-2 pairs, sf0.1/local[32], oracle cell-exact both ways).
+    // The multi-distinct aggregate plans as an Expand(k+1) that
+    // multiplies every row k+1 ways BEFORE the shuffle, and that row
+    // multiplication costs more than the extra column-pruned scans of
+    // single-row-group page-cached files save. At petabyte scan sizes
+    // the trade flips toward one pass — that variant is recorded here
+    // for the day the scans dominate.
     def one(df: DataFrame, table: String, c: String): DataFrame =
       df.agg(
         count(lit(1)).as("n"),

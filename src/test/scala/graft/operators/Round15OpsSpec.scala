@@ -25,6 +25,17 @@ class Round15OpsSpec extends SparkSpec {
     assert(live.map(_.getLong(0)).distinct.length == live.length)
     val batch = Dedup.noveltyScores(spark, dir).collect()
     assert(live.toSet == batch.toSet)
+    // claim conservation (r20: the report write and the claims append
+    // now run as overlapped jobs inside each micro-batch — this is the
+    // invariant a mis-ordered or racing claims append would break):
+    // every distinct gram in the corpus is claimed by exactly one doc
+    // across all batches, so Σ n_novel = |distinct grams|
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val distinctGrams = Dedup.docShingles(docs, col("text"))
+      .select(explode(col("shingles")).as("s")).distinct().count()
+    assert(live.map(_.getLong(2)).sum == distinctGrams,
+      "novel-claim total diverged from the distinct-gram count")
   }
 
   test("q264: recall is non-decreasing in nprobe, and exactly one row is chosen") {
