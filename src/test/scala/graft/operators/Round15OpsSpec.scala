@@ -38,6 +38,18 @@ class Round15OpsSpec extends SparkSpec {
       "novel-claim total diverged from the distinct-gram count")
   }
 
+  test("q298 serves the STORED assignment: the report plan carries no " +
+      "fine-assignment argmin (r20 — the q84 stored-assignment discipline)") {
+    // the fine-assignment pass is the only SemDeDup stage using the
+    // packed-key pmod decode; once the assignment is a session
+    // artifact, the serving plan (pair join + C-bounded report) must
+    // not contain it — a reappearing pmod means the assignment is
+    // being recomputed per invocation again
+    val p = Similarity.semDedup(spark, dir).queryExecution.executedPlan.toString
+    assert(!p.contains("pmod"),
+      s"q298 must read the stored assignment, not re-derive it:\n$p")
+  }
+
   test("q264: recall is non-decreasing in nprobe, and exactly one row is chosen") {
     val rows = Similarity.nprobePlanner(spark, dir)
       .orderBy(col("nprobe"))
