@@ -50,6 +50,17 @@ class Round15OpsSpec extends SparkSpec {
       s"q298 must read the stored assignment, not re-derive it:\n$p")
   }
 
+  test("q270 gate is invocation-deterministic under the frozen reference " +
+      "(r20 — the second run serves the session-cached 13-gram set)") {
+    // run the live gate twice in one session: run 2 serves the cached
+    // reference hash set (the r20 freeze); emissions must be identical
+    // frames — a drifting or partially-built cache would diverge here
+    val a = Dedup.streamDecontaminate(spark, dir).collect().toSet
+    val b = Dedup.streamDecontaminate(spark, dir).collect().toSet
+    assert(a == b, "gate emissions changed across invocations")
+    assert(a.nonEmpty)
+  }
+
   test("q264: recall is non-decreasing in nprobe, and exactly one row is chosen") {
     val rows = Similarity.nprobePlanner(spark, dir)
       .orderBy(col("nprobe"))
